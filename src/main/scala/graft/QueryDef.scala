@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator demo: a Spark plan + (optionally) equivalent
+  * DuckDB SQL the driver hash-compares against. Oracle-less entries get a
+  * weaker rows-only check (non-SQL-expressible ops: LSH, XML, crypto…). */
+case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object QueryDef {
+  /** Builds a `WITH a AS (...), b AS (...) body` DuckDB query from
+    * Tables.*Sql fragments. */
+  def withCtes(body: String, ctes: String*): String =
+    if (ctes.isEmpty) body else s"WITH ${ctes.mkString(",\n")}\n$body"
+}

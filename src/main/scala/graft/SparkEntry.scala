@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-family query registries. Every entry is one
+  * operator demo from SURVEY.md §2 (or a scale/LLM-pipeline operator);
+  * entries with an oracle are hash-verified against DuckDB at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** All operator families (adding a family is a one-line change). */
+  def registry: Map[String, QueryDef] =
+    graft.queries.MetaQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The ListObjects kernel (SURVEY §3.1) over the derived objects view. */
+  def entry(spark: SparkSession): DataFrame = {
+    functions.GraftFunctions.register(spark)
+    operators.Listing.entries(
+      Tables.objects(spark, "/root/testdata/sf0.001"), "src1",
+      operators.Listing.ListParams(
+        prefix = None, delimiter = Some("/"), maxKeys = 1000))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, v) => k -> v.fn }
+
+  def oracleSql: Map[String, String] =
+    registry.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registration + Column-level helpers for graft's function surface
+  * (reference scalar kernels, SURVEY.md §2.H). */
+object GraftFunctions {
+
+  /** Register all custom Catalyst expressions on a session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "inc_prefix", exprs => SuccessorString(exprs.head), "built-in")
+  }
+
+  /** `inc_prefix` as a Column (requires [[register]] on the session). */
+  def incPrefix(c: Column): Column = call_function("inc_prefix", c)
+
+  /** Regex-escape a user-supplied string for key-pattern building
+    * (reference: util.clj:109-121 `string->pattern`). Escapes Java/RE2
+    * metacharacters one-by-one (NOT `Pattern.quote`'s \Q…\E, which RE2 in
+    * the DuckDB oracle does not support). */
+  def quoteRegex(s: String): String =
+    s.flatMap { c =>
+      if ("\\.[]{}()*+-?^$|".indexOf(c) >= 0) s"\\$c" else c.toString
+    }
+
+  /** B1 pattern — direct-children keys: `^<prefix>[^<delim>]*$`
+    * (meta.clj:199-208). */
+  def keyPattern(prefix: String, delim: String): String =
+    s"^${quoteRegex(prefix)}[^${quoteRegex(delim)}]*$$"
+
+  /** B2 pattern — first-level common prefix: `^(<prefix>[^<delim>]*<delim>).*$`
+    * (meta.clj:210-222). */
+  def prefixPattern(prefix: String, delim: String): String =
+    s"^(${quoteRegex(prefix)}[^${quoteRegex(delim)}]*${quoteRegex(delim)}).*$$"
+
+  private val Hex = "0123456789abcdef"
+
+  private def hexStr(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 2)
+    bytes.foreach { b =>
+      sb.append(Hex.charAt((b >> 4) & 0xf)).append(Hex.charAt(b & 0xf))
+    }
+    sb.toString
+  }
+
+  /** HMAC-SHA256 → hex (sig v4 signing chain, reference sig4.clj:28-46). */
+  def hmacSha256(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data)
+  }
+
+  /** HMAC-SHA1 → base64 (sig v2, reference sig.clj:40-45). */
+  def hmacSha1Base64(key: String, data: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA1")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      key.getBytes("UTF-8"), "HmacSHA1"))
+    java.util.Base64.getEncoder.encodeToString(
+      mac.doFinal(data.getBytes("UTF-8")))
+  }
+
+  def sha256Hex(data: Array[Byte]): String =
+    hexStr(java.security.MessageDigest.getInstance("SHA-256").digest(data))
+
+  def md5Hex(data: Array[Byte]): String =
+    hexStr(java.security.MessageDigest.getInstance("MD5").digest(data))
+
+  /** Constant-time comparison for signature verification
+    * (reference sig.clj:73 via `constance`). */
+  def constantTimeEq(a: String, b: String): Boolean = {
+    val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+    if (ab.length != bb.length) false
+    else {
+      var acc = 0
+      var i = 0
+      while (i < ab.length) { acc |= ab(i) ^ bb(i); i += 1 }
+      acc == 0
+    }
+  }
+
+  /** sig-v4 percent-encode: RFC 3986 unreserved kept, optionally `/` kept
+    * for URI paths (reference sig4.clj:76-94). */
+  def awsUriEncode(s: String, keepSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_' || c == '.' ||
+          c == '~' || (keepSlash && c == '/')) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** "128k"/"2G"-style size literal → bytes (reference util.clj:43-63). */
+  def toBytes(s: String): Long = {
+    val m = Pattern.compile("^(\\d+)\\s*([kKmMgGtT]?)[bB]?$").matcher(s.trim)
+    require(m.matches(), s"invalid size literal: $s")
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case ""  => n
+      case "k" => n << 10
+      case "m" => n << 20
+      case "g" => n << 30
+      case "t" => n << 40
+    }
+  }
+
+  /** `${filename}` interpolation in POST-form keys (util.clj:123-126). */
+  def interpol(template: String, vars: Map[String, String]): String =
+    vars.foldLeft(template) { case (acc, (k, v)) =>
+      acc.replace("${" + k + "}", v)
+    }
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `inc_prefix(s)`: smallest string strictly greater than every string
+  * with prefix `s` — last char bumped by one; empty stays empty.
+  *
+  * Mirrors the reference's range-scan upper bound `inc-prefix`
+  * (reference: src/io/pithos/util.clj:35-41, tested util_test.clj:6-13):
+  * the ListObjects scan pushes `object < inc_prefix(prefix)` down to the
+  * store so only one bucket-partition slice is read (meta.clj:153-173).
+  *
+  * Catalyst `Expression` (not a Scala UDF) so it stays inside codegen'd
+  * stages and constant-folds when the prefix is a literal — at 100 TB the
+  * predicate lands in the parquet scan as a plain string comparison.
+  */
+case class SuccessorString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def foldable: Boolean = child.foldable
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(SuccessorString.inc(s))
+  }
+  override protected def withNewChildInternal(c: Expression): SuccessorString =
+    copy(child = c)
+  override def prettyName: String = "inc_prefix"
+}
+
+object SuccessorString {
+  /** Pure-Scala version used driver-side when building pushdown bounds. */
+  def inc(s: String): String =
+    if (s.isEmpty) s
+    else s.substring(0, s.length - 1) + (s.charAt(s.length - 1) + 1).toChar
+}
