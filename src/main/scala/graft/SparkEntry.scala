@@ -12,7 +12,10 @@ object SparkEntry {
 
   /** All operator families (adding a family is a one-line change). */
   def registry: Map[String, QueryDef] =
-    graft.queries.MetaQueries.defs
+    graft.queries.MetaQueries.defs ++
+      graft.queries.BlobQueries.defs ++
+      graft.queries.EventQueries.defs ++
+      graft.queries.AggQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The ListObjects kernel (SURVEY §3.1) over the derived objects view. */

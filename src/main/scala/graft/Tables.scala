@@ -24,7 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = t(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and derive a micros timestamp
+    * (`ts`) + the raw nanos (`ts_ns`). DuckDB reads ns natively — oracle
+    * SQL uses `epoch_us(ts)` for the same truncation. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** DuckDB fragment mirroring [[events]] (view name `ev` to avoid
+    * shadowing the driver's `events` view). */
+  val evSql: String =
+    """ev AS (
+      |  SELECT event_id, epoch_ns(ts) AS ts_ns, ts, user_id, event_type,
+      |         value, props
+      |  FROM events
+      |)""".stripMargin
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
 

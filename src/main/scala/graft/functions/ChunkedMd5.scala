@@ -1,0 +1,116 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Order-sensitive MD5 over chunked payloads: `chunked_md5(offset, payload)`
+  * digests chunks in ascending `offset` order regardless of row arrival
+  * order, returning the hex checksum of the reassembled stream.
+  *
+  * Re-expresses the reference's running-digest ingest fold
+  * (reference: src/io/pithos/util.clj:16-33 `md5-init/update/sum`, fed at
+  * stream.clj:114-135) as a distributed aggregate: updates buffer
+  * per-partition, merges across partitions, sorts by offset only at eval.
+  * This makes the digest insensitive to Spark's nondeterministic
+  * partition/merge order — the property the reference gets for free from
+  * its single-threaded loop.
+  *
+  * Memory is O(object size) per group, so this is the small-object path;
+  * [[graft.operators.BlobOps.checksums]] is the constant-memory
+  * repartition+sort streaming path for 100 TB blobs.
+  */
+case class ChunkedMd5(
+    left: Expression,   // offset: LongType
+    right: Expression,  // payload: BinaryType or StringType
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Long, Array[Byte])]]
+  with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Array[Byte])] =
+    ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Long, Array[Byte])],
+      input: InternalRow): ArrayBuffer[(Long, Array[Byte])] = {
+    val off = left.eval(input)
+    val pay = right.eval(input)
+    if (off != null && pay != null) {
+      val bytes = pay match {
+        case b: Array[Byte] => b
+        case s: UTF8String  => s.getBytes
+        case other          => other.toString.getBytes("UTF-8")
+      }
+      buf += ((off.asInstanceOf[Long], bytes))
+    }
+    buf
+  }
+
+  override def merge(
+      a: ArrayBuffer[(Long, Array[Byte])],
+      b: ArrayBuffer[(Long, Array[Byte])]): ArrayBuffer[(Long, Array[Byte])] =
+    a ++= b
+
+  override def eval(buf: ArrayBuffer[(Long, Array[Byte])]): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    buf.sortInPlaceBy(_._1)
+    buf.foreach { case (_, bytes) => md.update(bytes) }
+    UTF8String.fromString(GraftFunctions.hex(md.digest()))
+  }
+
+  override def serialize(buf: ArrayBuffer[(Long, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (off, bytes) =>
+      out.writeLong(off); out.writeInt(bytes.length); out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Array[Byte])] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new ArrayBuffer[(Long, Array[Byte])](n)
+    var i = 0
+    while (i < n) {
+      val off = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf += ((off, b))
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "chunked_md5"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType != LongType)
+      TypeCheckFailure(s"offset must be LONG, got ${left.dataType}")
+    else if (right.dataType != BinaryType && right.dataType != StringType)
+      TypeCheckFailure(s"payload must be BINARY or STRING, got ${right.dataType}")
+    else TypeCheckSuccess
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ChunkedMd5 =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ChunkedMd5 =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ChunkedMd5 = copy(left = l, right = r)
+}

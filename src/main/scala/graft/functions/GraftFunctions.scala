@@ -14,7 +14,16 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "inc_prefix", exprs => SuccessorString(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "chunked_md5",
+      exprs => ChunkedMd5(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
   }
+
+  /** Order-sensitive chunked MD5 aggregate as a Column (small-object
+    * path; see [[ChunkedMd5]]). */
+  def chunkedMd5(offset: Column, payload: Column): Column =
+    call_function("chunked_md5", offset, payload)
 
   /** `inc_prefix` as a Column (requires [[register]] on the session). */
   def incPrefix(c: Column): Column = call_function("inc_prefix", c)
@@ -40,7 +49,8 @@ object GraftFunctions {
 
   private val Hex = "0123456789abcdef"
 
-  private def hexStr(bytes: Array[Byte]): String = {
+  /** Lowercase hex of raw bytes. */
+  def hex(bytes: Array[Byte]): String = {
     val sb = new StringBuilder(bytes.length * 2)
     bytes.foreach { b =>
       sb.append(Hex.charAt((b >> 4) & 0xf)).append(Hex.charAt(b & 0xf))
@@ -65,10 +75,10 @@ object GraftFunctions {
   }
 
   def sha256Hex(data: Array[Byte]): String =
-    hexStr(java.security.MessageDigest.getInstance("SHA-256").digest(data))
+    hex(java.security.MessageDigest.getInstance("SHA-256").digest(data))
 
   def md5Hex(data: Array[Byte]): String =
-    hexStr(java.security.MessageDigest.getInstance("MD5").digest(data))
+    hex(java.security.MessageDigest.getInstance("MD5").digest(data))
 
   /** Constant-time comparison for signature verification
     * (reference sig.clj:73 via `constance`). */

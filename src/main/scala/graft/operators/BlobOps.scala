@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Blob dataflow — the reference's chunked content path re-expressed as
+  * batch plans (reference: src/io/pithos/blob.clj, stream.clj).
+  *
+  * Chunks table shape: (inode, block, offset, chunksize, payload)
+  * (blob.clj:79-93). All operators keep work distributed: per-inode
+  * repartitioning replaces the reference's per-request thread, and the
+  * only driver-side materialization is the final page render.
+  */
+object BlobOps {
+
+  /** Ordered block offsets of an inode (A12, blob.clj:99-106): projection
+    * to the single `block` column — Catalyst prunes the parquet scan to
+    * that column alone. */
+  def blockList(chunks: DataFrame, inode: Long): DataFrame =
+    chunks.filter(col("inode") === inode)
+      .select("block").distinct().orderBy("block")
+
+  /** Byte-range read (F3, stream.clj:37-85): keep overlapping chunks,
+    * crop boundary payloads. `[start, end)` byte coordinates.
+    * Block-level skipping (`:while (<= block end)` stream.clj:80-81) is
+    * the pushed-down `offset` range predicate — parquet min/max stats
+    * prune non-overlapping row groups. */
+  def rangeRead(chunks: DataFrame, start: Long, end: Long): DataFrame =
+    chunks
+      .filter(col("offset") < end && (col("offset") + col("chunksize")) > start)
+      .select(col("inode"), col("offset"),
+        expr(s"substring(payload, greatest(0L, $start - offset) + 1, " +
+          s"least(chunksize, $end - offset) - greatest(0L, $start - offset))")
+          .as("cropped"))
+
+  /** Content checksums, constant-memory scale path (D2): repartition by
+    * inode, sort within partitions by (inode, offset), stream one MD5 per
+    * consecutive inode run. Unlike [[graft.functions.ChunkedMd5]] this
+    * never holds a whole object in memory — the 100 TB path.
+    *
+    * Output: (inode: Long, checksum: String). */
+  def checksums(chunks: DataFrame): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val payloadAsBinary = chunks.schema("payload").dataType match {
+      case org.apache.spark.sql.types.BinaryType => col("payload")
+      case _ => encode(col("payload"), "UTF-8")
+    }
+    val ordered = chunks
+      .select(col("inode").cast("long"), col("offset").cast("long"),
+        payloadAsBinary.as("payload"))
+      .repartition(col("inode"))
+      .sortWithinPartitions("inode", "offset")
+      .as[(Long, Long, Array[Byte])]
+    val out: Dataset[(Long, String)] = ordered.mapPartitions { it =>
+      new Iterator[(Long, String)] {
+        private var cur: Option[(Long, java.security.MessageDigest)] = None
+        private var pending: Option[(Long, String)] = None
+        private def roll(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val (inode, _, payload) = it.next()
+            cur match {
+              case Some((i, md)) if i == inode => md.update(payload)
+              case Some((i, md)) =>
+                pending = Some((i, graft.functions.GraftFunctions.hex(md.digest())))
+                val nmd = java.security.MessageDigest.getInstance("MD5")
+                nmd.update(payload)
+                cur = Some((inode, nmd))
+              case None =>
+                val md = java.security.MessageDigest.getInstance("MD5")
+                md.update(payload)
+                cur = Some((inode, md))
+            }
+          }
+          if (pending.isEmpty && !it.hasNext) {
+            cur.foreach { case (i, md) =>
+              pending = Some((i, graft.functions.GraftFunctions.hex(md.digest())))
+            }
+            cur = None
+          }
+        }
+        override def hasNext: Boolean = { roll(); pending.nonEmpty }
+        override def next(): (Long, String) = {
+          roll()
+          val r = pending.get; pending = None; r
+        }
+      }
+    }
+    out.toDF("inode", "checksum")
+  }
+
+  /** Whole-object sizes (D3, stream.clj:127): map-side-combined sum. */
+  def sizes(chunks: DataFrame): DataFrame =
+    chunks.groupBy("inode")
+      .agg(sum("chunksize").as("size"), count(lit(1)).as("n_chunks"))
+
+  /** Orphan-block GC (SURVEY §2.I note; reference acknowledges the leak
+    * at doc/source/concepts.rst:96-100 and never fixes it): blobs whose
+    * inode no longer appears in `objects` ∪ `parts` are garbage.
+    * Anti-join keeps it set-based — no driver loop, shuffles only the
+    * small live-inode set (broadcast when it fits). */
+  def orphanBlocks(chunks: DataFrame, liveInodes: DataFrame): DataFrame =
+    chunks.join(liveInodes.select("inode").distinct(), Seq("inode"), "left_anti")
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Generic analytic aggregations over the TPC-H-ish tables — the bench
+  * headliners. Decimal-exact arithmetic with a final cast to double so
+  * Spark and DuckDB hash-match bit-for-bit. */
+object AggQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q1 shape: the canonical scan+aggregate throughput test.
+    "q1_pricing_summary" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          |    AS sum_disc_price,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "scan+hash-agg headliner (map-side partial agg, 2-col group)"),
+
+    // TPC-H Q3 shape: 3-way join + agg + top-k.
+    "q3_top_orders" -> QueryDef(
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("revenue_dec"))
+          .select(col("l_orderkey"), col("o_orderdate"),
+            col("revenue_dec").cast("double").as("revenue"))
+          .orderBy(col("revenue_dec").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(
+        """SELECT l_orderkey, o_orderdate,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+          |    AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1995-03-15'
+          |  AND l_shipdate > TIMESTAMP '1995-03-15'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+          |         l_orderkey
+          |LIMIT 10""".stripMargin),
+      doc = "3-way join (broadcast dim) + agg + TakeOrderedAndProject"),
+
+    // F1: per-partition top-k via ranking window (listing page analog).
+    "f1_topk_per_bucket" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("bucket").orderBy("object")
+        Tables.objects(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("bucket", "object", "rn")
+          .orderBy("bucket", "object")
+      },
+      Some(QueryDef.withCtes(
+        """SELECT bucket, object, rn FROM (
+          |  SELECT bucket, object,
+          |         row_number() OVER (PARTITION BY bucket ORDER BY object) AS rn
+          |  FROM objects
+          |) WHERE rn <= 3 ORDER BY bucket, object""".stripMargin,
+        Tables.objectsSql)),
+      doc = "meta.clj:242-250 page head — ranking window top-k"),
+
+    // D5/D6 analog: collect_set merge semantics (CORS/ACL rule merge).
+    "d5_collect_merge" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some(
+        """SELECT o_orderpriority,
+          |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+          |       count(*) AS n
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      doc = "cors.clj:83-87 merge-rules / acl.clj:85-97 grant merge — " +
+        "set-union aggregation")
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withCtes
+
+/** Reporter/metering stream surface (SURVEY.md §2.I-S4, A17) + scalar
+  * kernels H4/H11/H13 over the events table. Batch forms here; the live
+  * Structured Streaming form is in [[graft.streaming.EventStreams]]. */
+object EventQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // I-S4: metering aggregation (reporter events → per-type totals).
+    "is4_metering" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("event_type"),
+      Some(withCtes(
+        """SELECT event_type, count(*) AS n,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Tables.evSql)),
+      doc = "reporter.clj:4-16 events → groupBy metering"),
+
+    // H4: timestamp truncation / hourly rollup (tumbling window, batch).
+    "h4_hourly_rollup" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour", "event_type")
+        .limit(500),
+      Some(withCtes(
+        """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+          |FROM ev GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 500""".stripMargin,
+        Tables.evSql)),
+      doc = "util.clj:78-107 date handling → tumbling-window rollup"),
+
+    // H13: JSON parse (POST policy analog, request.clj:229-238).
+    "h13_json_extract" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("k_sum"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some(withCtes(
+        """SELECT event_type,
+          |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+          |       count(*) AS n
+          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+        Tables.evSql)),
+      doc = "request.clj:229-238 JSON policy parse"),
+
+    // H11: Range-header parse + clamp (operations.clj:151-189).
+    "h11_range_header" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          concat(lit("bytes="), col("event_id") % 97, lit("-"),
+            (col("event_id") % 97) + floor(col("value")).cast("long"))
+            .as("header"))
+        .select(col("event_id"), col("header"),
+          regexp_extract(col("header"), "^bytes=(\\d+)-(\\d*)$", 1)
+            .cast("long").as("range_start"),
+          regexp_extract(col("header"), "^bytes=(\\d+)-(\\d*)$", 2)
+            .cast("long").as("range_end"))
+        .select(col("event_id"), col("header"),
+          least(col("range_start"), lit(100L)).as("start"),
+          least(col("range_end") + 1, lit(100L)).as("end_excl"),
+          (col("range_start") <= col("range_end")).as("valid"))
+        .orderBy("event_id"),
+      Some(withCtes(
+        """SELECT event_id, header,
+          |       least(CAST(regexp_extract(header, '^bytes=(\d+)-(\d*)$', 1) AS BIGINT), 100) AS "start",
+          |       least(CAST(regexp_extract(header, '^bytes=(\d+)-(\d*)$', 2) AS BIGINT) + 1, 100) AS end_excl,
+          |       CAST(regexp_extract(header, '^bytes=(\d+)-(\d*)$', 1) AS BIGINT)
+          |         <= CAST(regexp_extract(header, '^bytes=(\d+)-(\d*)$', 2) AS BIGINT) AS valid
+          |FROM (
+          |  SELECT event_id,
+          |         'bytes=' || CAST(event_id % 97 AS VARCHAR) || '-' ||
+          |         CAST(event_id % 97 + CAST(floor(value) AS BIGINT) AS VARCHAR) AS header
+          |  FROM ev WHERE event_id < 500
+          |) ORDER BY event_id""".stripMargin,
+        Tables.evSql)),
+      doc = "operations.clj:151-189 byte-range parse, clamp, 416 detect")
+  )
+}
