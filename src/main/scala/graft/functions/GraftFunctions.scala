@@ -18,6 +18,8 @@ object GraftFunctions {
       "chunked_md5",
       exprs => ChunkedMd5(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
   }
 
   /** Order-sensitive chunked MD5 aggregate as a Column (small-object

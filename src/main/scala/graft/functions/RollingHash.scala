@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `rolling_hash(s)`: 64-bit polynomial (Karp–Rabin-style) fingerprint
+  * `acc = acc * 31 + codepoint (mod 2^64)` over the string's code points.
+  *
+  * Document fingerprinting kernel for the dedup pipeline — a cheap,
+  * order-sensitive content hash used to bucket candidate duplicates
+  * before exact comparison. Arithmetic is plain wrapping `Long`, so the
+  * value is reproducible anywhere (the DuckDB oracle recomputes it with
+  * 128-bit ints mod 2^64).
+  *
+  * Implemented as a codegen'd Catalyst `Expression` (static-call
+  * `defineCodeGen`, no UDF boxing) so it fuses into whole-stage codegen
+  * on the 100 TB scan path.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    RollingHash.hash(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c.toString())")
+  override protected def withNewChildInternal(c: Expression): RollingHash =
+    copy(child = c)
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  /** Wrapping-Long polynomial hash over code points (mod 2^64). */
+  def hash(s: String): Long = {
+    var acc = 0L
+    val it = s.codePoints().iterator()
+    while (it.hasNext) acc = acc * 31L + it.nextInt()
+    acc
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for the training-data pipeline surface: token
+  * counting, language identification, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression (whole-stage-codegen'd
+  * built-ins — no UDFs), so at 100 TB these run inside the parquet scan
+  * stage with zero extra shuffles; only the final aggregations (if any)
+  * shuffle. Regex dialect is restricted to the Java∩RE2 subset so the
+  * DuckDB oracle evaluates the identical predicate.
+  */
+object TextOps {
+
+  // ---- tokenization ------------------------------------------------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token regex: letter runs | digit runs | single symbol.
+    * The standard pre-tokenizer shape (GPT-2-style, simplified to the
+    * Java∩RE2 regex subset). */
+  val BpeTokenPattern = "\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern))
+
+  /** Lowercased whitespace tokens as an array (dedup shingle input). */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  // ---- language identification (n-gram/marker-word heuristic) -----------
+
+  /** Distinctive high-frequency marker words per Latin-script language.
+    * Order of map iteration is irrelevant: prediction is computed with
+    * an order-independent `greatest()` over (count, lang) pairs. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "was", "his", "that", "with", "for"),
+    "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "que"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "dans", "et", "qui"))
+
+  /** CJK ideograph presence → zh (no whitespace segmentation needed). */
+  val CjkPattern = "[\\x{4E00}-\\x{9FFF}]"
+
+  def markerCount(text: Column, lang: String): Column =
+    regexp_count(lower(text),
+      lit("\\b(" + LangMarkers(lang).mkString("|") + ")\\b"))
+
+  /** Predicted language: 'zh' on any CJK ideograph, else argmax of
+    * marker-word counts ('und' when no marker hits). Ties break toward
+    * the lexicographically larger language tag via string-max of
+    * zero-padded `count || lang` — deterministic and oracle-replicable. */
+  def langId(text: Column): Column = {
+    val zh = regexp_count(text, lit(CjkPattern))
+    val scored = LangMarkers.keys.toSeq.sorted.map { l =>
+      concat(lpad(markerCount(text, l).cast("string"), 6, "0"), lit(l))
+    }
+    val best = greatest(scored: _*)
+    when(zh > 0, lit("zh"))
+      .when(substring(best, 1, 6) === "000000", lit("und"))
+      .otherwise(substring(best, 7, 2))
+  }
+
+  // ---- quality scoring ---------------------------------------------------
+
+  /** Per-document quality metrics + composite score in [0,1].
+    * All ratios are exact-int numerators/denominators divided in double
+    * with a fixed expression tree, so Spark and the oracle produce
+    * bit-identical doubles. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("double")
+    val nWords = wsTokenCount(text).cast("double")
+    val punct = regexp_count(text, lit("\\p{P}")).cast("double")
+    val alpha = regexp_count(text, lit("[\\p{L}\\x{4E00}-\\x{9FFF}]"))
+      .cast("double")
+    val stops = (markerCount(text, "en") + markerCount(text, "es") +
+      markerCount(text, "fr") + markerCount(text, "de")).cast("double")
+    val noSpace = length(regexp_replace(text, "\\s", "")).cast("double")
+    val lenScore = least(lit(1.0), nWords / 100.0)
+    val punctScore = lit(1.0) - least(lit(1.0), punct * 5.0 / nChars)
+    val stopScore = least(lit(1.0), stops * 3.0 / nWords)
+    val alphaScore = alpha / nChars
+    Seq(
+      "n_words" -> nWords.cast("long"),
+      "avg_word_len" -> (noSpace / nWords),
+      "punct_ratio" -> (punct / nChars),
+      "alpha_ratio" -> alphaScore,
+      "stop_ratio" -> (stops / nWords),
+      "quality" -> ((lenScore + punctScore + stopScore + alphaScore) * 0.25))
+  }
+
+  // ---- fingerprinting ----------------------------------------------------
+
+  /** Whitespace-collapsed lowercase normal form. */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Content-defined fingerprint: MD5 of the normal form. */
+  def mdFingerprint(text: Column): Column =
+    md5(encode(normText(text), "UTF-8"))
+
+  /** 64-bit rolling polynomial fingerprint of the normal form
+    * ([[graft.functions.RollingHash]]; needs
+    * [[graft.functions.GraftFunctions.register]] on the session). */
+  def rollFingerprint(text: Column): Column =
+    call_function("rolling_hash", normText(text))
+}

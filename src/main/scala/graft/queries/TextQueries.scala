@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+import graft.operators.TextOps
+
+/** Text-analysis pipeline demos over the `documents` table (the
+  * training-data surface: token counting, language ID, quality scoring,
+  * fingerprinting). All four are pure codegen'd column expressions —
+  * no shuffle except final sort — and every one is DuckDB-oracle
+  * hash-matched, including the 64-bit rolling hash (recomputed oracle-
+  * side with 128-bit ints mod 2^64). */
+object TextQueries {
+
+  // DuckDB mirror of TextOps.markerCount (regexp_count ≡ len(extract_all)).
+  private def duckMarker(lang: String): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${TextOps.LangMarkers(lang).mkString("|")})\\b'))"
+
+  private val duckScored = TextOps.LangMarkers.keys.toSeq.sorted
+    .map(l => s"lpad(CAST(${duckMarker(l)} AS VARCHAR), 6, '0') || '$l'")
+    .mkString("greatest(", ", ", ")")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "tx_token_counts" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS BIGINT) AS bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "token counting: whitespace + BPE-ish pre-tokenizer regex"),
+
+    "tx_lang_id" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("predicted"))
+        .withColumn("correct", col("predicted") === col("lang"))
+        .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0 THEN 'zh'
+           |       WHEN substr(best, 1, 6) = '000000' THEN 'und'
+           |       ELSE substr(best, 7, 2) END AS predicted,
+           |  (CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0 THEN 'zh'
+           |       WHEN substr(best, 1, 6) = '000000' THEN 'und'
+           |       ELSE substr(best, 7, 2) END) = lang AS correct
+           |FROM (SELECT doc_id, lang, text, $duckScored AS best FROM documents)
+           |ORDER BY doc_id""".stripMargin),
+      doc = "language ID: CJK presence + marker-word argmax heuristic"),
+
+    "tx_quality" -> QueryDef(
+      (s, d) => {
+        val m = TextOps.qualityMetrics(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(nw AS BIGINT) AS n_words,
+          |  nsp / nw AS avg_word_len,
+          |  pu / nc AS punct_ratio,
+          |  al / nc AS alpha_ratio,
+          |  st / nw AS stop_ratio,
+          |  (least(CAST(1.0 AS DOUBLE), nw / CAST(100.0 AS DOUBLE))
+          |   + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), pu * CAST(5.0 AS DOUBLE) / nc))
+          |   + least(CAST(1.0 AS DOUBLE), st * CAST(3.0 AS DOUBLE) / nw)
+          |   + al / nc) * CAST(0.25 AS DOUBLE) AS quality
+          |FROM (
+          |  SELECT doc_id,
+          |    CAST(length(text) AS DOUBLE) AS nc,
+          |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw,
+          |    CAST(len(regexp_extract_all(text, '\p{P}')) AS DOUBLE) AS pu,
+          |    CAST(len(regexp_extract_all(text, '[\p{L}\x{4E00}-\x{9FFF}]')) AS DOUBLE) AS al,
+          |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|was|his|that|with|for)\b'))
+          |       + len(regexp_extract_all(lower(text), '\b(el|los|las|una|por|con|para|que)\b'))
+          |       + len(regexp_extract_all(lower(text), '\b(le|les|des|une|est|dans|et|qui)\b'))
+          |       + len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS DOUBLE) AS st,
+          |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nsp
+          |  FROM documents
+          |) ORDER BY doc_id""".stripMargin),
+      doc = "quality scoring: length/punct/stopword/alpha ratios + composite"),
+
+    "tx_fingerprint" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.mdFingerprint(col("text")).as("fp_md5"),
+            TextOps.rollFingerprint(col("text")).as("fp_roll"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, md5(norm) AS fp_md5,
+          |  CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+          |            THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS fp_roll
+          |FROM (
+          |  SELECT doc_id, norm,
+          |    list_reduce(
+          |      list_prepend(0::HUGEINT, [unicode(c)::HUGEINT for c in regexp_extract_all(norm, '.')]),
+          |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS fp
+          |  FROM (SELECT doc_id,
+          |          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+          |        FROM documents)
+          |) ORDER BY doc_id""".stripMargin),
+      doc = "document fingerprinting: md5(normal form) + 64-bit rolling hash")
+  )
+}
