@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication kernels for the training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard (prefix-filtered inverted-index join),
+  * MinHash+LSH banding, and SimHash hamming buckets.
+  *
+  * Scale design (100 TB): nothing here is all-pairs. Candidate
+  * generation is always an equi-join on a blocking key (shared shingle
+  * prefix / LSH band / SimHash band), so Spark executes it as a shuffled
+  * hash join on the key — the only quadratic work is within a candidate
+  * bucket, and every approximate path ends in an exact verification
+  * join, so the *output* is exact for pairs above the threshold (the
+  * DuckDB oracle recomputes them with brute-force pairwise Jaccard).
+  */
+object Dedup {
+
+  // ---- shingling ---------------------------------------------------------
+
+  /** Distinct `w`-gram word shingles per row, exploded to
+    * `(id, shingle)`. Rows with fewer than `w` tokens produce nothing. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val sh = when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => array_join(slice(toks, i, lit(w)), " "))))
+      .otherwise(typedLit(Seq.empty[String]))
+    docs.select(col(idCol).as("id"), explode(sh).as("shingle"))
+  }
+
+  // ---- exact dedup -------------------------------------------------------
+
+  /** Exact dedup by content fingerprint: one surviving row per distinct
+    * normalized text, canonical id = min(id) (hash-groupBy — one
+    * shuffle on the fingerprint, map-side combined). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        TextOps.mdFingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min("id").as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Jaccard-similar pairs above `threshold` using *prefix filtering*
+    * (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs): order each
+    * doc's shingles by global document frequency (rarest first), index
+    * only the first `|d| - ceil(t*|d|) + 1` shingles. Any pair with
+    * J >= t must collide on at least one indexed prefix shingle, so the
+    * candidate join touches a tiny fraction of the full inverted index,
+    * then exact verification filters. Output equals brute-force pairwise
+    * Jaccard >= t (what the oracle computes).
+    *
+    * Returns `(i, j, jac)` with i < j.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, w: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+
+    // Global document frequency per shingle → rarest-first order.
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, "shingle")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("df"), col("shingle"))))
+      .join(sizes, "id")
+      // prefix length: |d| - ceil(t|d|) + 1
+      .filter(col("rank") <=
+        col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "shingle")
+
+    val cand = ranked.as("a").join(ranked.as("b"), "shingle")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+
+    verify(cand, sh, sizes).filter(col("jac") >= threshold)
+  }
+
+  /** Exact Jaccard of candidate pairs against the full shingle table. */
+  def verify(cand: DataFrame, sh: DataFrame, sizes: DataFrame): DataFrame = {
+    val inter = cand
+      .join(sh.select(col("id").as("i"), col("shingle")), "i")
+      .join(sh.select(col("id").as("j"), col("shingle")), Seq("j", "shingle"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("id").as("j"), col("n").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") /
+          (col("ni") + col("nj") - col("inter"))).as("jac"))
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** Mersenne prime 2^31-1 for the universal-hash family
+    * h_i(x) = (a_i * x + b_i) mod P. */
+  val P = 2147483647L
+
+  /** Deterministic (a_i, b_i) coefficients via a fixed-seed LCG (no
+    * dependence on scala.util.Random's sequence across versions). */
+  def coeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33) % (P - 1) }
+    Seq.fill(k)((next() + 1, next()))
+  }
+
+  /** MinHash signatures: `(id, m0..m{k-1})` — k min-aggregates over the
+    * shingle hash (one shuffle on id, map-side combined). */
+  def minhashSignature(sh: DataFrame, k: Int): DataFrame = {
+    val base = pmod(xxhash64(col("shingle")), lit(P))
+    val mins = coeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((base * a + b) % P).as(s"m$i")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded signatures (`b` bands × `r` rows):
+    * docs agreeing on all r rows of any band land in the same bucket.
+    * For J>=0.8, b=16/r=2 gives miss probability (1-0.8²)^16 ≈ 8e-8. */
+  def lshCandidates(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    val bandKeys = (0 until b).map { i =>
+      struct(lit(i).as("band"),
+        concat_ws("_", (0 until r).map(o => col(s"m${i * r + o}")): _*)
+          .as("key"))
+    }
+    val bands = sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pipeline: shingle → signature → banded
+    * candidates → exact-Jaccard verification at `threshold`. Same output
+    * as brute-force pairwise Jaccard (up to the negligible LSH miss
+    * probability) at a fraction of the join volume. */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, w).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val cand = lshCandidates(minhashSignature(sh, k), bands, k / bands)
+    verify(cand, sh, sizes).filter(col("jac") >= threshold)
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash per doc over distinct whitespace tokens: bit j is the
+    * sign of Σ_tokens (±1 by bit j of xxhash64(token)). One shuffle
+    * (groupBy id with 64 map-side-combined sums). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val sums = (0 until 64).map { j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val agg = toks.groupBy("id").agg(sums.head, sums.tail: _*)
+    val bits = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("id"), bits.as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxDist (maxDist < 4):
+    * banding by the four 16-bit quarters guarantees a colliding band for
+    * any pair within distance 3 (pigeonhole), then exact popcount
+    * verification. */
+  def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "4x16-bit banding covers hamming <= 3")
+    val bands = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          expr(s"shiftright(simhash, ${i * 16}) & 65535").as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.Dedup
+
+/** Deduplication pipeline demos over `documents`. The approximate paths
+  * (prefix-filtered Jaccard join, MinHash-LSH) end in exact
+  * verification, so their DuckDB oracle is brute-force pairwise Jaccard
+  * — the engines agree on the *result* while Spark's plan does a tiny
+  * fraction of the pair comparisons. */
+object DedupQueries {
+
+  /** Brute-force pairwise-Jaccard oracle at a given threshold (DuckDB
+    * list_intersect over per-doc distinct 3-gram shingle lists). */
+  private def pairwiseJaccardSql(threshold: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+       |                        for i in range(1, len(w)-1)]) AS sg
+       |  FROM toks
+       |)
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |       CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+       |         (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS jac
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+       |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
+       |      >= $threshold
+       |ORDER BY i, j""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup over a doubled corpus (simulated re-ingest): groupBy
+    // content fingerprint collapses each doc back to one row.
+    "dd_exact" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.exact(docs.unionAll(docs), "doc_id", "text")
+          .orderBy("canonical_id")
+      },
+      Some(
+        """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+          |       min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+          |GROUP BY 1 ORDER BY canonical_id""".stripMargin),
+      doc = "exact dedup: hash-groupBy on normalized-content fingerprint"),
+
+    // Prefix-filtered similarity join == brute-force pairwise >= 0.5.
+    "dd_jaccard_pairs" -> QueryDef(
+      (s, d) => Dedup.jaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", 0.5).orderBy("i", "j"),
+      Some(pairwiseJaccardSql("0.5")),
+      doc = "n-gram Jaccard near-dup: prefix-filtered inverted-index " +
+        "join + exact verify (All-Pairs/SSJoin)"),
+
+    // MinHash-LSH banding + exact verify == brute-force pairwise >= 0.8.
+    "dd_minhash_lsh" -> QueryDef(
+      (s, d) => Dedup.minhashDedup(
+        Tables.documents(s, d), "doc_id", "text", 0.8).orderBy("i", "j"),
+      Some(pairwiseJaccardSql("0.8")),
+      doc = "MinHash(k=32) + LSH(16 bands x 2 rows) candidates, " +
+        "exact-Jaccard verified at 0.8"),
+
+    // SimHash hamming<=3 pairs — hash-function-specific, rows-only check;
+    // determinism + recall covered by ScalaTest.
+    "dd_simhash" -> QueryDef(
+      (s, d) => Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("i", "j"),
+      None,
+      doc = "SimHash-64 near-dup: 4x16-bit band blocking + popcount verify")
+  )
+}
