@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane (SRP) LSH bucketed variant as the 100 TB path.
+  *
+  * Exactness trick for cross-engine verification: embeddings are
+  * quantized to int64 (`round(x * 10^4)`), so dot products and squared
+  * norms are *exact integers* (order-independent sums — safe under any
+  * aggregation order), and the final cosine is one IEEE-deterministic
+  * `dot / (sqrt(na)*sqrt(nb))` on exact inputs. Spark and DuckDB
+  * produce bit-identical doubles.
+  */
+object Similarity {
+
+  val Scale = 10000
+
+  /** Quantize a float vector to exact int64 (`round(double(x)*10^4)`). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * Scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** IEEE-deterministic cosine from exact-int dot and squared norms. */
+  def cosine(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast("double") / (sqrt(na2.cast("double")) * sqrt(nb2.cast("double")))
+
+  /** Embeddings with quantized vector + squared norm precomputed. */
+  def prepared(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = quantize(col(vecCol))
+    embs.select(col(idCol).as("id"), q.as("qv"))
+      .withColumn("n2", idot(col("qv"), col("qv")))
+  }
+
+  /** Brute-force cosine top-k: each query row scans the full corpus.
+    * The query side is broadcast (tiny), so the corpus is never
+    * shuffled — at scale this is one map-side pass per partition, the
+    * right baseline when k·|queries| is small. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val a = corpus.select(col("id").as("nid"), col("qv").as("nqv"),
+      col("n2").as("nn2"))
+    val b = queries.select(col("id").as("qid"), col("qv").as("qqv"),
+      col("n2").as("qn2"))
+    val scored = a.crossJoin(broadcast(b))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        cosine(idot(col("qqv"), col("nqv")), col("qn2"), col("nn2")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All pairs with cosine >= threshold — exact, for the near-dup gate.
+    * Broadcast-nested-loop at demo scale; at 100 TB use [[srpCandidates]]
+    * to block first and feed the pairs through the same exact scoring. */
+  def nearDupPairs(prep: DataFrame, threshold: Double): DataFrame = {
+    val a = prep.select(col("id").as("i"), col("qv").as("aqv"), col("n2").as("an2"))
+    val b = prep.select(col("id").as("j"), col("qv").as("bqv"), col("n2").as("bn2"))
+    a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"),
+        cosine(idot(col("aqv"), col("bqv")), col("an2"), col("bn2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  // ---- SRP-LSH (the scale path) -----------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes (LCG, fixed seed):
+    * `nBits` directions in R^dim with components in [-1, 1). */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    var s = seed
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Seq.fill(nBits)(Seq.fill(dim)(next()))
+  }
+
+  /** SRP signature: bit i = sign(v · g_i), packed into a long. */
+  def srpSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (g, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(g), (x, gg) => x.cast("double") * gg),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Candidate pairs colliding on at least one of `bands` contiguous
+    * `r`-bit bands of the SRP signature (equi-join blocking — no
+    * all-pairs work). Feed through exact scoring to get final results. */
+  def srpCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val mask = (1L << r) - 1
+    val bk = (0 until bands).map(i =>
+      struct(lit(i).as("band"),
+        expr(s"shiftright(sig, ${i * r}) & $mask").as("key")))
+    val exploded = sigs.select(col("id"), explode(array(bk: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    exploded.as("a").join(exploded.as("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+  }
+
+  /** LSH-bucketed ANN: SRP-block the corpus, score only colliding pairs
+    * exactly, keep top-k per query id. Approximate (recall < 1) — the
+    * scale path; the brute-force [[topK]] is the correctness baseline. */
+  def annLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val planes = hyperplanes(nBits, 64)
+    val prep = embs
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
+        srpSignature(col(vecCol), planes).as("sig"))
+      .withColumn("n2", idot(col("qv"), col("qv")))
+    val cand = srpCandidates(prep.select("id", "sig"), bands, nBits / bands)
+    // score both orientations so every id gets neighbors
+    val sym = cand.unionAll(cand.select(col("j").as("i"), col("i").as("j")))
+    val scored = sym
+      .join(prep.select(col("id").as("i"), col("qv").as("aqv"), col("n2").as("an2")), "i")
+      .join(prep.select(col("id").as("j"), col("qv").as("bqv"), col("n2").as("bn2")), "j")
+      .select(col("i").as("qid"), col("j").as("nid"),
+        cosine(idot(col("aqv"), col("bqv")), col("an2"), col("bn2")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+
+/** Similarity-search demos over `embeddings` (64-dim float vectors).
+  * Quantized-int arithmetic makes the cosine IEEE-deterministic, so the
+  * brute-force paths hash-match a DuckDB oracle exactly; the SRP-LSH
+  * path is the approximate scale variant (rows-only check). */
+object SimilarityQueries {
+
+  // Shared DuckDB prelude: quantized vectors + exact squared norms.
+  private val duckPrep =
+    """q AS (
+      |  SELECT vec_id,
+      |         [CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qv
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT vec_id, qv,
+      |         CAST(list_sum([qv[k]*qv[k] for k in range(1,65)]) AS BIGINT) AS n2
+      |  FROM q
+      |)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Brute-force cosine top-5 for 10 query vectors.
+    "sim_topk_brute" -> QueryDef(
+      (s, d) => {
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        Similarity.topK(prep, prep.filter(col("id") < 10), 5)
+          .orderBy("qid", "rank")
+      },
+      Some(
+        s"""WITH $duckPrep
+           |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+           |  SELECT b.vec_id AS qid, a.vec_id AS nid,
+           |    CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+           |      / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) AS cos,
+           |    row_number() OVER (
+           |      PARTITION BY b.vec_id
+           |      ORDER BY CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+           |        / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) DESC,
+           |        a.vec_id) AS rank
+           |  FROM p a CROSS JOIN p b
+           |  WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+           |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      doc = "brute-force cosine top-k ANN baseline (broadcast query side)"),
+
+    // Exact embedding near-duplicate pairs at cosine >= 0.4.
+    "sim_cosine_neardup" -> QueryDef(
+      (s, d) => Similarity.nearDupPairs(
+        Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
+        0.4).orderBy("i", "j"),
+      Some(
+        s"""WITH $duckPrep
+           |SELECT a.vec_id AS i, b.vec_id AS j,
+           |  CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+           |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+           |FROM p a JOIN p b ON a.vec_id < b.vec_id
+           |WHERE CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+           |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.4
+           |ORDER BY i, j""".stripMargin),
+      doc = "embedding-cosine near-dup gate, exact quantized-int scoring"),
+
+    // SRP-LSH bucketed ANN — approximate scale path, rows-only check.
+    "sim_ann_lsh" -> QueryDef(
+      (s, d) => Similarity.annLsh(
+        Tables.embeddings(s, d), "vec_id", "embedding", 5)
+        .orderBy("qid", "rank"),
+      None,
+      doc = "random-hyperplane LSH blocking (16 bits, 4x4 bands) + " +
+        "exact rescoring, top-5 per vector")
+  )
+}
