@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample operators.
+  *
+  * The Spark-side shape is real and tested — schemas, typed Datasets,
+  * per-partition batched iteration (the JVM analogue of `mapInPandas`
+  * Arrow batches), byte-based binary slicing that pushes no payload
+  * through a shuffle until after per-row reduction. The *codec* layer is
+  * STUBBED (this container has no image/audio libraries): decoders are
+  * deterministic pure functions of the payload bytes, clearly marked, so
+  * swapping in a real JNI/ImageIO codec changes one function and nothing
+  * else in the dataflow.
+  */
+object Multimodal {
+
+  case class Media(id: Long, mediaType: String, payload: Array[Byte],
+      meta: Map[String, String])
+  case class ImageFeatures(id: Long, width: Int, height: Int, channels: Int,
+      features: Array[Float])
+  case class AudioWindow(id: Long, windowIdx: Int, mean: Double, rms: Double)
+
+  /** Derived media table over `documents`: payload = UTF-8 bytes of the
+    * text (stand-in for real image/audio/video bytes), modality assigned
+    * round-robin, metadata as a typed map column. */
+  def media(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3).cast("int") + 1).as("mediaType"),
+      encode(col("text"), "UTF-8").as("payload"),
+      map(
+        lit("source"), col("source"),
+        lit("lang"), col("lang"),
+        lit("n_chars"), col("n_chars").cast("string")).as("meta"))
+      .as[Media]
+  }
+
+  // ---- STUB codec layer --------------------------------------------------
+
+  /** STUB image decode — deterministic fake dimensions + per-stripe byte
+    * means standing in for pixel statistics. A real implementation
+    * replaces ONLY this function (e.g. ImageIO / a JNI codec); the
+    * Dataset plumbing above/below it is production-shaped. */
+  def decodeImageStub(payload: Array[Byte]): ImageFeatures = {
+    val w = 16 + (payload.headOption.getOrElse(0: Byte) & 0x3f)
+    val h = 16 + (payload.lift(1).getOrElse(0: Byte) & 0x3f)
+    val c = 1 + (payload.length % 3)
+    val stripes = 8
+    val feats = Array.tabulate(stripes) { s =>
+      val from = s * payload.length / stripes
+      val until = (s + 1) * payload.length / stripes
+      if (until == from) 0f
+      else {
+        var acc = 0L; var i = from
+        while (i < until) { acc += (payload(i) & 0xff); i += 1 }
+        acc.toFloat / (until - from)
+      }
+    }
+    ImageFeatures(0L, w, h, c, feats)
+  }
+
+  /** STUB resize — rescales the fake feature vector to `target` bins. */
+  def resizeStub(f: ImageFeatures, target: Int): ImageFeatures = {
+    val out = Array.tabulate(target) { i =>
+      f.features(i * f.features.length / target)
+    }
+    f.copy(width = target, height = target * f.height / math.max(f.width, 1),
+      features = out)
+  }
+
+  // ---- operators ---------------------------------------------------------
+
+  /** Decode + feature-extract images: per-partition batched iteration
+    * (`mapPartitions`), nothing collected, output is a narrow typed
+    * schema — the decode cost parallelizes with the scan. */
+  def decodeImages(m: Dataset[Media]): Dataset[ImageFeatures] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    m.filter(_.mediaType == "image").mapPartitions { it =>
+      it.map(row => decodeImageStub(row.payload).copy(id = row.id))
+    }
+  }
+
+  /** Frame sampling for video payloads: byte-sliced `frameBytes` windows
+    * via a pure column expression (binary `substring` is byte-based), so
+    * it stays inside whole-stage codegen — no UDF, no decode until a
+    * downstream consumer asks for pixels. */
+  def sampleFrames(m: Dataset[Media], frameBytes: Int): DataFrame =
+    m.filter(col("mediaType") === "video")
+      .select(col("id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(length(payload) / $frameBytes.0d) as int) - 1),
+           |  i -> substring(payload, i * $frameBytes + 1, $frameBytes))"""
+          .stripMargin)).as(Seq("frame_idx", "frame")))
+      .select(col("id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        length(col("frame")).as("frame_len"))
+
+  /** Audio feature windows: fixed-size sample windows → mean + RMS
+    * (bytes stand in for PCM samples). `flatMap` keeps it streaming —
+    * one pass, constant memory per row. */
+  def audioWindows(m: Dataset[Media], window: Int): Dataset[AudioWindow] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    m.filter(_.mediaType == "audio").flatMap { row =>
+      row.payload.grouped(window).zipWithIndex.map { case (w, i) =>
+        val vals = w.map(b => (b & 0xff).toDouble)
+        val mean = vals.sum / vals.length
+        val rms = math.sqrt(vals.map(v => v * v).sum / vals.length)
+        AudioWindow(row.id, i, mean, rms)
+      }
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.Multimodal
+
+/** Multimodal-column demos: binary payloads with typed metadata. The
+  * byte-level plumbing (sizes, frame slicing, digests) is DuckDB-oracle
+  * checked; the stubbed decode layer is rows-only + unit-tested. */
+object MultimodalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Byte-exact stats over the binary payload column per modality.
+    "mm_media_stats" -> QueryDef(
+      (s, d) => Multimodal.media(Tables.documents(s, d)).toDF()
+        .groupBy("mediaType")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("total_bytes"),
+          max(length(col("payload"))).as("max_bytes"))
+        .orderBy("mediaType"),
+      Some(
+        """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          |            ELSE 'video' END AS mediaType,
+          |       count(*) AS n,
+          |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          |       CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+          |FROM documents GROUP BY 1 ORDER BY mediaType""".stripMargin),
+      doc = "binary media column stats (byte-exact across engines)"),
+
+    // Frame sampling: 128-byte frames, md5 per frame. The operator is
+    // byte-based (binary substring); DuckDB cannot slice blobs, so the
+    // oracle restricts to ASCII payloads where byte and char windows
+    // coincide — same filter on both sides, exact digest compare.
+    "mm_frame_sample" -> QueryDef(
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")))), 128)
+        .orderBy("id", "frame_idx"),
+      Some(
+        """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+          |       md5(substr(text, CAST(i*128+1 AS INT), 128)) AS frame_md5,
+          |       length(substr(text, CAST(i*128+1 AS INT), 128)) AS frame_len
+          |FROM (SELECT doc_id, text FROM documents
+          |      WHERE doc_id % 3 = 2 AND octet_length(encode(text)) = length(text)),
+          |     UNNEST(range(0, CAST(ceil(length(text)/128.0) AS BIGINT))) AS t(i)
+          |ORDER BY id, frame_idx""".stripMargin),
+      doc = "video frame sampling: byte-window slicing + per-frame digest"),
+
+    // Stubbed decode + feature extraction — plumbing is real
+    // (mapPartitions batch iteration, typed schema), codec is a
+    // deterministic fake; rows-only check + ScalaTest.
+    "mm_decode_features" -> QueryDef(
+      (s, d) => Multimodal.decodeImages(
+        Multimodal.media(Tables.documents(s, d)))
+        .toDF().orderBy("id"),
+      None,
+      doc = "image decode + feature extraction (stub codec, real dataflow)"),
+
+    "mm_audio_windows" -> QueryDef(
+      (s, d) => Multimodal.audioWindows(
+        Multimodal.media(Tables.documents(s, d)), 256)
+        .toDF().orderBy("id", "windowIdx"),
+      None,
+      doc = "audio window features: mean + RMS per 256-byte window")
+  )
+}
