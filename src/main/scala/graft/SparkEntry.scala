@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
-      graft.queries.MultimodalQueries.defs
+      graft.queries.MultimodalQueries.defs ++
+      graft.queries.PolicyQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The ListObjects kernel (SURVEY §3.1) over the derived objects view. */

@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.net.URLDecoder
+
+import GraftFunctions._
+
+/** AWS request-signing kernels re-expressed from the public AWS
+  * specifications (reference behavior: src/io/pithos/sig.clj — v2,
+  * sig4.clj — v4; conformance via AWS's published sig-v4 test vectors).
+  *
+  * Pure functions: usable driver-side for API auth or row-wise via UDF
+  * for bulk signature verification jobs (e.g. auditing a log of signed
+  * requests — embarrassingly parallel, no shuffle).
+  */
+object Signing {
+
+  /** Minimal request shape: lowercase header names expected. */
+  case class Request(method: String, uri: String, queryString: String = "",
+      headers: Map[String, String] = Map.empty,
+      params: Map[String, String] = Map.empty)
+
+  // ---- v2 (HMAC-SHA1, sig.clj:13-50) -------------------------------------
+
+  /** x-amz-* headers, sorted, `name:value` lines, then the sign-URI. */
+  def canonicalizedAmz(headers: Map[String, String], uri: String): String =
+    (headers.toSeq
+      .map { case (k, v) => (k, v.trim) }
+      .filter(_._1.startsWith("x-amz"))
+      .sortBy(_._1)
+      .map { case (k, v) => s"$k:$v" } :+ uri).mkString("\n")
+
+  /** v2 string-to-sign: METHOD, content-md5, content-type, date (or
+    * Expires param; suppressed when x-amz-date present), amz headers. */
+  def stringToSignV2(req: Request): String = {
+    val date = req.params.get("expires").orElse(
+      if (req.headers.contains("x-amz-date")) None
+      else req.headers.get("date"))
+    Seq(req.method.toUpperCase,
+      req.headers.getOrElse("content-md5", ""),
+      req.headers.getOrElse("content-type", ""),
+      date.getOrElse(""),
+      canonicalizedAmz(req.headers, req.uri)).mkString("\n")
+  }
+
+  /** v2 signature: base64(HMAC-SHA1(secret, string-to-sign)). */
+  def signV2(req: Request, secret: String): String =
+    hmacSha1Base64(secret, stringToSignV2(req))
+
+  def verifyV2(req: Request, secret: String, sig: String): Boolean =
+    constantTimeEq(signV2(req, secret), sig)
+
+  // ---- v4 (HMAC-SHA256 chain, sig4.clj) ----------------------------------
+
+  /** URI escape keeping `/` (RFC 3986 unreserved + slash). */
+  def uriEscape(s: String): String = awsUriEncode(s, keepSlash = true)
+
+  /** Query-component escape (slash encoded too). */
+  def queryEscape(s: String): String = awsUriEncode(s, keepSlash = false)
+
+  /** Canonical query string: form-decode, re-escape key and value,
+    * sort by escaped key, `k=v` joined with `&`. */
+  def canonicalQueryString(queryString: String): String =
+    if (queryString == null || queryString.isEmpty) ""
+    else queryString.split("&").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val (k, v) = kv.split("=", 2) match {
+          case Array(k0, v0) => (k0, v0)
+          case Array(k0) => (k0, "")
+        }
+        (queryEscape(URLDecoder.decode(k, "UTF-8")),
+          queryEscape(URLDecoder.decode(v, "UTF-8").trim))
+      }
+      .sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }
+      .mkString("&")
+
+  /** Signed headers, sorted, `name:trim(value)` lines. */
+  def canonicalHeaders(headers: Map[String, String],
+      include: Seq[String]): String =
+    headers.view.filterKeys(include.contains(_)).toSeq
+      .map { case (k, v) => (k, v.trim) }
+      .sortBy(_._1)
+      .map { case (k, v) => s"$k:$v" }
+      .mkString("\n")
+
+  def signedHeaders(include: Seq[String]): String =
+    include.sorted.mkString(";")
+
+  /** Canonical request (payload hash comes from x-amz-content-sha256,
+    * matching the reference's guarded-stream design). */
+  def canonicalRequest(req: Request, include: Seq[String]): String =
+    Seq(req.method.toUpperCase,
+      uriEscape(req.uri),
+      canonicalQueryString(req.queryString),
+      canonicalHeaders(req.headers, include),
+      "",
+      signedHeaders(include),
+      req.headers.getOrElse("x-amz-content-sha256", "")).mkString("\n")
+
+  /** v4 string-to-sign for an ISO-basic timestamp `20150830T123600Z`. */
+  def stringToSignV4(req: Request, amzDate: String, region: String,
+      service: String, include: Seq[String]): String = {
+    val date = amzDate.take(8)
+    Seq("AWS4-HMAC-SHA256", amzDate,
+      Seq(date, region, service, "aws4_request").mkString("/"),
+      sha256Hex(canonicalRequest(req, include).getBytes("UTF-8")))
+      .mkString("\n")
+  }
+
+  /** Derived signing key: HMAC chain over date/region/service. */
+  def signingKey(secret: String, date8: String, region: String,
+      service: String): Array[Byte] = {
+    val k1 = hmacSha256(s"AWS4$secret".getBytes("UTF-8"),
+      date8.getBytes("UTF-8"))
+    val k2 = hmacSha256(k1, region.getBytes("UTF-8"))
+    val k3 = hmacSha256(k2, service.getBytes("UTF-8"))
+    hmacSha256(k3, "aws4_request".getBytes("UTF-8"))
+  }
+
+  /** Final v4 signature (lowercase hex). */
+  def signV4(req: Request, secret: String, amzDate: String, region: String,
+      service: String, include: Seq[String]): String =
+    hex(hmacSha256(
+      signingKey(secret, amzDate.take(8), region, service),
+      stringToSignV4(req, amzDate, region, service, include)
+        .getBytes("UTF-8")))
+
+  /** Parsed v4 Authorization header. */
+  case class AuthV4(accessKey: String, date: String, region: String,
+      service: String, signedHeaders: Seq[String], signature: String)
+
+  private val AuthRe =
+    ("""AWS4-HMAC-SHA256 Credential=(\w+)/(\d{8})/([\w-]+)/(\w+)/aws4_request,""" +
+      """[ ]*SignedHeaders=([\w\-;]+),[ ]*Signature=(\w+)""").r
+
+  def parseAuthorization(header: String): Option[AuthV4] =
+    AuthRe.findFirstMatchIn(header).map(m =>
+      AuthV4(m.group(1), m.group(2), m.group(3), m.group(4),
+        m.group(5).split(";").toSeq, m.group(6)))
+
+  /** Full v4 verification from the Authorization header. */
+  def verifyV4(req: Request, secret: String): Boolean =
+    req.headers.get("authorization").flatMap(parseAuthorization).exists {
+      auth =>
+        val amzDate = req.headers.getOrElse("x-amz-date",
+          req.headers.getOrElse("date", ""))
+        constantTimeEq(
+          signV4(req, secret, amzDate, auth.region, auth.service,
+            auth.signedHeaders),
+          auth.signature)
+    }
+}

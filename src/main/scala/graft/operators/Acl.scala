@@ -1,0 +1,171 @@
+package graft.operators
+
+import scala.xml.{Elem, XML}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** ACL policy kernel: the reference's EDN-string ACLs become a
+  * first-class nested column `map<perm, array<struct<ID, DisplayName,
+  * URI>>>`, and grant checks become higher-order-function expressions —
+  * codegen'd, no UDF (reference: src/io/pithos/acl.clj:5-10 internal
+  * shape, perms.clj:9-37 granted?, perms.clj:108-179 header ACLs).
+  */
+object Acl {
+
+  case class Grantee(ID: Option[String] = None,
+      DisplayName: Option[String] = None, URI: Option[String] = None)
+
+  /** perm → grantees (reference acl.clj:5-10). */
+  type AclMap = Map[String, Seq[Grantee]]
+
+  val ValidPermissions: Set[String] =
+    Set("FULL_CONTROL", "READ", "WRITE", "READ_ACP", "WRITE_ACP")
+
+  /** Well-known group URIs → short names (acl.clj:33-38). */
+  val KnownUris: Map[String, String] =
+    Map("http://acs.amazonaws.com/groups/global/AllUsers" -> "anonymous")
+  val KnownGroups: Map[String, String] = KnownUris.map(_.swap)
+
+  case class AclError(msg: String, errType: String, statusCode: Int = 400)
+      extends RuntimeException(msg)
+
+  // ---- XML → internal (acl.clj:40-97) -----------------------------------
+
+  def parseAcl(src: String): AclMap = {
+    val root =
+      try XML.loadString(src)
+      catch { case _: Exception =>
+        throw AclError("Invalid XML in ACL Body", "invalid-acl-xml")
+      }
+    if (root.label != "AccessControlPolicy")
+      throw AclError("XML Root Node should be AccessControlPolicy",
+        "invalid-xml-root-node")
+    val grants = (root \ "AccessControlList" \ "Grant").map { g =>
+      val perm = (g \ "Permission").headOption.map(_.text).getOrElse("invalid")
+      val grantees = (g \ "Grantee").map { gr =>
+        gr.child.collect { case e: Elem => e }.foldLeft(Grantee()) {
+          case (acc, e) => e.label match {
+            case "ID" => acc.copy(ID = Some(e.text))
+            case "DisplayName" => acc.copy(DisplayName = Some(e.text))
+            case "URI" =>
+              acc.copy(URI = Some(KnownUris.getOrElse(e.text, e.text)))
+            case "EmailAddress" => acc.copy(ID = Some(e.text))
+            case _ => acc // unknown tags ignored (valid-grantee-tag?)
+          }
+        }
+      }
+      perm -> grantees
+    }
+    val policy = grants.groupBy(_._1).map { case (p, gs) =>
+      p -> gs.flatMap(_._2).toSeq
+    }
+    if (!policy.keys.forall(ValidPermissions))
+      throw AclError("Invalid XML Acl Body", "invalid-acl-xml")
+    policy
+  }
+
+  // ---- internal → XML (acl.clj:99-131) ----------------------------------
+
+  private val XsiNs = "http://www.w3.org/2001/XMLSchema-instance"
+  private val S3Ns = "http://s3.amazonaws.com/doc/2006-03-01/"
+
+  def renderAcl(acl: AclMap, ownerId: String = "foo",
+      ownerName: String = "bar"): String = {
+    val grants = acl.toSeq.sortBy(_._1).flatMap { case (perm, grantees) =>
+      grantees.map { g =>
+        val grantee = g.URI match {
+          case Some(uri) =>
+            <Grantee xmlns:xsi={XsiNs} xsi:type="Group">
+              <URI>{KnownGroups.getOrElse(uri, uri)}</URI>
+              <DisplayName>{g.DisplayName.getOrElse(uri)}</DisplayName>
+            </Grantee>
+          case None =>
+            <Grantee xmlns:xsi={XsiNs} xsi:type="CanonicalUser">
+              <ID>{g.ID.getOrElse("")}</ID>
+              <DisplayName>{g.DisplayName.orElse(g.ID).getOrElse("")}</DisplayName>
+            </Grantee>
+        }
+        <Grant>{grantee}<Permission>{perm}</Permission></Grant>
+      }
+    }
+    val doc =
+      <AccessControlPolicy xmlns={S3Ns}>
+        <Owner><ID>{ownerId}</ID><DisplayName>{ownerName}</DisplayName></Owner>
+        <AccessControlList>{grants}</AccessControlList>
+      </AccessControlPolicy>
+    """<?xml version="1.0" encoding="UTF-8"?>""" + doc.toString
+  }
+
+  // ---- header / canned ACL builder (perms.clj:108-179) -------------------
+
+  /** Canned-ACL builder: `x-amz-acl` header value → internal ACL. */
+  def cannedAcl(owner: String, tenant: String,
+      canned: Option[String]): AclMap = {
+    val init: AclMap =
+      if (owner == tenant)
+        Map("FULL_CONTROL" -> Seq(Grantee(Some(owner), Some(owner))))
+      else
+        Map("FULL_CONTROL" -> Seq(Grantee(Some(owner), Some(owner)),
+          Grantee(Some(tenant), Some(tenant))))
+    canned match {
+      case Some("public-read-write") =>
+        init + ("READ" -> Seq(Grantee(URI = Some("anonymous")))) +
+          ("WRITE" -> Seq(Grantee(URI = Some("anonymous"))))
+      case Some("public-read") =>
+        init + ("READ" -> Seq(Grantee(URI = Some("anonymous"))))
+      case Some("authenticated-read") =>
+        init + ("READ" -> Seq(Grantee(URI = Some("authenticated"))))
+      case Some("log-delivery-write") | Some("bucket-owner-full-control") =>
+        init
+      case Some("bucket-owner-read") =>
+        init + ("READ" -> Seq(Grantee(Some(owner), Some(owner))))
+      case Some("private") =>
+        init + ("FULL_CONTROL" -> (init("FULL_CONTROL") :+
+          Grantee(Some(tenant), Some(tenant))))
+      case None => init
+      case Some(other) =>
+        throw AclError(s"Invalid Argument: $other", "invalid-argument")
+    }
+  }
+
+  /** `x-amz-grant-*` grantee spec parser (perms.clj:86-98):
+    * `id="x"` / `emailAddress="x"` → ID grantee; `uri="x"` → group. */
+  def parseGrantee(s: String): Grantee = {
+    val Quoted = """(emailAddress|id|uri)="(.*)"""".r.unanchored
+    val Bare = """(emailAddress|id|uri)=(.*)""".r.unanchored
+    val (kind, dest) = s match {
+      case Quoted(k, d) => (k, d)
+      case Bare(k, d) => (k, d)
+      case _ => throw AclError(s"Invalid Argument: $s", "invalid-argument")
+    }
+    kind match {
+      case "id" | "emailAddress" => Grantee(Some(dest), Some(dest))
+      case _ => Grantee(URI = Some(KnownUris.getOrElse(dest, dest)))
+    }
+  }
+
+  // ---- grant checks as column expressions (perms.clj:9-37) ---------------
+
+  /** Does `who` appear (by ID or URI) under `perm` in the nested ACL
+    * column? Higher-order `exists` — stays in codegen, no UDF. */
+  def grantedFor(acl: Column, perm: String, who: Column): Column =
+    coalesce(
+      exists(element_at(acl, perm),
+        g => g.getField("ID") === who || g.getField("URI") === who),
+      lit(false))
+
+  /** granted?: any of `needs` permissions grants `who`. */
+  def granted(acl: Column, needs: Seq[String], who: Column): Column =
+    needs.map(grantedFor(acl, _, who)).reduce(_ || _)
+
+  /** bucket/object-satisfies?: owner, or FULL_CONTROL∪need granted to
+    * the tenant or any of its groups (perms.clj:21-37). */
+  def satisfies(ownerTenant: Column, acl: Column, need: String,
+      forTenant: Column, groups: Seq[Column]): Column = {
+    val needs = Seq("FULL_CONTROL", need)
+    (ownerTenant === forTenant) ||
+      (granted(acl, needs, forTenant) +: groups.map(granted(acl, needs, _)))
+        .reduce(_ || _)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import scala.xml.XML
+
+import graft.functions.GraftFunctions.quoteRegex
+
+/** CORS policy kernel (reference: src/io/pithos/cors.clj): rule parse/
+  * render, origin wildcard matching, header pattern matching, rule
+  * merging, and preflight evaluation to response headers.
+  *
+  * Pure Scala functions — applied either driver-side on config-sized
+  * data (as the reference does) or row-wise via a UDF when rules live
+  * in a column ([[graft.queries.PolicyQueries]]).
+  */
+object Cors {
+
+  case class CorsRule(origins: Seq[String], methods: Seq[String],
+      headers: Seq[String], exposed: Seq[String], maxAge: Option[String])
+
+  case class CorsError(msg: String, errType: String, statusCode: Int = 400)
+      extends RuntimeException(msg)
+
+  // ---- XML ⇄ rules (cors.clj:12-70) --------------------------------------
+
+  def parseCors(src: String): Seq[CorsRule] = {
+    val root =
+      try XML.loadString(src)
+      catch { case _: Exception =>
+        throw CorsError("Invalid XML in CORS Body", "invalid-cors-xml")
+      }
+    if (root.label != "CORSConfiguration")
+      throw CorsError("XML Root Node should be CORSConfiguration",
+        "invalid-xml-root-node")
+    (root \ "CORSRule").map { r =>
+      CorsRule(
+        origins = (r \ "AllowedOrigin").map(_.text),
+        methods = (r \ "AllowedMethod").map(_.text.toLowerCase),
+        headers = (r \ "AllowedHeader").map(_.text),
+        exposed = (r \ "ExposeHeader").map(_.text),
+        maxAge = (r \ "MaxAgeSeconds").headOption.map(_.text))
+    }
+  }
+
+  def renderCors(rules: Seq[CorsRule]): String = {
+    val doc =
+      <CORSConfiguration xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+        {rules.map { r =>
+        <CORSRule>
+          {r.origins.map(o => <AllowedOrigin>{o}</AllowedOrigin>)}
+          {r.methods.map(m => <AllowedMethod>{m.toUpperCase}</AllowedMethod>)}
+          {r.headers.map(h => <AllowedHeader>{h}</AllowedHeader>)}
+          {r.exposed.map(e => <ExposeHeader>{e}</ExposeHeader>)}
+          {r.maxAge.toSeq.map(a => <MaxAgeSeconds>{a}</MaxAgeSeconds>)}
+        </CORSRule>
+      }}
+      </CORSConfiguration>
+    """<?xml version="1.0" encoding="UTF-8"?>""" + doc.toString
+  }
+
+  // ---- matching (cors.clj:72-145) ----------------------------------------
+
+  /** Wildcard origin match: rule origin is regex-escaped, then each `*`
+    * becomes `(.*)`, anchored (cors.clj:72-76). */
+  def originMatches(requestOrigin: String, ruleOrigin: String): Boolean = {
+    val pat = "^" + quoteRegex(ruleOrigin).replace("\\*", "(.*)") + "$"
+    pat.r.findFirstIn(requestOrigin).isDefined
+  }
+
+  /** Header pattern: `*` → prefix match on everything before it, else
+    * exact, always lowercase (cors.clj:89-103). */
+  def headerMatches(reqHeader: String, ruleHeader: String): Boolean = {
+    val h = reqHeader.toLowerCase
+    val r = ruleHeader.toLowerCase
+    if (r.contains("*")) h.startsWith(r.substring(0, r.indexOf('*')))
+    else h == r
+  }
+
+  /** Keep request headers allowed by any rule pattern, joined with
+    * `", "` (cors.clj:105-114). None when no request headers given. */
+  def matchHeaders(reqHeaders: Option[String],
+      ruleHeaders: Seq[String]): Option[String] =
+    reqHeaders.map { rh =>
+      rh.split("[ \\t]*,[ \\t]*")
+        .filter(h => ruleHeaders.exists(headerMatches(h, _)))
+        .mkString(", ")
+    }
+
+  /** Merge matching rules: list fields set-union (first-seen order),
+    * max-age via nil-first min compare — mirrors the reference's
+    * `merge-with merge-rules` including the quirk that an absent
+    * max-age wins (cors.clj:83-87). */
+  def mergeRules(rules: Seq[CorsRule]): CorsRule = rules.reduce { (l, r) =>
+    CorsRule(
+      origins = (l.origins ++ r.origins).distinct,
+      methods = (l.methods ++ r.methods).distinct,
+      headers = (l.headers ++ r.headers).distinct,
+      exposed = (l.exposed ++ r.exposed).distinct,
+      maxAge = (l.maxAge, r.maxAge) match {
+        case (Some(a), Some(b)) => Some(if (a <= b) a else b)
+        case _ => None
+      })
+  }
+
+  /** Preflight/actual-request evaluation (cors.clj:117-145): match
+    * origin+method against rules; merged rule → response header map;
+    * empty map when nothing matches. `method` lowercase; for OPTIONS
+    * the effective method comes from Access-Control-Request-Method. */
+  def corsMatch(rules: Seq[CorsRule], headers: Map[String, String],
+      method: String): Map[String, String] = {
+    val origin = headers.getOrElse("origin", "_____________________________")
+    val effMethod =
+      if (method == "options")
+        headers.get("access-control-request-method").map(_.toLowerCase)
+          .getOrElse(throw CorsError(
+            "Invalid Argument: Access-Control-Request-Method",
+            "invalid-argument"))
+      else method
+    val reqHeaders = headers.get("access-control-request-headers")
+    val matching = rules.filter(r =>
+      r.origins.exists(originMatches(origin, _)) &&
+        r.methods.contains(effMethod))
+    if (matching.isEmpty) Map.empty
+    else {
+      val rule = mergeRules(matching)
+      val base = Map(
+        "Access-Control-Allow-Origin" -> origin,
+        "Access-Control-Allow-Methods" -> effMethod.toUpperCase,
+        "Access-Control-Expose-Headers" -> rule.exposed.mkString(", "))
+      val withAge = rule.maxAge.fold(base)(a =>
+        base + ("Access-Control-Max-Age" -> a))
+      matchHeaders(reqHeaders, rule.headers).fold(withAge)(h =>
+        withAge + ("Access-Control-Allow-Headers" -> h))
+    }
+  }
+}

@@ -40,7 +40,15 @@ object Listing {
         col("object") < lit(graft.functions.SuccessorString.inc(pre))
     }
     p.marker.filter(_.nonEmpty).foreach { m =>
-      pred = pred && col("object") > lit(m)
+      // A marker that IS a common prefix (ends with the delimiter) means
+      // the whole group was already emitted: skip-scan past it via
+      // inc_prefix, exactly like S3 does, so pagination never re-lists
+      // (or loops on) a prefix's members.
+      val skipPrefix = p.delimiter.filter(_.nonEmpty).exists(m.endsWith)
+      pred = pred && (
+        if (skipPrefix)
+          col("object") >= lit(graft.functions.SuccessorString.inc(m))
+        else col("object") > lit(m))
     }
     pred
   }

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withCtes
+import graft.operators.{Acl, Cors}
+import graft.operators.Cors.CorsRule
+
+/** Policy-kernel demos: ACL grant evaluation over a nested ACL column
+  * (higher-order functions, no UDF) and CORS preflight evaluation (UDF
+  * over the pure kernel). Oracles re-derive the expected decision from
+  * the same deterministic ACL/request derivation. */
+object PolicyQueries {
+
+  case class CorsEval(allow_origin: String, allow_methods: String,
+      matched: Boolean)
+
+  /** Demo rule set: one wildcard-origin GET rule, one exact-origin PUT
+    * rule (shape of reference test/data/cors1.xml). */
+  val DemoRules: Seq[CorsRule] = Seq(
+    CorsRule(Seq("http://*.example.com"), Seq("get"), Seq("*"), Nil, None),
+    CorsRule(Seq("http://exact.org"), Seq("put"), Nil,
+      Seq("x-amz-request-id"), Some("600")))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // J1: ACL grant check via exists() over map<perm, array<grantee>>.
+    // ACL derivation: owner has FULL_CONTROL; buckets with even n_docs
+    // grant READ to the anonymous group.
+    "j1_acl_check" -> QueryDef(
+      (s, d) => {
+        val acled = Tables.buckets(s, d).withColumn("acl", expr(
+          """map(
+            |  'FULL_CONTROL',
+            |  array(named_struct('ID', tenant, 'DisplayName', tenant,
+            |                     'URI', cast(null as string))),
+            |  'READ',
+            |  if(n_docs % 2 = 0,
+            |     array(named_struct('ID', cast(null as string),
+            |                        'DisplayName', cast(null as string),
+            |                        'URI', 'anonymous')),
+            |     array()))""".stripMargin))
+        acled.select(col("bucket"),
+          Acl.satisfies(col("tenant"), col("acl"), "READ",
+            lit("tenant_src3"), Seq(lit("anonymous"))).as("allowed"))
+          .orderBy("bucket")
+      },
+      Some(withCtes(
+        """SELECT bucket, (tenant = 'tenant_src3' OR n_docs % 2 = 0) AS allowed
+          |FROM buckets ORDER BY bucket""".stripMargin,
+        Tables.bucketsSql)),
+      doc = "perms.clj:9-37 granted? — higher-order exists over nested ACL"),
+
+    // J5: CORS preflight evaluation per synthetic request row.
+    "j5_cors_eval" -> QueryDef(
+      (s, d) => {
+        val evalUdf = udf((origin: String, method: String) => {
+          val m = Cors.corsMatch(DemoRules, Map("origin" -> origin), method)
+          CorsEval(m.getOrElse("Access-Control-Allow-Origin", ""),
+            m.getOrElse("Access-Control-Allow-Methods", ""), m.nonEmpty)
+        })
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("""CASE doc_id % 3
+                   |  WHEN 0 THEN 'http://' || source || '.example.com'
+                   |  WHEN 1 THEN 'http://evil.org'
+                   |  ELSE 'http://exact.org' END""".stripMargin).as("origin"),
+            expr("if(doc_id % 2 = 0, 'get', 'put')").as("method"))
+          .withColumn("r", evalUdf(col("origin"), col("method")))
+          .select(col("doc_id"), col("origin"), col("method"),
+            col("r.allow_origin"), col("r.allow_methods"), col("r.matched"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, origin, method,
+          |  CASE WHEN matched THEN origin ELSE '' END AS allow_origin,
+          |  CASE WHEN matched THEN upper(method) ELSE '' END AS allow_methods,
+          |  matched
+          |FROM (
+          |  SELECT doc_id, origin, method,
+          |    ((origin LIKE 'http://%.example.com' AND method = 'get')
+          |     OR (origin = 'http://exact.org' AND method = 'put')) AS matched
+          |  FROM (
+          |    SELECT doc_id,
+          |      CASE doc_id % 3
+          |        WHEN 0 THEN 'http://' || source || '.example.com'
+          |        WHEN 1 THEN 'http://evil.org'
+          |        ELSE 'http://exact.org' END AS origin,
+          |      CASE WHEN doc_id % 2 = 0 THEN 'get' ELSE 'put' END AS method
+          |    FROM documents)
+          |) ORDER BY doc_id""".stripMargin),
+      doc = "cors.clj:72-145 wildcard origin + method match → headers")
+  )
+}

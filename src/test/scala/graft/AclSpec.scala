@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Acl
+import graft.operators.Acl.{AclError, Grantee}
+
+/** ACL kernel: XML round-trips, validation errors, canned builders and
+  * the higher-order grant-check expression (semantics of reference
+  * acl_test.clj / perms.clj). Fixtures are freshly-authored S3-standard
+  * XML covering the same cases as the reference's test/data files. */
+class AclSpec extends AnyFunSuite {
+
+  val singleUser =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<AccessControlPolicy xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+      |  <Owner><ID>own1</ID><DisplayName>Owner One</DisplayName></Owner>
+      |  <AccessControlList>
+      |    <Grant>
+      |      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="CanonicalUser">
+      |        <ID>own1</ID><DisplayName>Owner One</DisplayName>
+      |      </Grantee>
+      |      <Permission>FULL_CONTROL</Permission>
+      |    </Grant>
+      |  </AccessControlList>
+      |</AccessControlPolicy>""".stripMargin
+
+  test("parse single CanonicalUser FULL_CONTROL grant") {
+    val acl = Acl.parseAcl(singleUser)
+    assert(acl == Map("FULL_CONTROL" ->
+      Seq(Grantee(Some("own1"), Some("Owner One")))))
+  }
+
+  test("parse merges multiple grants per permission, maps known URIs") {
+    val mixed =
+      """<AccessControlPolicy>
+        |  <AccessControlList>
+        |    <Grant>
+        |      <Grantee><ID>u1</ID><DisplayName>U1</DisplayName></Grantee>
+        |      <Permission>FULL_CONTROL</Permission>
+        |    </Grant>
+        |    <Grant>
+        |      <Grantee><URI>http://acs.amazonaws.com/groups/global/AllUsers</URI></Grantee>
+        |      <Permission>READ</Permission>
+        |    </Grant>
+        |    <Grant>
+        |      <Grantee><URI>some-group</URI></Grantee>
+        |      <Permission>READ</Permission>
+        |    </Grant>
+        |    <Grant>
+        |      <Grantee><EmailAddress>e@x.org</EmailAddress></Grantee>
+        |      <Permission>WRITE</Permission>
+        |    </Grant>
+        |  </AccessControlList>
+        |</AccessControlPolicy>""".stripMargin
+    val acl = Acl.parseAcl(mixed)
+    assert(acl("READ") == Seq(Grantee(URI = Some("anonymous")),
+      Grantee(URI = Some("some-group"))))
+    assert(acl("WRITE") == Seq(Grantee(Some("e@x.org")))) // email → ID
+    assert(acl("FULL_CONTROL").head.ID.contains("u1"))
+  }
+
+  test("wrong root node and invalid permission raise") {
+    assertThrows[AclError](Acl.parseAcl(
+      "<BadRoot><AccessControlList/></BadRoot>"))
+    assertThrows[AclError](Acl.parseAcl(
+      """<AccessControlPolicy><AccessControlList>
+        |<Grant><Grantee><ID>x</ID></Grantee><Permission>SUPER</Permission></Grant>
+        |</AccessControlList></AccessControlPolicy>""".stripMargin))
+    assertThrows[AclError](Acl.parseAcl("foo fa fi"))
+  }
+
+  test("render → parse round-trips the internal representation") {
+    // fixed-point representation: render fills DisplayName from URI/ID
+    // (as the reference's as-xml does), so round-trip inputs carry it
+    val acl: Acl.AclMap = Map(
+      "FULL_CONTROL" -> Seq(Grantee(Some("own1"), Some("Owner One"))),
+      "READ" -> Seq(Grantee(None, Some("anonymous"), Some("anonymous")),
+        Grantee(Some("u2"), Some("u2"))))
+    assert(Acl.parseAcl(Acl.renderAcl(acl)) == acl)
+  }
+
+  test("canned ACLs (perms.clj:108-179 semantics)") {
+    val pub = Acl.cannedAcl("own", "own", Some("public-read"))
+    assert(pub("READ") == Seq(Grantee(URI = Some("anonymous"))))
+    assert(pub("FULL_CONTROL") == Seq(Grantee(Some("own"), Some("own"))))
+    val cross = Acl.cannedAcl("own", "other", None)
+    assert(cross("FULL_CONTROL").map(_.ID.get) == Seq("own", "other"))
+    assertThrows[AclError](Acl.cannedAcl("o", "t", Some("nonsense")))
+  }
+
+  test("parseGrantee handles id=, uri=, emailAddress= (quoted or bare)") {
+    assert(Acl.parseGrantee("""id="abc"""") ==
+      Grantee(Some("abc"), Some("abc")))
+    assert(Acl.parseGrantee("uri=http://acs.amazonaws.com/groups/global/AllUsers") ==
+      Grantee(URI = Some("anonymous")))
+    assertThrows[AclError](Acl.parseGrantee("wat"))
+  }
+
+  test("grant-check column expression matches reference granted? logic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      ("b1", "owner1"), ("b2", "owner2")
+    ).toDF("bucket", "tenant").withColumn("acl", expr(
+      """map('FULL_CONTROL',
+        |     array(named_struct('ID', tenant, 'DisplayName', tenant,
+        |                        'URI', cast(null as string))),
+        |    'READ',
+        |     if(bucket = 'b1',
+        |        array(named_struct('ID', cast(null as string),
+        |                           'DisplayName', cast(null as string),
+        |                           'URI', 'anonymous')),
+        |        array()))""".stripMargin))
+    def allowed(who: String, groups: Seq[String]) =
+      df.select(col("bucket"), Acl.satisfies(col("tenant"), col("acl"),
+        "READ", lit(who), groups.map(lit)).as("ok"))
+        .as[(String, Boolean)].collect().toMap
+    assert(allowed("owner1", Nil) == Map("b1" -> true, "b2" -> false))
+    assert(allowed("stranger", Seq("anonymous")) ==
+      Map("b1" -> true, "b2" -> false))
+    assert(allowed("stranger", Nil) == Map("b1" -> false, "b2" -> false))
+  }
+}

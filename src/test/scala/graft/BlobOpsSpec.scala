@@ -1,0 +1,69 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.BlobOps
+
+/** Blob dataflow: range-read cropping (stream.clj:27-64 semantics) and
+  * order-sensitive chunked digests (util.clj:16-33). */
+class BlobOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // content "0123456789" per inode, 4-byte chunks
+  def chunksDf(content: String, chunk: Int) =
+    content.getBytes("UTF-8").grouped(chunk).zipWithIndex.map {
+      case (b, i) => (1L, i.toLong * chunk, b.length, b)
+    }.toSeq.toDF("inode", "offset", "chunksize", "payload")
+
+  test("rangeRead crops boundary chunks to [start, end)") {
+    val df = chunksDf("0123456789", 4)
+    val got = BlobOps.rangeRead(df, 2, 7).orderBy("offset")
+      .select("cropped").as[Array[Byte]].collect()
+      .map(new String(_, "UTF-8")).mkString
+    assert(got == "23456")
+  }
+
+  test("rangeRead full range reassembles everything") {
+    val df = chunksDf("0123456789", 4)
+    val got = BlobOps.rangeRead(df, 0, 10).orderBy("offset")
+      .select("cropped").as[Array[Byte]].collect()
+      .map(new String(_, "UTF-8")).mkString
+    assert(got == "0123456789")
+  }
+
+  test("streaming checksums equal whole-content MD5") {
+    val content = "the quick brown fox jumps over the lazy dog" * 10
+    val df = chunksDf(content, 7)
+    val got = BlobOps.checksums(df).as[(Long, String)].collect().toMap
+    val want = MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(got(1L) == want)
+  }
+
+  test("chunked_md5 aggregate equals whole-content MD5 regardless of row order") {
+    val content = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val df = chunksDf(content, 5).orderBy(col("offset").desc) // shuffled in
+    val got = df.groupBy("inode")
+      .agg(graft.functions.GraftFunctions
+        .chunkedMd5(col("offset"), col("payload")).as("md5"))
+      .as[(Long, String)].collect().head._2
+    val want = MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(got == want)
+  }
+
+  test("orphanBlocks keeps only dead inodes") {
+    val chunks = Seq((1L, 0L, 4, Array[Byte](1)), (2L, 0L, 4, Array[Byte](2)))
+      .toDF("inode", "offset", "chunksize", "payload")
+    val live = Seq(Tuple1(1L)).toDF("inode")
+    val got = BlobOps.orphanBlocks(chunks, live)
+      .select("inode").as[Long].collect().toSet
+    assert(got == Set(2L))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cors
+import graft.operators.Cors.{CorsError, CorsRule}
+
+/** CORS kernel: parse/render round-trip, wildcard matching, rule merge
+  * and preflight evaluation (semantics of reference cors.clj /
+  * cors_test.clj). */
+class CorsSpec extends AnyFunSuite {
+
+  val oneRule =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<CORSConfiguration xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+      |  <CORSRule>
+      |    <AllowedOrigin>http://*.example.com</AllowedOrigin>
+      |    <AllowedMethod>GET</AllowedMethod>
+      |    <AllowedHeader>*</AllowedHeader>
+      |  </CORSRule>
+      |</CORSConfiguration>""".stripMargin
+
+  test("parse lowercases methods and keeps order") {
+    val rules = Cors.parseCors(oneRule)
+    assert(rules == Seq(CorsRule(Seq("http://*.example.com"), Seq("get"),
+      Seq("*"), Nil, None)))
+  }
+
+  test("wrong root raises; junk raises") {
+    assertThrows[CorsError](Cors.parseCors("<NotCors/>"))
+    assertThrows[CorsError](Cors.parseCors("not xml at all"))
+  }
+
+  test("render → parse round-trips") {
+    val rules = Seq(
+      CorsRule(Seq("http://a.org", "http://*.b.org"), Seq("get", "put"),
+        Seq("x-custom-*"), Seq("etag"), Some("300")),
+      CorsRule(Seq("*"), Seq("head"), Nil, Nil, None))
+    assert(Cors.parseCors(Cors.renderCors(rules)) == rules)
+  }
+
+  test("origin wildcard matching escapes regex metachars") {
+    assert(Cors.originMatches("http://app.example.com", "http://*.example.com"))
+    assert(!Cors.originMatches("http://evil.org", "http://*.example.com"))
+    assert(!Cors.originMatches("http://xexamplexcom", "http://*.example.com"))
+    assert(Cors.originMatches("anything", "*"))
+  }
+
+  test("header patterns: star prefix vs exact, case-insensitive") {
+    assert(Cors.headerMatches("X-Custom-Thing", "x-custom-*"))
+    assert(Cors.headerMatches("Content-Type", "content-type"))
+    assert(!Cors.headerMatches("content-length", "content-type"))
+    assert(Cors.matchHeaders(Some("a, x-c-1 ,x-c-2"), Seq("x-c-*"))
+      .contains("x-c-1, x-c-2"))
+    assert(Cors.matchHeaders(None, Seq("*")).isEmpty)
+  }
+
+  test("preflight evaluation merges matching rules into headers") {
+    val rules = Seq(
+      CorsRule(Seq("http://*.x.org"), Seq("get"), Seq("*"), Seq("etag"), Some("300")),
+      CorsRule(Seq("http://a.x.org"), Seq("get"), Nil, Seq("x-req-id"), Some("100")))
+    val got = Cors.corsMatch(rules,
+      Map("origin" -> "http://a.x.org",
+        "access-control-request-method" -> "GET",
+        "access-control-request-headers" -> "x-foo, authorization"),
+      "options")
+    assert(got("Access-Control-Allow-Origin") == "http://a.x.org")
+    assert(got("Access-Control-Allow-Methods") == "GET")
+    assert(got("Access-Control-Max-Age") == "100") // min of 300/100
+    assert(got("Access-Control-Expose-Headers") == "etag, x-req-id")
+    assert(got("Access-Control-Allow-Headers") == "x-foo, authorization")
+  }
+
+  test("no matching rule yields empty headers; OPTIONS without method errors") {
+    val rules = Seq(CorsRule(Seq("http://a.org"), Seq("get"), Nil, Nil, None))
+    assert(Cors.corsMatch(rules, Map("origin" -> "http://b.org"), "get").isEmpty)
+    assertThrows[CorsError](
+      Cors.corsMatch(rules, Map("origin" -> "http://a.org"), "options"))
+  }
+}

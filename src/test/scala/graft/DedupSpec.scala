@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Dedup kernels on a tiny corpus with one planted near-dup pair and
+  * one planted exact dup. */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog again and again " +
+    "until the sun goes down over the quiet hills tonight"
+  val docs = Seq(
+    (0L, base),
+    (1L, base + " slightly changed"),               // near-dup of 0
+    (2L, "completely different words all over here my friend nothing alike"),
+    (3L, base),                                     // exact dup of 0
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("shingles produce n-2 trigrams, none for short docs") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val counts = sh.groupBy("id").count().as[(Long, Long)].collect().toMap
+    val n0 = base.trim.split("\\s+").length
+    assert(counts(0L) <= n0 - 2) // distinct may collapse repeats
+    assert(!counts.contains(4L)) // 2 tokens -> no trigram
+  }
+
+  test("exact dedup collapses identical normalized content") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    val dupGroup = r.filter(_._3 == 2)
+    assert(dupGroup.length == 1 && dupGroup.head._2 == 0L)
+    assert(r.length == 4) // 5 docs, one pair collapsed
+  }
+
+  test("prefix-filtered Jaccard join finds the planted pairs exactly") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("minhash-LSH with verification agrees with exact join at 0.8") {
+    val got = Dedup.minhashDedup(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val want = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(got == want)
+    assert(want.contains((0L, 3L))) // identical docs always survive
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, others far") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0L), sig(1L)) < ham(sig(0L), sig(2L)))
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"))
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+}

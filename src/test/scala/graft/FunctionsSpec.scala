@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, RollingHash, SuccessorString}
+
+/** Scalar kernel unit tests (reference semantics:
+  * util.clj / util_test.clj). */
+class FunctionsSpec extends AnyFunSuite {
+
+  test("inc_prefix bumps the last char; empty stays empty") {
+    assert(SuccessorString.inc("") == "")
+    assert(SuccessorString.inc("a") == "b")
+    assert(SuccessorString.inc("foo/") == "foo0")
+    assert(SuccessorString.inc("az") == "a{")
+  }
+
+  test("inc_prefix is an exclusive upper bound for the prefix range") {
+    val pre = "foo/"
+    val bound = SuccessorString.inc(pre)
+    Seq("foo/", "foo/a", "foo/zzz", "foo/￿").foreach { k =>
+      assert(k >= pre && k < bound, s"$k should be inside [$pre, $bound)")
+    }
+    Seq("foo0", "fop", "goo").foreach { k =>
+      assert(k >= bound, s"$k should be outside")
+    }
+  }
+
+  test("quoteRegex escapes every metacharacter") {
+    val pat = GraftFunctions.quoteRegex("a.b*c[d]e(f)g{h}i?j+k^l$m|n\\o-p")
+    val re = ("^" + pat + "$").r
+    assert(re.findFirstIn("a.b*c[d]e(f)g{h}i?j+k^l$m|n\\o-p").isDefined)
+    assert(re.findFirstIn("aXbXcXdXeXfXgXhXiXjXkXlXmXnXoXp").isEmpty)
+  }
+
+  test("key/prefix patterns implement direct-children semantics") {
+    val kp = GraftFunctions.keyPattern("foo/", "/").r
+    assert(kp.findFirstIn("foo/bar.txt").isDefined)
+    assert(kp.findFirstIn("foo/sub/x.txt").isEmpty)
+    val pp = GraftFunctions.prefixPattern("", "/").r
+    assert(pp.findFirstMatchIn("foo/sub/x.txt").map(_.group(1))
+      .contains("foo/"))
+  }
+
+  test("toBytes parses size literals") {
+    assert(GraftFunctions.toBytes("128") == 128L)
+    assert(GraftFunctions.toBytes("128k") == 128L * 1024)
+    assert(GraftFunctions.toBytes("2G") == 2L << 30)
+    assert(GraftFunctions.toBytes("1T") == 1L << 40)
+    assertThrows[IllegalArgumentException](GraftFunctions.toBytes("x12"))
+  }
+
+  test("rolling hash is a wrapping base-31 polynomial over code points") {
+    assert(RollingHash.hash("") == 0L)
+    assert(RollingHash.hash("a") == 'a'.toLong)
+    assert(RollingHash.hash("ab") == 'a'.toLong * 31 + 'b'.toLong)
+    // multibyte code point handled as one value
+    assert(RollingHash.hash("中") == 0x4e2dL)
+  }
+
+  test("interpol substitutes ${vars}") {
+    assert(GraftFunctions.interpol("a/${filename}.x",
+      Map("filename" -> "f1")) == "a/f1.x")
+  }
+
+  test("constantTimeEq compares correctly") {
+    assert(GraftFunctions.constantTimeEq("abc", "abc"))
+    assert(!GraftFunctions.constantTimeEq("abc", "abd"))
+    assert(!GraftFunctions.constantTimeEq("abc", "ab"))
+  }
+
+  test("awsUriEncode keeps unreserved (and optionally slash)") {
+    assert(GraftFunctions.awsUriEncode("/ሴ", keepSlash = true)
+      == "/%E1%88%B4")
+    assert(GraftFunctions.awsUriEncode("a b/c", keepSlash = false)
+      == "a%20b%2Fc")
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Listing
+import graft.operators.Listing.{ListParams, ListResult}
+
+/** Table-driven listing-kernel cases (semantics of reference
+  * test/io/pithos/meta_test.clj:8-119) + seeded property-style
+  * invariants. */
+class ListingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  def objectsDf(keys: Seq[String]): DataFrame =
+    keys.map(("b", _)).toDF("bucket", "object")
+
+  val Keys = Seq("bar.txt", "foo/bar.txt", "foo/baz.txt", "foo/sub/x.txt",
+    "zoo.txt")
+
+  def list(keys: Seq[String], p: ListParams): ListResult =
+    Listing.listObjects(objectsDf(keys), "b", p)
+
+  test("delimiter groups direct children into common prefixes") {
+    val r = list(Keys, ListParams(delimiter = Some("/")))
+    assert(r.keys == Seq("bar.txt", "zoo.txt"))
+    assert(r.prefixes == Set("foo/"))
+    assert(!r.truncated)
+  }
+
+  test("prefix + delimiter lists direct children, nests deeper levels") {
+    val r = list(Keys, ListParams(prefix = Some("foo/"), delimiter = Some("/")))
+    assert(r.keys == Seq("foo/bar.txt", "foo/baz.txt"))
+    assert(r.prefixes == Set("foo/sub/"))
+  }
+
+  test("no delimiter returns every key") {
+    val r = list(Keys, ListParams())
+    assert(r.keys == Keys.sorted)
+    assert(r.prefixes.isEmpty)
+  }
+
+  test("prefix without delimiter returns all keys under prefix") {
+    val r = list(Keys, ListParams(prefix = Some("foo/")))
+    assert(r.keys == Seq("foo/bar.txt", "foo/baz.txt", "foo/sub/x.txt"))
+  }
+
+  test("exact-key prefix shows the object") {
+    val r = list(Keys, ListParams(prefix = Some("foo/bar.txt"),
+      delimiter = Some("/")))
+    assert(r.keys == Seq("foo/bar.txt"))
+    assert(r.prefixes.isEmpty)
+  }
+
+  test("maxKeys truncates and reports a next marker") {
+    val r = list(Keys, ListParams(delimiter = Some("/"), maxKeys = 1))
+    assert(r.truncated)
+    assert(r.keys ++ r.prefixes == Seq("bar.txt"))
+    assert(r.nextMarker.contains("bar.txt"))
+  }
+
+  test("marker resumes strictly after") {
+    val r = list(Keys, ListParams(marker = Some("foo/bar.txt")))
+    assert(r.keys == Seq("foo/baz.txt", "foo/sub/x.txt", "zoo.txt"))
+  }
+
+  // Property-style (seeded random): paging with marker continuation
+  // converges to the one-shot result, and per-page invariants hold:
+  // sorted, disjoint, bounded by maxKeys.
+  test("page-concatenation equals one-shot listing (20 random corpora)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", "c", "/")
+    for (trial <- 1 to 20) {
+      val keys = Seq.fill(5 + rnd.nextInt(25))(
+        Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(4))).mkString)
+        .distinct.filter(_.nonEmpty)
+      val pageSize = 1 + rnd.nextInt(4)
+      val df = objectsDf(keys)
+      val oneShot = Listing.listObjects(df, "b",
+        ListParams(delimiter = Some("/"), maxKeys = 1000))
+      var marker: Option[String] = None
+      var accKeys = Vector.empty[String]
+      var accPre = Set.empty[String]
+      var done = false
+      var pages = 0
+      while (!done) {
+        assert(pages < 100, s"trial $trial: pagination did not terminate")
+        val page = Listing.listObjects(df, "b",
+          ListParams(delimiter = Some("/"), maxKeys = pageSize,
+            marker = marker))
+        assert(page.keys.size + page.prefixes.size <= pageSize)
+        val entries = page.keys ++ page.prefixes
+        assert(entries.sorted == entries.sorted.sorted)
+        assert(page.keys.toSet.intersect(page.prefixes).isEmpty)
+        accKeys ++= page.keys
+        accPre ++= page.prefixes
+        if (page.truncated) marker = page.nextMarker else done = true
+        pages += 1
+      }
+      assert(accKeys.toSet == oneShot.keys.toSet, s"trial $trial keys")
+      assert(accPre == oneShot.prefixes, s"trial $trial prefixes")
+      assert(accKeys.size == accKeys.distinct.size,
+        s"trial $trial: no key listed twice")
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Multimodal plumbing: schema, determinism, batching semantics. */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "image payload content here", "en", "s1", 26L),
+    (1L, "audio payload content that is a bit longer " * 8, "en", "s1", 352L),
+    (2L, "video payload content " * 20, "en", "s2", 440L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("media view assigns modality round-robin with typed metadata") {
+    val m = Multimodal.media(docs).collect()
+    assert(m.map(r => r.id -> r.mediaType).toMap ==
+      Map(0L -> "image", 1L -> "audio", 2L -> "video"))
+    assert(m.forall(_.meta("source").startsWith("s")))
+    assert(m.find(_.id == 0).get.payload sameElements
+      "image payload content here".getBytes("UTF-8"))
+  }
+
+  test("image decode stub is deterministic and shape-correct") {
+    val f = Multimodal.decodeImages(Multimodal.media(docs)).collect()
+    assert(f.length == 1 && f.head.id == 0L)
+    assert(f.head.features.length == 8)
+    assert(f.head.width >= 16 && f.head.width < 80)
+    val again = Multimodal.decodeImages(Multimodal.media(docs)).collect()
+    assert(f.head.features.toSeq == again.head.features.toSeq)
+  }
+
+  test("resize stub rescales feature bins") {
+    val f = Multimodal.decodeImages(Multimodal.media(docs)).collect().head
+    val r = Multimodal.resizeStub(f, 4)
+    assert(r.features.length == 4 && r.width == 4)
+  }
+
+  test("frame sampling windows the payload bytes exactly") {
+    val frames = Multimodal.sampleFrames(Multimodal.media(docs), 128)
+      .select("id", "frame_idx", "frame_len")
+      .as[(Long, Int, Int)].collect().sortBy(_._2)
+    val total = "video payload content ".length * 20
+    assert(frames.forall(_._1 == 2L))
+    assert(frames.length == math.ceil(total / 128.0).toInt)
+    assert(frames.init.forall(_._3 == 128))
+    assert(frames.last._3 == total - 128 * (frames.length - 1))
+  }
+
+  test("audio windows compute mean and rms per fixed window") {
+    val w = Multimodal.audioWindows(Multimodal.media(docs), 100)
+      .collect().sortBy(_.windowIdx)
+    assert(w.forall(_.id == 1L))
+    assert(w.forall(x => x.rms >= x.mean)) // RMS >= mean for nonneg values
+    assert(w.forall(x => x.mean > 0 && x.rms < 256))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Signing
+import graft.functions.Signing.Request
+
+/** Signing kernels. The v4 expectations are AWS's published signature
+  * test-suite vectors (get-vanilla, get-utf8, get-vanilla-query with
+  * key AKIDEXAMPLE / the documented example secret). */
+class SigningSpec extends AnyFunSuite {
+
+  val Secret = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+  val AmzDate = "20150830T123600Z"
+  val Sha256Empty =
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+  val BaseHeaders = Map(
+    "host" -> "example.amazonaws.com",
+    "x-amz-date" -> AmzDate,
+    "x-amz-content-sha256" -> Sha256Empty)
+  val Include = Seq("host", "x-amz-date")
+
+  test("canonical request: get-vanilla") {
+    val req = Request("GET", "/", "", BaseHeaders)
+    assert(Signing.canonicalRequest(req, Include) ==
+      Seq("GET", "/", "",
+        "host:example.amazonaws.com", s"x-amz-date:$AmzDate",
+        "", "host;x-amz-date", Sha256Empty).mkString("\n"))
+  }
+
+  test("canonical request: utf8 path percent-encodes") {
+    val req = Request("GET", "/ሴ", "", BaseHeaders)
+    val lines = Signing.canonicalRequest(req, Include).split("\n")
+    assert(lines(1) == "/%E1%88%B4")
+  }
+
+  test("canonical query string decodes, re-escapes and sorts") {
+    assert(Signing.canonicalQueryString("Param1=value1") == "Param1=value1")
+    assert(Signing.canonicalQueryString("b=2&A=1") == "A=1&b=2")
+    assert(Signing.canonicalQueryString("k=a%20b") == "k=a%20b")
+    assert(Signing.canonicalQueryString("") == "")
+  }
+
+  test("v4 signature matches AWS vector: get-vanilla") {
+    val req = Request("GET", "/", "", BaseHeaders)
+    assert(Signing.signV4(req, Secret, AmzDate, "us-east-1", "service",
+      Include) ==
+      "5fa00fa31553b73ebf1942676e86291e8372ff2a2260956d9b8aae1d763fbf31")
+  }
+
+  test("v4 signature matches AWS vector: get-utf8") {
+    val req = Request("GET", "/ሴ", "", BaseHeaders)
+    assert(Signing.signV4(req, Secret, AmzDate, "us-east-1", "service",
+      Include) ==
+      "8318018e0b0f223aa2bbf98705b62bb787dc9c0e678f255a891fd03141be5d85")
+  }
+
+  test("v4 verify from Authorization header") {
+    val sig = "5fa00fa31553b73ebf1942676e86291e8372ff2a2260956d9b8aae1d763fbf31"
+    val auth = "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/20150830/us-east-1/" +
+      s"service/aws4_request, SignedHeaders=host;x-amz-date, Signature=$sig"
+    val req = Request("GET", "/", "",
+      BaseHeaders + ("authorization" -> auth))
+    assert(Signing.verifyV4(req, Secret))
+    assert(!Signing.verifyV4(req, Secret + "x"))
+  }
+
+  test("v2 string-to-sign layout and x-amz canonicalization") {
+    val req = Request("PUT", "/bucket/key", "",
+      Map("content-md5" -> "md5md5", "content-type" -> "text/plain",
+        "date" -> "Thu, 17 Nov 2005 18:49:58 GMT",
+        "x-amz-meta-b" -> " vb ", "x-amz-meta-a" -> "va"))
+    assert(Signing.stringToSignV2(req) ==
+      Seq("PUT", "md5md5", "text/plain", "Thu, 17 Nov 2005 18:49:58 GMT",
+        "x-amz-meta-a:va", "x-amz-meta-b:vb", "/bucket/key").mkString("\n"))
+  }
+
+  test("v2: x-amz-date suppresses date; Expires param wins") {
+    val r1 = Request("GET", "/", "",
+      Map("date" -> "D1", "x-amz-date" -> "D2"))
+    assert(Signing.stringToSignV2(r1).split("\n")(3) == "")
+    val r2 = Request("GET", "/", "", Map("date" -> "D1"),
+      Map("expires" -> "999"))
+    assert(Signing.stringToSignV2(r2).split("\n")(3) == "999")
+  }
+
+  test("v2 sign/verify round-trip, constant-time reject") {
+    val req = Request("GET", "/b/k", "", Map("date" -> "D"))
+    val sig = Signing.signV2(req, "secret")
+    assert(Signing.verifyV2(req, "secret", sig))
+    assert(!Signing.verifyV2(req, "other", sig))
+  }
+}

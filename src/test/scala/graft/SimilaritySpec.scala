@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Similarity kernels: quantized-int exactness and top-k ordering. */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.5f, 0.5f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("quantized dot/norm are exact integers") {
+    val prep = Similarity.prepared(vecs, "vec_id", "embedding")
+    val n2 = prep.select("id", "n2").as[(Long, Long)].collect().toMap
+    assert(n2(0L) == 10000L * 10000L)
+    assert(n2(4L) == 2L * 5000L * 5000L)
+  }
+
+  test("topK ranks by cosine desc with id tiebreak") {
+    val prep = Similarity.prepared(vecs, "vec_id", "embedding")
+    val r = Similarity.topK(prep, prep.filter($"id" === 0L), 4)
+      .select("nid", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(r.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("nearDupPairs finds only pairs above threshold") {
+    val prep = Similarity.prepared(vecs, "vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(prep, 0.99)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // cos(0,1) = 0.9/sqrt(0.82) ≈ 0.9939
+    val loose = Similarity.nearDupPairs(prep, 0.7)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(loose.contains((0L, 1L)) && loose.contains((1L, 4L)))
+    assert(!loose.contains((0L, 3L)))
+  }
+
+  test("SRP-LSH ANN returns ranked neighbors for every id with collisions") {
+    val embs = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(d =>
+        (math.sin(i * 0.7 + d) + (if (i % 2 == 0) 1.0 else -1.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.annLsh(embs, "vec_id", "embedding", 3)
+      .select("qid", "rank").as[(Long, Int)].collect()
+    assert(r.nonEmpty)
+    assert(r.groupBy(_._1).forall(_._2.length <= 3))
+  }
+}
