@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming form of the reporter/metering surface
+  * (reference: src/io/pithos/reporter.clj — put/delete events fanned to
+  * reporters; our engine models the event feed as a stream and the
+  * meters as continuous queries).
+  *
+  * Scale design: the windowed aggregation shuffles only (window,
+  * event_type) partial aggregates (map-side combined); state for the
+  * session tracker is per-key and bounded by the watermark/timeout, so
+  * a 1000-executor cluster holds state shards in the state store, not
+  * on the driver.
+  */
+object EventStreams {
+
+  /** Schema of the events feed (TESTDATA events.parquet, ts as micros). */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over an events directory (the
+    * production entry: new parquet files appear, metering updates). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** Continuous metering: watermarked tumbling-window totals per event
+    * type — the streaming analogue of the batch `is4_metering` query. */
+  def metering(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  // ---- stateful session tracking (I-S2 analogue) -------------------------
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  case class SessionState(n: Long, total: Double)
+  case class SessionUpdate(user_id: Long, n: Long, total: Double)
+
+  /** Per-user running totals via `flatMapGroupsWithState` — the custom-
+    * state shape the reference implements as its multipart-upload
+    * bookkeeping (sessions accumulate parts until completed). State is
+    * per-key in the state store; timeout evicts abandoned sessions
+    * (the reference's acknowledged orphan-upload leak becomes a
+    * timeout policy). */
+  def sessionTotals(events: Dataset[EventRow],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evict = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          if (evict && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(uid, s.n, s.total))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+            val batch = rows.toSeq
+            val next = SessionState(prev.n + batch.size,
+              prev.total + batch.map(_.value).sum)
+            state.update(next)
+            if (evict) state.setTimeoutDuration("30 minutes")
+            Iterator(SessionUpdate(uid, next.n, next.total))
+          }
+      }
+  }
+}

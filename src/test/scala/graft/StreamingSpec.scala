@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.EventRow
+
+/** Structured-Streaming surface driven through MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  def ev(id: Long, minute: Int, user: Long, typ: String, v: Double) =
+    EventRow(id, Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"),
+      user, typ, v, "{}")
+
+  test("windowed metering aggregates per 10-minute window and type") {
+    val input = MemoryStream[EventRow](spark)
+    input.addData(
+      ev(1, 1, 10, "put", 5.0), ev(2, 2, 11, "put", 7.0),
+      ev(3, 3, 10, "delete", 1.0), ev(4, 12, 10, "put", 2.0))
+    val q = EventStreams.metering(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("meter")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("meter")
+        .select("window_start", "event_type", "n", "total")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "put", 2L, 12.0),
+        (Timestamp.valueOf("2026-01-01 10:00:00"), "delete", 1L, 1.0),
+        (Timestamp.valueOf("2026-01-01 10:10:00"), "put", 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("stateful session totals accumulate across micro-batches") {
+    val input = MemoryStream[EventRow](spark)
+    val q = EventStreams.sessionTotals(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 1, 100, "put", 3.0), ev(2, 2, 100, "put", 4.0))
+      q.processAllAvailable()
+      input.addData(ev(3, 3, 100, "put", 5.0), ev(4, 3, 200, "put", 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("sessions")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+      assert(latest(100L) == ((100L, 3L, 12.0)))
+      assert(latest(200L) == ((200L, 1L, 1.0)))
+    } finally q.stop()
+  }
+}
