@@ -20,7 +20,12 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ldot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Exact int64 array dot product (codegen'd; see [[LongArrayDot]]). */
+  def ldot(a: Column, b: Column): Column = call_function("ldot", a, b)
 
   /** Order-sensitive chunked MD5 aggregate as a Column (small-object
     * path; see [[ChunkedMd5]]). */

@@ -138,12 +138,29 @@ object Signing {
       AuthV4(m.group(1), m.group(2), m.group(3), m.group(4),
         m.group(5).split(";").toSeq, m.group(6)))
 
+  /** RFC-1123 (`Thu, 17 Sep 2015 12:36:00 GMT`) or ISO-basic request
+    * date → ISO-basic `yyyyMMdd'T'HHmmss'Z'` in UTC (the shape the v4
+    * signing-key chain expects; reference sig4.clj request-time
+    * handling parses the date header before deriving the key). */
+  def toAmzDate(raw: String): Option[String] = {
+    val s = raw.trim
+    if (s.matches("""\d{8}T\d{6}Z""")) Some(s)
+    else try {
+      val zdt = java.time.ZonedDateTime
+        .parse(s, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+        .withZoneSameInstant(java.time.ZoneOffset.UTC)
+      Some(zdt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'")))
+    } catch { case _: java.time.format.DateTimeParseException => None }
+  }
+
   /** Full v4 verification from the Authorization header. */
   def verifyV4(req: Request, secret: String): Boolean =
     req.headers.get("authorization").flatMap(parseAuthorization).exists {
       auth =>
-        val amzDate = req.headers.getOrElse("x-amz-date",
-          req.headers.getOrElse("date", ""))
+        val amzDate = req.headers.get("x-amz-date")
+          .orElse(req.headers.get("date").flatMap(toAmzDate))
+          .getOrElse("")
         constantTimeEq(
           signV4(req, secret, amzDate, auth.region, auth.service,
             auth.signedHeaders),

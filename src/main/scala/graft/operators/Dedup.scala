@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication kernels for the training-data pipeline: exact
@@ -14,6 +15,14 @@ import org.apache.spark.sql.functions._
   * bucket, and every approximate path ends in an exact verification
   * join, so the *output* is exact for pairs above the threshold (the
   * DuckDB oracle recomputes them with brute-force pairwise Jaccard).
+  *
+  * Shingles are hashed to int64 (`xxhash64`) immediately after
+  * generation: every downstream join/aggregate compares 8-byte keys
+  * instead of multi-word strings, and per-doc shingle *sets* travel as
+  * sorted long arrays — one compact cached table feeds the inverted
+  * index, the signatures, and the verification join (which is then two
+  * array lookups + `array_intersect` per candidate pair instead of an
+  * exploded row join).
   */
 object Dedup {
 
@@ -30,6 +39,18 @@ object Dedup {
       .otherwise(typedLit(Seq.empty[String]))
     docs.select(col(idCol).as("id"), explode(sh).as("shingle"))
   }
+
+  /** Per-doc shingle sets as sorted int64-hash arrays:
+    * `(id, hs array<long>, n)`. The one table every Jaccard path caches
+    * (collision probability over a few hundred shingles/doc is ~2^-50 —
+    * negligible vs the string-exact oracle). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 3): DataFrame =
+    shingles(docs, idCol, textCol, w)
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("sh"))).as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
 
   // ---- exact dedup -------------------------------------------------------
 
@@ -48,49 +69,59 @@ object Dedup {
     * doc's shingles by global document frequency (rarest first), index
     * only the first `|d| - ceil(t*|d|) + 1` shingles. Any pair with
     * J >= t must collide on at least one indexed prefix shingle, so the
-    * candidate join touches a tiny fraction of the full inverted index,
-    * then exact verification filters. Output equals brute-force pairwise
-    * Jaccard >= t (what the oracle computes).
+    * candidate join touches a tiny fraction of the full inverted index;
+    * a size filter (`J >= t ⇒ t·max(|a|,|b|) <= min(|a|,|b|)`) prunes
+    * further before exact verification. Output equals brute-force
+    * pairwise Jaccard >= t (what the oracle computes).
     *
     * Returns `(i, j, jac)` with i < j.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, w: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, w).cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val sets = shingleSets(docs, idCol, textCol, w).cache()
+    val exploded = sets.select(col("id"), col("n"), explode(col("hs")).as("sh"))
 
     // Global document frequency per shingle → rarest-first order.
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(df, "shingle")
+    val df = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = exploded.join(df, "sh")
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("id").orderBy(col("df"), col("shingle"))))
-      .join(sizes, "id")
+        Window.partitionBy("id").orderBy(col("df"), col("sh"))))
       // prefix length: |d| - ceil(t|d|) + 1
-      .filter(col("rank") <=
-        col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "shingle")
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("id", "n", "sh")
 
-    val cand = ranked.as("a").join(ranked.as("b"), "shingle")
-      .filter(col("a.id") < col("b.id"))
+    val cand = ranked.as("a").join(ranked.as("b"), "sh")
+      .filter(col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")) >=
+          lit(threshold) * greatest(col("a.n"), col("b.n")))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
 
-    verify(cand, sh, sizes).filter(col("jac") >= threshold)
+    finishWithUnpersist(
+      verify(cand, sets).filter(col("jac") >= threshold), sets)
   }
 
-  /** Exact Jaccard of candidate pairs against the full shingle table. */
-  def verify(cand: DataFrame, sh: DataFrame, sizes: DataFrame): DataFrame = {
-    val inter = cand
-      .join(sh.select(col("id").as("i"), col("shingle")), "i")
-      .join(sh.select(col("id").as("j"), col("shingle")), Seq("j", "shingle"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("i"), col("n").as("ni")), "i")
-      .join(sizes.select(col("id").as("j"), col("n").as("nj")), "j")
+  /** Exact Jaccard of candidate pairs: two array lookups per pair +
+    * `array_intersect` — no exploded verification join. */
+  def verify(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val a = sets.select(col("id").as("i"), col("hs").as("ha"), col("n").as("ni"))
+    val b = sets.select(col("id").as("j"), col("hs").as("hb"), col("n").as("nj"))
+    cand.join(a, "i").join(b, "j")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .select(col("i"), col("j"),
         (col("inter").cast("double") /
           (col("ni") + col("nj") - col("inter"))).as("jac"))
+  }
+
+  /** Materialize the (small) verified-pair result eagerly, then release
+    * the pinned shingle-set cache — repeated invocations in a
+    * long-lived session must not accumulate cached partitions.
+    * `localCheckpoint` truncates lineage so the result no longer
+    * depends on `cached`. */
+  private def finishWithUnpersist(out: DataFrame, cached: DataFrame): DataFrame = {
+    val checkpointed = out.localCheckpoint(true)
+    cached.unpersist()
+    checkpointed
   }
 
   // ---- MinHash + LSH -----------------------------------------------------
@@ -109,13 +140,14 @@ object Dedup {
   }
 
   /** MinHash signatures: `(id, m0..m{k-1})` — k min-aggregates over the
-    * shingle hash (one shuffle on id, map-side combined). */
-  def minhashSignature(sh: DataFrame, k: Int): DataFrame = {
-    val base = pmod(xxhash64(col("shingle")), lit(P))
+    * shingle hash (one shuffle on id, map-side combined). Input is the
+    * exploded `(id, sh)` form. */
+  def minhashSignature(exploded: DataFrame, k: Int): DataFrame = {
+    val base = pmod(col("sh"), lit(P))
     val mins = coeffs(k).zipWithIndex.map { case ((a, b), i) =>
       min((base * a + b) % P).as(s"m$i")
     }
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    exploded.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs from banded signatures (`b` bands × `r` rows):
@@ -141,48 +173,62 @@ object Dedup {
     * probability) at a fraction of the join volume. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, w).cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val cand = lshCandidates(minhashSignature(sh, k), bands, k / bands)
-    verify(cand, sh, sizes).filter(col("jac") >= threshold)
+    val sets = shingleSets(docs, idCol, textCol, w).cache()
+    val exploded = sets.select(col("id"), explode(col("hs")).as("sh"))
+    val cand = lshCandidates(minhashSignature(exploded, k), bands, k / bands)
+    finishWithUnpersist(
+      verify(cand, sets).filter(col("jac") >= threshold), sets)
   }
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash per doc over distinct whitespace tokens: bit j is the
-    * sign of Σ_tokens (±1 by bit j of xxhash64(token)). One shuffle
-    * (groupBy id with 64 map-side-combined sums). */
+  /** SimHash width: 60 bits = 15 md5 hex chars, so the per-token hash is
+    * exactly `CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT)` in
+    * DuckDB and the whole operator is oracle-checkable. */
+  val SimHashBits = 60
+  val SimHashBands = 4
+  val SimHashBandBits: Int = SimHashBits / SimHashBands // 15
+  val SimHashBandMask: Long = (1L << SimHashBandBits) - 1
+
+  /** Cross-engine 60-bit token hash: first 15 hex chars of md5. */
+  def tokenHash60(token: Column): Column =
+    conv(substring(md5(encode(token, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash per doc over distinct whitespace tokens: bit j is
+    * the sign of Σ_tokens (±1 by bit j of hash(token)). One shuffle
+    * (groupBy id with 60 map-side-combined sums). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val sums = (0 until 64).map { j =>
+      .withColumn("h", tokenHash60(col("token")))
+    val sums = (0 until SimHashBits).map { j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1))
         .as(s"b$j")
     }
     val agg = toks.groupBy("id").agg(sums.head, sums.tail: _*)
-    val bits = (0 until 64)
+    val bits = (0 until SimHashBits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     agg.select(col("id"), bits.as("simhash"))
   }
 
   /** Near-dup pairs with hamming(simhash) <= maxDist (maxDist < 4):
-    * banding by the four 16-bit quarters guarantees a colliding band for
+    * banding by the four 15-bit quarters guarantees a colliding band for
     * any pair within distance 3 (pigeonhole), then exact popcount
     * verification. */
   def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist < 4, "4x16-bit banding covers hamming <= 3")
+    require(maxDist < SimHashBands, "4-band blocking covers hamming <= 3")
     val bands = sig.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until SimHashBands).map(i =>
         struct(lit(i).as("band"),
-          expr(s"shiftright(simhash, ${i * 16}) & 65535").as("key"))): _*))
+          expr(s"shiftright(simhash, ${i * SimHashBandBits}) & $SimHashBandMask")
+            .as("key"))): _*))
         .as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
     bands.as("a").join(bands.as("b"), Seq("band", "key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -94,6 +94,9 @@ object Multimodal {
     * downstream consumer asks for pixels. */
   def sampleFrames(m: Dataset[Media], frameBytes: Int): DataFrame =
     m.filter(col("mediaType") === "video")
+      // empty payloads emit no frames (ceil(0/n)-1 would make `sequence`
+      // step backwards and emit two bogus frames)
+      .filter(length(col("payload")) > 0)
       .select(col("id"), posexplode(expr(
         s"""transform(
            |  sequence(0, cast(ceil(length(payload) / $frameBytes.0d) as int) - 1),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exactness baseline, and a
   * random-hyperplane (SRP) LSH bucketed variant as the 100 TB path.
@@ -13,7 +15,13 @@ import org.apache.spark.sql.functions._
   * norms are *exact integers* (order-independent sums — safe under any
   * aggregation order), and the final cosine is one IEEE-deterministic
   * `dot / (sqrt(na)*sqrt(nb))` on exact inputs. Spark and DuckDB
-  * produce bit-identical doubles.
+  * produce bit-identical doubles. The SRP hyperplanes are integer-valued
+  * for the same reason, so even the LSH bucketing is exactly
+  * reproducible by the oracle.
+  *
+  * Hot loop: the int64 dot product is a native codegen'd Catalyst
+  * expression ([[graft.functions.LongArrayDot]]) — callers must run
+  * [[GraftFunctions.register]] on the session once.
   */
 object Similarity {
 
@@ -23,9 +31,8 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors (codegen'd). */
+  def idot(a: Column, b: Column): Column = GraftFunctions.ldot(a, b)
 
   /** IEEE-deterministic cosine from exact-int dot and squared norms. */
   def cosine(dot: Column, na2: Column, nb2: Column): Column =
@@ -70,24 +77,26 @@ object Similarity {
 
   // ---- SRP-LSH (the scale path) -----------------------------------------
 
-  /** Deterministic pseudo-random hyperplanes (LCG, fixed seed):
-    * `nBits` directions in R^dim with components in [-1, 1). */
-  def hyperplanes(nBits: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+  /** Deterministic pseudo-random *integer* hyperplanes (LCG, fixed
+    * seed): `nBits` directions in Z^dim with components uniform in
+    * [-2^20, 2^20). Integer components keep the SRP dot products exact
+    * (|qv_k| <= ~10^5, |g_k| < 2^20, dim <= 4096 → no int64 overflow),
+    * so the signature — and therefore the whole LSH blocking — is
+    * bit-reproducible by any engine, including the DuckDB oracle. */
+  def intPlanes(nBits: Int, dim: Int, seed: Long = 7L): Seq[Seq[Long]] = {
     var s = seed
-    def next(): Double = {
+    def next(): Long = {
       s = s * 6364136223846793005L + 1442695040888963407L
-      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      (s >>> 43) - (1L << 20)
     }
     Seq.fill(nBits)(Seq.fill(dim)(next()))
   }
 
-  /** SRP signature: bit i = sign(v · g_i), packed into a long. */
-  def srpSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** SRP signature over the *quantized* vector: bit i = sign(qv · g_i),
+    * packed into a long. Exact integer arithmetic throughout. */
+  def srpSignature(qv: Column, planes: Seq[Seq[Long]]): Column =
     planes.zipWithIndex.map { case (g, i) =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(g), (x, gg) => x.cast("double") * gg),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+      when(idot(qv, typedLit(g)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Candidate pairs colliding on at least one of `bands` contiguous
@@ -107,14 +116,22 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: SRP-block the corpus, score only colliding pairs
-    * exactly, keep top-k per query id. Approximate (recall < 1) — the
-    * scale path; the brute-force [[topK]] is the correctness baseline. */
+    * exactly, keep top-k per query id. Recall < 1 by design (pairs
+    * colliding in no band are skipped) — the scale path; the brute-force
+    * [[topK]] is the exhaustive baseline. 32 bits in 4×8-bit bands gives
+    * 256 buckets per band, so candidate volume is ~n²·4/256 worst case
+    * and far less on real (spread-out) data. */
   def annLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
-      nBits: Int = 16, bands: Int = 4): DataFrame = {
-    val planes = hyperplanes(nBits, 64)
+      nBits: Int = 32, bands: Int = 4, dim: Int = -1): DataFrame = {
+    // Derive the embedding dimension from the data unless given: a wrong
+    // dim would null-pad the SRP dot products and collapse all vectors
+    // into one LSH bucket (all-pairs candidate explosion).
+    val d = if (dim > 0) dim
+      else embs.select(size(col(vecCol))).head().getInt(0)
+    val planes = intPlanes(nBits, d)
     val prep = embs
-      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"),
-        srpSignature(col(vecCol), planes).as("sig"))
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("sig", srpSignature(col("qv"), planes))
       .withColumn("n2", idot(col("qv"), col("qv")))
     val cand = srpCandidates(prep.select("id", "sig"), bands, nBits / bands)
     // score both orientations so every id gets neighbors

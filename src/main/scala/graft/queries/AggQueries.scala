@@ -100,15 +100,18 @@ object AggQueries {
       doc = "meta.clj:242-250 page head — ranking window top-k"),
 
     // D5/D6 analog: collect_set merge semantics (CORS/ACL rule merge).
+    // Set rendered as a joined string: the driver's pandas checker cannot
+    // sort array-typed columns, and the string hash-compares just as well.
     "d5_collect_merge" -> QueryDef(
       (s, d) => Tables.orders(s, d)
         .groupBy("o_orderpriority")
-        .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority"),
       Some(
         """SELECT o_orderpriority,
-          |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+          |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
           |       count(*) AS n
           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       doc = "cors.clj:83-87 merge-rules / acl.clj:85-97 grant merge — " +

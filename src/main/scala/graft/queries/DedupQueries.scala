@@ -33,6 +33,44 @@ object DedupQueries {
        |      >= $threshold
        |ORDER BY i, j""".stripMargin
 
+  /** DuckDB replay of [[Dedup.simhash]]/[[Dedup.simhashPairs]]: same
+    * md5-derived 60-bit token hash, same per-bit ±1 sums, same 4×15-bit
+    * banding — generated from the Dedup constants. */
+  private def simhashOracleSql(maxDist: Int): String = {
+    val bits = Dedup.SimHashBits
+    val sums = (0 until bits)
+      .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n         ")
+    val sig = (0 until bits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+      .mkString(" + ")
+    val bb = Dedup.SimHashBandBits
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS token
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+       |  FROM toks
+       |), sums AS (
+       |  SELECT doc_id, $sums
+       |  FROM h GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums
+       |), bnd AS (
+       |  SELECT doc_id, simhash, bd,
+       |         (simhash >> CAST(bd*$bb AS INT)) & ${Dedup.SimHashBandMask} AS key
+       |  FROM sig, UNNEST(range(0, ${Dedup.SimHashBands})) AS t(bd)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bnd a JOIN bnd b
+       |    ON a.bd = b.bd AND a.key = b.key AND a.doc_id < b.doc_id
+       |)
+       |SELECT i, j, hamming FROM cand WHERE hamming <= $maxDist
+       |ORDER BY i, j""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup over a doubled corpus (simulated re-ingest): groupBy
@@ -66,13 +104,14 @@ object DedupQueries {
       doc = "MinHash(k=32) + LSH(16 bands x 2 rows) candidates, " +
         "exact-Jaccard verified at 0.8"),
 
-    // SimHash hamming<=3 pairs — hash-function-specific, rows-only check;
-    // determinism + recall covered by ScalaTest.
+    // SimHash hamming<=3 pairs — the 60-bit token hash is 15 md5 hex
+    // chars, so DuckDB replays the identical signature, banding, and
+    // popcount verify (generated SQL; constants can't drift).
     "dd_simhash" -> QueryDef(
       (s, d) => Dedup.simhashPairs(
         Dedup.simhash(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("i", "j"),
-      None,
-      doc = "SimHash-64 near-dup: 4x16-bit band blocking + popcount verify")
+      Some(simhashOracleSql(3)),
+      doc = "SimHash-60 near-dup: 4x15-bit band blocking + popcount verify")
   )
 }

@@ -135,7 +135,7 @@ object MetaQueries {
         val keyList = Tables.documents(s, d)
           .filter(col("doc_id") < 40)
           .select(col("source").as("bucket"), col("doc_id").as("inode"))
-        objs.join(keyList, Seq("bucket", "inode"), "left_semi")
+        objs.join(broadcast(keyList), Seq("bucket", "inode"), "left_semi")
           .select("bucket", "object")
           .orderBy("bucket", "object")
       },

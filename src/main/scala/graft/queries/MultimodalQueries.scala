@@ -50,19 +50,65 @@ object MultimodalQueries {
 
     // Stubbed decode + feature extraction — plumbing is real
     // (mapPartitions batch iteration, typed schema), codec is a
-    // deterministic fake; rows-only check + ScalaTest.
+    // deterministic fake; rows-only check + ScalaTest. Features rendered
+    // as a fixed-point string: the driver's pandas checker cannot sort
+    // array-typed columns.
     "mm_decode_features" -> QueryDef(
       (s, d) => Multimodal.decodeImages(
         Multimodal.media(Tables.documents(s, d)))
-        .toDF().orderBy("id"),
+        .toDF()
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          array_join(transform(col("features"),
+            x => round(x * 1000).cast("long")), ",").as("features_milli"))
+        .orderBy("id"),
       None,
       doc = "image decode + feature extraction (stub codec, real dataflow)"),
 
+    // Decoded image dimensions are exact integer functions of the payload
+    // bytes, so they ARE oracle-checkable: restrict to ASCII payloads
+    // (byte i == char code i) and recompute w/h/c in DuckDB.
+    "mm_image_dims" -> QueryDef(
+      (s, d) => Multimodal.decodeImages(
+        Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 2)))
+        .toDF()
+        .select("id", "width", "height", "channels")
+        .orderBy("id"),
+      Some(
+        """SELECT doc_id AS id,
+          |       CAST(16 + (ascii(substr(text, 1, 1)) & 63) AS INT) AS width,
+          |       CAST(16 + (ascii(substr(text, 2, 1)) & 63) AS INT) AS height,
+          |       CAST(1 + octet_length(encode(text)) % 3 AS INT) AS channels
+          |FROM documents
+          |WHERE doc_id % 3 = 0 AND octet_length(encode(text)) = length(text)
+          |  AND length(text) >= 2
+          |ORDER BY id""".stripMargin),
+      doc = "stub decode dims: exact byte-function of payload, " +
+        "ASCII-restricted oracle"),
+
+    // Audio windows: mean + RMS per 256-byte window. Sums of byte values
+    // (and their squares) are exact integers, so the double divisions and
+    // sqrt are IEEE-identical across engines; ASCII restriction makes
+    // byte i == char code i for the DuckDB side (same filter both sides).
     "mm_audio_windows" -> QueryDef(
       (s, d) => Multimodal.audioWindows(
-        Multimodal.media(Tables.documents(s, d)), 256)
+        Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")))), 256)
         .toDF().orderBy("id", "windowIdx"),
-      None,
+      Some(
+        """SELECT doc_id AS id, CAST(wi AS INT) AS "windowIdx",
+          |       CAST(list_sum(vals) AS DOUBLE) / len(vals) AS mean,
+          |       sqrt(CAST(list_sum([v*v for v in vals]) AS DOUBLE) / len(vals)) AS rms
+          |FROM (
+          |  SELECT doc_id, wi,
+          |         [ascii(substr(text, CAST(wi*256 + k AS INT), 1))
+          |          for k in range(1, CAST(least(256, length(text) - wi*256) + 1 AS BIGINT))] AS vals
+          |  FROM documents,
+          |       UNNEST(range(0, CAST(ceil(length(text)/256.0) AS BIGINT))) AS t(wi)
+          |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) = length(text)
+          |        AND length(text) > 0
+          |) ORDER BY id, "windowIdx"""".stripMargin),
       doc = "audio window features: mean + RMS per 256-byte window")
   )
 }

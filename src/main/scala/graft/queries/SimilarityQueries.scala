@@ -3,12 +3,14 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
 import graft.operators.Similarity
 
 /** Similarity-search demos over `embeddings` (64-dim float vectors).
-  * Quantized-int arithmetic makes the cosine IEEE-deterministic, so the
-  * brute-force paths hash-match a DuckDB oracle exactly; the SRP-LSH
-  * path is the approximate scale variant (rows-only check). */
+  * Quantized-int arithmetic makes the cosine IEEE-deterministic, and the
+  * SRP hyperplanes are integer-valued, so even the LSH-bucketed ANN path
+  * hash-matches a DuckDB oracle exactly (the oracle replays the same
+  * planes, banding, and rescoring). */
 object SimilarityQueries {
 
   // Shared DuckDB prelude: quantized vectors + exact squared norms.
@@ -23,11 +25,52 @@ object SimilarityQueries {
       |  FROM q
       |)""".stripMargin
 
+  /** DuckDB replay of [[Similarity.annLsh]] with the identical integer
+    * plane constants, banding, and exact rescoring — generated so the
+    * constants can never drift from the Scala side. */
+  private def annOracleSql(k: Int, nBits: Int, bands: Int): String = {
+    val planes = Similarity.intPlanes(nBits, 64)
+    val planesLit = planes.map(_.mkString("[", ",", "]"))
+      .mkString("[\n", ",\n", "\n]")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    s"""WITH $duckPrep,
+       |planes AS (SELECT $planesLit AS g),
+       |sigb AS (
+       |  SELECT vec_id,
+       |         CASE WHEN list_sum([qv[k]*g[CAST(b+1 AS INT)][k] for k in range(1,65)]) > 0
+       |              THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END AS bit
+       |  FROM p, planes, UNNEST(range(0, $nBits)) AS t(b)
+       |),
+       |sig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM sigb GROUP BY vec_id),
+       |bnd AS (
+       |  SELECT vec_id, bd, (sig >> CAST(bd*$r AS INT)) & $mask AS key
+       |  FROM sig, UNNEST(range(0, $bands)) AS t(bd)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |  FROM bnd a JOIN bnd b ON a.bd = b.bd AND a.key = b.key AND a.vec_id < b.vec_id
+       |),
+       |sym AS (SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand),
+       |scored AS (
+       |  SELECT s.i AS qid, s.j AS nid,
+       |         CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM sym s JOIN p a ON a.vec_id = s.i JOIN p b ON b.vec_id = s.j
+       |)
+       |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT qid, nid, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Brute-force cosine top-5 for 10 query vectors.
     "sim_topk_brute" -> QueryDef(
       (s, d) => {
+        GraftFunctions.register(s)
         val prep = Similarity.prepared(
           Tables.embeddings(s, d), "vec_id", "embedding")
         Similarity.topK(prep, prep.filter(col("id") < 10), 5)
@@ -51,9 +94,12 @@ object SimilarityQueries {
 
     // Exact embedding near-duplicate pairs at cosine >= 0.4.
     "sim_cosine_neardup" -> QueryDef(
-      (s, d) => Similarity.nearDupPairs(
-        Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
-        0.4).orderBy("i", "j"),
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.nearDupPairs(
+          Similarity.prepared(Tables.embeddings(s, d), "vec_id", "embedding"),
+          0.4).orderBy("i", "j")
+      },
       Some(
         s"""WITH $duckPrep
            |SELECT a.vec_id AS i, b.vec_id AS j,
@@ -65,13 +111,17 @@ object SimilarityQueries {
            |ORDER BY i, j""".stripMargin),
       doc = "embedding-cosine near-dup gate, exact quantized-int scoring"),
 
-    // SRP-LSH bucketed ANN — approximate scale path, rows-only check.
+    // SRP-LSH bucketed ANN — integer planes make the blocking exactly
+    // reproducible, so even the approximate path is hash-checked.
     "sim_ann_lsh" -> QueryDef(
-      (s, d) => Similarity.annLsh(
-        Tables.embeddings(s, d), "vec_id", "embedding", 5)
-        .orderBy("qid", "rank"),
-      None,
-      doc = "random-hyperplane LSH blocking (16 bits, 4x4 bands) + " +
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.annLsh(
+          Tables.embeddings(s, d), "vec_id", "embedding", 5, dim = 64)
+          .orderBy("qid", "rank")
+      },
+      Some(annOracleSql(5, 32, 4)),
+      doc = "random-hyperplane LSH blocking (32 bits, 4x8-bit bands) + " +
         "exact rescoring, top-5 per vector")
   )
 }
