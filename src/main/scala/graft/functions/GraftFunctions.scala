@@ -22,7 +22,28 @@ object GraftFunctions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "ldot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => {
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes: w must be a literal, got $other")
+        }
+        ShingleHashes(exprs(0), w)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Sorted distinct w-gram shingle hashes (see [[ShingleHashes]]). */
+  def shingleHashes(tokens: Column, w: Int): Column =
+    call_function("shingle_hashes", tokens, lit(w))
+
+  /** |a ∩ b| of sorted long arrays (see [[SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 
   /** Exact int64 array dot product (codegen'd; see [[LongArrayDot]]). */
   def ldot(a: Column, b: Column): Column = call_function("ldot", a, b)

@@ -1,0 +1,77 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `shingle_hashes(tokens, w)`: sorted distinct xxhash64 values of the
+  * `w`-gram space-joined shingles of a token array — the single-pass
+  * fused form of
+  * `sort_array(collect_set(xxhash64(array_join(slice(tokens,i,w),' '))))`.
+  *
+  * The dedup surface (SURVEY.md §8: exact/MinHash/Jaccard near-dup)
+  * shingles every document; the higher-order-function formulation walks
+  * the token array once per position with interpreted lambdas and
+  * builds every shingle string, then needs an explode + groupBy
+  * (shuffle!) to get per-doc sets. This expression does one linear pass
+  * per row and emits the set directly — the per-document shingle-set
+  * table becomes a zero-shuffle projection of the corpus scan, which at
+  * 100 TB is the difference between a map-only stage and a full
+  * shuffle of ~200× the corpus token count.
+  *
+  * Hash identity: xxhash64 (seed 42) over the UTF-8 bytes of the
+  * space-joined shingle — bit-identical to Spark's builtin
+  * `xxhash64(string)`, so results match the string-based pipeline
+  * exactly (modulo ~2^-50 collision odds per document).
+  */
+case class ShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects (array<string>, w>=1), got " +
+        s"${child.dataType.catalogString}, w=$w")
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val count = n - w + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](count)
+    val window = new Array[UTF8String](w)
+    var i = 0
+    while (i < count) {
+      var j = 0
+      while (j < w) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(space, window: _*)
+      hs(i) = XXH64.hashUnsafeBytes(
+        sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+      i += 1
+    }
+    Arrays.sort(hs)
+    // in-place dedup of the sorted run
+    var out = 1
+    var k = 1
+    while (k < count) {
+      if (hs(k) != hs(k - 1)) { hs(out) = hs(k); out += 1 }
+      k += 1
+    }
+    new GenericArrayData(if (out == count) hs else Arrays.copyOf(hs, out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+
+  override def prettyName: String = "shingle_hashes"
+}

@@ -41,15 +41,19 @@ object Dedup {
   }
 
   /** Per-doc shingle sets as sorted int64-hash arrays:
-    * `(id, hs array<long>, n)`. The one table every Jaccard path caches
-    * (collision probability over a few hundred shingles/doc is ~2^-50 —
-    * negligible vs the string-exact oracle). */
+    * `(id, hs array<long>, n)` — a *zero-shuffle* projection of the
+    * corpus scan via the fused [[graft.functions.ShingleHashes]]
+    * expression (hash-identical to exploding + `xxhash64` + regrouping;
+    * collision probability over a few hundred shingles/doc is ~2^-50 —
+    * negligible vs the string-exact oracle). Docs with fewer than `w`
+    * tokens produce no row, matching [[shingles]]. */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 3): DataFrame =
-    shingles(docs, idCol, textCol, w)
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
-      .groupBy("id")
-      .agg(sort_array(collect_set(col("sh"))).as("hs"))
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.GraftFunctions
+          .shingleHashes(TextOps.tokens(col(textCol)), w).as("hs"))
+      .filter(size(col("hs")) > 0)
       .withColumn("n", size(col("hs")).cast("long"))
 
   // ---- exact dedup -------------------------------------------------------
@@ -88,26 +92,41 @@ object Dedup {
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
       // prefix length: |d| - ceil(t|d|) + 1
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("id", "n", "sh")
+      .select("id", "n", "sh", "rank")
+      // cached: the self-join below would otherwise recompute the
+      // df-join + ranking window once per side
+      .cache()
 
+    // Candidate pruning on each colliding prefix shingle:
+    //  - size filter: J >= t ⇒ t·max(|a|,|b|) <= min(|a|,|b|);
+    //  - positional filter (PPJoin): overlap needed α = ⌈t/(1+t)·(na+nb)⌉,
+    //    and from a collision at prefix positions (pa, pb) at most
+    //    min(na-pa, nb-pb)+1 overlap is achievable. A qualifying pair
+    //    always survives via its *first* common shingle (nothing common
+    //    precedes it), so filtering every collision is lossless.
     val cand = ranked.as("a").join(ranked.as("b"), "sh")
       .filter(col("a.id") < col("b.id") &&
         least(col("a.n"), col("b.n")) >=
-          lit(threshold) * greatest(col("a.n"), col("b.n")))
+          lit(threshold) * greatest(col("a.n"), col("b.n")) &&
+        least(col("a.n") - col("a.rank"), col("b.n") - col("b.rank")) + 1 >=
+          ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n"))))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
 
     finishWithUnpersist(
-      verify(cand, sets).filter(col("jac") >= threshold), sets)
+      verify(cand, sets).filter(col("jac") >= threshold), sets, ranked)
   }
 
-  /** Exact Jaccard of candidate pairs: two array lookups per pair +
-    * `array_intersect` — no exploded verification join. */
+  /** Exact Jaccard of candidate pairs: two array lookups per pair + a
+    * codegen'd linear-merge intersection count over the sorted hash
+    * arrays — no exploded verification join, no per-row hash sets. */
   def verify(cand: DataFrame, sets: DataFrame): DataFrame = {
     val a = sets.select(col("id").as("i"), col("hs").as("ha"), col("n").as("ni"))
     val b = sets.select(col("id").as("j"), col("hs").as("hb"), col("n").as("nj"))
     cand.join(a, "i").join(b, "j")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col("ha"), col("hb")))
       .select(col("i"), col("j"),
         (col("inter").cast("double") /
           (col("ni") + col("nj") - col("inter"))).as("jac"))
@@ -118,9 +137,9 @@ object Dedup {
     * long-lived session must not accumulate cached partitions.
     * `localCheckpoint` truncates lineage so the result no longer
     * depends on `cached`. */
-  private def finishWithUnpersist(out: DataFrame, cached: DataFrame): DataFrame = {
+  private def finishWithUnpersist(out: DataFrame, cached: DataFrame*): DataFrame = {
     val checkpointed = out.localCheckpoint(true)
-    cached.unpersist()
+    cached.foreach(_.unpersist())
     checkpointed
   }
 

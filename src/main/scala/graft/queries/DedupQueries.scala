@@ -90,16 +90,22 @@ object DedupQueries {
 
     // Prefix-filtered similarity join == brute-force pairwise >= 0.5.
     "dd_jaccard_pairs" -> QueryDef(
-      (s, d) => Dedup.jaccardPairs(
-        Tables.documents(s, d), "doc_id", "text", 0.5).orderBy("i", "j"),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.jaccardPairs(
+          Tables.documents(s, d), "doc_id", "text", 0.5).orderBy("i", "j")
+      },
       Some(pairwiseJaccardSql("0.5")),
       doc = "n-gram Jaccard near-dup: prefix-filtered inverted-index " +
         "join + exact verify (All-Pairs/SSJoin)"),
 
     // MinHash-LSH banding + exact verify == brute-force pairwise >= 0.8.
     "dd_minhash_lsh" -> QueryDef(
-      (s, d) => Dedup.minhashDedup(
-        Tables.documents(s, d), "doc_id", "text", 0.8).orderBy("i", "j"),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.minhashDedup(
+          Tables.documents(s, d), "doc_id", "text", 0.8).orderBy("i", "j")
+      },
       Some(pairwiseJaccardSql("0.8")),
       doc = "MinHash(k=32) + LSH(16 bands x 2 rows) candidates, " +
         "exact-Jaccard verified at 0.8"),
