@@ -13,6 +13,8 @@ object SparkEntry {
   /** All operator families (adding a family is a one-line change). */
   def registry: Map[String, QueryDef] =
     graft.queries.MetaQueries.defs ++
+      graft.queries.OpsQueries.defs ++
+      graft.queries.ScalarQueries.defs ++
       graft.queries.BlobQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.AggQueries.defs ++

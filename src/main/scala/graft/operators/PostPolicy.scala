@@ -1,0 +1,23 @@
+package graft.operators
+
+/** POST-form policy validation kernel (reference:
+  * src/io/pithos/operations.clj:591-632): a browser-upload policy is an
+  * expiration timestamp plus eq / starts-with conditions checked
+  * against the multipart form params. Pure function — used row-wise via
+  * UDF for bulk policy audits (embarrassingly parallel). */
+object PostPolicy {
+
+  sealed trait Cond
+  final case class Eq(field: String, value: String) extends Cond
+  final case class StartsWith(field: String, prefix: String) extends Cond
+
+  /** `expiration` is ISO-8601 UTC; ISO strings compare lexicographically
+    * so no date parsing is needed for the expiry check. */
+  final case class Policy(expiration: String, conditions: Seq[Cond])
+
+  def matches(p: Policy, params: Map[String, String], now: String): Boolean =
+    now <= p.expiration && p.conditions.forall {
+      case Eq(f, v) => params.get(f).contains(v)
+      case StartsWith(f, pre) => params.get(f).exists(_.startsWith(pre))
+    }
+}

@@ -1,0 +1,22 @@
+package graft.operators
+
+/** Operation router (reference: src/io/pithos/request.clj:106-160):
+  * method + path + action query-arg → operation keyword. The engine's
+  * API surface is one entry point per operation, so routing lives at
+  * the edge; as a kernel it is still useful for bulk access-log
+  * classification (one pure function per row). */
+object Router {
+
+  /** `GET /b/k?acl` → `get-object:acl`; `PUT /b` → `put-bucket`;
+    * `GET /` → `get-service`. */
+  def route(method: String, path: String, action: Option[String]): String = {
+    val segs = path.stripPrefix("/").split("/", 2).filter(_.nonEmpty)
+    val target = segs.length match {
+      case 0 => "service"
+      case 1 => "bucket"
+      case _ => "object"
+    }
+    val suffix = action.map(":" + _).getOrElse("")
+    s"${method.toLowerCase}-$target$suffix"
+  }
+}

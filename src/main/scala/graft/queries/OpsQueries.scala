@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withCtes
+
+/** Remaining metadata/blob operator-surface demos (SURVEY.md §2.A/B/C):
+  * upsert-merge and delete sinks, upload listings, XML parse/render at
+  * the edges, metadata allow-listing, name validation, keystore and
+  * copy-source joins, header overrides, and the chunk-ingest block
+  * arithmetic — every one DuckDB-oracle hash-matched. */
+object OpsQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- A4: bucket upsert sink as a last-write-wins merge --------------
+    // (bucket.clj:62-67,101-116; Delta MERGE at scale — here the
+    // set-based equivalent: FULL OUTER JOIN, update wins.)
+    "a4_bucket_upsert" -> QueryDef(
+      (s, d) => {
+        val base = Tables.buckets(s, d)
+        val updates = base.filter(col("n_docs") % 2 === 0)
+          .select(col("bucket"), concat(col("tenant"), lit("-v2")).as("tenant"),
+            (col("n_docs") + 1).as("n_docs"))
+          .unionAll(base.filter(col("bucket") === "src1")
+            .select(lit("src_new").as("bucket"), col("tenant"),
+              lit(0L).as("n_docs")))
+        base.as("o").join(updates.as("u"), Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("u.tenant"), col("o.tenant")).as("tenant"),
+            coalesce(col("u.n_docs"), col("o.n_docs")).as("n_docs"))
+          .orderBy("bucket")
+      },
+      Some(withCtes(
+        """SELECT COALESCE(o.bucket, u.bucket) AS bucket,
+          |       COALESCE(u.tenant, o.tenant) AS tenant,
+          |       CAST(COALESCE(u.n_docs, o.n_docs) AS BIGINT) AS n_docs
+          |FROM buckets o FULL JOIN (
+          |  SELECT bucket, tenant || '-v2' AS tenant, n_docs + 1 AS n_docs
+          |  FROM buckets WHERE n_docs % 2 = 0
+          |  UNION ALL
+          |  SELECT 'src_new', tenant, 0 FROM buckets WHERE bucket = 'src1'
+          |) u ON o.bucket = u.bucket
+          |ORDER BY bucket""".stripMargin,
+        Tables.bucketsSql)),
+      doc = "bucket.clj:62-67,101-116 upsert — full-outer merge, update wins"),
+
+    // ---- A5/A9: delete sink as anti join --------------------------------
+    "a9_object_delete" -> QueryDef(
+      (s, d) => {
+        val objs = Tables.objects(s, d)
+        val deletes = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("source").as("bucket"), col("doc_id").as("inode"))
+        objs.join(deletes, Seq("bucket", "inode"), "left_anti")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_remaining"), sum("size").as("bytes"))
+          .orderBy("bucket")
+      },
+      Some(withCtes(
+        """SELECT bucket, count(*) AS n_remaining,
+          |       CAST(sum(size) AS BIGINT) AS bytes
+          |FROM objects WHERE inode % 5 <> 0
+          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+        Tables.objectsSql)),
+      doc = "meta.clj:191-195 delete by PK — set-based anti join"),
+
+    // ---- A10/A11/B3: upload listings with prefix filter ------------------
+    "a11_upload_listing" -> QueryDef(
+      (s, d) => Tables.parts(s, d)
+        .filter(col("upload").cast("string").startsWith("12"))
+        .groupBy("upload")
+        .agg(count(lit(1)).as("n_parts"), max("partno").as("max_partno"),
+          sum("size").as("total_size"))
+        .orderBy("upload"),
+      Some(withCtes(
+        """SELECT upload, count(*) AS n_parts, max(partno) AS max_partno,
+          |       CAST(sum(size) AS BIGINT) AS total_size
+          |FROM parts WHERE CAST(upload AS VARCHAR) LIKE '12%'
+          |GROUP BY upload ORDER BY upload""".stripMargin,
+        Tables.partsSql)),
+      doc = "meta.clj:129-151 upload listings + meta.clj:301-303 " +
+        "startsWith prefix filter"),
+
+    // ---- A18: XML request-body parse (multi-delete key list) -------------
+    // Build the Delete body, then parse the keys back out — the oracle is
+    // the original key set, so the round trip must be lossless.
+    "a18_xml_parse" -> QueryDef(
+      (s, d) => {
+        val objs = Tables.objects(s, d).filter(col("inode") % 50 === 0)
+        val body = objs.groupBy("bucket")
+          .agg(concat(lit("<Delete>"),
+            array_join(transform(sort_array(collect_list(col("object"))),
+              k => concat(lit("<Object><Key>"), k, lit("</Key></Object>"))), ""),
+            lit("</Delete>")).as("body"))
+        body.select(col("bucket"),
+          explode(expr("regexp_extract_all(body, '<Key>([^<]*)</Key>', 1)"))
+            .as("key"))
+          .orderBy("bucket", "key")
+      },
+      Some(withCtes(
+        """SELECT bucket, object AS key FROM objects
+          |WHERE inode % 50 = 0 ORDER BY bucket, key""".stripMargin,
+        Tables.objectsSql)),
+      doc = "xml.clj:32-46 Delete body parse — lossless key round trip"),
+
+    // ---- A19: XML response render (ListBucketResult) ---------------------
+    "a19_xml_render" -> QueryDef(
+      (s, d) => Tables.objects(s, d)
+        .groupBy("bucket")
+        .agg(slice(sort_array(collect_list(col("object"))), 1, 3).as("ks"),
+          count(lit(1)).as("n"))
+        .select(col("bucket"),
+          concat(lit("<ListBucketResult><Name>"), col("bucket"),
+            lit("</Name><KeyCount>"), col("n").cast("string"),
+            lit("</KeyCount>"),
+            array_join(transform(col("ks"),
+              k => concat(lit("<Contents><Key>"), k,
+                lit("</Key></Contents>"))), ""),
+            lit("</ListBucketResult>")).as("xml"))
+        .orderBy("bucket"),
+      Some(withCtes(
+        """SELECT bucket,
+          |  '<ListBucketResult><Name>' || bucket || '</Name><KeyCount>' ||
+          |  CAST(count(*) AS VARCHAR) || '</KeyCount>' ||
+          |  array_to_string(
+          |    ['<Contents><Key>' || k || '</Key></Contents>'
+          |     for k in list_sort(list(object))[1:3]], '') ||
+          |  '</ListBucketResult>' AS xml
+          |FROM objects GROUP BY bucket ORDER BY bucket""".stripMargin,
+        Tables.objectsSql)),
+      doc = "xml.clj:165-194 list-bucket render, first page of Contents"),
+
+    // ---- B4: metadata header allow-list ----------------------------------
+    "b4_meta_allowlist" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), map(
+          lit("content-type"), lit("text/plain"),
+          lit("cache-control"), lit("max-age=60"),
+          lit("x-amz-meta-lang"), col("lang"),
+          lit("x-internal-src"), col("source")).as("md"))
+        .select(col("doc_id"), explode(map_filter(col("md"), (k, _) =>
+          k.rlike("^(content-|expires$|cache-control$|x-amz-meta-)")))
+          .as(Seq("key", "value")))
+        .orderBy("doc_id", "key"),
+      Some(
+        """SELECT doc_id, key, value FROM (
+          |  SELECT doc_id, 'content-type' AS key, 'text/plain' AS value FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, 'cache-control', 'max-age=60' FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, 'x-amz-meta-lang', lang FROM documents
+          |) ORDER BY doc_id, key""".stripMargin),
+      doc = "operations.clj:83-94 header allow-list — map_filter on the " +
+        "schema-less metadata map"),
+
+    // ---- B5: bucket-name validation --------------------------------------
+    "b5_bucket_validation" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          lower(regexp_replace(col("c_name"), "[# ]", ".")).as("name"))
+        .withColumn("candidate", expr(
+          """CASE CAST(c_custkey % 3 AS INT)
+            |  WHEN 0 THEN name
+            |  WHEN 1 THEN substring(name, 1, 2)
+            |  ELSE concat(name, '$') END""".stripMargin))
+        .select(col("c_custkey"), col("candidate"),
+          (length(col("candidate")).between(3, 63) &&
+            col("candidate").rlike("^[a-zA-Z0-9._-]+$")).as("valid"))
+        .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, candidate,
+          |       (length(candidate) BETWEEN 3 AND 63
+          |        AND regexp_matches(candidate, '^[a-zA-Z0-9._-]+$')) AS valid
+          |FROM (
+          |  SELECT c_custkey,
+          |    CASE CAST(c_custkey % 3 AS INT)
+          |      WHEN 0 THEN name
+          |      WHEN 1 THEN substr(name, 1, 2)
+          |      ELSE name || '$' END AS candidate
+          |  FROM (SELECT c_custkey,
+          |          lower(regexp_replace(c_name, '[# ]', '.', 'g')) AS name
+          |        FROM customer WHERE c_custkey <= 500)
+          |) ORDER BY c_custkey""".stripMargin),
+      doc = "operations.clj:198-216 bucket-name rules: length 3-63 + charset"),
+
+    // ---- B8: response-header override projection -------------------------
+    "b8_header_override" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") % 2 === 0) // authenticated 2xx only
+        .select(col("doc_id"), map(
+          lit("response-content-type"), concat(lit("text/"), col("lang")),
+          lit("response-cache-control"), lit("no-cache")).as("params"))
+        .select(col("doc_id"), explode(col("params")).as(Seq("param", "value")))
+        .select(col("doc_id"),
+          regexp_replace(col("param"), "^response-", "").as("header"),
+          col("value"))
+        .orderBy("doc_id", "header"),
+      Some(
+        """SELECT doc_id, header, value FROM (
+          |  SELECT doc_id, 'content-type' AS header, 'text/' || lang AS value
+          |  FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id, 'cache-control', 'no-cache'
+          |  FROM documents WHERE doc_id % 2 = 0
+          |) ORDER BY doc_id, header""".stripMargin),
+      doc = "operations.clj:981-997 response-* query params → headers"),
+
+    // ---- C5: keystore lookup (broadcast dimension join) ------------------
+    "c5_keystore_lookup" -> QueryDef(
+      (s, d) => {
+        val keystore = Tables.customer(s, d)
+          .select(col("c_custkey").as("access_key"),
+            col("c_name").as("ks_tenant"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") <= 200)
+          .join(broadcast(keystore), col("o_custkey") === col("access_key"))
+          .groupBy("ks_tenant")
+          .agg(count(lit(1)).as("n_requests"))
+          .orderBy("ks_tenant")
+      },
+      Some(
+        """SELECT c_name AS ks_tenant, count(*) AS n_requests
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_custkey <= 200
+          |GROUP BY 1 ORDER BY ks_tenant""".stripMargin),
+      doc = "keystore.clj:10-15 access-key → tenant — broadcast dim join"),
+
+    // ---- C6: copy-source resolve (self-join) -----------------------------
+    "c6_copy_source" -> QueryDef(
+      (s, d) => {
+        val objs = Tables.objects(s, d)
+        val dst = objs.filter(col("inode") % 10 === 3)
+          .select(col("bucket"),
+            concat(col("object"), lit("+copy")).as("dst_object"),
+            (col("inode") - 1).as("src_inode"))
+        dst.join(objs.select(col("bucket"), col("inode").as("src_inode"),
+            col("object").as("src_object"), col("size"), col("checksum")),
+          Seq("bucket", "src_inode"))
+          .select("bucket", "dst_object", "src_object", "size", "checksum")
+          .orderBy("bucket", "dst_object")
+      },
+      Some(withCtes(
+        """SELECT d.bucket AS bucket, d.object || '+copy' AS dst_object,
+          |       s.object AS src_object, s.size AS size, s.checksum AS checksum
+          |FROM objects d JOIN objects s
+          |  ON d.bucket = s.bucket AND s.inode = d.inode - 1
+          |WHERE d.inode % 10 = 3
+          |ORDER BY bucket, dst_object""".stripMargin,
+        Tables.objectsSql)),
+      doc = "operations.clj:115-149 x-amz-copy-source — objects self-join"),
+
+    // ---- I-S1: chunked-ingest block arithmetic ---------------------------
+    // The reference's ingest loop state (block boundary at
+    // offset % blockLen == 0, blob.clj:190-191) is pure arithmetic once
+    // chunks carry offsets — a projection, no state machine.
+    "is1_chunk_ingest" -> QueryDef(
+      (s, d) => Tables.chunks(s, d)
+        .filter(col("inode") < 50)
+        .select(col("inode"), col("offset"), col("block"), col("chunksize"),
+          (col("offset") % Tables.BlockLen === 0).as("block_start"))
+        .orderBy("inode", "offset"),
+      Some(withCtes(
+        """SELECT inode, "offset", block, chunksize,
+          |       ("offset" % 128 = 0) AS block_start
+          |FROM chunks WHERE inode < 50
+          |ORDER BY inode, "offset"""".stripMargin,
+        Tables.chunksSql)),
+      doc = "stream.clj:105-141 + blob.clj:190-191 ingest state machine " +
+        "as stateless block arithmetic")
+  )
+}

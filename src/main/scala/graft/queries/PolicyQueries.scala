@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.withCtes
-import graft.operators.{Acl, Cors}
+import graft.functions.Signing
+import graft.operators.{Acl, Cors, PostPolicy, Router}
 import graft.operators.Cors.CorsRule
 
 /** Policy-kernel demos: ACL grant evaluation over a nested ACL column
@@ -22,6 +23,17 @@ object PolicyQueries {
     CorsRule(Seq("http://*.example.com"), Seq("get"), Seq("*"), Nil, None),
     CorsRule(Seq("http://exact.org"), Seq("put"), Nil,
       Seq("x-amz-request-id"), Some("600")))
+
+  /** Canonical compact rendering of an ACL map for cross-engine
+    * comparison: `PERM:grantee,...;PERM:...` with perms sorted and each
+    * grantee shown as its URI (groups) or ID (users). */
+  private def compactAcl(acl: Acl.AclMap): String =
+    acl.toSeq.sortBy(_._1).map { case (perm, gs) =>
+      perm + ":" + gs.map(g => g.URI.orElse(g.ID).getOrElse("")).mkString(",")
+    }.mkString(";")
+
+  private val CannedNames = Seq("private", "public-read", "public-read-write",
+    "authenticated-read", "bucket-owner-read")
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -90,6 +102,228 @@ object PolicyQueries {
           |      CASE WHEN doc_id % 2 = 0 THEN 'get' ELSE 'put' END AS method
           |    FROM documents)
           |) ORDER BY doc_id""".stripMargin),
-      doc = "cors.clj:72-145 wildcard origin + method match → headers")
+      doc = "cors.clj:72-145 wildcard origin + method match → headers"),
+
+    // J2: authorize dispatcher — per-operation needs list evaluated
+    // against the request context (op → target/perm table).
+    "j2_authorize_matrix" -> QueryDef(
+      (s, d) => {
+        val opNeeds = Seq(
+          "get-object" -> "READ", "put-object" -> "WRITE",
+          "get-bucket-acl" -> "READ_ACP", "delete-bucket" -> "WRITE")
+        val acled = Tables.buckets(s, d)
+          .withColumn("op", element_at(
+            typedLit(opNeeds.map(_._1)), (col("n_docs") % 4).cast("int") + 1))
+          .withColumn("acl", expr(
+            """map(
+              |  'FULL_CONTROL',
+              |  array(named_struct('ID', tenant, 'DisplayName', tenant,
+              |                     'URI', cast(null as string))),
+              |  'READ',
+              |  if(n_docs % 2 = 0,
+              |     array(named_struct('ID', cast(null as string),
+              |                        'DisplayName', cast(null as string),
+              |                        'URI', 'anonymous')),
+              |     array()))""".stripMargin))
+        val allowed = opNeeds.map { case (op, need) =>
+          (col("op") === op) &&
+            Acl.satisfies(col("tenant"), col("acl"), need,
+              lit("tenant_src3"), Seq(lit("anonymous")))
+        }.reduce(_ || _)
+        acled.select(col("bucket"), col("op"), allowed.as("allowed"))
+          .orderBy("bucket")
+      },
+      Some(withCtes(
+        """SELECT bucket,
+          |  CASE CAST(n_docs % 4 AS INT)
+          |    WHEN 0 THEN 'get-object' WHEN 1 THEN 'put-object'
+          |    WHEN 2 THEN 'get-bucket-acl' ELSE 'delete-bucket' END AS op,
+          |  (tenant = 'tenant_src3'
+          |   OR (n_docs % 4 = 0 AND n_docs % 2 = 0)) AS allowed
+          |FROM buckets ORDER BY bucket""".stripMargin,
+        Tables.bucketsSql)),
+      doc = "perms.clj:39-84 authorize + operations.clj:820-943 op→perms"),
+
+    // J3: canned-ACL builder (x-amz-acl header → internal nested ACL).
+    "j3_canned_acl" -> QueryDef(
+      (s, d) => {
+        val build = udf((owner: String, canned: String) =>
+          compactAcl(Acl.cannedAcl(owner, "tenant_req", Some(canned))))
+        Tables.buckets(s, d)
+          .withColumn("canned", element_at(
+            typedLit(CannedNames), (col("n_docs") % 5).cast("int") + 1))
+          .select(col("bucket"), col("canned"),
+            build(col("tenant"), col("canned")).as("acl_compact"))
+          .orderBy("bucket")
+      },
+      Some(withCtes(
+        """SELECT bucket,
+          |  CASE CAST(n_docs % 5 AS INT)
+          |    WHEN 0 THEN 'private' WHEN 1 THEN 'public-read'
+          |    WHEN 2 THEN 'public-read-write' WHEN 3 THEN 'authenticated-read'
+          |    ELSE 'bucket-owner-read' END AS canned,
+          |  CASE CAST(n_docs % 5 AS INT)
+          |    WHEN 0 THEN 'FULL_CONTROL:' || tenant || ',tenant_req,tenant_req'
+          |    WHEN 1 THEN 'FULL_CONTROL:' || tenant || ',tenant_req;READ:anonymous'
+          |    WHEN 2 THEN 'FULL_CONTROL:' || tenant || ',tenant_req;READ:anonymous;WRITE:anonymous'
+          |    WHEN 3 THEN 'FULL_CONTROL:' || tenant || ',tenant_req;READ:authenticated'
+          |    ELSE 'FULL_CONTROL:' || tenant || ',tenant_req;READ:' || tenant
+          |  END AS acl_compact
+          |FROM buckets ORDER BY bucket""".stripMargin,
+        Tables.bucketsSql)),
+      doc = "perms.clj:86-179 canned/header ACL builder"),
+
+    // J4: ACL XML round trip — internal → AccessControlPolicy XML →
+    // parse → internal must be lossless (golden behavior of acl.clj).
+    "j4_acl_xml_roundtrip" -> QueryDef(
+      (s, d) => {
+        val rt = udf((owner: String, canned: String) => {
+          val acl = Acl.cannedAcl(owner, "tenant_req", Some(canned))
+          val back = Acl.parseAcl(Acl.renderAcl(acl, owner, owner))
+          compactAcl(back) == compactAcl(acl)
+        })
+        Tables.buckets(s, d)
+          .withColumn("canned", element_at(
+            typedLit(CannedNames), (col("n_docs") % 5).cast("int") + 1))
+          .select(col("bucket"), col("canned"),
+            rt(col("tenant"), col("canned")).as("roundtrip_ok"))
+          .orderBy("bucket")
+      },
+      Some(withCtes(
+        """SELECT bucket,
+          |  CASE CAST(n_docs % 5 AS INT)
+          |    WHEN 0 THEN 'private' WHEN 1 THEN 'public-read'
+          |    WHEN 2 THEN 'public-read-write' WHEN 3 THEN 'authenticated-read'
+          |    ELSE 'bucket-owner-read' END AS canned,
+          |  true AS roundtrip_ok
+          |FROM buckets ORDER BY bucket""".stripMargin,
+        Tables.bucketsSql)),
+      doc = "acl.clj:40-131 XML parse ⇄ render losslessness"),
+
+    // J6: sig-v2 bulk verification. The oracle predicts the verification
+    // *decision* (signatures corrupted on a fixed pattern), so a broken
+    // signer or verifier hash-mismatches.
+    "j6_sigv2_verify" -> QueryDef(
+      (s, d) => {
+        val verify2 = udf((bucket: String, docId: Long, corrupt: Boolean) => {
+          val req = Signing.Request("GET", s"/$bucket/doc_$docId",
+            headers = Map(
+              "date" -> "Thu, 17 Sep 2015 12:36:00 GMT",
+              "content-type" -> "text/plain",
+              "x-amz-meta-k" -> "v"))
+          val secret = s"sec_$bucket"
+          val sig = Signing.signV2(req, secret)
+          val presented = if (corrupt) {
+            val c = if (sig.head == 'A') 'B' else 'A'
+            c +: sig.tail
+          } else sig
+          Signing.verifyV2(req, secret, presented)
+        })
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            verify2(col("source"), col("doc_id"), col("doc_id") % 7 === 0)
+              .as("valid"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, source, doc_id % 7 <> 0 AS valid
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "sig.clj:13-120 HMAC-SHA1 sign + constant-time verify"),
+
+    // J7: sig-v4 bulk verification via the Authorization header path.
+    "j7_sigv4_verify" -> QueryDef(
+      (s, d) => {
+        val verify4 = udf((bucket: String, docId: Long, corrupt: Boolean) => {
+          val include = Seq("host", "x-amz-date")
+          val secret = s"sec_$bucket"
+          val req = Signing.Request("GET", s"/$bucket/doc_$docId", "",
+            Map("host" -> "s3.example.com",
+              "x-amz-date" -> "20150830T123600Z",
+              "x-amz-content-sha256" -> "UNSIGNED-PAYLOAD"))
+          val sig = Signing.signV4(req, secret, "20150830T123600Z",
+            "us-east-1", "s3", include)
+          val presented = if (corrupt) {
+            val c = if (sig.head == 'a') 'b' else 'a'
+            c +: sig.tail
+          } else sig
+          val auth = "AWS4-HMAC-SHA256 Credential=AKEX/20150830/us-east-1/" +
+            s"s3/aws4_request, SignedHeaders=host;x-amz-date, " +
+            s"Signature=$presented"
+          Signing.verifyV4(
+            req.copy(headers = req.headers + ("authorization" -> auth)),
+            secret)
+        })
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            verify4(col("source"), col("doc_id"), col("doc_id") % 5 === 0)
+              .as("valid"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, source, doc_id % 5 <> 0 AS valid
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "sig4.clj:12-220 derived-key chain sign + verify"),
+
+    // J8: POST-policy validator (eq / starts-with / expiration).
+    "j8_post_policy" -> QueryDef(
+      (s, d) => {
+        val policy = PostPolicy.Policy("2030-01-01T00:00:00Z", Seq(
+          PostPolicy.Eq("acl", "private"),
+          PostPolicy.StartsWith("key", "uploads/en")))
+        val eval = udf((key: String, acl: String) =>
+          PostPolicy.matches(policy, Map("key" -> key, "acl" -> acl),
+            "2026-01-01T00:00:00Z"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("uploads/"), col("lang"), lit("/f")).as("key"),
+            expr("if(doc_id % 2 = 0, 'private', 'public-read')").as("acl"))
+          .withColumn("allowed", eval(col("key"), col("acl")))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, 'uploads/' || lang || '/f' AS key,
+          |       CASE WHEN doc_id % 2 = 0 THEN 'private' ELSE 'public-read' END AS acl,
+          |       (lang = 'en' AND doc_id % 2 = 0) AS allowed
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "operations.clj:591-632 POST policy eq/starts-with conditions"),
+
+    // J9: operation router — method+path+action → operation keyword.
+    "j9_op_router" -> QueryDef(
+      (s, d) => {
+        val routeUdf = udf((m: String, p: String, a: String) =>
+          Router.route(m, p, Option(a).filter(_.nonEmpty)))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("""CASE CAST(doc_id % 3 AS INT)
+                   |  WHEN 0 THEN 'GET' WHEN 1 THEN 'PUT'
+                   |  ELSE 'DELETE' END""".stripMargin).as("method"),
+            expr("""CASE CAST(doc_id % 4 AS INT)
+                   |  WHEN 0 THEN '/'
+                   |  WHEN 1 THEN concat('/', source)
+                   |  WHEN 2 THEN concat('/', source, '/k/x')
+                   |  ELSE concat('/', source, '/k') END""".stripMargin).as("path"),
+            expr("if(doc_id % 5 = 0, 'acl', '')").as("action"))
+          .withColumn("op",
+            routeUdf(col("method"), col("path"), col("action")))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, method, path, action,
+          |  lower(method) || '-' ||
+          |  CASE WHEN doc_id % 4 = 0 THEN 'service'
+          |       WHEN doc_id % 4 = 1 THEN 'bucket' ELSE 'object' END ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ':acl' ELSE '' END AS op
+          |FROM (
+          |  SELECT doc_id,
+          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'GET' WHEN 1 THEN 'PUT'
+          |         ELSE 'DELETE' END AS method,
+          |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '/'
+          |         WHEN 1 THEN '/' || source
+          |         WHEN 2 THEN '/' || source || '/k/x'
+          |         ELSE '/' || source || '/k' END AS path,
+          |    CASE WHEN doc_id % 5 = 0 THEN 'acl' ELSE '' END AS action
+          |  FROM documents
+          |) ORDER BY doc_id""".stripMargin),
+      doc = "request.clj:106-160 method+target+action → operation keyword")
   )
 }

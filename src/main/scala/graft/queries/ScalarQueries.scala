@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+
+/** Scalar-kernel demos (SURVEY.md §2.F4/H2/H5-H8/H10/H12/H14): digest /
+  * encoding builtins, canonical header sort, regex-escaped pattern
+  * building, tolerant int parse, template interpolation, and
+  * later-wins map merge — all oracle hash-matched. */
+object ScalarQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- F4: canonical header sort (signing preamble) --------------------
+    "f4_header_sort" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_join(array_sort(array(
+            lit("x-amz-date"),
+            concat(lit("x-amz-meta-"), col("lang")),
+            lit("host"), lit("content-md5"))), ";").as("signed_headers"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  array_to_string(list_sort(
+          |    ['x-amz-date', 'x-amz-meta-' || lang, 'host', 'content-md5']),
+          |    ';') AS signed_headers
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "sig.clj:13-22 / sig4.clj:99-123 lexicographic header sort"),
+
+    // ---- H2: regex-escaped pattern building ------------------------------
+    // The prefix 'd.' contains a regex metachar; the escaped pattern must
+    // match only literal 'd.' keys, not 'dX...'. Pattern built once in
+    // Scala (GraftFunctions.prefixPattern) and injected into BOTH engines.
+    "h2_regex_escape" -> QueryDef(
+      (s, d) => {
+        val pat = GraftFunctions.prefixPattern("d.", "/")
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr(
+            """CASE WHEN doc_id % 2 = 0
+              |     THEN concat('d.', lang, '/f')
+              |     ELSE concat('dx', lang, '/f') END""".stripMargin).as("key"))
+          .select(col("doc_id"), col("key"),
+            regexp_extract(col("key"), pat, 1).as("grouped_prefix"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val pat = GraftFunctions.prefixPattern("d.", "/")
+        s"""SELECT doc_id, key, regexp_extract(key, '$pat', 1) AS grouped_prefix
+           |FROM (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'd.' || lang || '/f'
+           |         ELSE 'dx' || lang || '/f' END AS key
+           |  FROM documents
+           |) ORDER BY doc_id""".stripMargin
+      },
+      doc = "util.clj:109-121 string->pattern — metachar-safe key grouping"),
+
+    // ---- H5/H6/H8-adjacent: digest + encoding builtins -------------------
+    "h5_digest_suite" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(encode(col("text"), "UTF-8")).as("md5_hex"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"),
+          base64(encode(substring(col("text"), 1, 12), "UTF-8")).as("b64_head"),
+          lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("hex_head"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex,
+          |       to_base64(encode(substr(text, 1, 12))) AS b64_head,
+          |       lower(hex(encode(substr(text, 1, 4)))) AS hex_head
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "util.clj:16-33 + sig4.clj:28-46 digest/encoding kernels"),
+
+    // ---- H10: parse-int with S3-style tolerance --------------------------
+    "h10_parse_int" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") < 300)
+        .select(col("event_id"), expr(
+          """CASE CAST(event_id % 3 AS INT)
+            |  WHEN 0 THEN CAST(event_id AS STRING)
+            |  WHEN 1 THEN concat('0', CAST(event_id AS STRING))
+            |  ELSE concat('x', CAST(event_id AS STRING)) END""".stripMargin)
+          .as("raw"))
+        .select(col("event_id"), col("raw"),
+          expr("try_cast(raw AS INT)").as("parsed"),
+          expr("try_cast(raw AS INT) IS NOT NULL").as("valid"))
+        .orderBy("event_id"),
+      Some(graft.QueryDef.withCtes(
+        """SELECT event_id, raw, TRY_CAST(raw AS INT) AS parsed,
+          |       TRY_CAST(raw AS INT) IS NOT NULL AS valid
+          |FROM (
+          |  SELECT event_id,
+          |    CASE CAST(event_id % 3 AS INT)
+          |      WHEN 0 THEN CAST(event_id AS VARCHAR)
+          |      WHEN 1 THEN '0' || CAST(event_id AS VARCHAR)
+          |      ELSE 'x' || CAST(event_id AS VARCHAR) END AS raw
+          |  FROM ev WHERE event_id < 300
+          |) ORDER BY event_id""".stripMargin,
+        Tables.evSql)),
+      doc = "operations.clj:34-49 parse-int → try_cast + validity flag"),
+
+    // ---- H12: ${filename} interpolation ----------------------------------
+    // (via the interpol kernel itself — a SQL-literal template would hit
+    // Spark's own ${...} variable substitution in the parser.)
+    "h12_interpol" -> QueryDef(
+      (s, d) => {
+        val interpolUdf = udf((template: String, f: String) =>
+          GraftFunctions.interpol(template, Map("filename" -> f)))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("doc_"), col("doc_id").cast("string"), lit(".txt"))
+              .as("filename"))
+          .select(col("doc_id"),
+            interpolUdf(lit("uploads/${filename}/v1"), col("filename"))
+              .as("key"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  replace('uploads/${filename}/v1', '${filename}',
+          |          'doc_' || CAST(doc_id AS VARCHAR) || '.txt') AS key
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "util.clj:123-126 interpol — POST-form key templates"),
+
+    // ---- H14: metadata map merge, later wins -----------------------------
+    "h14_map_merge" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          map(lit("owner"), col("source"),
+            lit("content-type"), lit("text/plain")).as("m1"),
+          map(lit("content-type"), concat(lit("text/"), col("lang"))).as("m2"))
+        .select(col("doc_id"),
+          explode(map_zip_with(col("m1"), col("m2"),
+            (_, v1, v2) => coalesce(v2, v1))).as(Seq("key", "value")))
+        .orderBy("doc_id", "key"),
+      Some(
+        """SELECT doc_id, key, value FROM (
+          |  SELECT doc_id, 'owner' AS key, source AS value FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, 'content-type', 'text/' || lang FROM documents
+          |) ORDER BY doc_id, key""".stripMargin),
+      doc = "desc.clj:93-125 metadata merge — map_zip_with, right wins")
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+/** Native Catalyst expressions vs their higher-order-function
+  * formulations: bit-identical results required. */
+class ExpressionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("ldot equals aggregate(zip_with(*)) on long arrays") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 9L), Seq(2L, 11L, -3L)),
+      (Seq.empty[Long], Seq.empty[Long])
+    ).toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.ldot($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L),
+        (acc, v) => acc + v).as("slow"))
+      .as[(Long, Long)].collect()
+    r.foreach { case (fast, slow) => assert(fast == slow) }
+    assert(r.head == ((32L, 32L)))
+  }
+
+  test("shingle_hashes equals explode+xxhash64+collect_set pipeline") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a a a a"),     // repeated shingles collapse
+      (3L, "x y"),         // shorter than w -> empty
+      (4L, "one two three")
+    ).toDF("id", "text")
+    val toks = split(trim(lower($"text")), "\\s+")
+    val fused = docs.select($"id",
+      GraftFunctions.shingleHashes(toks, 3).as("hs"))
+    val reference = docs.select($"id", explode(when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+        .otherwise(typedLit(Seq.empty[String]))).as("shingle"))
+      .select($"id", xxhash64($"shingle").as("sh"))
+      .groupBy("id").agg(sort_array(collect_set($"sh")).as("hs"))
+    val f = fused.filter(size($"hs") > 0).as[(Long, Seq[Long])].collect().toMap
+    val r = reference.as[(Long, Seq[Long])].collect().toMap
+    assert(f == r)
+    assert(!f.contains(3L))
+  }
+
+  test("sorted_intersect_count equals size(array_intersect)") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L))
+    ).toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.sortedIntersectCount($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).cast("long").as("slow"))
+      .as[(Long, Long)].collect()
+    r.foreach { case (fast, slow) => assert(fast == slow) }
+    assert(r.map(_._1).toSeq == Seq(2L, 0L, 0L))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PostPolicy, Router}
+import graft.functions.{GraftFunctions, Signing}
+
+/** Pure-kernel units: POST-policy validator, operation router, sig-v4
+  * date-header normalization. */
+class KernelSpec extends AnyFunSuite {
+  import PostPolicy._
+
+  val policy = Policy("2030-01-01T00:00:00Z",
+    Seq(Eq("acl", "private"), StartsWith("key", "uploads/")))
+
+  test("post-policy matches eq + starts-with + unexpired") {
+    assert(matches(policy,
+      Map("acl" -> "private", "key" -> "uploads/a.txt"),
+      "2026-01-01T00:00:00Z"))
+  }
+
+  test("post-policy rejects wrong value, missing field, expiry") {
+    assert(!matches(policy,
+      Map("acl" -> "public-read", "key" -> "uploads/a"), "2026-01-01T00:00:00Z"))
+    assert(!matches(policy, Map("acl" -> "private"), "2026-01-01T00:00:00Z"))
+    assert(!matches(policy,
+      Map("acl" -> "private", "key" -> "uploads/a"), "2031-01-01T00:00:00Z"))
+  }
+
+  test("router maps method+path+action to operation keywords") {
+    assert(Router.route("GET", "/", None) == "get-service")
+    assert(Router.route("PUT", "/b", None) == "put-bucket")
+    assert(Router.route("GET", "/b/k/x", None) == "get-object")
+    assert(Router.route("DELETE", "/b/k", Some("acl")) == "delete-object:acl")
+  }
+
+  test("toAmzDate normalizes RFC-1123 and passes ISO-basic through") {
+    assert(Signing.toAmzDate("Thu, 17 Sep 2015 12:36:00 GMT")
+      .contains("20150917T123600Z"))
+    assert(Signing.toAmzDate("20150830T123600Z").contains("20150830T123600Z"))
+    assert(Signing.toAmzDate("not a date").isEmpty)
+  }
+
+  test("v4 verification accepts a date-header-signed request") {
+    val include = Seq("date", "host")
+    val req0 = Signing.Request("GET", "/b/k", "",
+      Map("host" -> "h", "date" -> "Thu, 17 Sep 2015 12:36:00 GMT"))
+    val sig = Signing.signV4(req0, "sec", "20150917T123600Z",
+      "us-east-1", "s3", include)
+    val auth = "AWS4-HMAC-SHA256 Credential=AK/20150917/us-east-1/s3/" +
+      s"aws4_request, SignedHeaders=date;host, Signature=$sig"
+    assert(Signing.verifyV4(
+      req0.copy(headers = req0.headers + ("authorization" -> auth)), "sec"))
+  }
+}
