@@ -35,7 +35,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs.head), "built-in")
   }
+
+  /** One-pass 60-bit SimHash of a token array (see [[SimHash60]]). */
+  def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
 
   /** Sorted distinct w-gram shingle hashes (see [[ShingleHashes]]). */
   def shingleHashes(tokens: Column, w: Int): Column =

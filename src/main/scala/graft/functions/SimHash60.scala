@@ -1,0 +1,86 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** `simhash60(tokens)`: 60-bit SimHash of a token array in one pass —
+  * the fused form of explode(distinct tokens) → md5-derived 60-bit hash
+  * → 60 per-bit ±1 sums → sign bits (what
+  * [[graft.operators.Dedup.simhash]] previously ran as a 60-column
+  * aggregate, i.e. a full shuffle of the exploded token table).
+  *
+  * Hash identity: the per-token hash is the first 15 hex chars of
+  * md5(token) read as an integer — computed here directly from the
+  * digest bytes, bit-identical to the SQL form
+  * `CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT)`, so the DuckDB
+  * oracle replays the whole operator exactly.
+  *
+  * At 100 TB this turns SimHash signatures into a map-only projection
+  * of the corpus scan; only the (tiny) signature table ever shuffles.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 expects array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val md = SimHash60.digest.get()
+    val seen = new java.util.HashSet[Long](math.max(16, n * 2))
+    val sums = new Array[Int](SimHash60.Bits)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      md.reset()
+      val dig = md.digest(t.getBytes)
+      // first 15 hex chars == first 15 nibbles of the digest, big-endian
+      var h = 0L
+      var k = 0
+      while (k < 15) {
+        val nib =
+          if ((k & 1) == 0) (dig(k >> 1) >> 4) & 0xf
+          else dig(k >> 1) & 0xf
+        h = (h << 4) | nib
+        k += 1
+      }
+      if (seen.add(h)) {
+        var j = 0
+        while (j < SimHash60.Bits) {
+          sums(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < SimHash60.Bits) {
+      if (sums(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+
+  override def prettyName: String = "simhash60"
+}
+
+object SimHash60 {
+  val Bits = 60
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+}

@@ -214,22 +214,14 @@ object Dedup {
     conv(substring(md5(encode(token, "UTF-8")), 1, 15), 16, 10).cast("long")
 
   /** 60-bit SimHash per doc over distinct whitespace tokens: bit j is
-    * the sign of Σ_tokens (±1 by bit j of hash(token)). One shuffle
-    * (groupBy id with 60 map-side-combined sums). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
-      .withColumn("h", tokenHash60(col("token")))
-    val sums = (0 until SimHashBits).map { j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    val agg = toks.groupBy("id").agg(sums.head, sums.tail: _*)
-    val bits = (0 until SimHashBits)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("id"), bits.as("simhash"))
-  }
+    * the sign of Σ_tokens (±1 by bit j of hash(token)). Fused one-pass
+    * expression ([[graft.functions.SimHash60]]) — a zero-shuffle
+    * projection of the corpus scan; requires
+    * [[graft.functions.GraftFunctions.register]] on the session. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions
+        .simhash60(TextOps.tokens(col(textCol))).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) <= maxDist (maxDist < 4):
     * banding by the four 15-bit quarters guarantees a colliding band for

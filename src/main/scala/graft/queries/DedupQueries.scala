@@ -114,9 +114,12 @@ object DedupQueries {
     // chars, so DuckDB replays the identical signature, banding, and
     // popcount verify (generated SQL; constants can't drift).
     "dd_simhash" -> QueryDef(
-      (s, d) => Dedup.simhashPairs(
-        Dedup.simhash(Tables.documents(s, d), "doc_id", "text"))
-        .orderBy("i", "j"),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.simhashPairs(
+          Dedup.simhash(Tables.documents(s, d), "doc_id", "text"))
+          .orderBy("i", "j")
+      },
       Some(simhashOracleSql(3)),
       doc = "SimHash-60 near-dup: 4x15-bit band blocking + popcount verify")
   )

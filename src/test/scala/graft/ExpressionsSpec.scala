@@ -48,6 +48,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(!f.contains(3L))
   }
 
+  test("simhash60 of a single token reproduces the md5-derived bit pattern") {
+    def h60(tok: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    val df = Seq((1L, "hello"), (2L, "world")).toDF("id", "tok")
+    val got = df.select($"id",
+        GraftFunctions.simhash60(array($"tok")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    // single token: sums(j) = +1 where bit j of h set, else -1 → sig == h
+    assert(got(1L) == h60("hello"))
+    assert(got(2L) == h60("world"))
+  }
+
+  test("simhash60 dedupes repeated tokens and is order-insensitive") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("c", "b", "a", "a", "b"))
+    ).toDF("id", "toks")
+    val got = df.select($"id", GraftFunctions.simhash60($"toks").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+  }
+
   test("sorted_intersect_count equals size(array_intersect)") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Listing, Similarity}
+import graft.operators.Listing.ListParams
+
+/** Physical-plan shape assertions: the properties that make these
+  * operators scale (pushdown into the scan, broadcast of dimension
+  * sides, zero-shuffle projections, whole-stage codegen) are pinned
+  * here so a regression in plan quality fails CI, not a 100 TB run. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("bucket equality predicate pushes down to the parquet scan") {
+    val p = plan(Tables.objects(spark, sf).filter(col("bucket") === "src2"))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(source,src2)"), p)
+  }
+
+  test("object→bucket resolve is a broadcast hash join") {
+    val p = plan(Tables.objects(spark, sf)
+      .join(broadcast(Tables.buckets(spark, sf)), "bucket"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("listing page = TakeOrderedAndProject (sort+limit fused, no global sort)") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = plan(Listing.entries(Tables.objects(spark, sf), "src1",
+      ListParams(prefix = None, delimiter = Some("/"), maxKeys = 10)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("shingle-set construction is a zero-shuffle projection") {
+    val p = plan(Dedup.shingleSets(Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("simhash signatures are a zero-shuffle projection") {
+    val p = plan(Dedup.simhash(Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("brute-force topK broadcasts the query side, never shuffles the corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    val prep = Similarity.prepared(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val p = plan(Similarity.topK(prep, prep.filter(col("id") < 5), 3))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only Exchange is the window's partition-by-query shuffle of
+    // the (tiny) scored pairs, never the corpus scan side
+    assert(!p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
+      .contains("Exchange hashpartitioning(nid"), p)
+  }
+
+  test("scan+agg headliner runs inside whole-stage codegen") {
+    val df = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // whole-stage codegen span markers
+  }
+
+  test("point fetch keeps the limit local (CollectLimit, no global sort)") {
+    val p = plan(Tables.objects(spark, sf)
+      .filter(col("bucket") === "src1").limit(1))
+    assert(p.contains("CollectLimit") || p.contains("LocalLimit"), p)
+  }
+}
