@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake layout for the five domain tables — the §1.3 sortedness/
+  * partitioning contract made concrete (reference: Cassandra wide rows,
+  * doc/source/concepts.rst:54-76 — partition key + clustering key,
+  * rows sorted within partition).
+  *
+  * Design for 100 TB:
+  *  - `objects` is directory-partitioned by a *hash bucket* of the S3
+  *    bucket name (`pb = pmod(xxhash64(bucket), nPart)`) — never by the
+  *    raw bucket name (unbounded cardinality, hot-spot dirs), and each
+  *    file is sorted by `(bucket, object)` so a listing page is one
+  *    partition-dir scan with the bucket equality + key-range predicate
+  *    pushed to parquet row groups (min/max pruning does the rest —
+  *    the Cassandra clustering-order access path, re-expressed).
+  *  - `chunks` is directory-partitioned by a hash bucket of
+  *    `(inode, version)` and sorted by `(inode, block, offset)` so a
+  *    ranged GET touches one dir and the row groups covering the byte
+  *    range.
+  *  - Readers attach the derived partition predicate for point lookups,
+  *    turning partition pruning into an O(1) dir selection regardless
+  *    of table size.
+  */
+object Lake {
+
+  /** `nPart` is part of the table's on-disk contract: readers MUST pass
+    * the value the table was written with (a mismatched modulus selects
+    * the wrong hash dir and silently reads nothing). */
+  val DefaultParts = 64
+
+  /** Hash-bucket partition column for a key column. */
+  def pb(c: org.apache.spark.sql.Column, nPart: Int) =
+    pmod(xxhash64(c), lit(nPart.toLong)).cast("int")
+
+  /** Write `objects` with the listing-optimal layout. */
+  def writeObjects(objects: DataFrame, path: String,
+      nPart: Int = DefaultParts): Unit =
+    objects
+      .withColumn("pb", pb(col("bucket"), nPart))
+      .repartition(col("pb"))
+      // pb leads the sort: the parquet writer requires rows ordered by
+      // the partitionBy columns and would otherwise re-sort by pb alone,
+      // destroying the (bucket, object) clustering
+      .sortWithinPartitions("pb", "bucket", "object")
+      .write.mode("overwrite")
+      .partitionBy("pb")
+      .parquet(path)
+
+  /** Read `objects` rows for one bucket: partition pruning via the
+    * derived `pb` predicate + pushed bucket equality. */
+  def readBucket(spark: SparkSession, path: String, bucket: String,
+      nPart: Int = DefaultParts): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("pb") === pb(lit(bucket), nPart) &&
+        col("bucket") === bucket)
+
+  /** Write `chunks` with the ranged-read-optimal layout. */
+  def writeChunks(chunks: DataFrame, path: String,
+      nPart: Int = DefaultParts): Unit =
+    chunks
+      .withColumn("pb", pb(col("inode"), nPart))
+      .repartition(col("pb"))
+      .sortWithinPartitions("pb", "inode", "block", "offset")
+      .write.mode("overwrite")
+      .partitionBy("pb")
+      .parquet(path)
+
+  /** Read the chunk rows of one inode (optionally one byte range). */
+  def readInode(spark: SparkSession, path: String, inode: Long,
+      range: Option[(Long, Long)] = None,
+      nPart: Int = DefaultParts): DataFrame = {
+    val base = spark.read.parquet(path)
+      .filter(col("pb") === pb(lit(inode), nPart) && col("inode") === inode)
+    range match {
+      case Some((start, end)) => base.filter(
+        col("offset") < end && col("offset") + col("chunksize") > start)
+      case None => base
+    }
+  }
+}

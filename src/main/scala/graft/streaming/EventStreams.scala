@@ -50,6 +50,84 @@ object EventStreams {
   case class SessionState(n: Long, total: Double)
   case class SessionUpdate(user_id: Long, n: Long, total: Double)
 
+  // ---- multipart-upload session state machine (I-S2) ---------------------
+
+  /** One event in an upload session's life: `part` (a part finished
+    * uploading), `complete`, or `abort` (reference:
+    * operations.clj:336-352,679-811, meta.clj:96-151). */
+  case class PartEvent(upload: String, kind: String, partno: Int,
+      size: Long, checksum: String, ts: java.sql.Timestamp)
+
+  case class UploadState(parts: Map[Int, (Long, String)])
+
+  /** Terminal record per session: `completed` (with S3-style multipart
+    * ETag `md5(concat(part checksums))-n`), `aborted`, or `expired`
+    * (watermark timeout — the reference's acknowledged orphan-upload
+    * leak, concepts.rst:96-100, becomes an explicit eviction record the
+    * GC job consumes). */
+  case class UploadResult(upload: String, outcome: String, n_parts: Int,
+      total_size: Long, etag: String)
+
+  /** Upload-session tracking via `flatMapGroupsWithState` with
+    * event-time timeout: parts accumulate per session key in the state
+    * store (sharded across executors, nothing driver-side); `complete`
+    * assembles and emits; `abort` discards; watermark expiry emits an
+    * `expired` record for orphan GC. */
+  def uploadSessions(parts: Dataset[PartEvent],
+      sessionTimeoutMs: Long = 30L * 60 * 1000): Dataset[UploadResult] = {
+    val spark = parts.sparkSession
+    import spark.implicits._
+    parts
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.upload)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: String, rows: Iterator[PartEvent],
+            state: GroupState[UploadState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(UploadResult(uid, "expired", st.parts.size,
+              st.parts.values.map(_._1).sum, ""))
+          } else {
+            var st = state.getOption.getOrElse(UploadState(Map.empty))
+            var open = state.exists
+            var maxTs = 0L
+            val out = scala.collection.mutable.ListBuffer.empty[UploadResult]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.partno)).foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              e.kind match {
+                case "part" =>
+                  st = UploadState(st.parts + (e.partno -> (e.size, e.checksum)))
+                  open = true
+                case "complete" =>
+                  val ps = st.parts.toSeq.sortBy(_._1)
+                  val etag = graft.functions.GraftFunctions.md5Hex(
+                    ps.map(_._2._2).mkString.getBytes("UTF-8")) +
+                    s"-${ps.size}"
+                  out += UploadResult(uid, "completed", ps.size,
+                    ps.map(_._2._1).sum, etag)
+                  st = UploadState(Map.empty); open = false
+                case "abort" =>
+                  out += UploadResult(uid, "aborted", st.parts.size,
+                    st.parts.values.map(_._1).sum, "")
+                  st = UploadState(Map.empty); open = false
+              }
+            }
+            if (open) {
+              state.update(st)
+              // event-time based expiry: the session dies sessionTimeoutMs
+              // after its latest part, once the watermark passes that point
+              state.setTimeoutTimestamp(math.max(maxTs + sessionTimeoutMs,
+                state.getCurrentWatermarkMs() + 1))
+            } else if (state.exists) {
+              state.remove()
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Per-user running totals via `flatMapGroupsWithState` — the custom-
     * state shape the reference implements as its multipart-upload
     * bookkeeping (sessions accumulate parts until completed). State is

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Lake
+
+/** Lake layout: partition pruning actually prunes, reads are complete
+  * and correct, and files are sorted for row-group min/max skipping. */
+class LakeSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("objects layout: bucket read is pruned to one hash partition and exact") {
+    val dir = Files.createTempDirectory("lake_objects").toString
+    val objects = Tables.objects(spark, sf)
+    Lake.writeObjects(objects, dir, nPart = 8)
+
+    val got = Lake.readBucket(spark, dir, "src1", nPart = 8)
+      .select("bucket", "object", "size", "checksum")
+    val want = objects.filter(col("bucket") === "src1")
+      .select("bucket", "object", "size", "checksum")
+    assert(got.unionAll(want).except(got.intersect(want)).count() == 0)
+    assert(got.count() == want.count() && got.count() > 0)
+
+    val p = got.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // partition pruning: the pb equality lands in PartitionFilters, the
+    // bucket equality is pushed to parquet
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.matches("(?s).*PartitionFilters:[^\\n]*pb.*"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("chunks layout: inode + byte-range read reassembles the document") {
+    val dir = Files.createTempDirectory("lake_chunks").toString
+    val chunks = Tables.chunks(spark, sf)
+    Lake.writeChunks(chunks, dir, nPart = 8)
+
+    val whole = Lake.readInode(spark, dir, 7L, nPart = 8)
+      .orderBy("block", "offset")
+      .select("payload").collect().map(_.getString(0)).mkString
+    val original = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7L).select("text").collect().head.getString(0)
+    assert(whole == original)
+
+    val ranged = Lake.readInode(spark, dir, 7L, Some((40L, 200L)), nPart = 8)
+    // every chunk overlaps [40, 200) and nothing is missing
+    val offs = ranged.select("offset", "chunksize").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(offs.nonEmpty)
+    assert(offs.forall { case (o, cs) => o < 200 && o + cs > 40 })
+    val covered = offs.map(_._1).min <= 40 &&
+      offs.map { case (o, cs) => o + cs }.max >= math.min(200, original.length)
+    assert(covered)
+  }
+
+  test("object files are sorted by (bucket, object) within partitions") {
+    val dir = Files.createTempDirectory("lake_sorted").toString
+    Lake.writeObjects(Tables.objects(spark, sf), dir, nPart = 4)
+    import scala.jdk.CollectionConverters._
+    val aFile = Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get.toString
+    val rows = spark.read.parquet(aFile)
+      .select("bucket", "object").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == rows.sortBy(identity))
+  }
+}

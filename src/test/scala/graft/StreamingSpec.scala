@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.EventRow
+import graft.streaming.EventStreams.{EventRow, PartEvent, UploadResult}
 
 /** Structured-Streaming surface driven through MemoryStream. */
 class StreamingSpec extends AnyFunSuite {
@@ -52,6 +52,53 @@ class StreamingSpec extends AnyFunSuite {
         .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
       assert(latest(100L) == ((100L, 3L, 12.0)))
       assert(latest(200L) == ((200L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  def pe(upload: String, kind: String, partno: Int, size: Long, minute: Int) =
+    PartEvent(upload, kind, partno, size, f"ck$upload%s$partno%d",
+      Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"))
+
+  test("upload sessions: complete assembles parts with multipart etag") {
+    val input = MemoryStream[PartEvent](spark)
+    val q = EventStreams.uploadSessions(input.toDS())
+      .writeStream.format("memory").queryName("uploads")
+      .outputMode("append").start()
+    try {
+      input.addData(pe("u1", "part", 1, 100, 1), pe("u1", "part", 2, 50, 2))
+      q.processAllAvailable()
+      input.addData(pe("u1", "part", 3, 25, 3), pe("u1", "complete", 0, 0, 4))
+      input.addData(pe("u2", "part", 1, 10, 4), pe("u2", "abort", 0, 0, 5))
+      q.processAllAvailable()
+      val rows = spark.table("uploads").as[UploadResult].collect()
+        .map(r => r.upload -> r).toMap
+      assert(rows("u1").outcome == "completed")
+      assert(rows("u1").n_parts == 3 && rows("u1").total_size == 175L)
+      val expectEtag = graft.functions.GraftFunctions.md5Hex(
+        "cku11cku12cku13".getBytes("UTF-8")) + "-3"
+      assert(rows("u1").etag == expectEtag)
+      assert(rows("u2").outcome == "aborted" && rows("u2").n_parts == 1)
+    } finally q.stop()
+  }
+
+  test("upload sessions: watermark timeout emits expired orphan record") {
+    val input = MemoryStream[PartEvent](spark)
+    val q = EventStreams.uploadSessions(input.toDS(), sessionTimeoutMs = 60000L)
+      .writeStream.format("memory").queryName("uploads_expiry")
+      .outputMode("append").start()
+    try {
+      input.addData(pe("u9", "part", 1, 42, 1))
+      q.processAllAvailable()
+      // push the watermark far past u9's timeout via a later session
+      input.addData(pe("uX", "part", 1, 1, 50))
+      q.processAllAvailable()
+      input.addData(pe("uX", "part", 2, 1, 55))
+      q.processAllAvailable()
+      val rows = spark.table("uploads_expiry").as[UploadResult].collect()
+      val expired = rows.filter(_.upload == "u9")
+      assert(expired.length == 1)
+      assert(expired.head.outcome == "expired")
+      assert(expired.head.n_parts == 1 && expired.head.total_size == 42L)
     } finally q.stop()
   }
 }
