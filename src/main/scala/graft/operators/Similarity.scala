@@ -75,6 +75,54 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  // ---- IVF (inverted-file index, the second scale path) ------------------
+
+  /** IVF coarse quantizer: centroids are a deterministic corpus sample
+    * (`id < nList` — at 100 TB a k-means refinement job would replace
+    * this, the dataflow is identical), every vector is assigned to its
+    * nearest centroid by exact integer L2
+    * (`dist² = |a|² + |c|² - 2·a·c`). Returns `(id, cid)`. */
+  def ivfAssign(prep: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = (col("n2") + col("cn2") - lit(2L) * idot(col("qv"), col("cv")))
+    val w = Window.partitionBy("id").orderBy(d2.asc, col("cid"))
+    prep.crossJoin(broadcast(cents))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("id", "cid")
+  }
+
+  /** IVF ANN: probe the `nProbe` nearest cells per query, score only
+    * vectors assigned to those cells. The candidate set per query is
+    * ~`nProbe/nList` of the corpus — the classic recall/cost dial; at
+    * scale the assignment table is partitioned by `cid` so each probe is
+    * a partition-pruned scan, and the centroid table broadcasts. */
+  def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryLimit: Long, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val prep = prepared(embs, idCol, vecCol)
+    val cents = prep.filter(col("id") < nList)
+      .select(col("id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
+    val assign = ivfAssign(prep, cents)
+    val d2 = (col("n2") + col("cn2") - lit(2L) * idot(col("qv"), col("cv")))
+    val wp = Window.partitionBy("id").orderBy(d2.asc, col("cid"))
+    val probe = prep.filter(col("id") < queryLimit)
+      .crossJoin(broadcast(cents))
+      .withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= nProbe)
+      .select(col("id").as("qid"), col("cid"))
+    val cand = probe.join(assign.select(col("id").as("nid"), col("cid")), "cid")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val scored = cand
+      .join(prep.select(col("id").as("qid"), col("qv").as("qqv"),
+        col("n2").as("qn2")), "qid")
+      .join(prep.select(col("id").as("nid"), col("qv").as("nqv"),
+        col("n2").as("nn2")), "nid")
+      .select(col("qid"), col("nid"),
+        cosine(idot(col("qqv"), col("nqv")), col("qn2"), col("nn2")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ---- SRP-LSH (the scale path) -----------------------------------------
 
   /** Deterministic pseudo-random *integer* hyperplanes (LCG, fixed

@@ -122,6 +122,50 @@ object SimilarityQueries {
       },
       Some(annOracleSql(5, 32, 4)),
       doc = "random-hyperplane LSH blocking (32 bits, 4x8-bit bands) + " +
-        "exact rescoring, top-5 per vector")
+        "exact rescoring, top-5 per vector"),
+
+    // IVF ANN: 16-cell coarse quantizer, probe 4 cells, top-5 — exact
+    // integer centroid assignment makes the whole index replayable.
+    "sim_ivf_topk" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.ivfTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding", 5,
+          queryLimit = 10L, nList = 16, nProbe = 4)
+          .orderBy("qid", "rank")
+      },
+      Some(
+        s"""WITH $duckPrep,
+           |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM p WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id AS nid, cid FROM (
+           |    SELECT p.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |        p.n2 + c.cn2 - 2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
+           |        c.cid) AS rnk
+           |    FROM p, cents c) WHERE rnk = 1),
+           |probe AS (
+           |  SELECT vec_id AS qid, cid FROM (
+           |    SELECT p.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+           |        p.n2 + c.cn2 - 2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
+           |        c.cid) AS rnk
+           |    FROM p, cents c WHERE p.vec_id < 10) WHERE rnk <= 4),
+           |cand AS (
+           |  SELECT pr.qid, a.nid FROM probe pr JOIN assign a USING (cid)
+           |  WHERE a.nid <> pr.qid),
+           |scored AS (
+           |  SELECT cand.qid, cand.nid,
+           |    CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+           |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+           |  FROM cand JOIN p a ON a.vec_id = cand.qid
+           |            JOIN p b ON b.vec_id = cand.nid)
+           |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+           |  SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM scored
+           |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      doc = "IVF ANN: 16-cell coarse quantizer (exact int L2 assignment), " +
+        "4-cell probe, exact cosine rescoring")
   )
 }

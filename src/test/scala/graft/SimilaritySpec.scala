@@ -42,6 +42,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!loose.contains((0L, 3L)))
   }
 
+  test("IVF ANN probes cells and ranks by exact cosine") {
+    val embs = (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(d =>
+        (math.cos(i * 0.37 + d * 0.11) + (if (i % 3 == 0) 0.8 else -0.8)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfTopK(embs, "vec_id", "embedding", 3,
+      queryLimit = 8L, nList = 8, nProbe = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (q, n, _) => q < 8L && q != n })
+    assert(r.groupBy(_._1).forall(_._2.length <= 3))
+    // deterministic: same plan, same result
+    val r2 = Similarity.ivfTopK(embs, "vec_id", "embedding", 3,
+      queryLimit = 8L, nList = 8, nProbe = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+    assert(r.sortBy(x => (x._1, x._3)).toSeq == r2.sortBy(x => (x._1, x._3)).toSeq)
+  }
+
   test("SRP-LSH ANN returns ranked neighbors for every id with collisions") {
     val embs = (0L until 40L).map { i =>
       (i, Array.tabulate(64)(d =>
