@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.BlobOps
+
+/** End-to-end scenario parity with the reference's integration suite
+  * (operations_test.clj:191-585, run there against atom-backed stores):
+  * the same put / range / copy / multipart assertions, driven through
+  * our batch operators over in-memory tables. */
+class E2ESpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Chunk a byte string at `chunkSize` into the blob-table shape. */
+  private def chunk(inode: Long, content: String, chunkSize: Int,
+      blockChunks: Int = 1024) = {
+    val blockLen = chunkSize * blockChunks
+    content.getBytes("UTF-8").grouped(chunkSize).zipWithIndex.map {
+      case (bytes, i) =>
+        val off = i.toLong * chunkSize
+        (inode, off - off % blockLen, off, bytes.length, bytes)
+    }.toSeq.toDF("inode", "block", "offset", "chunksize", "payload")
+  }
+
+  val md5foobar = GraftFunctions.md5Hex("foobar".getBytes("UTF-8"))
+
+  test("PUT: ingest checksum and size match the content (ops_test:261-274)") {
+    // reference scenario: put "foobar", expect ETag md5("foobar"), size 6
+    val chunks = chunk(1L, "foobar", chunkSize = 3)
+    val ck = BlobOps.checksums(chunks).as[(Long, String)].collect().toMap
+    assert(ck(1L) == md5foobar)
+    val sz = BlobOps.sizes(chunks).select("inode", "size")
+      .as[(Long, Long)].collect().toMap
+    assert(sz(1L) == 6L)
+  }
+
+  test("metadata allow-list round trip preserves x-amz-meta-* (ops_test:276-298)") {
+    val md = Seq((1L)).toDF("inode").select(col("inode"), map(
+      lit("x-amz-meta-foo"), lit("bar"),
+      lit("content-type"), lit("text/plain"),
+      lit("x-evil-header"), lit("nope")).as("md"))
+    val kept = md.select(explode(map_filter(col("md"), (k, _) =>
+      k.rlike("^(content-|expires$|cache-control$|x-amz-meta-)")))
+      .as(Seq("k", "v"))).as[(String, String)].collect().toMap
+    assert(kept == Map("x-amz-meta-foo" -> "bar", "content-type" -> "text/plain"))
+  }
+
+  test("range read returns 'foo' for bytes=0-2 (ops_test:350-358)") {
+    val chunks = chunk(1L, "foobar", chunkSize = 4) // boundary inside range
+    val got = BlobOps.rangeRead(chunks, 0L, 3L)
+      .orderBy("offset").select("cropped")
+      .collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")).mkString
+    assert(got == "foo")
+  }
+
+  test("copy duplicates content under a new inode, checksum preserved (ops_test:360-377)") {
+    val src = chunk(1L, "foobar", chunkSize = 2)
+    val copied = src.withColumn("inode", lit(2L))
+    val all = src.unionAll(copied)
+    val ck = BlobOps.checksums(all).as[(Long, String)].collect().toMap
+    assert(ck(1L) == ck(2L) && ck(2L) == md5foobar)
+    // CopyObjectResult render (xml.clj:142-147 shape)
+    val xml = copied.groupBy("inode")
+      .agg(first(lit("2026-01-01T00:00:00Z")).as("lm"))
+      .select(concat(lit("<CopyObjectResult><LastModified>"), col("lm"),
+        lit("</LastModified><ETag>&quot;" + md5foobar + "&quot;</ETag>" +
+          "</CopyObjectResult>")).as("xml"))
+      .collect().head.getString(0)
+    assert(xml.contains(md5foobar) && xml.startsWith("<CopyObjectResult>"))
+  }
+
+  test("multipart assembly: offset rebase + digest == md5 of concatenation (ops_test:379-435)") {
+    // two parts uploaded as independent inodes: "foo" then "bar"
+    val part1 = chunk(10L, "foo", chunkSize = 2).withColumn("partno", lit(1))
+    val part2 = chunk(11L, "bar", chunkSize = 2).withColumn("partno", lit(2))
+    val parts = part1.unionAll(part2)
+    // global offset rebase (stream.clj:209-244 / is2): part base offset =
+    // running sum of prior part sizes, chunk offset += base
+    val partSizes = parts.groupBy("partno")
+      .agg(sum("chunksize").as("psize"))
+    val w = Window.orderBy("partno")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = partSizes
+      .withColumn("base", coalesce(sum("psize").over(w), lit(0L)))
+      .select("partno", "base")
+    val assembled = parts.join(broadcast(bases), "partno")
+      .select(lit(100L).as("inode"),
+        (col("offset") + col("base")).as("offset"),
+        col("chunksize"), col("payload"))
+      .withColumn("block", lit(0L))
+    val ck = BlobOps.checksums(assembled).as[(Long, String)].collect().toMap
+    assert(ck(100L) == md5foobar)
+    val sz = BlobOps.sizes(assembled).select("inode", "size")
+      .as[(Long, Long)].collect().toMap
+    assert(sz(100L) == 6L)
+  }
+
+  test("orphaned part inodes are GC'd after assembly (concepts.rst:96-100)") {
+    val live = Seq((100L)).toDF("inode")
+    val all = chunk(10L, "foo", 2).unionAll(chunk(11L, "bar", 2))
+      .unionAll(chunk(100L, "foobar", 2))
+    val orphans = BlobOps.orphanBlocks(all, live)
+      .select("inode").distinct().as[Long].collect().toSet
+    assert(orphans == Set(10L, 11L))
+  }
+}
