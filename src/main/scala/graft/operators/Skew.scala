@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys.
+  *
+  * At 100 TB a handful of keys (one giant bucket in the object table, a
+  * viral document's shingle, an LSH bucket of near-identical vectors)
+  * can dwarf every other partition in a shuffled join. AQE's skew-join
+  * splitting handles sort-merge cases adaptively; this utility is the
+  * explicit form for when the skewed side must join a *moderate* right
+  * side that can afford replication: salt the hot side's key into
+  * `factor` sub-keys, replicate the other side across all salt values,
+  * join on (key, salt) — every sub-partition is ~1/factor the hot key's
+  * size, and the plan stays a plain equi-join.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key` with the big side salted
+    * `factor` ways. `small` is replicated `factor`× (explode over the
+    * salt range) — acceptable when |small| · factor stays modest. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong))
+        .cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -105,32 +105,54 @@ object OpsQueries {
         Tables.objectsSql)),
       doc = "xml.clj:32-46 Delete body parse — lossless key round trip"),
 
-    // ---- A19: XML response render (ListBucketResult) ---------------------
+    // ---- A19: XML response render (ListBucketResult, full element set) ---
+    // Per-key fragments are rendered row-side then sorted/aggregated —
+    // keys share one length pattern, so fragment order == key order.
     "a19_xml_render" -> QueryDef(
       (s, d) => Tables.objects(s, d)
+        .select(col("bucket"), concat(
+          lit("<Contents><Key>"), col("object"),
+          lit("</Key><LastModified>2026-01-01T00:00:00.000Z</LastModified>" +
+            "<ETag>&quot;"), col("checksum"),
+          lit("&quot;</ETag><Size>"), col("size").cast("string"),
+          lit("</Size><StorageClass>STANDARD</StorageClass></Contents>"))
+          .as("frag"))
         .groupBy("bucket")
-        .agg(slice(sort_array(collect_list(col("object"))), 1, 3).as("ks"),
+        .agg(array_join(slice(sort_array(collect_list(col("frag"))), 1, 3), "")
+            .as("contents"),
           count(lit(1)).as("n"))
-        .select(col("bucket"),
-          concat(lit("<ListBucketResult><Name>"), col("bucket"),
-            lit("</Name><KeyCount>"), col("n").cast("string"),
-            lit("</KeyCount>"),
-            array_join(transform(col("ks"),
-              k => concat(lit("<Contents><Key>"), k,
-                lit("</Key></Contents>"))), ""),
-            lit("</ListBucketResult>")).as("xml"))
+        .select(col("bucket"), concat(
+          lit("""<?xml version="1.0" encoding="UTF-8"?>""" +
+            """<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">""" +
+            "<Name>"), col("bucket"),
+          lit("</Name><Prefix></Prefix><Marker></Marker>" +
+            "<MaxKeys>3</MaxKeys><IsTruncated>"),
+          (col("n") > 3).cast("string"),
+          lit("</IsTruncated>"), col("contents"),
+          lit("</ListBucketResult>")).as("xml"))
         .orderBy("bucket"),
       Some(withCtes(
         """SELECT bucket,
-          |  '<ListBucketResult><Name>' || bucket || '</Name><KeyCount>' ||
-          |  CAST(count(*) AS VARCHAR) || '</KeyCount>' ||
-          |  array_to_string(
-          |    ['<Contents><Key>' || k || '</Key></Contents>'
-          |     for k in list_sort(list(object))[1:3]], '') ||
+          |  '<?xml version="1.0" encoding="UTF-8"?>' ||
+          |  '<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">' ||
+          |  '<Name>' || bucket || '</Name><Prefix></Prefix><Marker></Marker>' ||
+          |  '<MaxKeys>3</MaxKeys><IsTruncated>' ||
+          |  CASE WHEN count(*) > 3 THEN 'true' ELSE 'false' END ||
+          |  '</IsTruncated>' ||
+          |  array_to_string(list_sort(list(frag))[1:3], '') ||
           |  '</ListBucketResult>' AS xml
-          |FROM objects GROUP BY bucket ORDER BY bucket""".stripMargin,
+          |FROM (
+          |  SELECT bucket,
+          |    '<Contents><Key>' || object ||
+          |    '</Key><LastModified>2026-01-01T00:00:00.000Z</LastModified>' ||
+          |    '<ETag>&quot;' || checksum || '&quot;</ETag><Size>' ||
+          |    CAST(size AS VARCHAR) ||
+          |    '</Size><StorageClass>STANDARD</StorageClass></Contents>' AS frag
+          |  FROM objects)
+          |GROUP BY bucket ORDER BY bucket""".stripMargin,
         Tables.objectsSql)),
-      doc = "xml.clj:165-194 list-bucket render, first page of Contents"),
+      doc = "xml.clj:165-194 list-bucket render: Name/Prefix/Marker/" +
+        "MaxKeys/IsTruncated + full Contents entries"),
 
     // ---- B4: metadata header allow-list ----------------------------------
     "b4_meta_allowlist" -> QueryDef(
@@ -251,6 +273,48 @@ object OpsQueries {
           |ORDER BY bucket, dst_object""".stripMargin,
         Tables.objectsSql)),
       doc = "operations.clj:115-149 x-amz-copy-source — objects self-join"),
+
+    // ---- A8/H9: latest-version resolve -----------------------------------
+    // The reference orders versions by timeuuid creation time
+    // (desc.clj:73,106); we carry an explicit version_ts and resolve the
+    // current version with a ranking window — no UUID bit-layout games.
+    "a8_version_resolve" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val objs = Tables.objects(s, d)
+        val v1 = objs.select(col("bucket"), col("object"), col("inode"),
+          col("size"), lit(1000L).as("version_ts"))
+        // every 4th object gets a second, newer version with a new inode
+        val v2 = objs.filter(col("inode") % 4 === 0)
+          .select(col("bucket"), col("object"),
+            (col("inode") + 1000000L).as("inode"),
+            (col("size") + 7L).as("size"),
+            (lit(2000L) + col("inode")).as("version_ts"))
+        val w = Window.partitionBy("bucket", "object")
+          .orderBy(col("version_ts").desc, col("inode").desc)
+        v1.unionAll(v2)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("bucket", "object", "inode", "size", "version_ts")
+          .orderBy("bucket", "object")
+      },
+      Some(withCtes(
+        """SELECT bucket, object, inode, size, version_ts FROM (
+          |  SELECT bucket, object, inode, size, version_ts,
+          |    row_number() OVER (PARTITION BY bucket, object
+          |                       ORDER BY version_ts DESC, inode DESC) AS rn
+          |  FROM (
+          |    SELECT bucket, object, inode, size, CAST(1000 AS BIGINT) AS version_ts
+          |    FROM objects
+          |    UNION ALL
+          |    SELECT bucket, object, inode + 1000000, size + 7,
+          |           2000 + inode AS version_ts
+          |    FROM objects WHERE inode % 4 = 0
+          |  )
+          |) WHERE rn = 1 ORDER BY bucket, object""".stripMargin,
+        Tables.objectsSql)),
+      doc = "desc.clj:73,106 timeuuid version order → explicit version_ts " +
+        "+ ranking window"),
 
     // ---- I-S1: chunked-ingest block arithmetic ---------------------------
     // The reference's ingest loop state (block boundary at

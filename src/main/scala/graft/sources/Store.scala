@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Pluggable table store — the Spark analogue of the reference's store
+  * protocols (reference: src/io/pithos/store.clj:8-15 `Crudable`/
+  * `Convergeable`; bucket.clj:15-19, meta.clj:16-25, blob.clj:56-67),
+  * which are instantiated from config by symbol lookup
+  * (config.clj:85-98). Our engine binds the same way: operators take
+  * DataFrames, a `Store` decides where they come from.
+  *
+  * The production target for the reference's deployment shape is the
+  * Cassandra Spark connector — a drop-in second implementation:
+  * {{{
+  * // read:  spark.read.format("org.apache.spark.sql.cassandra")
+  * //             .options(Map("keyspace" -> ks, "table" -> name)).load()
+  * // write: df.write.format("org.apache.spark.sql.cassandra")
+  * //             .options(...).mode(SaveMode.Append).save()
+  * }}}
+  * Predicate pushdown of the partition-key equality and clustering-key
+  * ranges (the A6 listing scan) works identically through the
+  * connector's DSv2 interface — the operator layer never changes.
+  */
+trait Store {
+  def read(spark: SparkSession, table: String): DataFrame
+  def write(df: DataFrame, table: String, mode: SaveMode): Unit
+}
+
+/** Parquet-directory store with the [[Lake]] layout for the two big
+  * tables (objects, chunks) and plain parquet for the small ones. */
+class ParquetStore(root: String, nPart: Int = Lake.DefaultParts)
+    extends Store {
+
+  private def path(table: String) = s"$root/$table"
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    table match {
+      case "objects" => Lake.writeObjects(df, path(table), nPart)
+      case "chunks" => Lake.writeChunks(df, path(table), nPart)
+      case _ => df.write.mode(mode).parquet(path(table))
+    }
+}

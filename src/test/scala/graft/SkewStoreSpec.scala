@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.ParquetStore
+
+/** Salted-join equivalence + Store round trips. */
+class SkewStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join on skewed data") {
+    // 90% of rows share one hot key
+    val big = (1L to 2000L).map(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i))
+      .toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k0", "A"), ("k3", "B"))
+      .toDF("key", "tag")
+    val plain = big.join(small, "key")
+      .select("key", "v", "tag").as[(String, Long, String)]
+      .collect().toSet
+    val salted = Skew.saltedJoin(big, small, "key", factor = 8)
+      .select("key", "v", "tag").as[(String, Long, String)]
+      .collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == "hot") == 1800)
+  }
+
+  test("ParquetStore round-trips tables, lake layout for objects") {
+    val root = Files.createTempDirectory("store").toString
+    val store = new ParquetStore(root, nPart = 4)
+    val objects = Tables.objects(spark, "/root/testdata/sf0.001")
+    store.write(objects, "objects", SaveMode.Overwrite)
+    val back = store.read(spark, "objects")
+    assert(back.count() == objects.count())
+    assert(back.columns.contains("pb")) // lake partition column present
+    val small = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    store.write(small, "misc", SaveMode.Overwrite)
+    assert(store.read(spark, "misc").count() == 2)
+  }
+}
