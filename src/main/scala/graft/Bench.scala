@@ -16,19 +16,32 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Two runs per query, report the min: the first run pays one-time
     // JIT/codegen compilation that a long-lived cluster amortizes away;
-    // the min reflects the engine's steady-state latency.
+    // the min reflects the engine's steady-state latency. Failures are
+    // surfaced in an "errors" map — a fast failure must not masquerade
+    // as a fast query.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          errors.getOrElseUpdate(name, e.toString.take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

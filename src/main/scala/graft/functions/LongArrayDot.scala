@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * when the all-pairs/candidate-pair volume is millions of rows.
   *
   * Null elements are not expected (inputs are produced by `transform`
-  * over non-null embeddings); a null array yields null.
+  * over non-null embeddings); a null array yields null. Mismatched
+  * lengths also yield null — same as the `zip_with` formulation, whose
+  * shorter side null-pads and poisons the sum — so a ragged vector
+  * drops out of ranked results instead of producing a plausible but
+  * wrong dot product.
   */
 case class LongArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,10 +39,13 @@ case class LongArrayDot(left: Expression, right: Expression)
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
@@ -51,12 +58,16 @@ case class LongArrayDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -82,34 +82,50 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, w: Int = 3): DataFrame = {
+    // The threshold as an exact rational tNum/tDen: every pruning bound
+    // below is computed in integer arithmetic. Double formulations like
+    // `ceil(t * n)` mis-round at exact-threshold boundaries (e.g.
+    // 0.8*35 = 28.000000000000004 → ceil 29) and either index one
+    // prefix shingle too few or prune a qualifying pair — silently
+    // violating the "equals brute-force pairwise Jaccard" contract.
+    val tNum = math.round(threshold * 1000000L)
+    val tDen = 1000000L
+    require(math.abs(tNum / tDen.toDouble - threshold) < 1e-12,
+      s"threshold must be exact at 6 decimals, got $threshold")
+
     val sets = shingleSets(docs, idCol, textCol, w).cache()
     val exploded = sets.select(col("id"), col("n"), explode(col("hs")).as("sh"))
 
     // Global document frequency per shingle → rarest-first order.
     val df = exploded.groupBy("sh").agg(count(lit(1)).as("df"))
+    // prefix length: n - ceil(t·n) + 1, ceil in exact integer form
+    val ceilTn = expr(s"($tNum * n + ${tDen - 1}) div $tDen")
     val ranked = exploded.join(df, "sh")
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
-      // prefix length: |d| - ceil(t|d|) + 1
-      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .filter(col("rank") <= col("n") - ceilTn + 1)
       .select("id", "n", "sh", "rank")
       // cached: the self-join below would otherwise recompute the
       // df-join + ranking window once per side
       .cache()
 
-    // Candidate pruning on each colliding prefix shingle:
-    //  - size filter: J >= t ⇒ t·max(|a|,|b|) <= min(|a|,|b|);
-    //  - positional filter (PPJoin): overlap needed α = ⌈t/(1+t)·(na+nb)⌉,
-    //    and from a collision at prefix positions (pa, pb) at most
-    //    min(na-pa, nb-pb)+1 overlap is achievable. A qualifying pair
-    //    always survives via its *first* common shingle (nothing common
-    //    precedes it), so filtering every collision is lossless.
+    // Candidate pruning on each colliding prefix shingle (all integer):
+    //  - size filter: J >= t ⇒ t·max(|a|,|b|) <= min(|a|,|b|)
+    //      ⇔ tNum·max <= min·tDen;
+    //  - positional filter (PPJoin): overlap needed
+    //      α = ⌈tNum·(na+nb) / (tNum+tDen)⌉, and from a collision at
+    //    prefix positions (pa, pb) at most min(na-pa, nb-pb)+1 overlap
+    //    is achievable. A qualifying pair always survives via its
+    //    *first* common shingle (nothing common precedes it), so
+    //    filtering every collision is lossless.
+    val alpha =
+      expr(s"($tNum * (a.n + b.n) + ${tNum + tDen - 1}) div ${tNum + tDen}")
     val cand = ranked.as("a").join(ranked.as("b"), "sh")
       .filter(col("a.id") < col("b.id") &&
-        least(col("a.n"), col("b.n")) >=
-          lit(threshold) * greatest(col("a.n"), col("b.n")) &&
+        lit(tNum) * greatest(col("a.n"), col("b.n")) <=
+          least(col("a.n"), col("b.n")) * tDen &&
         least(col("a.n") - col("a.rank"), col("b.n") - col("b.rank")) + 1 >=
-          ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n"))))
+          alpha)
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
 

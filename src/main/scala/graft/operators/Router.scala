@@ -8,14 +8,16 @@ package graft.operators
 object Router {
 
   /** `GET /b/k?acl` → `get-object:acl`; `PUT /b` → `put-bucket`;
-    * `GET /` → `get-service`. */
+    * `GET /` → `get-service`; an empty bucket segment (`//key`) is
+    * `invalid`, not silently binned as a bucket op. */
   def route(method: String, path: String, action: Option[String]): String = {
-    val segs = path.stripPrefix("/").split("/", 2).filter(_.nonEmpty)
-    val target = segs.length match {
-      case 0 => "service"
-      case 1 => "bucket"
-      case _ => "object"
-    }
+    val rest = path.stripPrefix("/")
+    val segs = rest.split("/", 2)
+    val target =
+      if (rest.isEmpty) "service"
+      else if (segs(0).isEmpty) "invalid"
+      else if (segs.length == 1) "bucket"
+      else "object"
     val suffix = action.map(":" + _).getOrElse("")
     s"${method.toLowerCase}-$target$suffix"
   }

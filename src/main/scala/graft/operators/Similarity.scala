@@ -98,16 +98,22 @@ object Similarity {
     * a partition-pruned scan, and the centroid table broadcasts. */
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
       queryLimit: Long, nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    val prep = prepared(embs, idCol, vecCol)
+    // cached: cents/assign/probe/rescoring all branch from it — without
+    // the cache each branch re-scans and re-quantizes the corpus
+    val prep = prepared(embs, idCol, vecCol).cache()
     val cents = prep.filter(col("id") < nList)
       .select(col("id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
-    val assign = ivfAssign(prep, cents)
+    // One ranked corpus×centroids table serves both roles: rnk = 1 is
+    // the cell assignment, rnk <= nProbe (query rows) the probe list.
     val d2 = (col("n2") + col("cn2") - lit(2L) * idot(col("qv"), col("cv")))
     val wp = Window.partitionBy("id").orderBy(d2.asc, col("cid"))
-    val probe = prep.filter(col("id") < queryLimit)
-      .crossJoin(broadcast(cents))
+    val rankedCells = prep.crossJoin(broadcast(cents))
       .withColumn("rnk", row_number().over(wp))
-      .filter(col("rnk") <= nProbe)
+      .select(col("id"), col("cid"), col("rnk"))
+      .cache()
+    val assign = rankedCells.filter(col("rnk") === 1).select("id", "cid")
+    val probe = rankedCells
+      .filter(col("id") < queryLimit && col("rnk") <= nProbe)
       .select(col("id").as("qid"), col("cid"))
     val cand = probe.join(assign.select(col("id").as("nid"), col("cid")), "cid")
       .filter(col("qid") =!= col("nid"))
@@ -120,7 +126,12 @@ object Similarity {
       .select(col("qid"), col("nid"),
         cosine(idot(col("qqv"), col("nqv")), col("qn2"), col("nn2")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint(true)
+    rankedCells.unpersist()
+    prep.unpersist()
+    out
   }
 
   // ---- SRP-LSH (the scale path) -----------------------------------------
@@ -172,10 +183,14 @@ object Similarity {
   def annLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
       nBits: Int = 32, bands: Int = 4, dim: Int = -1): DataFrame = {
     // Derive the embedding dimension from the data unless given: a wrong
-    // dim would null-pad the SRP dot products and collapse all vectors
-    // into one LSH bucket (all-pairs candidate explosion).
+    // dim nulls the SRP dot products (ldot is null on length mismatch)
+    // and would collapse all vectors into one LSH bucket (all-pairs
+    // candidate explosion). An empty/all-null corpus yields dim 1 —
+    // harmless, the result is empty anyway.
     val d = if (dim > 0) dim
-      else embs.select(size(col(vecCol))).head().getInt(0)
+      else embs.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("d")).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(1)
     val planes = intPlanes(nBits, d)
     val prep = embs
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))

@@ -19,12 +19,19 @@ object Skew {
 
   /** Equi-join `big ⋈ small` on `key` with the big side salted
     * `factor` ways. `small` is replicated `factor`× (explode over the
-    * salt range) — acceptable when |small| · factor stays modest. */
+    * salt range) — acceptable when |small| · factor stays modest.
+    *
+    * The salt is a *deterministic* function of the big row's full
+    * content: a nondeterministic salt (row id, rand) used as a shuffle
+    * key re-deals rows on task retry, duplicating or losing join rows
+    * when only part of a shuffle's reducers committed before a fetch
+    * failure. Identical rows share a salt — fine, they are
+    * indistinguishable anyway. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
+    val allCols = struct(big.columns.map(col).toIndexedSeq: _*)
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong))
-        .cast("int"))
+      pmod(xxhash64(allCols), lit(factor.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -37,7 +37,9 @@ object Lake {
 
   /** Write `objects` with the listing-optimal layout. */
   def writeObjects(objects: DataFrame, path: String,
-      nPart: Int = DefaultParts): Unit =
+      nPart: Int = DefaultParts,
+      mode: org.apache.spark.sql.SaveMode =
+        org.apache.spark.sql.SaveMode.Overwrite): Unit =
     objects
       .withColumn("pb", pb(col("bucket"), nPart))
       .repartition(col("pb"))
@@ -45,7 +47,7 @@ object Lake {
       // the partitionBy columns and would otherwise re-sort by pb alone,
       // destroying the (bucket, object) clustering
       .sortWithinPartitions("pb", "bucket", "object")
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("pb")
       .parquet(path)
 
@@ -59,12 +61,14 @@ object Lake {
 
   /** Write `chunks` with the ranged-read-optimal layout. */
   def writeChunks(chunks: DataFrame, path: String,
-      nPart: Int = DefaultParts): Unit =
+      nPart: Int = DefaultParts,
+      mode: org.apache.spark.sql.SaveMode =
+        org.apache.spark.sql.SaveMode.Overwrite): Unit =
     chunks
       .withColumn("pb", pb(col("inode"), nPart))
       .repartition(col("pb"))
       .sortWithinPartitions("pb", "inode", "block", "offset")
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("pb")
       .parquet(path)
 

@@ -38,8 +38,8 @@ class ParquetStore(root: String, nPart: Int = Lake.DefaultParts)
 
   override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
     table match {
-      case "objects" => Lake.writeObjects(df, path(table), nPart)
-      case "chunks" => Lake.writeChunks(df, path(table), nPart)
+      case "objects" => Lake.writeObjects(df, path(table), nPart, mode)
+      case "chunks" => Lake.writeChunks(df, path(table), nPart, mode)
       case _ => df.write.mode(mode).parquet(path(table))
     }
 }

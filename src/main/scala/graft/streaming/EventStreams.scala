@@ -58,7 +58,11 @@ object EventStreams {
   case class PartEvent(upload: String, kind: String, partno: Int,
       size: Long, checksum: String, ts: java.sql.Timestamp)
 
-  case class UploadState(parts: Map[Int, (Long, String)])
+  /** `lastTs` is the max event time ever seen for the session — the
+    * timeout base. Without it, a late-but-within-watermark part event
+    * would shorten the deadline to its own older timestamp and expire a
+    * live upload prematurely. */
+  case class UploadState(parts: Map[Int, (Long, String)], lastTs: Long)
 
   /** Terminal record per session: `completed` (with S3-style multipart
     * ETag `md5(concat(part checksums))-n`), `aborted`, or `expired`
@@ -90,15 +94,15 @@ object EventStreams {
             Iterator(UploadResult(uid, "expired", st.parts.size,
               st.parts.values.map(_._1).sum, ""))
           } else {
-            var st = state.getOption.getOrElse(UploadState(Map.empty))
+            var st = state.getOption.getOrElse(UploadState(Map.empty, 0L))
             var open = state.exists
-            var maxTs = 0L
             val out = scala.collection.mutable.ListBuffer.empty[UploadResult]
             rows.toSeq.sortBy(e => (e.ts.getTime, e.partno)).foreach { e =>
-              maxTs = math.max(maxTs, e.ts.getTime)
+              val ts = math.max(st.lastTs, e.ts.getTime)
               e.kind match {
                 case "part" =>
-                  st = UploadState(st.parts + (e.partno -> (e.size, e.checksum)))
+                  st = UploadState(
+                    st.parts + (e.partno -> (e.size, e.checksum)), ts)
                   open = true
                 case "complete" =>
                   val ps = st.parts.toSeq.sortBy(_._1)
@@ -107,18 +111,18 @@ object EventStreams {
                     s"-${ps.size}"
                   out += UploadResult(uid, "completed", ps.size,
                     ps.map(_._2._1).sum, etag)
-                  st = UploadState(Map.empty); open = false
+                  st = UploadState(Map.empty, ts); open = false
                 case "abort" =>
                   out += UploadResult(uid, "aborted", st.parts.size,
                     st.parts.values.map(_._1).sum, "")
-                  st = UploadState(Map.empty); open = false
+                  st = UploadState(Map.empty, ts); open = false
               }
             }
             if (open) {
               state.update(st)
-              // event-time based expiry: the session dies sessionTimeoutMs
-              // after its latest part, once the watermark passes that point
-              state.setTimeoutTimestamp(math.max(maxTs + sessionTimeoutMs,
+              // event-time expiry from the session's newest part ever seen
+              // (st.lastTs survives across batches), never below watermark
+              state.setTimeoutTimestamp(math.max(st.lastTs + sessionTimeoutMs,
                 state.getCurrentWatermarkMs() + 1))
             } else if (state.exists) {
               state.remove()

@@ -42,6 +42,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("jaccardPairs keeps pairs at the exact threshold boundary (J == t)") {
+    // doc 20 = 37 distinct words -> 35 trigrams; doc 21 = its first 30
+    // words -> 28 trigrams, all shared: J = 28/35 = 0.8 exactly. A
+    // double-arithmetic ceil(0.8*35) mis-rounds to 29 and prunes this
+    // pair; the integer-exact bounds must keep it.
+    val words = (1 to 37).map(i => s"w$i")
+    val boundary = Seq(
+      (20L, words.mkString(" ")),
+      (21L, words.take(30).mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(boundary, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((20L, 21L)))
+    assert(math.abs(pairs.head._3 - 0.8) < 1e-12)
+  }
+
   test("minhash-LSH with verification agrees with exact join at 0.8") {
     val got = Dedup.minhashDedup(docs, "doc_id", "text", 0.8)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet

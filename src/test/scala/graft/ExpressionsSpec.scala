@@ -26,6 +26,13 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(r.head == ((32L, 32L)))
   }
 
+  test("ldot is null on mismatched lengths (ragged vectors drop out)") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val r = df.select(GraftFunctions.ldot($"a", $"b").as("d"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("shingle_hashes equals explode+xxhash64+collect_set pipeline") {
     val docs = Seq(
       (1L, "a b c d e"),

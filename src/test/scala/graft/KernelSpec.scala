@@ -32,6 +32,7 @@ class KernelSpec extends AnyFunSuite {
     assert(Router.route("PUT", "/b", None) == "put-bucket")
     assert(Router.route("GET", "/b/k/x", None) == "get-object")
     assert(Router.route("DELETE", "/b/k", Some("acl")) == "delete-object:acl")
+    assert(Router.route("GET", "//key", None) == "get-invalid")
   }
 
   test("toAmzDate normalizes RFC-1123 and passes ISO-basic through") {
