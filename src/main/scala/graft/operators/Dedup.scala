@@ -159,6 +159,48 @@ object Dedup {
     checkpointed
   }
 
+  // ---- near-dup clustering (connected components) ------------------------
+
+  /** Connected components over near-dup pairs → `(id, label)` with
+    * label = min id in the component (the canonical survivor a dedup
+    * pipeline keeps). Iterative min-label propagation: each round every
+    * node takes the min of its own and its neighbors' labels; converges
+    * in O(component diameter) rounds — near-dup clusters are shallow.
+    *
+    * Scale notes: each round is one equi-join + min-aggregate (shuffle
+    * on id); `localCheckpoint` truncates lineage per round so the plan
+    * doesn't grow with iterations (the standard Spark iterative
+    * pattern); convergence is checked with a `limit(1)` existence probe,
+    * not a full count. */
+  def components(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+      .cache()
+    var labels = ids.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "j"), "j")
+        .groupBy(col("i").as("id")).agg(min("label").as("nlabel"))
+      val updated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = updated.as("u")
+        .join(labels.as("l"), "id")
+        .filter(col("u.label") =!= col("l.label"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** Mersenne prime 2^31-1 for the universal-hash family

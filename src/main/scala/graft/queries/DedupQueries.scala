@@ -12,18 +12,22 @@ import graft.operators.Dedup
   * fraction of the pair comparisons. */
 object DedupQueries {
 
+  /** DuckDB CTEs: per-doc distinct 3-gram shingle lists. */
+  private val shingleCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+      |                        for i in range(1, len(w)-1)]) AS sg
+      |  FROM toks
+      |)""".stripMargin
+
   /** Brute-force pairwise-Jaccard oracle at a given threshold (DuckDB
     * list_intersect over per-doc distinct 3-gram shingle lists). */
   private def pairwiseJaccardSql(threshold: String): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-       |  FROM documents
-       |), sh AS (
-       |  SELECT doc_id,
-       |         list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
-       |                        for i in range(1, len(w)-1)]) AS sg
-       |  FROM toks
-       |)
+    s"""WITH $shingleCtes
        |SELECT a.doc_id AS i, b.doc_id AS j,
        |       CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
        |         (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) AS jac
@@ -32,6 +36,26 @@ object DedupQueries {
        |        (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
        |      >= $threshold
        |ORDER BY i, j""".stripMargin
+
+  /** Near-dup cluster oracle: brute-force pairs at `threshold`, then the
+    * transitive closure as a recursive CTE, labeled by component min. */
+  private def clustersSql(threshold: String): String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |jpairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+       |          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
+       |        >= $threshold
+       |),
+       |edges AS (SELECT i, j FROM jpairs UNION ALL SELECT j AS i, i AS j FROM jpairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.i, reach.r FROM edges e JOIN reach ON reach.id = e.j
+       |)
+       |SELECT id, CAST(min(r) AS BIGINT) AS label
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** DuckDB replay of [[Dedup.simhash]]/[[Dedup.simhashPairs]]: same
     * md5-derived 60-bit token hash, same per-bit ±1 sums, same 4×15-bit
@@ -109,6 +133,23 @@ object DedupQueries {
       Some(pairwiseJaccardSql("0.8")),
       doc = "MinHash(k=32) + LSH(16 bands x 2 rows) candidates, " +
         "exact-Jaccard verified at 0.8"),
+
+    // Near-dup clusters: connected components over the Jaccard pairs,
+    // canonical = min doc_id per component (what a dedup pipeline keeps).
+    // Spark side is iterative min-label propagation; the oracle computes
+    // the transitive closure with a recursive CTE.
+    "dd_clusters" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+          .select("i", "j")
+        Dedup.components(docs.select(col("doc_id").as("id")), pairs)
+          .orderBy("id")
+      },
+      Some(clustersSql("0.5")),
+      doc = "near-dup clustering: connected components by iterative " +
+        "min-label propagation, canonical survivor per cluster"),
 
     // SimHash hamming<=3 pairs — the 60-bit token hash is 15 md5 hex
     // chars, so DuckDB replays the identical signature, banding, and

@@ -88,6 +88,41 @@ object TextQueries {
           |) ORDER BY doc_id""".stripMargin),
       doc = "quality scoring: length/punct/stopword/alpha ratios + composite"),
 
+    // Corpus n-gram statistics: top-5 bigrams per language by frequency
+    // — the "what's in this corpus" analysis every training-data
+    // pipeline runs. One explode + one shuffle (lang, bigram) with
+    // map-side combine, then a tiny ranking window.
+    "tx_ngram_stats" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = TextOps.tokens(col("text"))
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(typedLit(Seq.empty[String]))
+        Tables.documents(s, d)
+          .select(col("lang"), explode(bigrams).as("bigram"))
+          .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))))
+          .filter(col("rnk") <= 5)
+          .select(col("lang"), col("bigram"), col("n"), col("rnk").cast("int").as("rnk"))
+          .orderBy("lang", "rnk")
+      },
+      Some(
+        """SELECT lang, bigram, n, CAST(rnk AS INT) AS rnk FROM (
+          |  SELECT lang, bigram, n,
+          |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+          |  FROM (
+          |    SELECT lang, bigram, count(*) AS n FROM (
+          |      SELECT lang, unnest([w[i]||' '||w[i+1] for i in range(1, len(w))]) AS bigram
+          |      FROM (SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS w
+          |            FROM documents)
+          |      WHERE len(w) >= 2)
+          |    GROUP BY 1, 2)
+          |) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
+      doc = "corpus n-gram frequency: top-5 bigrams per language"),
+
     "tx_fingerprint" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)

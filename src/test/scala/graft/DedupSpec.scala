@@ -67,6 +67,25 @@ class DedupSpec extends AnyFunSuite {
     assert(want.contains((0L, 3L))) // identical docs always survive
   }
 
+  test("components labels near-dup clusters by min id, singletons by self") {
+    val pairs = Seq((0L, 1L), (1L, 3L), (7L, 8L)).toDF("i", "j")
+    val ids = (0L to 8L).toDF("id")
+    val labels = Dedup.components(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(0L) == 0L && labels(1L) == 0L && labels(3L) == 0L)
+    assert(labels(7L) == 7L && labels(8L) == 7L)
+    assert(Seq(2L, 4L, 5L, 6L).forall(i => labels(i) == i))
+  }
+
+  test("components converges on a chain (diameter > 1)") {
+    // chain 10-11-12-13-14 needs several propagation rounds
+    val pairs = (10L to 13L).map(i => (i, i + 1)).toDF("i", "j")
+    val ids = (10L to 14L).toDF("id")
+    val labels = Dedup.components(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 14L).forall(i => labels(i) == 10L))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
