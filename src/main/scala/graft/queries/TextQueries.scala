@@ -95,12 +95,15 @@ object TextQueries {
     "tx_ngram_stats" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = TextOps.tokens(col("text"))
-        val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        // materialize the token array once — element_at over the raw
+        // split() expression would re-tokenize per accessed element
+        val w = col("w")
+        val bigrams = when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
           .otherwise(typedLit(Seq.empty[String]))
         Tables.documents(s, d)
+          .select(col("lang"), TextOps.tokens(col("text")).as("w"))
           .select(col("lang"), explode(bigrams).as("bigram"))
           .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
           .withColumn("rnk", row_number().over(
