@@ -13,6 +13,7 @@ object SparkEntry {
   /** All operator families (adding a family is a one-line change). */
   def registry: Map[String, QueryDef] =
     graft.queries.MetaQueries.defs ++
+      graft.queries.SourceQueries.defs ++
       graft.queries.OpsQueries.defs ++
       graft.queries.ScalarQueries.defs ++
       graft.queries.BlobQueries.defs ++

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Source-format surface (SURVEY.md §2.A1/A16 breadth): the engine
+  * ingests more than parquet — binary files (the blob ingest edge),
+  * JSON and CSV with full escaping fidelity. Each demo proves byte-level
+  * round-trip losslessness via content digests the oracle recomputes
+  * from the canonical table. */
+object SourceQueries {
+
+  /** Fixed corpus for the binary-file scan: the source demo reads files
+    * as opaque blobs, so the scale factor is irrelevant — a fixed dir
+    * keeps the oracle's `read_blob` path and ours identical. */
+  private val BinDir = "/root/testdata/sf0.001"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // A16-adjacent: whole files as (path, length, bytes) rows — the
+    // ingest edge for blob content (images, audio, arbitrary uploads).
+    "src_binaryfile_scan" -> QueryDef(
+      (s, _) => s.read.format("binaryFile")
+        .load(s"$BinDir/*.parquet")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("length"),
+          md5(encode(hex(col("content")), "UTF-8")).as("content_md5"))
+        .orderBy("file"),
+      Some(
+        s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file,
+           |       CAST(size AS BIGINT) AS length,
+           |       md5(hex(content)) AS content_md5
+           |FROM read_blob('$BinDir/*.parquet')
+           |ORDER BY file""".stripMargin),
+      doc = "binaryFile source: whole-file rows with byte-exact digests"),
+
+    // JSON round trip: write documents as JSON, read back with an
+    // explicit schema, digest-compare the text — escaping must be
+    // lossless for arbitrary unicode content.
+    "src_json_roundtrip" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_json").toString
+        Tables.documents(s, d).select("doc_id", "lang", "text")
+          .write.mode("overwrite").json(tmp)
+        s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(tmp)
+          .select(col("doc_id"), col("lang"),
+            md5(encode(col("text"), "UTF-8")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, md5(text) AS text_md5
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "JSON source/sink round trip, unicode-escaping lossless"),
+
+    // CSV round trip with RFC-4180 quoting (quote doubling, multiline
+    // records) — the harder escaping path.
+    "src_csv_roundtrip" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_csv").toString
+        Tables.documents(s, d).select("doc_id", "lang", "text")
+          .write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true")
+          .option("escape", "\"")
+          .csv(tmp)
+        s.read.schema("doc_id BIGINT, lang STRING, text STRING")
+          .option("header", "true").option("multiLine", "true")
+          .option("escape", "\"")
+          .csv(tmp)
+          .select(col("doc_id"), col("lang"),
+            md5(encode(col("text"), "UTF-8")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, md5(text) AS text_md5
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "CSV source/sink round trip, RFC-4180 quote/multiline handling")
+  )
+}
