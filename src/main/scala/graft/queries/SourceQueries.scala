@@ -35,6 +35,55 @@ object SourceQueries {
            |ORDER BY file""".stripMargin),
       doc = "binaryFile source: whole-file rows with byte-exact digests"),
 
+    // A1 + Lake layout in the correctness gate: write objects through
+    // the hash-partitioned clustered layout, read one bucket back via
+    // the partition-pruned path, verify exact content.
+    "src_lake_roundtrip" -> QueryDef(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_lake").toString
+        graft.sources.Lake.writeObjects(Tables.objects(s, d), tmp, nPart = 8)
+        graft.sources.Lake.readBucket(s, tmp, "src1", nPart = 8)
+          .select("bucket", "object", "size", "checksum")
+          .orderBy("object")
+      },
+      Some(graft.QueryDef.withCtes(
+        """SELECT bucket, object, size, checksum FROM objects
+          |WHERE bucket = 'src1' ORDER BY object""".stripMargin,
+        Tables.objectsSql)),
+      doc = "lake layout round trip: partition-pruned single-bucket read"),
+
+    // The engine is equally drivable through plain SQL over registered
+    // views — the ListObjects page expressed as one spark.sql query.
+    "src_sql_interface" -> QueryDef(
+      (s, d) => {
+        Tables.objects(s, d).createOrReplaceTempView("objects_v")
+        s.sql(
+          """SELECT * FROM (
+            |  SELECT object AS entry, 'key' AS kind FROM objects_v
+            |  WHERE bucket = 'src1' AND object RLIKE '^en/[^/]*$'
+            |  UNION ALL
+            |  SELECT DISTINCT regexp_extract(object, '^(en/[^/]*/).*$', 1),
+            |         'prefix'
+            |  FROM objects_v
+            |  WHERE bucket = 'src1'
+            |    AND regexp_extract(object, '^(en/[^/]*/).*$', 1) <> ''
+            |) ORDER BY entry LIMIT 50""".stripMargin)
+      },
+      Some(graft.QueryDef.withCtes(
+        """SELECT * FROM (
+          |  SELECT object AS entry, 'key' AS kind FROM objects
+          |  WHERE bucket = 'src1' AND regexp_matches(object, '^en/[^/]*$')
+          |  UNION ALL
+          |  SELECT DISTINCT regexp_extract(object, '^(en/[^/]*/).*$', 1),
+          |         'prefix'
+          |  FROM objects
+          |  WHERE bucket = 'src1'
+          |    AND regexp_extract(object, '^(en/[^/]*/).*$', 1) <> ''
+          |) ORDER BY entry LIMIT 50""".stripMargin,
+        Tables.objectsSql)),
+      doc = "the listing page as plain spark.sql over a registered view"),
+
     // JSON round trip: write documents as JSON, read back with an
     // explicit schema, digest-compare the text — escaping must be
     // lossless for arbitrary unicode content.
