@@ -173,7 +173,7 @@ object Dedup {
     * pattern); convergence is checked with a `limit(1)` existence probe,
     * not a full count. */
   def components(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("i"), col("j"))
       .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
       .cache()
@@ -198,6 +198,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // mid-propagation labels are silently wrong — refuse to return them
+    require(converged,
+      s"components did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter — raise it)")
     labels
   }
 

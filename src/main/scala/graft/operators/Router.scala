@@ -8,15 +8,16 @@ package graft.operators
 object Router {
 
   /** `GET /b/k?acl` → `get-object:acl`; `PUT /b` → `put-bucket`;
-    * `GET /` → `get-service`; an empty bucket segment (`//key`) is
-    * `invalid`, not silently binned as a bucket op. */
+    * `GET /` → `get-service`; a trailing slash (`/b/`) is still a
+    * bucket op; an empty bucket segment (`//key`) is `invalid`, not
+    * silently binned as a bucket op. */
   def route(method: String, path: String, action: Option[String]): String = {
     val rest = path.stripPrefix("/")
     val segs = rest.split("/", 2)
     val target =
       if (rest.isEmpty) "service"
       else if (segs(0).isEmpty) "invalid"
-      else if (segs.length == 1) "bucket"
+      else if (segs.length == 1 || segs(1).isEmpty) "bucket"
       else "object"
     val suffix = action.map(":" + _).getOrElse("")
     s"${method.toLowerCase}-$target$suffix"

@@ -77,19 +77,24 @@ object Similarity {
 
   // ---- IVF (inverted-file index, the second scale path) ------------------
 
-  /** IVF coarse quantizer: centroids are a deterministic corpus sample
-    * (`id < nList` — at 100 TB a k-means refinement job would replace
-    * this, the dataflow is identical), every vector is assigned to its
-    * nearest centroid by exact integer L2
-    * (`dist² = |a|² + |c|² - 2·a·c`). Returns `(id, cid)`. */
-  def ivfAssign(prep: DataFrame, cents: DataFrame): DataFrame = {
+  /** Corpus × centroids with per-vector centroid ranking by exact
+    * integer L2 (`dist² = |a|² + |c|² - 2·a·c`), tie on cid. The one
+    * shared distance computation: `rnk = 1` is the cell assignment,
+    * `rnk <= nProbe` the probe list. */
+  private def rankedCells(prep: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = (col("n2") + col("cn2") - lit(2L) * idot(col("qv"), col("cv")))
     val w = Window.partitionBy("id").orderBy(d2.asc, col("cid"))
     prep.crossJoin(broadcast(cents))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select("id", "cid")
+      .select(col("id"), col("cid"), col("rnk"))
   }
+
+  /** IVF coarse quantizer: centroids are a deterministic corpus sample
+    * (`id < nList` — at 100 TB a k-means refinement job would replace
+    * this, the dataflow is identical), every vector is assigned to its
+    * nearest centroid by exact integer L2. Returns `(id, cid)`. */
+  def ivfAssign(prep: DataFrame, cents: DataFrame): DataFrame =
+    rankedCells(prep, cents).filter(col("rnk") === 1).select("id", "cid")
 
   /** IVF ANN: probe the `nProbe` nearest cells per query, score only
     * vectors assigned to those cells. The candidate set per query is
@@ -105,14 +110,9 @@ object Similarity {
       .select(col("id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
     // One ranked corpus×centroids table serves both roles: rnk = 1 is
     // the cell assignment, rnk <= nProbe (query rows) the probe list.
-    val d2 = (col("n2") + col("cn2") - lit(2L) * idot(col("qv"), col("cv")))
-    val wp = Window.partitionBy("id").orderBy(d2.asc, col("cid"))
-    val rankedCells = prep.crossJoin(broadcast(cents))
-      .withColumn("rnk", row_number().over(wp))
-      .select(col("id"), col("cid"), col("rnk"))
-      .cache()
-    val assign = rankedCells.filter(col("rnk") === 1).select("id", "cid")
-    val probe = rankedCells
+    val ranked = rankedCells(prep, cents).cache()
+    val assign = ranked.filter(col("rnk") === 1).select("id", "cid")
+    val probe = ranked
       .filter(col("id") < queryLimit && col("rnk") <= nProbe)
       .select(col("id").as("qid"), col("cid"))
     val cand = probe.join(assign.select(col("id").as("nid"), col("cid")), "cid")
@@ -129,7 +129,7 @@ object Similarity {
     val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .localCheckpoint(true)
-    rankedCells.unpersist()
+    ranked.unpersist()
     prep.unpersist()
     out
   }

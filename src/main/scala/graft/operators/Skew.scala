@@ -29,9 +29,15 @@ object Skew {
     * indistinguishable anyway. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
-    val allCols = struct(big.columns.map(col).toIndexedSeq: _*)
+    // hash only hashable column types (xxhash64 rejects MapType) and
+    // resolve names verbatim (a dotted column name must not be parsed
+    // as a nested field path)
+    val hashable = big.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => big.col(s"`${f.name}`"))
+      .toIndexedSeq
     val salted = big.withColumn("_salt",
-      pmod(xxhash64(allCols), lit(factor.toLong)).cast("int"))
+      pmod(xxhash64(struct(hashable: _*)), lit(factor.toLong)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

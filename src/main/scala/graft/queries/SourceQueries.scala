@@ -16,6 +16,21 @@ object SourceQueries {
     * keeps the oracle's `read_blob` path and ours identical. */
   private val BinDir = "/root/testdata/sf0.001"
 
+  /** Temp dir for a round-trip demo, recursively deleted on JVM exit so
+    * repeated harness runs don't accumulate dataset copies under /tmp. */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { val _ = Files.deleteIfExists(f) })
+      }
+    }))
+    p.toString
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // A16-adjacent: whole files as (path, length, bytes) rows — the
@@ -40,8 +55,7 @@ object SourceQueries {
     // the partition-pruned path, verify exact content.
     "src_lake_roundtrip" -> QueryDef(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_lake").toString
+        val tmp = tempDir("graft_lake")
         graft.sources.Lake.writeObjects(Tables.objects(s, d), tmp, nPart = 8)
         graft.sources.Lake.readBucket(s, tmp, "src1", nPart = 8)
           .select("bucket", "object", "size", "checksum")
@@ -89,8 +103,7 @@ object SourceQueries {
     // lossless for arbitrary unicode content.
     "src_json_roundtrip" -> QueryDef(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_json").toString
+        val tmp = tempDir("graft_json")
         Tables.documents(s, d).select("doc_id", "lang", "text")
           .write.mode("overwrite").json(tmp)
         s.read.schema("doc_id BIGINT, lang STRING, text STRING").json(tmp)
@@ -107,16 +120,19 @@ object SourceQueries {
     // records) — the harder escaping path.
     "src_csv_roundtrip" -> QueryDef(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_csv").toString
+        val tmp = tempDir("graft_csv")
         Tables.documents(s, d).select("doc_id", "lang", "text")
           .write.mode("overwrite")
           .option("header", "true").option("quoteAll", "true")
           .option("escape", "\"")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
           .csv(tmp)
         s.read.schema("doc_id BIGINT, lang STRING, text STRING")
           .option("header", "true").option("multiLine", "true")
           .option("escape", "\"")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
           .csv(tmp)
           .select(col("doc_id"), col("lang"),
             md5(encode(col("text"), "UTF-8")).as("text_md5"))

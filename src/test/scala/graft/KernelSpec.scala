@@ -33,6 +33,7 @@ class KernelSpec extends AnyFunSuite {
     assert(Router.route("GET", "/b/k/x", None) == "get-object")
     assert(Router.route("DELETE", "/b/k", Some("acl")) == "delete-object:acl")
     assert(Router.route("GET", "//key", None) == "get-invalid")
+    assert(Router.route("GET", "/b/", None) == "get-bucket")
   }
 
   test("toAmzDate normalizes RFC-1123 and passes ISO-basic through") {
