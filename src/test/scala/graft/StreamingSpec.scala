@@ -55,6 +55,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: metering over arriving parquet matches batch") {
+    import org.apache.spark.sql.functions._
+    // stage the real events table as an arriving file
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.metering(
+        EventStreams.eventStream(spark, dir), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("file_meter")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_meter")
+        .groupBy("event_type").agg(sum("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      val want = events.groupBy("event_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   def pe(upload: String, kind: String, partno: Int, size: Long, minute: Int) =
     PartEvent(upload, kind, partno, size, f"ck$upload%s$partno%d",
       Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"))
