@@ -13,7 +13,9 @@ object Bench {
     // Warm up the JVM/codegen/IO paths so the first measured query isn't
     // charged for session bootstrap.
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm-up result is discarded; a missing table must not abort the bench
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     // Two runs per query, report the min: the first run pays one-time
     // JIT/codegen compilation that a long-lived cluster amortizes away;
     // the min reflects the engine's steady-state latency. Failures are

@@ -138,20 +138,36 @@ object Signing {
       AuthV4(m.group(1), m.group(2), m.group(3), m.group(4),
         m.group(5).split(";").toSeq, m.group(6)))
 
-  /** RFC-1123 (`Thu, 17 Sep 2015 12:36:00 GMT`) or ISO-basic request
-    * date → ISO-basic `yyyyMMdd'T'HHmmss'Z'` in UTC (the shape the v4
+  private val AmzOut = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+  // The three HTTP-date shapes RFC 7231 permits: IMF-fixdate (RFC 1123),
+  // obsolete RFC 850, and asctime. Locale pinned — day/month names.
+  private val HttpDateFormats: Seq[java.time.format.DateTimeFormatter] = {
+    import java.time.format.DateTimeFormatter
+    import java.util.Locale
+    Seq(
+      DateTimeFormatter.RFC_1123_DATE_TIME,
+      DateTimeFormatter.ofPattern("EEEE, dd-MMM-yy HH:mm:ss zzz",
+        Locale.US),
+      DateTimeFormatter.ofPattern("EEE MMM ppd HH:mm:ss yyyy", Locale.US)
+        .withZone(java.time.ZoneOffset.UTC))
+  }
+
+  /** HTTP request date (RFC-1123, RFC-850, or asctime — everything
+    * RFC 7231 §7.1.1.1 permits for a Date header) or already-ISO-basic
+    * → ISO-basic `yyyyMMdd'T'HHmmss'Z'` in UTC (the shape the v4
     * signing-key chain expects; reference sig4.clj request-time
     * handling parses the date header before deriving the key). */
   def toAmzDate(raw: String): Option[String] = {
     val s = raw.trim
     if (s.matches("""\d{8}T\d{6}Z""")) Some(s)
-    else try {
-      val zdt = java.time.ZonedDateTime
-        .parse(s, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
-        .withZoneSameInstant(java.time.ZoneOffset.UTC)
-      Some(zdt.format(java.time.format.DateTimeFormatter
-        .ofPattern("yyyyMMdd'T'HHmmss'Z'")))
-    } catch { case _: java.time.format.DateTimeParseException => None }
+    else HttpDateFormats.view.flatMap { fmt =>
+      try {
+        val zdt = java.time.ZonedDateTime.parse(s, fmt)
+          .withZoneSameInstant(java.time.ZoneOffset.UTC)
+        Some(zdt.format(AmzOut))
+      } catch { case _: java.time.DateTimeException => None }
+    }.headOption
   }
 
   /** Full v4 verification from the Authorization header. */

@@ -43,23 +43,27 @@ case class SimHash60(child: Expression)
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i)
-      md.reset()
-      val dig = md.digest(t.getBytes)
-      // first 15 hex chars == first 15 nibbles of the digest, big-endian
-      var h = 0L
-      var k = 0
-      while (k < 15) {
-        val nib =
-          if ((k & 1) == 0) (dig(k >> 1) >> 4) & 0xf
-          else dig(k >> 1) & 0xf
-        h = (h << 4) | nib
-        k += 1
-      }
-      if (seen.add(h)) {
-        var j = 0
-        while (j < SimHash60.Bits) {
-          sums(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
-          j += 1
+      // null elements contribute nothing (SQL md5(NULL) semantics) —
+      // direct SQL callers may pass arrays with containsNull=true
+      if (t != null) {
+        md.reset()
+        val dig = md.digest(t.getBytes)
+        // first 15 hex chars == first 15 nibbles of the digest, big-endian
+        var h = 0L
+        var k = 0
+        while (k < 15) {
+          val nib =
+            if ((k & 1) == 0) (dig(k >> 1) >> 4) & 0xf
+            else dig(k >> 1) & 0xf
+          h = (h << 4) | nib
+          k += 1
+        }
+        if (seen.add(h)) {
+          var j = 0
+          while (j < SimHash60.Bits) {
+            sums(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+            j += 1
+          }
         }
       }
       i += 1

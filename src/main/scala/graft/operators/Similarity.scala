@@ -192,7 +192,12 @@ object Similarity {
         .select(size(col(vecCol)).as("d")).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1)
     val planes = intPlanes(nBits, d)
+    // Ragged vectors (length != d) would get null SRP dots → sig 0 —
+    // every such vector lands in band-key 0 together (the exact candidate
+    // explosion LSH exists to avoid) and their null cosines would still
+    // rank in top-k. Exclude them instead.
     val prep = embs
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === d)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("sig", srpSignature(col("qv"), planes))
       .withColumn("n2", idot(col("qv"), col("qv")))

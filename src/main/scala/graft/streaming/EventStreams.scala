@@ -64,13 +64,27 @@ object EventStreams {
     * live upload prematurely. */
   case class UploadState(parts: Map[Int, (Long, String)], lastTs: Long)
 
-  /** Terminal record per session: `completed` (with S3-style multipart
-    * ETag `md5(concat(part checksums))-n`), `aborted`, or `expired`
+  /** Terminal record per session: `completed` (with the S3 multipart
+    * ETag `md5(concat(raw 16-byte part digests))-n` when part checksums
+    * are md5 hex, falling back to the checksum strings' UTF-8 bytes for
+    * non-hex checksums), `aborted`, or `expired`
     * (watermark timeout — the reference's acknowledged orphan-upload
     * leak, concepts.rst:96-100, becomes an explicit eviction record the
     * GC job consumes). */
   case class UploadResult(upload: String, outcome: String, n_parts: Int,
       total_size: Long, etag: String)
+
+  /** S3 concatenates the *raw* 16-byte part digests before the final
+    * md5, not their hex renderings — decode md5-hex checksums; any other
+    * checksum shape contributes its UTF-8 bytes (format-compatible but
+    * not S3-byte-identical, by necessity). */
+  private[streaming] def checksumBytes(ck: String): Array[Byte] =
+    if (ck != null && ck.length == 32 && ck.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')))
+      ck.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    else if (ck == null) Array.emptyByteArray
+    else ck.getBytes("UTF-8")
 
   /** Upload-session tracking via `flatMapGroupsWithState` with
     * event-time timeout: parts accumulate per session key in the state
@@ -107,7 +121,7 @@ object EventStreams {
                 case "complete" =>
                   val ps = st.parts.toSeq.sortBy(_._1)
                   val etag = graft.functions.GraftFunctions.md5Hex(
-                    ps.map(_._2._2).mkString.getBytes("UTF-8")) +
+                    ps.toArray.flatMap(p => checksumBytes(p._2._2))) +
                     s"-${ps.size}"
                   out += UploadResult(uid, "completed", ps.size,
                     ps.map(_._2._1).sum, etag)

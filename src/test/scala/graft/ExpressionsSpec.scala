@@ -81,6 +81,16 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got(1L) == got(2L))
   }
 
+  test("simhash60 skips null array elements instead of throwing") {
+    val df = Seq(
+      (1L, Seq("a", null, "b")),
+      (2L, Seq("a", "b"))
+    ).toDF("id", "toks")
+    val got = df.select($"id", GraftFunctions.simhash60($"toks").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L))
+  }
+
   test("sorted_intersect_count equals size(array_intersect)") {
     val df = Seq(
       (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),

@@ -90,4 +90,16 @@ class SigningSpec extends AnyFunSuite {
     assert(Signing.verifyV2(req, "secret", sig))
     assert(!Signing.verifyV2(req, "other", sig))
   }
+
+  test("toAmzDate accepts all three RFC 7231 Date shapes + ISO-basic") {
+    val want = Some("20150917T123600Z")
+    assert(Signing.toAmzDate("Thu, 17 Sep 2015 12:36:00 GMT") == want)
+    assert(Signing.toAmzDate("Thursday, 17-Sep-15 12:36:00 GMT") == want)
+    assert(Signing.toAmzDate("Thu Sep 17 12:36:00 2015") == want)
+    assert(Signing.toAmzDate("20150917T123600Z") == want)
+    // asctime space-padded single-digit day
+    assert(Signing.toAmzDate("Sun Nov  6 08:49:37 1994") ==
+      Some("19941106T084937Z"))
+    assert(Signing.toAmzDate("not a date").isEmpty)
+  }
 }

@@ -70,4 +70,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.nonEmpty)
     assert(r.groupBy(_._1).forall(_._2.length <= 3))
   }
+
+  test("SRP-LSH ANN excludes ragged and null vectors from the index") {
+    val good = (0L until 20L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i + d).toFloat))
+    }
+    val ragged = Seq(
+      (100L, Array(1.0f, 2.0f)),            // wrong dimension
+      (101L, null.asInstanceOf[Array[Float]])) // null vector
+    val embs = (good ++ ragged).toDF("vec_id", "embedding")
+    val r = Similarity.annLsh(embs, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (q, n) => q < 100L && n < 100L })
+  }
 }

@@ -103,6 +103,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upload sessions: md5-hex part checksums yield the S3 raw-digest etag") {
+    val input = MemoryStream[PartEvent](spark)
+    val q = EventStreams.uploadSessions(input.toDS())
+      .writeStream.format("memory").queryName("uploads_hex")
+      .outputMode("append").start()
+    try {
+      val ck1 = graft.functions.GraftFunctions.md5Hex("part-one".getBytes)
+      val ck2 = graft.functions.GraftFunctions.md5Hex("part-two".getBytes)
+      input.addData(
+        PartEvent("h1", "part", 1, 8, ck1, Timestamp.valueOf("2026-01-01 10:01:00")),
+        PartEvent("h1", "part", 2, 8, ck2, Timestamp.valueOf("2026-01-01 10:02:00")),
+        PartEvent("h1", "complete", 0, 0, "", Timestamp.valueOf("2026-01-01 10:03:00")))
+      q.processAllAvailable()
+      val row = spark.table("uploads_hex").as[UploadResult].collect()
+        .find(_.upload == "h1").get
+      // S3 semantics: md5 over the concatenated *raw* 16-byte digests
+      val raw = (ck1 + ck2).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(row.etag ==
+        graft.functions.GraftFunctions.md5Hex(raw) + "-2")
+    } finally q.stop()
+  }
+
   test("upload sessions: watermark timeout emits expired orphan record") {
     val input = MemoryStream[PartEvent](spark)
     val q = EventStreams.uploadSessions(input.toDS(), sessionTimeoutMs = 60000L)
