@@ -13,9 +13,10 @@ object Bench {
     // Warm up the JVM/codegen/IO paths so the first measured query isn't
     // charged for session bootstrap.
     spark.range(1000).selectExpr("sum(id)").collect()
-    // warm-up result is discarded; a missing table must not abort the bench
+    // warm-up result is discarded; a missing table must not abort the
+    // bench (but fatal JVM errors — OOM etc. — must still propagate)
     try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // Two runs per query, report the min: the first run pays one-time
     // JIT/codegen compilation that a long-lived cluster amortizes away;
     // the min reflects the engine's steady-state latency. Failures are

@@ -147,10 +147,32 @@ object Signing {
     import java.util.Locale
     Seq(
       DateTimeFormatter.RFC_1123_DATE_TIME,
-      DateTimeFormatter.ofPattern("EEEE, dd-MMM-yy HH:mm:ss zzz",
-        Locale.US),
       DateTimeFormatter.ofPattern("EEE MMM ppd HH:mm:ss yyyy", Locale.US)
         .withZone(java.time.ZoneOffset.UTC))
+  }
+
+  // RFC-850 body after the weekday ("06-Nov-94 08:49:37 GMT"). The
+  // weekday is dropped rather than cross-checked: Java's `yy` resolves
+  // into 2000-2099, and after the RFC 7231 century adjustment below the
+  // weekday of the adjusted date would no longer match the literal text,
+  // so a strict EEEE parse rejects exactly the dates the RFC says to
+  // accept.
+  private val Rfc850Body = java.time.format.DateTimeFormatter
+    .ofPattern("dd-MMM-yy HH:mm:ss zzz", java.util.Locale.US)
+
+  /** RFC 7231 §7.1.1.1: an rfc850-date 2-digit year that appears more
+    * than 50 years in the future MUST be interpreted as the most recent
+    * past year with the same last two digits. */
+  private def parseRfc850(s: String): Option[java.time.ZonedDateTime] = {
+    val i = s.indexOf(", ")
+    if (i < 0) None
+    else
+      try {
+        val zdt = java.time.ZonedDateTime.parse(s.substring(i + 2), Rfc850Body)
+        val limit = java.time.ZonedDateTime
+          .now(java.time.ZoneOffset.UTC).plusYears(50)
+        Some(if (zdt.isAfter(limit)) zdt.minusYears(100) else zdt)
+      } catch { case _: java.time.DateTimeException => None }
   }
 
   /** HTTP request date (RFC-1123, RFC-850, or asctime — everything
@@ -161,13 +183,12 @@ object Signing {
   def toAmzDate(raw: String): Option[String] = {
     val s = raw.trim
     if (s.matches("""\d{8}T\d{6}Z""")) Some(s)
-    else HttpDateFormats.view.flatMap { fmt =>
+    else (HttpDateFormats.view.flatMap { fmt =>
       try {
-        val zdt = java.time.ZonedDateTime.parse(s, fmt)
-          .withZoneSameInstant(java.time.ZoneOffset.UTC)
-        Some(zdt.format(AmzOut))
+        Some(java.time.ZonedDateTime.parse(s, fmt))
       } catch { case _: java.time.DateTimeException => None }
-    }.headOption
+    } ++ parseRfc850(s)).headOption
+      .map(_.withZoneSameInstant(java.time.ZoneOffset.UTC).format(AmzOut))
   }
 
   /** Full v4 verification from the Authorization header. */

@@ -220,12 +220,19 @@ object Similarity {
     * harmless, the result is empty anyway. Ragged vectors (length != d)
     * would get null SRP dots → sig 0 — every such vector lands in
     * band-key 0 together and their null cosines would still rank in
-    * top-k. Excluded instead. */
+    * top-k. Excluded instead.
+    *
+    * The derived dim is the *modal* vector length (ties → smaller d) —
+    * deterministic on mixed-dimension corpora, where an arbitrary
+    * `limit(1)` pick could silently exclude most of the data. One
+    * bounded driver aggregate, and only on the default path (callers
+    * that know their dim pass it and skip the job entirely). */
   private def srpPrepared(embs: DataFrame, idCol: String, vecCol: String,
       nBits: Int, dim: Int): DataFrame = {
     val d = if (dim > 0) dim
       else embs.filter(col(vecCol).isNotNull)
-        .select(size(col(vecCol)).as("d")).limit(1).collect()
+        .groupBy(size(col(vecCol)).as("d")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("d")).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(1)
     val planes = intPlanes(nBits, d)
     embs
@@ -245,8 +252,10 @@ object Similarity {
   def nearDupPairsBlocked(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 32, bands: Int = 4,
       dim: Int = -1): DataFrame = {
-    val prep = srpPrepared(embs, idCol, vecCol, nBits, dim)
-    srpCandidates(prep.select("id", "sig"), bands, nBits / bands)
+    // cached: prep feeds candidate generation plus both rescore joins —
+    // without the cache each consumer re-scans and re-signs the corpus
+    val prep = srpPrepared(embs, idCol, vecCol, nBits, dim).cache()
+    val out = srpCandidates(prep.select("id", "sig"), bands, nBits / bands)
       .join(prep.select(col("id").as("i"), col("qv").as("aqv"),
         col("n2").as("an2")), "i")
       .join(prep.select(col("id").as("j"), col("qv").as("bqv"),
@@ -254,11 +263,15 @@ object Similarity {
       .select(col("i"), col("j"),
         cosine(idot(col("aqv"), col("bqv")), col("an2"), col("bn2")).as("cos"))
       .filter(col("cos") >= threshold)
+      .localCheckpoint(true)
+    prep.unpersist()
+    out
   }
 
   def annLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
       nBits: Int = 32, bands: Int = 4, dim: Int = -1): DataFrame = {
-    val prep = srpPrepared(embs, idCol, vecCol, nBits, dim)
+    // cached for the same three-consumer reason as nearDupPairsBlocked
+    val prep = srpPrepared(embs, idCol, vecCol, nBits, dim).cache()
     val cand = srpCandidates(prep.select("id", "sig"), bands, nBits / bands)
     // score both orientations so every id gets neighbors
     val sym = cand.unionAll(cand.select(col("j").as("i"), col("i").as("j")))
@@ -268,6 +281,10 @@ object Similarity {
       .select(col("i").as("qid"), col("j").as("nid"),
         cosine(idot(col("aqv"), col("bqv")), col("an2"), col("bn2")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint(true)
+    prep.unpersist()
+    out
   }
 }

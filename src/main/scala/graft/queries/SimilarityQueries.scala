@@ -25,16 +25,17 @@ object SimilarityQueries {
       |  FROM q
       |)""".stripMargin
 
-  /** DuckDB replay of [[Similarity.annLsh]] with the identical integer
-    * plane constants, banding, and exact rescoring — generated so the
-    * constants can never drift from the Scala side. */
-  private def annOracleSql(k: Int, nBits: Int, bands: Int): String = {
+  /** Shared DuckDB replay of the SRP-banding candidate generation
+    * ([[Similarity.srpCandidates]]) with the identical integer plane
+    * constants — generated so the constants can never drift from the
+    * Scala side. Yields CTEs `p` (quantized + norms) … `cand (i, j)`. */
+  private def srpCandSql(nBits: Int, bands: Int): String = {
     val planes = Similarity.intPlanes(nBits, 64)
     val planesLit = planes.map(_.mkString("[", ",", "]"))
       .mkString("[\n", ",\n", "\n]")
     val r = nBits / bands
     val mask = (1L << r) - 1
-    s"""WITH $duckPrep,
+    s"""$duckPrep,
        |planes AS (SELECT $planesLit AS g),
        |sigb AS (
        |  SELECT vec_id,
@@ -50,7 +51,13 @@ object SimilarityQueries {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        |  FROM bnd a JOIN bnd b ON a.bd = b.bd AND a.key = b.key AND a.vec_id < b.vec_id
-       |),
+       |)""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.annLsh]]: shared SRP candidates +
+    * symmetric orientation + exact rescoring + per-query top-k. */
+  private def annOracleSql(k: Int, nBits: Int, bands: Int): String = {
+    s"""WITH ${srpCandSql(nBits, bands)},
        |sym AS (SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand),
        |scored AS (
        |  SELECT s.i AS qid, s.j AS nid,
@@ -64,6 +71,19 @@ object SimilarityQueries {
        |  FROM scored
        |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
+
+  /** DuckDB replay of [[Similarity.nearDupPairsBlocked]]: shared SRP
+    * candidates, exact rescoring, threshold filter. */
+  private def neardupBlockedOracleSql(threshold: Double, nBits: Int,
+      bands: Int): String =
+    s"""WITH ${srpCandSql(nBits, bands)}
+       |SELECT c.i, c.j,
+       |       CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+       |         / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |FROM cand c JOIN p a ON a.vec_id = c.i JOIN p b ON b.vec_id = c.j
+       |WHERE CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold
+       |ORDER BY i, j""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -123,6 +143,20 @@ object SimilarityQueries {
       Some(annOracleSql(5, 32, 4)),
       doc = "random-hyperplane LSH blocking (32 bits, 4x8-bit bands) + " +
         "exact rescoring, top-5 per vector"),
+
+    // SRP-blocked near-dup gate: banded candidates, exact rescoring at
+    // cosine >= 0.4 — the scalable (recall < 1 by design) counterpart of
+    // the exact sim_cosine_neardup; never all pairs.
+    "sim_neardup_blocked" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.nearDupPairsBlocked(
+          Tables.embeddings(s, d), "vec_id", "embedding", 0.4, dim = 64)
+          .orderBy("i", "j")
+      },
+      Some(neardupBlockedOracleSql(0.4, 32, 4)),
+      doc = "SRP-banded near-dup pairs (32 bits, 4x8-bit bands) + exact " +
+        "rescoring at cosine >= 0.4 — the 100 TB near-dup gate"),
 
     // IVF ANN: 16-cell coarse quantizer, probe 4 cells, top-5 — exact
     // integer centroid assignment makes the whole index replayable.

@@ -101,5 +101,10 @@ class SigningSpec extends AnyFunSuite {
     assert(Signing.toAmzDate("Sun Nov  6 08:49:37 1994") ==
       Some("19941106T084937Z"))
     assert(Signing.toAmzDate("not a date").isEmpty)
+    // RFC 7231 §7.1.1.1: rfc850 2-digit year >50y in the future reads as
+    // the most recent past century — '94' is 1994, not 2094 (and the
+    // weekday field is ignored, so the 1994 weekday need not match)
+    assert(Signing.toAmzDate("Sunday, 06-Nov-94 08:49:37 GMT") ==
+      Some("19941106T084937Z"))
   }
 }

@@ -71,6 +71,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.groupBy(_._1).forall(_._2.length <= 3))
   }
 
+  test("nearDupPairsBlocked is a subset of exact pairs and keeps true dups") {
+    val embs = (0L until 30L).map { i =>
+      // ids 7 and 8 are near-identical (cos ≈ 1); the rest spread out
+      val base = if (i == 8L) 7L else i
+      (i, Array.tabulate(16)(d =>
+        (math.sin(base * 0.9 + d * 0.6) + (if (i == 8L) 1e-4 else 0.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val blocked = Similarity.nearDupPairsBlocked(
+      embs, "vec_id", "embedding", 0.9, dim = 16)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupPairs(
+      Similarity.prepared(embs, "vec_id", "embedding"), 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // blocking only ever drops pairs (recall < 1), never invents them
+    assert(blocked.subsetOf(exact))
+    // a near-identical pair collides in every band — always kept
+    assert(blocked.contains((7L, 8L)))
+  }
+
   test("SRP-LSH ANN excludes ragged and null vectors from the index") {
     val good = (0L until 20L).map { i =>
       (i, Array.tabulate(16)(d => math.sin(i + d).toFloat))
