@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.MetaQueries.defs ++
       graft.queries.SourceQueries.defs ++
       graft.queries.OpsQueries.defs ++
+      graft.queries.RenderQueries.defs ++
       graft.queries.ScalarQueries.defs ++
       graft.queries.BlobQueries.defs ++
       graft.queries.EventQueries.defs ++

@@ -1,0 +1,370 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withCtes
+
+/** The remaining A19 XML response-render surface (SURVEY.md §2.A19):
+  * every response template the reference renders beyond ListBucketResult
+  * and ACL (those live in OpsQueries/Acl) — ListAllMyBuckets, the full
+  * multipart family, CopyObject, DeleteResult, and the four bucket-config
+  * bodies — plus the CompleteMultipartUpload request-body *parse*
+  * (xml.clj:48-64), the one body parse A18 still lacked.
+  *
+  * Render queries are pure codegen'd string projections/aggregations over
+  * the derived domain views (no UDFs, no shuffles beyond the one groupBy
+  * a multi-entry document needs), so they scale like any other
+  * aggregate. Values injected into XML here (bucket/tenant names, derived
+  * object keys, hex checksums, sizes) are alphanumeric-safe by
+  * construction; the only escaping the templates need is the `&quot;`
+  * entity around ETags, exactly like the reference's emitter output.
+  * Timestamps render as a fixed instant — the reference fills `created` /
+  * `atime` / `Initiated` from row state the derived views don't carry.
+  */
+object RenderQueries {
+
+  private val Decl = """<?xml version="1.0" encoding="UTF-8"?>"""
+  private val Ns = "http://s3.amazonaws.com/doc/2006-03-01/"
+  private val Ts = "2026-01-01T00:00:00.000Z"
+
+  /** Deterministic bucket/key naming for multipart uploads (the parts
+    * view carries only upload ids — the reference resolves these from
+    * the upload-session row, meta.clj:129-151). */
+  private val UploadMod = 197L // every 197th upload → bounded render set
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- ListAllMyBucketsResult (xml.clj:153-163) ------------------------
+    // Owner ID/DisplayName = tenant, one <Bucket> entry per bucket.
+    "a19_list_all_buckets" -> QueryDef(
+      (s, d) => Tables.buckets(s, d)
+        .select(col("tenant"), concat(
+          lit("<Bucket><Name>"), col("bucket"),
+          lit(s"</Name><CreationDate>$Ts</CreationDate></Bucket>"))
+          .as("frag"))
+        .groupBy("tenant")
+        .agg(array_join(sort_array(collect_list(col("frag"))), "").as("bkts"))
+        .select(col("tenant"), concat(
+          lit(Decl + s"""<ListAllMyBucketsResult xmlns="$Ns">""" +
+            "<Owner><ID>"), col("tenant"),
+          lit("</ID><DisplayName>"), col("tenant"),
+          lit("</DisplayName></Owner><Buckets>"), col("bkts"),
+          lit("</Buckets></ListAllMyBucketsResult>")).as("xml"))
+        .orderBy("tenant"),
+      Some(withCtes(
+        s"""SELECT tenant,
+           |  '$Decl<ListAllMyBucketsResult xmlns="$Ns">' ||
+           |  '<Owner><ID>' || tenant || '</ID><DisplayName>' || tenant ||
+           |  '</DisplayName></Owner><Buckets>' ||
+           |  string_agg('<Bucket><Name>' || bucket ||
+           |    '</Name><CreationDate>$Ts</CreationDate></Bucket>',
+           |    '' ORDER BY bucket) ||
+           |  '</Buckets></ListAllMyBucketsResult>' AS xml
+           |FROM buckets GROUP BY tenant ORDER BY tenant""".stripMargin,
+        Tables.bucketsSql)),
+      doc = "xml.clj:153-163 list-all-my-buckets render"),
+
+    // ---- InitiateMultipartUploadResult (xml.clj:196-203) -----------------
+    "a19_initiate_multipart" -> QueryDef(
+      (s, d) => Tables.parts(s, d)
+        .filter(col("upload") % UploadMod === 0)
+        .select(col("upload")).distinct()
+        .select(col("upload"), concat(
+          lit(Decl + s"""<InitiateMultipartUploadResult xmlns="$Ns">""" +
+            "<Bucket>b"), col("upload") % 4,
+          lit("</Bucket><Key>mp/obj_"), col("upload"),
+          lit("</Key><UploadId>"), col("upload"),
+          lit("</UploadId></InitiateMultipartUploadResult>")).as("xml"))
+        .orderBy("upload"),
+      Some(withCtes(
+        s"""SELECT upload,
+           |  '$Decl<InitiateMultipartUploadResult xmlns="$Ns">' ||
+           |  '<Bucket>b' || CAST(upload % 4 AS VARCHAR) ||
+           |  '</Bucket><Key>mp/obj_' || CAST(upload AS VARCHAR) ||
+           |  '</Key><UploadId>' || CAST(upload AS VARCHAR) ||
+           |  '</UploadId></InitiateMultipartUploadResult>' AS xml
+           |FROM (SELECT DISTINCT upload FROM parts WHERE upload % $UploadMod = 0)
+           |ORDER BY upload""".stripMargin,
+        Tables.partsSql)),
+      doc = "xml.clj:196-203 initiate-multipart-upload render"),
+
+    // ---- ListMultipartUploadsResult (xml.clj:205-220) --------------------
+    // Fixed markers/limits like the reference; Upload entries per bucket.
+    "a19_list_multipart_uploads" -> QueryDef(
+      (s, d) => Tables.parts(s, d)
+        .filter(col("upload") % UploadMod === 0)
+        .select(col("upload")).distinct()
+        .select((col("upload") % 4).cast("string").as("bn"), col("upload"))
+        .select(col("bn"), concat(
+          lit("<Upload><Key>mp/obj_"), col("upload"),
+          lit(s"</Key><Initiated>$Ts</Initiated><UploadId>"), col("upload"),
+          lit("</UploadId></Upload>")).as("frag"),
+          col("upload"))
+        .groupBy("bn")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("upload"), col("frag")))),
+          x => x.getField("frag")), "").as("uploads"))
+        .select(concat(lit("b"), col("bn")).as("bucket"), concat(
+          lit(Decl + s"""<ListMultipartUploadsResult xmlns="$Ns">""" +
+            "<Bucket>b"), col("bn"),
+          lit("</Bucket><KeyMarker></KeyMarker>" +
+            "<UploadIdMarker></UploadIdMarker><MaxUploads>1000</MaxUploads>" +
+            "<IsTruncated>false</IsTruncated><Prefix></Prefix>"),
+          col("uploads"),
+          lit("</ListMultipartUploadsResult>")).as("xml"))
+        .orderBy("bucket"),
+      Some(withCtes(
+        s"""SELECT 'b' || bn AS bucket,
+           |  '$Decl<ListMultipartUploadsResult xmlns="$Ns">' ||
+           |  '<Bucket>b' || bn ||
+           |  '</Bucket><KeyMarker></KeyMarker>' ||
+           |  '<UploadIdMarker></UploadIdMarker><MaxUploads>1000</MaxUploads>' ||
+           |  '<IsTruncated>false</IsTruncated><Prefix></Prefix>' ||
+           |  string_agg('<Upload><Key>mp/obj_' || CAST(upload AS VARCHAR) ||
+           |    '</Key><Initiated>$Ts</Initiated><UploadId>' ||
+           |    CAST(upload AS VARCHAR) || '</UploadId></Upload>',
+           |    '' ORDER BY upload) ||
+           |  '</ListMultipartUploadsResult>' AS xml
+           |FROM (SELECT DISTINCT CAST(upload % 4 AS VARCHAR) AS bn, upload
+           |      FROM parts WHERE upload % $UploadMod = 0)
+           |GROUP BY bn ORDER BY bucket""".stripMargin,
+        Tables.partsSql)),
+      doc = "xml.clj:205-220 list-multipart-uploads render (fixed markers, " +
+        "IsTruncated false, like the reference)"),
+
+    // ---- ListPartsResult (xml.clj:222-233) -------------------------------
+    // The reference emits only Bucket + Part entries (no Key element).
+    "a19_list_parts" -> QueryDef(
+      (s, d) => Tables.parts(s, d)
+        .filter(col("upload") % UploadMod === 0)
+        .select(col("upload"), col("partno"), col("size"), concat(
+          lit("<Part><PartNumber>"), col("partno"),
+          lit(s"</PartNumber><LastModified>$Ts</LastModified>" +
+            "<ETag>&quot;"), col("checksum"),
+          lit("&quot;</ETag><Size>"), col("size"),
+          lit("</Size></Part>")).as("frag"))
+        .groupBy("upload")
+        // tie-break on size: the synthetic parts view can repeat a partno
+        // within an upload, and a partno-only sort would leave the
+        // fragment order engine-dependent
+        .agg(array_join(transform(
+          array_sort(collect_list(
+            struct(col("partno"), col("size"), col("frag")))),
+          x => x.getField("frag")), "").as("parts"))
+        .select(col("upload"), concat(
+          lit(Decl + s"""<ListPartsResult xmlns="$Ns"><Bucket>b"""),
+          col("upload") % 4,
+          lit("</Bucket>"), col("parts"),
+          lit("</ListPartsResult>")).as("xml"))
+        .orderBy("upload"),
+      Some(withCtes(
+        s"""SELECT upload,
+           |  '$Decl<ListPartsResult xmlns="$Ns"><Bucket>b' ||
+           |  CAST(upload % 4 AS VARCHAR) || '</Bucket>' ||
+           |  string_agg('<Part><PartNumber>' || CAST(partno AS VARCHAR) ||
+           |    '</PartNumber><LastModified>$Ts</LastModified><ETag>&quot;' ||
+           |    checksum || '&quot;</ETag><Size>' || CAST(size AS VARCHAR) ||
+           |    '</Size></Part>', '' ORDER BY partno, size) ||
+           |  '</ListPartsResult>' AS xml
+           |FROM parts WHERE upload % $UploadMod = 0
+           |GROUP BY upload ORDER BY upload""".stripMargin,
+        Tables.partsSql)),
+      doc = "xml.clj:222-233 list-upload-parts render (Bucket + Part " +
+        "entries only, as the reference emits)"),
+
+    // ---- CopyPartResult (xml.clj:235-240) --------------------------------
+    // The one render the reference emits WITHOUT the S3 xmlns.
+    "a19_upload_part_copy" -> QueryDef(
+      (s, d) => Tables.parts(s, d)
+        .filter(col("upload") % UploadMod === 0)
+        .select(col("upload"), col("partno"), concat(
+          lit(Decl + "<CopyPartResult><ETag>&quot;"), col("checksum"),
+          lit(s"&quot;</ETag><LastModified>$Ts</LastModified>" +
+            "</CopyPartResult>")).as("xml"))
+        .orderBy("upload", "partno"),
+      Some(withCtes(
+        s"""SELECT upload, partno,
+           |  '$Decl<CopyPartResult><ETag>&quot;' || checksum ||
+           |  '&quot;</ETag><LastModified>$Ts</LastModified></CopyPartResult>'
+           |    AS xml
+           |FROM parts WHERE upload % $UploadMod = 0
+           |ORDER BY upload, partno""".stripMargin,
+        Tables.partsSql)),
+      doc = "xml.clj:235-240 multipart-upload-part-copy render (no xmlns, " +
+        "matching the reference)"),
+
+    // ---- CompleteMultipartUploadResult (xml.clj:242-250) -----------------
+    // ETag is the S3 multipart form md5(part digests)-n; DuckDB's md5 is
+    // VARCHAR-only, so both engines digest the concatenated hex digests
+    // (a bijection of the raw bytes — same discriminating power, and the
+    // raw-digest form lives in streaming/EventStreams for I-S2).
+    "a19_complete_multipart" -> QueryDef(
+      (s, d) => Tables.parts(s, d)
+        .filter(col("upload") % UploadMod === 0)
+        .groupBy("upload")
+        .agg(
+          md5(encode(array_join(transform(
+            array_sort(collect_list(struct(col("partno"), col("checksum")))),
+            x => x.getField("checksum")), ""), "UTF-8")).as("etag_md5"),
+          count(lit(1)).as("n_parts"))
+        .select(col("upload"), concat(
+          lit(Decl + s"""<CompleteMultipartUploadResult xmlns="$Ns">""" +
+            "<Bucket>b"), col("upload") % 4,
+          lit("</Bucket><Key>mp/obj_"), col("upload"),
+          lit("</Key><Location>http://b"), col("upload") % 4,
+          lit(".s3.amazonaws.com/mp/obj_"), col("upload"),
+          lit("</Location><ETag>&quot;"), col("etag_md5"),
+          lit("-"), col("n_parts"),
+          lit("&quot;</ETag></CompleteMultipartUploadResult>")).as("xml"))
+        .orderBy("upload"),
+      Some(withCtes(
+        s"""SELECT upload,
+           |  '$Decl<CompleteMultipartUploadResult xmlns="$Ns">' ||
+           |  '<Bucket>b' || CAST(upload % 4 AS VARCHAR) ||
+           |  '</Bucket><Key>mp/obj_' || CAST(upload AS VARCHAR) ||
+           |  '</Key><Location>http://b' || CAST(upload % 4 AS VARCHAR) ||
+           |  '.s3.amazonaws.com/mp/obj_' || CAST(upload AS VARCHAR) ||
+           |  '</Location><ETag>&quot;' ||
+           |  md5(string_agg(checksum, '' ORDER BY partno)) ||
+           |  '-' || CAST(count(*) AS VARCHAR) ||
+           |  '&quot;</ETag></CompleteMultipartUploadResult>' AS xml
+           |FROM parts WHERE upload % $UploadMod = 0
+           |GROUP BY upload ORDER BY upload""".stripMargin,
+        Tables.partsSql)),
+      doc = "xml.clj:242-250 complete-multipart-upload render with " +
+        "multipart-form ETag (digest-of-digests + part count)"),
+
+    // ---- CopyObjectResult (xml.clj:263-269) ------------------------------
+    "a19_copy_object" -> QueryDef(
+      (s, d) => Tables.objects(s, d)
+        .filter(col("inode") % 50 === 3)
+        .select(col("bucket"), col("object"), concat(
+          lit(Decl + s"""<CopyObjectResult xmlns="$Ns">""" +
+            s"<LastModified>$Ts</LastModified><ETag>&quot;"), col("checksum"),
+          lit("&quot;</ETag></CopyObjectResult>")).as("xml"))
+        .orderBy("bucket", "object"),
+      Some(withCtes(
+        s"""SELECT bucket, object,
+           |  '$Decl<CopyObjectResult xmlns="$Ns">' ||
+           |  '<LastModified>$Ts</LastModified><ETag>&quot;' || checksum ||
+           |  '&quot;</ETag></CopyObjectResult>' AS xml
+           |FROM objects WHERE inode % 50 = 3
+           |ORDER BY bucket, object""".stripMargin,
+        Tables.objectsSql)),
+      doc = "xml.clj:263-269 copy-object render"),
+
+    // ---- DeleteResult (xml.clj:271-276) ----------------------------------
+    // Same key subset as a18_xml_parse: parse and render close the loop.
+    "a19_delete_result" -> QueryDef(
+      (s, d) => Tables.objects(s, d)
+        .filter(col("inode") % 50 === 0)
+        .select(col("bucket"), concat(
+          lit("<Deleted><Key>"), col("object"),
+          lit("</Key></Deleted>")).as("frag"))
+        .groupBy("bucket")
+        .agg(array_join(sort_array(collect_list(col("frag"))), "")
+          .as("deleted"))
+        .select(col("bucket"), concat(
+          lit(Decl + s"""<DeleteResult xmlns="$Ns">"""), col("deleted"),
+          lit("</DeleteResult>")).as("xml"))
+        .orderBy("bucket"),
+      Some(withCtes(
+        s"""SELECT bucket,
+           |  '$Decl<DeleteResult xmlns="$Ns">' ||
+           |  string_agg('<Deleted><Key>' || object || '</Key></Deleted>',
+           |    '' ORDER BY object) ||
+           |  '</DeleteResult>' AS xml
+           |FROM objects WHERE inode % 50 = 0
+           |GROUP BY bucket ORDER BY bucket""".stripMargin,
+        Tables.objectsSql)),
+      doc = "xml.clj:271-276 delete-objects render"),
+
+    // ---- bucket config bodies (xml.clj:252-261, 278-289) -----------------
+    // LocationConstraint / LifecycleConfiguration / RequestPayment /
+    // Versioning as one (bucket, config, xml) surface — each template is
+    // a few fixed elements around per-bucket state.
+    "a19_bucket_config" -> QueryDef(
+      (s, d) => Tables.buckets(s, d)
+        .select(col("bucket"), explode(map(
+          lit("location"), concat(
+            lit(Decl + s"""<LocationConstraint xmlns="$Ns">region-"""),
+            col("n_docs") % 3, lit("</LocationConstraint>")),
+          lit("lifecycle"), lit(Decl +
+            s"""<LifecycleConfiguration xmlns="$Ns">""" +
+            "</LifecycleConfiguration>"),
+          lit("requestpayment"), lit(Decl +
+            s"""<RequestPaymentConfiguration xmlns="$Ns">""" +
+            "<Payer>BucketOwner</Payer></RequestPaymentConfiguration>"),
+          lit("versioning"), concat(
+            lit(Decl + s"""<VersioningConfiguration xmlns="$Ns"><Status>"""),
+            when(col("n_docs") % 2 === 0, "Enabled").otherwise("Suspended"),
+            lit("</Status></VersioningConfiguration>"))))
+          .as(Seq("config", "xml")))
+        .orderBy("bucket", "config"),
+      Some(withCtes(
+        s"""SELECT bucket, config, xml FROM (
+           |  SELECT bucket, 'location' AS config,
+           |    '$Decl<LocationConstraint xmlns="$Ns">region-' ||
+           |    CAST(n_docs % 3 AS VARCHAR) || '</LocationConstraint>' AS xml
+           |  FROM buckets
+           |  UNION ALL
+           |  SELECT bucket, 'lifecycle',
+           |    '$Decl<LifecycleConfiguration xmlns="$Ns"></LifecycleConfiguration>'
+           |  FROM buckets
+           |  UNION ALL
+           |  SELECT bucket, 'requestpayment',
+           |    '$Decl<RequestPaymentConfiguration xmlns="$Ns">' ||
+           |    '<Payer>BucketOwner</Payer></RequestPaymentConfiguration>'
+           |  FROM buckets
+           |  UNION ALL
+           |  SELECT bucket, 'versioning',
+           |    '$Decl<VersioningConfiguration xmlns="$Ns"><Status>' ||
+           |    CASE WHEN n_docs % 2 = 0 THEN 'Enabled' ELSE 'Suspended' END ||
+           |    '</Status></VersioningConfiguration>'
+           |  FROM buckets
+           |) ORDER BY bucket, config""".stripMargin,
+        Tables.bucketsSql)),
+      doc = "xml.clj:252-261,278-289 bucket-location/lifecycle/" +
+        "requestpayment/versioning renders"),
+
+    // ---- A18: CompleteMultipartUpload body parse (xml.clj:48-64) ---------
+    // Build the request body, parse (PartNumber, ETag) back out with the
+    // reference's unquote semantics — oracle is the original part list,
+    // so the round trip must be lossless and the quote-stripping exact.
+    "a18_multipart_parse" -> QueryDef(
+      (s, d) => {
+        val body = Tables.parts(s, d)
+          .filter(col("upload") % UploadMod === 0)
+          .select(col("upload"), concat(
+            lit("<Part><PartNumber>"), col("partno"),
+            lit("</PartNumber><ETag>\""), col("checksum"),
+            lit("\"</ETag></Part>")).as("frag"),
+            col("partno"))
+          .groupBy("upload")
+          .agg(concat(lit("<CompleteMultipartUpload>"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("partno"), col("frag")))),
+              x => x.getField("frag")), ""),
+            lit("</CompleteMultipartUpload>")).as("body"))
+        body.select(col("upload"),
+          explode(arrays_zip(
+            expr("regexp_extract_all(body, '<PartNumber>([0-9]+)</PartNumber>', 1)"),
+            expr("regexp_extract_all(body, '<ETag>([^<]*)</ETag>', 1)")))
+            .as("pe"))
+          .select(col("upload"),
+            col("pe").getField("0").cast("long").as("partno"),
+            // xml.clj:52 unquote: strip the double quotes around the etag
+            regexp_replace(col("pe").getField("1"), "\"", "").as("etag"))
+          .orderBy("upload", "partno")
+      },
+      Some(withCtes(
+        s"""SELECT upload, CAST(partno AS BIGINT) AS partno,
+           |       checksum AS etag
+           |FROM parts WHERE upload % $UploadMod = 0
+           |ORDER BY upload, partno""".stripMargin,
+        Tables.partsSql)),
+      doc = "xml.clj:48-64 xml->multipart body parse — lossless " +
+        "(PartNumber, unquoted ETag) round trip")
+  )
+}
