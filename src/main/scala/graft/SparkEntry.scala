@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.SourceQueries.defs ++
       graft.queries.OpsQueries.defs ++
       graft.queries.RenderQueries.defs ++
+      graft.queries.ErrorQueries.defs ++
       graft.queries.ScalarQueries.defs ++
       graft.queries.BlobQueries.defs ++
       graft.queries.EventQueries.defs ++

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's S3 error taxonomy (xml.clj:291-447 `exception`
+  * dispatch + the `status-code`s raised across operations.clj) as data:
+  * one table drives BOTH the Spark render/dispatch expressions and the
+  * generated DuckDB oracle SQL, so the two can never drift.
+  *
+  * Render contract vs the reference: same error types, same codes, same
+  * messages, same payload elements — but element order is canonicalized
+  * to (Code, Message, extras…, RequestId, HostId); the reference
+  * shuffles RequestId/HostId order per template, which carries no
+  * information. `ServerTime` (wall clock) is omitted: the engine renders
+  * from row state only. Everything stays inside whole-stage codegen —
+  * the render is a `when`-chain of string concats, no UDFs.
+  */
+object Errors {
+
+  /** A fragment of an element body. */
+  sealed trait Part
+  /** Literal text. */
+  final case class L(s: String) extends Part
+  /** Value of a payload column (key/bucket/upload/arg/value/reqid). */
+  final case class P(name: String) extends Part
+  /** Space-joined lowercase hex of the column's UTF-8 bytes —
+    * xml.clj:321-325 StringToSignBytes. */
+  final case class HexBytes(name: String) extends Part
+
+  /** One error shape: reference ex-info type → S3 code, HTTP status,
+    * and the element list after Code (Message first, then extras). */
+  final case class ErrShape(errType: String, code: String, status: Int,
+      elements: Seq[(String, Seq[Part])])
+
+  private val MalformedMsg = "The XML you provided was not well-formed " +
+    "or did not validate against our published schema."
+
+  /** xml.clj:299-447, in the reference's dispatch order. */
+  val taxonomy: Seq[ErrShape] = Seq(
+    ErrShape("invalid-request", "InvalidRequest", 400,
+      Seq("Message" -> Seq(L("Not implemented yet")))),
+    ErrShape("access-denied", "AccessDenied", 403,
+      Seq("Message" -> Seq(L("Access Denied")))),
+    ErrShape("signature-does-not-match", "SignatureDoesNotMatch", 403,
+      Seq(
+        "Message" -> Seq(L("The request signature we calculated does not " +
+          "match the signature you provided. " +
+          "Check your key and signing method.")),
+        "StringToSignBytes" -> Seq(HexBytes("value")),
+        "StringToSign" -> Seq(P("value")))),
+    ErrShape("expired-request", "AccessDenied", 403,
+      Seq(
+        "Message" -> Seq(L("Request has expired")),
+        "Expires" -> Seq(P("value")))),
+    ErrShape("no-such-upload", "NoSuchUpload", 404,
+      Seq(
+        "Message" -> Seq(
+          L("The specified upload-id does not exist for this key.")),
+        "Key" -> Seq(P("key")),
+        "Upload" -> Seq(P("upload")))),
+    ErrShape("no-such-key", "NoSuchKey", 404,
+      Seq(
+        "Message" -> Seq(L("The specified key does not exist.")),
+        "Key" -> Seq(P("key")))),
+    ErrShape("no-such-bucket", "NoSuchBucket", 404,
+      Seq(
+        "Message" -> Seq(L("The specified bucket does not exist")),
+        "BucketName" -> Seq(P("bucket")))),
+    ErrShape("no-such-bucket-policy", "NoSuchBucketPolicy", 404,
+      Seq(
+        "Message" -> Seq(L("The bucket policy does not exist")),
+        "BucketName" -> Seq(P("bucket")))),
+    ErrShape("bucket-not-empty", "BucketNotEmpty", 409,
+      Seq(
+        "Message" -> Seq(L("The bucket you tried to delete is not empty")),
+        "BucketName" -> Seq(P("bucket")))),
+    ErrShape("invalid-argument", "InvalidArgument", 400,
+      Seq(
+        "Message" -> Seq(L("Invalid Argument")),
+        "ArgumentName" -> Seq(P("arg")),
+        "ArgumentValue" -> Seq(P("value")))),
+    ErrShape("upload-policy-violation", "UploadPolicyViolation", 400,
+      Seq(
+        "Message" -> Seq(L("Upload request violates upload policy")),
+        "Field" -> Seq(P("arg")),
+        "Value" -> Seq(P("value")),
+        // the reference literally renders "XXXX" here (xml.clj:386)
+        "Expected" -> Seq(L("XXXX")))),
+    ErrShape("invalid-acl-xml", "MalformedACLError", 400,
+      Seq("Message" -> Seq(L(MalformedMsg)))),
+    ErrShape("invalid-cors-xml", "MalformedXML", 400,
+      Seq("Message" -> Seq(L(MalformedMsg)))),
+    ErrShape("cors-not-enabled", "AccessForbidden", 403,
+      Seq("Message" -> Seq(
+        L("CORS Response: CORS is not enabled for this Bucket")))),
+    ErrShape("bucket-already-exists", "BucketAlreadyExists", 409,
+      Seq(
+        "Message" -> Seq(L("The requested bucket name is not available. " +
+          "The bucket namespace is shared by all users of the system. " +
+          "Please select a different name and try again.")),
+        "BucketName" -> Seq(P("bucket")))),
+    ErrShape("no-such-cors", "NoSuchCORSConfiguration", 404,
+      Seq(
+        "Message" -> Seq(L("The CORS configuration does not exist")),
+        "BucketName" -> Seq(P("bucket")))),
+    ErrShape("no-such-lifecycle-config", "NoSuchLifecycleConfiguration", 404,
+      Seq(
+        "Message" -> Seq(L("The lifecycle configuration does not exist")),
+        "BucketName" -> Seq(P("bucket")))),
+    ErrShape("no-such-tag-set", "NoSuchTagSet", 404,
+      Seq(
+        "Message" -> Seq(L("The TagSet does not exist")),
+        "BucketName" -> Seq(P("bucket")))),
+    ErrShape("incomplete-metadata", "IncompleteMetadata", 400,
+      Seq("Message" -> Seq(L("Incomplete metadata: "), P("arg")))),
+    ErrShape("forbidden", "Forbidden", 403,
+      Seq("Message" -> Seq(L("Forbidden"))))
+  )
+
+  /** The `:generic` fallback (xml.clj:443-447 + format-exception). */
+  val Fallback: ErrShape = ErrShape("generic", "Unknown", 500,
+    Seq("Message" -> Seq(L("an unexpected error occured"))))
+
+  private val Decl = """<?xml version="1.0" encoding="UTF-8"?>"""
+
+  // ---- Spark side --------------------------------------------------------
+
+  private def partCol(p: Part, cols: Map[String, Column]): Column = p match {
+    case L(s) => lit(s)
+    case P(n) => cols(n)
+    case HexBytes(n) =>
+      rtrim(regexp_replace(lower(hex(cols(n))), "(..)", "$1 "))
+  }
+
+  private def shapeXml(sh: ErrShape, cols: Map[String, Column]): Column = {
+    val open = lit(Decl + "<Error><Code>" + sh.code + "</Code>")
+    val mid = sh.elements.flatMap { case (tag, parts) =>
+      lit(s"<$tag>") +: parts.map(partCol(_, cols)) :+ lit(s"</$tag>")
+    }
+    val close = Seq(lit("<RequestId>"), cols("reqid"),
+      lit("</RequestId><HostId>"), cols("reqid"), lit("</HostId></Error>"))
+    concat(open +: mid ++: close: _*)
+  }
+
+  /** Rendered error body for `errType`, parameterized by the payload
+    * columns. Unknown types render the generic fallback. */
+  def renderXml(errType: Column, cols: Map[String, Column]): Column =
+    taxonomy.foldRight(shapeXml(Fallback, cols)) { (sh, acc) =>
+      when(errType === sh.errType, shapeXml(sh, cols)).otherwise(acc)
+    }
+
+  /** HTTP status for `errType` (500 for unknown types). */
+  def statusOf(errType: Column): Column =
+    taxonomy.foldRight(lit(Fallback.status)) { (sh, acc) =>
+      when(errType === sh.errType, lit(sh.status)).otherwise(acc)
+    }
+
+  /** S3 error code for `errType` (Unknown for unknown types). */
+  def codeOf(errType: Column): Column =
+    taxonomy.foldRight(lit(Fallback.code)) { (sh, acc) =>
+      when(errType === sh.errType, lit(sh.code)).otherwise(acc)
+    }
+
+  // ---- generated DuckDB side ---------------------------------------------
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def partSql(p: Part, cols: Map[String, String]): String = p match {
+    case L(s) => sqlLit(s)
+    case P(n) => cols(n)
+    case HexBytes(n) =>
+      s"rtrim(regexp_replace(lower(hex(${cols(n)})), '(..)', '\\1 ', 'g'))"
+  }
+
+  private def shapeSql(sh: ErrShape, cols: Map[String, String]): String = {
+    val open = sqlLit(Decl + "<Error><Code>" + sh.code + "</Code>")
+    val mid = sh.elements.flatMap { case (tag, parts) =>
+      sqlLit(s"<$tag>") +: parts.map(partSql(_, cols)) :+ sqlLit(s"</$tag>")
+    }
+    val close = Seq("'<RequestId>'", cols("reqid"),
+      "'</RequestId><HostId>'", cols("reqid"), "'</HostId></Error>'")
+    (open +: mid ++: close).mkString(" || ")
+  }
+
+  /** DuckDB CASE mirroring [[renderXml]] over the same taxonomy. */
+  def renderXmlSql(errTypeCol: String, cols: Map[String, String]): String =
+    taxonomy.map { sh =>
+      s"WHEN $errTypeCol = ${sqlLit(sh.errType)} THEN ${shapeSql(sh, cols)}"
+    }.mkString("CASE ", "\n", s" ELSE ${shapeSql(Fallback, cols)} END")
+
+  /** DuckDB CASE mirroring [[statusOf]]. */
+  def statusSql(errTypeCol: String): String =
+    taxonomy.map { sh =>
+      s"WHEN $errTypeCol = ${sqlLit(sh.errType)} THEN ${sh.status}"
+    }.mkString("CASE ", " ", s" ELSE ${Fallback.status} END")
+
+  /** DuckDB CASE mirroring [[codeOf]]. */
+  def codeSql(errTypeCol: String): String =
+    taxonomy.map { sh =>
+      s"WHEN $errTypeCol = ${sqlLit(sh.errType)} THEN ${sqlLit(sh.code)}"
+    }.mkString("CASE ", " ", s" ELSE ${sqlLit(Fallback.code)} END")
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withCtes
+import graft.operators.Errors
+
+/** Error-taxonomy surface: the per-type XML error bodies the reference
+  * renders (xml.clj:291-447) and the request→error dispatch decision the
+  * reference makes across operations.clj (bucket resolve → authorize →
+  * key fetch → range check). Both sides of each oracle are generated
+  * from [[Errors.taxonomy]], so Spark and DuckDB can never drift. */
+object ErrorQueries {
+
+  private val nTypes = Errors.taxonomy.size
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- error body render: one row per (request, error type) ------------
+    "err_render" -> QueryDef(
+      (s, d) => {
+        val types = Errors.taxonomy.map(_.errType)
+        val base = Tables.objects(s, d).filter(col("inode") % 25 === 0)
+          .select(col("inode").as("rid"),
+            element_at(typedLit(types),
+              (expr("inode div 25") % nTypes).cast("int") + 1).as("err_type"),
+            md5(encode(col("inode").cast("string"), "UTF-8")).as("reqid"),
+            col("object").as("key"), col("bucket"),
+            (col("inode") * 31).cast("string").as("upload"),
+            lit("range").as("arg"),
+            concat(lit("bytes=0-"), col("inode")).as("value"))
+        val cols = Map(
+          "reqid" -> col("reqid"), "key" -> col("key"),
+          "bucket" -> col("bucket"), "upload" -> col("upload"),
+          "arg" -> col("arg"), "value" -> col("value"))
+        base.select(col("rid"), col("err_type"),
+          Errors.statusOf(col("err_type")).as("status"),
+          Errors.renderXml(col("err_type"), cols).as("xml"))
+          .orderBy("rid")
+      },
+      Some {
+        val types = Errors.taxonomy.map(_.errType)
+          .map(t => s"'$t'").mkString("[", ", ", "]")
+        val cols = Map(
+          "reqid" -> "reqid", "key" -> "\"key\"", "bucket" -> "bucket",
+          "upload" -> "upload", "arg" -> "arg", "value" -> "\"value\"")
+        s"WITH ${Tables.objectsSql},\n" +
+          s"""reqs AS (
+             |  SELECT inode AS rid,
+             |         ($types)[CAST((inode // 25) % $nTypes + 1 AS INT)]
+             |           AS err_type,
+             |         md5(CAST(inode AS VARCHAR)) AS reqid,
+             |         object AS "key", bucket,
+             |         CAST(inode * 31 AS VARCHAR) AS upload,
+             |         'range' AS arg,
+             |         'bytes=0-' || CAST(inode AS VARCHAR) AS "value"
+             |  FROM objects WHERE inode % 25 = 0
+             |)
+             |SELECT rid, err_type,
+             |       ${Errors.statusSql("err_type")} AS status,
+             |       ${Errors.renderXmlSql("err_type", cols)} AS xml
+             |FROM reqs ORDER BY rid""".stripMargin
+      },
+      doc = "xml.clj:291-447 exception render — all 20 error shapes, " +
+        "generated from one taxonomy table on both engines"),
+
+    // ---- request→error dispatch ------------------------------------------
+    // operations.clj decision order: resolve bucket (404 no-such-bucket)
+    // → authorize (403 access-denied) → fetch key (404 no-such-key) →
+    // check range (416 invalid-argument, operations.clj:106-110,150-157)
+    // → 200. Existence via left joins against the domain views; the
+    // bucket dimension broadcasts.
+    "err_dispatch" -> QueryDef(
+      (s, d) => {
+        val objs = Tables.objects(s, d)
+        val reqs = objs.select(col("inode").as("rid"),
+          when(col("inode") % 11 === 0, concat(col("bucket"), lit("-missing")))
+            .otherwise(col("bucket")).as("bucket_req"),
+          when(col("inode") % 7 === 0, concat(col("object"), lit(".missing")))
+            .otherwise(col("object")).as("object_req"),
+          (col("inode") % 5 =!= 1).as("authorized"),
+          ((col("inode") * 37) % 2000).as("range_start"))
+        val bkts = Tables.buckets(s, d)
+          .select(col("bucket").as("bucket_req"), lit(true).as("bucket_exists"))
+        val tgt = objs.select(col("bucket").as("bucket_req"),
+          col("object").as("object_req"), col("size").as("obj_size"))
+        val joined = reqs
+          .join(broadcast(bkts), Seq("bucket_req"), "left")
+          .join(tgt, Seq("bucket_req", "object_req"), "left")
+        val errType = when(col("bucket_exists").isNull, "no-such-bucket")
+          .when(!col("authorized"), "access-denied")
+          .when(col("obj_size").isNull, "no-such-key")
+          .when(col("range_start") >= col("obj_size"), "invalid-argument")
+          .otherwise("none")
+        val status = when(errType === "none", 200)
+          .when(errType === "invalid-argument", 416) // range site status
+          .otherwise(Errors.statusOf(errType))
+        joined.select(col("rid"), errType.as("err_type"),
+          when(errType === "none", "OK")
+            .otherwise(Errors.codeOf(errType)).as("code"),
+          status.as("status"))
+          .orderBy("rid")
+      },
+      Some(withCtes(
+        s"""SELECT rid, err_type,
+           |  CASE WHEN err_type = 'none' THEN 'OK'
+           |       ELSE ${Errors.codeSql("err_type")} END AS code,
+           |  CASE WHEN err_type = 'none' THEN 200
+           |       WHEN err_type = 'invalid-argument' THEN 416
+           |       ELSE ${Errors.statusSql("err_type")} END AS status
+           |FROM (
+           |  SELECT rid,
+           |    CASE WHEN NOT bucket_exists THEN 'no-such-bucket'
+           |         WHEN NOT authorized THEN 'access-denied'
+           |         WHEN obj_size IS NULL THEN 'no-such-key'
+           |         WHEN range_start >= obj_size THEN 'invalid-argument'
+           |         ELSE 'none' END AS err_type
+           |  FROM (
+           |    SELECT r.rid, r.authorized, r.range_start,
+           |           b.bucket IS NOT NULL AS bucket_exists,
+           |           o.size AS obj_size
+           |    FROM (
+           |      SELECT inode AS rid,
+           |        CASE WHEN inode % 11 = 0 THEN bucket || '-missing'
+           |             ELSE bucket END AS bucket_req,
+           |        CASE WHEN inode % 7 = 0 THEN object || '.missing'
+           |             ELSE object END AS object_req,
+           |        inode % 5 <> 1 AS authorized,
+           |        (inode * 37) % 2000 AS range_start
+           |      FROM objects) r
+           |    LEFT JOIN buckets b ON r.bucket_req = b.bucket
+           |    LEFT JOIN objects o ON r.bucket_req = o.bucket
+           |                       AND r.object_req = o.object
+           |  )
+           |) ORDER BY rid""".stripMargin,
+        Tables.objectsSql, Tables.bucketsSql)),
+      doc = "operations.clj dispatch order: bucket 404 → auth 403 → " +
+        "key 404 → range 416 → 200; codes from the shared taxonomy")
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Errors
+
+/** Error taxonomy: render shapes, status mapping, fallback. */
+class ErrorsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def render(errType: String): String = {
+    val df = Seq((errType, "req1", "k1", "bkt", "42", "range", "GET\n/k1"))
+      .toDF("err_type", "reqid", "key", "bucket", "upload", "arg", "value")
+    val cols = Map(
+      "reqid" -> col("reqid"), "key" -> col("key"), "bucket" -> col("bucket"),
+      "upload" -> col("upload"), "arg" -> col("arg"), "value" -> col("value"))
+    df.select(Errors.renderXml(col("err_type"), cols).as("xml"),
+      Errors.statusOf(col("err_type")).as("status"))
+      .as[(String, Int)].collect().head._1
+  }
+
+  test("no-such-key renders code, message, key, and request ids") {
+    val xml = render("no-such-key")
+    assert(xml.contains("<Code>NoSuchKey</Code>"))
+    assert(xml.contains("<Message>The specified key does not exist.</Message>"))
+    assert(xml.contains("<Key>k1</Key>"))
+    assert(xml.contains("<RequestId>req1</RequestId><HostId>req1</HostId>"))
+  }
+
+  test("signature-does-not-match renders hex StringToSignBytes") {
+    val xml = render("signature-does-not-match")
+    // "GET\n/k1" → 47 45 54 0a 2f 6b 31 (xml.clj:321-325 format)
+    assert(xml.contains("<StringToSignBytes>47 45 54 0a 2f 6b 31" +
+      "</StringToSignBytes>"))
+    assert(xml.contains("<StringToSign>GET\n/k1</StringToSign>"))
+  }
+
+  test("unknown types fall back to the generic 500 shape") {
+    val xml = render("some-novel-failure")
+    assert(xml.contains("<Code>Unknown</Code>"))
+    assert(xml.contains("an unexpected error occured"))
+  }
+
+  test("statuses match the reference's status-code sites") {
+    val want = Map("no-such-key" -> 404, "access-denied" -> 403,
+      "bucket-not-empty" -> 409, "invalid-argument" -> 400,
+      "forbidden" -> 403, "bucket-already-exists" -> 409)
+    val got = want.keys.toSeq.toDF("t")
+      .select(col("t"), Errors.statusOf(col("t")).as("s"))
+      .as[(String, Int)].collect().toMap
+    want.foreach { case (t, s) => assert(got(t) == s, t) }
+  }
+
+  test("every taxonomy entry renders its own code exactly once") {
+    Errors.taxonomy.foreach { sh =>
+      val xml = render(sh.errType)
+      assert(xml.startsWith("<?xml"), sh.errType)
+      assert(xml.contains(s"<Code>${sh.code}</Code>"), sh.errType)
+      assert(xml.endsWith("</Error>"), sh.errType)
+    }
+  }
+}
