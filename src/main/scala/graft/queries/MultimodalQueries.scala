@@ -49,20 +49,52 @@ object MultimodalQueries {
       doc = "video frame sampling: byte-window slicing + per-frame digest"),
 
     // Stubbed decode + feature extraction — plumbing is real
-    // (mapPartitions batch iteration, typed schema), codec is a
-    // deterministic fake; rows-only check + ScalaTest. Features rendered
+    // (mapPartitions batch iteration, typed schema), codec deterministic.
+    // Oracle-checked: the stub's stripe means are float32 divisions of
+    // exact integer byte sums, and DuckDB FLOAT arithmetic is true f32,
+    // so the oracle replays them bit-for-bit on ASCII payloads (byte i ==
+    // char code i — same restriction as mm_image_dims). Features rendered
     // as a fixed-point string: the driver's pandas checker cannot sort
-    // array-typed columns.
+    // array-typed columns; the f32→f64 promotion is exact and the ×1000
+    // double multiply is IEEE-identical across engines.
     "mm_decode_features" -> QueryDef(
       (s, d) => Multimodal.decodeImages(
-        Multimodal.media(Tables.documents(s, d)))
+        Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 2)))
         .toDF()
         .select(col("id"), col("width"), col("height"), col("channels"),
           array_join(transform(col("features"),
-            x => round(x * 1000).cast("long")), ",").as("features_milli"))
+            x => round(x.cast("double") * 1000).cast("long")), ",")
+            .as("features_milli"))
         .orderBy("id"),
-      None,
-      doc = "image decode + feature extraction (stub codec, real dataflow)"),
+      Some(
+        """SELECT doc_id AS id,
+          |       CAST(16 + (ascii(substr(text, 1, 1)) & 63) AS INT) AS width,
+          |       CAST(16 + (ascii(substr(text, 2, 1)) & 63) AS INT) AS height,
+          |       CAST(1 + octet_length(encode(text)) % 3 AS INT) AS channels,
+          |       string_agg(CAST(milli AS VARCHAR), ',' ORDER BY s)
+          |         AS features_milli
+          |FROM (
+          |  SELECT doc_id, text, s,
+          |    CASE WHEN u > f THEN
+          |      CAST(round(CAST(
+          |        CAST(list_sum([ascii(substr(text, CAST(k AS INT), 1))
+          |                       for k in range(f + 1, u + 1)]) AS FLOAT)
+          |        / CAST(u - f AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)
+          |    ELSE 0 END AS milli
+          |  FROM (
+          |    SELECT doc_id, text, s,
+          |           (s * length(text)) // 8 AS f,
+          |           ((s + 1) * length(text)) // 8 AS u
+          |    FROM documents, UNNEST(range(0, 8)) AS t(s)
+          |    WHERE doc_id % 3 = 0 AND octet_length(encode(text)) = length(text)
+          |      AND length(text) >= 2)
+          |)
+          |GROUP BY doc_id, text
+          |ORDER BY id""".stripMargin),
+      doc = "image decode + feature extraction (stub codec, real dataflow; " +
+        "f32 stripe means replayed exactly by the ASCII-restricted oracle)"),
 
     // Decoded image dimensions are exact integer functions of the payload
     // bytes, so they ARE oracle-checkable: restrict to ASCII payloads
