@@ -163,15 +163,23 @@ object Dedup {
 
   /** Connected components over near-dup pairs → `(id, label)` with
     * label = min id in the component (the canonical survivor a dedup
-    * pipeline keeps). Iterative min-label propagation: each round every
-    * node takes the min of its own and its neighbors' labels; converges
-    * in O(component diameter) rounds — near-dup clusters are shallow.
+    * pipeline keeps). Min-label propagation with *pointer jumping*: each
+    * round a node takes the min of its own and its neighbors' labels,
+    * then follows that label's own label (the label table doubles as a
+    * parent-pointer forest, labels ⊆ ids). The jump halves the distance
+    * to the component minimum, so convergence is O(log diameter) rounds
+    * — a 100 TB graph with one million-node chain converges in ~20
+    * rounds where plain propagation needs a million.
     *
-    * Scale notes: each round is one equi-join + min-aggregate (shuffle
-    * on id); `localCheckpoint` truncates lineage per round so the plan
-    * doesn't grow with iterations (the standard Spark iterative
-    * pattern); convergence is checked with a `limit(1)` existence probe,
-    * not a full count. */
+    * The min id m of a component is a fixpoint (every label in the
+    * component is an id ≥ m, so least() never moves it), and all other
+    * labels decrease monotonically toward it — identical final labels to
+    * plain propagation, just fewer rounds.
+    *
+    * Scale notes: one materialization per round (`localCheckpoint`
+    * truncates lineage so the plan doesn't grow); the `changed` flag is
+    * computed IN the update pass, so the convergence probe is a cheap
+    * `limit(1)` scan of the checkpointed result, not a second join. */
   def components(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("i"), col("j"))
@@ -184,24 +192,32 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbr = edges.join(labels.withColumnRenamed("id", "j"), "j")
         .groupBy(col("i").as("id")).agg(min("label").as("nlabel"))
-      val updated = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
+      val prop = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+            .as("plabel"))
+      // pointer jump: plabel → labels[plabel] (≤ plabel by the monotone
+      // invariant), landing closer to the component minimum
+      val updated = prop.join(
+          labels.select(col("label").as("gl"), col("id").as("plabel")),
+          Seq("plabel"), "left")
+        .select(col("id"),
+          least(col("plabel"), coalesce(col("gl"), col("plabel")))
+            .as("nl"),
+          col("label"))
+        .select(col("id"), col("nl").as("label"),
+          (col("nl") =!= col("label")).as("changed"))
         .localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.as("l"), "id")
-        .filter(col("u.label") =!= col("l.label"))
-        .limit(1).count()
-      labels = updated
-      converged = changed == 0
+      converged = updated.filter(col("changed")).limit(1).count() == 0
+      labels = updated.select("id", "label")
       iter += 1
     }
     edges.unpersist()
-    // mid-propagation labels are silently wrong — refuse to return them
+    // mid-propagation labels are silently wrong — refuse to return them.
+    // With pointer jumping the default budget covers diameter ~2^50;
+    // hitting this indicates a bug, not a long chain.
     require(converged,
-      s"components did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter — raise it)")
+      s"components did not converge in $maxIter rounds")
     labels
   }
 

@@ -86,6 +86,18 @@ class DedupSpec extends AnyFunSuite {
     assert((10L to 14L).forall(i => labels(i) == 10L))
   }
 
+  test("components converges in O(log diameter) rounds (pointer jumping)") {
+    // a 200-node chain: plain propagation needs ~200 rounds; with
+    // pointer jumping 16 must be plenty (log2(200) ≈ 7.6 + slack) — the
+    // maxIter budget doubles as the round-count assertion, because
+    // components refuses to return unconverged labels
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("i", "j")
+    val ids = (0L to 199L).toDF("id")
+    val labels = Dedup.components(ids, pairs, maxIter = 16)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 199L).forall(i => labels(i) == 0L))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
