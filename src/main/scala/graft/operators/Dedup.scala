@@ -249,7 +249,9 @@ object Dedup {
 
   /** LSH candidate pairs from banded signatures (`b` bands × `r` rows):
     * docs agreeing on all r rows of any band land in the same bucket.
-    * For J>=0.8, b=16/r=2 gives miss probability (1-0.8²)^16 ≈ 8e-8. */
+    * For J>=0.8, b=16/r=2 gives miss probability (1-0.8²)^16 ≈ 8e-8.
+    * Hot buckets (a viral duplicate cluster) are tiled by
+    * [[Skew.selfJoinPairs]] so no task is quadratic in the bucket. */
   def lshCandidates(sig: DataFrame, b: Int, r: Int): DataFrame = {
     val bandKeys = (0 until b).map { i =>
       struct(lit(i).as("band"),
@@ -258,9 +260,7 @@ object Dedup {
     }
     val bands = sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    bands.as("a").join(bands.as("b"), Seq("band", "key"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
+    Skew.selfJoinPairs(bands, Seq("band", "key"), "id")
       .distinct()
   }
 
@@ -304,21 +304,25 @@ object Dedup {
   /** Near-dup pairs with hamming(simhash) <= maxDist (maxDist < 4):
     * banding by the four 15-bit quarters guarantees a colliding band for
     * any pair within distance 3 (pigeonhole), then exact popcount
-    * verification. */
+    * verification. Hot band buckets are tiled ([[Skew.selfJoinPairs]]);
+    * the hamming popcount joins the (id, simhash) table back onto the
+    * deduped pairs — two narrow joins instead of carrying the signature
+    * through the (much larger) candidate enumeration. */
   def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < SimHashBands, "4-band blocking covers hamming <= 3")
-    val bands = sig.select(col("id"), col("simhash"),
+    val bands = sig.select(col("id"),
       explode(array((0 until SimHashBands).map(i =>
         struct(lit(i).as("band"),
           expr(s"shiftright(simhash, ${i * SimHashBandBits}) & $SimHashBandMask")
             .as("key"))): _*))
         .as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-    bands.as("a").join(bands.as("b"), Seq("band", "key"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"),
-        expr("cast(bit_count(a.simhash ^ b.simhash) as int)").as("hamming"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    Skew.selfJoinPairs(bands, Seq("band", "key"), "id")
       .distinct()
+      .join(sig.select(col("id").as("i"), col("simhash").as("sa")), "i")
+      .join(sig.select(col("id").as("j"), col("simhash").as("sb")), "j")
+      .select(col("i"), col("j"),
+        expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 }

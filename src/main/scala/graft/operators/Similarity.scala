@@ -190,7 +190,10 @@ object Similarity {
 
   /** Candidate pairs colliding on at least one of `bands` contiguous
     * `r`-bit bands of the SRP signature (equi-join blocking — no
-    * all-pairs work). Feed through exact scoring to get final results. */
+    * all-pairs work). Feed through exact scoring to get final results.
+    * Band buckets above [[Skew.selfJoinPairs]]'s hot threshold are tiled
+    * so a viral cluster of near-identical vectors (one giant bucket)
+    * cannot produce a single quadratic task. */
   def srpCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
     val mask = (1L << r) - 1
     val bk = (0 until bands).map(i =>
@@ -198,9 +201,7 @@ object Similarity {
         expr(s"shiftright(sig, ${i * r}) & $mask").as("key")))
     val exploded = sigs.select(col("id"), explode(array(bk: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    exploded.as("a").join(exploded.as("b"), Seq("band", "key"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
+    Skew.selfJoinPairs(exploded, Seq("band", "key"), "id")
       .distinct()
   }
 

@@ -27,6 +27,54 @@ object Skew {
     * when only part of a shuffle's reducers committed before a fetch
     * failure. Identical rows share a salt — fine, they are
     * indistinguishable anyway. */
+  /** Skew-safe self-join pair enumeration for blocking schemes (LSH /
+    * SimHash / SRP bands): emits every unordered id pair sharing a
+    * bucket (`keyCols`), with buckets larger than `hotThreshold` *tiled*
+    * — rows get a deterministic sub-block `hash(id) mod tiles`, every
+    * unordered block pair is one equi-join tile, and each row replicates
+    * to its `tiles` tiles. A viral bucket of m near-identical documents
+    * thus costs max (m/tiles)² per task instead of m² in one task; the
+    * emitted pair set is exactly the naive self-join's (cold buckets
+    * take the direct path, and a pair's tile pin keeps it unique).
+    *
+    * The hot set is found with one map-side-combined count and
+    * broadcast (≤ n/hotThreshold buckets by construction). Callers
+    * `.distinct()` across buckets as before. */
+  def selfJoinPairs(blocked: DataFrame, keyCols: Seq[String], idCol: String,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
+    val keys = keyCols.map(col)
+    val hot = blocked.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > hotThreshold)
+      .select(keys: _*).withColumn("_hot", lit(true))
+    val marked = blocked.select(keyCols.map(col) :+ col(idCol): _*)
+      .join(broadcast(hot), keyCols, "left")
+
+    val cold = marked.filter(col("_hot").isNull).drop("_hot")
+    val coldPairs = cold.as("a").join(cold.as("b"), keyCols)
+      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+
+    val hotRows = marked.filter(col("_hot").isNotNull).drop("_hot")
+    def tiledSide(as: String): DataFrame = {
+      val bid = pmod(hash(col(idCol)), lit(tiles))
+      val tileArr = (0 until tiles).map { q =>
+        struct(least(bid, lit(q)).as("lo"), greatest(bid, lit(q)).as("hi"))
+      }
+      hotRows.select(keys ++ Seq(col(idCol).as(as), bid.as(s"${as}bid"),
+        explode(array(tileArr: _*)).as(s"t$as")): _*)
+    }
+    val a = tiledSide("i")
+    val b = tiledSide("j")
+    // pin each pair to its own (lo, hi) tile so it is emitted once
+    val hotPairs = a.join(b, keyCols)
+      .filter(col("ti") === col("tj") && col("i") < col("j") &&
+        col("ti.lo") === least(col("ibid"), col("jbid")) &&
+        col("ti.hi") === greatest(col("ibid"), col("jbid")))
+      .select(col("i"), col("j"))
+
+    coldPairs.unionAll(hotPairs)
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
     // hash only hashable column types (xxhash64 rejects MapType) and

@@ -31,6 +31,31 @@ class SkewStoreSpec extends AnyFunSuite {
     assert(plain.count(_._1 == "hot") == 1800)
   }
 
+  test("selfJoinPairs matches the naive self-join on mixed buckets") {
+    // 40 rows over 5 buckets; run once all-cold and once all-hot (tiled)
+    val rows = (0L until 40L).map(i => (i % 5, i)).toDF("key", "id")
+    val naive = rows.as("a").join(rows.as("b"), Seq("key"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id".as("i"), $"b.id".as("j"))
+      .as[(Long, Long)].collect().toSet
+    val cold = Skew.selfJoinPairs(rows, Seq("key"), "id",
+      hotThreshold = 1000L).as[(Long, Long)].collect().toSet
+    val hot = Skew.selfJoinPairs(rows, Seq("key"), "id",
+      hotThreshold = 0L, tiles = 4).as[(Long, Long)].collect().toSet
+    assert(cold == naive)
+    assert(hot == naive)
+  }
+
+  test("selfJoinPairs tiles a planted viral bucket (no quadratic task)") {
+    // 2000 ids in ONE bucket: naive would enumerate all 1.999M pairs in
+    // a single task; the tiled path spreads them over tile-pair tasks
+    // bounded by (2000/8)^2 and still emits each pair exactly once
+    val viral = (0L until 2000L).map(i => (1L, i)).toDF("key", "id")
+    val n = Skew.selfJoinPairs(viral, Seq("key"), "id",
+      hotThreshold = 100L, tiles = 8).count()
+    assert(n == 2000L * 1999L / 2)
+  }
+
   test("ParquetStore round-trips tables, lake layout for objects") {
     val root = Files.createTempDirectory("store").toString
     val store = new ParquetStore(root, nPart = 4)
