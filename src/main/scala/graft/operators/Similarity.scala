@@ -120,11 +120,37 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: centroids are a deterministic corpus sample
-    * (`id < nList` — at 100 TB a k-means refinement job would replace
-    * this, the dataflow is identical), every vector is assigned to its
-    * nearest centroid by exact integer L2. Returns `(id, cid)`. */
+    * (`id < nList`, optionally Lloyd-refined — [[lloydStep]]), every
+    * vector is assigned to its nearest centroid by exact integer L2.
+    * Returns `(id, cid)`. */
   def ivfAssign(prep: DataFrame, cents: DataFrame): DataFrame =
     rankedCells(prep, cents).filter(col("rnk") === 1).select("id", "cid")
+
+  /** One Lloyd iteration over exact integers: assign every vector to its
+    * nearest centroid, recompute each centroid as the per-dimension
+    * *truncated* integer mean of its members (`sign(s)·(|s| div c)` —
+    * written sign-explicitly because Spark's `div` truncates while
+    * DuckDB's `//` floors, and the oracle replays this bit-for-bit).
+    * Cells that attract no members keep their previous centroid. The
+    * whole step is two shuffles (assignment ranking + per-(cid, dim)
+    * sums); centroids stay integer so the refined index remains exactly
+    * reproducible by any engine. */
+  def lloydStep(prep: DataFrame, cents: DataFrame): DataFrame = {
+    val assign = ivfAssign(prep, cents)
+    val sums = assign.join(prep, "id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("k", "v")))
+      .groupBy("cid", "k")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+    val q = expr("abs(s) div c")
+    val refined = sums
+      .withColumn("cvk", when(col("s") < 0, -q).otherwise(q))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("cvk")))),
+        x => x.getField("cvk")).as("ncv"))
+    cents.join(refined, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
+      .withColumn("cn2", idot(col("cv"), col("cv")))
+  }
 
   /** IVF ANN: probe the `nProbe` nearest cells per query, score only
     * vectors assigned to those cells. The candidate set per query is
@@ -132,12 +158,17 @@ object Similarity {
     * scale the assignment table is partitioned by `cid` so each probe is
     * a partition-pruned scan, and the centroid table broadcasts. */
   def ivfTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
-      queryLimit: Long, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+      queryLimit: Long, nList: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 0): DataFrame = {
     // cached: cents/assign/probe/rescoring all branch from it — without
     // the cache each branch re-scans and re-quantizes the corpus
     val prep = prepared(embs, idCol, vecCol).cache()
-    val cents = prep.filter(col("id") < nList)
+    var cents = prep.filter(col("id") < nList)
       .select(col("id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
+    // Lloyd refinement: each step materializes the (tiny) centroid table
+    // so the per-iteration window/aggregate plans don't nest
+    for (_ <- 1 to refineIters)
+      cents = lloydStep(prep, cents).localCheckpoint(true)
     // One ranked corpus×centroids table serves both roles: rnk = 1 is
     // the cell assignment, rnk <= nProbe (query rows) the probe list.
     val ranked = rankedCells(prep, cents).cache()

@@ -85,6 +85,69 @@ object SimilarityQueries {
        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold
        |ORDER BY i, j""".stripMargin
 
+  /** DuckDB replay of [[Similarity.ivfTopK]] with `iters` unrolled Lloyd
+    * steps — generated (like the SRP oracles) so the refinement
+    * arithmetic cannot drift from [[Similarity.lloydStep]]. */
+  private def ivfOracleSql(k: Int, queryLimit: Int, nList: Int, nProbe: Int,
+      iters: Int): String = {
+    // ranked corpus×centroids for a given centroid CTE: rnk 1 = cell
+    // assignment, rnk <= nProbe = probe list (same shape as rankedCells)
+    def ranked(cents: String, extra: String): String =
+      s"""SELECT p.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |        p.n2 + c.cn2 - 2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
+         |        c.cid) AS rnk
+         |    FROM p, $cents c$extra""".stripMargin
+    val lloyd = (1 to iters).map { i =>
+      val prev = s"cents${i - 1}"
+      // truncated integer mean per dimension: sign-explicit |s| // c
+      // (DuckDB // floors, Spark div truncates — identical on |s|)
+      s"""assign$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    ${ranked(prev, "")}) WHERE rnk = 1),
+         |sums$i AS (
+         |  SELECT a.cid, t.k,
+         |         CAST(sum(p.qv[CAST(t.k AS INT)]) AS BIGINT) AS s,
+         |         count(*) AS c
+         |  FROM assign$i a JOIN p ON p.vec_id = a.vec_id,
+         |       UNNEST(range(1, 65)) AS t(k)
+         |  GROUP BY a.cid, t.k),
+         |ref$i AS (
+         |  SELECT cid,
+         |         list(CASE WHEN s < 0 THEN -(abs(s) // c)
+         |              ELSE abs(s) // c END ORDER BY k) AS ncv
+         |  FROM sums$i GROUP BY cid),
+         |cents$i AS (
+         |  SELECT cid, cv,
+         |         CAST(list_sum([cv[k]*cv[k] for k in range(1,65)]) AS BIGINT) AS cn2
+         |  FROM (SELECT c0.cid, COALESCE(r.ncv, c0.cv) AS cv
+         |        FROM cents${i - 1} c0 LEFT JOIN ref$i r USING (cid)))""".stripMargin
+    }.map(s => s",\n$s").mkString
+    val cents = s"cents$iters"
+    s"""WITH $duckPrep,
+       |cents0 AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM p WHERE vec_id < $nList)$lloyd,
+       |assign AS (
+       |  SELECT vec_id AS nid, cid FROM (
+       |    ${ranked(cents, "")}) WHERE rnk = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    ${ranked(cents, s" WHERE p.vec_id < $queryLimit")}) WHERE rnk <= $nProbe),
+       |cand AS (
+       |  SELECT pr.qid, a.nid FROM probe pr JOIN assign a USING (cid)
+       |  WHERE a.nid <> pr.qid),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM cand JOIN p a ON a.vec_id = cand.qid
+       |            JOIN p b ON b.vec_id = cand.nid)
+       |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored
+       |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Brute-force cosine top-5 for 10 query vectors.
@@ -158,48 +221,20 @@ object SimilarityQueries {
       doc = "SRP-banded near-dup pairs (32 bits, 4x8-bit bands) + exact " +
         "rescoring at cosine >= 0.4 — the 100 TB near-dup gate"),
 
-    // IVF ANN: 16-cell coarse quantizer, probe 4 cells, top-5 — exact
-    // integer centroid assignment makes the whole index replayable.
+    // IVF ANN: 16-cell coarse quantizer refined with 2 exact-integer
+    // Lloyd iterations, probe 4 cells, top-5 — integer centroids keep
+    // the whole refined index replayable by the oracle.
     "sim_ivf_topk" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
         Similarity.ivfTopK(
           Tables.embeddings(s, d), "vec_id", "embedding", 5,
-          queryLimit = 10L, nList = 16, nProbe = 4)
+          queryLimit = 10L, nList = 16, nProbe = 4, refineIters = 2)
           .orderBy("qid", "rank")
       },
-      Some(
-        s"""WITH $duckPrep,
-           |cents AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM p WHERE vec_id < 16),
-           |assign AS (
-           |  SELECT vec_id AS nid, cid FROM (
-           |    SELECT p.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
-           |        p.n2 + c.cn2 - 2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
-           |        c.cid) AS rnk
-           |    FROM p, cents c) WHERE rnk = 1),
-           |probe AS (
-           |  SELECT vec_id AS qid, cid FROM (
-           |    SELECT p.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
-           |        p.n2 + c.cn2 - 2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
-           |        c.cid) AS rnk
-           |    FROM p, cents c WHERE p.vec_id < 10) WHERE rnk <= 4),
-           |cand AS (
-           |  SELECT pr.qid, a.nid FROM probe pr JOIN assign a USING (cid)
-           |  WHERE a.nid <> pr.qid),
-           |scored AS (
-           |  SELECT cand.qid, cand.nid,
-           |    CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
-           |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
-           |  FROM cand JOIN p a ON a.vec_id = cand.qid
-           |            JOIN p b ON b.vec_id = cand.nid)
-           |SELECT qid, nid, cos, CAST(rank AS INT) AS rank FROM (
-           |  SELECT qid, nid, cos,
-           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-           |  FROM scored
-           |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
-      doc = "IVF ANN: 16-cell coarse quantizer (exact int L2 assignment), " +
-        "4-cell probe, exact cosine rescoring")
+      Some(ivfOracleSql(5, 10, 16, 4, 2)),
+      doc = "IVF ANN: 16-cell coarse quantizer + 2 Lloyd iterations " +
+        "(exact trunc-div integer centroids), 4-cell probe, exact " +
+        "cosine rescoring")
   )
 }

@@ -60,6 +60,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.sortBy(x => (x._1, x._3)).toSeq == r2.sortBy(x => (x._1, x._3)).toSeq)
   }
 
+  test("IVF Lloyd refinement keeps integer centroids and determinism") {
+    val embs = (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(d =>
+        (math.cos(i * 0.37 + d * 0.11) + (if (i % 3 == 0) 0.8 else -0.8)).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.ivfTopK(embs, "vec_id", "embedding", 3,
+      queryLimit = 8L, nList = 8, nProbe = 3, refineIters = 2)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect()
+      .sortBy(x => (x._1, x._3)).toSeq
+    val r = run()
+    assert(r.nonEmpty && r.forall { case (q, n, _) => q < 8L && q != n })
+    assert(r == run()) // refinement is exactly reproducible
+    // refined centroids are still exact int64 vectors
+    val prep = Similarity.prepared(embs, "vec_id", "embedding")
+    val cents0 = prep.filter($"id" < 8)
+      .select($"id".as("cid"), $"qv".as("cv"), $"n2".as("cn2"))
+    val c1 = Similarity.lloydStep(prep, cents0)
+    assert(c1.schema("cv").dataType.simpleString == "array<bigint>")
+    assert(c1.count() == 8) // empty cells keep their previous centroid
+  }
+
   test("SRP-LSH ANN returns ranked neighbors for every id with collisions") {
     val embs = (0L until 40L).map { i =>
       (i, Array.tabulate(64)(d =>
