@@ -287,6 +287,67 @@ object PolicyQueries {
           |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "operations.clj:591-632 POST policy eq/starts-with conditions"),
 
+    // J8b: POST form-upload body parse (request.clj:252-260
+    // multipart-params; fixture shape = test/data/form-upload{1,2}.txt).
+    // Build a multipart/form-data body per doc (key/acl/Policy fields +
+    // a file part with filename and content type), then parse every part
+    // back out with one aligned regexp_extract_all pass — the oracle is
+    // the original field table, so the parse must be lossless. Pure
+    // codegen'd string ops; values are regex-safe by construction (the
+    // free-form ones are md5 hex).
+    "j8_form_parse" -> QueryDef(
+      (s, d) => {
+        val b = concat(lit("----fb"), col("doc_id"))
+        def field(name: String, value: org.apache.spark.sql.Column) =
+          concat(lit("--"), b,
+            lit(s"""\r\nContent-Disposition: form-data; name="$name"\r\n\r\n"""),
+            value, lit("\r\n"))
+        val body = concat(
+          field("key", concat(col("lang"), lit("/doc_"), col("doc_id"))),
+          field("acl", lit("private")),
+          field("Policy", md5(encode(col("text"), "UTF-8"))),
+          concat(lit("--"), b,
+            lit("\r\nContent-Disposition: form-data; name=\"file\"; " +
+              "filename=\"upload.bin\"\r\n" +
+              "Content-Type: application/octet-stream\r\n\r\n"),
+            md5(encode(col("source"), "UTF-8")), lit("\r\n")),
+          lit("--"), b, lit("--"))
+        val pat = "(?s)Content-Disposition: form-data; name=\"([^\"]*)\"" +
+          "(?:; filename=\"([^\"]*)\")?" +
+          "(?:\\r\\nContent-Type: ([^\\r]*))?\\r\\n\\r\\n(.*?)\\r\\n--"
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), body.as("body"))
+          .select(col("doc_id"), explode(arrays_zip(
+            expr(s"regexp_extract_all(body, '$pat', 1)"),
+            expr(s"regexp_extract_all(body, '$pat', 2)"),
+            expr(s"regexp_extract_all(body, '$pat', 3)"),
+            expr(s"regexp_extract_all(body, '$pat', 4)"))).as("f"))
+          .select(col("doc_id"), col("f").getField("0").as("name"),
+            col("f").getField("1").as("filename"),
+            col("f").getField("2").as("ctype"),
+            col("f").getField("3").as("value"))
+          .orderBy("doc_id", "name")
+      },
+      Some(
+        """SELECT doc_id, name, filename, ctype, value FROM (
+          |  SELECT doc_id, 'key' AS name, '' AS filename, '' AS ctype,
+          |         lang || '/doc_' || CAST(doc_id AS VARCHAR) AS value
+          |  FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id, 'acl', '', '', 'private'
+          |  FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id, 'Policy', '', '', md5(text)
+          |  FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id, 'file', 'upload.bin', 'application/octet-stream',
+          |         md5(source)
+          |  FROM documents WHERE doc_id % 5 = 0
+          |) ORDER BY doc_id, name""".stripMargin),
+      doc = "request.clj:252-260 multipart/form-data POST body parse " +
+        "(form-upload fixture shape) — lossless field extraction"),
+
     // J9: operation router — method+path+action → operation keyword.
     "j9_op_router" -> QueryDef(
       (s, d) => {

@@ -71,6 +71,78 @@ class AclSpec extends AnyFunSuite {
     assertThrows[AclError](Acl.parseAcl("foo fa fi"))
   }
 
+  test("acl4 fixture shape: two permissions, mixed grantee types, order") {
+    // replica of the reference's test/data/acl4.xml (acl_test.clj:9-13):
+    // FULL_CONTROL and READ_ACP each hold a CanonicalUser AND a Group
+    // grantee, and the internal repr must keep them per-permission, in
+    // document order
+    val acl4 =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<AccessControlPolicy xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+        |  <Owner><ID>foo</ID><DisplayName>bar</DisplayName></Owner>
+        |  <AccessControlList>
+        |    <Grant>
+        |      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="CanonicalUser">
+        |        <ID>foo</ID><DisplayName>bar</DisplayName>
+        |      </Grantee>
+        |      <Permission>FULL_CONTROL</Permission>
+        |    </Grant>
+        |    <Grant>
+        |      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="Group">
+        |        <URI>bar</URI><DisplayName>bar</DisplayName>
+        |      </Grantee>
+        |      <Permission>FULL_CONTROL</Permission>
+        |    </Grant>
+        |    <Grant>
+        |      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="CanonicalUser">
+        |        <ID>foo</ID><DisplayName>baz</DisplayName>
+        |      </Grantee>
+        |      <Permission>READ_ACP</Permission>
+        |    </Grant>
+        |    <Grant>
+        |      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="Group">
+        |        <URI>baz</URI><DisplayName>baz</DisplayName>
+        |      </Grantee>
+        |      <Permission>READ_ACP</Permission>
+        |    </Grant>
+        |  </AccessControlList>
+        |</AccessControlPolicy>""".stripMargin
+    val want: Acl.AclMap = Map(
+      "FULL_CONTROL" -> Seq(Grantee(Some("foo"), Some("bar")),
+        Grantee(None, Some("bar"), Some("bar"))),
+      "READ_ACP" -> Seq(Grantee(Some("foo"), Some("baz")),
+        Grantee(None, Some("baz"), Some("baz"))))
+    assert(Acl.parseAcl(acl4) == want)
+    // and the repr survives our own render (reference asserts byte
+    // equality with its emitter; ours asserts the same fixed point)
+    assert(Acl.parseAcl(Acl.renderAcl(want, "foo", "bar")) == want)
+  }
+
+  test("acl5 fixture shape: AllUsers group URI shortens to anonymous") {
+    // replica of test/data/acl5.xml (acl_test.clj:14-15)
+    val acl5 =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<AccessControlPolicy xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+        |  <Owner><ID>foo</ID><DisplayName>bar</DisplayName></Owner>
+        |  <AccessControlList>
+        |    <Grant>
+        |      <Grantee xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:type="Group">
+        |        <URI>http://acs.amazonaws.com/groups/global/AllUsers</URI>
+        |        <DisplayName>anonymous</DisplayName>
+        |      </Grantee>
+        |      <Permission>READ</Permission>
+        |    </Grant>
+        |  </AccessControlList>
+        |</AccessControlPolicy>""".stripMargin
+    val want: Acl.AclMap = Map(
+      "READ" -> Seq(Grantee(None, Some("anonymous"), Some("anonymous"))))
+    assert(Acl.parseAcl(acl5) == want)
+    // render expands the short name back to the full group URI
+    assert(Acl.renderAcl(want)
+      .contains("<URI>http://acs.amazonaws.com/groups/global/AllUsers</URI>"))
+    assert(Acl.parseAcl(Acl.renderAcl(want)) == want)
+  }
+
   test("render → parse round-trips the internal representation") {
     // fixed-point representation: render fills DisplayName from URI/ID
     // (as the reference's as-xml does), so round-trip inputs carry it
