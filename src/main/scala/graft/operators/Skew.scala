@@ -43,11 +43,15 @@ object Skew {
   def selfJoinPairs(blocked: DataFrame, keyCols: Seq[String], idCol: String,
       hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     val keys = keyCols.map(col)
-    val hot = blocked.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
+    // materialized once: the narrow (keys, id) band table feeds four plan
+    // branches (hot count, both cold join sides, both tiled sides) — left
+    // lazy, each branch would recompute the upstream signature scan
+    val bands = blocked.select(keyCols.map(col) :+ col(idCol): _*)
+      .localCheckpoint(true)
+    val hot = bands.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") > hotThreshold)
       .select(keys: _*).withColumn("_hot", lit(true))
-    val marked = blocked.select(keyCols.map(col) :+ col(idCol): _*)
-      .join(broadcast(hot), keyCols, "left")
+    val marked = bands.join(broadcast(hot), keyCols, "left")
 
     val cold = marked.filter(col("_hot").isNull).drop("_hot")
     val coldPairs = cold.as("a").join(cold.as("b"), keyCols)
