@@ -74,4 +74,27 @@ class PlanSpec extends AnyFunSuite {
       .filter(col("bucket") === "src1").limit(1))
     assert(p.contains("CollectLimit") || p.contains("LocalLimit"), p)
   }
+
+  test("error dispatch joins broadcast the bucket dimension") {
+    val p = plan(graft.queries.ErrorQueries.defs("err_dispatch").fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("no registered query plans a cartesian product") {
+    // A CartesianProduct (or a non-broadcast nested loop) is the one plan
+    // shape that can never survive a 100x scale-up. Every query in the
+    // registry must plan without one; the two broadcast nested loops are
+    // deliberate bounded-side designs (brute-force topK broadcasts ~10
+    // query vectors; IVF ranking broadcasts nList centroids) and stay
+    // allowlisted as long as their loop side is a broadcast.
+    graft.functions.GraftFunctions.register(spark)
+    val bnljAllowed = Set("sim_topk_brute", "sim_ivf_topk")
+    SparkEntry.registry.foreach { case (name, qd) =>
+      val p = plan(qd.fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested loop join:\n$p")
+    }
+  }
 }
