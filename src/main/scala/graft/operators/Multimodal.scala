@@ -88,6 +88,19 @@ object Multimodal {
     }
   }
 
+  /** Decode + resize images to `target` feature bins: the decode stage
+    * of [[decodeImages]] followed by the stub resampler — still one
+    * per-partition pass, nothing collected. A real codec swap changes
+    * [[decodeImageStub]]/[[resizeStub]] only. */
+  def resizeImages(m: Dataset[Media], target: Int): Dataset[ImageFeatures] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    m.filter(_.mediaType == "image").mapPartitions { it =>
+      it.map(row =>
+        resizeStub(decodeImageStub(row.payload).copy(id = row.id), target))
+    }
+  }
+
   /** Frame sampling for video payloads: byte-sliced `frameBytes` windows
     * via a pure column expression (binary `substring` is byte-based), so
     * it stays inside whole-stage codegen — no UDF, no decode until a

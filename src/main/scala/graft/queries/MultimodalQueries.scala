@@ -119,6 +119,51 @@ object MultimodalQueries {
       doc = "stub decode dims: exact byte-function of payload, " +
         "ASCII-restricted oracle"),
 
+    // Resize: decode + resample the 8 stripe features to 4 bins (stub
+    // resampler indexes stripe i*8/4 = 2i; width becomes the target,
+    // height rescales by integer division). Same ASCII/f32 oracle
+    // machinery as mm_decode_features.
+    "mm_resize" -> QueryDef(
+      (s, d) => Multimodal.resizeImages(
+        Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) >= 2)), 4)
+        .toDF()
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          array_join(transform(col("features"),
+            x => round(x.cast("double") * 1000).cast("long")), ",")
+            .as("features_milli"))
+        .orderBy("id"),
+      Some(
+        """SELECT doc_id AS id, CAST(4 AS INT) AS width,
+          |       CAST((4 * (16 + (ascii(substr(text, 2, 1)) & 63)))
+          |            // (16 + (ascii(substr(text, 1, 1)) & 63)) AS INT)
+          |         AS height,
+          |       CAST(1 + octet_length(encode(text)) % 3 AS INT) AS channels,
+          |       string_agg(CAST(milli AS VARCHAR), ',' ORDER BY s)
+          |         AS features_milli
+          |FROM (
+          |  SELECT doc_id, text, s,
+          |    CASE WHEN u > f THEN
+          |      CAST(round(CAST(
+          |        CAST(list_sum([ascii(substr(text, CAST(k AS INT), 1))
+          |                       for k in range(f + 1, u + 1)]) AS FLOAT)
+          |        / CAST(u - f AS FLOAT) AS DOUBLE) * 1000) AS BIGINT)
+          |    ELSE 0 END AS milli
+          |  FROM (
+          |    SELECT doc_id, text, s,
+          |           (s * length(text)) // 8 AS f,
+          |           ((s + 1) * length(text)) // 8 AS u
+          |    FROM documents, UNNEST(range(0, 8)) AS t(s)
+          |    WHERE doc_id % 3 = 0 AND octet_length(encode(text)) = length(text)
+          |      AND length(text) >= 2)
+          |  WHERE s % 2 = 0
+          |)
+          |GROUP BY doc_id, text
+          |ORDER BY id""".stripMargin),
+      doc = "image resize: stub resampler over decoded stripe features " +
+        "(i*len/target indexing), integer height rescale, f32 oracle"),
+
     // Audio windows: mean + RMS per 256-byte window. Sums of byte values
     // (and their squares) are exact integers, so the double divisions and
     // sqrt are IEEE-identical across engines; ASCII restriction makes

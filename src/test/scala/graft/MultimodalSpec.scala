@@ -50,6 +50,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.last._3 == total - 128 * (frames.length - 1))
   }
 
+  test("resizeImages = decode + resizeStub per row, distributed") {
+    val r = Multimodal.resizeImages(Multimodal.media(docs), 4)
+      .collect().sortBy(_.id)
+    assert(r.nonEmpty)
+    r.foreach { f =>
+      assert(f.width == 4 && f.features.length == 4)
+      val d = Multimodal.decodeImageStub(
+        docs.filter($"doc_id" === f.id).select("text")
+          .as[String].collect().head.getBytes("UTF-8")).copy(id = f.id)
+      assert(f.features.toSeq == Multimodal.resizeStub(d, 4).features.toSeq)
+    }
+  }
+
   test("audio windows compute mean and rms per fixed window") {
     val w = Multimodal.audioWindows(Multimodal.media(docs), 100)
       .collect().sortBy(_.windowIdx)
