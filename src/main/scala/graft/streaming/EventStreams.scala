@@ -152,6 +152,26 @@ object EventStreams {
     * per-key in the state store; timeout evicts abandoned sessions
     * (the reference's acknowledged orphan-upload leak becomes a
     * timeout policy). */
+  // ---- streaming ingest dedup (LLM-pipeline surface) ---------------------
+
+  /** One document arriving on the ingest feed. */
+  case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming exact dedup: keep the first arrival of each content
+    * fingerprint (normalized-text md5, the same key as the batch
+    * `dd_exact`). `dropDuplicatesWithinWatermark` bounds the state store
+    * to the watermark horizon — the scale-safe form of streaming dedup
+    * (plain `dropDuplicates` would grow state with every distinct
+    * document forever); re-arrivals of a fingerprint beyond the horizon
+    * are the batch job's business, not the hot ingest path's. */
+  def dedupDocuments(docs: Dataset[DocEvent],
+      watermark: String = "10 minutes"): DataFrame =
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .withColumn("fp",
+        graft.operators.TextOps.mdFingerprint(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+
   def sessionTotals(events: Dataset[EventRow],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
       : Dataset[SessionUpdate] = {

@@ -6,7 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.{EventRow, PartEvent, UploadResult}
+import graft.streaming.EventStreams.{DocEvent, EventRow, PartEvent,
+  UploadResult}
 
 /** Structured-Streaming surface driven through MemoryStream. */
 class StreamingSpec extends AnyFunSuite {
@@ -80,6 +81,27 @@ class StreamingSpec extends AnyFunSuite {
   def pe(upload: String, kind: String, partno: Int, size: Long, minute: Int) =
     PartEvent(upload, kind, partno, size, f"ck$upload%s$partno%d",
       Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"))
+
+  test("streaming exact dedup keeps the first arrival per fingerprint") {
+    val input = MemoryStream[DocEvent](spark)
+    val q = EventStreams.dedupDocuments(input.toDS())
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      def de(id: Long, minute: Int, text: String) =
+        DocEvent(id, Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), text)
+      // duplicate inside one batch AND across batches within watermark
+      input.addData(de(1, 1, "hello world"), de(2, 2, "hello world"),
+        de(3, 2, "something else"))
+      q.processAllAvailable()
+      input.addData(de(4, 3, "Hello   WORLD"), // normalizes to the same fp
+        de(5, 4, "third text"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_docs").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
 
   test("upload sessions: complete assembles parts with multipart etag") {
     val input = MemoryStream[PartEvent](spark)
