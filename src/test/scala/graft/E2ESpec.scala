@@ -99,6 +99,55 @@ class E2ESpec extends AnyFunSuite {
     assert(sz(100L) == 6L)
   }
 
+  test("request lifecycle: route → dispatch → error render " +
+    "(ops_test:191-585 error-code assertions)") {
+    import graft.operators.{Errors, Router}
+    // buckets/objects state + four requests exercising each decision arm
+    val buckets = Seq("b1").toDF("bucket")
+    val objects = Seq(("b1", "k/present", 100L)).toDF("bucket", "object", "size")
+    val reqs = Seq(
+      (1L, "GET", "/b1/k/present", true),   // 200
+      (2L, "GET", "/b1/k/missing", true),   // 404 NoSuchKey
+      (3L, "GET", "/b1/k/present", false),  // 403 AccessDenied
+      (4L, "GET", "/nosuch/k/x", true)      // 404 NoSuchBucket
+    ).toDF("rid", "method", "path", "authorized")
+    val routeUdf = udf((m: String, p: String) => Router.route(m, p, None))
+    val parsed = reqs
+      .withColumn("op", routeUdf($"method", $"path"))
+      .withColumn("bucket_req", split(regexp_replace($"path", "^/", ""), "/", 2)(0))
+      .withColumn("object_req", split(regexp_replace($"path", "^/", ""), "/", 2)(1))
+    val joined = parsed
+      .join(broadcast(buckets.withColumn("bucket_exists", lit(true)))
+        .withColumnRenamed("bucket", "bucket_req"), Seq("bucket_req"), "left")
+      .join(objects.select($"bucket".as("bucket_req"),
+        $"object".as("object_req"), $"size".as("obj_size")),
+        Seq("bucket_req", "object_req"), "left")
+    val errType = when($"bucket_exists".isNull, "no-such-bucket")
+      .when(!$"authorized", "access-denied")
+      .when($"obj_size".isNull, "no-such-key")
+      .otherwise("none")
+    val out = joined.select($"rid", $"op", errType.as("err_type"),
+      Errors.statusOf(errType).as("status"),
+      Errors.renderXml(errType, Map(
+        "reqid" -> concat(lit("req-"), $"rid"),
+        "key" -> $"object_req", "bucket" -> $"bucket_req",
+        "upload" -> lit(""), "arg" -> lit(""), "value" -> lit("")))
+        .as("xml"))
+      .as[(Long, String, String, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.values.forall(_._2 == "get-object")) // routing
+    assert(out(1L)._3 == "none")
+    assert(out(2L)._4 == 404 &&
+      out(2L)._5.contains("<Code>NoSuchKey</Code>") &&
+      out(2L)._5.contains("<Key>k/missing</Key>") &&
+      out(2L)._5.contains("<RequestId>req-2</RequestId>"))
+    assert(out(3L)._4 == 403 &&
+      out(3L)._5.contains("<Code>AccessDenied</Code>"))
+    assert(out(4L)._4 == 404 &&
+      out(4L)._5.contains("<Code>NoSuchBucket</Code>") &&
+      out(4L)._5.contains("<BucketName>nosuch</BucketName>"))
+  }
+
   test("orphaned part inodes are GC'd after assembly (concepts.rst:96-100)") {
     val live = Seq((100L)).toDF("inode")
     val all = chunk(10L, "foo", 2).unionAll(chunk(11L, "bar", 2))
