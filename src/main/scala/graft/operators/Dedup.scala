@@ -185,7 +185,13 @@ object Dedup {
     val edges = pairs.select(col("i"), col("j"))
       .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
       .cache()
-    var labels = ids.select(col("id"), col("id").as("label"))
+    // Iterate only over nodes that appear in an edge: everything else is
+    // a singleton whose label can never change. A 100 TB near-dup graph
+    // is sparse (most documents pair with nothing), so every round's
+    // joins run on |V(edges)| rows, not |corpus| rows; singletons are
+    // unioned back at the end.
+    var labels = edges.select(col("i").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -218,7 +224,9 @@ object Dedup {
     // hitting this indicates a bug, not a long chain.
     require(converged,
       s"components did not converge in $maxIter rounds")
-    labels
+    // singletons (ids in no edge) label themselves
+    ids.select(col("id")).join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   // ---- MinHash + LSH -----------------------------------------------------
