@@ -104,10 +104,7 @@ object Dedup {
       .withColumn("rank", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("sh"))))
       .filter(col("rank") <= col("n") - ceilTn + 1)
-      .select("id", "n", "sh", "rank")
-      // cached: the self-join below would otherwise recompute the
-      // df-join + ranking window once per side
-      .cache()
+      .select("sh", "id", "n", "rank")
 
     // Candidate pruning on each colliding prefix shingle (all integer):
     //  - size filter: J >= t ⇒ t·max(|a|,|b|) <= min(|a|,|b|)
@@ -118,19 +115,26 @@ object Dedup {
     //    is achievable. A qualifying pair always survives via its
     //    *first* common shingle (nothing common precedes it), so
     //    filtering every collision is lossless.
+    // The collision enumeration itself goes through the payload-carrying
+    // skew-safe self-join: a boilerplate shingle shared by a viral
+    // duplicate cluster lands in the prefix of every copy, and without
+    // tiling that one inverted-list bucket is a quadratic task.
+    // (selfJoinRows also materializes `ranked` once, so the df-join +
+    // ranking window run once, not once per join side.)
     val alpha =
-      expr(s"($tNum * (a.n + b.n) + ${tNum + tDen - 1}) div ${tNum + tDen}")
-    val cand = ranked.as("a").join(ranked.as("b"), "sh")
-      .filter(col("a.id") < col("b.id") &&
-        lit(tNum) * greatest(col("a.n"), col("b.n")) <=
-          least(col("a.n"), col("b.n")) * tDen &&
-        least(col("a.n") - col("a.rank"), col("b.n") - col("b.rank")) + 1 >=
+      expr(s"($tNum * (i_n + j_n) + ${tNum + tDen - 1}) div ${tNum + tDen}")
+    val cand = Skew
+      .selfJoinRows(ranked, Seq("sh"), "id", Seq("n", "rank"))
+      .filter(
+        lit(tNum) * greatest(col("i_n"), col("j_n")) <=
+          least(col("i_n"), col("j_n")) * tDen &&
+        least(col("i_n") - col("i_rank"), col("j_n") - col("j_rank")) + 1 >=
           alpha)
-      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .select(col("i"), col("j"))
       .distinct()
 
     finishWithUnpersist(
-      verify(cand, sets).filter(col("jac") >= threshold), sets, ranked)
+      verify(cand, sets).filter(col("jac") >= threshold), sets)
   }
 
   /** Exact Jaccard of candidate pairs: two array lookups per pair + a

@@ -41,42 +41,55 @@ object Skew {
     * broadcast (≤ n/hotThreshold buckets by construction). Callers
     * `.distinct()` across buckets as before. */
   def selfJoinPairs(blocked: DataFrame, keyCols: Seq[String], idCol: String,
-      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame =
+    selfJoinRows(blocked, keyCols, idCol, Nil, hotThreshold, tiles)
+      .select("i", "j")
+
+  /** Payload-carrying form of [[selfJoinPairs]]: emits
+    * `(keyCols…, i, i_<p>…, j, j_<p>…)` per colliding pair, so callers
+    * that filter on per-side attributes (e.g. PPJoin's size/positional
+    * bounds on `(n, rank)`) get the identical collision rows the naive
+    * self-join would produce, with the same hot-bucket tiling. */
+  def selfJoinRows(blocked: DataFrame, keyCols: Seq[String], idCol: String,
+      payloadCols: Seq[String], hotThreshold: Long = 100000L,
+      tiles: Int = 8): DataFrame = {
     val keys = keyCols.map(col)
-    // materialized once: the narrow (keys, id) band table feeds four plan
-    // branches (hot count, both cold join sides, both tiled sides) — left
-    // lazy, each branch would recompute the upstream signature scan
-    val bands = blocked.select(keyCols.map(col) :+ col(idCol): _*)
+    // materialized once: the narrow band table feeds four plan branches
+    // (hot count, both cold join sides, both tiled sides) — left lazy,
+    // each branch would recompute the upstream scan
+    val bands = blocked
+      .select((keyCols ++ (idCol +: payloadCols)).map(col): _*)
       .localCheckpoint(true)
     val hot = bands.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") > hotThreshold)
       .select(keys: _*).withColumn("_hot", lit(true))
     val marked = bands.join(broadcast(hot), keyCols, "left")
 
+    def sided(df: DataFrame, side: String): DataFrame =
+      df.select(keys ++ Seq(col(idCol).as(side)) ++
+        payloadCols.map(p => col(p).as(s"${side}_$p")): _*)
+
     val cold = marked.filter(col("_hot").isNull).drop("_hot")
-    val coldPairs = cold.as("a").join(cold.as("b"), keyCols)
-      .filter(col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+    val coldPairs = sided(cold, "i").join(sided(cold, "j"), keyCols)
+      .filter(col("i") < col("j"))
 
     val hotRows = marked.filter(col("_hot").isNotNull).drop("_hot")
-    def tiledSide(as: String): DataFrame = {
-      val bid = pmod(hash(col(idCol)), lit(tiles))
+    def tiledSide(side: String): DataFrame = {
+      val bid = pmod(hash(col(side)), lit(tiles))
       val tileArr = (0 until tiles).map { q =>
         struct(least(bid, lit(q)).as("lo"), greatest(bid, lit(q)).as("hi"))
       }
-      hotRows.select(keys ++ Seq(col(idCol).as(as), bid.as(s"${as}bid"),
-        explode(array(tileArr: _*)).as(s"t$as")): _*)
+      sided(hotRows, side)
+        .withColumn(s"${side}bid", bid)
+        .withColumn(s"t$side", explode(array(tileArr: _*)))
     }
-    val a = tiledSide("i")
-    val b = tiledSide("j")
     // pin each pair to its own (lo, hi) tile so it is emitted once
-    val hotPairs = a.join(b, keyCols)
+    val hotPairs = tiledSide("i").join(tiledSide("j"), keyCols)
       .filter(col("ti") === col("tj") && col("i") < col("j") &&
         col("ti.lo") === least(col("ibid"), col("jbid")) &&
         col("ti.hi") === greatest(col("ibid"), col("jbid")))
-      .select(col("i"), col("j"))
 
-    coldPairs.unionAll(hotPairs)
+    coldPairs.unionAll(hotPairs.select(coldPairs.columns.map(col): _*))
   }
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,

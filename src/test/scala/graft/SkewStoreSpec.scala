@@ -46,6 +46,21 @@ class SkewStoreSpec extends AnyFunSuite {
     assert(hot == naive)
   }
 
+  test("selfJoinRows carries per-side payloads identically in both modes") {
+    val rows = (0L until 30L).map(i => (i % 3, i, i * 10, i % 7))
+      .toDF("key", "id", "n", "rank")
+    val naive = rows.as("a").join(rows.as("b"), Seq("key"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id", $"b.id", $"a.n", $"a.rank", $"b.n", $"b.rank")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    def run(threshold: Long) = Skew.selfJoinRows(rows, Seq("key"), "id",
+      Seq("n", "rank"), hotThreshold = threshold, tiles = 4)
+      .select($"i", $"j", $"i_n", $"i_rank", $"j_n", $"j_rank")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(run(1000L) == naive) // all cold
+    assert(run(0L) == naive)    // all hot (tiled)
+  }
+
   test("selfJoinPairs tiles a planted viral bucket (no quadratic task)") {
     // 2000 ids in ONE bucket: naive would enumerate all 1.999M pairs in
     // a single task; the tiled path spreads them over tile-pair tasks
