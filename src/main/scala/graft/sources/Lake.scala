@@ -72,6 +72,27 @@ object Lake {
       .partitionBy("pb")
       .parquet(path)
 
+  /** Write a catalog table bucketed + sorted by the join key: two
+    * tables bucketed the same way (same key, same bucket count)
+    * sort-merge-join with ZERO exchange — each task reads the matching
+    * bucket file pair directly. This is the co-location contract for
+    * the hot `objects ⋈ chunks` (inode) and metadata self-join paths at
+    * 100 TB: the shuffle is paid once at write time, never per query.
+    * The bucket count, like [[DefaultParts]], is part of the on-disk
+    * contract. */
+  def writeBucketedTable(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int = DefaultParts,
+      sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key, sortCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Read the chunk rows of one inode (optionally one byte range). */
   def readInode(spark: SparkSession, path: String, inode: Long,
       range: Option[(Long, Long)] = None,

@@ -58,6 +58,33 @@ class LakeSpec extends AnyFunSuite {
     assert(covered)
   }
 
+  test("same-key bucketed tables sort-merge-join with zero exchange") {
+    val dir = Files.createTempDirectory("graft_bucketed").toString
+    Lake.writeBucketedTable(Tables.objects(spark, sf), "objs_b",
+      s"$dir/objs_b", "inode", buckets = 8)
+    Lake.writeBucketedTable(Tables.chunks(spark, sf), "chunks_b",
+      s"$dir/chunks_b", "inode", buckets = 8, Seq("block", "offset"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path (broadcast would hide the co-location)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("objs_b")
+        .join(spark.table("chunks_b"), "inode")
+        .groupBy("bucket").count()
+      joined.collect() // finalize the adaptive plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // the join reads matching bucket files directly: the only exchange
+      // allowed in the plan is the downstream groupBy's — the join key
+      // must never be shuffled
+      assert(!p.contains("Exchange hashpartitioning(inode"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS objs_b")
+      spark.sql("DROP TABLE IF EXISTS chunks_b")
+    }
+  }
+
   test("object files are sorted by (bucket, object) within partitions") {
     val dir = Files.createTempDirectory("lake_sorted").toString
     Lake.writeObjects(Tables.objects(spark, sf), dir, nPart = 4)
