@@ -126,9 +126,20 @@ object Errors {
 
   // ---- Spark side --------------------------------------------------------
 
+  /** XML text-node escape for payload values — error payloads echo
+    * user-controlled input (object keys, argument values), exactly where
+    * markup injection happens; the reference's emitter escapes
+    * automatically (clojure.data.xml), so must we. `&` first. */
+  private def xmlEscape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  private def xmlEscapeSql(e: String): String =
+    s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
   private def partCol(p: Part, cols: Map[String, Column]): Column = p match {
     case L(s) => lit(s)
-    case P(n) => cols(n)
+    case P(n) => xmlEscape(cols(n))
     case HexBytes(n) =>
       rtrim(regexp_replace(lower(hex(cols(n))), "(..)", "$1 "))
   }
@@ -138,8 +149,9 @@ object Errors {
     val mid = sh.elements.flatMap { case (tag, parts) =>
       lit(s"<$tag>") +: parts.map(partCol(_, cols)) :+ lit(s"</$tag>")
     }
-    val close = Seq(lit("<RequestId>"), cols("reqid"),
-      lit("</RequestId><HostId>"), cols("reqid"), lit("</HostId></Error>"))
+    val close = Seq(lit("<RequestId>"), xmlEscape(cols("reqid")),
+      lit("</RequestId><HostId>"), xmlEscape(cols("reqid")),
+      lit("</HostId></Error>"))
     concat(open +: mid ++: close: _*)
   }
 
@@ -168,7 +180,7 @@ object Errors {
 
   private def partSql(p: Part, cols: Map[String, String]): String = p match {
     case L(s) => sqlLit(s)
-    case P(n) => cols(n)
+    case P(n) => xmlEscapeSql(cols(n))
     case HexBytes(n) =>
       s"rtrim(regexp_replace(lower(hex(${cols(n)})), '(..)', '\\1 ', 'g'))"
   }
@@ -178,8 +190,9 @@ object Errors {
     val mid = sh.elements.flatMap { case (tag, parts) =>
       sqlLit(s"<$tag>") +: parts.map(partSql(_, cols)) :+ sqlLit(s"</$tag>")
     }
-    val close = Seq("'<RequestId>'", cols("reqid"),
-      "'</RequestId><HostId>'", cols("reqid"), "'</HostId></Error>'")
+    val close = Seq("'<RequestId>'", xmlEscapeSql(cols("reqid")),
+      "'</RequestId><HostId>'", xmlEscapeSql(cols("reqid")),
+      "'</HostId></Error>'")
     (open +: mid ++: close).mkString(" || ")
   }
 

@@ -43,6 +43,18 @@ class ErrorsSpec extends AnyFunSuite {
     assert(xml.contains("an unexpected error occured"))
   }
 
+  test("payload values are XML-escaped (keys echo user input)") {
+    val df = Seq(("no-such-key", "r1", "a<b>&c", "bkt", "", "", ""))
+      .toDF("err_type", "reqid", "key", "bucket", "upload", "arg", "value")
+    val cols = Map(
+      "reqid" -> col("reqid"), "key" -> col("key"), "bucket" -> col("bucket"),
+      "upload" -> col("upload"), "arg" -> col("arg"), "value" -> col("value"))
+    val xml = df.select(Errors.renderXml(col("err_type"), cols).as("x"))
+      .as[String].collect().head
+    assert(xml.contains("<Key>a&lt;b&gt;&amp;c</Key>"), xml)
+    assert(!xml.contains("<Key>a<b>"), xml)
+  }
+
   test("statuses match the reference's status-code sites") {
     val want = Map("no-such-key" -> 404, "access-denied" -> 403,
       "bucket-not-empty" -> 409, "invalid-argument" -> 400,
