@@ -316,25 +316,22 @@ object Dedup {
   /** Near-dup pairs with hamming(simhash) <= maxDist (maxDist < 4):
     * banding by the four 15-bit quarters guarantees a colliding band for
     * any pair within distance 3 (pigeonhole), then exact popcount
-    * verification. Hot band buckets are tiled ([[Skew.selfJoinPairs]]);
-    * the hamming popcount joins the (id, simhash) table back onto the
-    * deduped pairs — two narrow joins instead of carrying the signature
-    * through the (much larger) candidate enumeration. */
+    * verification. Hot band buckets are tiled, and the signature rides
+    * through the enumeration as a [[Skew.selfJoinRows]] payload — the
+    * popcount needs no join-back. */
   def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist < SimHashBands, "4-band blocking covers hamming <= 3")
-    val bands = sig.select(col("id"),
+    val bands = sig.select(col("id"), col("simhash"),
       explode(array((0 until SimHashBands).map(i =>
         struct(lit(i).as("band"),
           expr(s"shiftright(simhash, ${i * SimHashBandBits}) & $SimHashBandMask")
             .as("key"))): _*))
         .as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
-    Skew.selfJoinPairs(bands, Seq("band", "key"), "id")
-      .distinct()
-      .join(sig.select(col("id").as("i"), col("simhash").as("sa")), "i")
-      .join(sig.select(col("id").as("j"), col("simhash").as("sb")), "j")
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    Skew.selfJoinRows(bands, Seq("band", "key"), "id", Seq("simhash"))
       .select(col("i"), col("j"),
-        expr("cast(bit_count(sa ^ sb) as int)").as("hamming"))
+        expr("cast(bit_count(i_simhash ^ j_simhash) as int)").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 }
