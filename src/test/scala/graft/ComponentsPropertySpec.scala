@@ -1,0 +1,60 @@
+package graft
+
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Model-based property test for connected components: the
+  * pointer-jumping min-label propagation must agree with an independent
+  * pure-Scala union-find on random graphs (the spec-level proof that
+  * the jump optimization cannot change labels). */
+class ComponentsPropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Reference model: plain union-find with path compression. */
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      (0L until n).map(i => i -> i)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min id of the component = its union-find root,
+    // because unions always point the larger root at the smaller one
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  private val genCase = for {
+    n <- Gen.choose(2, 40)
+    nEdges <- Gen.choose(0, 60)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.choose(0L, n - 1L)
+      b <- Gen.choose(0L, n - 1L)
+      if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield (n.toLong, edges)
+
+  test("components agrees with union-find on random graphs") {
+    (0 until 12).foreach { i =>
+      val (n, edges) = genCase.pureApply(
+        Gen.Parameters.default, rng.Seed(9876L + i))
+      val ids = (0L until n).toDF("id")
+      val pairs = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("i", "j")
+      else edges.toDF("i", "j")
+      val got = Dedup.components(ids, pairs)
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(n, edges)
+      assert(got == want, s"case $i: n=$n edges=$edges")
+    }
+  }
+}

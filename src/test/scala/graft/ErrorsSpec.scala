@@ -65,6 +65,30 @@ class ErrorsSpec extends AnyFunSuite {
     want.foreach { case (t, s) => assert(got(t) == s, t) }
   }
 
+  test("renders stay well-formed XML under hostile payloads (property)") {
+    import org.scalacheck.{Gen, rng}
+    val hostile = Gen.listOfN(8, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.const("""<evil attr="x">&amp;&</evil>"""),
+      Gen.const("]]>"), Gen.const("a&b<c>d\"e'f")))
+    val cases = hostile.pureApply(Gen.Parameters.default, rng.Seed(4242L))
+    for (payload <- cases; sh <- Errors.taxonomy) {
+      val df = Seq((sh.errType, payload, payload, payload, payload,
+        payload, payload))
+        .toDF("err_type", "reqid", "key", "bucket", "upload", "arg", "value")
+      val cols = Map(
+        "reqid" -> col("reqid"), "key" -> col("key"),
+        "bucket" -> col("bucket"), "upload" -> col("upload"),
+        "arg" -> col("arg"), "value" -> col("value"))
+      val xml = df.select(Errors.renderXml(col("err_type"), cols))
+        .as[String].collect().head
+      // must parse, and the payload must round-trip through the escape
+      val parsed = scala.xml.XML.loadString(xml)
+      if (sh.elements.exists(_._1 == "Key"))
+        assert((parsed \ "Key").text == payload, s"${sh.errType}: $payload")
+    }
+  }
+
   test("every taxonomy entry renders its own code exactly once") {
     Errors.taxonomy.foreach { sh =>
       val xml = render(sh.errType)
