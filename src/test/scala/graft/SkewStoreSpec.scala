@@ -71,6 +71,37 @@ class SkewStoreSpec extends AnyFunSuite {
     assert(n == 2000L * 1999L / 2)
   }
 
+  test("selfJoinRows equals the naive join on random data (property)") {
+    import org.scalacheck.{Gen, rng}
+    val genCase = for {
+      nRows <- Gen.choose(1, 60)
+      nKeys <- Gen.choose(1, 5)
+      thr <- Gen.oneOf(0L, 3L, 10L, 1000L) // all-hot … all-cold mixes
+      tiles <- Gen.choose(2, 6)
+      rows <- Gen.listOfN(nRows, for {
+        k <- Gen.choose(0L, nKeys - 1L)
+        n <- Gen.choose(0L, 9L)
+      } yield (k, n))
+    } yield (rows.zipWithIndex.map { case ((k, n), id) => (k, id.toLong, n) },
+      thr, tiles)
+    (0 until 10).foreach { i =>
+      val (rows, thr, tiles) = genCase.pureApply(
+        Gen.Parameters.default, rng.Seed(777L + i))
+      val df = rows.toDF("key", "id", "n")
+      val naive = df.as("a").join(df.as("b"), Seq("key"))
+        .filter($"a.id" < $"b.id")
+        .select($"a.id", $"b.id", $"a.n", $"b.n")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val got = Skew.selfJoinRows(df, Seq("key"), "id", Seq("n"),
+        hotThreshold = thr, tiles = tiles)
+        .select($"i", $"j", $"i_n", $"j_n")
+        .as[(Long, Long, Long, Long)].collect()
+      // exact multiset equality: every pair exactly once, payloads intact
+      assert(got.length == got.toSet.size, s"case $i: duplicates emitted")
+      assert(got.toSet == naive, s"case $i: thr=$thr tiles=$tiles")
+    }
+  }
+
   test("ParquetStore round-trips tables, lake layout for objects") {
     val root = Files.createTempDirectory("store").toString
     val store = new ParquetStore(root, nPart = 4)
