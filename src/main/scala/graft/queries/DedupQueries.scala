@@ -39,7 +39,10 @@ object DedupQueries {
 
   /** Near-dup cluster oracle: brute-force pairs at `threshold`, then the
     * transitive closure as a recursive CTE, labeled by component min. */
-  private def clustersSql(threshold: String): String =
+  /** Shared recursive-CTE prefix: brute-force Jaccard pairs → edges →
+    * transitive closure (`reach`) — the oracle's independent route to
+    * connected components. */
+  private def clustersCtes(threshold: String): String =
     s"""WITH RECURSIVE $shingleCtes,
        |jpairs AS (
        |  SELECT a.doc_id AS i, b.doc_id AS j
@@ -53,9 +56,23 @@ object DedupQueries {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.i, reach.r FROM edges e JOIN reach ON reach.id = e.j
-       |)
+       |)""".stripMargin
+
+  private def clustersSql(threshold: String): String =
+    s"""${clustersCtes(threshold)}
        |SELECT id, CAST(min(r) AS BIGINT) AS label
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  private def survivorsSql(threshold: String): String =
+    s"""${clustersCtes(threshold)},
+       |labels AS (
+       |  SELECT id, CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY id
+       |)
+       |SELECT l.label AS doc_id, CAST(count(*) AS BIGINT) AS cluster_size,
+       |       d.n_chars
+       |FROM labels l JOIN documents d ON d.doc_id = l.label
+       |GROUP BY l.label, d.n_chars
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB replay of [[Dedup.simhash]]/[[Dedup.simhashPairs]]: same
     * md5-derived 60-bit token hash, same per-bit ±1 sums, same 4×15-bit
@@ -150,6 +167,25 @@ object DedupQueries {
       Some(clustersSql("0.5")),
       doc = "near-dup clustering: connected components by iterative " +
         "min-label propagation, canonical survivor per cluster"),
+
+    // The end-to-end dedup pass a training pipeline runs: shingle →
+    // candidates → verify → cluster → keep ONE canonical doc per
+    // near-dup cluster (min doc_id), with the cluster size it absorbs.
+    "dd_survivors" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+          .select("i", "j")
+        Dedup.components(docs.select(col("doc_id").as("id")), pairs)
+          .groupBy(col("label").as("doc_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .join(docs.select("doc_id", "n_chars"), "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(survivorsSql("0.5")),
+      doc = "full dedup pass: near-dup clusters collapse to the min-id " +
+        "canonical document (the surviving corpus + absorption counts)"),
 
     // SimHash hamming<=3 pairs — the 60-bit token hash is 15 md5 hex
     // chars, so DuckDB replays the identical signature, banding, and
