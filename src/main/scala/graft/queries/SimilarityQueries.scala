@@ -148,6 +148,31 @@ object SimilarityQueries {
        |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB replay of SRP-blocked near-dup pairs fed through connected
+    * components (transitive closure by recursive CTE) down to the
+    * surviving canonical vectors — the embedding-modality twin of
+    * DedupQueries' dd_survivors oracle. */
+  private def neardupSurvivorsSql(threshold: Double, nBits: Int,
+      bands: Int): String =
+    s"""WITH RECURSIVE ${srpCandSql(nBits, bands)},
+       |pairs AS (
+       |  SELECT c.i, c.j
+       |  FROM cand c JOIN p a ON a.vec_id = c.i JOIN p b ON b.vec_id = c.j
+       |  WHERE CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold
+       |),
+       |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.i, reach.r FROM edges e JOIN reach ON reach.id = e.j
+       |),
+       |labels AS (
+       |  SELECT id, CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY id
+       |)
+       |SELECT label AS vec_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |FROM labels GROUP BY label ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Brute-force cosine top-5 for 10 query vectors.
@@ -220,6 +245,26 @@ object SimilarityQueries {
       Some(neardupBlockedOracleSql(0.4, 32, 4)),
       doc = "SRP-banded near-dup pairs (32 bits, 4x8-bit bands) + exact " +
         "rescoring at cosine >= 0.4 — the 100 TB near-dup gate"),
+
+    // The embedding-modality dedup pass: SRP-blocked near-dup pairs →
+    // connected components → one canonical vector per cluster. Same
+    // components operator as the text path (dd_survivors) — pair
+    // sources compose.
+    "sim_neardup_survivors" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val embs = Tables.embeddings(s, d)
+        val pairs = Similarity.nearDupPairsBlocked(
+          embs, "vec_id", "embedding", 0.4, dim = 64).select("i", "j")
+        graft.operators.Dedup.components(
+          embs.select(col("vec_id").as("id")), pairs)
+          .groupBy(col("label").as("vec_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .orderBy("vec_id")
+      },
+      Some(neardupSurvivorsSql(0.4, 32, 4)),
+      doc = "embedding dedup pass: SRP-blocked cosine pairs -> connected " +
+        "components -> canonical vector per cluster"),
 
     // IVF ANN: 16-cell coarse quantizer refined with 2 exact-integer
     // Lloyd iterations, probe 4 cells, top-5 — integer centroids keep
