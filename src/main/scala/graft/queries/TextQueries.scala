@@ -88,6 +88,50 @@ object TextQueries {
           |) ORDER BY doc_id""".stripMargin),
       doc = "quality scoring: length/punct/stopword/alpha ratios + composite"),
 
+    // The composed ingest filter every training pipeline runs: keep
+    // documents that pass language ID + composite quality + length
+    // gates, in one codegen'd pass over the scan. Thresholds compare
+    // doubles both engines compute identically (tx_quality
+    // hash-matches), so the boundary is exact.
+    "tx_corpus_filter" -> QueryDef(
+      (s, d) => {
+        val m = TextOps.qualityMetrics(col("text")).toMap
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.langId(col("text")).as("predicted"),
+            m("quality").as("quality"), m("n_words").as("n_words"))
+          .filter(col("predicted") === "en" && col("quality") >= 0.5 &&
+            col("n_words").between(5, 5000))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""SELECT doc_id, predicted, quality, n_words FROM (
+           |  SELECT doc_id,
+           |    CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0 THEN 'zh'
+           |         WHEN substr(best, 1, 6) = '000000' THEN 'und'
+           |         ELSE substr(best, 7, 2) END AS predicted,
+           |    (least(CAST(1.0 AS DOUBLE), nw / CAST(100.0 AS DOUBLE))
+           |     + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), pu * CAST(5.0 AS DOUBLE) / nc))
+           |     + least(CAST(1.0 AS DOUBLE), st * CAST(3.0 AS DOUBLE) / nw)
+           |     + al / nc) * CAST(0.25 AS DOUBLE) AS quality,
+           |    CAST(nw AS BIGINT) AS n_words
+           |  FROM (
+           |    SELECT doc_id, text, $duckScored AS best,
+           |      CAST(length(text) AS DOUBLE) AS nc,
+           |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+           |      CAST(len(regexp_extract_all(text, '\\p{P}')) AS DOUBLE) AS pu,
+           |      CAST(len(regexp_extract_all(text, '[\\p{L}\\x{4E00}-\\x{9FFF}]')) AS DOUBLE) AS al,
+           |      CAST(len(regexp_extract_all(lower(text), '\\b(the|and|was|his|that|with|for)\\b'))
+           |         + len(regexp_extract_all(lower(text), '\\b(el|los|las|una|por|con|para|que)\\b'))
+           |         + len(regexp_extract_all(lower(text), '\\b(le|les|des|une|est|dans|et|qui)\\b'))
+           |         + len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS DOUBLE) AS st
+           |    FROM documents
+           |  )
+           |) WHERE predicted = 'en' AND quality >= 0.5
+           |    AND n_words BETWEEN 5 AND 5000
+           |ORDER BY doc_id""".stripMargin),
+      doc = "composed ingest filter: language + quality + length gates " +
+        "in one scan pass"),
+
     // Corpus n-gram statistics: top-5 bigrams per language by frequency
     // — the "what's in this corpus" analysis every training-data
     // pipeline runs. One explode + one shuffle (lang, bigram) with
