@@ -186,8 +186,19 @@ object Dedup {
     * `limit(1)` scan of the checkpointed result, not a second join. */
   def components(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("i"), col("j"))
-      .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+    // Constrain pairs to ids×ids: an endpoint outside `ids` must not
+    // become (or propagate) a canonical label — labels always reference
+    // rows of `ids`, so downstream joins on the label never drop a
+    // cluster. Two semi-joins, once per call.
+    val idOnly = ids.select(col("id"))
+    val inIds = pairs.select(col("i"), col("j"))
+      .join(idOnly.withColumnRenamed("id", "i"), Seq("i"), "left_semi")
+      .join(idOnly.withColumnRenamed("id", "j"), Seq("j"), "left_semi")
+      // using-column joins move the join column first — re-fix the
+      // (i, j) order the positional unionAll below depends on
+      .select(col("i"), col("j"))
+    val edges = inIds
+      .unionAll(inIds.select(col("j").as("i"), col("i").as("j")))
       .cache()
     // Iterate only over nodes that appear in an edge: everything else is
     // a singleton whose label can never change. A 100 TB near-dup graph

@@ -83,27 +83,16 @@ object Similarity {
     * is inherently Θ(n²) comparisons. The scalable *approximate* gate —
     * realistic for true near-dups — is [[nearDupPairsBlocked]]. */
   def nearDupPairs(prep: DataFrame, threshold: Double,
-      blocks: Int = 8): DataFrame = {
-    def exploded(iAs: String, qvAs: String, n2As: String, bidAs: String,
-        tileAs: String): DataFrame = {
-      val bid = pmod(hash(col("id")), lit(blocks))
-      val tiles = (0 until blocks).map { q =>
-        struct(least(bid, lit(q)).as("lo"), greatest(bid, lit(q)).as("hi"))
-      }
-      prep.select(col("id").as(iAs), col("qv").as(qvAs), col("n2").as(n2As),
-        bid.as(bidAs), explode(array(tiles: _*)).as(tileAs))
-    }
-    val a = exploded("i", "aqv", "an2", "abid", "ta")
-    val b = exploded("j", "bqv", "bn2", "bbid", "tb")
-    // Same-block rows share all `blocks` tiles; pinning the match to the
-    // pair's own (lo, hi) tile keeps every pair in exactly one tile.
-    a.join(b, col("ta") === col("tb") && col("i") < col("j") &&
-        col("ta.lo") === least(col("abid"), col("bbid")) &&
-        col("ta.hi") === greatest(col("abid"), col("bbid")))
+      blocks: Int = 8): DataFrame =
+    // one source of tiling truth: the (property-tested) skew-safe
+    // self-join with a constant key and an all-hot threshold IS the
+    // tiled all-pairs enumeration described above
+    Skew.selfJoinRows(prep.withColumn("_k", lit(1)), Seq("_k"), "id",
+        Seq("qv", "n2"), hotThreshold = 0L, tiles = blocks)
       .select(col("i"), col("j"),
-        cosine(idot(col("aqv"), col("bqv")), col("an2"), col("bn2")).as("cos"))
+        cosine(idot(col("i_qv"), col("j_qv")),
+          col("i_n2"), col("j_n2")).as("cos"))
       .filter(col("cos") >= threshold)
-  }
 
   // ---- IVF (inverted-file index, the second scale path) ------------------
 

@@ -39,12 +39,17 @@ object RenderQueries {
     // Owner ID/DisplayName = tenant, one <Bucket> entry per bucket.
     "a19_list_all_buckets" -> QueryDef(
       (s, d) => Tables.buckets(s, d)
-        .select(col("tenant"), concat(
+        .select(col("tenant"), col("bucket"), concat(
           lit("<Bucket><Name>"), col("bucket"),
           lit(s"</Name><CreationDate>$Ts</CreationDate></Bucket>"))
           .as("frag"))
         .groupBy("tenant")
-        .agg(array_join(sort_array(collect_list(col("frag"))), "").as("bkts"))
+        // sort by bucket NAME, not by fragment text: '<' in the closing
+        // tag sorts before digits, so whole-fragment order diverges from
+        // ORDER BY bucket when one name prefixes another (src1 / src10)
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("bucket"), col("frag")))),
+          x => x.getField("frag")), "").as("bkts"))
         .select(col("tenant"), concat(
           lit(Decl + s"""<ListAllMyBucketsResult xmlns="$Ns">""" +
             "<Owner><ID>"), col("tenant"),
@@ -226,7 +231,7 @@ object RenderQueries {
            |  '</Key><Location>http://b' || CAST(upload % 4 AS VARCHAR) ||
            |  '.s3.amazonaws.com/mp/obj_' || CAST(upload AS VARCHAR) ||
            |  '</Location><ETag>&quot;' ||
-           |  md5(string_agg(checksum, '' ORDER BY partno)) ||
+           |  md5(string_agg(checksum, '' ORDER BY partno, checksum)) ||
            |  '-' || CAST(count(*) AS VARCHAR) ||
            |  '&quot;</ETag></CompleteMultipartUploadResult>' AS xml
            |FROM parts WHERE upload % $UploadMod = 0
@@ -259,12 +264,15 @@ object RenderQueries {
     "a19_delete_result" -> QueryDef(
       (s, d) => Tables.objects(s, d)
         .filter(col("inode") % 50 === 0)
-        .select(col("bucket"), concat(
+        .select(col("bucket"), col("object"), concat(
           lit("<Deleted><Key>"), col("object"),
           lit("</Key></Deleted>")).as("frag"))
         .groupBy("bucket")
-        .agg(array_join(sort_array(collect_list(col("frag"))), "")
-          .as("deleted"))
+        // sort by key, matching the oracle's ORDER BY object (fragment
+        // text order diverges if one key ever prefixes another)
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("object"), col("frag")))),
+          x => x.getField("frag")), "").as("deleted"))
         .select(col("bucket"), concat(
           lit(Decl + s"""<DeleteResult xmlns="$Ns">"""), col("deleted"),
           lit("</DeleteResult>")).as("xml"))

@@ -86,6 +86,17 @@ class DedupSpec extends AnyFunSuite {
     assert((10L to 14L).forall(i => labels(i) == 10L))
   }
 
+  test("components ignores pair endpoints outside ids (label containment)") {
+    // pair (0, 5) references id 0 that is NOT in ids: it must not become
+    // a canonical label (a downstream join on the label would silently
+    // drop the cluster); (5, 6) still clusters normally
+    val pairs = Seq((0L, 5L), (5L, 6L)).toDF("i", "j")
+    val ids = (5L to 7L).toDF("id")
+    val labels = Dedup.components(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("components converges in O(log diameter) rounds (pointer jumping)") {
     // a 200-node chain: plain propagation needs ~200 rounds; with
     // pointer jumping 16 must be plenty (log2(200) ≈ 7.6 + slack) — the

@@ -87,6 +87,9 @@ class PlanSpec extends AnyFunSuite {
     // deliberate bounded-side designs (brute-force topK broadcasts ~10
     // query vectors; IVF ranking broadcasts nList centroids) and stay
     // allowlisted as long as their loop side is a broadcast.
+    // Caveat: queries whose builders eagerly localCheckpoint return a
+    // LogicalRDD scan, so their INTERNAL joins are not visible here —
+    // those pipelines' operators are asserted directly in the next test.
     graft.functions.GraftFunctions.register(spark)
     val bnljAllowed = Set("sim_topk_brute", "sim_ivf_topk")
     SparkEntry.registry.foreach { case (name, qd) =>
@@ -96,5 +99,30 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a nested loop join:\n$p")
     }
+  }
+
+  test("candidate generators plan equi-joins, never cartesians") {
+    // The checkpointed pipelines' inner enumeration, asserted at the
+    // operator level where the join plan is still lazy/inspectable.
+    graft.functions.GraftFunctions.register(spark)
+    def noCartesian(p: String, who: String): Unit = {
+      assert(!p.contains("CartesianProduct"), s"$who:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$who:\n$p")
+    }
+    val prep = Similarity.prepared(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val sigs = prep.withColumn("sig",
+      Similarity.srpSignature(col("qv"), Similarity.intPlanes(32, 64)))
+      .select("id", "sig")
+    noCartesian(plan(Similarity.srpCandidates(sigs, 4, 8)), "srpCandidates")
+    noCartesian(plan(Similarity.nearDupPairs(prep, 0.4, blocks = 4)),
+      "nearDupPairs (tiled exact gate)")
+    val docs = Tables.documents(spark, sf)
+    noCartesian(plan(Dedup.simhashPairs(
+      Dedup.simhash(docs, "doc_id", "text"))), "simhashPairs")
+    val exploded = Dedup.shingleSets(docs, "doc_id", "text")
+      .select(col("id"), explode(col("hs")).as("sh"))
+    noCartesian(plan(Dedup.lshCandidates(
+      Dedup.minhashSignature(exploded, 8), 4, 2)), "lshCandidates")
   }
 }
