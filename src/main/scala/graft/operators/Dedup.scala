@@ -184,19 +184,22 @@ object Dedup {
     * truncates lineage so the plan doesn't grow); the `changed` flag is
     * computed IN the update pass, so the convergence probe is a cheap
     * `limit(1)` scan of the checkpointed result, not a second join. */
+  /** @param pairsContained callers whose pairs are derived FROM `ids`
+    *   (every query in this repo) may pass true to skip the containment
+    *   semi-joins; leave false when the pair source could be wider than
+    *   `ids` — an endpoint outside `ids` must not become a canonical
+    *   label, or downstream joins on the label silently drop clusters. */
   def components(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
-    // Constrain pairs to ids×ids: an endpoint outside `ids` must not
-    // become (or propagate) a canonical label — labels always reference
-    // rows of `ids`, so downstream joins on the label never drop a
-    // cluster. Two semi-joins, once per call.
+      maxIter: Int = 50, pairsContained: Boolean = false): DataFrame = {
     val idOnly = ids.select(col("id"))
-    val inIds = pairs.select(col("i"), col("j"))
-      .join(idOnly.withColumnRenamed("id", "i"), Seq("i"), "left_semi")
-      .join(idOnly.withColumnRenamed("id", "j"), Seq("j"), "left_semi")
-      // using-column joins move the join column first — re-fix the
-      // (i, j) order the positional unionAll below depends on
-      .select(col("i"), col("j"))
+    val inIds =
+      if (pairsContained) pairs.select(col("i"), col("j"))
+      else pairs.select(col("i"), col("j"))
+        .join(idOnly.withColumnRenamed("id", "i"), Seq("i"), "left_semi")
+        .join(idOnly.withColumnRenamed("id", "j"), Seq("j"), "left_semi")
+        // using-column joins move the join column first — re-fix the
+        // (i, j) order the positional unionAll below depends on
+        .select(col("i"), col("j"))
     val edges = inIds
       .unionAll(inIds.select(col("j").as("i"), col("i").as("j")))
       .cache()

@@ -161,7 +161,8 @@ object DedupQueries {
         val docs = Tables.documents(s, d)
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
           .select("i", "j")
-        Dedup.components(docs.select(col("doc_id").as("id")), pairs)
+        Dedup.components(docs.select(col("doc_id").as("id")), pairs,
+          pairsContained = true)
           .orderBy("id")
       },
       Some(clustersSql("0.5")),
@@ -177,7 +178,8 @@ object DedupQueries {
         val docs = Tables.documents(s, d)
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
           .select("i", "j")
-        Dedup.components(docs.select(col("doc_id").as("id")), pairs)
+        Dedup.components(docs.select(col("doc_id").as("id")), pairs,
+          pairsContained = true)
           .groupBy(col("label").as("doc_id"))
           .agg(count(lit(1)).as("cluster_size"))
           .join(docs.select("doc_id", "n_chars"), "doc_id")

@@ -257,7 +257,8 @@ object SimilarityQueries {
         val pairs = Similarity.nearDupPairsBlocked(
           embs, "vec_id", "embedding", 0.4, dim = 64).select("i", "j")
         graft.operators.Dedup.components(
-          embs.select(col("vec_id").as("id")), pairs)
+          embs.select(col("vec_id").as("id")), pairs,
+          pairsContained = true)
           .groupBy(col("label").as("vec_id"))
           .agg(count(lit(1)).as("cluster_size"))
           .orderBy("vec_id")
