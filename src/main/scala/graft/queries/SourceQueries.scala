@@ -101,6 +101,44 @@ object SourceQueries {
     // JSON round trip: write documents as JSON, read back with an
     // explicit schema, digest-compare the text — escaping must be
     // lossless for arbitrary unicode content.
+    // ORC round trip — the second columnar format Spark ships natively;
+    // verifies the engine is not parquet-bound (DuckDB has no ORC
+    // reader, so the oracle recomputes from the source rows the sink
+    // must preserve losslessly).
+    "src_orc_roundtrip" -> QueryDef(
+      (s, d) => {
+        val tmp = tempDir("graft_orc")
+        Tables.documents(s, d).select("doc_id", "lang", "text")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .select(col("doc_id"), col("lang"),
+            md5(encode(col("text"), "UTF-8")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, md5(text) AS text_md5
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "ORC source/sink round trip (columnar format #2)"),
+
+    // Plain-text source: one line per record, the rawest ingest shape a
+    // training pipeline sees. Single-line doc ids render as text rows
+    // and read back positionally intact.
+    "src_text_lines" -> QueryDef(
+      (s, d) => {
+        val tmp = tempDir("graft_text")
+        Tables.documents(s, d)
+          .select(concat(col("doc_id"), lit("|"), col("lang")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(
+            split(col("value"), "\\|")(0).cast("long").as("doc_id"),
+            split(col("value"), "\\|")(1).as("lang"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "text-lines source/sink round trip (rawest ingest shape)"),
+
     "src_json_roundtrip" -> QueryDef(
       (s, d) => {
         val tmp = tempDir("graft_json")
