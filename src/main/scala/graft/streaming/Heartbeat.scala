@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
+  SparkListenerStageCompleted, SparkListenerTaskEnd}
+
+/** I-S3 keepalive heartbeat, Spark-native (reference
+  * operations.clj:728-811: a core.async channel fed `"\n"` per block
+  * and `" "` per chunk while multipart parts stream, then the final XML
+  * payload — liveness signalling during a long operation).
+  *
+  * A Spark engine's long operation is a job, so the liveness surface is
+  * a `SparkListener`: one tick per task completion (`chunk` → `" "`),
+  * one per stage completion (`block` → `"\n"`), and a terminal tick per
+  * job — a serving layer consumes the tick stream exactly like the
+  * reference's channel (whitespace per tick, payload at the end).
+  * Listener callbacks run on the driver's event bus off the query's
+  * hot path; ticks accumulate in a lock-free queue.
+  */
+final class Heartbeat extends SparkListener {
+  import Heartbeat.Tick
+
+  private val q = new ConcurrentLinkedQueue[Tick]()
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+    q.add(Tick("chunk", e.stageId.toLong))
+  override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+    q.add(Tick("block", e.stageInfo.stageId.toLong))
+  override def onJobEnd(e: SparkListenerJobEnd): Unit =
+    q.add(Tick("complete", e.jobId.toLong))
+
+  /** Remove and return all ticks accumulated so far. */
+  def drain(): Seq[Tick] = {
+    val out = Seq.newBuilder[Tick]
+    var t = q.poll()
+    while (t != null) { out += t; t = q.poll() }
+    out.result()
+  }
+}
+
+object Heartbeat {
+
+  /** One liveness tick: `chunk` (task), `block` (stage), `complete`
+    * (job). */
+  final case class Tick(kind: String, id: Long)
+
+  /** The reference's wire rendering of one tick (operations.clj:739-740
+    * `push-str`): `" "` per chunk, `"\n"` per block, nothing for the
+    * terminal tick (the payload follows it). */
+  def render(t: Tick): String = t.kind match {
+    case "chunk" => " "
+    case "block" => "\n"
+    case _ => ""
+  }
+
+  /** Run `body` with a [[Heartbeat]] registered, returning the result
+    * and every tick its jobs produced. The listener event bus is
+    * asynchronous, so after `body` returns we poll (bounded) until the
+    * terminal job tick lands; the listener is always removed. */
+  def during[A](sc: SparkContext, timeoutMs: Long = 10000L)
+      (body: => A): (A, Seq[Tick]) = {
+    val hb = new Heartbeat
+    sc.addSparkListener(hb)
+    try {
+      val result = body
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      val out = Seq.newBuilder[Tick]
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        val batch = hb.drain()
+        out ++= batch
+        if (batch.exists(_.kind == "complete")) done = true
+        else Thread.sleep(20)
+      }
+      (result, out.result())
+    } finally sc.removeSparkListener(hb)
+  }
+}

@@ -82,6 +82,23 @@ class StreamingSpec extends AnyFunSuite {
     PartEvent(upload, kind, partno, size, f"ck$upload%s$partno%d",
       Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"))
 
+  test("heartbeat listener ticks per task/stage/job during a long op") {
+    import graft.streaming.Heartbeat
+    val (result, ticks) = Heartbeat.during(spark.sparkContext) {
+      spark.range(0, 1000, 1, numPartitions = 4)
+        .selectExpr("sum(id)").collect().head.getLong(0)
+    }
+    assert(result == 499500L)
+    val kinds = ticks.groupBy(_.kind).view.mapValues(_.size).toMap
+    assert(kinds.getOrElse("chunk", 0) >= 4, kinds)  // one " " per task
+    assert(kinds.getOrElse("block", 0) >= 1, kinds)  // one "\n" per stage
+    assert(kinds.getOrElse("complete", 0) >= 1, kinds)
+    // wire rendering matches the reference's push-str mapping
+    assert(Heartbeat.render(Heartbeat.Tick("chunk", 0)) == " ")
+    assert(Heartbeat.render(Heartbeat.Tick("block", 0)) == "\n")
+    assert(Heartbeat.render(Heartbeat.Tick("complete", 0)) == "")
+  }
+
   test("streaming exact dedup keeps the first arrival per fingerprint") {
     val input = MemoryStream[DocEvent](spark)
     val q = EventStreams.dedupDocuments(input.toDS())
