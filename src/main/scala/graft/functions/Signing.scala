@@ -183,11 +183,14 @@ object Signing {
   def toAmzDate(raw: String): Option[String] = {
     val s = raw.trim
     if (s.matches("""\d{8}T\d{6}Z""")) Some(s)
-    else (HttpDateFormats.view.flatMap { fmt =>
+    else HttpDateFormats.view.flatMap { fmt =>
       try {
         Some(java.time.ZonedDateTime.parse(s, fmt))
       } catch { case _: java.time.DateTimeException => None }
-    } ++ parseRfc850(s)).headOption
+    }.headOption
+      // RFC-850 fallback only when neither common format matched — its
+      // parse does a clock read for the century adjustment
+      .orElse(parseRfc850(s))
       .map(_.withZoneSameInstant(java.time.ZoneOffset.UTC).format(AmzOut))
   }
 

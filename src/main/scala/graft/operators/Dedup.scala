@@ -180,6 +180,14 @@ object Dedup {
     * labels decrease monotonically toward it — identical final labels to
     * plain propagation, just fewer rounds.
     *
+    * The jump is *adaptive*: the first `jumpAfter` rounds run plain
+    * propagation (two joins/round) — while labels are still churning
+    * within a 1-2 hop neighborhood the jump join is pure overhead — and
+    * pointer jumping (a third join/round) starts only once the cheap
+    * rounds have flooded the local structure. Any `jumpAfter` yields the
+    * same fixpoint; it only shifts where the O(log diameter)
+    * acceleration kicks in.
+    *
     * Scale notes: one materialization per round (`localCheckpoint`
     * truncates lineage so the plan doesn't grow); the `changed` flag is
     * computed IN the update pass, so the convergence probe is a cheap
@@ -190,7 +198,8 @@ object Dedup {
     *   `ids` — an endpoint outside `ids` must not become a canonical
     *   label, or downstream joins on the label silently drop clusters. */
   def components(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50, pairsContained: Boolean = false): DataFrame = {
+      maxIter: Int = 50, pairsContained: Boolean = false,
+      jumpAfter: Int = 2): DataFrame = {
     val idOnly = ids.select(col("id"))
     val inIds =
       if (pairsContained) pairs.select(col("i"), col("j"))
@@ -221,14 +230,20 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("plabel"))
       // pointer jump: plabel → labels[plabel] (≤ plabel by the monotone
-      // invariant), landing closer to the component minimum
-      val updated = prop.join(
-          labels.select(col("label").as("gl"), col("id").as("plabel")),
-          Seq("plabel"), "left")
-        .select(col("id"),
-          least(col("plabel"), coalesce(col("gl"), col("plabel")))
-            .as("nl"),
+      // invariant), landing closer to the component minimum; skipped for
+      // the first `jumpAfter` rounds where plain propagation does the
+      // same label work with one less join
+      val jumped =
+        if (iter < jumpAfter) prop.select(col("id"), col("plabel").as("nl"),
           col("label"))
+        else prop.join(
+            labels.select(col("label").as("gl"), col("id").as("plabel")),
+            Seq("plabel"), "left")
+          .select(col("id"),
+            least(col("plabel"), coalesce(col("gl"), col("plabel")))
+              .as("nl"),
+            col("label"))
+      val updated = jumped
         .select(col("id"), col("nl").as("label"),
           (col("nl") =!= col("label")).as("changed"))
         .localCheckpoint(true)

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * generated DuckDB oracle SQL, so the two can never drift.
   *
   * Render contract vs the reference: same error types, same codes, same
-  * messages, same payload elements — but element order is canonicalized
-  * to (Code, Message, extras…, RequestId, HostId); the reference
-  * shuffles RequestId/HostId order per template, which carries no
-  * information. `ServerTime` (wall clock) is omitted: the engine renders
-  * from row state only. Everything stays inside whole-stage codegen —
-  * the render is a `when`-chain of string concats, no UDFs.
+  * messages, same payload elements, same RequestId/HostId *presence*
+  * (included everywhere except the four shapes the reference omits them
+  * from — `includeReqIds = false` below) — but element order is
+  * canonicalized to (Code, Message, extras…, RequestId, HostId); the
+  * reference shuffles RequestId/HostId order per template, which
+  * carries no information. `ServerTime` (wall clock) is omitted: the
+  * engine renders from row state only. Everything stays inside
+  * whole-stage codegen — the render is a `when`-chain of string
+  * concats, no UDFs.
   */
 object Errors {
 
@@ -29,9 +32,12 @@ object Errors {
   final case class HexBytes(name: String) extends Part
 
   /** One error shape: reference ex-info type → S3 code, HTTP status,
-    * and the element list after Code (Message first, then extras). */
+    * and the element list after Code (Message first, then extras).
+    * `includeReqIds = false` for the four shapes the reference renders
+    * WITHOUT RequestId/HostId (no-such-cors, no-such-lifecycle-config,
+    * no-such-tag-set, incomplete-metadata — xml.clj:417-437). */
   final case class ErrShape(errType: String, code: String, status: Int,
-      elements: Seq[(String, Seq[Part])])
+      elements: Seq[(String, Seq[Part])], includeReqIds: Boolean = true)
 
   private val MalformedMsg = "The XML you provided was not well-formed " +
     "or did not validate against our published schema."
@@ -103,17 +109,21 @@ object Errors {
     ErrShape("no-such-cors", "NoSuchCORSConfiguration", 404,
       Seq(
         "Message" -> Seq(L("The CORS configuration does not exist")),
-        "BucketName" -> Seq(P("bucket")))),
+        "BucketName" -> Seq(P("bucket"))),
+      includeReqIds = false),
     ErrShape("no-such-lifecycle-config", "NoSuchLifecycleConfiguration", 404,
       Seq(
         "Message" -> Seq(L("The lifecycle configuration does not exist")),
-        "BucketName" -> Seq(P("bucket")))),
+        "BucketName" -> Seq(P("bucket"))),
+      includeReqIds = false),
     ErrShape("no-such-tag-set", "NoSuchTagSet", 404,
       Seq(
         "Message" -> Seq(L("The TagSet does not exist")),
-        "BucketName" -> Seq(P("bucket")))),
+        "BucketName" -> Seq(P("bucket"))),
+      includeReqIds = false),
     ErrShape("incomplete-metadata", "IncompleteMetadata", 400,
-      Seq("Message" -> Seq(L("Incomplete metadata: "), P("arg")))),
+      Seq("Message" -> Seq(L("Incomplete metadata: "), P("arg"))),
+      includeReqIds = false),
     ErrShape("forbidden", "Forbidden", 403,
       Seq("Message" -> Seq(L("Forbidden"))))
   )
@@ -149,9 +159,12 @@ object Errors {
     val mid = sh.elements.flatMap { case (tag, parts) =>
       lit(s"<$tag>") +: parts.map(partCol(_, cols)) :+ lit(s"</$tag>")
     }
-    val close = Seq(lit("<RequestId>"), xmlEscape(cols("reqid")),
-      lit("</RequestId><HostId>"), xmlEscape(cols("reqid")),
-      lit("</HostId></Error>"))
+    val close =
+      if (sh.includeReqIds)
+        Seq(lit("<RequestId>"), xmlEscape(cols("reqid")),
+          lit("</RequestId><HostId>"), xmlEscape(cols("reqid")),
+          lit("</HostId></Error>"))
+      else Seq(lit("</Error>"))
     concat(open +: mid ++: close: _*)
   }
 
@@ -190,9 +203,12 @@ object Errors {
     val mid = sh.elements.flatMap { case (tag, parts) =>
       sqlLit(s"<$tag>") +: parts.map(partSql(_, cols)) :+ sqlLit(s"</$tag>")
     }
-    val close = Seq("'<RequestId>'", xmlEscapeSql(cols("reqid")),
-      "'</RequestId><HostId>'", xmlEscapeSql(cols("reqid")),
-      "'</HostId></Error>'")
+    val close =
+      if (sh.includeReqIds)
+        Seq("'<RequestId>'", xmlEscapeSql(cols("reqid")),
+          "'</RequestId><HostId>'", xmlEscapeSql(cols("reqid")),
+          "'</HostId></Error>'")
+      else Seq("'</Error>'")
     (open +: mid ++: close).mkString(" || ")
   }
 

@@ -45,51 +45,101 @@ object Skew {
     selfJoinRows(blocked, keyCols, idCol, Nil, hotThreshold, tiles)
       .select("i", "j")
 
+  /** Internal column names of the pair enumeration — caller columns in
+    * `keyCols`/`idCol`/`payloadCols` must not collide with these (a
+    * blocked input already carrying an `i` column would otherwise
+    * produce ambiguous references or silently wrong joins). */
+  private val Reserved =
+    Set("i", "j", "ibid", "jbid", "ti", "tj", "_hot", "_bn")
+
   /** Payload-carrying form of [[selfJoinPairs]]: emits
     * `(keyCols…, i, i_<p>…, j, j_<p>…)` per colliding pair, so callers
     * that filter on per-side attributes (e.g. PPJoin's size/positional
     * bounds on `(n, rank)`) get the identical collision rows the naive
-    * self-join would produce, with the same hot-bucket tiling. */
+    * self-join would produce, with the same hot-bucket tiling.
+    *
+    * Cold-path cost control: the band table is materialized once
+    * (`localCheckpoint(true)` — it feeds every plan branch; left lazy,
+    * each branch recomputes the upstream scan). Its post-checkpoint
+    * count is then a cheap cached-block scan, and when the WHOLE table
+    * holds ≤ `hotThreshold` rows no bucket can be hot, so the hot-count
+    * aggregation job and the broadcast marking join are skipped
+    * entirely — small corpora pay only the checkpoint. `hotThreshold
+    * <= 0` is the explicit forced-tiling spelling (every bucket tiled,
+    * no count scan at all); it is only sensible with low-cardinality
+    * keys (e.g. [[graft.operators.Similarity]]'s constant-key all-pairs
+    * tiling), since the hot-set broadcast bound `≤ n/hotThreshold`
+    * does not apply to it.
+    *
+    * Lifetime note: the checkpointed band table's cached blocks are
+    * released when the returned plan's RDD is garbage-collected (the
+    * `ContextCleaner` unpersists them) — there is no explicit release
+    * handle, and the truncated lineage means an executor loss mid-job
+    * fails the job instead of recomputing. The trade is deliberate:
+    * the table feeds up to four branches of one short-lived job, and
+    * callers that keep results eagerly materialize + drop the
+    * reference (e.g. Dedup.finishWithUnpersist). */
   def selfJoinRows(blocked: DataFrame, keyCols: Seq[String], idCol: String,
       payloadCols: Seq[String], hotThreshold: Long = 100000L,
       tiles: Int = 8): DataFrame = {
+    val userCols = keyCols ++ (idCol +: payloadCols)
+    require(userCols.forall(c => !Reserved(c)),
+      s"column names ${Reserved.mkString(", ")} are reserved by " +
+        s"selfJoinRows; rename the offending input column " +
+        s"(got: ${userCols.mkString(", ")})")
     val keys = keyCols.map(col)
-    // materialized once: the narrow band table feeds four plan branches
-    // (hot count, both cold join sides, both tiled sides) — left lazy,
-    // each branch would recompute the upstream scan
     val bands = blocked
-      .select((keyCols ++ (idCol +: payloadCols)).map(col): _*)
+      .select(userCols.map(col): _*)
       .localCheckpoint(true)
-    val hot = bands.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") > hotThreshold)
-      .select(keys: _*).withColumn("_hot", lit(true))
-    val marked = bands.join(broadcast(hot), keyCols, "left")
 
     def sided(df: DataFrame, side: String): DataFrame =
       df.select(keys ++ Seq(col(idCol).as(side)) ++
         payloadCols.map(p => col(p).as(s"${side}_$p")): _*)
 
-    val cold = marked.filter(col("_hot").isNull).drop("_hot")
-    val coldPairs = sided(cold, "i").join(sided(cold, "j"), keyCols)
-      .filter(col("i") < col("j"))
+    // canonical output column order, shared by every path
+    val outCols = keyCols ++ Seq("i") ++ payloadCols.map(p => s"i_$p") ++
+      Seq("j") ++ payloadCols.map(p => s"j_$p")
 
-    val hotRows = marked.filter(col("_hot").isNotNull).drop("_hot")
-    def tiledSide(side: String): DataFrame = {
-      val bid = pmod(hash(col(side)), lit(tiles))
-      val tileArr = (0 until tiles).map { q =>
-        struct(least(bid, lit(q)).as("lo"), greatest(bid, lit(q)).as("hi"))
+    def directPairs(df: DataFrame): DataFrame =
+      sided(df, "i").join(sided(df, "j"), keyCols)
+        .filter(col("i") < col("j"))
+        .select(outCols.map(col): _*)
+
+    def tiledPairs(df: DataFrame): DataFrame = {
+      def tiledSide(side: String): DataFrame = {
+        val bid = pmod(hash(col(side)), lit(tiles))
+        val tileArr = (0 until tiles).map { q =>
+          struct(least(bid, lit(q)).as("lo"), greatest(bid, lit(q)).as("hi"))
+        }
+        sided(df, side)
+          .withColumn(s"${side}bid", bid)
+          .withColumn(s"t$side", explode(array(tileArr: _*)))
       }
-      sided(hotRows, side)
-        .withColumn(s"${side}bid", bid)
-        .withColumn(s"t$side", explode(array(tileArr: _*)))
+      // pin each pair to its own (lo, hi) tile so it is emitted once
+      tiledSide("i").join(tiledSide("j"), keyCols)
+        .filter(col("ti") === col("tj") && col("i") < col("j") &&
+          col("ti.lo") === least(col("ibid"), col("jbid")) &&
+          col("ti.hi") === greatest(col("ibid"), col("jbid")))
+        .select(outCols.map(col): _*)
     }
-    // pin each pair to its own (lo, hi) tile so it is emitted once
-    val hotPairs = tiledSide("i").join(tiledSide("j"), keyCols)
-      .filter(col("ti") === col("tj") && col("i") < col("j") &&
-        col("ti.lo") === least(col("ibid"), col("jbid")) &&
-        col("ti.hi") === greatest(col("ibid"), col("jbid")))
 
-    coldPairs.unionAll(hotPairs.select(coldPairs.columns.map(col): _*))
+    if (hotThreshold <= 0L) {
+      // forced tiling: every bucket is hot by definition — no count
+      // scan, no marking join
+      tiledPairs(bands)
+    } else if (bands.count() <= hotThreshold) {
+      // the whole band table fits under the threshold, so no single
+      // bucket can exceed it: pure cold path, no hot-count job
+      directPairs(bands)
+    } else {
+      val hot = bands.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > hotThreshold)
+        .select(keys: _*).withColumn("_hot", lit(true))
+      val marked = bands.join(broadcast(hot), keyCols, "left")
+      val coldPairs = directPairs(marked.filter(col("_hot").isNull).drop("_hot"))
+      val hotPairs = tiledPairs(marked.filter(col("_hot").isNotNull).drop("_hot"))
+      coldPairs.unionAll(hotPairs)
+    }
   }
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,

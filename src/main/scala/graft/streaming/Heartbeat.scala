@@ -2,9 +2,11 @@ package graft.streaming
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.SparkContext
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd,
-  SparkListenerStageCompleted, SparkListenerTaskEnd}
+  SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 
 /** I-S3 keepalive heartbeat, Spark-native (reference
   * operations.clj:728-811: a core.async channel fed `"\n"` per block
@@ -23,7 +25,13 @@ final class Heartbeat extends SparkListener {
   import Heartbeat.Tick
 
   private val q = new ConcurrentLinkedQueue[Tick]()
+  private val started = new AtomicInteger(0)
 
+  /** Jobs whose submission the listener bus has delivered so far. */
+  def jobsStarted: Int = started.get()
+
+  override def onJobStart(e: SparkListenerJobStart): Unit =
+    { started.incrementAndGet(); () }
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
     q.add(Tick("chunk", e.stageId.toLong))
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
@@ -57,8 +65,12 @@ object Heartbeat {
 
   /** Run `body` with a [[Heartbeat]] registered, returning the result
     * and every tick its jobs produced. The listener event bus is
-    * asynchronous, so after `body` returns we poll (bounded) until the
-    * terminal job tick lands; the listener is always removed. */
+    * asynchronous, so after `body` returns we poll (bounded) until every
+    * submitted job's terminal tick lands: the bus is FIFO, so once the
+    * `complete` count equals the delivered `jobsStarted` count — and
+    * that count has stabilized across two polls (covers a zero-job
+    * body and submission events still in flight) — no tick can be
+    * outstanding. The listener is always removed. */
   def during[A](sc: SparkContext, timeoutMs: Long = 10000L)
       (body: => A): (A, Seq[Tick]) = {
     val hb = new Heartbeat
@@ -67,12 +79,16 @@ object Heartbeat {
       val result = body
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       val out = Seq.newBuilder[Tick]
+      var completes = 0
+      var prevStarted = -1
       var done = false
       while (!done && System.nanoTime() < deadline) {
         val batch = hb.drain()
         out ++= batch
-        if (batch.exists(_.kind == "complete")) done = true
-        else Thread.sleep(20)
+        completes += batch.count(_.kind == "complete")
+        val startedNow = hb.jobsStarted
+        if (completes == startedNow && startedNow == prevStarted) done = true
+        else { prevStarted = startedNow; Thread.sleep(20) }
       }
       (result, out.result())
     } finally sc.removeSparkListener(hb)
