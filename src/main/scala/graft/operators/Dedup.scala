@@ -223,29 +223,33 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "j"), "j")
-        .groupBy(col("i").as("id")).agg(min("label").as("nlabel"))
-      val prop = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("plabel"))
+      // one join + one agg per plain round: self-loop edges fold the
+      // "own label" term into the neighborhood min, and the self-loop
+      // row (j == i) smuggles the previous label out of the groupBy so
+      // the changed flag needs no join back to `labels`
+      val withSelf = edges
+        .unionAll(labels.select(col("id").as("i"), col("id").as("j")))
+      val prop = withSelf.join(labels.withColumnRenamed("id", "j"), "j")
+        .groupBy(col("i").as("id"))
+        .agg(min("label").as("plabel"),
+          max(when(col("j") === col("i"), col("label"))).as("old"))
       // pointer jump: plabel → labels[plabel] (≤ plabel by the monotone
       // invariant), landing closer to the component minimum; skipped for
       // the first `jumpAfter` rounds where plain propagation does the
       // same label work with one less join
       val jumped =
-        if (iter < jumpAfter) prop.select(col("id"), col("plabel").as("nl"),
-          col("label"))
+        if (iter < jumpAfter)
+          prop.select(col("id"), col("plabel").as("nl"), col("old"))
         else prop.join(
             labels.select(col("label").as("gl"), col("id").as("plabel")),
             Seq("plabel"), "left")
           .select(col("id"),
             least(col("plabel"), coalesce(col("gl"), col("plabel")))
               .as("nl"),
-            col("label"))
+            col("old"))
       val updated = jumped
         .select(col("id"), col("nl").as("label"),
-          (col("nl") =!= col("label")).as("changed"))
+          (col("nl") =!= col("old")).as("changed"))
         .localCheckpoint(true)
       converged = updated.filter(col("changed")).limit(1).count() == 0
       labels = updated.select("id", "label")
