@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Throwaway plan probe for the tiled self-join (not part of the
+  * library surface). */
+object DebugSkew {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val blocked = spark.range(20000L + 1000L).select(
+      when(col("id") < 20000L, lit("viral"))
+        .otherwise(concat(lit("b"), (col("id") / 5).cast("string")))
+        .as("bucket"),
+      col("id").as("doc"))
+      .localCheckpoint(true)
+    def time(label: String, ht: Long): Unit = {
+      val df = Skew.selfJoinPairs(blocked, Seq("bucket"), "doc",
+        hotThreshold = ht, tiles = 8)
+      val t0 = System.nanoTime()
+      val n = df.agg(count(lit(1))).collect()(0).getLong(0)
+      println(s"$label pairs=$n secs=" + (System.nanoTime() - t0) / 1e9)
+    }
+    time("guarded-warm", 5000L)
+    time("guarded", 5000L)
+    time("unguarded", Long.MaxValue)
+    spark.stop()
+  }
+}

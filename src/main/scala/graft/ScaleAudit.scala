@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** 100×-dry-run audit of the [[Lake]] layout (round-5 work item 8):
+  * synthesizes an sf1-scale metadata table (50× the sf0.1 row count),
+  * writes it through the production layout, and MEASURES — from the
+  * executed plan's scan metrics, not from plan text — what a bucket
+  * read actually touches: files, bytes, and rows, versus the table
+  * totals. The claim under test is the one SCALE.md makes for 100 TB:
+  * a listing/point read is O(one hash dir + the row groups its range
+  * overlaps), independent of table size. Writes `SCALE_METRICS.json`.
+  */
+object ScaleAudit {
+
+  /** numFiles/bytes/rows actually read by `df`'s file scan, after
+    * executing it (AQE-aware: the scan hides under the adaptive root). */
+  def scanMetrics(df: DataFrame): (Long, Long, Long) = {
+    df.foreach(_ => ()) // execute to populate metrics
+    val plan = df.queryExecution.executedPlan
+    val exec = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = exec.collectLeaves().collect { case s: FileSourceScanExec => s }
+    require(scans.nonEmpty, "no file scan in plan")
+    val m = scans.head.metrics
+    (m("numFiles").value, m("filesSize").value, m("numOutputRows").value)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("scale_audit").toString
+    val nPart = Lake.DefaultParts // 64, the production default
+
+    // sf1-scale objects: 250k objects over 25 buckets (sf0.1 holds 5k
+    // docs → sf1 ≈ 50k; we go 5× beyond to make pruning ratios vivid)
+    val nObjects = 250000L
+    val nBuckets = 25
+    val objects = spark.range(nObjects).select(
+      concat(lit("tenant"), (col("id") % nBuckets).cast("string"))
+        .as("bucket"),
+      concat(lit("data/"), lpad((col("id") % 7).cast("string"), 2, "0"),
+        lit("/obj_"), lpad(col("id").cast("string"), 9, "0"), lit(".bin"))
+        .as("object"),
+      col("id").as("inode"),
+      (col("id") % 4096L * 17L).as("size"),
+      md5(col("id").cast("string")).as("checksum"))
+    Lake.writeObjects(objects, s"$root/objects", nPart)
+
+    val total = scanMetrics(spark.read.parquet(s"$root/objects"))
+    val one = scanMetrics(
+      Lake.readBucket(spark, s"$root/objects", "tenant7", nPart))
+    // the A6 range scan on top of the bucket read: prefix-bounded keys
+    val ranged = scanMetrics(
+      Lake.readBucket(spark, s"$root/objects", "tenant7", nPart)
+        .filter(col("object") >= "data/03/" && col("object") < "data/04/"))
+
+    // chunks layout: 2M chunk rows across 100k inodes
+    val nChunks = 2000000L
+    val chunks = spark.range(nChunks).select(
+      (col("id") % 100000L).as("inode"),
+      (col("id") / 100000L * 65536L).as("offset"),
+      lit(65536).as("chunksize"),
+      md5(col("id").cast("string")).as("payload"))
+      .withColumn("block", col("offset") - (col("offset") % (65536L * 4)))
+    Lake.writeChunks(chunks, s"$root/chunks", nPart)
+    val chunksTotal = scanMetrics(spark.read.parquet(s"$root/chunks"))
+    val oneInode = scanMetrics(
+      Lake.readInode(spark, s"$root/chunks", 31337L, None, nPart))
+
+    // bucketed-table co-located join at sf1 row counts: zero exchange
+    spark.sql("DROP TABLE IF EXISTS sa_obj")
+    spark.sql("DROP TABLE IF EXISTS sa_chk")
+    Lake.writeBucketedTable(objects.select("inode", "bucket", "object"),
+      "sa_obj", s"$root/bt_obj", "inode", 32)
+    Lake.writeBucketedTable(
+      chunks.select("inode", "offset", "chunksize"),
+      "sa_chk", s"$root/bt_chk", "inode", 32)
+    val joined = spark.table("sa_obj").join(spark.table("sa_chk"), "inode")
+    val exchanges = joined.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    val joinRows = joined.count()
+
+    def pct(a: Long, b: Long): Double =
+      math.round(a.toDouble / b * 10000) / 100.0
+    val json =
+      s"""{
+         |  "objects_rows": $nObjects, "objects_buckets": $nBuckets,
+         |  "layout_parts": $nPart,
+         |  "full_scan":   {"files": ${total._1}, "bytes": ${total._2}, "rows": ${total._3}},
+         |  "bucket_read": {"files": ${one._1}, "bytes": ${one._2}, "rows": ${one._3},
+         |                  "files_pct": ${pct(one._1, total._1)}, "bytes_pct": ${pct(one._2, total._2)}},
+         |  "range_read":  {"files": ${ranged._1}, "bytes": ${ranged._2}, "rows": ${ranged._3}},
+         |  "chunks_rows": $nChunks,
+         |  "chunks_full": {"files": ${chunksTotal._1}, "rows": ${chunksTotal._3}},
+         |  "inode_read":  {"files": ${oneInode._1}, "rows": ${oneInode._3},
+         |                  "files_pct": ${pct(oneInode._1, chunksTotal._1)}},
+         |  "bucketed_join": {"exchanges": $exchanges, "rows": $joinRows}
+         |}""".stripMargin
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALE_METRICS.json"), json.getBytes("UTF-8"))
+
+    // clean up the ~GB of synthetic parquet
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    Files.walk(Path.of(root)).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => { val _ = Files.deleteIfExists(f) })
+    spark.stop()
+  }
+}

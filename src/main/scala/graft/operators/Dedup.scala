@@ -81,7 +81,8 @@ object Dedup {
     * Returns `(i, j, jac)` with i < j.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, w: Int = 3): DataFrame = {
+      threshold: Double, w: Int = 3,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     // The threshold as an exact rational tNum/tDen: every pruning bound
     // below is computed in integer arithmetic. Double formulations like
     // `ceil(t * n)` mis-round at exact-threshold boundaries (e.g.
@@ -124,7 +125,8 @@ object Dedup {
     val alpha =
       expr(s"($tNum * (i_n + j_n) + ${tNum + tDen - 1}) div ${tNum + tDen}")
     val cand = Skew
-      .selfJoinRows(ranked, Seq("sh"), "id", Seq("n", "rank"))
+      .selfJoinRows(ranked, Seq("sh"), "id", Seq("n", "rank"), hotThreshold,
+        tiles)
       .filter(
         lit(tNum) * greatest(col("i_n"), col("j_n")) <=
           least(col("i_n"), col("j_n")) * tDen &&
@@ -297,7 +299,8 @@ object Dedup {
     * For J>=0.8, b=16/r=2 gives miss probability (1-0.8²)^16 ≈ 8e-8.
     * Hot buckets (a viral duplicate cluster) are tiled by
     * [[Skew.selfJoinPairs]] so no task is quadratic in the bucket. */
-  def lshCandidates(sig: DataFrame, b: Int, r: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, b: Int, r: Int,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     val bandKeys = (0 until b).map { i =>
       struct(lit(i).as("band"),
         concat_ws("_", (0 until r).map(o => col(s"m${i * r + o}")): _*)
@@ -305,7 +308,7 @@ object Dedup {
     }
     val bands = sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    Skew.selfJoinPairs(bands, Seq("band", "key"), "id")
+    Skew.selfJoinPairs(bands, Seq("band", "key"), "id", hotThreshold, tiles)
       .distinct()
   }
 
@@ -314,10 +317,12 @@ object Dedup {
     * as brute-force pairwise Jaccard (up to the negligible LSH miss
     * probability) at a fraction of the join volume. */
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
+      threshold: Double, k: Int = 32, bands: Int = 16, w: Int = 3,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, w).cache()
     val exploded = sets.select(col("id"), explode(col("hs")).as("sh"))
-    val cand = lshCandidates(minhashSignature(exploded, k), bands, k / bands)
+    val cand = lshCandidates(minhashSignature(exploded, k), bands, k / bands,
+      hotThreshold, tiles)
     finishWithUnpersist(
       verify(cand, sets).filter(col("jac") >= threshold), sets)
   }
@@ -352,7 +357,8 @@ object Dedup {
     * verification. Hot band buckets are tiled, and the signature rides
     * through the enumeration as a [[Skew.selfJoinRows]] payload — the
     * popcount needs no join-back. */
-  def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(sig: DataFrame, maxDist: Int = 3,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     require(maxDist < SimHashBands, "4-band blocking covers hamming <= 3")
     val bands = sig.select(col("id"), col("simhash"),
       explode(array((0 until SimHashBands).map(i =>
@@ -361,7 +367,8 @@ object Dedup {
             .as("key"))): _*))
         .as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-    Skew.selfJoinRows(bands, Seq("band", "key"), "id", Seq("simhash"))
+    Skew.selfJoinRows(bands, Seq("band", "key"), "id", Seq("simhash"),
+        hotThreshold, tiles)
       .select(col("i"), col("j"),
         expr("cast(bit_count(i_simhash ^ j_simhash) as int)").as("hamming"))
       .distinct()

@@ -214,14 +214,16 @@ object Similarity {
     * Band buckets above [[Skew.selfJoinPairs]]'s hot threshold are tiled
     * so a viral cluster of near-identical vectors (one giant bucket)
     * cannot produce a single quadratic task. */
-  def srpCandidates(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
+  def srpCandidates(sigs: DataFrame, bands: Int, r: Int,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     val mask = (1L << r) - 1
     val bk = (0 until bands).map(i =>
       struct(lit(i).as("band"),
         expr(s"shiftright(sig, ${i * r}) & $mask").as("key")))
     val exploded = sigs.select(col("id"), explode(array(bk: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    Skew.selfJoinPairs(exploded, Seq("band", "key"), "id")
+    Skew.selfJoinPairs(exploded, Seq("band", "key"), "id", hotThreshold,
+        tiles)
       .distinct()
   }
 
@@ -290,10 +292,12 @@ object Similarity {
   }
 
   def annLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
-      nBits: Int = 32, bands: Int = 4, dim: Int = -1): DataFrame = {
+      nBits: Int = 32, bands: Int = 4, dim: Int = -1,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     // cached for the same three-consumer reason as nearDupPairsBlocked
     val prep = srpPrepared(embs, idCol, vecCol, nBits, dim).cache()
-    val cand = srpCandidates(prep.select("id", "sig"), bands, nBits / bands)
+    val cand = srpCandidates(prep.select("id", "sig"), bands, nBits / bands,
+      hotThreshold, tiles)
     // score both orientations so every id gets neighbors
     val sym = cand.unionAll(cand.select(col("j").as("i"), col("i").as("j")))
     val scored = sym

@@ -50,7 +50,7 @@ object Skew {
     * blocked input already carrying an `i` column would otherwise
     * produce ambiguous references or silently wrong joins). */
   private val Reserved =
-    Set("i", "j", "ibid", "jbid", "ti", "tj", "_hot", "_bn")
+    Set("i", "j", "ibid", "jbid", "_tile", "_hot", "_bn")
 
   /** Payload-carrying form of [[selfJoinPairs]]: emits
     * `(keyCols…, i, i_<p>…, j, j_<p>…)` per colliding pair, so callers
@@ -106,20 +106,52 @@ object Skew {
         .select(outCols.map(col): _*)
 
     def tiledPairs(df: DataFrame): DataFrame = {
+      // The tile id `_tile = lo * tiles + hi` is a USING column of the
+      // join, not a post-join filter: the tile identity must reach the
+      // planner as an equi-join KEY, or the whole hot bucket still
+      // hashes to one partition (now with `tiles`× replication) and the
+      // guard makes the skew worse instead of fixing it. (Found by the
+      // SkewBench stress run: a struct-equality filter after the join
+      // was not extracted into the join keys.)
       def tiledSide(side: String): DataFrame = {
         val bid = pmod(hash(col(side)), lit(tiles))
         val tileArr = (0 until tiles).map { q =>
-          struct(least(bid, lit(q)).as("lo"), greatest(bid, lit(q)).as("hi"))
+          least(bid, lit(q)) * tiles + greatest(bid, lit(q))
         }
         sided(df, side)
           .withColumn(s"${side}bid", bid)
-          .withColumn(s"t$side", explode(array(tileArr: _*)))
+          .withColumn("_tile", explode(array(tileArr: _*)))
       }
       // pin each pair to its own (lo, hi) tile so it is emitted once
-      tiledSide("i").join(tiledSide("j"), keyCols)
-        .filter(col("ti") === col("tj") && col("i") < col("j") &&
-          col("ti.lo") === least(col("ibid"), col("jbid")) &&
-          col("ti.hi") === greatest(col("ibid"), col("jbid")))
+      // (rows with equal block ids meet in every tile they share).
+      //
+      // The explicit numbered repartition on (keyCols, _tile) is the
+      // load-bearing line: the join's INPUT here is tiny (a viral
+      // bucket is kilobytes of ids) while its OUTPUT is quadratic, so
+      // every size-based planner facility works against the guard — a
+      // broadcast join streams the hot rows in their incoming (id-
+      // clustered) partitioning, and AQE coalesces the byte-small
+      // shuffle down to one reduce partition. Both re-concentrate the
+      // m² workload on one task. A user-numbered repartition is exempt
+      // from AQE coalescing and satisfies the join's distribution
+      // requirement, so the probe side stays spread across tile groups
+      // whatever join strategy is picked. (Found by SkewBench, which
+      // measures max single-task seconds on a planted viral bucket.)
+      val parts = math.max(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        tiles * (tiles + 1) / 2)
+      val joinKeys = (keyCols :+ "_tile").map(col)
+      // merge hint: the probe loop must iterate each tile group as a
+      // sequential sorted run — the broadcast-hash plan the small build
+      // side invites degrades to pointer-chasing a hashed relation
+      // whose every key chains thousands of duplicates (measured ~40×
+      // slower per emitted pair than the sort-merge group scan)
+      tiledSide("i").repartition(parts, joinKeys: _*).hint("merge")
+        .join(tiledSide("j").repartition(parts, joinKeys: _*),
+          keyCols :+ "_tile")
+        .filter(col("i") < col("j") &&
+          col("_tile") === least(col("ibid"), col("jbid")) * tiles +
+            greatest(col("ibid"), col("jbid")))
         .select(outCols.map(col): _*)
     }
 

@@ -98,6 +98,41 @@ object SourceQueries {
         Tables.objectsSql)),
       doc = "the listing page as plain spark.sql over a registered view"),
 
+    // SURVEY §4 item 3: the flagship listing operator's SQL spelling —
+    // a table-valued function over a registered view, resolved through
+    // graft.sql.GraftExtensions (injectTableFunction). Same kernel as
+    // d1_* (Listing.entries), so the oracle is the same delimiter
+    // grouping with the marker skip-scan (marker ends with the
+    // delimiter → the whole group was emitted → resume at inc(marker),
+    // here 'en/d1/' → 'en/d10').
+    "src_sql_listing" -> QueryDef(
+      (s, d) => {
+        Tables.objects(s, d).createOrReplaceTempView("objects_tvf")
+        s.sql("""SELECT entry, kind
+                |FROM list_objects('objects_tvf', 'src1', 'en/', '/',
+                |                  'en/d1/', 50)""".stripMargin)
+      },
+      Some(graft.QueryDef.withCtes(
+        """SELECT * FROM (SELECT * FROM keys UNION ALL SELECT * FROM prefixes)
+          |ORDER BY entry LIMIT 51""".stripMargin,
+        Tables.objectsSql,
+        """keys AS (
+          |  SELECT object AS entry, 'key' AS kind FROM objects
+          |  WHERE bucket = 'src1' AND object >= 'en/' AND object < 'en0'
+          |    AND object >= 'en/d10'
+          |    AND regexp_matches(object, '^en/[^/]*$')
+          |)""".stripMargin,
+        """prefixes AS (
+          |  SELECT DISTINCT regexp_extract(object, '^(en/[^/]*/).*$', 1) AS entry,
+          |         'prefix' AS kind
+          |  FROM objects
+          |  WHERE bucket = 'src1' AND object >= 'en/' AND object < 'en0'
+          |    AND object >= 'en/d10'
+          |    AND regexp_extract(object, '^(en/[^/]*/).*$', 1) <> ''
+          |)""".stripMargin)),
+      doc = "list_objects TVF (SparkSessionExtensions) — the flagship " +
+        "listing reachable from SQL, meta.clj:230-251 semantics"),
+
     // JSON round trip: write documents as JSON, read back with an
     // explicit schema, digest-compare the text — escaping must be
     // lossless for arbitrary unicode content.

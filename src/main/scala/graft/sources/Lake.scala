@@ -35,27 +35,30 @@ object Lake {
   def pb(c: org.apache.spark.sql.Column, nPart: Int) =
     pmod(xxhash64(c), lit(nPart.toLong)).cast("int")
 
-  /** Write `objects` with the listing-optimal layout. */
+  /** Write `objects` with the listing-optimal layout. `format` is any
+    * columnar file source with filter pushdown (parquet, orc) — part of
+    * the [[Store]] backend seam, not of the layout contract. */
   def writeObjects(objects: DataFrame, path: String,
       nPart: Int = DefaultParts,
       mode: org.apache.spark.sql.SaveMode =
-        org.apache.spark.sql.SaveMode.Overwrite): Unit =
+        org.apache.spark.sql.SaveMode.Overwrite,
+      format: String = "parquet"): Unit =
     objects
       .withColumn("pb", pb(col("bucket"), nPart))
       .repartition(col("pb"))
-      // pb leads the sort: the parquet writer requires rows ordered by
+      // pb leads the sort: the file writer requires rows ordered by
       // the partitionBy columns and would otherwise re-sort by pb alone,
       // destroying the (bucket, object) clustering
       .sortWithinPartitions("pb", "bucket", "object")
       .write.mode(mode)
       .partitionBy("pb")
-      .parquet(path)
+      .format(format).save(path)
 
   /** Read `objects` rows for one bucket: partition pruning via the
     * derived `pb` predicate + pushed bucket equality. */
   def readBucket(spark: SparkSession, path: String, bucket: String,
-      nPart: Int = DefaultParts): DataFrame =
-    spark.read.parquet(path)
+      nPart: Int = DefaultParts, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
       .filter(col("pb") === pb(lit(bucket), nPart) &&
         col("bucket") === bucket)
 
@@ -63,14 +66,15 @@ object Lake {
   def writeChunks(chunks: DataFrame, path: String,
       nPart: Int = DefaultParts,
       mode: org.apache.spark.sql.SaveMode =
-        org.apache.spark.sql.SaveMode.Overwrite): Unit =
+        org.apache.spark.sql.SaveMode.Overwrite,
+      format: String = "parquet"): Unit =
     chunks
       .withColumn("pb", pb(col("inode"), nPart))
       .repartition(col("pb"))
       .sortWithinPartitions("pb", "inode", "block", "offset")
       .write.mode(mode)
       .partitionBy("pb")
-      .parquet(path)
+      .format(format).save(path)
 
   /** Write a catalog table bucketed + sorted by the join key: two
     * tables bucketed the same way (same key, same bucket count)
@@ -96,8 +100,8 @@ object Lake {
   /** Read the chunk rows of one inode (optionally one byte range). */
   def readInode(spark: SparkSession, path: String, inode: Long,
       range: Option[(Long, Long)] = None,
-      nPart: Int = DefaultParts): DataFrame = {
-    val base = spark.read.parquet(path)
+      nPart: Int = DefaultParts, format: String = "parquet"): DataFrame = {
+    val base = spark.read.format(format).load(path)
       .filter(col("pb") === pb(lit(inode), nPart) && col("inode") === inode)
     range match {
       case Some((start, end)) => base.filter(

@@ -1,0 +1,70 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import graft.operators.Listing
+import graft.operators.Listing.ListParams
+
+/** SQL surface for the flagship listing operator (SURVEY §4 item 3):
+  * registers `list_objects(table, bucket, prefix, delimiter, marker,
+  * max_keys)` as a table-valued function, so the reference's
+  * `get-prefixes` listing (meta.clj:230-251) has a SQL spelling:
+  *
+  * {{{
+  * SELECT entry, kind
+  * FROM list_objects('objects_v', 'src1', 'en/', '/', '', 100)
+  * }}}
+  *
+  * Install with `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.sql.GraftExtensions`
+  * (both public Spark mechanisms — no internal registry access). The
+  * builder resolves the named table/view through the active session's
+  * catalog and returns [[Listing.entries]]' logical plan, so the SQL
+  * spelling and the Scala API share one kernel: same pushed range scan,
+  * same truncation contract (`max_keys + 1` rows), same plan shape.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectTableFunction((
+      FunctionIdentifier("list_objects"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "list_objects"),
+      (args: Seq[Expression]) => GraftExtensions.listObjectsPlan(args)))
+  }
+}
+
+object GraftExtensions {
+
+  /** Evaluate a foldable argument to its string value ("" for null). */
+  private def strArg(e: Expression, name: String): String = {
+    require(e.foldable, s"list_objects: $name must be a literal")
+    Option(e.eval()).map(_.toString).getOrElse("")
+  }
+
+  private[sql] def listObjectsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6,
+      "list_objects(table, bucket, prefix, delimiter, marker, max_keys) " +
+        s"takes 6 arguments, got ${args.length}")
+    val table = strArg(args(0), "table")
+    val bucket = strArg(args(1), "bucket")
+    val prefix = strArg(args(2), "prefix")
+    val delimiter = strArg(args(3), "delimiter")
+    val marker = strArg(args(4), "marker")
+    val maxKeysE = args(5)
+    require(maxKeysE.foldable, "list_objects: max_keys must be a literal")
+    val maxKeys = maxKeysE.eval().asInstanceOf[Number].intValue()
+
+    val spark = SparkSession.active
+    val params = ListParams(
+      prefix = Some(prefix).filter(_.nonEmpty),
+      delimiter = Some(delimiter).filter(_.nonEmpty),
+      maxKeys = maxKeys,
+      marker = Some(marker).filter(_.nonEmpty))
+    Listing.entries(spark.table(table), bucket, params)
+      .queryExecution.logical
+  }
+}

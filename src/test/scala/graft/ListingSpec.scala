@@ -29,6 +29,27 @@ class ListingSpec extends AnyFunSuite {
     assert(!r.truncated)
   }
 
+  test("list_objects TVF (SQL spelling) matches the Scala kernel") {
+    objectsDf(Keys).createOrReplaceTempView("objects_tvf_spec")
+    val viaSql = spark.sql(
+      """SELECT entry, kind
+        |FROM list_objects('objects_tvf_spec', 'b', '', '/', '', 10)"""
+        .stripMargin).collect().map(r => (r.getString(0), r.getString(1)))
+    val viaApi = Listing
+      .entries(objectsDf(Keys), "b", ListParams(delimiter = Some("/")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.toSeq ==
+      Seq(("bar.txt", "key"), ("foo/", "prefix"), ("zoo.txt", "key")))
+
+    // marker skip-scan + prefix bounds survive the SQL path too
+    val paged = spark.sql(
+      """SELECT entry, kind
+        |FROM list_objects('objects_tvf_spec', 'b', 'foo/', '/', 'foo/bar.txt', 10)"""
+        .stripMargin).collect().map(_.getString(0)).toSeq
+    assert(paged == Seq("foo/baz.txt", "foo/sub/"))
+  }
+
   test("prefix + delimiter lists direct children, nests deeper levels") {
     val r = list(Keys, ListParams(prefix = Some("foo/"), delimiter = Some("/")))
     assert(r.keys == Seq("foo/bar.txt", "foo/baz.txt"))

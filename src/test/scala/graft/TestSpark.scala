@@ -11,6 +11,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
+      .withExtensions(new sql.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.register(s)
