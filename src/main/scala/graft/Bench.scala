@@ -46,7 +46,14 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to disk: the single stdout line outgrows the
+    // driver's tail capture (BENCH_r04/r05 both recorded "parsed":
+    // null), so the file is the durable copy.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH.json"), (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

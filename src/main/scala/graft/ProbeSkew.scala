@@ -1,0 +1,65 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Throwaway per-stage probe for the primitive_xl guarded run (not part
+  * of the library surface). */
+object ProbeSkew {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class St(var n: Int = 0, var maxMs: Long = 0L,
+        var sumMs: Long = 0L)
+    val stages = TrieMap.empty[Int, St]
+    val names = TrieMap.empty[Int, String]
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val st = stages.getOrElseUpdate(e.stageId, St())
+        st.synchronized {
+          st.n += 1; st.sumMs += e.taskInfo.duration
+          st.maxMs = math.max(st.maxMs, e.taskInfo.duration)
+        }
+      }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        names(e.stageInfo.stageId) = e.stageInfo.name.take(90)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    val hotM = 150000L
+    val coldN = 100000L
+    val blocked = spark.range(hotM + coldN).select(
+      when(col("id") < hotM, lit("viral"))
+        .otherwise(concat(lit("b"), (col("id") / 5).cast("string")))
+        .as("bucket"),
+      col("id").as("doc"))
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val pairsDf = Skew.selfJoinPairs(blocked, Seq("bucket"), "doc",
+      hotThreshold = 10000L, tiles = 16)
+    val aggDf = pairsDf
+      .agg(count(lit(1)).as("c"),
+        sum(pmod(xxhash64(col("i"), col("j")), lit(1000000007L))).as("ck"))
+    val r = aggDf.collect()(0)
+    println(s"wall=${(System.nanoTime() - t0) / 1e9} rows=${r.getLong(0)}")
+    println(aggDf.queryExecution.executedPlan.toString)
+    Thread.sleep(1000)
+    stages.toSeq.sortBy(_._1).foreach { case (sid, st) =>
+      println(f"stage $sid%4d tasks=${st.n}%4d max=${st.maxMs / 1000.0}%8.2fs " +
+        f"sum=${st.sumMs / 1000.0}%8.2fs  ${names.getOrElse(sid, "?")}")
+    }
+    spark.stop()
+  }
+}

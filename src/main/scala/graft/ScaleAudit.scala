@@ -19,9 +19,15 @@ import graft.sources.Lake
 object ScaleAudit {
 
   /** numFiles/bytes/rows actually read by `df`'s file scan, after
-    * executing it (AQE-aware: the scan hides under the adaptive root). */
+    * executing it (AQE-aware: the scan hides under the adaptive root).
+    *
+    * Execution MUST go through this df's own QueryExecution:
+    * `df.foreach`/`df.rdd` deserialize through a *new* QueryExecution,
+    * leaving the inspected plan's metrics at zero (the round-5 bug —
+    * every recorded metric read 0). `queryExecution.toRdd` is the
+    * internal-row RDD of the same physical plan the metrics hang off. */
   def scanMetrics(df: DataFrame): (Long, Long, Long) = {
-    df.foreach(_ => ()) // execute to populate metrics
+    df.queryExecution.toRdd.foreach(_ => ()) // execute to populate metrics
     val plan = df.queryExecution.executedPlan
     val exec = plan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -90,10 +96,20 @@ object ScaleAudit {
     Lake.writeBucketedTable(
       chunks.select("inode", "offset", "chunksize"),
       "sa_chk", s"$root/bt_chk", "inode", 32)
+    // force the sort-merge path (a broadcast join would hide whether
+    // co-location removed the shuffle), execute through the join's OWN
+    // QueryExecution so the adaptive plan finalizes, then count only
+    // exchanges that hash-partition the join key — the claim is "the
+    // join key is never shuffled", not "the plan has no exchange
+    // anywhere" (LakeSpec's pinned assertion; the round-5 any-Exchange
+    // count picked up an unrelated one and read as a contradiction).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val joined = spark.table("sa_obj").join(spark.table("sa_chk"), "inode")
-    val exchanges = joined.queryExecution.executedPlan.toString()
-      .linesIterator.count(_.contains("Exchange"))
-    val joinRows = joined.count()
+    val joinRows = joined.queryExecution.toRdd.count()
+    val finalPlan = joined.queryExecution.executedPlan.toString()
+    val sortMerge = finalPlan.contains("SortMergeJoin")
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning(inode"))
 
     def pct(a: Long, b: Long): Double =
       math.round(a.toDouble / b * 10000) / 100.0
@@ -109,7 +125,7 @@ object ScaleAudit {
          |  "chunks_full": {"files": ${chunksTotal._1}, "rows": ${chunksTotal._3}},
          |  "inode_read":  {"files": ${oneInode._1}, "rows": ${oneInode._3},
          |                  "files_pct": ${pct(oneInode._1, chunksTotal._1)}},
-         |  "bucketed_join": {"exchanges": $exchanges, "rows": $joinRows}
+         |  "bucketed_join": {"inode_hash_exchanges": $exchanges, "sort_merge": $sortMerge, "rows": $joinRows}
          |}""".stripMargin
     println(json)
     java.nio.file.Files.write(

@@ -23,9 +23,14 @@ import graft.operators.{Dedup, Similarity, Skew}
   *    (2.5e9 candidate pairs) amid 100k cold rows — isolates the guard
   *    from pipeline costs; both modes finish, so output equality is
   *    checked.
-  *  - `primitive_xl`: one 150k-row hot bucket (11.2e9 pairs) — past
-  *    the cliff where the unguarded single-task join exceeds the
-  *    timeout while the guarded tiling completes with bounded tasks.
+  *  - `primitive_xl`: one 150k-row hot bucket (11.2e9 pairs). What the
+  *    guard buys here is BOUNDED TASKS, which at local[32] also wins
+  *    wall-clock: the unguarded join is one ~11e9-pair task (measured
+  *    ~96 s max task — on a 1000-executor cluster that one straggler
+  *    is the whole job, and a larger bucket is a dead job), while the
+  *    guarded tiling spreads the same pairs over ~G = tiles·(tiles+1)/2
+  *    tile tasks (measured max task ~9-12 s, wall ~3× faster than
+  *    unguarded at equal output checksum).
   *  - `jaccard_viral` / `minhash_viral`: sf0.1 documents plus a planted
   *    cluster of 3000 near-identical template docs (J≈0.79 pairwise),
   *    through [[Dedup.jaccardPairs]] / [[Dedup.minhashDedup]].
@@ -141,9 +146,9 @@ object SkewBench {
     duel("primitive", Seq("i", "j"), 10000L) { ht =>
       Skew.selfJoinPairs(blocked, Seq("bucket"), "doc", hotThreshold = ht)
     }
-    // m=150k (11.2e9 pairs in the viral bucket): the cliff — the
-    // unguarded single-task join is expected to blow the timeout while
-    // the guarded tiles (16 here: (m/16)² per tile task) complete
+    // m=150k (11.2e9 pairs in the viral bucket): the unguarded join is
+    // one ~96 s quadratic task (the cluster-death shape), the guarded
+    // tiles (16 here: (m/16)² pairs per tile task) stay bounded
     val blockedXl = blockedTable(150000L, 100000L)
     duel("primitive_xl", Seq("i", "j"), 10000L) { ht =>
       Skew.selfJoinPairs(blockedXl, Seq("bucket"), "doc",

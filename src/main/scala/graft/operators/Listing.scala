@@ -81,6 +81,67 @@ object Listing {
     }
   }
 
+  /** Batched listing: one declarative plan computing a ListObjects page
+    * for EVERY row of a `requests` table — the engine-native spelling
+    * of the reference's per-request runtime parameters (meta.clj:
+    * 285-290 binds bucket/prefix/delimiter/marker per HTTP request).
+    * At scale, ten thousand concurrent listings are one broadcast join
+    * + one aggregation + one window, not ten thousand driver round
+    * trips — and it is also the non-literal form of the `list_objects`
+    * SQL TVF (whose arguments must be foldable; see
+    * [[graft.sql.GraftExtensions]]).
+    *
+    * `requests` columns: `rid, bucket, prefix, delimiter, marker,
+    * max_keys` with `''` meaning absent (matching [[ListParams]]'
+    * None). Returns `(rid, entry, kind)`, each request's rows sorted
+    * by entry and limited to `max_keys + 1` (the +1 truncation row, as
+    * in [[entries]]). The classification is [[entries]]' regex
+    * semantics re-expressed delimiter-as-column: a scanned key whose
+    * remainder after the prefix contains the delimiter belongs to the
+    * common-prefix group ending at the delimiter's first occurrence
+    * (inclusive); otherwise it is a direct key.
+    *
+    * Requires [[graft.functions.GraftFunctions.register]] (inc_prefix).
+    * The requests side is broadcast: a request batch is bounded (API
+    * frontends batch at most thousands of in-flight listings) while
+    * `objects` is the 100 TB side — never shuffle the big side for a
+    * parameter join. */
+  def entriesBatch(objects: DataFrame, requests: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inc = graft.functions.GraftFunctions.incPrefix _
+    val o = objects.select(col("bucket"), col("object"))
+    val r = requests.select(col("rid"), col("bucket").as("rbucket"),
+      col("prefix"), col("delimiter"), col("marker"), col("max_keys"))
+    // scanPredicate with the parameters as columns
+    val preOk = col("prefix") === "" ||
+      (col("object") >= col("prefix") && col("object") < inc(col("prefix")))
+    val skipGroup = col("delimiter") =!= "" && col("marker") =!= "" &&
+      col("marker").endsWith(col("delimiter"))
+    val markOk = col("marker") === "" ||
+      when(skipGroup, col("object") >= inc(col("marker")))
+        .otherwise(col("object") > col("marker"))
+    val scanned = o.join(broadcast(r),
+      o("bucket") === col("rbucket") && preOk && markOk)
+    val rest = call_function("substr", col("object"),
+      length(col("prefix")) + lit(1))
+    val pos = call_function("instr", rest, col("delimiter"))
+    val isKey = col("delimiter") === "" || pos === 0
+    val entry = when(isKey, col("object")).otherwise(concat(col("prefix"),
+      call_function("substr", rest, lit(1),
+        pos + length(col("delimiter")) - lit(1))))
+    val kind = when(isKey, lit("key")).otherwise(lit("prefix"))
+    // distinct collapses a prefix group's members to one row (G3); keys
+    // are unique per (bucket, object) so it is a no-op for them
+    val classified = scanned
+      .select(col("rid"), col("max_keys"), entry.as("entry"), kind.as("kind"))
+      .distinct()
+    classified
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy("rid").orderBy("entry")))
+      .filter(col("_rn") <= col("max_keys") + 1)
+      .select("rid", "entry", "kind")
+  }
+
   /** Materialized page with the reference's result shape
     * (meta.clj:230-251): keys, prefix set, truncation flag, next marker.
     * The collect is bounded by `maxKeys + 1` rows (page render — the one

@@ -31,11 +31,13 @@ object Skew {
     * SimHash / SRP bands): emits every unordered id pair sharing a
     * bucket (`keyCols`), with buckets larger than `hotThreshold` *tiled*
     * — rows get a deterministic sub-block `hash(id) mod tiles`, every
-    * unordered block pair is one equi-join tile, and each row replicates
-    * to its `tiles` tiles. A viral bucket of m near-identical documents
-    * thus costs max (m/tiles)² per task instead of m² in one task; the
-    * emitted pair set is exactly the naive self-join's (cold buckets
-    * take the direct path, and a pair's tile pin keeps it unique).
+    * unordered block pair (lo ≤ hi) is one equi-join tile of block lo
+    * against block hi, and each row replicates to tiles+1 tile sides.
+    * A viral bucket of m near-identical documents thus costs max
+    * (m/tiles)² per task instead of m² in one task; the emitted pair
+    * set is exactly the naive self-join's (cold buckets take the
+    * direct path, and upper-triangle enumeration emits each pair in
+    * exactly one tile).
     *
     * The hot set is found with one map-side-combined count and
     * broadcast (≤ n/hotThreshold buckets by construction). Callers
@@ -105,26 +107,52 @@ object Skew {
         .filter(col("i") < col("j"))
         .select(outCols.map(col): _*)
 
-    def tiledPairs(df: DataFrame): DataFrame = {
-      // The tile id `_tile = lo * tiles + hi` is a USING column of the
-      // join, not a post-join filter: the tile identity must reach the
-      // planner as an equi-join KEY, or the whole hot bucket still
-      // hashes to one partition (now with `tiles`× replication) and the
-      // guard makes the skew worse instead of fixing it. (Found by the
-      // SkewBench stress run: a struct-equality filter after the join
-      // was not extracted into the join keys.)
+    /** One tiled join for cold AND hot buckets. Upper-triangle tile
+      * enumeration with a PER-ROW tile count: a hot bucket's rows get
+      * `tiles` sub-blocks, a cold bucket's rows get 1 (so a cold row
+      * keeps exactly one replica per side and its join is the plain
+      * per-bucket self-join). Each row gets a deterministic block id
+      * b = hash(id) mod tb; tile (lo, hi), lo <= hi, is the equi-join
+      * of block lo (left side) against block hi (right side): a row
+      * joins as the LEFT member of tiles (b, q >= b) and as the RIGHT
+      * member of tiles (q <= b, b) — at most tiles+1 replicas, and
+      * every unordered block pair meets in EXACTLY one tile, so no pin
+      * filter is needed and an off-diagonal tile computes m_lo·m_hi
+      * candidate pairs, not (m_lo+m_hi)². (The round-5 shape joined
+      * both blocks on both sides of every tile: SkewBench measured
+      * ~3.75× pre-filter pair inflation.)
+      *
+      * Single-join design (round 6): the previous cold ∪ hot two-branch
+      * plan put a Union between the joins and the consumer, and a Union
+      * is a whole-stage-codegen boundary — every emitted pair was
+      * materialized and iterated across it, which SkewBench measured at
+      * ~3× the per-pair cost of the fused plan. One join with per-row
+      * tile counts keeps the consumer (filter/agg/distinct) fused
+      * directly above the join.
+      *
+      * The tile id `_tile = lo * tb + hi` is a USING column of the
+      * join, not a post-join filter: the tile identity must reach the
+      * planner as an equi-join KEY, or the whole hot bucket still
+      * hashes to one partition (now with replication) and the guard
+      * makes the skew worse instead of fixing it. (Found by the
+      * SkewBench stress run: a struct-equality filter after the join
+      * was not extracted into the join keys.) */
+    def tiledPairs(df: DataFrame, allHot: Boolean): DataFrame = {
       def tiledSide(side: String): DataFrame = {
-        val bid = pmod(hash(col(side)), lit(tiles))
+        val left = side == "i"
+        // per-row tile count: tiles for hot rows, 1 for cold
+        val tb = if (allHot) lit(tiles)
+          else when(col("_hot").isNotNull, lit(tiles)).otherwise(lit(1))
+        val bid = pmod(hash(col(idCol)), tb)
         val tileArr = (0 until tiles).map { q =>
-          least(bid, lit(q)) * tiles + greatest(bid, lit(q))
+          if (left) when(lit(q) >= bid && lit(q) < tb, bid * tb + lit(q))
+          else when(lit(q) <= bid, lit(q) * tb + bid)
         }
-        sided(df, side)
-          .withColumn(s"${side}bid", bid)
-          .withColumn("_tile", explode(array(tileArr: _*)))
+        df.select(keys ++ Seq(col(idCol).as(side)) ++
+          payloadCols.map(p => col(p).as(s"${side}_$p")) ++
+          Seq(bid.as(s"${side}bid"),
+            explode(array_compact(array(tileArr: _*))).as("_tile")): _*)
       }
-      // pin each pair to its own (lo, hi) tile so it is emitted once
-      // (rows with equal block ids meet in every tile they share).
-      //
       // The explicit numbered repartition on (keyCols, _tile) is the
       // load-bearing line: the join's INPUT here is tiny (a viral
       // bucket is kilobytes of ids) while its OUTPUT is quadratic, so
@@ -137,40 +165,59 @@ object Skew {
       // requirement, so the probe side stays spread across tile groups
       // whatever join strategy is picked. (Found by SkewBench, which
       // measures max single-task seconds on a planted viral bucket.)
+      //
+      // parts = 4× the tile-group count (floored at shuffle.partitions):
+      // hash placement of G tile keys into G bins collides 3-4 ways
+      // (round 5 measured a 23×-mean max task from exactly this), while
+      // 4G bins leave almost every bin with 0-1 groups, bounding a task
+      // at ~2 tile shares; the empty extra partitions cost only their
+      // launch overhead.
+      val groups = tiles * (tiles + 1) / 2
       val parts = math.max(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
-        tiles * (tiles + 1) / 2)
+        4 * groups)
       val joinKeys = (keyCols :+ "_tile").map(col)
       // merge hint: the probe loop must iterate each tile group as a
       // sequential sorted run — the broadcast-hash plan the small build
       // side invites degrades to pointer-chasing a hashed relation
       // whose every key chains thousands of duplicates (measured ~40×
       // slower per emitted pair than the sort-merge group scan)
-      tiledSide("i").repartition(parts, joinKeys: _*).hint("merge")
+      val joined = tiledSide("i")
+        .repartition(parts, joinKeys: _*).hint("merge")
         .join(tiledSide("j").repartition(parts, joinKeys: _*),
           keyCols :+ "_tile")
-        .filter(col("i") < col("j") &&
-          col("_tile") === least(col("ibid"), col("jbid")) * tiles +
-            greatest(col("ibid"), col("jbid")))
-        .select(outCols.map(col): _*)
+        // diagonal tiles self-join a block: keep one orientation and
+        // drop self-pairs. Off-diagonal tiles join disjoint blocks —
+        // every pair is unique but its id order is arbitrary.
+        .filter(col("ibid") =!= col("jbid") || col("i") < col("j"))
+      // canonicalize the off-diagonal survivors to i < j, payloads
+      // following their ids (callers' filters may be asymmetric)
+      val swap = col("i") > col("j")
+      def pick(a: String, b: String) = when(swap, col(b)).otherwise(col(a))
+      joined.select(
+        (keyCols.map(col) ++
+          (pick("i", "j") +:
+            payloadCols.map(p => pick(s"i_$p", s"j_$p"))) ++
+          (pick("j", "i") +:
+            payloadCols.map(p => pick(s"j_$p", s"i_$p"))))
+          .zip(outCols).map { case (c, n) => c.as(n) }: _*)
     }
 
     if (hotThreshold <= 0L) {
       // forced tiling: every bucket is hot by definition — no count
       // scan, no marking join
-      tiledPairs(bands)
+      tiledPairs(bands, allHot = true)
     } else if (bands.count() <= hotThreshold) {
       // the whole band table fits under the threshold, so no single
-      // bucket can exceed it: pure cold path, no hot-count job
+      // bucket can exceed it: pure direct join, no hot-count job (and
+      // the planner is free to broadcast a small side)
       directPairs(bands)
     } else {
       val hot = bands.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
         .filter(col("_bn") > hotThreshold)
         .select(keys: _*).withColumn("_hot", lit(true))
-      val marked = bands.join(broadcast(hot), keyCols, "left")
-      val coldPairs = directPairs(marked.filter(col("_hot").isNull).drop("_hot"))
-      val hotPairs = tiledPairs(marked.filter(col("_hot").isNotNull).drop("_hot"))
-      coldPairs.unionAll(hotPairs)
+      tiledPairs(bands.join(broadcast(hot), keyCols, "left"),
+        allHot = false)
     }
   }
 

@@ -60,6 +60,66 @@ object MetaQueries {
         Tables.objectsSql)),
       doc = "meta.clj:230-251, maxKeys+1 truncation page"),
 
+    // ---- D1 batched: runtime-parameter listings as one join plan --------
+    "d1_list_batch" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        import s.implicits._
+        val requests = Seq(
+          (1, "src1", "en/", "/", "", 100), // delimiter grouping
+          (2, "src1", "", "/", "", 3),      // truncated page
+          (3, "src3", "", "", "en/", 50),   // no delimiter + marker
+          (4, "src2", "es/", "/", "es/d2/", 25) // prefix-group marker skip
+        ).toDF("rid", "bucket", "prefix", "delimiter", "marker", "max_keys")
+        Listing.entriesBatch(Tables.objects(s, d), requests)
+          .orderBy("rid", "entry")
+      },
+      Some(withCtes(
+        """SELECT * FROM (
+          |  SELECT 1 AS rid, entry, kind FROM (
+          |    SELECT object AS entry, 'key' AS kind FROM objects
+          |    WHERE bucket = 'src1' AND object >= 'en/' AND object < 'en0'
+          |      AND regexp_matches(object, '^en/[^/]*$')
+          |    UNION ALL
+          |    SELECT DISTINCT regexp_extract(object, '^(en/[^/]*/).*$', 1),
+          |           'prefix'
+          |    FROM objects
+          |    WHERE bucket = 'src1' AND object >= 'en/' AND object < 'en0'
+          |      AND regexp_extract(object, '^(en/[^/]*/).*$', 1) <> ''
+          |  ) ORDER BY entry LIMIT 101
+          |) UNION ALL SELECT * FROM (
+          |  SELECT 2 AS rid, entry, kind FROM (
+          |    SELECT object AS entry, 'key' AS kind FROM objects
+          |    WHERE bucket = 'src1' AND regexp_matches(object, '^[^/]*$')
+          |    UNION ALL
+          |    SELECT DISTINCT regexp_extract(object, '^([^/]*/).*$', 1),
+          |           'prefix'
+          |    FROM objects
+          |    WHERE bucket = 'src1'
+          |      AND regexp_extract(object, '^([^/]*/).*$', 1) <> ''
+          |  ) ORDER BY entry LIMIT 4
+          |) UNION ALL SELECT * FROM (
+          |  SELECT 3 AS rid, object AS entry, 'key' AS kind FROM objects
+          |  WHERE bucket = 'src3' AND object > 'en/'
+          |  ORDER BY entry LIMIT 51
+          |) UNION ALL SELECT * FROM (
+          |  SELECT 4 AS rid, entry, kind FROM (
+          |    SELECT object AS entry, 'key' AS kind FROM objects
+          |    WHERE bucket = 'src2' AND object >= 'es/' AND object < 'es0'
+          |      AND object >= 'es/d20'
+          |      AND regexp_matches(object, '^es/[^/]*$')
+          |    UNION ALL
+          |    SELECT DISTINCT regexp_extract(object, '^(es/[^/]*/).*$', 1),
+          |           'prefix'
+          |    FROM objects
+          |    WHERE bucket = 'src2' AND object >= 'es/' AND object < 'es0'
+          |      AND object >= 'es/d20'
+          |      AND regexp_extract(object, '^(es/[^/]*/).*$', 1) <> ''
+          |  ) ORDER BY entry LIMIT 26
+          |) ORDER BY rid, entry""".stripMargin,
+        Tables.objectsSql)),
+      doc = "meta.clj:285-290 per-request params as one join plan (batched D1)"),
+
     "d1_list_nodelim_marker" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)

@@ -1,0 +1,147 @@
+package graft.sources
+
+import scala.collection.mutable
+
+/** Config bootstrap — the reference's YAML → store instantiation
+  * (reference: src/io/pithos/config.clj:85-128 `get-instance` resolves
+  * the `use:` symbol and calls it with the section's map;
+  * doc/pithos.yaml:23-38 shows the shape: keystore keys, regions with
+  * a metastore and storage-classes carrying max-chunk/max-block-chunks).
+  *
+  * Same mechanism, Scala-flavored: `use:` names a [[Store]] class,
+  * resolved by reflection (constructor `(root: String, nPart: Int)` —
+  * the [[FileStore]] family — or no-arg, e.g. [[MemoryStore]]).
+  * Defaults mirror config.clj:49-54: max-chunk "512k", 2048 chunks per
+  * block. Size literals go through the H3 to-bytes parse
+  * (util.clj:43-63).
+  *
+  * The YAML subset parsed here is exactly the config shape's need:
+  * nested maps by 2-space indentation, scalar values with optional
+  * quotes, `#` comments. No anchors, flow syntax, or lists — a config
+  * bootstrap, not a YAML library (zero-dependency constraint).
+  */
+object Config {
+
+  final case class KeyEntry(tenant: String, secret: String, master: Boolean)
+
+  final case class StorageClass(store: Store, maxChunk: Long,
+      maxBlockChunks: Long)
+
+  final case class Region(metastore: Store,
+      storageClasses: Map[String, StorageClass])
+
+  final case class Loaded(keystore: Map[String, KeyEntry],
+      regions: Map[String, Region])
+
+  /** Parse + instantiate the full config. */
+  def fromYaml(text: String): Loaded = {
+    val root = parseYaml(text)
+    val keystore = section(root, "keystore").get("keys") match {
+      case Some(keys: Map[String @unchecked, Any @unchecked]) =>
+        keys.map { case (id, v) =>
+          val m = asMap(v, s"keystore.keys.$id")
+          id -> KeyEntry(
+            tenant = str(m, "tenant", ""),
+            secret = str(m, "secret", ""),
+            master = str(m, "master", "false").toBoolean)
+        }
+      case _ => Map.empty[String, KeyEntry]
+    }
+    val regions = section(root, "regions").map { case (name, v) =>
+      val r = asMap(v, s"regions.$name")
+      val meta = instantiate(asMap(r.getOrElse("metastore", Map.empty),
+        s"regions.$name.metastore"))
+      val classes = asMap(r.getOrElse("storage-classes", Map.empty),
+        s"regions.$name.storage-classes").map { case (cls, cv) =>
+        val c = asMap(cv, s"regions.$name.storage-classes.$cls")
+        cls -> StorageClass(
+          store = instantiate(c),
+          maxChunk = graft.functions.GraftFunctions
+            .toBytes(str(c, "max-chunk", "512k")),
+          // doc/pithos.yaml:37 spells it singular, config.clj:54's
+          // default is plural — accept both, explicit singular wins
+          maxBlockChunks = str(c, "max-block-chunks",
+            str(c, "max-block-chunk", "2048")).toLong)
+      }
+      name -> Region(meta, classes)
+    }
+    Loaded(keystore, regions)
+  }
+
+  /** config.clj:91-98 `get-instance`: resolve `use:` and construct with
+    * the section's own values. */
+  private def instantiate(m: Map[String, Any]): Store = {
+    val use = str(m, "use", classOf[ParquetStore].getName)
+    val cls = Class.forName(use)
+    require(classOf[Store].isAssignableFrom(cls),
+      s"config: $use is not a graft.sources.Store")
+    val rootAndParts = scala.util.Try(
+      cls.getConstructor(classOf[String], classOf[Int])
+        .newInstance(str(m, "root", "."),
+          Integer.valueOf(str(m, "parts", Lake.DefaultParts.toString).toInt)))
+    rootAndParts
+      .orElse(scala.util.Try(
+        cls.getDeclaredConstructor().newInstance()))
+      .getOrElse(throw new IllegalArgumentException(
+        s"config: $use has neither a (root, parts) nor a no-arg constructor"))
+      .asInstanceOf[Store]
+  }
+
+  private def section(root: Map[String, Any],
+      name: String): Map[String, Any] =
+    root.get(name).map(asMap(_, name)).getOrElse(Map.empty)
+
+  private def asMap(v: Any, where: String): Map[String, Any] = v match {
+    case m: Map[String @unchecked, Any @unchecked] => m
+    case other =>
+      throw new IllegalArgumentException(
+        s"config: expected a mapping at $where, got '$other'")
+  }
+
+  private def str(m: Map[String, Any], key: String, dflt: String): String =
+    m.get(key) match {
+      case Some(s: String) => s
+      case Some(other) => throw new IllegalArgumentException(
+        s"config: expected a scalar for '$key', got $other")
+      case None => dflt
+    }
+
+  /** Minimal YAML-subset parser: nested maps only (see object doc). */
+  private[sources] def parseYaml(text: String): Map[String, Any] = {
+    // (indent, key, scalar-or-null) per meaningful line
+    val lines = text.linesIterator.zipWithIndex
+      .map { case (l, i) => (l.takeWhile(_ == ' ').length, l.trim, i + 1) }
+      .filter { case (_, t, _) => t.nonEmpty && !t.startsWith("#") }
+      .toVector
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 &&
+        ((t.head == '"' && t.last == '"') ||
+          (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
+      else t
+    }
+    // recursive descent over the flat line list
+    def parse(from: Int, indent: Int): (Map[String, Any], Int) = {
+      val out = mutable.LinkedHashMap.empty[String, Any]
+      var i = from
+      while (i < lines.length && lines(i)._1 >= indent) {
+        val (ind, t, n) = lines(i)
+        require(ind == indent,
+          s"config: bad indentation at line $n: '$t' " +
+            s"(expected $indent spaces, got $ind)")
+        val colon = t.indexOf(':')
+        require(colon > 0, s"config: expected 'key: value' at line $n: '$t'")
+        val key = unquote(t.substring(0, colon))
+        val rest = t.substring(colon + 1).trim
+        if (rest.nonEmpty) { out(key) = unquote(rest); i += 1 }
+        else if (i + 1 < lines.length && lines(i + 1)._1 > indent) {
+          val (child, next) = parse(i + 1, lines(i + 1)._1)
+          out(key) = child
+          i = next
+        } else { out(key) = Map.empty[String, Any]; i += 1 }
+      }
+      (out.toMap, i)
+    }
+    parse(0, 0)._1
+  }
+}

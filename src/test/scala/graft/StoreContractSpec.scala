@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Listing
-import graft.sources.{MemoryStore, OrcStore, ParquetStore, Store}
+import graft.sources.{ConnectorStore, MemoryStore, OrcStore, ParquetStore, Store}
 
 /** The Store backend contract, executed — not asserted in a comment —
   * against three implementations: write → read-back equality, A6 range
@@ -31,7 +31,14 @@ class StoreContractSpec extends AnyFunSuite {
     ("orc",
       new OrcStore(Files.createTempDirectory("store_orc").toString, 8),
       true),
-    ("memory", new MemoryStore, false))
+    ("memory", new MemoryStore, false),
+    // the CassandraStore code path: same ConnectorStore class (format
+    // name + per-table options through the DSv2 interface), bound to a
+    // format present in the sandbox
+    ("connector", {
+      val dir = Files.createTempDirectory("store_conn").toString
+      new ConnectorStore("parquet", t => Map("path" -> s"$dir/$t"))
+    }, true))
 
   private def sortedRows(df: DataFrame): Seq[String] =
     df.select(col("bucket"), col("object"), col("size"))
