@@ -71,7 +71,11 @@ object GraftFunctions {
     }
 
   /** B1 pattern — direct-children keys: `^<prefix>[^<delim>]*$`
-    * (meta.clj:199-208). */
+    * (meta.clj:199-208). Only meaningful for single-character
+    * delimiters (the char class treats a longer delimiter as a set of
+    * characters); [[graft.operators.Listing]] classifies with substring
+    * ops instead and agrees with this pattern on single-char
+    * delimiters. */
   def keyPattern(prefix: String, delim: String): String =
     s"^${quoteRegex(prefix)}[^${quoteRegex(delim)}]*$$"
 

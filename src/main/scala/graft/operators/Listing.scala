@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions._
-
 /** The ListObjects kernel — the reference's flagship query
   * (reference: src/io/pithos/meta.clj:153-251, operations.clj:243-252).
   *
@@ -65,13 +63,27 @@ object Listing {
         scanned.select(col("object").as("entry"), lit("key").as("kind"))
           .orderBy("entry").limit(p.maxKeys + 1)
       case Some(delim) =>
+        // Substring classification, shared verbatim with [[entriesBatch]]:
+        // a key whose remainder after the prefix contains the delimiter
+        // belongs to the common-prefix group ending at the delimiter's
+        // first occurrence (inclusive); otherwise it is a direct key.
+        // For single-character delimiters this is exactly the
+        // reference's char-class patterns (meta.clj:204,217 build
+        // `[^<delim>]*`); for multi-character delimiters the reference's
+        // pattern construction degenerates (its `[^\<delim>]` class
+        // escapes the first character), so we follow S3's substring
+        // semantics — and entries/entriesBatch agree by construction.
+        // Plain string ops also beat regexes inside the scan stage.
+        val rest = call_function("substr", col("object"), lit(pre.length + 1))
+        val pos = call_function("instr", rest, lit(delim))
         val keys = scanned
-          .filter(col("object").rlike(keyPattern(pre, delim)))
+          .filter(pos === 0)
           .select(col("object").as("entry"), lit("key").as("kind"))
         val prefixes = scanned
-          .select(regexp_extract(col("object"), prefixPattern(pre, delim), 1)
-            .as("entry"))
-          .filter(col("entry") =!= "")
+          .filter(pos > 0)
+          .select(concat(lit(pre),
+            call_function("substr", rest, lit(1),
+              pos + lit(delim.length) - lit(1))).as("entry"))
           .distinct()
           .select(col("entry"), lit("prefix").as("kind"))
         // G2 (meta.clj:239): keys claimed by a prefix are excluded — by
@@ -95,11 +107,13 @@ object Listing {
     * max_keys` with `''` meaning absent (matching [[ListParams]]'
     * None). Returns `(rid, entry, kind)`, each request's rows sorted
     * by entry and limited to `max_keys + 1` (the +1 truncation row, as
-    * in [[entries]]). The classification is [[entries]]' regex
+    * in [[entries]]). The classification is [[entries]]' substring
     * semantics re-expressed delimiter-as-column: a scanned key whose
     * remainder after the prefix contains the delimiter belongs to the
     * common-prefix group ending at the delimiter's first occurrence
-    * (inclusive); otherwise it is a direct key.
+    * (inclusive); otherwise it is a direct key — identical expressions,
+    * so the two forms agree for every delimiter, multi-character
+    * included.
     *
     * Requires [[graft.functions.GraftFunctions.register]] (inc_prefix).
     * The requests side is broadcast: a request batch is bounded (API

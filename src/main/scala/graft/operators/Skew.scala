@@ -90,8 +90,13 @@ object Skew {
         s"selfJoinRows; rename the offending input column " +
         s"(got: ${userCols.mkString(", ")})")
     val keys = keyCols.map(col)
+    // Null ids are dropped up front: the direct path's `i < j` silently
+    // drops them (null comparison), while a tiled off-diagonal pair
+    // (ibid =!= jbid) would survive — the two paths must agree, and a
+    // null id cannot be canonicalized into an ordered pair anyway.
     val bands = blocked
       .select(userCols.map(col): _*)
+      .filter(col(idCol).isNotNull)
       .localCheckpoint(true)
 
     def sided(df: DataFrame, side: String): DataFrame =

@@ -75,16 +75,30 @@ object Config {
     val cls = Class.forName(use)
     require(classOf[Store].isAssignableFrom(cls),
       s"config: $use is not a graft.sources.Store")
-    val rootAndParts = scala.util.Try(
-      cls.getConstructor(classOf[String], classOf[Int])
-        .newInstance(str(m, "root", "."),
+    // Constructor LOOKUP decides the path; invocation and value-parse
+    // failures propagate (unwrapping InvocationTargetException). A Try
+    // around the whole invocation would mask a bad `parts` value or a
+    // real constructor failure as the misleading "no constructor" error
+    // (or silently fall back to the no-arg constructor).
+    def unwrapped[T](f: => T): T =
+      try f catch {
+        case e: java.lang.reflect.InvocationTargetException =>
+          throw e.getCause
+      }
+    val instance = scala.util
+      .Try(cls.getConstructor(classOf[String], classOf[Int])).toOption match {
+      case Some(c) =>
+        unwrapped(c.newInstance(str(m, "root", "."),
           Integer.valueOf(str(m, "parts", Lake.DefaultParts.toString).toInt)))
-    rootAndParts
-      .orElse(scala.util.Try(
-        cls.getDeclaredConstructor().newInstance()))
-      .getOrElse(throw new IllegalArgumentException(
-        s"config: $use has neither a (root, parts) nor a no-arg constructor"))
-      .asInstanceOf[Store]
+      case None =>
+        val noArg = scala.util
+          .Try(cls.getDeclaredConstructor()).getOrElse(
+            throw new IllegalArgumentException(
+              s"config: $use has neither a (root, parts) nor a no-arg " +
+                "constructor"))
+        unwrapped(noArg.newInstance())
+    }
+    instance.asInstanceOf[Store]
   }
 
   private def section(root: Map[String, Any],
@@ -120,6 +134,28 @@ object Config {
           (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
       else t
     }
+    // Trailing inline comments: `root: /data  # main` must yield "/data",
+    // not "/data  # main". A quoted scalar keeps '#' literal (the comment
+    // may follow the closing quote); unquoted scalars are cut at the
+    // first ' #', and a bare '#' right after the colon means no value.
+    def stripInline(rest: String, lineNo: Int): String = {
+      val t = rest.trim
+      if (t.isEmpty) t
+      else if (t.head == '"' || t.head == '\'') {
+        val close = t.indexOf(t.head, 1)
+        if (close > 0) {
+          val after = t.substring(close + 1).trim
+          require(after.isEmpty || after.startsWith("#"),
+            s"config: trailing content after quoted scalar at line " +
+              s"$lineNo: '$t'")
+          t.substring(0, close + 1)
+        } else t
+      } else if (t.startsWith("#")) ""
+      else {
+        val cut = t.indexOf(" #")
+        (if (cut >= 0) t.substring(0, cut) else t).trim
+      }
+    }
     // recursive descent over the flat line list
     def parse(from: Int, indent: Int): (Map[String, Any], Int) = {
       val out = mutable.LinkedHashMap.empty[String, Any]
@@ -132,7 +168,7 @@ object Config {
         val colon = t.indexOf(':')
         require(colon > 0, s"config: expected 'key: value' at line $n: '$t'")
         val key = unquote(t.substring(0, colon))
-        val rest = t.substring(colon + 1).trim
+        val rest = stripInline(t.substring(colon + 1), n)
         if (rest.nonEmpty) { out(key) = unquote(rest); i += 1 }
         else if (i + 1 < lines.length && lines(i + 1)._1 > indent) {
           val (child, next) = parse(i + 1, lines(i + 1)._1)

@@ -66,7 +66,11 @@ class ListingSpec extends AnyFunSuite {
 
   test("entriesBatch equals per-request entries() across parameter mixes") {
     val corpus = Keys.map(("b", _)) ++
-      Seq("a.txt", "foo/bar.txt", "p/q/r.txt", "p/q2.txt").map(("c", _))
+      Seq("a.txt", "foo/bar.txt", "p/q/r.txt", "p/q2.txt").map(("c", _)) ++
+      // multi-char-delimiter corpus: 'xay' contains 'a' but not the
+      // delimiter 'ab' (must stay a key — substring, not char-class,
+      // semantics); 'xaby' groups under 'xab'
+      Seq("xay", "xaby", "xabz", "plain", "xaabq").map(("d", _))
     val objects = corpus.toDF("bucket", "object")
     val cases = Seq(
       // (rid, bucket, prefix, delimiter, marker, maxKeys)
@@ -76,7 +80,9 @@ class ListingSpec extends AnyFunSuite {
       (4, "b", "", "/", "foo/", 10),     // marker IS a prefix: skip-scan
       (5, "c", "p/", "/", "", 1),        // truncation (maxKeys+1 rows)
       (6, "c", "", "", "", 100),         // plain full listing
-      (7, "b", "zzz/", "/", "", 10))     // empty result
+      (7, "b", "zzz/", "/", "", 10),     // empty result
+      (8, "d", "", "ab", "", 10),        // multi-char delimiter
+      (9, "d", "xa", "ab", "", 10))      // multi-char delim + prefix
     val batch = Listing
       .entriesBatch(objects,
         cases.toDF("rid", "bucket", "prefix", "delimiter", "marker",
@@ -94,6 +100,16 @@ class ListingSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
       assert(batch.getOrElse(rid, Seq.empty) == single, s"rid=$rid")
     }
+  }
+
+  test("multi-char delimiter groups by substring, not char-class") {
+    // 'xay' contains 'a' (a char of the delimiter) but not the
+    // delimiter string 'ab': it must stay a key. Char-class semantics
+    // would misfile it under a prefix.
+    val r = list(Seq("xay", "xaby", "xabz", "plain", "xaabq"),
+      ListParams(delimiter = Some("ab")))
+    assert(r.keys == Seq("plain", "xay"))
+    assert(r.prefixes == Set("xab", "xaab"))
   }
 
   test("prefix + delimiter lists direct children, nests deeper levels") {

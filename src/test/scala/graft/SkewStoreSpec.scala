@@ -71,6 +71,25 @@ class SkewStoreSpec extends AnyFunSuite {
     assert(n == 2000L * 1999L / 2)
   }
 
+  test("selfJoinRows drops null ids identically on both paths") {
+    // a null id must never pair: the direct path's i < j drops it via
+    // null comparison; the tiled path must not resurrect it through an
+    // off-diagonal tile (ibid =!= jbid is true for a null landing in a
+    // different block than its partner)
+    val rows = ((0L until 20L).map(i => (1L, java.lang.Long.valueOf(i))) ++
+      Seq((1L, null.asInstanceOf[java.lang.Long]),
+        (1L, null.asInstanceOf[java.lang.Long])))
+      .toDF("key", "id")
+    val expected = (0L until 20L).flatMap(i =>
+      (i + 1 until 20L).map(j => (i, j))).toSet
+    val cold = Skew.selfJoinPairs(rows, Seq("key"), "id",
+      hotThreshold = 1000L).as[(Long, Long)].collect().toSet
+    val tiled = Skew.selfJoinPairs(rows, Seq("key"), "id",
+      hotThreshold = 0L, tiles = 4).as[(Long, Long)].collect().toSet
+    assert(cold == expected)
+    assert(tiled == expected)
+  }
+
   test("selfJoinRows equals the naive join on random data (property)") {
     import org.scalacheck.{Gen, rng}
     val genCase = for {
