@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.AggQueries.defs ++
       graft.queries.TextQueries.defs ++
+      graft.queries.CorpusQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.MultimodalQueries.defs ++

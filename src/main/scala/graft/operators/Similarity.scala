@@ -141,6 +141,18 @@ object Similarity {
       .withColumn("cn2", idot(col("cv"), col("cv")))
   }
 
+  /** Deterministic-seed IVF centroid table: corpus sample (`id < nList`)
+    * refined with `iters` Lloyd steps. Shared by [[ivfTopK]] and
+    * [[semDedup]]; each step materializes the (tiny) centroid table so
+    * the per-iteration window/aggregate plans don't nest. */
+  def refinedCentroids(prep: DataFrame, nList: Int, iters: Int): DataFrame = {
+    var cents = prep.filter(col("id") < nList)
+      .select(col("id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
+    for (_ <- 1 to iters)
+      cents = lloydStep(prep, cents).localCheckpoint(true)
+    cents
+  }
+
   /** IVF ANN: probe the `nProbe` nearest cells per query, score only
     * vectors assigned to those cells. The candidate set per query is
     * ~`nProbe/nList` of the corpus — the classic recall/cost dial; at
@@ -152,12 +164,7 @@ object Similarity {
     // cached: cents/assign/probe/rescoring all branch from it — without
     // the cache each branch re-scans and re-quantizes the corpus
     val prep = prepared(embs, idCol, vecCol).cache()
-    var cents = prep.filter(col("id") < nList)
-      .select(col("id").as("cid"), col("qv").as("cv"), col("n2").as("cn2"))
-    // Lloyd refinement: each step materializes the (tiny) centroid table
-    // so the per-iteration window/aggregate plans don't nest
-    for (_ <- 1 to refineIters)
-      cents = lloydStep(prep, cents).localCheckpoint(true)
+    val cents = refinedCentroids(prep, nList, refineIters)
     // One ranked corpus×centroids table serves both roles: rnk = 1 is
     // the cell assignment, rnk <= nProbe (query rows) the probe list.
     val ranked = rankedCells(prep, cents).cache()
@@ -180,6 +187,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .localCheckpoint(true)
     ranked.unpersist()
+    prep.unpersist()
+    out
+  }
+
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the IVF coarse
+    * quantizer, then inside each cell drop every vector that has a
+    * lower-id neighbor at cosine >= `threshold`. Returns one row per
+    * vector: `(vec_id, cid, kept)`.
+    *
+    * Determinism: the keep rule is "drop j iff ∃ i < j in the same cell
+    * with cos(i,j) >= t" — no greedy sequential scan, so the result is
+    * order-independent and the DuckDB oracle replays it exactly (the
+    * centroids are exact integers via [[lloydStep]], the cosines exact
+    * quantized-int arithmetic).
+    *
+    * Scale shape: pairwise comparison happens only WITHIN a cell — the
+    * classic SemDedup recipe sizes `nList` with the corpus (k ~ sqrt n
+    * or larger) so cells stay bounded, and the within-cell enumeration
+    * here goes through [[Skew.selfJoinRows]], so even a degenerate cell
+    * (all vectors identical → one giant cluster) is tiled into bounded
+    * tasks instead of one quadratic straggler. Centroids broadcast;
+    * the only wide exchanges are the assignment ranking and the
+    * per-cell equi-join. */
+  def semDedup(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nList: Int = 16, refineIters: Int = 2,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
+    // cached: feeds centroid refinement, assignment, and the pair join
+    val prep = prepared(embs, idCol, vecCol).cache()
+    val cents = refinedCentroids(prep, nList, refineIters)
+    val withCell = ivfAssign(prep, cents).join(prep, "id")
+    val dropped = Skew
+      .selfJoinRows(withCell, Seq("cid"), "id", Seq("qv", "n2"),
+        hotThreshold, tiles)
+      .filter(cosine(idot(col("i_qv"), col("j_qv")),
+        col("i_n2"), col("j_n2")) >= threshold)
+      .select(col("j").as("id")).distinct()
+    val out = withCell
+      .join(dropped.withColumn("_dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cid"),
+        col("_dropped").isNull.as("kept"))
+      .localCheckpoint(true)
     prep.unpersist()
     out
   }

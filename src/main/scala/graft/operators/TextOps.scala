@@ -93,6 +93,34 @@ object TextOps {
       "quality" -> ((lenScore + punctScore + stopScore + alphaScore) * 0.25))
   }
 
+  // ---- repetition signals (Gopher-style quality filters) -----------------
+
+  /** Space-joined word n-grams of a token array (empty below n tokens —
+    * the `when` guard matters: Spark's `sequence(1, size-n+1)` would
+    * generate a *descending* sequence when size < n). */
+  def ngrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(o => element_at(w, i + lit(o))): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** Fraction of duplicated n-grams: `(count - distinct) / count`, 0 for
+    * documents shorter than n tokens. Exact-int numerator/denominator
+    * divided in double (oracle-bit-identical), zero shuffle. */
+  def dupNgramRatio(w: Column, n: Int): Column = {
+    val g = ngrams(w, n)
+    val cnt = size(g)
+    when(cnt > 0,
+      (cnt - size(array_distinct(g))).cast("double") / cnt.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Unique-word fraction (`distinct words / words`; split semantics
+    * give ≥ 1 token, so no zero guard is needed). */
+  def uniqWordRatio(w: Column): Column =
+    size(array_distinct(w)).cast("double") / size(w).cast("double")
+
   // ---- fingerprinting ----------------------------------------------------
 
   /** Whitespace-collapsed lowercase normal form. */

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.operators.TextOps
+
+/** Corpus-preparation operators for the training-data pipeline: the
+  * steps between a filtered/deduped document set and a training run —
+  * deterministic dataset splits and token-budget sharding. Both are
+  * engine-portable by construction (md5 + lexicographic thresholds,
+  * exact integer window sums), so the DuckDB oracle hash-matches them.
+  */
+object CorpusQueries {
+
+  /** Tokens-per-shard budget for [[defs ds_token_shards]]. */
+  val ShardBudget = 4096L
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Deterministic train/val/test split: hash each doc id and compare
+    // the hex digest lexicographically against fixed thresholds. The
+    // md5 hex alphabet is uniform per nibble, so 'cc' ≈ 204/256 = 79.7%
+    // train, 'e6' ≈ 90.2% cumulative → ~10% val, rest test. Stable
+    // under any corpus growth or reordering (membership depends only on
+    // the id), embarrassingly parallel (pure per-row expression in the
+    // scan stage), and identical across engines — the property that
+    // actually matters: retraining months later with more data must not
+    // leak yesterday's test docs into today's train split.
+    "ds_split" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"))
+        .select(col("doc_id"),
+          when(col("h") < "cc", "train")
+            .when(col("h") < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CASE WHEN h < 'cc' THEN 'train'
+          |       WHEN h < 'e6' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin),
+      doc = "deterministic train/val/test split: md5(doc_id) against " +
+        "lexicographic hex thresholds (~80/10/10)"),
+
+    // Token-budget sharding: assign documents to ~4096-token shards in
+    // deterministic (source, doc_id) order via an exclusive prefix sum —
+    // how a corpus becomes equal-work units for tokenizer/packing jobs.
+    // The window partitions by source, so parallelism is the number of
+    // sources; at 100 TB the partition key is whatever unit the corpus
+    // is already bucketed by (source × date × path-range), keeping each
+    // window partition executor-sized — the same two-phase shape as the
+    // multipart offset rebase (IS2), which this deliberately mirrors.
+    // Integer sums + truncating div keep both engines bit-identical.
+    "ds_token_shards" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextOps.wsTokenCount(col("text")).cast("long").as("tokens"))
+          .withColumn("cum_before",
+            coalesce(sum(col("tokens")).over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("tokens"),
+            expr(s"cum_before div $ShardBudget").as("shard"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""SELECT doc_id, source, tokens,
+           |  CAST(COALESCE(cumb, 0) // $ShardBudget AS BIGINT) AS shard
+           |FROM (
+           |  SELECT doc_id, source, tokens,
+           |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+           |  FROM (
+           |    SELECT doc_id, source,
+           |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+           |    FROM documents))
+           |ORDER BY doc_id""".stripMargin),
+      doc = s"token-budget sharding: exclusive prefix sum over " +
+        s"(source, doc_id) order, $ShardBudget tokens per shard")
+  )
+}

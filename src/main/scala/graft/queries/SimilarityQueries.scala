@@ -85,26 +85,28 @@ object SimilarityQueries {
        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold
        |ORDER BY i, j""".stripMargin
 
-  /** DuckDB replay of [[Similarity.ivfTopK]] with `iters` unrolled Lloyd
-    * steps — generated (like the SRP oracles) so the refinement
-    * arithmetic cannot drift from [[Similarity.lloydStep]]. */
-  private def ivfOracleSql(k: Int, queryLimit: Int, nList: Int, nProbe: Int,
-      iters: Int): String = {
-    // ranked corpus×centroids for a given centroid CTE: rnk 1 = cell
-    // assignment, rnk <= nProbe = probe list (same shape as rankedCells)
-    def ranked(cents: String, extra: String): String =
-      s"""SELECT p.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
-         |        p.n2 + c.cn2 - 2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
-         |        c.cid) AS rnk
-         |    FROM p, $cents c$extra""".stripMargin
+  /** Ranked corpus×centroids for a given centroid CTE: rnk 1 = cell
+    * assignment, rnk <= nProbe = probe list (same shape as
+    * [[Similarity.rankedCells]]). */
+  private def rankedSql(cents: String, extra: String): String =
+    s"""SELECT p.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        p.n2 + c.cn2 - 2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
+       |        c.cid) AS rnk
+       |    FROM p, $cents c$extra""".stripMargin
+
+  /** CTE chain `cents0 … cents<iters>` replaying
+    * [[Similarity.refinedCentroids]] (seed sample + unrolled Lloyd
+    * steps) — generated so the refinement arithmetic cannot drift from
+    * [[Similarity.lloydStep]]. Shared by the IVF and SemDedup oracles. */
+  private def centsSql(nList: Int, iters: Int): String = {
     val lloyd = (1 to iters).map { i =>
       val prev = s"cents${i - 1}"
       // truncated integer mean per dimension: sign-explicit |s| // c
       // (DuckDB // floors, Spark div truncates — identical on |s|)
       s"""assign$i AS (
          |  SELECT vec_id, cid FROM (
-         |    ${ranked(prev, "")}) WHERE rnk = 1),
+         |    ${rankedSql(prev, "")}) WHERE rnk = 1),
          |sums$i AS (
          |  SELECT a.cid, t.k,
          |         CAST(sum(p.qv[CAST(t.k AS INT)]) AS BIGINT) AS s,
@@ -123,15 +125,21 @@ object SimilarityQueries {
          |  FROM (SELECT c0.cid, COALESCE(r.ncv, c0.cv) AS cv
          |        FROM cents${i - 1} c0 LEFT JOIN ref$i r USING (cid)))""".stripMargin
     }.map(s => s",\n$s").mkString
+    s"cents0 AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM p WHERE vec_id < $nList)$lloyd"
+  }
+
+  /** DuckDB replay of [[Similarity.ivfTopK]]. */
+  private def ivfOracleSql(k: Int, queryLimit: Int, nList: Int, nProbe: Int,
+      iters: Int): String = {
     val cents = s"cents$iters"
     s"""WITH $duckPrep,
-       |cents0 AS (SELECT vec_id AS cid, qv AS cv, n2 AS cn2 FROM p WHERE vec_id < $nList)$lloyd,
+       |${centsSql(nList, iters)},
        |assign AS (
        |  SELECT vec_id AS nid, cid FROM (
-       |    ${ranked(cents, "")}) WHERE rnk = 1),
+       |    ${rankedSql(cents, "")}) WHERE rnk = 1),
        |probe AS (
        |  SELECT vec_id AS qid, cid FROM (
-       |    ${ranked(cents, s" WHERE p.vec_id < $queryLimit")}) WHERE rnk <= $nProbe),
+       |    ${rankedSql(cents, s" WHERE p.vec_id < $queryLimit")}) WHERE rnk <= $nProbe),
        |cand AS (
        |  SELECT pr.qid, a.nid FROM probe pr JOIN assign a USING (cid)
        |  WHERE a.nid <> pr.qid),
@@ -146,6 +154,30 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
        |  FROM scored
        |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.semDedup]]: refined centroids + cell
+    * assignment + within-cell lower-id near-neighbor drop rule. */
+  private def semDedupOracleSql(threshold: Double, nList: Int,
+      iters: Int): String = {
+    val cents = s"cents$iters"
+    s"""WITH $duckPrep,
+       |${centsSql(nList, iters)},
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    ${rankedSql(cents, "")}) WHERE rnk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT a2.vec_id AS j
+       |  FROM assign a1 JOIN assign a2
+       |    ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |  JOIN p pa ON pa.vec_id = a1.vec_id
+       |  JOIN p pb ON pb.vec_id = a2.vec_id
+       |  WHERE CAST(list_sum([pa.qv[k]*pb.qv[k] for k in range(1,65)]) AS DOUBLE)
+       |      / (sqrt(CAST(pa.n2 AS DOUBLE)) * sqrt(CAST(pb.n2 AS DOUBLE))) >= $threshold
+       |)
+       |SELECT a.vec_id, a.cid, (d.j IS NULL) AS kept
+       |FROM assign a LEFT JOIN dropped d ON d.j = a.vec_id
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB replay of SRP-blocked near-dup pairs fed through connected
@@ -281,6 +313,25 @@ object SimilarityQueries {
       Some(ivfOracleSql(5, 10, 16, 4, 2)),
       doc = "IVF ANN: 16-cell coarse quantizer + 2 Lloyd iterations " +
         "(exact trunc-div integer centroids), 4-cell probe, exact " +
-        "cosine rescoring")
+        "cosine rescoring"),
+
+    // SemDedup (Abbas et al. 2023): IVF-cluster the embeddings, then
+    // inside each cell drop every vector with a lower-id neighbor at
+    // cosine >= 0.4 (the same gate the pairwise near-dup queries use;
+    // on this corpus it prunes ~3-10% — 0.3 would amputate two thirds).
+    // Pairwise work never crosses cells, and the within-cell
+    // enumeration is skew-guarded — the semantic-dedup pass a 100 TB
+    // training pipeline runs after exact + near-dup text dedup.
+    "dd_semdedup" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.semDedup(
+          Tables.embeddings(s, d), "vec_id", "embedding", 0.4,
+          nList = 16, refineIters = 2)
+          .orderBy("vec_id")
+      },
+      Some(semDedupOracleSql(0.4, 16, 2)),
+      doc = "SemDedup semantic dedup: IVF cells (16, 2 Lloyd iters) + " +
+        "within-cell lower-id drop at cosine >= 0.4")
   )
 }

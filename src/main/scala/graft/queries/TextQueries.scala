@@ -170,6 +170,69 @@ object TextQueries {
           |) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
       doc = "corpus n-gram frequency: top-5 bigrams per language"),
 
+    // Repetition signals (Gopher quality filters, Rae et al. 2021
+    // §A1.2): unique-word fraction and duplicate 2/3-gram fractions are
+    // per-row column expressions (zero shuffle, run inside the scan);
+    // the most-frequent-word share needs a per-(doc, word) count — one
+    // explode + map-side-combined groupBy + doc-key join, the scalable
+    // spelling at 100 TB (a per-row nested loop over distinct words
+    // would be quadratic in document length).
+    "tx_repetition" -> QueryDef(
+      (s, d) => {
+        val w = col("w")
+        // The numbered repartition spreads the per-row higher-order
+        // n-gram/distinct work across the full shuffle parallelism
+        // instead of the scan stage's task-per-file (a single local
+        // file = a single task; measured ~6× on sf0.1). Numbered so
+        // AQE cannot coalesce the byte-small-but-CPU-heavy exchange,
+        // and shared by both branches (one exchange, reused): the
+        // explode side ships the same token arrays anyway.
+        val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .repartition(parts, col("doc_id"))
+        val top = docs
+          .select(col("doc_id"), explode(w).as("word"))
+          .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(max(col("n")).as("top_n"))
+        docs.join(top, "doc_id")
+          .select(col("doc_id"), size(w).cast("long").as("n_words"),
+            TextOps.uniqWordRatio(w).as("uniq_word_ratio"),
+            (col("top_n").cast("double") / size(w).cast("double"))
+              .as("top_word_ratio"),
+            TextOps.dupNgramRatio(w, 2).as("dup_bigram_ratio"),
+            TextOps.dupNgramRatio(w, 3).as("dup_trigram_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          |  FROM documents),
+          |top AS (
+          |  SELECT doc_id, max(n) AS top_n FROM (
+          |    SELECT doc_id, word, count(*) AS n
+          |    FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
+          |  GROUP BY doc_id),
+          |m AS (
+          |  SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS uw,
+          |    [w[i]||' '||w[i+1] for i in range(1, len(w))] AS bg,
+          |    [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] AS tg
+          |  FROM w)
+          |SELECT m.doc_id, CAST(nw AS BIGINT) AS n_words,
+          |  CAST(uw AS DOUBLE) / CAST(nw AS DOUBLE) AS uniq_word_ratio,
+          |  CAST(top_n AS DOUBLE) / CAST(nw AS DOUBLE) AS top_word_ratio,
+          |  CASE WHEN len(bg) > 0
+          |       THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+          |          / CAST(len(bg) AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_ratio,
+          |  CASE WHEN len(tg) > 0
+          |       THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
+          |          / CAST(len(tg) AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_ratio
+          |FROM m JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "repetition signals: unique-word / top-word / duplicate " +
+        "2,3-gram fractions per document"),
+
     "tx_fingerprint" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextOps}
+
+/** Corpus-preparation operators: repetition signals, deterministic
+  * splits, token sharding, SemDedup. */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("ngrams and duplicate-ngram ratio") {
+    val df = Seq("a b a b c", "a", "x x x x").toDF("text")
+      .select(TextOps.tokens(col("text")).as("w"))
+      .select(
+        TextOps.ngrams(col("w"), 2).as("bg"),
+        TextOps.dupNgramRatio(col("w"), 2).as("r2"),
+        TextOps.dupNgramRatio(col("w"), 3).as("r3"),
+        TextOps.uniqWordRatio(col("w")).as("uniq"))
+    val rows = df.collect()
+    // "a b a b c": bigrams [a b, b a, a b, b c] -> 1 dup of 4
+    assert(rows(0).getSeq[String](0) == Seq("a b", "b a", "a b", "b c"))
+    assert(rows(0).getDouble(1) == 0.25)
+    // single token: no bigrams -> ratio 0, not null (sequence guard)
+    assert(rows(1).getSeq[String](0).isEmpty)
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 0.0)
+    // "x x x x": bigrams all equal -> 2/3 dup; uniq words 1/4
+    assert(math.abs(rows(2).getDouble(1) - 2.0 / 3.0) < 1e-15)
+    assert(rows(2).getDouble(3) == 0.25)
+  }
+
+  test("ds_split pins known md5 thresholds and is deterministic") {
+    val out = queries.CorpusQueries.defs("ds_split").fn(spark, sf)
+      .as[(Long, String)].collect().toMap
+    // md5("0") = cfcd2084... -> 'cf' in [cc, e6) -> val
+    // md5("1") = c4ca4238... -> 'c4' < 'cc'      -> train
+    assert(out(0L) == "val")
+    assert(out(1L) == "train")
+    assert(Set("train", "val", "test").subsetOf(out.values.toSet))
+    // train dominates at the documented ~80/10/10 proportions
+    val n = out.size.toDouble
+    val train = out.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+  }
+
+  test("ds_token_shards: exclusive prefix sum, per-source reset") {
+    val out = queries.CorpusQueries.defs("ds_token_shards").fn(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    // shard ids are the exclusive prefix sum div budget, so within each
+    // source they are nondecreasing in doc_id order and start at 0
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._1)
+      assert(sorted.head._4 == 0L, s"$src first shard")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 <= b._4
+        case _ => true
+      }, s"$src nondecreasing")
+      // replay the prefix sum exactly
+      var cum = 0L
+      sorted.foreach { case (_, _, tokens, shard) =>
+        assert(shard == cum / queries.CorpusQueries.ShardBudget)
+        cum += tokens
+      }
+    }
+  }
+
+  test("semDedup drops exactly the higher-id member of a near pair") {
+    // ids 0..3 seed distinct centroids (nList=4); 8 and 9 are exact
+    // duplicates of id 0's direction, so all three share a cell and the
+    // two higher ids are dropped; everything else is kept.
+    def unit(k: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == k) 1.0f else 0.0f)
+    val embs = Seq(
+      (0L, unit(0)), (1L, unit(1)), (2L, unit(2)), (3L, unit(3)),
+      (4L, unit(4)), (5L, unit(5)),
+      (8L, unit(0).map(_ * 2.0f)), (9L, unit(0).map(_ * 3.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(embs, "vec_id", "embedding", 0.99,
+      nList = 4, refineIters = 0)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 8)
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // cell co-membership: 0, 8, 9 share a cell
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    assert(cellOf(8L) == cellOf(0L) && cellOf(9L) == cellOf(0L))
+  }
+
+  test("semDedup keeps everything when nothing crosses the threshold") {
+    def unit(k: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == k) 1.0f else 0.0f)
+    val embs = (0 until 8).map(k => (k.toLong, unit(k)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(embs, "vec_id", "embedding", 0.5,
+      nList = 4, refineIters = 1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 8 && out.forall(_._3))
+  }
+}
