@@ -17,6 +17,17 @@ object CorpusQueries {
   /** Tokens-per-shard budget for [[defs ds_token_shards]]. */
   val ShardBudget = 4096L
 
+  /** Corpus-mix sampling plan: per-source keep threshold on the first
+    * 4 hex chars of `md5(doc_id:source)` (1/65536 rate granularity),
+    * with the inverse-rate loss weight the kept rows carry. 'g' sorts
+    * above every hex digit = keep-all. One definition drives both the
+    * Spark `when`-chain and the oracle CASE, so they cannot drift. */
+  val MixPlan: Seq[(String, String, Double)] =
+    (0 to 4).map(i => (s"src$i", "g", 1.0)) ++
+      (5 to 9).map(i => (s"src$i", "8000", 2.0)) ++
+      (10 to 14).map(i => (s"src$i", "4000", 4.0)) ++
+      (15 to 19).map(i => (s"src$i", "1999", 10.0))
+
   val defs: Map[String, QueryDef] = Map(
 
     // Deterministic train/val/test split: hash each doc id and compare
@@ -83,6 +94,47 @@ object CorpusQueries {
            |    FROM documents))
            |ORDER BY doc_id""".stripMargin),
       doc = s"token-budget sharding: exclusive prefix sum over " +
-        s"(source, doc_id) order, $ShardBudget tokens per shard")
+        s"(source, doc_id) order, $ShardBudget tokens per shard"),
+
+    // Corpus mixing / reweighting: stratified deterministic sampling —
+    // each source keeps a fixed fraction of its documents (hash
+    // threshold per stratum, like ds_split but per-source rates), and
+    // kept rows carry the inverse-rate weight a training loop uses to
+    // de-bias the mix. Pure per-row expression in the scan stage;
+    // membership is stable under corpus growth, so re-running the
+    // pipeline on an extended corpus never flips yesterday's sample.
+    "ds_mix_sample" -> QueryDef(
+      (s, d) => {
+        val thr = MixPlan.foldLeft(lit("0000")) { case (acc, (src, t, _)) =>
+          when(col("source") === src, lit(t)).otherwise(acc)
+        }
+        val weight = MixPlan.foldLeft(lit(0.0)) { case (acc, (src, _, w)) =>
+          when(col("source") === src, lit(w)).otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .withColumn("h",
+            substring(md5(encode(
+              concat(col("doc_id").cast("string"), lit(":"), col("source")),
+              "UTF-8")), 1, 4))
+          .filter(col("h") < thr)
+          .select(col("doc_id"), col("source"), weight.as("weight"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val thrCase = MixPlan
+          .map { case (src, t, _) => s"WHEN '$src' THEN '$t'" }
+          .mkString("CASE source ", " ", " ELSE '0000' END")
+        val wCase = MixPlan
+          .map { case (src, _, w) => s"WHEN '$src' THEN CAST($w AS DOUBLE)" }
+          .mkString("CASE source ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+        s"""SELECT doc_id, source, $wCase AS weight
+           |FROM (SELECT doc_id, source,
+           |        substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) AS h
+           |      FROM documents)
+           |WHERE h < $thrCase
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "corpus mixing: stratified deterministic sampling with " +
+        "per-source rates + inverse-rate loss weights")
   )
 }

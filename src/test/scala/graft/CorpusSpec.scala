@@ -68,6 +68,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_mix_sample keeps full strata whole and samples the rest") {
+    val out = queries.CorpusQueries.defs("ds_mix_sample").fn(spark, sf)
+      .as[(Long, String, Double)].collect()
+    val bySrc = out.groupBy(_._2)
+    // keep-all strata ('g' threshold) retain all 25 docs at weight 1
+    for (i <- 0 to 4) {
+      assert(bySrc(s"src$i").length == 25, s"src$i complete")
+      assert(bySrc(s"src$i").forall(_._3 == 1.0))
+    }
+    // sampled strata keep strictly fewer, at their inverse-rate weight
+    for (i <- 15 to 19; rows <- bySrc.get(s"src$i")) {
+      assert(rows.length < 25, s"src$i sampled down")
+      assert(rows.forall(_._3 == 10.0))
+    }
+    // determinism: a second run selects the identical row set
+    val again = queries.CorpusQueries.defs("ds_mix_sample").fn(spark, sf)
+      .as[(Long, String, Double)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("semDedup drops exactly the higher-id member of a near pair") {
     // ids 0..3 seed distinct centroids (nList=4); 8 and 9 are exact
     // duplicates of id 0's direction, so all three share a cell and the

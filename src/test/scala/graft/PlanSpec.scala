@@ -101,6 +101,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-prep scans prune to the referenced columns") {
+    // At 100 TB a 2-column projection must reach the parquet scan: the
+    // split/sample queries never read `text`, so a full-row ReadSchema
+    // would multiply scan bytes ~50x.
+    val p = plan(queries.CorpusQueries.defs("ds_split").fn(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    val p2 = plan(queries.CorpusQueries.defs("ds_mix_sample").fn(spark, sf))
+    assert(p2.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p2)
+  }
+
+  test("semDedup pair enumeration plans an equi-join, never a cartesian") {
+    // Operator-level (the query's builder eagerly checkpoints): the
+    // within-cell enumeration must reach the planner as an equi-join on
+    // cid — a cartesian here is m² of the whole corpus at scale.
+    graft.functions.GraftFunctions.register(spark)
+    val prep = Similarity.prepared(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val cents = Similarity.refinedCentroids(prep, 4, 0)
+    val withCell = Similarity.ivfAssign(prep, cents).join(prep, "id")
+    val p = plan(graft.operators.Skew.selfJoinRows(
+      withCell, Seq("cid"), "id", Seq("qv", "n2")))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("candidate generators plan equi-joins, never cartesians") {
     // The checkpointed pipelines' inner enumeration, asserted at the
     // operator level where the join plan is still lazy/inspectable.
