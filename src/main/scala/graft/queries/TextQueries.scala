@@ -180,22 +180,22 @@ object TextQueries {
     "tx_repetition" -> QueryDef(
       (s, d) => {
         val w = col("w")
-        // The numbered repartition spreads the per-row higher-order
-        // n-gram/distinct work across the full shuffle parallelism
-        // instead of the scan stage's task-per-file (a single local
-        // file = a single task; measured ~6× on sf0.1). Numbered so
-        // AQE cannot coalesce the byte-small-but-CPU-heavy exchange,
-        // and shared by both branches (one exchange, reused): the
-        // explode side ships the same token arrays anyway.
-        val parts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-          .repartition(parts, col("doc_id"))
         val top = docs
           .select(col("doc_id"), explode(w).as("word"))
           .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
           .groupBy("doc_id").agg(max(col("n")).as("top_n"))
-        docs.join(top, "doc_id")
+        // merge hint + ratios above the join: the SMJ's own exchange
+        // spreads the higher-order n-gram/distinct work across the full
+        // shuffle parallelism instead of the scan stage's task-per-file
+        // (a single local file = a single task; measured ~6× on sf0.1
+        // — a broadcast of `top` would keep the CPU-heavy projection
+        // pinned to the scan). At 100 TB `top` (one row per doc) never
+        // broadcasts and SMJ is the planner's choice anyway, so the
+        // hint costs nothing — and on a doc_id-bucketed corpus layout
+        // the docs side needs no exchange at all (LakeSpec pins this).
+        docs.join(top.hint("merge"), "doc_id")
           .select(col("doc_id"), size(w).cast("long").as("n_words"),
             TextOps.uniqWordRatio(w).as("uniq_word_ratio"),
             (col("top_n").cast("double") / size(w).cast("double"))

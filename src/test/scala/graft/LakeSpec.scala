@@ -85,6 +85,51 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_id-bucketed corpus: per-doc metric join has no scan-side exchange") {
+    // The corpus twin of the objects⋈chunks co-location contract: a
+    // documents table bucketed by doc_id feeds tx_repetition's
+    // metrics⋈top join with ZERO exchanges anywhere — the bucketed
+    // scan's hash(doc_id) partitioning satisfies the groupBy(doc_id,
+    // word) clustering (subset key), the groupBy(doc_id), and both join
+    // sides, so the write-once shuffle pays for the whole per-doc
+    // pipeline. Asserted on the plan tree, not the plan string.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val dir = Files.createTempDirectory("graft_corpus_b").toString
+    Lake.writeBucketedTable(Tables.documents(spark, sf), "docs_b",
+      s"$dir/docs_b", "doc_id", buckets = 8)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = spark.table("docs_b").select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("w"))
+      val top = docs.select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max(col("n")).as("top_n"))
+      val joined = docs.join(top.hint("merge"), "doc_id")
+        .select(col("doc_id"),
+          (col("top_n").cast("double") / size(col("w")).cast("double"))
+            .as("top_word_ratio"))
+      val smj = joined.queryExecution.executedPlan.collectFirst {
+        case j: SortMergeJoinExec => j
+      }.getOrElse(fail("expected a sort-merge join:\n" +
+        joined.queryExecution.executedPlan))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed per-doc pipeline must not shuffle:\n" +
+          joined.queryExecution.executedPlan)
+      assert(joined.count() == Tables.documents(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS docs_b")
+    }
+  }
+
   test("object files are sorted by (bucket, object) within partitions") {
     val dir = Files.createTempDirectory("lake_sorted").toString
     Lake.writeObjects(Tables.objects(spark, sf), dir, nPart = 4)
