@@ -120,6 +120,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest gate filters language/quality, then dedups") {
+    val input = MemoryStream[DocEvent](spark)
+    val q = EventStreams.ingestGate(input.toDS())
+      .writeStream.format("memory").queryName("ingest_gate")
+      .outputMode("append").start()
+    try {
+      def de(id: Long, minute: Int, text: String) =
+        DocEvent(id, Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), text)
+      val goodEn = "the cat and the dog was with his friend for a while"
+      input.addData(
+        de(1, 1, goodEn),
+        de(2, 2, "!!! ??? !!! ??? !!!"),                    // quality gate
+        de(3, 3, "el los las una por con para que el los"), // language gate
+        de(4, 4, goodEn),                                   // dup of 1
+        de(5, 5, "the house and the garden was with his for all that"))
+      q.processAllAvailable()
+      val ids = spark.table("ingest_gate").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 5L))
+    } finally q.stop()
+  }
+
   test("upload sessions: complete assembles parts with multipart etag") {
     val input = MemoryStream[PartEvent](spark)
     val q = EventStreams.uploadSessions(input.toDS())
