@@ -165,6 +165,37 @@ object Dedup {
     checkpointed
   }
 
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Benchmark decontamination: train documents sharing at least
+    * `minShared` distinct w-gram shingles with a probe/benchmark
+    * document (the n-gram overlap check of GPT-3 appendix C / Gopher
+    * A3; Brown et al. 2020). Returns `(i, j, shared)` — train doc i,
+    * probe doc j, number of shared distinct shingles.
+    *
+    * Scale shape: ONE equi-join on the shingle hash. Probe shingles
+    * with document frequency > `maxProbeDf` are dropped first —
+    * ubiquitous boilerplate is not contamination evidence, and the cap
+    * bounds the join fan-out (each train-side shingle row matches
+    * ≤ maxProbeDf probe rows), so no bucket is ever quadratic and the
+    * enumeration needs no skew guard. Per-doc shingle sets are distinct
+    * ([[shingleSets]]), so the per-pair row count IS the distinct
+    * shared count — a plain count(*), no countDistinct re-shuffle. */
+  def contamination(train: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, minShared: Long, w: Int = 3,
+      maxProbeDf: Long = 10L): DataFrame = {
+    val tr = shingleSets(train, idCol, textCol, w)
+      .select(col("id").as("i"), explode(col("hs")).as("sh"))
+    val pr = shingleSets(probe, idCol, textCol, w)
+      .select(col("id").as("j"), explode(col("hs")).as("sh"))
+    val rare = pr.groupBy("sh").agg(count(lit(1)).as("pdf"))
+      .filter(col("pdf") <= maxProbeDf)
+      .select("sh")
+    tr.join(pr.join(rare, "sh"), "sh")
+      .groupBy("i", "j").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ---- near-dup clustering (connected components) ------------------------
 
   /** Connected components over near-dup pairs → `(id, label)` with

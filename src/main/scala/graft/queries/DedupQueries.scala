@@ -189,6 +189,40 @@ object DedupQueries {
       doc = "full dedup pass: near-dup clusters collapse to the min-id " +
         "canonical document (the surviving corpus + absorption counts)"),
 
+    // Benchmark decontamination: which train-split documents leak a
+    // test-split document's content? Shares the ds_split hash boundary
+    // ('e6' = the ~10% test slice), so the check runs against exactly
+    // the split a training run would hold out. At sf0.01 the hits are
+    // the cross-split members of the planted near-dup clusters.
+    "dd_decontaminate" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        Dedup.contamination(
+          docs.filter(h < "e6"), docs.filter(h >= "e6"),
+          "doc_id", "text", minShared = 5)
+          .orderBy("i", "j")
+      },
+      Some(
+        s"""WITH $shingleCtes,
+           |g AS (
+           |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           |         unnest(sg) AS s
+           |  FROM sh),
+           |tr AS (SELECT doc_id, s FROM g WHERE h < 'e6'),
+           |pr AS (SELECT doc_id, s FROM g WHERE h >= 'e6'),
+           |rare AS (SELECT s FROM pr GROUP BY s HAVING count(*) <= 10)
+           |SELECT tr.doc_id AS i, p.doc_id AS j,
+           |       CAST(count(*) AS BIGINT) AS shared
+           |FROM tr JOIN (SELECT pr.doc_id, pr.s FROM pr
+           |              JOIN rare USING (s)) p
+           |  ON tr.s = p.s
+           |GROUP BY 1, 2 HAVING count(*) >= 5
+           |ORDER BY i, j""".stripMargin),
+      doc = "benchmark decontamination: train docs sharing >= 5 distinct " +
+        "3-gram shingles with a test-split doc (df-capped probe index)"),
+
     // SimHash hamming<=3 pairs — the 60-bit token hash is 15 md5 hex
     // chars, so DuckDB replays the identical signature, banding, and
     // popcount verify (generated SQL; constants can't drift).

@@ -88,6 +88,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("contamination finds cross-corpus shingle overlap, df-capped") {
+    import graft.operators.Dedup
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven"),
+      (3L, "common common common common common common")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      // shares 6 distinct 3-grams with train doc 1 (8-token overlap run)
+      (10L, "alpha beta gamma delta epsilon zeta eta theta omega"),
+      (11L, "unrelated words entirely different from training data")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, probe, "doc_id", "text",
+      minShared = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(hits.toSeq == Seq((1L, 10L, 6L)))
+    // below the threshold: nothing (minShared above the overlap)
+    assert(Dedup.contamination(train, probe, "doc_id", "text",
+      minShared = 7).count() == 0)
+    // df cap: a shingle present in > maxProbeDf probe docs is ignored
+    val boiler = (20L to 40L).map(i => (i, s"footer legal text boilerplate"))
+      .toDF("doc_id", "text")
+    assert(Dedup.contamination(
+      Seq((5L, "footer legal text boilerplate")).toDF("doc_id", "text"),
+      boiler, "doc_id", "text", minShared = 1, maxProbeDf = 10).count() == 0)
+  }
+
   test("semDedup drops exactly the higher-id member of a near pair") {
     // ids 0..3 seed distinct centroids (nList=4); 8 and 9 are exact
     // duplicates of id 0's direction, so all three share a cell and the
