@@ -111,6 +111,44 @@ object ScaleAudit {
     val exchanges = finalPlan.linesIterator
       .count(_.contains("Exchange hashpartitioning(inode"))
 
+    // corpus co-location at sf1 row counts: the per-doc metric pipeline
+    // (tx_repetition's join+agg shape) over a doc_id-bucketed corpus
+    // table plans with ZERO doc_id exchanges — the bucketed scan's
+    // hash(doc_id) satisfies the (doc_id, word) grouping (subset key),
+    // the (doc_id) grouping, and both join sides — while the same
+    // pipeline over the same files read WITHOUT the bucket spec
+    // shuffles on doc_id repeatedly. Both counts are measured from the
+    // executed plan, mirroring LakeSpec's pinned assertion.
+    val nDocs = 50000L
+    val docsDf = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(k =>
+        concat(lit("w"), ((col("id") + lit(k.toLong)) % 997L)
+          .cast("string"))): _*).as("text"))
+    spark.sql("DROP TABLE IF EXISTS sa_docs")
+    Lake.writeBucketedTable(docsDf, "sa_docs", s"$root/bt_docs",
+      "doc_id", 32)
+    def repPipeline(src: DataFrame): DataFrame = {
+      val docs = src.select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("w"))
+      val top = docs.select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(max(col("n")).as("top_n"))
+      docs.join(top.hint("merge"), "doc_id")
+        .select(col("doc_id"),
+          (col("top_n").cast("double") / size(col("w")).cast("double"))
+            .as("top_word_ratio"))
+    }
+    def docIdExchanges(df: DataFrame): (Long, Long) = {
+      val rows = df.queryExecution.toRdd.count()
+      val ex = df.queryExecution.executedPlan.toString().linesIterator
+        .count(_.contains("Exchange hashpartitioning(doc_id"))
+      (rows, ex.toLong)
+    }
+    val (bkRows, bkEx) = docIdExchanges(repPipeline(spark.table("sa_docs")))
+    val (plRows, plEx) =
+      docIdExchanges(repPipeline(spark.read.parquet(s"$root/bt_docs")))
+
     def pct(a: Long, b: Long): Double =
       math.round(a.toDouble / b * 10000) / 100.0
     val json =
@@ -125,7 +163,10 @@ object ScaleAudit {
          |  "chunks_full": {"files": ${chunksTotal._1}, "rows": ${chunksTotal._3}},
          |  "inode_read":  {"files": ${oneInode._1}, "rows": ${oneInode._3},
          |                  "files_pct": ${pct(oneInode._1, chunksTotal._1)}},
-         |  "bucketed_join": {"inode_hash_exchanges": $exchanges, "sort_merge": $sortMerge, "rows": $joinRows}
+         |  "bucketed_join": {"inode_hash_exchanges": $exchanges, "sort_merge": $sortMerge, "rows": $joinRows},
+         |  "corpus_rows": $nDocs,
+         |  "corpus_pipeline": {"bucketed_docid_exchanges": $bkEx, "plain_docid_exchanges": $plEx,
+         |                      "bucketed_rows": $bkRows, "plain_rows": $plRows}
          |}""".stripMargin
     println(json)
     java.nio.file.Files.write(
