@@ -28,7 +28,54 @@ object CorpusQueries {
       (10 to 14).map(i => (s"src$i", "4000", 4.0)) ++
       (15 to 19).map(i => (s"src$i", "1999", 10.0))
 
+  /** Window/stride (tokens) for [[defs ds_chunk_windows]]: 32-token
+    * windows every 24 tokens = 25% overlap, the usual
+    * embedding/pretraining chunking shape scaled to this corpus's
+    * ~54-token documents. */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
   val defs: Map[String, QueryDef] = Map(
+
+    // Context-window chunking: every document becomes ceil-strided
+    // overlapping token windows (the step before embedding or packing —
+    // long documents must not be truncated, short ones yield one
+    // window). Pure per-row explode of a column expression: chunk
+    // generation runs inside the scan stage, no shuffle, and at 100 TB
+    // the output is written partition-parallel with no driver
+    // involvement. Chunk k covers tokens [k*stride, k*stride+window).
+    "ds_chunk_windows" -> QueryDef(
+      (s, d) => {
+        val w = col("w")
+        // number of windows: 1 + max(0, ceil((n - window) / stride)),
+        // in integer arithmetic (`div` truncates, DuckDB `//` floors —
+        // the greatest(0, ·) clamp makes them agree on short docs)
+        val extra = expr(
+          s"(size(w) - $ChunkWindow + $ChunkStride - 1) div $ChunkStride")
+        val nChunks = lit(1) + greatest(lit(0), extra)
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), nChunks - 1), k =>
+              struct(k.cast("long").as("chunk_id"),
+                array_join(slice(w, k * ChunkStride + 1, lit(ChunkWindow)), " ")
+                  .as("chunk")))).as("c"))
+          .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(
+        s"""SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           |  array_to_string(list_slice(w, k*$ChunkStride+1, k*$ChunkStride+$ChunkWindow), ' ') AS chunk
+           |FROM (
+           |  SELECT doc_id, w,
+           |    unnest(range(0, 1 + greatest(0,
+           |      (len(w) - $ChunkWindow + $ChunkStride - 1) // $ChunkStride))) AS k
+           |  FROM (SELECT doc_id,
+           |          string_split_regex(trim(lower(text)), '\\s+') AS w
+           |        FROM documents))
+           |ORDER BY doc_id, chunk_id""".stripMargin),
+      doc = s"context-window chunking: $ChunkWindow-token windows at " +
+        s"stride $ChunkStride (25% overlap), pure scan-stage explode"),
 
     // Deterministic train/val/test split: hash each doc id and compare
     // the hex digest lexicographically against fixed thresholds. The

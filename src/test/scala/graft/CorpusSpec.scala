@@ -68,6 +68,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_chunk_windows covers every token with 25% overlap") {
+    import queries.CorpusQueries.{ChunkStride, ChunkWindow}
+    val out = queries.CorpusQueries.defs("ds_chunk_windows").fn(spark, sf)
+      .as[(Long, Long, String)].collect()
+    val byDoc = out.groupBy(_._1)
+    val docs = queries.CorpusQueries.defs("ds_token_shards").fn(spark, sf)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val n = docs(id)
+      val sorted = chunks.sortBy(_._2)
+      // chunk ids are dense from 0
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      // expected count: 1 + ceil(max(0, n - window) / stride)
+      val expect = 1 + math.max(0L,
+        (n - ChunkWindow + ChunkStride - 1) / ChunkStride)
+      assert(sorted.length == expect, s"doc $id n=$n")
+      // every chunk except possibly the last is full-width
+      sorted.dropRight(1).foreach { c =>
+        assert(c._3.split(" ").length == ChunkWindow)
+      }
+      // reassembling chunk 0's tokens prefixes the doc: spot-check width
+      assert(sorted.head._3.split(" ").length == math.min(n, ChunkWindow))
+    }
+  }
+
   test("ds_mix_sample keeps full strata whole and samples the rest") {
     val out = queries.CorpusQueries.defs("ds_mix_sample").fn(spark, sf)
       .as[(Long, String, Double)].collect()
