@@ -233,6 +233,45 @@ object TextQueries {
       doc = "repetition signals: unique-word / top-word / duplicate " +
         "2,3-gram fractions per document"),
 
+    // Corpus-relative rarity score (the cheap proxy for CCNet's
+    // LM-perplexity quality dial): mean document frequency of a doc's
+    // token occurrences. Boilerplate-heavy docs score high (their
+    // tokens appear everywhere), jargon/noise docs score low — both
+    // tails are what a curation pass inspects. Exact integer df sums
+    // divided once in double, so the oracle hash-matches.
+    "tx_rarity" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        val df = docs
+          .select(explode(array_distinct(col("w"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        docs.select(col("doc_id"), explode(col("w")).as("tok"))
+          .join(df, "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("df_sum").cast("double") / col("n_tokens").cast("double"))
+              .as("mean_df"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          |  FROM documents),
+          |df AS (
+          |  SELECT tok, count(*) AS df FROM (
+          |    SELECT unnest(list_distinct(w)) AS tok FROM w)
+          |  GROUP BY tok),
+          |occ AS (SELECT doc_id, unnest(w) AS tok FROM w)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) AS mean_df
+          |FROM occ JOIN df USING (tok)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "corpus-relative rarity: mean token document frequency per " +
+        "doc (boilerplate scores high, noise scores low)"),
+
     "tx_fingerprint" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
