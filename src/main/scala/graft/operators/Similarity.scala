@@ -217,7 +217,10 @@ object Similarity {
     // cached: feeds centroid refinement, assignment, and the pair join
     val prep = prepared(embs, idCol, vecCol).cache()
     val cents = refinedCentroids(prep, nList, refineIters)
-    val withCell = ivfAssign(prep, cents).join(prep, "id")
+    // cached too: the assignment ranking (corpus × centroids window) is
+    // the dominant cost, and both the pair enumeration and the output
+    // join consume it — without the cache it executes twice
+    val withCell = ivfAssign(prep, cents).join(prep, "id").cache()
     val dropped = Skew
       .selfJoinRows(withCell, Seq("cid"), "id", Seq("qv", "n2"),
         hotThreshold, tiles)
@@ -229,6 +232,7 @@ object Similarity {
       .select(col("id").as("vec_id"), col("cid"),
         col("_dropped").isNull.as("kept"))
       .localCheckpoint(true)
+    withCell.unpersist()
     prep.unpersist()
     out
   }
