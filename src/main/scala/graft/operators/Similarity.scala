@@ -99,13 +99,30 @@ object Similarity {
   /** Corpus × centroids with per-vector centroid ranking by exact
     * integer L2 (`dist² = |a|² + |c|² - 2·a·c`), tie on cid. The one
     * shared distance computation: `rnk = 1` is the cell assignment,
-    * `rnk <= nProbe` the probe list. */
+    * `rnk <= nProbe` the probe list.
+    *
+    * Zero-shuffle by construction: the centroid table is
+    * driver-collected (bounded by nList — the same sanctioned bounded
+    * collect as the modal-dim probe below) into a literal array, and
+    * each corpus row ranks it in-expression with `array_sort` over
+    * `(d2, cid)` structs. The previous crossJoin + row_number window
+    * shuffled corpus × nList rows on id — at SemDedup-realistic nList
+    * (~√n cells) that exchange is O(n^1.5) and dwarfs everything else;
+    * this form keeps assignment and probe lists inside the scan stage.
+    * Ordering semantics are identical (struct comparison is field-wise:
+    * d2, then cid). */
   private def rankedCells(prep: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = (col("n2") + col("cn2") - lit(2L) * idot(col("qv"), col("cv")))
-    val w = Window.partitionBy("id").orderBy(d2.asc, col("cid"))
-    prep.crossJoin(broadcast(cents))
-      .withColumn("rnk", row_number().over(w))
-      .select(col("id"), col("cid"), col("rnk"))
+    val cs: Seq[(Long, Seq[Long], Long)] = cents
+      .select(col("cid"), col("cv"), col("cn2")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val ranked = array_sort(transform(typedLit(cs), c =>
+      struct(
+        (col("n2") + c.getField("_3") -
+          lit(2L) * idot(col("qv"), c.getField("_2"))).as("d2"),
+        c.getField("_1").as("cid"))))
+    prep.select(col("id"), posexplode(ranked).as(Seq("pos", "dc")))
+      .select(col("id"), col("dc.cid").as("cid"),
+        (col("pos") + 1).as("rnk"))
   }
 
   /** IVF coarse quantizer: centroids are a deterministic corpus sample
