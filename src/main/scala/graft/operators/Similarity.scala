@@ -111,26 +111,37 @@ object Similarity {
     * this form keeps assignment and probe lists inside the scan stage.
     * Ordering semantics are identical (struct comparison is field-wise:
     * d2, then cid). */
-  private def rankedCells(prep: DataFrame, cents: DataFrame): DataFrame = {
+  /** The sorted `(d2, cid)` struct array as a per-row Column (shared by
+    * [[rankedCells]], [[ivfAssign]], [[lloydStep]], [[semDedup]]). */
+  private def rankedArray(cents: DataFrame): Column = {
     val cs: Seq[(Long, Seq[Long], Long)] = cents
       .select(col("cid"), col("cv"), col("cn2")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-    val ranked = array_sort(transform(typedLit(cs), c =>
+    // field aliases inside a lambda are stripped by the analyzer — the
+    // cast re-names them (comparison is positional: d2 first, cid tie)
+    array_sort(transform(typedLit(cs), c =>
       struct(
-        (col("n2") + c.getField("_3") -
-          lit(2L) * idot(col("qv"), c.getField("_2"))).as("d2"),
-        c.getField("_1").as("cid"))))
-    prep.select(col("id"), posexplode(ranked).as(Seq("pos", "dc")))
+        col("n2") + c.getField("_3") -
+          lit(2L) * idot(col("qv"), c.getField("_2")),
+        c.getField("_1"))))
+      .cast("array<struct<d2:bigint,cid:bigint>>")
+  }
+
+  /** Nearest-centroid cell id as a per-row Column. */
+  private def nearestCell(cents: DataFrame): Column =
+    element_at(rankedArray(cents), 1).getField("cid")
+
+  private def rankedCells(prep: DataFrame, cents: DataFrame): DataFrame =
+    prep.select(col("id"), posexplode(rankedArray(cents)).as(Seq("pos", "dc")))
       .select(col("id"), col("dc.cid").as("cid"),
         (col("pos") + 1).as("rnk"))
-  }
 
   /** IVF coarse quantizer: centroids are a deterministic corpus sample
     * (`id < nList`, optionally Lloyd-refined — [[lloydStep]]), every
     * vector is assigned to its nearest centroid by exact integer L2.
     * Returns `(id, cid)`. */
   def ivfAssign(prep: DataFrame, cents: DataFrame): DataFrame =
-    rankedCells(prep, cents).filter(col("rnk") === 1).select("id", "cid")
+    prep.select(col("id"), nearestCell(cents).as("cid"))
 
   /** One Lloyd iteration over exact integers: assign every vector to its
     * nearest centroid, recompute each centroid as the per-dimension
@@ -142,9 +153,10 @@ object Similarity {
     * sums); centroids stay integer so the refined index remains exactly
     * reproducible by any engine. */
   def lloydStep(prep: DataFrame, cents: DataFrame): DataFrame = {
-    val assign = ivfAssign(prep, cents)
-    val sums = assign.join(prep, "id")
-      .select(col("cid"), posexplode(col("qv")).as(Seq("k", "v")))
+    // the cell id is a per-row expression — no assignment join-back
+    val sums = prep
+      .select(nearestCell(cents).as("cid"),
+        posexplode(col("qv")).as(Seq("k", "v")))
       .groupBy("cid", "k")
       .agg(sum("v").as("s"), count(lit(1)).as("c"))
     val q = expr("abs(s) div c")
@@ -234,10 +246,10 @@ object Similarity {
     // cached: feeds centroid refinement, assignment, and the pair join
     val prep = prepared(embs, idCol, vecCol).cache()
     val cents = refinedCentroids(prep, nList, refineIters)
-    // cached too: the assignment ranking (corpus × centroids window) is
-    // the dominant cost, and both the pair enumeration and the output
-    // join consume it — without the cache it executes twice
-    val withCell = ivfAssign(prep, cents).join(prep, "id").cache()
+    // the cell id is a per-row expression over the broadcast-literal
+    // centroids (no assignment join-back); cached because both the pair
+    // enumeration and the output join consume it
+    val withCell = prep.withColumn("cid", nearestCell(cents)).cache()
     val dropped = Skew
       .selfJoinRows(withCell, Seq("cid"), "id", Seq("qv", "n2"),
         hotThreshold, tiles)
