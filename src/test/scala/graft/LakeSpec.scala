@@ -130,6 +130,39 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("source-bucketed corpus: sharding window needs no exchange") {
+    // ds_token_shards' prefix-sum window requires hash(source)
+    // distribution — a corpus table bucketed by source provides it from
+    // the scan, so the sharding pass moves zero bytes between
+    // executors. (A partition-LOCAL sort remains: since Spark 3.0 the
+    // bucketed scan never advertises its file sort order, so the
+    // planner re-sorts within partitions — already-sorted input, one
+    // cheap pass, no exchange.)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft_corpus_src").toString
+    Lake.writeBucketedTable(Tables.documents(spark, sf), "docs_src",
+      s"$dir/docs_src", "source", buckets = 4, Seq("doc_id"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val df2 = spark.table("docs_src")
+        .select(col("doc_id"), col("source"),
+          graft.operators.TextOps.wsTokenCount(col("text")).cast("long")
+            .as("tokens"))
+        .withColumn("cum", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      assert(df2.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, df2.queryExecution.executedPlan.toString)
+      assert(df2.count() == Tables.documents(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS docs_src")
+    }
+  }
+
   test("object files are sorted by (bucket, object) within partitions") {
     val dir = Files.createTempDirectory("lake_sorted").toString
     Lake.writeObjects(Tables.objects(spark, sf), dir, nPart = 4)
