@@ -8,9 +8,10 @@ import graft.operators.TextOps
 
 /** Corpus-preparation operators for the training-data pipeline: the
   * steps between a filtered/deduped document set and a training run —
-  * deterministic dataset splits and token-budget sharding. Both are
-  * engine-portable by construction (md5 + lexicographic thresholds,
-  * exact integer window sums), so the DuckDB oracle hash-matches them.
+  * context-window chunking, deterministic dataset splits, token-budget
+  * sharding, and stratified corpus mixing. All engine-portable by
+  * construction (md5 + lexicographic thresholds, exact integer window
+  * sums and divisions), so the DuckDB oracle hash-matches every one.
   */
 object CorpusQueries {
 
