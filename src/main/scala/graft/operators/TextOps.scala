@@ -93,6 +93,19 @@ object TextOps {
       "quality" -> ((lenScore + punctScore + stopScore + alphaScore) * 0.25))
   }
 
+  /** The ingest gate (language ID + composite quality + length) as ONE
+    * reusable boolean Column — the exact predicate
+    * [[graft.streaming.EventStreams.ingestGate]] fuses in front of its
+    * watermark-bounded dedup. Batch backfill (`tx_ingest_gate_batch`)
+    * and streaming ingest both call THIS function, so the two paths
+    * cannot disagree on what passes the gate. */
+  def ingestGate(text: Column, lang: String = "en",
+      minQuality: Double = 0.5): Column = {
+    val m = qualityMetrics(text).toMap
+    langId(text) === lang && m("quality") >= minQuality &&
+      m("n_words").between(5, 5000)
+  }
+
   // ---- repetition signals (Gopher-style quality filters) -----------------
 
   /** Space-joined word n-grams of a token array (empty below n tokens —

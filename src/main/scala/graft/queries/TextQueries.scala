@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -21,6 +22,58 @@ object TextQueries {
   private val duckScored = TextOps.LangMarkers.keys.toSeq.sorted
     .map(l => s"lpad(CAST(${duckMarker(l)} AS VARCHAR), 6, '0') || '$l'")
     .mkString("greatest(", ", ", ")")
+
+  /** The tx_rarity plan over tokenized docs `(doc_id, w)`: the
+    * vocabulary-sized df table is BROADCAST into the occurrence join,
+    * so token occurrences never shuffle on `tok` — stop-words are
+    * extreme hot keys and would concentrate whole shuffle partitions;
+    * the df side is one row per distinct token, exactly the
+    * broadcast-dimension shape. The only wide exchange left is the
+    * uniform groupBy(doc_id). PlanSpec pins the BroadcastHashJoin. */
+  def rarityPlan(docs: DataFrame): DataFrame = {
+    val df = docs
+      .select(explode(array_distinct(col("w"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    docs.select(col("doc_id"), explode(col("w")).as("tok"))
+      .join(broadcast(df), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("df_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_df"))
+      .orderBy("doc_id")
+  }
+
+  /** The ingest gate over `documents` as a DuckDB subquery, carrying
+    * `text` through for downstream fingerprinting — shared by the
+    * `tx_corpus_filter` oracle and the streaming batch-equivalence
+    * oracle (`tx_ingest_gate_batch`), exactly as the Spark side shares
+    * [[TextOps.ingestGate]]. */
+  private val gatedDocsSql =
+    s"""SELECT doc_id, text, predicted, quality, n_words FROM (
+       |  SELECT doc_id, text,
+       |    CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0 THEN 'zh'
+       |         WHEN substr(best, 1, 6) = '000000' THEN 'und'
+       |         ELSE substr(best, 7, 2) END AS predicted,
+       |    (least(CAST(1.0 AS DOUBLE), nw / CAST(100.0 AS DOUBLE))
+       |     + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), pu * CAST(5.0 AS DOUBLE) / nc))
+       |     + least(CAST(1.0 AS DOUBLE), st * CAST(3.0 AS DOUBLE) / nw)
+       |     + al / nc) * CAST(0.25 AS DOUBLE) AS quality,
+       |    CAST(nw AS BIGINT) AS n_words
+       |  FROM (
+       |    SELECT doc_id, text, $duckScored AS best,
+       |      CAST(length(text) AS DOUBLE) AS nc,
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+       |      CAST(len(regexp_extract_all(text, '\\p{P}')) AS DOUBLE) AS pu,
+       |      CAST(len(regexp_extract_all(text, '[\\p{L}\\x{4E00}-\\x{9FFF}]')) AS DOUBLE) AS al,
+       |      CAST(len(regexp_extract_all(lower(text), '\\b(the|and|was|his|that|with|for)\\b'))
+       |         + len(regexp_extract_all(lower(text), '\\b(el|los|las|una|por|con|para|que)\\b'))
+       |         + len(regexp_extract_all(lower(text), '\\b(le|les|des|une|est|dans|et|qui)\\b'))
+       |         + len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS DOUBLE) AS st
+       |    FROM documents
+       |  )
+       |) WHERE predicted = 'en' AND quality >= 0.5
+       |    AND n_words BETWEEN 5 AND 5000""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -104,33 +157,35 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some(
-        s"""SELECT doc_id, predicted, quality, n_words FROM (
-           |  SELECT doc_id,
-           |    CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0 THEN 'zh'
-           |         WHEN substr(best, 1, 6) = '000000' THEN 'und'
-           |         ELSE substr(best, 7, 2) END AS predicted,
-           |    (least(CAST(1.0 AS DOUBLE), nw / CAST(100.0 AS DOUBLE))
-           |     + (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), pu * CAST(5.0 AS DOUBLE) / nc))
-           |     + least(CAST(1.0 AS DOUBLE), st * CAST(3.0 AS DOUBLE) / nw)
-           |     + al / nc) * CAST(0.25 AS DOUBLE) AS quality,
-           |    CAST(nw AS BIGINT) AS n_words
-           |  FROM (
-           |    SELECT doc_id, text, $duckScored AS best,
-           |      CAST(length(text) AS DOUBLE) AS nc,
-           |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
-           |      CAST(len(regexp_extract_all(text, '\\p{P}')) AS DOUBLE) AS pu,
-           |      CAST(len(regexp_extract_all(text, '[\\p{L}\\x{4E00}-\\x{9FFF}]')) AS DOUBLE) AS al,
-           |      CAST(len(regexp_extract_all(lower(text), '\\b(the|and|was|his|that|with|for)\\b'))
-           |         + len(regexp_extract_all(lower(text), '\\b(el|los|las|una|por|con|para|que)\\b'))
-           |         + len(regexp_extract_all(lower(text), '\\b(le|les|des|une|est|dans|et|qui)\\b'))
-           |         + len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit|ein)\\b')) AS DOUBLE) AS st
-           |    FROM documents
-           |  )
-           |) WHERE predicted = 'en' AND quality >= 0.5
-           |    AND n_words BETWEEN 5 AND 5000
+        s"""SELECT doc_id, predicted, quality, n_words
+           |FROM ($gatedDocsSql)
            |ORDER BY doc_id""".stripMargin),
       doc = "composed ingest filter: language + quality + length gates " +
         "in one scan pass"),
+
+    // Batch-equivalence form of the STREAMING ingest path: the same
+    // TextOps.ingestGate predicate EventStreams.ingestGate fuses in
+    // front of its watermarked dedup, composed with the same exact-
+    // dedup fingerprint (first survivor per fingerprint = the batch
+    // analogue of keep-first-arrival). Oracle-hashing this entry makes
+    // the batch/streaming expression share executable — the streaming
+    // path is otherwise only spec-testable.
+    "tx_ingest_gate_batch" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .filter(TextOps.ingestGate(col("text")))
+        .select(col("doc_id"), TextOps.mdFingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id"),
+      Some(
+        s"""SELECT min(doc_id) AS doc_id, fp FROM (
+           |  SELECT doc_id,
+           |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM ($gatedDocsSql))
+           |GROUP BY fp ORDER BY doc_id""".stripMargin),
+      doc = "streaming ingest gate, batch-equivalence form: the shared " +
+        "TextOps.ingestGate predicate + exact-dedup fingerprint " +
+        "(first survivor per fingerprint)"),
 
     // Corpus n-gram statistics: top-5 bigrams per language by frequency
     // — the "what's in this corpus" analysis every training-data
@@ -241,19 +296,16 @@ object TextQueries {
     // divided once in double, so the oracle hash-matches.
     "tx_rarity" -> QueryDef(
       (s, d) => {
+        // tokenize ONCE: the df branch and the occurrence branch both
+        // read the cached tokenized docs instead of re-scanning and
+        // re-splitting the corpus (an eager checkpoint of the tiny
+        // per-doc result releases the cache before returning)
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-        val df = docs
-          .select(explode(array_distinct(col("w"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("df"))
-        docs.select(col("doc_id"), explode(col("w")).as("tok"))
-          .join(df, "tok")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum("df").as("df_sum"))
-          .select(col("doc_id"), col("n_tokens"),
-            (col("df_sum").cast("double") / col("n_tokens").cast("double"))
-              .as("mean_df"))
-          .orderBy("doc_id")
+          .cache()
+        val out = rarityPlan(docs).localCheckpoint(true)
+        docs.unpersist()
+        out
       },
       Some(
         """WITH w AS (

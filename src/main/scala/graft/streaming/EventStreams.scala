@@ -172,21 +172,22 @@ object EventStreams {
         graft.operators.TextOps.mdFingerprint(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
-  /** Streaming ingest gate: the batch `tx_corpus_filter` predicate
-    * (language ID + composite quality + length), fused in FRONT of the
-    * watermark-bounded exact dedup. The gates are pure per-row
-    * projections — zero streaming state — and running them first keeps
-    * rejected documents out of the dedup state store entirely, so the
-    * hot path's only state remains the watermark horizon. The same
-    * column expressions power the batch query, so batch backfill and
-    * streaming ingest cannot disagree on what passes. */
+  /** Streaming ingest gate: [[graft.operators.TextOps.ingestGate]]
+    * (language ID + composite quality + length — the same predicate
+    * function the batch `tx_corpus_filter`/`tx_ingest_gate_batch`
+    * queries run, so batch backfill and streaming ingest cannot
+    * disagree on what passes), fused in FRONT of the watermark-bounded
+    * exact dedup. The gates are pure per-row projections — zero
+    * streaming state — and running them first keeps rejected documents
+    * out of the dedup state store entirely, so the hot path's only
+    * state remains the watermark horizon. The batch-equivalence of the
+    * whole gate+dedup composition is oracle-checked as
+    * `tx_ingest_gate_batch`. */
   def ingestGate(docs: Dataset[DocEvent], lang: String = "en",
       minQuality: Double = 0.5, watermark: String = "10 minutes")
       : DataFrame = {
-    val m = graft.operators.TextOps.qualityMetrics(col("text")).toMap
     val gated = docs.filter(
-      graft.operators.TextOps.langId(col("text")) === lang &&
-        m("quality") >= minQuality && m("n_words").between(5, 5000))
+      graft.operators.TextOps.ingestGate(col("text"), lang, minQuality))
     dedupDocuments(gated, watermark)
   }
 
