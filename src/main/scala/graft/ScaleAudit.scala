@@ -149,6 +149,37 @@ object ScaleAudit {
     val (plRows, plEx) =
       docIdExchanges(repPipeline(spark.read.parquet(s"$root/bt_docs")))
 
+    // IVF assignment at wide nList (round-7 weak mark): the broadcast-
+    // centroid form's only shuffle is the nList-row centroid aggregate
+    // (then a broadcast) — NEVER an O(corpus·nList) explode/shuffle —
+    // and the PLAN carries no nList-sized literal. Record assignment
+    // shuffle bytes + plan size at nList=16 vs the SemDedup-realistic
+    // 1024 (≈ √corpus here), both measured from the executed plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.functions.GraftFunctions.register(spark)
+    val nVecs = 20000L
+    val embsDf = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (((col("id") * 31L + d * 7L) % 1997L).cast("double") / 1000.0)
+          .cast("float")).as("embedding"))
+      .localCheckpoint(true)
+    def ivfAudit(nList: Int): (Long, Long, Long) = {
+      val prep = graft.operators.Similarity
+        .prepared(embsDf, "vec_id", "embedding")
+      val cents = graft.operators.Similarity
+        .refinedCentroids(prep, nList, 0)
+      val asg = graft.operators.Similarity.ivfAssign(prep, cents)
+      val rows = asg.queryExecution.toRdd.count()
+      val sb = asg.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+      }.sum
+      (rows, sb, asg.queryExecution.executedPlan.toString.length.toLong)
+    }
+    val (ivfR16, ivfSb16, ivfPl16) = ivfAudit(16)
+    val (ivfR1024, ivfSb1024, ivfPl1024) = ivfAudit(1024)
+
     def pct(a: Long, b: Long): Double =
       math.round(a.toDouble / b * 10000) / 100.0
     val json =
@@ -166,7 +197,10 @@ object ScaleAudit {
          |  "bucketed_join": {"inode_hash_exchanges": $exchanges, "sort_merge": $sortMerge, "rows": $joinRows},
          |  "corpus_rows": $nDocs,
          |  "corpus_pipeline": {"bucketed_docid_exchanges": $bkEx, "plain_docid_exchanges": $plEx,
-         |                      "bucketed_rows": $bkRows, "plain_rows": $plRows}
+         |                      "bucketed_rows": $bkRows, "plain_rows": $plRows},
+         |  "ivf_assign": {"corpus_rows": $nVecs,
+         |    "nlist16":   {"rows": $ivfR16, "shuffle_bytes": $ivfSb16, "plan_chars": $ivfPl16},
+         |    "nlist1024": {"rows": $ivfR1024, "shuffle_bytes": $ivfSb1024, "plan_chars": $ivfPl1024}}
          |}""".stripMargin
     println(json)
     java.nio.file.Files.write(

@@ -96,52 +96,48 @@ object Similarity {
 
   // ---- IVF (inverted-file index, the second scale path) ------------------
 
-  /** Corpus × centroids with per-vector centroid ranking by exact
-    * integer L2 (`dist² = |a|² + |c|² - 2·a·c`), tie on cid. The one
-    * shared distance computation: `rnk = 1` is the cell assignment,
-    * `rnk <= nProbe` the probe list.
-    *
-    * Zero-shuffle by construction: the centroid table is
-    * driver-collected (bounded by nList — the same sanctioned bounded
-    * collect as the modal-dim probe below) into a literal array, and
-    * each corpus row ranks it in-expression with `array_sort` over
-    * `(d2, cid)` structs. The previous crossJoin + row_number window
-    * shuffled corpus × nList rows on id — at SemDedup-realistic nList
-    * (~√n cells) that exchange is O(n^1.5) and dwarfs everything else;
-    * this form keeps assignment and probe lists inside the scan stage.
-    * Ordering semantics are identical (struct comparison is field-wise:
-    * d2, then cid). */
-  /** The sorted `(d2, cid)` struct array as a per-row Column (shared by
-    * [[rankedCells]], [[ivfAssign]], [[lloydStep]], [[semDedup]]). */
-  private def rankedArray(cents: DataFrame): Column = {
-    val cs: Seq[(Long, Seq[Long], Long)] = cents
-      .select(col("cid"), col("cv"), col("cn2")).collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-    // field aliases inside a lambda are stripped by the analyzer — the
-    // cast re-names them (comparison is positional: d2 first, cid tie)
-    array_sort(transform(typedLit(cs), c =>
-      struct(
-        col("n2") + c.getField("_3") -
-          lit(2L) * idot(col("qv"), c.getField("_2")),
-        c.getField("_1"))))
+  /** The centroid table as ONE broadcast row holding a cid-sorted
+    * struct array — the scale form of the former driver-collected plan
+    * literal. Nothing is collected at plan-build time (composing
+    * [[ivfAssign]]/[[lloydStep]]/[[semDedup]] runs no Spark jobs), the
+    * array ships to executors once via a broadcast exchange instead of
+    * inside every serialized task, and the query plan carries no
+    * nList-sized literal — at the SemDedup-prescribed nList ≈ √n
+    * (10⁵-10⁶ cells at 100 TB) a literal is megabytes of plan per task
+    * and a codegen bomb, while a broadcast row is shared executor
+    * memory. PlanSpec pins that plan size is nList-independent; the
+    * array is cid-sorted only so its order never depends on
+    * collect_list's aggregation order. */
+  private def centArr(cents: DataFrame): DataFrame =
+    broadcast(cents.agg(array_sort(
+      collect_list(struct(col("cid"), col("cv"), col("cn2")))).as("_cents")))
+
+  /** Per-row exact-integer L2 distance structs `(d2, cid)` over the
+    * broadcast centroid array (`d2 = |a|² + |c|² − 2·a·c`). Field
+    * aliases inside a lambda are stripped by the analyzer — the cast
+    * re-names them (comparison is positional: d2 first, cid tie). */
+  private def distArr: Column =
+    transform(col("_cents"), c => struct(
+        col("n2") + c.getField("cn2") -
+          lit(2L) * idot(col("qv"), c.getField("cv")),
+        c.getField("cid")))
       .cast("array<struct<d2:bigint,cid:bigint>>")
-  }
 
-  /** Nearest-centroid cell id as a per-row Column. */
-  private def nearestCell(cents: DataFrame): Column =
-    element_at(rankedArray(cents), 1).getField("cid")
-
-  private def rankedCells(prep: DataFrame, cents: DataFrame): DataFrame =
-    prep.select(col("id"), posexplode(rankedArray(cents)).as(Seq("pos", "dc")))
-      .select(col("id"), col("dc.cid").as("cid"),
-        (col("pos") + 1).as("rnk"))
+  /** Corpus rows + nearest-centroid cell id (`cid`): one single-row
+    * broadcast nested-loop join (the centroid array) + an O(nList·dim)
+    * in-row argmin — `array_min` over `(d2, cid)` structs. No per-row
+    * sort of all cells, no corpus shuffle, no assignment join-back. */
+  def withNearestCell(prep: DataFrame, cents: DataFrame): DataFrame =
+    prep.crossJoin(centArr(cents))
+      .withColumn("cid", array_min(distArr).getField("cid"))
+      .drop("_cents")
 
   /** IVF coarse quantizer: centroids are a deterministic corpus sample
     * (`id < nList`, optionally Lloyd-refined — [[lloydStep]]), every
     * vector is assigned to its nearest centroid by exact integer L2.
     * Returns `(id, cid)`. */
   def ivfAssign(prep: DataFrame, cents: DataFrame): DataFrame =
-    prep.select(col("id"), nearestCell(cents).as("cid"))
+    withNearestCell(prep, cents).select("id", "cid")
 
   /** One Lloyd iteration over exact integers: assign every vector to its
     * nearest centroid, recompute each centroid as the per-dimension
@@ -153,10 +149,10 @@ object Similarity {
     * sums); centroids stay integer so the refined index remains exactly
     * reproducible by any engine. */
   def lloydStep(prep: DataFrame, cents: DataFrame): DataFrame = {
-    // the cell id is a per-row expression — no assignment join-back
-    val sums = prep
-      .select(nearestCell(cents).as("cid"),
-        posexplode(col("qv")).as(Seq("k", "v")))
+    // the cell id is a per-row argmin over the broadcast centroid
+    // array — no assignment join-back
+    val sums = withNearestCell(prep, cents)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("k", "v")))
       .groupBy("cid", "k")
       .agg(sum("v").as("s"), count(lit(1)).as("c"))
     val q = expr("abs(s) div c")
@@ -194,14 +190,17 @@ object Similarity {
     // the cache each branch re-scans and re-quantizes the corpus
     val prep = prepared(embs, idCol, vecCol).cache()
     val cents = refinedCentroids(prep, nList, refineIters)
-    // One ranked corpus×centroids table serves both roles: rnk = 1 is
-    // the cell assignment, rnk <= nProbe (query rows) the probe list.
-    val ranked = rankedCells(prep, cents).cache()
-    val assign = ranked.filter(col("rnk") === 1).select("id", "cid")
-    val probe = ranked
-      .filter(col("id") < queryLimit && col("rnk") <= nProbe)
-      .select(col("id").as("qid"), col("cid"))
-    val cand = probe.join(assign.select(col("id").as("nid"), col("cid")), "cid")
+    // Assignment is an in-row argmin; probe lists sort the distance
+    // array ONLY for the (tiny) query-row slice — the former shared
+    // ranked table posexploded corpus × nList structs through the plan.
+    val assign = withNearestCell(prep, cents)
+      .select(col("id").as("nid"), col("cid"))
+    val probe = prep.filter(col("id") < queryLimit)
+      .crossJoin(centArr(cents))
+      .select(col("id").as("qid"),
+        explode(transform(slice(array_sort(distArr), 1, nProbe),
+          c => c.getField("cid"))).as("cid"))
+    val cand = probe.join(assign, "cid")
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
     val scored = cand
@@ -215,7 +214,6 @@ object Similarity {
     val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .localCheckpoint(true)
-    ranked.unpersist()
     prep.unpersist()
     out
   }
@@ -246,10 +244,10 @@ object Similarity {
     // cached: feeds centroid refinement, assignment, and the pair join
     val prep = prepared(embs, idCol, vecCol).cache()
     val cents = refinedCentroids(prep, nList, refineIters)
-    // the cell id is a per-row expression over the broadcast-literal
-    // centroids (no assignment join-back); cached because both the pair
+    // the cell id is a per-row argmin over the broadcast centroid
+    // array (no assignment join-back); cached because both the pair
     // enumeration and the output join consume it
-    val withCell = prep.withColumn("cid", nearestCell(cents)).cache()
+    val withCell = withNearestCell(prep, cents).cache()
     val dropped = Skew
       .selfJoinRows(withCell, Seq("cid"), "id", Seq("qv", "n2"),
         hotThreshold, tiles)

@@ -86,8 +86,8 @@ object SimilarityQueries {
        |ORDER BY i, j""".stripMargin
 
   /** Ranked corpus×centroids for a given centroid CTE: rnk 1 = cell
-    * assignment, rnk <= nProbe = probe list (same shape as
-    * [[Similarity.rankedCells]]). */
+    * assignment (= [[Similarity.withNearestCell]]'s argmin), rnk <=
+    * nProbe = probe list ([[Similarity.ivfTopK]]'s sorted-slice). */
   private def rankedSql(cents: String, extra: String): String =
     s"""SELECT p.vec_id, c.cid,
        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY

@@ -114,16 +114,52 @@ class PlanSpec extends AnyFunSuite {
   test("semDedup pair enumeration plans an equi-join, never a cartesian") {
     // Operator-level (the query's builder eagerly checkpoints): the
     // within-cell enumeration must reach the planner as an equi-join on
-    // cid — a cartesian here is m² of the whole corpus at scale.
+    // cid — a cartesian here is m² of the whole corpus at scale. The
+    // one nested loop allowed is the single-row broadcast of the
+    // centroid array (cell assignment); the pair join itself must not
+    // be one.
     graft.functions.GraftFunctions.register(spark)
     val prep = Similarity.prepared(
       Tables.embeddings(spark, sf), "vec_id", "embedding")
     val cents = Similarity.refinedCentroids(prep, 4, 0)
-    val withCell = Similarity.ivfAssign(prep, cents).join(prep, "id")
+    val withCell = Similarity.withNearestCell(prep, cents)
     val p = plan(graft.operators.Skew.selfJoinRows(
       withCell, Seq("cid"), "id", Seq("qv", "n2")))
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val bnljNodes = p.linesIterator
+      .count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnljNodes <= 1, p)
+  }
+
+  test("tx_rarity broadcasts the df table — occurrences never shuffle on tok") {
+    // Stop-words are extreme hot keys: a hash shuffle of occurrence
+    // rows on `tok` would concentrate whole partitions at 100 TB. The
+    // df side is vocabulary-bounded, so it broadcasts.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("w"))
+    val p = plan(graft.queries.TextQueries.rarityPlan(docs))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(tok"), p)
+  }
+
+  test("IVF assignment plan size is independent of nList (no plan literal)") {
+    // The former centroid path embedded a driver-collected typedLit in
+    // the expression tree: at SemDedup-realistic nList ≈ √n the literal
+    // is megabytes inside every serialized task and a codegen bomb.
+    // The broadcast-array form must plan the same size at any nList.
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val prep = Similarity.prepared(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    def cents(n: Int) = spark.range(n).select(col("id").as("cid"),
+      transform(sequence(lit(0), lit(63)),
+        k => (col("id") + k).cast("long")).as("cv"))
+      .withColumn("cn2", graft.functions.GraftFunctions
+        .ldot(col("cv"), col("cv")))
+    val small = plan(Similarity.ivfAssign(prep, cents(16))).length
+    val big = plan(Similarity.ivfAssign(prep, cents(1024))).length
+    assert(big < small * 2 && big < 50000,
+      s"plan grows with nList: $small chars at 16, $big at 1024")
   }
 
   test("candidate generators plan equi-joins, never cartesians") {

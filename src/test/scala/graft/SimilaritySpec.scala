@@ -60,6 +60,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.sortBy(x => (x._1, x._3)).toSeq == r2.sortBy(x => (x._1, x._3)).toSeq)
   }
 
+  test("ivfAssign at nList=1024 matches an independent argmin (sf0.1)") {
+    // The SemDedup recipe sizes nList ≈ √n — the broadcast-centroid
+    // form must stay CORRECT (not just plannable) at wide nList.
+    // Independent oracle: an explicit corpus×centroids join + struct
+    // min aggregate, a completely different plan from the in-row
+    // argmin over the broadcast array.
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val prep = Similarity.prepared(embs, "vec_id", "embedding").cache()
+    try {
+      val cents = Similarity.refinedCentroids(prep, 1024, 0)
+      val got = Similarity.ivfAssign(prep, cents)
+        .as[(Long, Long)].collect().toMap
+      val want = prep.crossJoin(cents)
+        .select(col("id"), struct(
+          (col("n2") + col("cn2") -
+            lit(2L) * graft.functions.GraftFunctions
+              .ldot(col("qv"), col("cv"))).as("d2"),
+          col("cid")).as("dc"))
+        .groupBy("id").agg(min(col("dc")).as("m"))
+        .select(col("id"), col("m.cid"))
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == want.size && got == want)
+    } finally { val _ = prep.unpersist() }
+  }
+
   test("IVF Lloyd refinement keeps integer centroids and determinism") {
     val embs = (0L until 60L).map { i =>
       (i, Array.tabulate(64)(d =>
