@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,6 +36,61 @@ object CorpusQueries {
     * ~54-token documents. */
   val ChunkWindow = 32
   val ChunkStride = 24
+
+  /** Token-budget sharding with a parameterized shard unit — the
+    * two-phase prefix sum that survives a dominant source at 100 TB.
+    *
+    * `bucket` is any expression monotone non-decreasing in `doc_id`
+    * order within a source (a date, a path range, an id-range prefix —
+    * whatever unit the corpus is already bucketed by), so the global
+    * (source, doc_id) order decomposes into (source, bucket, doc_id)
+    * and the result is IDENTICAL to the single-window global prefix
+    * sum — the bucketed query entry is oracle-checked against the
+    * global SQL formulation, not against its own implementation.
+    *
+    * Phase 1: each bucket's LOCAL exclusive prefix sum (window
+    * partitioned by (source, bucket) — parallelism = #buckets, every
+    * window partition executor-sized instead of one task streaming a
+    * whole source). Phase 2: per-bucket exclusive base offsets from a
+    * bucket-count-sized aggregate, rebased onto the local sums through
+    * a broadcast join — the same two-phase shape as the multipart
+    * offset rebase (IS2, MetaQueries `is2_offset_rebase`). The plain
+    * [[defs ds_token_shards]] single-window form is the
+    * bucket-constant special case. Input needs
+    * `(doc_id, source, tokens)`. */
+  def tokenShards(docs: DataFrame, budget: Long, bucket: Column): DataFrame = {
+    val wLocal = Window.partitionBy("source", "_bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBase = Window.partitionBy("source").orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs
+      .withColumn("_bkt", bucket)
+      .withColumn("_cum", coalesce(sum(col("tokens")).over(wLocal), lit(0L)))
+    val bases = local.groupBy("source", "_bkt")
+      .agg(sum(col("tokens")).as("_bsum"))
+      .withColumn("_base", coalesce(sum(col("_bsum")).over(wBase), lit(0L)))
+      .select("source", "_bkt", "_base")
+    local.join(broadcast(bases), Seq("source", "_bkt"))
+      .select(col("doc_id"), col("source"), col("tokens"),
+        expr(s"(_cum + _base) div $budget").as("shard"))
+  }
+
+  /** Shared oracle for both sharding entries: the GLOBAL single-window
+    * formulation — the bucketed implementation must reproduce it
+    * exactly, which checks the two-phase decomposition itself, not just
+    * the arithmetic. */
+  private val tokenShardsSql =
+    s"""SELECT doc_id, source, tokens,
+       |  CAST(COALESCE(cumb, 0) // $ShardBudget AS BIGINT) AS shard
+       |FROM (
+       |  SELECT doc_id, source, tokens,
+       |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -110,11 +166,10 @@ object CorpusQueries {
     // Token-budget sharding: assign documents to ~4096-token shards in
     // deterministic (source, doc_id) order via an exclusive prefix sum —
     // how a corpus becomes equal-work units for tokenizer/packing jobs.
-    // The window partitions by source, so parallelism is the number of
-    // sources; at 100 TB the partition key is whatever unit the corpus
-    // is already bucketed by (source × date × path-range), keeping each
-    // window partition executor-sized — the same two-phase shape as the
-    // multipart offset rebase (IS2), which this deliberately mirrors.
+    // This is the single-window form (one window partition per source) —
+    // the bucket-constant special case of [[tokenShards]]; at 100 TB a
+    // dominant source would serialize through one task, which is what
+    // the two-phase ds_token_shards_bucketed entry below is for.
     // Integer sums + truncating div keep both engines bit-identical.
     "ds_token_shards" -> QueryDef(
       (s, d) => {
@@ -129,20 +184,31 @@ object CorpusQueries {
             expr(s"cum_before div $ShardBudget").as("shard"))
           .orderBy("doc_id")
       },
-      Some(
-        s"""SELECT doc_id, source, tokens,
-           |  CAST(COALESCE(cumb, 0) // $ShardBudget AS BIGINT) AS shard
-           |FROM (
-           |  SELECT doc_id, source, tokens,
-           |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
-           |  FROM (
-           |    SELECT doc_id, source,
-           |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
-           |    FROM documents))
-           |ORDER BY doc_id""".stripMargin),
+      Some(tokenShardsSql),
       doc = s"token-budget sharding: exclusive prefix sum over " +
         s"(source, doc_id) order, $ShardBudget tokens per shard"),
+
+    // The scale form of ds_token_shards: identical output (the oracle
+    // is the GLOBAL single-window SQL — the hash match checks the
+    // two-phase decomposition itself), but the prefix sum is computed
+    // per (source, id-range bucket) with per-bucket exclusive base
+    // offsets rebased through a broadcast join, so no single task ever
+    // streams a whole source. Bucket here is an id-range prefix
+    // (doc_id div 64 → ~8 buckets per source at sf0.01); at 100 TB it
+    // is whatever unit the corpus is already bucketed by, and on a
+    // source-bucketed corpus the whole pass plans ZERO shuffle
+    // exchanges (LakeSpec pin).
+    "ds_token_shards_bucketed" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextOps.wsTokenCount(col("text")).cast("long").as("tokens"))
+        tokenShards(toks, ShardBudget, expr("doc_id div 64"))
+          .orderBy("doc_id")
+      },
+      Some(tokenShardsSql),
+      doc = s"two-phase token-budget sharding: per-(source, id-bucket) " +
+        s"local prefix sums + broadcast base-offset rebase (IS2 shape)"),
 
     // Corpus mixing / reweighting: stratified deterministic sampling —
     // each source keeps a fixed fraction of its documents (hash

@@ -163,6 +163,43 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase token sharding plans zero exchanges on a source-bucketed corpus") {
+    // The bucketed prefix sum (CorpusQueries.tokenShards) must add NO
+    // shuffle on top of the single-window form: hash(source) from the
+    // bucketed scan satisfies the (source, _bkt) window and aggregate
+    // distributions by subset-key, the per-bucket base offsets rebase
+    // through a broadcast join, and so the entire two-phase pass moves
+    // zero bytes between executors while its parallelism is #buckets,
+    // not #sources.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = Files.createTempDirectory("graft_corpus_src2").toString
+    Lake.writeBucketedTable(Tables.documents(spark, sf), "docs_src2",
+      s"$dir/docs_src2", "source", buckets = 4, Seq("doc_id"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val toks = spark.table("docs_src2")
+        .select(col("doc_id"), col("source"),
+          graft.operators.TextOps.wsTokenCount(col("text")).cast("long")
+            .as("tokens"))
+      val sharded = graft.queries.CorpusQueries
+        .tokenShards(toks, 4096L, expr("doc_id div 64"))
+      assert(sharded.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }.isEmpty, sharded.queryExecution.executedPlan.toString)
+      // and the two-phase result IS the global prefix sum: cross-check
+      // against the single-window registered query on the same data
+      val global = graft.queries.CorpusQueries.defs("ds_token_shards")
+        .fn(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val bucketed = sharded.collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(bucketed == global)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS docs_src2")
+    }
+  }
+
   test("object files are sorted by (bucket, object) within partitions") {
     val dir = Files.createTempDirectory("lake_sorted").toString
     Lake.writeObjects(Tables.objects(spark, sf), dir, nPart = 4)
