@@ -39,6 +39,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.features.length == 4 && r.width == 4)
   }
 
+  /** A real PNG rendered in-memory (deterministic gradient), so the
+    * real-codec path is exercised without binary fixtures in-repo. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG payloads take the javax.imageio decode path") {
+    val png = pngBytes(40, 24)
+    val f = Multimodal.decodeImage(png)
+    // real dims, not the stub's 16+(byte&63) fake (0x89&63 → 25)
+    assert(f.width == 40 && f.height == 24 && f.channels == 3)
+    assert(f.features.length == 8)
+    assert(f.features.forall(v => v >= 0f && v <= 255f))
+    // the vertical green gradient makes stripe luma strictly increase
+    assert(f.features.toSeq == f.features.toSeq.sorted)
+    // text payloads still take the deterministic stub (Array equality
+    // is by reference — compare fields + feature values)
+    val txt = "image payload content here".getBytes("UTF-8")
+    val (real, stub) =
+      (Multimodal.decodeImage(txt), Multimodal.decodeImageStub(txt))
+    assert((real.width, real.height, real.channels, real.features.toSeq) ==
+      (stub.width, stub.height, stub.channels, stub.features.toSeq))
+  }
+
+  test("real resize scales to target width keeping aspect") {
+    val r = Multimodal.resizeImage(pngBytes(40, 24), 10)
+    assert(r.width == 10 && r.height == 6 && r.features.length == 8)
+    assert(r.features.forall(v => v >= 0f && v <= 255f))
+  }
+
+  test("decodeImages dispatches real vs stub per row, distributed") {
+    val png = pngBytes(32, 32)
+    val rows = Seq(
+      Multimodal.Media(0L, "image", png, Map.empty),
+      Multimodal.Media(3L, "image",
+        "not an image at all".getBytes("UTF-8"), Map.empty))
+    val out = Multimodal.decodeImages(rows.toDS()).collect()
+      .map(f => f.id -> f).toMap
+    assert(out(0L).width == 32 && out(0L).height == 32)
+    val stub = Multimodal.decodeImageStub(
+      "not an image at all".getBytes("UTF-8"))
+    assert((out(3L).width, out(3L).height, out(3L).channels,
+      out(3L).features.toSeq) ==
+      (stub.width, stub.height, stub.channels, stub.features.toSeq))
+  }
+
+  test("pngDims parses the IHDR header as a pure column expression") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (0L, pngBytes(40, 24)),
+      (1L, "just text".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = df.select(col("id"), Multimodal.pngDims(col("payload")).as("d"))
+      .selectExpr("id", "d.width", "d.height").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(0L) == (Some(40), Some(24)))
+    assert(got(1L) == (None, None))
+  }
+
   test("frame sampling windows the payload bytes exactly") {
     val frames = Multimodal.sampleFrames(Multimodal.media(docs), 128)
       .select("id", "frame_idx", "frame_len")
