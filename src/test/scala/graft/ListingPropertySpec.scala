@@ -84,6 +84,50 @@ class ListingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-char delimiters: entries and entriesBatch agree with the model") {
+    // The reference's char-class pattern construction degenerates for
+    // delimiters longer than one character (meta.clj:204,217 —
+    // `[^<delim>]` escapes only the first char); our substring
+    // classification (Listing.scala) claims S3 semantics for ANY
+    // delimiter and by-construction agreement between the one-shot and
+    // batched forms. Exercise that claim: delimiters of length 2-3
+    // (incl. 'ab' and 'xay') over keys whose alphabet makes partial
+    // delimiter overlaps common.
+    graft.functions.GraftFunctions.register(spark)
+    val genKeyM: Gen[String] = for {
+      len <- Gen.choose(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'x', 'y'))
+    } yield cs.mkString
+    val genCaseM: Gen[(List[String], ListParams)] = for {
+      keys <- Gen.listOfN(14, genKeyM)
+      prefix <- Gen.oneOf(None, Some("a"), Some("xa"), Some("ab"))
+      delim <- Gen.oneOf(Some("ab"), Some("xay"), Some("ba"))
+      maxKeys <- Gen.choose(1, 8)
+    } yield (keys, ListParams(prefix, delim, maxKeys))
+    (1 to 15).foreach { i =>
+      val (keys, p) = genCaseM.pureApply(
+        Gen.Parameters.default, rng.Seed(9876L + i))
+      val want = model(keys, p)
+      val got: ListResult = Listing.listObjects(df(keys), "b1", p)
+      val wantPage = want.take(p.maxKeys)
+      assert(got.keys == wantPage.collect { case (k, "key") => k },
+        s"keys mismatch for $p over $keys")
+      assert(got.prefixes == wantPage.collect { case (k, "prefix") => k }.toSet,
+        s"prefixes mismatch for $p over $keys")
+      // the batched form must agree entry-for-entry (it emits each
+      // request's first max_keys + 1 rows, like entries' limit)
+      val req = Seq(
+        (1L, "b1", p.prefix.getOrElse(""), p.delimiter.getOrElse(""),
+          "", p.maxKeys))
+        .toDF("rid", "bucket", "prefix", "delimiter", "marker", "max_keys")
+      val batch = Listing.entriesBatch(df(keys), req)
+        .orderBy("entry").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(batch == want.take(p.maxKeys + 1),
+        s"batch mismatch for $p over $keys: $batch vs $want")
+    }
+  }
+
   test("marker pagination concatenates to the one-shot listing") {
     graft.functions.GraftFunctions.register(spark)
     cases(10).foreach { case (keys, p0) =>
