@@ -189,10 +189,12 @@ object DedupQueries {
       doc = "full dedup pass: near-dup clusters collapse to the min-id " +
         "canonical document (the surviving corpus + absorption counts)"),
 
-    // Benchmark decontamination: which train-split documents leak a
-    // test-split document's content? Shares the ds_split hash boundary
-    // ('e6' = the ~10% test slice), so the check runs against exactly
-    // the split a training run would hold out. At sf0.01 the hits are
+    // Benchmark decontamination: which non-test (train+val) documents
+    // leak a test-split document's content? Shares the ds_split hash
+    // boundary ('e6' = the ~10% test slice), so the check runs against
+    // exactly the split a training run would hold out — the h < 'e6'
+    // side is everything that could end up in a training job
+    // (train + val), not the train slice alone. At sf0.01 the hits are
     // the cross-split members of the planted near-dup clusters.
     "dd_decontaminate" -> QueryDef(
       (s, d) => {
@@ -220,8 +222,9 @@ object DedupQueries {
            |  ON tr.s = p.s
            |GROUP BY 1, 2 HAVING count(*) >= 5
            |ORDER BY i, j""".stripMargin),
-      doc = "benchmark decontamination: train docs sharing >= 5 distinct " +
-        "3-gram shingles with a test-split doc (df-capped probe index)"),
+      doc = "benchmark decontamination: non-test (train+val) docs sharing " +
+        ">= 5 distinct 3-gram shingles with a test-split doc " +
+        "(df-capped probe index)"),
 
     // SimHash hamming<=3 pairs — the 60-bit token hash is 15 md5 hex
     // chars, so DuckDB replays the identical signature, banding, and
