@@ -87,6 +87,43 @@ class SimilaritySpec extends AnyFunSuite {
     } finally { val _ = prep.unpersist() }
   }
 
+  test("semDedup at nList=1024 matches a brute within-cell check (sf0.1)") {
+    // The full SemDedup composition at the recipe's own nList scale
+    // (1024 ≈ sqrt-ish of the 2000-vector sf0.1 corpus, with one Lloyd
+    // iteration through the broadcast-centroid path): the kept set must
+    // equal an independent formulation — explicit join+min assignment
+    // and a plain within-cell self-join drop rule, no Skew tiling, no
+    // broadcast array.
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val t = 0.85
+    val got = Similarity
+      .semDedup(embs, "vec_id", "embedding", t, nList = 1024, refineIters = 1)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    val prep = Similarity.prepared(embs, "vec_id", "embedding").cache()
+    try {
+      val cents = Similarity.refinedCentroids(prep, 1024, 1)
+      val assign = prep.crossJoin(cents)
+        .select(col("id"), struct(
+          (col("n2") + col("cn2") - lit(2L) * graft.functions.GraftFunctions
+            .ldot(col("qv"), col("cv"))).as("d2"),
+          col("cid")).as("dc"))
+        .groupBy("id").agg(min(col("dc")).as("m"))
+        .select(col("id"), col("m.cid").as("cid"))
+      val a = prep.join(assign, "id")
+      val dropped = a.as("x").join(a.as("y"),
+          col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+        .filter(Similarity.cosine(
+          graft.functions.GraftFunctions.ldot(col("x.qv"), col("y.qv")),
+          col("x.n2"), col("y.n2")) >= t)
+        .select(col("y.id")).distinct().as[Long].collect().toSet
+      assert(got.size == 2000)
+      got.foreach { case (id, kept) =>
+        assert(kept == !dropped.contains(id), s"vec $id") }
+    } finally { val _ = prep.unpersist() }
+  }
+
   test("IVF Lloyd refinement keeps integer centroids and determinism") {
     val embs = (0L until 60L).map { i =>
       (i, Array.tabulate(64)(d =>
