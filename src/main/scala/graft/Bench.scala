@@ -28,7 +28,19 @@ object Bench {
     // in an "errors" map — a fast failure must not masquerade as a
     // fast query.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Host-throttle canary: a fixed pure-CPU job (~0.2 s on this box
+    // unthrottled, 20x slower inside a throttle window — measured
+    // 4.0-4.6 s). Recording it per pass makes host state visible IN the
+    // artifact: a pass whose canary is >3x the best canary ran on a
+    // different machine, effectively, and its samples read accordingly.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val passes = (1 to 2).map { _ =>
+      canaries += canary()
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -37,6 +49,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    canaries += canary()
     val results = SparkEntry.queries.map { case (name, _) =>
       // a failed query reports -1, never its (fast) failure time
       name -> (if (errors.contains(name)) -1.0
@@ -53,8 +66,9 @@ object Bench {
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val cjson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary":$cjson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The full-precision line goes to BENCH.json — it is ~3 KB for 100
     // queries, while the driver captures only the LAST 2000 chars of
     // stdout (BENCH_r04/r05/r06 all recorded "parsed": null from the
@@ -69,7 +83,7 @@ object Bench {
     val bySlowest = results.toSeq.sortBy { case (_, v) => -v }
       .map { case (k, v) => s"${jstr(k)}:${fmt(v)}" }
     val fixed =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"full":"BENCH.json","n":${results.size},"omitted":NN,"queries":{}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","canary":$cjson,"errors":$errs,"full":"BENCH.json","n":${results.size},"omitted":NN,"queries":{}}"""
     var used = fixed.length
     val kept = bySlowest.takeWhile { e =>
       val fits = used + e.length + 1 <= budget
@@ -77,7 +91,7 @@ object Bench {
       fits
     }
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"full":"BENCH.json","n":${results.size},"omitted":${results.size - kept.size},"queries":${kept.mkString("{", ",", "}")}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","canary":$cjson,"errors":$errs,"full":"BENCH.json","n":${results.size},"omitted":${results.size - kept.size},"queries":${kept.mkString("{", ",", "}")}}"""
     println(json)
     spark.stop()
   }
