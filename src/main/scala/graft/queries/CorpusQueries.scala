@@ -37,6 +37,11 @@ object CorpusQueries {
   val ChunkWindow = 32
   val ChunkStride = 24
 
+  /** Training-sequence length (tokens) for [[defs ds_pack_sequences]] —
+    * a miniature context window sized to this corpus's ~54-token
+    * documents (a few documents per sequence, occasional spans). */
+  val SeqLen = 256L
+
   /** Token-budget sharding with a parameterized shard unit — the
     * two-phase prefix sum that survives a dominant source at 100 TB.
     *
@@ -58,7 +63,18 @@ object CorpusQueries {
     * [[defs ds_token_shards]] single-window form is the
     * bucket-constant special case. Input needs
     * `(doc_id, source, tokens)`. */
-  def tokenShards(docs: DataFrame, budget: Long, bucket: Column): DataFrame = {
+  def tokenShards(docs: DataFrame, budget: Long, bucket: Column): DataFrame =
+    withTokenOffsets(docs, bucket)
+      .select(col("doc_id"), col("source"), col("tokens"),
+        expr(s"offset div $budget").as("shard"))
+
+  /** The two-phase exclusive token prefix sum itself: `(doc_id, source,
+    * tokens)` → `+ offset`, the global token offset of each document in
+    * (source, doc_id) order. Phase 1 windows within (source, bucket);
+    * phase 2 rebases per-bucket exclusive base offsets through a
+    * broadcast join. Shared by [[tokenShards]] (offset div budget) and
+    * [[defs ds_pack_sequences]] (offset div seqLen + spans). */
+  def withTokenOffsets(docs: DataFrame, bucket: Column): DataFrame = {
     val wLocal = Window.partitionBy("source", "_bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBase = Window.partitionBy("source").orderBy("_bkt")
@@ -72,7 +88,7 @@ object CorpusQueries {
       .select("source", "_bkt", "_base")
     local.join(broadcast(bases), Seq("source", "_bkt"))
       .select(col("doc_id"), col("source"), col("tokens"),
-        expr(s"(_cum + _base) div $budget").as("shard"))
+        (col("_cum") + col("_base")).as("offset"))
   }
 
   /** Shared oracle for both sharding entries: the GLOBAL single-window
@@ -209,6 +225,58 @@ object CorpusQueries {
       Some(tokenShardsSql),
       doc = s"two-phase token-budget sharding: per-(source, id-bucket) " +
         s"local prefix sums + broadcast base-offset rebase (IS2 shape)"),
+
+    // GPT-style sequence packing (concatenate-and-chunk): every source's
+    // token stream, in doc_id order, is sliced into fixed SeqLen-token
+    // training sequences; each document maps to the sequences its token
+    // range [offset, offset+tokens) overlaps, emitting one segment row
+    // per (doc, sequence) with the within-sequence position. Unlike
+    // first-fit bin packing (a sequential recurrence that cannot be
+    // parallelized exactly), concat-and-chunk IS a prefix sum — the
+    // same two-phase (source, bucket) offset machinery as
+    // ds_token_shards_bucketed, followed by a scan-stage explode over
+    // the spanned sequence ids. No padding waste, deterministic, and
+    // at 100 TB the only exchanges are the bucket-local windows and a
+    // broadcast of per-bucket base offsets.
+    "ds_pack_sequences" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextOps.wsTokenCount(col("text")).cast("long").as("tokens"))
+        withTokenOffsets(toks, expr("doc_id div 64"))
+          .select(col("doc_id"), col("source"), col("tokens"), col("offset"),
+            explode(sequence(expr(s"offset div $SeqLen"),
+              expr(s"(offset + tokens - 1) div $SeqLen"))).as("seq_id"))
+          .select(col("doc_id"), col("source"), col("seq_id"),
+            greatest(col("offset") - col("seq_id") * SeqLen, lit(0L))
+              .as("seg_off"),
+            (least((col("seq_id") + 1) * SeqLen, col("offset") + col("tokens"))
+              - greatest(col("seq_id") * SeqLen, col("offset")))
+              .as("seg_len"))
+          .orderBy("doc_id", "seq_id")
+      },
+      Some(
+        s"""SELECT doc_id, source, CAST(s AS BIGINT) AS seq_id,
+           |  CAST(greatest("offset" - s*$SeqLen, 0) AS BIGINT) AS seg_off,
+           |  CAST(least((s+1)*$SeqLen, "offset"+tokens)
+           |       - greatest(s*$SeqLen, "offset") AS BIGINT) AS seg_len
+           |FROM (
+           |  SELECT *, unnest(range("offset" // $SeqLen,
+           |                         ("offset"+tokens-1) // $SeqLen + 1)) AS s
+           |  FROM (
+           |    SELECT doc_id, source, tokens,
+           |      CAST(COALESCE(sum(tokens) OVER (PARTITION BY source
+           |        ORDER BY doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |        AS BIGINT) AS "offset"
+           |    FROM (
+           |      SELECT doc_id, source,
+           |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+           |      FROM documents)))
+           |ORDER BY doc_id, seq_id""".stripMargin),
+      doc = s"sequence packing (concat-and-chunk): $SeqLen-token training " +
+        s"sequences via the two-phase token prefix sum + scan-stage " +
+        s"explode over spanned sequence ids"),
 
     // Corpus mixing / reweighting: stratified deterministic sampling —
     // each source keeps a fixed fraction of its documents (hash

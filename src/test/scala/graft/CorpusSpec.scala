@@ -68,6 +68,38 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_pack_sequences tiles every source's token stream exactly") {
+    import queries.CorpusQueries.SeqLen
+    // (doc_id, source, seq_id, seg_off, seg_len)
+    val segs = queries.CorpusQueries.defs("ds_pack_sequences").fn(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val toks = queries.CorpusQueries.defs("ds_token_shards").fn(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // every document's segments sum to its token count, in order
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      assert(ss.map(_._5).sum == toks(id), s"doc $id coverage")
+      assert(ss.forall(s => s._5 >= 1 && s._5 <= SeqLen), s"doc $id seg_len")
+      // consecutive sequences, non-first segments start at position 0
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq ==
+        (sorted.head._3 to sorted.last._3).toSeq, s"doc $id seq span")
+      sorted.tail.foreach(s => assert(s._4 == 0L, s"doc $id later seg_off"))
+    }
+    // every sequence except each source's last is exactly full, with
+    // segments tiling [0, SeqLen) without gap or overlap
+    segs.groupBy(s => (s._2, s._3)).foreach { case ((src, seq), ss) =>
+      val lastSeq = segs.filter(_._2 == src).map(_._3).max
+      val sorted = ss.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"$src/$seq tiling")
+        case _ =>
+      }
+      if (seq != lastSeq)
+        assert(sorted.map(_._5).sum == SeqLen, s"$src/$seq full")
+    }
+  }
+
   test("ds_chunk_windows covers every token with 25% overlap") {
     import queries.CorpusQueries.{ChunkStride, ChunkWindow}
     val out = queries.CorpusQueries.defs("ds_chunk_windows").fn(spark, sf)
