@@ -215,6 +215,29 @@ object Multimodal {
         md5(col("frame")).as("frame_md5"),
         length(col("frame")).as("frame_len"))
 
+  /** Consecutive-duplicate frame collapse: runs of byte-identical
+    * frames (static scenes, freeze frames, repeated slides) become one
+    * row `(id, frame_idx = run start, frame_md5, run_len)` — the
+    * storage/compute dedup a video pipeline runs before decoding
+    * anything. Change detection is a lag window over the per-frame
+    * digests (per-video partitions, frame-count-sized), run grouping a
+    * prefix sum of change flags; payload bytes never pass through the
+    * shuffle — only digests do. */
+  def dedupFrames(m: Dataset[Media], frameBytes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("frame_idx")
+    val chg = when(lag(col("frame_md5"), 1).over(w).isNull ||
+      lag(col("frame_md5"), 1).over(w) =!= col("frame_md5"), 1).otherwise(0)
+    sampleFrames(m, frameBytes)
+      .withColumn("_seg", sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "_seg")
+      .agg(min("frame_idx").as("frame_idx"),
+        min("frame_md5").as("frame_md5"),
+        count(lit(1)).as("run_len"))
+      .select("id", "frame_idx", "frame_md5", "run_len")
+  }
+
   /** Audio feature windows: fixed-size sample windows → mean + RMS
     * (bytes stand in for PCM samples). `flatMap` keeps it streaming —
     * one pass, constant memory per row. */

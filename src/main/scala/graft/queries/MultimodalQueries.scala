@@ -48,6 +48,42 @@ object MultimodalQueries {
           |ORDER BY id, frame_idx""".stripMargin),
       doc = "video frame sampling: byte-window slicing + per-frame digest"),
 
+    // Consecutive-duplicate frame collapse over the same byte-window
+    // frames as mm_frame_sample: lag-window change flags → prefix-sum
+    // run ids → one row per run with its length. On this corpus runs
+    // are mostly length 1 (text payloads rarely 128-periodic) — the
+    // MultimodalSpec synthetic-periodic test is where collapsing is
+    // exercised hard; here the oracle pins the run arithmetic exactly.
+    "mm_frame_dedup" -> QueryDef(
+      (s, d) => Multimodal.dedupFrames(
+        Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")))), 128)
+        .orderBy("id", "frame_idx"),
+      Some(
+        """WITH fr AS (
+          |  SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+          |         md5(substr(text, CAST(i*128+1 AS INT), 128)) AS frame_md5
+          |  FROM (SELECT doc_id, text FROM documents
+          |        WHERE doc_id % 3 = 2
+          |          AND octet_length(encode(text)) = length(text)),
+          |       UNNEST(range(0, CAST(ceil(length(text)/128.0) AS BIGINT))) AS t(i)),
+          |seg AS (
+          |  SELECT id, frame_idx, frame_md5,
+          |    CAST(sum(CASE WHEN prev IS NULL OR prev <> frame_md5
+          |                  THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY id ORDER BY frame_idx) AS BIGINT) AS s
+          |  FROM (SELECT *, lag(frame_md5)
+          |          OVER (PARTITION BY id ORDER BY frame_idx) AS prev
+          |        FROM fr))
+          |SELECT id, CAST(min(frame_idx) AS INT) AS frame_idx,
+          |       min(frame_md5) AS frame_md5,
+          |       CAST(count(*) AS BIGINT) AS run_len
+          |FROM seg GROUP BY id, s
+          |ORDER BY id, frame_idx""".stripMargin),
+      doc = "video frame dedup: collapse runs of byte-identical frames " +
+        "to (run start, digest, length) — digests through the window, " +
+        "never payload bytes"),
+
     // Stubbed decode + feature extraction — plumbing is real
     // (mapPartitions batch iteration, typed schema), codec deterministic.
     // Oracle-checked: the stub's stripe means are float32 divisions of

@@ -324,6 +324,64 @@ object TextQueries {
       doc = "corpus-relative rarity: mean token document frequency per " +
         "doc (boilerplate scores high, noise scores low)"),
 
+    // Top tf-idf terms per document — the "what is this doc about"
+    // signal keyword extraction / topic-drift monitoring runs over a
+    // corpus. Same broadcast-dimension shape as tx_rarity: term
+    // frequencies shuffle once on the uniform (doc_id, term) key, the
+    // vocabulary-sized df table and the single-row corpus count
+    // broadcast, the per-doc top-3 window is doc-sized. idf is the
+    // plain ratio N/df (no transcendental: ln() is not bit-identical
+    // across engines, a ratio of exact integers in one double multiply
+    // and divide is), ranked per doc with a term tiebreak.
+    "tx_tfidf_terms" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .cache()
+        val n = docs.agg(count(lit(1)).as("n"))
+        val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = docs
+          .select(explode(array_distinct(col("w"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val rankW = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        val out = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf").cast("double") * col("n") / col("df"))
+          .withColumn("rnk", row_number().over(rankW))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score"))
+          .orderBy("doc_id", "term")
+          .localCheckpoint(true)
+        docs.unpersist()
+        out
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          |  FROM documents),
+          |tf AS (
+          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, unnest(w) AS term FROM w) GROUP BY 1, 2),
+          |dft AS (
+          |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+          |    SELECT unnest(list_distinct(w)) AS term FROM w)
+          |  GROUP BY term),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+          |SELECT doc_id, term, tf, df, score FROM (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+          |         CAST(tf.tf AS DOUBLE) * n.n / dft.df AS score,
+          |         row_number() OVER (PARTITION BY tf.doc_id
+          |           ORDER BY CAST(tf.tf AS DOUBLE) * n.n / dft.df DESC,
+          |                    tf.term) AS rnk
+          |  FROM tf JOIN dft USING (term), n)
+          |WHERE rnk <= 3
+          |ORDER BY doc_id, term""".stripMargin),
+      doc = "top-3 tf-idf terms per document: broadcast df + corpus " +
+        "count, ratio idf (exact cross-engine), per-doc window top-k"),
+
     "tx_fingerprint" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)

@@ -128,6 +128,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frame dedup collapses periodic payloads to runs") {
+    // payload period 16 divides frameBytes 32 → all 8 full frames
+    // byte-identical, plus one shorter tail frame: two runs.
+    val periodic = ("abcdefghijklmnop" * 17).take(16 * 16 + 8) // 264 chars
+    val rows = Seq((2L, periodic, "en", "s1", 264L),
+      (5L, "completely different frames " * 9, "en", "s1", 252L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.dedupFrames(Multimodal.media(rows), 32)
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val v2 = out.filter(_._1 == 2L)
+    assert(v2.length == 2, v2.mkString(","))          // full-frame run + tail
+    assert(v2(0)._2 == 0 && v2(0)._4 == 8L)           // 8 identical frames
+    assert(v2(1)._2 == 8 && v2(1)._4 == 1L)           // the short tail
+    // run lengths always cover the frame count exactly
+    val v5 = out.filter(_._1 == 5L)
+    assert(v5.map(_._4).sum == math.ceil(252.0 / 32).toLong)
+  }
+
   test("audio windows compute mean and rms per fixed window") {
     val w = Multimodal.audioWindows(Multimodal.media(docs), 100)
       .collect().sortBy(_.windowIdx)
