@@ -85,6 +85,39 @@ object SimilarityQueries {
        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= $threshold
        |ORDER BY i, j""".stripMargin
 
+  /** DuckDB replay of the recall@k evaluation: brute-force top-k as
+    * ground truth, SRP-LSH top-k as the candidate, per-query hit count
+    * via a left join — the same plan shape the Spark side runs. */
+  private def annRecallSql(k: Int, qLimit: Int, nBits: Int,
+      bands: Int): String =
+    s"""WITH ${srpCandSql(nBits, bands)},
+       |sym AS (SELECT i, j FROM cand UNION ALL SELECT j AS i, i AS j FROM cand),
+       |annscored AS (
+       |  SELECT s.i AS qid, s.j AS nid,
+       |         CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+       |           / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |  FROM sym s JOIN p a ON a.vec_id = s.i JOIN p b ON b.vec_id = s.j),
+       |ann AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |    FROM annscored) WHERE rank <= $k AND qid < $qLimit),
+       |brute AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT b.vec_id AS qid, a.vec_id AS nid,
+       |      row_number() OVER (
+       |        PARTITION BY b.vec_id
+       |        ORDER BY CAST(list_sum([a.qv[k]*b.qv[k] for k in range(1,65)]) AS DOUBLE)
+       |          / (sqrt(CAST(b.n2 AS DOUBLE)) * sqrt(CAST(a.n2 AS DOUBLE))) DESC,
+       |          a.vec_id) AS rank
+       |    FROM p a CROSS JOIN p b
+       |    WHERE b.vec_id < $qLimit AND a.vec_id <> b.vec_id
+       |  ) WHERE rank <= $k)
+       |SELECT b.qid, CAST(count(a.nid) AS BIGINT) AS hits,
+       |       CAST(count(a.nid) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.nid = b.nid
+       |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+
   /** Ranked corpus×centroids for a given centroid CTE: rnk 1 = cell
     * assignment (= [[Similarity.withNearestCell]]'s argmin), rnk <=
     * nProbe = probe list ([[Similarity.ivfTopK]]'s sorted-slice). */
@@ -263,6 +296,40 @@ object SimilarityQueries {
       Some(annOracleSql(5, 32, 4)),
       doc = "random-hyperplane LSH blocking (32 bits, 4x8-bit bands) + " +
         "exact rescoring, top-5 per vector"),
+
+    // Index-quality evaluation: recall@5 of the SRP-LSH index against
+    // the brute-force ground truth for the first 50 query vectors — the
+    // dashboard number an ANN deployment watches before trusting the
+    // approximate path at scale. Both sides are deterministic, so even
+    // the QUALITY metric of an approximate index is oracle-hashed. The
+    // ground-truth side broadcasts its (bounded) query slice; the hit
+    // count is one left join on (qid, nid).
+    "sim_ann_recall" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding").cache()
+        val brute = Similarity.topK(prep, prep.filter(col("id") < 50), 5)
+          .select(col("qid"), col("nid"))
+        val ann = Similarity.annLsh(
+          Tables.embeddings(s, d), "vec_id", "embedding", 5, dim = 64)
+          .filter(col("qid") < 50)
+          .select(col("qid"), col("nid")).withColumn("_hit", lit(1))
+        val out = brute.join(ann, Seq("qid", "nid"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("_hit"), lit(0))).cast("long").as("hits"),
+            count(lit(1)).as("k"))
+          .select(col("qid"), col("hits"),
+            (col("hits").cast("double") / col("k").cast("double"))
+              .as("recall"))
+          .orderBy("qid")
+          .localCheckpoint(true)
+        prep.unpersist()
+        out
+      },
+      Some(annRecallSql(5, 50, 32, 4)),
+      doc = "ANN index quality: recall@5 of SRP-LSH vs brute-force " +
+        "ground truth for 50 queries, oracle-hashed end to end"),
 
     // SRP-blocked near-dup gate: banded candidates, exact rescoring at
     // cosine >= 0.4 — the scalable (recall < 1 by design) counterpart of
