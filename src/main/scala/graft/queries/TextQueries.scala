@@ -44,6 +44,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The tx_tfidf_terms plan over tokenized docs `(doc_id, w)`: term
+    * frequencies shuffle once on the uniform (doc_id, term) key; the
+    * vocabulary-sized df table and the single-row corpus count
+    * BROADCAST (same hot-key reasoning as [[rarityPlan]]); the per-doc
+    * top-3 window is doc-sized. PlanSpec pins the broadcasts and the
+    * absence of any term-keyed exchange. */
+  def tfidfPlan(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = docs
+      .select(explode(array_distinct(col("w"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n") / col("df"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "term")
+  }
+
   /** The ingest gate over `documents` as a DuckDB subquery, carrying
     * `text` through for downstream fingerprinting — shared by the
     * `tx_corpus_filter` oracle and the streaming batch-equivalence
@@ -324,6 +349,42 @@ object TextQueries {
       doc = "corpus-relative rarity: mean token document frequency per " +
         "doc (boilerplate scores high, noise scores low)"),
 
+    // PII scrubbing — the redaction pass every public-web training
+    // corpus runs (emails and IPv4 addresses here; the pattern set is
+    // the extension point). Pure scan-stage column expressions: count
+    // matches, then hash the globally-redacted text so the oracle can
+    // verify the REPLACEMENT itself byte-for-byte without shipping
+    // full scrubbed documents through the compare. Both regexes stay
+    // inside the Java∩RE2 common subset so Spark and DuckDB agree on
+    // every match boundary.
+    "tx_pii_scrub" -> QueryDef(
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        Tables.documents(s, d).select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).as("n_emails"),
+          regexp_count(col("text"), lit(ipv4)).as("n_ips"),
+          md5(encode(
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              ipv4, "<IP>"), "UTF-8")).as("scrubbed_md5"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          |    AS n_emails,
+          |  CAST(len(regexp_extract_all(text,
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+          |  md5(regexp_replace(regexp_replace(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+          |    AS scrubbed_md5
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "PII scrub: email/IPv4 redaction counts + md5 of the " +
+        "globally-redacted text (replacement verified byte-for-byte)"),
+
     // Top tf-idf terms per document — the "what is this doc about"
     // signal keyword extraction / topic-drift monitoring runs over a
     // corpus. Same broadcast-dimension shape as tx_rarity: term
@@ -338,23 +399,7 @@ object TextQueries {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
           .cache()
-        val n = docs.agg(count(lit(1)).as("n"))
-        val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = docs
-          .select(explode(array_distinct(col("w"))).as("term"))
-          .groupBy("term").agg(count(lit(1)).as("df"))
-        val rankW = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-        val out = tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
-          .withColumn("score",
-            col("tf").cast("double") * col("n") / col("df"))
-          .withColumn("rnk", row_number().over(rankW))
-          .filter(col("rnk") <= 3)
-          .select(col("doc_id"), col("term"), col("tf"), col("df"),
-            col("score"))
-          .orderBy("doc_id", "term")
-          .localCheckpoint(true)
+        val out = tfidfPlan(docs).localCheckpoint(true)
         docs.unpersist()
         out
       },

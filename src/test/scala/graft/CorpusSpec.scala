@@ -33,6 +33,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows(2).getDouble(3) == 0.25)
   }
 
+  test("tx_pii_scrub redacts emails and IPv4s, counted and hashed") {
+    // run the registered query's expressions over synthetic PII by
+    // writing a tiny documents table to a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq(
+      (0L, "mail me at jane.doe+x@example.co.uk or ping 10.0.0.1 now",
+        "en", "s1", 55L),
+      (1L, "no pii in this document at all", "en", "s1", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = queries.TextQueries.defs("tx_pii_scrub").fn(spark, dir)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0)._2 == 1 && out(0)._3 == 1)
+    val scrubbed = "mail me at <EMAIL> or ping <IP> now"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(scrubbed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._4 == md, s"scrubbed hash ${out(0)._4}")
+    assert(out(1)._2 == 0 && out(1)._3 == 0)
+  }
+
   test("ds_split pins known md5 thresholds and is deterministic") {
     val out = queries.CorpusQueries.defs("ds_split").fn(spark, sf)
       .as[(Long, String)].collect().toMap

@@ -142,6 +142,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(tok"), p)
   }
 
+  test("tx_tfidf_terms broadcasts df and corpus count — no term-only shuffle") {
+    // Same hot-key reasoning as tx_rarity: the df dimension and the
+    // single-row corpus count broadcast; the only hash exchanges are
+    // the uniform (doc_id, term) tf aggregation and the per-doc window.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("w"))
+    val p = plan(graft.queries.TextQueries.tfidfPlan(docs))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(term"), p)
+  }
+
   test("IVF assignment plan size is independent of nList (no plan literal)") {
     // The former centroid path embedded a driver-collected typedLit in
     // the expression tree: at SemDedup-realistic nList ≈ √n the literal
