@@ -278,6 +278,78 @@ object CorpusQueries {
         s"sequences via the two-phase token prefix sum + scan-stage " +
         s"explode over spanned sequence ids"),
 
+    // THE END-TO-END PREP PIPELINE: ingest gate (language + quality +
+    // length) → exact dedup (first survivor per content fingerprint) →
+    // train/val/test split → token-budget shard → training-sequence
+    // assignment, one output row per surviving document. This is the
+    // nightly job a training-data platform runs. The gate + fingerprint
+    // stage fuses into the corpus scan and shuffles ONCE (the
+    // fingerprint window), then the survivor set — three narrow columns
+    // — is materialized (`localCheckpoint`) before the offset phase:
+    // the two-phase prefix sum branches twice (local sums + base
+    // offsets), and without the materialization each branch would
+    // re-run the whole gate+tokenize+fingerprint subtree, doubling the
+    // dominant scan at 100 TB. Downstream of the materialization the
+    // plan holds exactly three hash exchanges (PlanSpec pin): the
+    // (source, bucket) offset window, the bucket-sums aggregate, and
+    // the bucket-count-sized per-source base window. Every stage's
+    // arithmetic is the SAME expression its standalone query uses, and
+    // the oracle composes the same shared SQL fragments — the hash
+    // match checks the composition, not just the pieces.
+    "ds_prep_pipeline" -> QueryDef(
+      (s, d) => {
+        val fpW = Window.partitionBy("fp").orderBy("doc_id")
+        val kept = Tables.documents(s, d)
+          .filter(TextOps.ingestGate(col("text")))
+          .withColumn("fp", TextOps.mdFingerprint(col("text")))
+          .withColumn("_rn", row_number().over(fpW))
+          .filter(col("_rn") === 1)
+        val toks = kept.select(col("doc_id"), col("source"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("tokens"))
+          .localCheckpoint(true)
+        withTokenOffsets(toks, expr("doc_id div 64"))
+          .withColumn("h",
+            md5(encode(col("doc_id").cast("string"), "UTF-8")))
+          .select(col("doc_id"), col("source"),
+            when(col("h") < "cc", "train")
+              .when(col("h") < "e6", "val")
+              .otherwise("test").as("split"),
+            col("tokens"),
+            expr(s"offset div $ShardBudget").as("shard"),
+            expr(s"offset div $SeqLen").as("seq_id"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH k AS (
+           |  SELECT doc_id, source, text,
+           |    row_number() OVER (
+           |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           |      ORDER BY doc_id) AS rn
+           |  FROM (${TextQueries.gatedDocsSql})),
+           |t AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens,
+           |    md5(CAST(doc_id AS VARCHAR)) AS h
+           |  FROM k WHERE rn = 1),
+           |o AS (
+           |  SELECT doc_id, source, tokens, h,
+           |    CAST(COALESCE(sum(tokens) OVER (PARTITION BY source
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS "offset"
+           |  FROM t)
+           |SELECT doc_id, source,
+           |  CASE WHEN h < 'cc' THEN 'train'
+           |       WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split,
+           |  tokens,
+           |  CAST("offset" // $ShardBudget AS BIGINT) AS shard,
+           |  CAST("offset" // $SeqLen AS BIGINT) AS seq_id
+           |FROM o ORDER BY doc_id""".stripMargin),
+      doc = "end-to-end prep pipeline: gate -> exact dedup -> split -> " +
+        "shard -> sequence assignment; one corpus-wide shuffle (the " +
+        "fingerprint window), survivors materialized, three small " +
+        "exchanges after"),
+
     // Corpus mixing / reweighting: stratified deterministic sampling —
     // each source keeps a fixed fraction of its documents (hash
     // threshold per stratum, like ds_split but per-source rates), and

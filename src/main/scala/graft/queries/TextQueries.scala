@@ -70,13 +70,14 @@ object TextQueries {
   }
 
   /** The ingest gate over `documents` as a DuckDB subquery, carrying
-    * `text` through for downstream fingerprinting — shared by the
-    * `tx_corpus_filter` oracle and the streaming batch-equivalence
-    * oracle (`tx_ingest_gate_batch`), exactly as the Spark side shares
-    * [[TextOps.ingestGate]]. */
-  private val gatedDocsSql =
-    s"""SELECT doc_id, text, predicted, quality, n_words FROM (
-       |  SELECT doc_id, text,
+    * `source` and `text` through for downstream fingerprinting /
+    * sharding — shared by the `tx_corpus_filter` oracle, the streaming
+    * batch-equivalence oracle (`tx_ingest_gate_batch`), and the
+    * end-to-end `ds_prep_pipeline` oracle, exactly as the Spark side
+    * shares [[TextOps.ingestGate]]. */
+  private[queries] val gatedDocsSql =
+    s"""SELECT doc_id, source, text, predicted, quality, n_words FROM (
+       |  SELECT doc_id, source, text,
        |    CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0 THEN 'zh'
        |         WHEN substr(best, 1, 6) = '000000' THEN 'und'
        |         ELSE substr(best, 7, 2) END AS predicted,
@@ -86,7 +87,7 @@ object TextQueries {
        |     + al / nc) * CAST(0.25 AS DOUBLE) AS quality,
        |    CAST(nw AS BIGINT) AS n_words
        |  FROM (
-       |    SELECT doc_id, text, $duckScored AS best,
+       |    SELECT doc_id, source, text, $duckScored AS best,
        |      CAST(length(text) AS DOUBLE) AS nc,
        |      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
        |      CAST(len(regexp_extract_all(text, '\\p{P}')) AS DOUBLE) AS pu,

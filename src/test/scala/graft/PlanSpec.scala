@@ -137,9 +137,19 @@ class PlanSpec extends AnyFunSuite {
     // df side is vocabulary-bounded, so it broadcasts.
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("w"))
-    val p = plan(graft.queries.TextQueries.rarityPlan(docs))
+    val df = graft.queries.TextQueries.rarityPlan(docs)
+    // executedPlan.toString renders exchanges inline ("Exchange
+    // hashpartitioning(...)"); the formatted mode hides them in a
+    // detail section, which would make these assertions vacuous
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("Exchange hashpartitioning(tok"), p)
+    // occurrence rows must not shuffle on tok: no shuffled JOIN on the
+    // token key; the one permitted tok exchange is the df aggregation's
+    // map-side-combined partials (vocabulary-sized rows)
+    assert(!p.contains("SortMergeJoin [tok") &&
+      !p.contains("ShuffledHashJoin [tok"), p)
+    assert(p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(tok")) == 1, p)
   }
 
   test("tx_tfidf_terms broadcasts df and corpus count — no term-only shuffle") {
@@ -151,6 +161,23 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.queries.TextQueries.tfidfPlan(docs))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Exchange hashpartitioning(term"), p)
+  }
+
+  test("ds_prep_pipeline: three hash exchanges after the survivor materialization") {
+    // The end-to-end prep pipeline's claim: the gate+fingerprint stage
+    // shuffles once (inside the eager checkpoint, not visible here),
+    // and the offset phase over the materialized survivors needs only
+    // (1) the (source, bucket) offset window, (2) the bucket-sums
+    // aggregate, (3) the bucket-count-sized per-source base window —
+    // everything else is projection, broadcast, or the final
+    // presentation sort. Without the materialization the two offset
+    // branches would each re-run the whole gate subtree.
+    val p = graft.queries.CorpusQueries.defs("ds_prep_pipeline")
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 3, s"$hashEx hash exchanges:\n$p")
+    assert(!p.contains("FileScan"), s"survivors not materialized:\n$p")
   }
 
   test("IVF assignment plan size is independent of nList (no plan literal)") {
