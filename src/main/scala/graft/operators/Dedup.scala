@@ -388,6 +388,63 @@ object Dedup {
     * verification. Hot band buckets are tiled, and the signature rides
     * through the enumeration as a [[Skew.selfJoinRows]] payload — the
     * popcount needs no join-back. */
+  // ---- corpus-level exact line dedup ------------------------------------
+
+  /** md5 of the empty string — the `kept_md5` of a document whose every
+    * non-blank line was claimed by an earlier document. */
+  private val EmptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+
+  /** RefinedWeb/CCNet-style corpus-level exact line deduplication: a
+    * non-blank line (trimmed) survives only in the FIRST document that
+    * contains it (ordered by `(id, line index)`); every later occurrence
+    * anywhere in the corpus is dropped. Boilerplate headers, footers,
+    * nav bars and cookie banners repeated across a crawl disappear while
+    * each document keeps its original line order.
+    *
+    * Returns one row per input document:
+    * `(id, n_lines, n_kept, kept_md5)` where `n_lines` counts non-blank
+    * lines, `n_kept` the surviving ones, and `kept_md5` hashes the
+    * surviving lines joined by `\n` in original order (so the oracle
+    * verifies the reconstruction byte-for-byte without shipping text).
+    *
+    * Scale (100 TB): the first-occurrence table is one row per DISTINCT
+    * line — far too large to broadcast — so survivors are found with a
+    * fingerprint equi-join. Hot fingerprints are the norm in crawl data
+    * ("Home", "Accept cookies" appear millions of times): the
+    * first-occurrence aggregate absorbs them in the map-side combine
+    * (partial `min`), and the occurrence⋈firsts join goes through
+    * [[Skew.saltedJoin]] so no single reducer owns a hot line. Per-doc
+    * reconstruction state is document-sized (`collect_list` of that
+    * doc's own kept lines). */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      saltFactor: Int = 8): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("idx", "raw")))
+      .select(col("id"), col("idx"), trim(col("raw")).as("ln"))
+      .filter(col("ln") =!= "")
+      .withColumn("fp", md5(encode(col("ln"), "UTF-8")))
+    val firsts = lines
+      .groupBy("fp")
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+    val kept = Skew.saltedJoin(lines, firsts, "fp", saltFactor)
+      .filter(col("first.id") === col("id") &&
+        col("first.idx") === col("idx"))
+    val totals = lines.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    val keptStats = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(encode(array_join(
+        transform(array_sort(collect_list(struct(col("idx"), col("ln")))),
+          x => x.getField("ln")), "\n"), "UTF-8")).as("kept_md5"))
+    docs.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(keptStats, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), lit(EmptyMd5)).as("kept_md5"))
+  }
+
   def simhashPairs(sig: DataFrame, maxDist: Int = 3,
       hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     require(maxDist < SimHashBands, "4-band blocking covers hamming <= 3")

@@ -134,6 +134,23 @@ object TextOps {
   def uniqWordRatio(w: Column): Column =
     size(array_distinct(w)).cast("double") / size(w).cast("double")
 
+  // ---- C4 heuristic cleaning (Raffel et al. 2020 §2.2) -------------------
+
+  /** The lines of `text` that pass C4's line gate: end in terminal
+    * punctuation (`[.!?]` — the paper also admits a closing quote; we
+    * keep the regex in the cross-engine-identical subset) AND contain at
+    * least five words. A pure higher-order-function projection — runs
+    * inside the scan stage. */
+  def c4KeptLines(text: Column): Column =
+    filter(split(text, "\n"), l =>
+      rtrim(l).rlike("[.!?]$") && regexp_count(l, lit("\\S+")) >= 5)
+
+  /** C4's page gate over the kept lines: at least three survive, and
+    * the raw page contains neither "lorem ipsum" nor a curly brace. */
+  def c4PageKeep(text: Column, kept: Column): Column =
+    size(kept) >= 3 &&
+      !lower(text).contains("lorem ipsum") && !text.contains("{")
+
   // ---- fingerprinting ----------------------------------------------------
 
   /** Whitespace-collapsed lowercase normal form. */

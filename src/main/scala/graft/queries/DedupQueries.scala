@@ -129,6 +129,43 @@ object DedupQueries {
           |GROUP BY 1 ORDER BY canonical_id""".stripMargin),
       doc = "exact dedup: hash-groupBy on normalized-content fingerprint"),
 
+    // Corpus-level exact line dedup (the RefinedWeb/CCNet pass that
+    // strips crawl boilerplate): a trimmed non-blank line survives only
+    // in the first (doc_id, idx) that contains it. The oracle finds
+    // first occurrences with a window; the Spark side uses the
+    // scale-safe spelling — map-side-combined min per fingerprint plus
+    // a salted occurrence join (hot lines never own a reducer).
+    "dd_line_dedup" -> QueryDef(
+      (s, d) => Dedup.lineDedup(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        """WITH raw AS (
+          |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+          |ix AS (
+          |  SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM raw),
+          |l AS (
+          |  SELECT doc_id, i - 1 AS idx, trim(ls[i]) AS ln
+          |  FROM ix WHERE trim(ls[i]) <> ''),
+          |k AS (
+          |  SELECT doc_id, idx, ln,
+          |         row_number() OVER (PARTITION BY ln ORDER BY doc_id, idx) AS rn
+          |  FROM l),
+          |st AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          |         CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+          |         md5(coalesce(string_agg(ln, chr(10) ORDER BY idx)
+          |                        FILTER (WHERE rn = 1), '')) AS kept_md5
+          |  FROM k GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(n_lines, CAST(0 AS BIGINT)) AS n_lines,
+          |       coalesce(n_kept, CAST(0 AS BIGINT)) AS n_kept,
+          |       coalesce(kept_md5, md5('')) AS kept_md5
+          |FROM documents d LEFT JOIN st USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+      doc = "corpus-level exact line dedup (RefinedWeb-style): non-blank " +
+        "line survives only at its first (doc_id, idx); per-doc kept " +
+        "reconstruction verified by md5"),
+
     // Prefix-filtered similarity join == brute-force pairwise >= 0.5.
     "dd_jaccard_pairs" -> QueryDef(
       (s, d) => {

@@ -428,6 +428,46 @@ object TextQueries {
       doc = "top-3 tf-idf terms per document: broadcast df + corpus " +
         "count, ratio idf (exact cross-engine), per-doc window top-k"),
 
+    // C4 heuristic cleaning (Raffel et al. 2020 §2.2): keep only lines
+    // that end in terminal punctuation AND have >= 5 words; a page
+    // survives if >= 3 lines remain and it contains neither "lorem
+    // ipsum" nor a curly brace (code). All per-row higher-order-function
+    // column expressions — zero shuffle, the whole filter runs inside
+    // the scan stage. cleaned_md5 hashes the kept lines joined by \n so
+    // the oracle verifies the line-level edit byte-for-byte. (Deviation
+    // from the paper: terminal punctuation is [.!?] — we skip the
+    // closing-quote variant to keep one regex both engines match
+    // identically.)
+    "tx_c4_filter" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          split(col("text"), "\n").as("ls"),
+          TextOps.c4KeptLines(col("text")).as("kept"))
+        .select(col("doc_id"),
+          size(col("ls")).cast("long").as("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          TextOps.c4PageKeep(col("text"), col("kept")).as("keep"),
+          md5(encode(array_join(col("kept"), "\n"), "UTF-8"))
+            .as("cleaned_md5"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH c AS (
+          |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+          |    [l FOR l IN string_split(text, chr(10))
+          |       IF regexp_matches(rtrim(l), '[.!?]$')
+          |          AND len(regexp_extract_all(l, '\S+')) >= 5] AS kept
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(ls) AS BIGINT) AS n_lines,
+          |  CAST(len(kept) AS BIGINT) AS n_kept,
+          |  len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+          |    AND NOT contains(text, '{') AS keep,
+          |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+          |FROM c ORDER BY doc_id""".stripMargin),
+      doc = "C4 heuristic cleaning: terminal-punctuation + >=5-word line " +
+        "gate, >=3-line / lorem-ipsum / curly-brace page gate, kept " +
+        "lines verified by md5"),
+
     "tx_fingerprint" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)

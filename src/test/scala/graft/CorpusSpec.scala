@@ -53,6 +53,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1)._2 == 0 && out(1)._3 == 0)
   }
 
+  test("C4 line and page gates (terminal punct, 5 words, 3 lines, braces)") {
+    val page = Seq(
+      "This line has five good words.",   // kept
+      "Too short.",                       // < 5 words
+      "No terminal punctuation here at all", // bad ending
+      "Does this question line count too?",  // kept (?)
+      "Yes exclamations are terminal marks too!" // kept (!)
+    ).mkString("\n")
+    val df = Seq(
+      (0L, page),                              // 3 kept -> page keep
+      (1L, page + "\nlorem ipsum dolor."),     // lorem ipsum -> drop
+      (2L, page + "\nfunction f() { return; }"), // brace -> drop
+      (3L, "One good sentence stands alone here.") // 1 kept < 3 -> drop
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        TextOps.c4KeptLines(col("text")).as("kept"))
+      .select(col("doc_id"), col("kept"),
+        TextOps.c4PageKeep(col("text"), col("kept")).as("keep"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> ((r.getSeq[String](1), r.getBoolean(2)))).toMap
+    assert(rows(0L)._1 == Seq(
+      "This line has five good words.",
+      "Does this question line count too?",
+      "Yes exclamations are terminal marks too!"))
+    assert(rows(0L)._2)
+    assert(!rows(1L)._2 && !rows(2L)._2 && !rows(3L)._2)
+    assert(rows(3L)._1.length == 1)
+  }
+
   test("ds_split pins known md5 thresholds and is deterministic") {
     val out = queries.CorpusQueries.defs("ds_split").fn(spark, sf)
       .as[(Long, String)].collect().toMap

@@ -109,6 +109,32 @@ class DedupSpec extends AnyFunSuite {
     assert((0L to 199L).forall(i => labels(i) == 0L))
   }
 
+  test("lineDedup keeps a repeated line only at its first occurrence") {
+    // doc 0 owns both lines; doc 1 repeats 0's header (cross-doc dup)
+    // and the body of its OWN line 0 (within-doc dup); doc 2 repeats a
+    // line it states twice (first copy survives); doc 3 is all blanks.
+    val docs = Seq(
+      (0L, "Shared Header.\nUnique body zero."),
+      (1L, "Shared Header.\nOwn line one.\nOwn line one."),
+      (2L, "  \nFresh line two.\nFresh line two.\n"),
+      (3L, " \n\n  ")
+    ).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(0L)._1 == 2 && r(0L)._2 == 2)
+    assert(r(1L)._1 == 3 && r(1L)._2 == 1) // header + 2nd copy dropped
+    assert(r(2L)._1 == 2 && r(2L)._2 == 1) // blanks excluded, 1st copy kept
+    assert(r(3L) == ((0L, 0L, "d41d8cd98f00b204e9800998ecf8427e")))
+    // reconstruction hash: doc 1 keeps exactly "Own line one."
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(r(1L)._3 == m("Own line one."))
+    assert(r(0L)._3 == m("Shared Header.\nUnique body zero."))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
