@@ -445,6 +445,66 @@ object Dedup {
         coalesce(col("kept_md5"), lit(EmptyMd5)).as("kept_md5"))
   }
 
+  // ---- repeated-substring detection (ExactSubstr-style) -----------------
+
+  /** Repeated-substring detection at k-token granularity (the dedup
+    * target of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", which removes 50-token substrings that
+    * repeat corpus-wide; k is a parameter here — the synthetic corpus
+    * carries signal at k=5). A *position* in a document is duplicated
+    * when its k-token window (space-joined, lowercased whitespace
+    * tokens) occurs at least twice anywhere in the corpus — including a
+    * second time in the same document.
+    *
+    * Returns one row per input document:
+    * `(id, n_windows, n_dup, longest_run, dup_ratio)` — window count,
+    * duplicated-position count, the longest consecutive run of
+    * duplicated positions (+k-1 tokens ≈ the longest repeated substring
+    * a cut-and-drop pass would excise), and `n_dup / n_windows`.
+    *
+    * Scale (100 TB): one row per token position, never pairs. The
+    * occurrence count is a map-side-combined groupBy on the 60-bit
+    * window hash; the join back to positions goes through
+    * [[Skew.saltedJoin]] because repeated windows are by construction
+    * the hottest keys in a crawl (license boilerplate repeats millions
+    * of times). The run-length pass partitions by document — state is
+    * document-sized, embarrassingly parallel. */
+  def substringDups(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, saltFactor: Int = 8): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val wins = docs
+      .select(col(idCol).as("id"),
+        posexplode(when(size(toks) >= k,
+          transform(sequence(lit(1), size(toks) - (k - 1)),
+            i => array_join(slice(toks, i, lit(k)), " ")))
+          .otherwise(typedLit(Seq.empty[String]))).as(Seq("pos", "win")))
+      .select(col("id"), col("pos"), tokenHash60(col("win")).as("wh"))
+    val repeated = wins.groupBy("wh")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("wh")
+    val dup = Skew.saltedJoin(wins, repeated, "wh", saltFactor)
+      .select("id", "pos")
+    val runs = dup
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("id").orderBy("pos")))
+      .groupBy("id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("id").agg(max("run").as("longest_run"))
+    val nw = wins.groupBy("id").agg(count(lit(1)).as("n_windows"))
+    val nd = dup.groupBy("id").agg(count(lit(1)).as("n_dup"))
+    docs.select(col(idCol).as("id"))
+      .join(nw, Seq("id"), "left")
+      .join(nd, Seq("id"), "left")
+      .join(runs, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        when(col("n_windows").isNotNull,
+          coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
   def simhashPairs(sig: DataFrame, maxDist: Int = 3,
       hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     require(maxDist < SimHashBands, "4-band blocking covers hamming <= 3")

@@ -151,6 +151,47 @@ object TextOps {
     size(kept) >= 3 &&
       !lower(text).contains("lorem ipsum") && !text.contains("{")
 
+  // ---- hashed linear classifier inference (fastText-style) ---------------
+
+  /** Hashing-trick bucket count (2^18). fastText defaults to 2M buckets
+    * for bigrams (Joulin et al. 2016 §2.1); the count only moves the
+    * collision rate, not the plan shape — inference stays a zero-shuffle
+    * scan-stage projection at any width. */
+  val QmBuckets = 262144L
+
+  /** Weights take 2001 integer values in [-1000, 1000]: exact-int
+    * arithmetic end to end, one IEEE division at the end, so the oracle
+    * replays inference bit-identically. */
+  val QmWeightRange = 2001L
+
+  /** fastText-style feature set: unigrams plus space-joined word
+    * bigrams (word n-gram features are the fastText signature — §2.1). */
+  def qmFeatures(text: Column): Column = {
+    val t = tokens(text)
+    concat(t, ngrams(t, 2))
+  }
+
+  /** Deterministic stand-in for a trained weight vector: bucket b gets
+    * weight `hash60("w:" + b) mod 2001 - 1000`. A real deployment swaps
+    * this for a broadcast float array lookup (same plan shape — a
+    * per-element expression inside the scan); the md5 derivation is what
+    * makes the DuckDB oracle able to replay the model without a weights
+    * file. */
+  def qmWeight(bucket: Column): Column =
+    Dedup.tokenHash60(concat(lit("w:"), bucket.cast("string"))) %
+      QmWeightRange - lit(1000L)
+
+  /** Linear-model score: mean over features of the weight of the
+    * feature's hash bucket, normalized to [-1, 1] doubles by the weight
+    * scale. Sum and count are exact int64 (< 2^53), so the single
+    * closing division is IEEE-deterministic cross-engine. */
+  def qmScoreCols(feats: Column): (Column, Column, Column) = {
+    val wsum = aggregate(feats, lit(0L),
+      (acc, f) => acc + qmWeight(Dedup.tokenHash60(f) % QmBuckets))
+    val n = size(feats).cast("long")
+    (n, wsum, wsum.cast("double") / (n * lit(1000L)).cast("double"))
+  }
+
   // ---- fingerprinting ----------------------------------------------------
 
   /** Whitespace-collapsed lowercase normal form. */

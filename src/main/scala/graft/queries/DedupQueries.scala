@@ -166,6 +166,62 @@ object DedupQueries {
         "line survives only at its first (doc_id, idx); per-doc kept " +
         "reconstruction verified by md5"),
 
+    // Repeated-substring detection at 5-token granularity (Lee et al.
+    // 2022 ExactSubstr target): a position is duplicated when its
+    // 5-token window repeats anywhere in the corpus. Oracle counts
+    // occurrences with a window function; the Spark side is the
+    // scale-safe spelling — map-side-combined count per window hash +
+    // salted position join (repeated boilerplate windows are the
+    // hottest keys by construction), per-doc run-length islands.
+    "dd_substring_dups" -> QueryDef(
+      (s, d) => Dedup.substringDups(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id, i - 1 AS pos,
+          |         CAST(concat('0x', substr(md5(
+          |           array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)
+          |           AS wh
+          |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+          |  WHERE len(toks) >= 5),
+          |c AS (SELECT wh, count(*) AS cnt FROM w GROUP BY wh),
+          |dup AS (
+          |  SELECT doc_id, pos FROM w JOIN c USING (wh) WHERE cnt >= 2),
+          |runs AS (
+          |  SELECT doc_id,
+          |         pos - row_number() OVER (PARTITION BY doc_id
+          |                                  ORDER BY pos) AS grp
+          |  FROM dup),
+          |lr AS (
+          |  SELECT doc_id, CAST(max(c) AS BIGINT) AS longest_run FROM (
+          |    SELECT doc_id, grp, count(*) AS c FROM runs GROUP BY 1, 2)
+          |  GROUP BY doc_id),
+          |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+          |       FROM w GROUP BY doc_id),
+          |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+          |       FROM dup GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(n_windows, CAST(0 AS BIGINT)) AS n_windows,
+          |  coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+          |  coalesce(longest_run, CAST(0 AS BIGINT)) AS longest_run,
+          |  CASE WHEN n_windows IS NOT NULL THEN
+          |    CAST(coalesce(n_dup, CAST(0 AS BIGINT)) AS DOUBLE)
+          |      / CAST(n_windows AS DOUBLE)
+          |  ELSE 0.0 END AS dup_ratio
+          |FROM documents d
+          |LEFT JOIN nw USING (doc_id)
+          |LEFT JOIN nd USING (doc_id)
+          |LEFT JOIN lr USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
+      doc = "repeated-substring detection (ExactSubstr granularity): " +
+        "5-token windows occurring >= 2x corpus-wide, per-doc dup " +
+        "positions + longest consecutive run"),
+
     // Prefix-filtered similarity join == brute-force pairwise >= 0.5.
     "dd_jaccard_pairs" -> QueryDef(
       (s, d) => {

@@ -468,6 +468,46 @@ object TextQueries {
         "gate, >=3-line / lorem-ipsum / curly-brace page gate, kept " +
         "lines verified by md5"),
 
+    // fastText-style quality-classifier inference (Joulin et al. 2016):
+    // hashed bag of unigrams+bigrams, per-bucket integer weights derived
+    // from md5 so the oracle replays the model without a weights file.
+    // Inference is a zero-shuffle scan-stage projection — the shape a
+    // broadcast-weights deployment keeps at 100 TB. Sum/count are exact
+    // int64; the one closing division is IEEE-deterministic.
+    "tx_quality_model" -> QueryDef(
+      (s, d) => {
+        val (n, wsum, score) =
+          TextOps.qmScoreCols(TextOps.qmFeatures(col("text")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), n.as("n_feats"), wsum.as("w_sum"),
+            score.as("score"), (score > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id,
+        |         string_split_regex(trim(lower(text)), '\\s+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, list_concat(toks,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+        |    ELSE [] END) AS feats FROM t),
+        |sc AS (
+        |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+        |    CAST(list_sum(list_transform(feats, x ->
+        |      CAST(concat('0x', substr(md5('w:' || CAST(
+        |        CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+        |          % ${TextOps.QmBuckets} AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % ${TextOps.QmWeightRange} - 1000)) AS BIGINT) AS w_sum
+        |  FROM f)
+        |SELECT doc_id, n_feats, w_sum,
+        |  CAST(w_sum AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) AS score,
+        |  CAST(w_sum AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE) > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin),
+      doc = "fastText-style hashed linear classifier inference: " +
+        "unigram+bigram hashing trick, md5-derived integer weights, " +
+        "zero-shuffle scan-stage scoring"),
+
     "tx_fingerprint" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)

@@ -82,6 +82,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows(3L)._1.length == 1)
   }
 
+  test("quality-model inference matches a pure-JVM replay of the chain") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def expected(text: String): (Long, Long, Double) = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val wsum = feats.map { f =>
+        h60("w:" + (h60(f) % TextOps.QmBuckets).toString) %
+          TextOps.QmWeightRange - 1000L
+      }.sum
+      (feats.size.toLong, wsum, wsum.toDouble / (feats.size * 1000L).toDouble)
+    }
+    val texts = Seq(
+      (0L, "The quick brown fox jumps over the lazy dog"),
+      (1L, "one"),
+      (2L, "  spaced   out   tokens  "))
+    val (n, wsum, score) = TextOps.qmScoreCols(TextOps.qmFeatures(col("text")))
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), n, wsum, score)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for ((id, t) <- texts) {
+      val (en, ew, es) = expected(t)
+      assert(got(id) == ((en, ew, es)), s"doc $id")
+    }
+    // a 9-token doc has 9 unigrams + 8 bigrams
+    assert(got(0L)._1 == 17L)
+  }
+
   test("ds_split pins known md5 thresholds and is deterministic") {
     val out = queries.CorpusQueries.defs("ds_split").fn(spark, sf)
       .as[(Long, String)].collect().toMap

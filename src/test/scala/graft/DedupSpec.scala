@@ -135,6 +135,33 @@ class DedupSpec extends AnyFunSuite {
     assert(r(0L)._3 == m("Shared Header.\nUnique body zero."))
   }
 
+  test("substringDups finds repeated 5-token windows and their runs") {
+    // docs 0 and 1 share a 6-token phrase -> two overlapping duplicated
+    // 5-token windows each, in one consecutive run of length 2; doc 2
+    // has no 5-token window at all; doc 3 repeats ITS OWN phrase.
+    val phrase = "the quick brown fox jumps over"
+    val docs = Seq(
+      (0L, phrase + " a lazy dog today"),
+      (1L, "yesterday " + phrase + " nothing else"),
+      (2L, "too short here"),
+      (3L, "alpha beta gamma delta epsilon zeta and then " +
+        "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDups(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    // doc 0: 10 tokens -> 6 windows; windows at pos 0,1 are shared with doc 1
+    assert(r(0L)._1 == 6 && r(0L)._2 == 2 && r(0L)._3 == 2)
+    // doc 1: 9 tokens -> 5 windows; shared windows sit at pos 1,2
+    assert(r(1L)._1 == 5 && r(1L)._2 == 2 && r(1L)._3 == 2)
+    assert(r(2L) == ((0L, 0L, 0L, 0.0)))
+    // doc 3: 14 tokens -> 10 windows; "alpha..zeta" (6 toks) repeats ->
+    // windows at pos 0,1 == windows at pos 8,9: 4 dup positions, runs
+    // of 2 and 2
+    assert(r(3L)._1 == 10 && r(3L)._2 == 4 && r(3L)._3 == 2)
+    assert(math.abs(r(3L)._4 - 4.0 / 10.0) < 1e-12)
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Listing, Similarity}
+import graft.operators.{Dedup, Listing, Similarity, TextOps}
 import graft.operators.Listing.ListParams
 
 /** Physical-plan shape assertions: the properties that make these
@@ -59,6 +59,26 @@ class PlanSpec extends AnyFunSuite {
     // the (tiny) scored pairs, never the corpus scan side
     assert(!p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
       .contains("Exchange hashpartitioning(nid"), p)
+  }
+
+  test("quality-model inference is a zero-shuffle scan-stage projection") {
+    val (n, wsum, score) =
+      TextOps.qmScoreCols(TextOps.qmFeatures(col("text")))
+    val p = plan(Tables.documents(spark, sf)
+      .select(col("doc_id"), n.as("n_feats"), wsum.as("w_sum"),
+        score.as("score")))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema") && !p.contains("lang"), p)
+  }
+
+  test("substringDups: partial agg on window hash, no cartesian") {
+    val p = plan(Dedup.substringDups(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    // occurrence counting is map-side combined before its exchange
+    assert(p.contains("partial_count") ||
+      p.contains("HashAggregate (") && p.contains("Functions [count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("scan+agg headliner runs inside whole-stage codegen") {
