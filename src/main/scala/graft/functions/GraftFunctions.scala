@@ -37,7 +37,22 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_mins", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_mins: k must be a literal, got $other")
+        }
+        KmvSketch(exprs(0), k).toAggregateExpression()
+      }, "built-in")
   }
+
+  /** KMV cardinality sketch: the k smallest distinct values of a hash
+    * column, sorted ascending (see [[KmvSketch]]). */
+  def kmvMins(h: Column, k: Int): Column =
+    call_function("kmv_mins", h, lit(k))
 
   /** One-pass 60-bit SimHash of a token array (see [[SimHash60]]). */
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)

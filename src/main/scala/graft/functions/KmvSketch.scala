@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** K-minimum-values cardinality sketch (Bar-Yossef et al. 2002; the
+  * theta-sketch family): `kmv_mins(h, k)` keeps the `k` smallest
+  * DISTINCT values of a uniform hash column and returns them sorted
+  * ascending. The caller derives the estimate: exact `|mins|` when
+  * fewer than `k` distinct values exist, else `(k-1) · H / mins[k-1]`
+  * for a hash domain of size `H`.
+  *
+  * This is the aggregate a 100 TB distinct-count needs and that no
+  * built-in expresses with bounded state: `approx_count_distinct`
+  * (HLL++) is bounded but its binary registers are not replayable by an
+  * external oracle, while `collect_set` is replayable but holds the
+  * whole distinct set. A KMV buffer is O(k) per group, merge is a
+  * set-union-truncate (commutative/associative, so map-side partial
+  * aggregation applies), and the result is *exactly* the k smallest
+  * distinct hashes — an independent engine computes the identical
+  * sketch with `ORDER BY h LIMIT k`, so the estimate hash-matches
+  * cross-engine (no other mainstream sketch has that property).
+  *
+  * State is a sorted `java.util.TreeSet` — O(log k) insert with
+  * immediate eviction of the largest once size exceeds `k`.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"kmv_mins: k must be positive, got $k")
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    new java.util.TreeSet[Long]()
+
+  private def add(buf: java.util.TreeSet[Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[Long],
+      input: InternalRow): java.util.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[Long],
+      b: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[Long]()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_mins"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != LongType)
+      TypeCheckFailure(s"kmv_mins: hash must be LONG, got ${child.dataType}")
+    else TypeCheckSuccess
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvSketch =
+    copy(child = c)
+}

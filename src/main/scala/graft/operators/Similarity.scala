@@ -264,6 +264,91 @@ object Similarity {
     out
   }
 
+  // ---- Product quantization (PQ/ADC — the memory-compression path) ------
+
+  /** Exact-int squared L2 between the m-th `subDim`-wide subvectors of
+    * two quantized vectors (`m` is 0-based and may be a lambda
+    * variable). */
+  private def subD2(a: Column, b: Column, m: Column, subDim: Int): Column =
+    aggregate(
+      zip_with(slice(a, m * subDim + 1, lit(subDim)),
+        slice(b, m * subDim + 1, lit(subDim)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Product-quantization ANN with asymmetric distance computation
+    * (Jégou et al. 2011, "Product quantization for nearest neighbor
+    * search"): split each vector into `m` subvectors, encode every
+    * subvector as the index of its nearest codebook entry (codebook =
+    * deterministic corpus sample `id < ksub`, exact integer L2, ties to
+    * the smaller index — the oracle replays encoding bit-for-bit), then
+    * answer queries by summing per-subspace lookup tables (ADC) instead
+    * of touching the raw vectors. Returns `(qid, nid, ad2, rank)` —
+    * `ad2` stays an exact int64, so the result hash-matches across
+    * engines with no float care at all.
+    *
+    * Why this is the 100 TB path: the encoded corpus is `m` small codes
+    * per vector (m·log2(ksub) bits — here 8×4 = 4 bytes vs 256 bytes of
+    * float32), so the scan side of a query reads ~64× less than a
+    * brute-force pass and never re-reads the raw embedding column. The
+    * per-query LUT (m·ksub exact-int distances) broadcasts with the
+    * query set; the ADC scan is a zero-shuffle map over the codes table
+    * (`zip_with` + in-row sum), and the only exchange is the per-query
+    * top-k window over the (tiny) scored slice. Encoding itself is one
+    * broadcast of the ksub-row codebook — no corpus shuffle anywhere
+    * until the final window. */
+  def pqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryLimit: Long, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64): DataFrame = {
+    // cached: feeds codebook, corpus encoding, and the query LUTs
+    val prep = prepared(embs, idCol, vecCol)
+      .filter(size(col("qv")) === dim).cache()
+    val out = pqTopKPlan(prep, k, queryLimit, m, ksub, dim)
+      .localCheckpoint(true)
+    prep.unpersist()
+    out
+  }
+
+  /** The un-materialized [[pqTopK]] plan over a prepared corpus —
+    * separated so PlanSpec can pin its shape (the public entry
+    * checkpoints eagerly, which truncates the inspectable plan). */
+  private[graft] def pqTopKPlan(prep: DataFrame, k: Int, queryLimit: Long,
+      m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    // codebook as ONE broadcast row (cid-sorted struct array), same
+    // scale form as the IVF centroid table
+    val cb = broadcast(prep.filter(col("id") < ksub)
+      .agg(array_sort(collect_list(struct(col("id").as("cid"),
+        col("qv").as("cv")))).as("_cb")))
+    // per-row codes: for each subspace, the 1-based POSITION of the
+    // nearest codebook entry (positions follow cid order, so ties to
+    // the smaller position == ties to the smaller cid)
+    val codeArr = transform(sequence(lit(0), lit(m - 1)), mm =>
+      array_min(transform(sequence(lit(1), lit(ksub)), p =>
+        struct(subD2(col("qv"), element_at(col("_cb"), p).getField("cv"),
+          mm, subDim).as("d2"), p.as("p")))
+        .cast("array<struct<d2:bigint,p:int>>")).getField("p"))
+    val codes = prep.crossJoin(cb)
+      .select(col("id").as("nid"), codeArr.as("codes"))
+    // per-query ADC lookup tables: luts[mm][p] = d2(query sub mm,
+    // codebook entry p) — positions aligned with the codes above
+    val luts = prep.filter(col("id") < queryLimit).crossJoin(cb)
+      .select(col("id").as("qid"),
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          transform(col("_cb"), e =>
+            subD2(col("qv"), e.getField("cv"), mm, subDim))).as("luts"))
+    val scored = codes.crossJoin(broadcast(luts))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        aggregate(zip_with(col("codes"), col("luts"),
+          (c, lut) => element_at(lut, c)),
+          lit(0L), (acc, x) => acc + x).as("ad2"))
+    val w = Window.partitionBy("qid").orderBy(col("ad2"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ---- SRP-LSH (the scale path) -----------------------------------------
 
   /** Deterministic pseudo-random *integer* hyperplanes (LCG, fixed

@@ -382,6 +382,52 @@ object SimilarityQueries {
         "(exact trunc-div integer centroids), 4-cell probe, exact " +
         "cosine rescoring"),
 
+    // Product quantization + ADC (Jégou et al. 2011): 8 subspaces × 16
+    // sample-codebook entries (4 bytes/vector vs 256 of float32 — the
+    // ~64× memory-compression path), asymmetric-distance scoring from
+    // broadcast per-query LUTs over the codes table, top-5 per query.
+    // Exact int64 end to end — encoding, LUTs, and the summed ad2 all
+    // hash-match the oracle with no float handling at all.
+    "sim_pq_adc" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          5, queryLimit = 10L)
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id,
+          |         [CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qv
+          |  FROM embeddings),
+          |d AS (
+          |  SELECT s.vec_id, t.m, c.vec_id AS c,
+          |    CAST(list_sum([
+          |      (s.qv[CAST(t.m*8+k AS INT)] - c.qv[CAST(t.m*8+k AS INT)])
+          |      * (s.qv[CAST(t.m*8+k AS INT)] - c.qv[CAST(t.m*8+k AS INT)])
+          |      for k in range(1,9)]) AS BIGINT) AS d2
+          |  FROM q s, unnest(range(0, 8)) AS t(m),
+          |       (SELECT vec_id, qv FROM q WHERE vec_id < 16) c),
+          |code AS (
+          |  SELECT vec_id, m, c FROM (
+          |    SELECT vec_id, m, c,
+          |           row_number() OVER (PARTITION BY vec_id, m
+          |                              ORDER BY d2, c) AS rn
+          |    FROM d) WHERE rn = 1),
+          |adc AS (
+          |  SELECT qd.vec_id AS qid, cd.vec_id AS nid,
+          |         CAST(sum(qd.d2) AS BIGINT) AS ad2
+          |  FROM code cd JOIN d qd ON qd.m = cd.m AND qd.c = cd.c
+          |  WHERE qd.vec_id < 10 AND qd.vec_id <> cd.vec_id
+          |  GROUP BY 1, 2)
+          |SELECT qid, nid, ad2, CAST(rank AS INT) AS rank FROM (
+          |  SELECT qid, nid, ad2,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY ad2, nid) AS rank
+          |  FROM adc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      doc = "PQ/ADC ANN: 8x16 sample codebook, 4-bit codes, broadcast " +
+        "query LUTs, exact-int asymmetric distances"),
+
     // SemDedup (Abbas et al. 2023): IVF-cluster the embeddings, then
     // inside each cell drop every vector with a lower-id neighbor at
     // cosine >= 0.4 (the same gate the pairwise near-dup queries use;

@@ -508,6 +508,74 @@ object TextQueries {
         "unigram+bigram hashing trick, md5-derived integer weights, " +
         "zero-shuffle scan-stage scoring"),
 
+    // KMV cardinality sketch (Bar-Yossef et al. 2002 / theta-sketch
+    // family): per-source distinct-token estimate from the k=256
+    // smallest 52-bit token hashes. The sketch branch aggregates the
+    // RAW occurrence stream with the bounded-state kmv_mins
+    // TypedImperativeAggregate — map-side partials, O(k) per group, the
+    // 100 TB shape (no distinct materialization). The exact branch
+    // exists only to put the sketch's error on display next to it; a
+    // production pipeline drops it. 52-bit hashes (13 md5 hex chars)
+    // keep every value exactly representable in a double, so the one
+    // closing division is IEEE-deterministic and the estimate
+    // hash-matches DuckDB's replay (ORDER BY h LIMIT k — KMV is the one
+    // mainstream sketch an independent engine reproduces exactly).
+    "tx_vocab_kmv" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val k = 256
+        val toks = Tables.documents(s, d)
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .select(col("source"),
+            conv(substring(md5(encode(col("tok"), "UTF-8")), 1, 13),
+              16, 10).cast("long").as("h"))
+        val sk = toks.groupBy("source")
+          .agg(GraftFunctions.kmvMins(col("h"), k).as("mins"))
+          .select(col("source"),
+            size(col("mins")).cast("long").as("sketch_n"),
+            try_element_at(col("mins"), lit(k)).as("kth_min"))
+        val ex = toks.distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_exact"))
+        sk.join(ex, "source")
+          .select(col("source"), col("sketch_n"),
+            coalesce(col("kth_min"), lit(0L)).as("kth_min"),
+            col("n_exact"),
+            when(col("sketch_n") < k, col("sketch_n").cast("double"))
+              .otherwise(lit(255.0) * lit(4503599627370496.0) /
+                col("kth_min").cast("double")).as("est_distinct"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT source,
+          |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          |  FROM documents),
+          |h AS (
+          |  SELECT DISTINCT source,
+          |         CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) AS h
+          |  FROM tok),
+          |r AS (
+          |  SELECT source, h,
+          |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          |  FROM h),
+          |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+          |       FROM h GROUP BY source),
+          |m AS (SELECT source, CAST(count(*) AS BIGINT) AS sketch_n,
+          |             max(h) AS kth_min
+          |      FROM r WHERE rn <= 256 GROUP BY source)
+          |SELECT source, sketch_n,
+          |  CASE WHEN sketch_n < 256 THEN CAST(0 AS BIGINT)
+          |       ELSE kth_min END AS kth_min,
+          |  n_exact,
+          |  CASE WHEN sketch_n < 256 THEN CAST(sketch_n AS DOUBLE)
+          |       ELSE 255.0 * 4503599627370496.0 / CAST(kth_min AS DOUBLE)
+          |  END AS est_distinct
+          |FROM m JOIN ex USING (source) ORDER BY source""".stripMargin),
+      doc = "KMV distinct-count sketch: k=256 smallest 52-bit token " +
+        "hashes per source via a bounded-state TypedImperativeAggregate " +
+        "(map-side partials), estimate vs exact on display"),
+
     "tx_fingerprint" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)

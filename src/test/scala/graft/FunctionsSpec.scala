@@ -26,6 +26,29 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv_mins keeps the k smallest distinct values across partitions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    GraftFunctions.register(spark)
+    // values 0..999 shuffled with every value duplicated, over many
+    // partitions so map-side partials and merge() both execute
+    val vals = scala.util.Random.shuffle((0L until 1000L) ++ (0L until 1000L))
+    val df = vals.toDF("h").repartition(16)
+    val mins = df.agg(GraftFunctions.kmvMins(col("h"), 10)).as[Seq[Long]].head()
+    assert(mins == (0L until 10L))
+    // fewer than k distinct -> the whole distinct set, sorted
+    val small = Seq(5L, 3L, 5L, 9L, 3L).toDF("h")
+    assert(small.agg(GraftFunctions.kmvMins(col("h"), 10))
+      .as[Seq[Long]].head() == Seq(3L, 5L, 9L))
+    // grouped: per-group independent sketches
+    val grouped = Seq(("a", 1L), ("a", 2L), ("b", 7L), ("b", 7L), ("b", 4L))
+      .toDF("g", "h").groupBy("g")
+      .agg(GraftFunctions.kmvMins(col("h"), 2).as("m"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(grouped("a") == Seq(1L, 2L) && grouped("b") == Seq(4L, 7L))
+  }
+
   test("quoteRegex escapes every metacharacter") {
     val pat = GraftFunctions.quoteRegex("a.b*c[d]e(f)g{h}i?j+k^l$m|n\\o-p")
     val re = ("^" + pat + "$").r

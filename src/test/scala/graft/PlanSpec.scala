@@ -81,6 +81,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("kmv sketch aggregates with map-side partials (bounded state)") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = plan(Tables.documents(spark, sf)
+      .select(col("source"), xxhash64(col("text")).as("h"))
+      .groupBy("source")
+      .agg(graft.functions.GraftFunctions.kmvMins(col("h"), 256)))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the
+    // partial instance before the exchange is what bounds shuffle
+    // volume to O(k) rows per (task, group) at 100 TB
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_kmv_mins"), p)
+  }
+
+  test("PQ/ADC: codebook and query LUTs broadcast, corpus never shuffles") {
+    graft.functions.GraftFunctions.register(spark)
+    val prep = Similarity.prepared(Tables.embeddings(spark, sf),
+      "vec_id", "embedding").filter(size(col("qv")) === 64)
+    val p = plan(Similarity.pqTopKPlan(prep, 5, 10L, 8, 16, 64))
+    // encoding and ADC scoring join only via broadcast exchanges; the
+    // sole hash exchange is the per-query top-k window over the scored
+    // slice — the codes table itself never shuffles
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).size
+    assert(hashExchanges <= 1, s"expected <=1 hash exchange, got $hashExchanges\n$p")
+  }
+
   test("scan+agg headliner runs inside whole-stage codegen") {
     val df = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").agg(sum("l_quantity"))

@@ -175,6 +175,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(blocked.contains((7L, 8L)))
   }
 
+  test("PQ/ADC encodes to nearest codebook entries and ranks by LUT sums") {
+    // dim 4, two 2-dim subspaces, codebook = vectors 0 and 1.
+    // 2 duplicates 0 exactly; 3 is near 0 and lands on 0's codes in both
+    // subspaces; 4 lands on 1's codes. For query 0 the ADC distances are
+    // 0, 0, 4e8, 4e8 -> rank ties break by nid.
+    val pv = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f, 0.1f, 0.9f)),
+      (4L, Array(0.0f, 1.0f, 0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.pqTopK(pv, "vec_id", "embedding", 4,
+        queryLimit = 1L, m = 2, ksub = 2, dim = 4)
+      .select("nid", "ad2", "rank").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(r.map(_._1).toSeq == Seq(2L, 3L, 1L, 4L))
+    assert(r.map(_._2).toSeq == Seq(0L, 0L, 400000000L, 400000000L))
+  }
+
   test("SRP-LSH ANN excludes ragged and null vectors from the index") {
     val good = (0L until 20L).map { i =>
       (i, Array.tabulate(16)(d => math.sin(i + d).toFloat))
