@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column profiling for the training-data pipeline: EXACT distributed
+  * quantiles over discrete-domain columns via the two-phase
+  * value-histogram shape.
+  *
+  * Why not `percentile_approx`: its GK sketch is bounded-state but not
+  * replayable by an external engine (and not exact). Why not a global
+  * sort-and-index: a full sort of 100 TB for four percentiles. The
+  * value-histogram form is both exact and scalable when the value
+  * domain is bounded (lengths, token counts, scores quantized to a
+  * grid — the columns a data pipeline actually profiles): phase 1 is a
+  * map-side-combined `groupBy(group, value) → count` whose output is
+  * |distinct values| rows per group regardless of corpus size; phase 2
+  * runs prefix sums and threshold picks over that tiny histogram. The
+  * per-group window partitions carry histogram-sized state, not
+  * corpus-sized.
+  */
+object Profile {
+
+  /** Exact type-1 (lower discrete) quantiles per group:
+    * `q_p = min { v : rank(v) >= ceil(p·n) }` for each `p = num/100`
+    * in `pcts`. Returns one row per group:
+    * `(group, n, vmin, vmax, p<num>...)`. Thresholds are computed in
+    * exact integer arithmetic (`(num·n + 99) div 100`) — double
+    * formulations mis-round at exact boundaries. */
+  def quantiles(df: DataFrame, groupCol: String, valCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      s"percentiles must be in (0,100], got $pcts")
+    val hist = df.groupBy(col(groupCol).as("g"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("g").agg(
+      sum("c").as("n"), min("v").as("vmin"), max("v").as("vmax"))
+    val cum = hist.withColumn("cum", sum("c").over(
+      Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val picks = pcts.map { p =>
+      min(when(col("cum") >= expr(s"($p * n + 99) div 100"), col("v")))
+        .as(s"p$p")
+    }
+    cum.join(tot, "g")
+      .groupBy(col("g"), col("n"), col("vmin"), col("vmax"))
+      .agg(picks.head, picks.tail: _*)
+      .withColumnRenamed("g", groupCol)
+  }
+}

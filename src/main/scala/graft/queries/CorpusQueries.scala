@@ -357,6 +357,41 @@ object CorpusQueries {
     // de-bias the mix. Pure per-row expression in the scan stage;
     // membership is stable under corpus growth, so re-running the
     // pipeline on an extended corpus never flips yesterday's sample.
+    // Exact per-source length quantiles via the two-phase value
+    // histogram ([[graft.operators.Profile.quantiles]]): phase 1 is a
+    // map-side-combined groupBy(source, n_chars) whose output size is
+    // the value domain, not the corpus; phase 2 prefix-sums that tiny
+    // histogram. Exact at any scale where percentile_approx is neither
+    // exact nor oracle-replayable, and a full sort is a 100 TB shuffle.
+    "ds_length_quantiles" -> QueryDef(
+      (s, d) => graft.operators.Profile
+        .quantiles(Tables.documents(s, d), "source", "n_chars",
+          Seq(25, 50, 90, 99))
+        .orderBy("source"),
+      Some(
+        """WITH h AS (
+          |  SELECT source, n_chars AS v, count(*) AS c
+          |  FROM documents GROUP BY 1, 2),
+          |t AS (
+          |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+          |         min(v) AS vmin, max(v) AS vmax
+          |  FROM h GROUP BY 1),
+          |cu AS (
+          |  SELECT source, v,
+          |         sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+          |  FROM h)
+          |SELECT t.source, n, vmin, vmax,
+          |  min(CASE WHEN cum >= (25*n+99)//100 THEN v END) AS p25,
+          |  min(CASE WHEN cum >= (50*n+99)//100 THEN v END) AS p50,
+          |  min(CASE WHEN cum >= (90*n+99)//100 THEN v END) AS p90,
+          |  min(CASE WHEN cum >= (99*n+99)//100 THEN v END) AS p99
+          |FROM cu JOIN t USING (source)
+          |GROUP BY t.source, n, vmin, vmax
+          |ORDER BY t.source""".stripMargin),
+      doc = "exact per-source length quantiles: two-phase value " +
+        "histogram (map-side-combined counts + histogram-sized prefix " +
+        "sums), type-1 picks at exact integer thresholds"),
+
     "ds_mix_sample" -> QueryDef(
       (s, d) => {
         val thr = MixPlan.foldLeft(lit("0000")) { case (acc, (src, t, _)) =>

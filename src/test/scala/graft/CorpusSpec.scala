@@ -112,6 +112,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(0L)._1 == 17L)
   }
 
+  test("exact quantiles: type-1 picks at integer thresholds") {
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L), ("b", 7L))).toDF("source", "v")
+    val r = operators.Profile.quantiles(df, "source", "v", Seq(25, 50, 90, 99))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(x => x._1 -> x).toMap
+    // uniform 1..100: p-th percentile is exactly p
+    assert(r("a") == (("a", 100L, 1L, 100L, 25L, 50L, 90L, 99L)))
+    // n=4 with ties: thresholds ceil(p*4/100) = 1,2,4,4 -> 5,5,7,7
+    assert(r("b") == (("b", 4L, 5L, 7L, 5L, 5L, 7L, 7L)))
+  }
+
   test("ds_split pins known md5 thresholds and is deterministic") {
     val out = queries.CorpusQueries.defs("ds_split").fn(spark, sf)
       .as[(Long, String)].collect().toMap
