@@ -38,6 +38,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "kmv_mins", exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
@@ -67,6 +69,11 @@ object GraftFunctions {
 
   /** Exact int64 array dot product (codegen'd; see [[LongArrayDot]]). */
   def ldot(a: Column, b: Column): Column = call_function("ldot", a, b)
+
+  /** Nearest-centroid cid over a broadcast centroid struct array in one
+    * allocation-free loop (see [[NearestCell]]). */
+  def nearestCell(qv: Column, cents: Column): Column =
+    call_function("nearest_cell", qv, cents)
 
   /** Order-sensitive chunked MD5 aggregate as a Column (small-object
     * path; see [[ChunkedMd5]]). */

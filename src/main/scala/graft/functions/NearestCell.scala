@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
+
+/** `nearest_cell(qv, cents)`: the `cid` of the centroid minimizing the
+  * exact-int squared L2 distance to `qv`, over a (broadcast) array of
+  * `struct<cid:long, cv:array<long>, cn2:long>` centroids — the fused
+  * form of `array_min(transform(cents, c -> struct(d2, cid))).cid`.
+  *
+  * The HOF spelling evaluates its lambda interpreted per (row ×
+  * centroid), allocating a struct each time — at nList=1024 that is
+  * 1024 interpreted closures and allocations per corpus row, which
+  * dominates the IVF/SemDedup assignment pass. This expression runs
+  * one native loop per row (no allocation), with identical semantics:
+  * distance `|a|²+|c|²−2a·c` is monotone in `cn2 − 2a·c` for fixed
+  * `a`, and ties keep the FIRST minimal entry in array order — the
+  * centroid array is cid-sorted, so ties resolve to the smaller cid
+  * exactly like the lexicographic `array_min` over `(d2, cid)`
+  * structs (and exactly like the oracle's `ORDER BY d2, cid`).
+  *
+  * Centroids whose vector length differs from `qv` are skipped — the
+  * null-filtered HOF form (`ldot` nulls a mismatched dot, and the
+  * null `d2` struct is filtered before `array_min`; without the
+  * filter, nulls-first struct ordering would *select* the ragged
+  * entry). Raggedness cannot occur in practice: `Similarity.prepared`
+  * excludes ragged vectors and centroids are drawn from prep. An
+  * empty or all-skipped centroid array yields null.
+  */
+case class NearestCell(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _),
+            ArrayType(s: StructType, _))
+          if s.length == 3 && s(0).dataType == LongType &&
+            s(1).dataType.isInstanceOf[ArrayType] &&
+            s(1).dataType.asInstanceOf[ArrayType].elementType == LongType &&
+            s(2).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "nearest_cell expects (array<long>, " +
+          "array<struct<cid:long,cv:array<long>,cn2:long>>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(q: Any, cs: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val cents = cs.asInstanceOf[ArrayData]
+    val dim = qv.numElements()
+    val n = cents.numElements()
+    var bestScore = Long.MaxValue
+    var bestCid = 0L
+    var found = false
+    var i = 0
+    while (i < n) {
+      val c = cents.getStruct(i, 3)
+      val cv = c.getArray(1)
+      if (cv.numElements() == dim) {
+        var dot = 0L
+        var k = 0
+        while (k < dim) { dot += qv.getLong(k) * cv.getLong(k); k += 1 }
+        val score = c.getLong(2) - 2L * dot // cn2 - 2·a·c
+        if (!found || score < bestScore) {
+          bestScore = score; bestCid = c.getLong(0); found = true
+        }
+      }
+      i += 1
+    }
+    if (found) bestCid else null
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NearestCell = copy(left = l, right = r)
+
+  override def prettyName: String = "nearest_cell"
+}

@@ -125,11 +125,18 @@ object Similarity {
 
   /** Corpus rows + nearest-centroid cell id (`cid`): one single-row
     * broadcast nested-loop join (the centroid array) + an O(nList·dim)
-    * in-row argmin — `array_min` over `(d2, cid)` structs. No per-row
-    * sort of all cells, no corpus shuffle, no assignment join-back. */
+    * in-row argmin. The argmin is the native allocation-free
+    * [[graft.functions.NearestCell]] loop rather than `array_min` over
+    * `transform`-built `(d2, cid)` structs — the HOF form evaluates an
+    * interpreted lambda and allocates a struct per (row × centroid),
+    * which dominates the assignment pass at nList ≥ 10³ (identical
+    * semantics incl. smaller-cid tie-break; SimilaritySpec pins
+    * equivalence against the HOF form). No per-row sort of all cells,
+    * no corpus shuffle, no assignment join-back. */
   def withNearestCell(prep: DataFrame, cents: DataFrame): DataFrame =
     prep.crossJoin(centArr(cents))
-      .withColumn("cid", array_min(distArr).getField("cid"))
+      .withColumn("cid",
+        GraftFunctions.nearestCell(col("qv"), col("_cents")))
       .drop("_cents")
 
   /** IVF coarse quantizer: centroids are a deterministic corpus sample

@@ -42,6 +42,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!loose.contains((0L, 3L)))
   }
 
+  test("nearest_cell matches the HOF array_min spelling incl. edge cases") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // centroids: cid-sorted; cid 2 ties cid 3 in distance (tie → smaller
+    // cid); cid 9 is ragged (len 2) and must be skipped by both forms
+    val rows = Seq(
+      (0L, Array(10L, 0L, 0L)),
+      (1L, Array(0L, 10L, 0L)),
+      (2L, Array(5L, 5L, 0L)),   // equidistant from cids 2 and 3
+      (3L, Array(-7L, -7L, 1L))
+    ).toDF("id", "qv")
+    val cents = Seq(
+      (2L, Array(10L, 0L, 0L)),
+      (3L, Array(0L, 10L, 0L)),
+      (9L, Array(1L, 1L))
+    ).toDF("cid", "cv")
+      .withColumn("cn2", expr("ldot(cv, cv)"))
+    val centArr = cents.agg(array_sort(
+      collect_list(struct(col("cid"), col("cv"), col("cn2")))).as("_cents"))
+    val both = rows.crossJoin(broadcast(centArr))
+      .withColumn("native", expr("nearest_cell(qv, _cents)"))
+      .withColumn("hof",
+        // null-filtered HOF argmin: ragged centroids (null ldot → null
+        // d2) are dropped, matching nearest_cell's documented skip
+        array_min(filter(transform(col("_cents"), c => struct(
+          expr("ldot(qv, qv)") + c.getField("cn2") -
+            lit(2L) * graft.functions.GraftFunctions.ldot(
+              col("qv"), c.getField("cv")),
+          c.getField("cid")))
+          .cast("array<struct<d2:bigint,cid:bigint>>"),
+          s => s.getField("d2").isNotNull)).getField("cid"))
+      .select("id", "native", "hof").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(both.forall { case (_, n, h) => n == h })
+    assert(both.map(x => x._1 -> x._2).toMap ==
+      Map(0L -> 2L, 1L -> 3L, 2L -> 2L, 3L -> 2L))
+    // all-skipped (every centroid ragged) → null
+    val empty = rows.limit(1).crossJoin(broadcast(
+        Seq((9L, Array(1L, 1L))).toDF("cid", "cv")
+          .withColumn("cn2", expr("ldot(cv, cv)"))
+          .agg(array_sort(collect_list(
+            struct(col("cid"), col("cv"), col("cn2")))).as("_cents"))))
+      .select(expr("nearest_cell(qv, _cents)")).collect()
+    assert(empty.head.isNullAt(0))
+  }
+
   test("IVF ANN probes cells and ranks by exact cosine") {
     val embs = (0L until 60L).map { i =>
       (i, Array.tabulate(64)(d =>
