@@ -196,6 +196,68 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Bloom-filter decontamination probe — the constant-memory scale
+    * path for "does any training document contain a held-out n-gram".
+    *
+    * [[contamination]] joins the two n-gram tables, which shuffles the
+    * training side's full gram table; at 100 TB of training text
+    * against a fixed benchmark suite that is the wrong asymmetry. Here
+    * the *held-out* side (small by construction) is folded into a Bloom
+    * filter of `m` bit positions — `k` md5-derived positions per gram
+    * ([[tokenHash60]] split into base-`m` digits, so DuckDB replays the
+    * filter bit-for-bit) — and the filter ships as ONE broadcast row
+    * (a sorted position array, ≤ m entries). The probe over training
+    * grams is then a zero-shuffle map pass: per gram, an O(k·log m)
+    * sorted-intersect against the broadcast array; a gram "hits" iff
+    * all its positions are set. False positives are inherent to Bloom
+    * filters, deterministic given (m, k, hash), and replayed exactly by
+    * the oracle; false negatives are impossible — so a zero-hit
+    * document is *provably* clean and the (tiny) hit set is what a
+    * pipeline re-checks with the exact join.
+    *
+    * Returns one row per probed document: `(id, n_grams, n_hits,
+    * flagged)` with gram *instances* counted (a window repeated inside
+    * one doc counts each occurrence). Documents shorter than `wTok`
+    * tokens have zero grams and are never flagged. */
+  def bloomProbe(train: DataFrame, heldOut: DataFrame, idCol: String,
+      textCol: String, wTok: Int = 5, m: Int = 1 << 14): DataFrame = {
+    val mm = m.toLong
+    // per-doc gram instances: (id, gh) for every wTok-token window
+    def grams(df: DataFrame): DataFrame = {
+      val toks = TextOps.tokens(col(textCol))
+      df.select(col(idCol).as("id"),
+        explode(when(size(toks) >= wTok,
+          transform(sequence(lit(1), size(toks) - (wTok - 1)),
+            i => array_join(slice(toks, i, lit(wTok)), " ")))
+          .otherwise(typedLit(Seq.empty[String]))).as("win"))
+        .select(col("id"), tokenHash60(col("win")).as("gh"))
+    }
+    // k=3 positions: base-m digits of the 60-bit hash (gh >= 0, so
+    // Spark `div` == DuckDB `//` — no negative-division divergence)
+    def positions(gh: String): Column = array_sort(array_distinct(array(
+      expr(s"$gh % $mm"), expr(s"($gh div $mm) % $mm"),
+      expr(s"($gh div ${mm * mm}) % $mm"))))
+    val bloom = broadcast(grams(heldOut)
+      .select(explode(positions("gh")).as("p")).distinct()
+      .agg(array_sort(collect_list(col("p"))).as("_bloom")))
+    val probed = grams(train)
+      .withColumn("ps", positions("gh"))
+      .crossJoin(bloom)
+      .withColumn("hit",
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col("ps"), col("_bloom")) === size(col("ps")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(probed, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L)
+          .as("flagged"))
+  }
+
   // ---- near-dup clustering (connected components) ------------------------
 
   /** Connected components over near-dup pairs → `(id, label)` with

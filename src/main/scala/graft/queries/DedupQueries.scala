@@ -319,6 +319,64 @@ object DedupQueries {
         ">= 5 distinct 3-gram shingles with a test-split doc " +
         "(df-capped probe index)"),
 
+    // Bloom-filter decontamination: the held-out split's 5-gram Bloom
+    // filter (m=2^14 positions, k=3 md5-digit hashes) probes every
+    // non-test doc map-side — the constant-memory asymmetric form of
+    // dd_decontaminate. Deterministic false positives are part of the
+    // contract; the oracle rebuilds the identical filter.
+    "dd_bloom_probe" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        Dedup.bloomProbe(
+          docs.filter(h < "e6"), docs.filter(h >= "e6"),
+          "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+          |         string_split_regex(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, h, i,
+          |         CAST(concat('0x', substr(md5(
+          |           array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)
+          |           AS gh
+          |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+          |  WHERE len(toks) >= 5),
+          |gp AS (
+          |  SELECT doc_id, h, i, list_sort(list_distinct(
+          |    [gh % 16384, (gh // 16384) % 16384,
+          |     (gh // 268435456) % 16384])) AS ps
+          |  FROM g),
+          |bl AS (SELECT DISTINCT unnest(ps) AS p FROM gp WHERE h >= 'e6'),
+          |trp AS (
+          |  SELECT doc_id, i, len(ps) AS np, unnest(ps) AS p
+          |  FROM gp WHERE h < 'e6'),
+          |hitg AS (
+          |  SELECT doc_id, i FROM trp JOIN bl USING (p)
+          |  GROUP BY doc_id, i, np HAVING count(*) = np),
+          |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+          |       FROM g WHERE h < 'e6' GROUP BY 1),
+          |nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          |       FROM hitg GROUP BY 1)
+          |SELECT d.doc_id,
+          |  coalesce(ng.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+          |  coalesce(nh.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+          |  CAST(CASE WHEN coalesce(nh.n_hits, CAST(0 AS BIGINT)) > 0
+          |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+          |FROM (SELECT doc_id FROM documents
+          |      WHERE md5(CAST(doc_id AS VARCHAR)) < 'e6') d
+          |LEFT JOIN ng USING (doc_id)
+          |LEFT JOIN nh USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
+      doc = "Bloom-filter decontamination probe: held-out 5-gram filter " +
+        "(m=2^14, k=3) broadcast as one sorted-position row, training " +
+        "docs probed map-side (no gram-table join)"),
+
     // SimHash hamming<=3 pairs — the 60-bit token hash is 15 md5 hex
     // chars, so DuckDB replays the identical signature, banding, and
     // popcount verify (generated SQL; constants can't drift).

@@ -44,6 +44,72 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The tx_lm_score plan over tokenized docs `(doc_id, h, w)` with
+    * `len(w) >= 2`: a CCNet-style n-gram language-model quality dial.
+    * A Laplace-smoothed bigram LM is fit on the train split (`h <
+    * 'cc'`, the same md5 boundary as ds_split) and every document —
+    * train, val, test — is scored by its mean per-bigram surprise
+    * `-log2 (c2+1)/(c1+V)` in bits, then bucketed head/middle/tail by
+    * corpus decile (CCNet keeps "head" for quality-skewed sampling).
+    *
+    * Cross-engine exactness: every log2 argument is an exact integer
+    * (`c1+V`, `c2+1`), so per-term values differ only by libm ulps;
+    * the per-doc mean is rounded to 4dp before both output and the
+    * decile ranking, orders of magnitude above any accumulated
+    * float error and far below the checker's 6dp normalization.
+    *
+    * Plan shape: bigram counts shuffle once on the train split's
+    * (prev, tok) key; the fitted model — the bigram table, its
+    * prefix-marginal, and the single-row vocabulary size — BROADCASTS
+    * into the scoring join (stop-word bigrams are extreme hot keys;
+    * same reasoning as [[rarityPlan]]), so corpus scoring is map-side
+    * plus one uniform doc_id aggregation. The final decile is a
+    * corpus-rank ntile — a single-partition window over the per-doc
+    * result (rows = documents, not tokens); at 100 TB that rank runs
+    * as the two-phase distributed histogram (ds_length_quantiles). */
+  def lmPlan(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), col("h"),
+      explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("prev"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("tok"))).as("b"))
+      .select(col("doc_id"), col("h"),
+        col("b.prev").as("prev"), col("b.tok").as("tok"))
+    // Fit ONCE: the bigram table is vocabulary²-bounded, so it
+    // materializes eagerly and the prefix-marginal AND the vocabulary
+    // size both derive from it (docs have >= 2 tokens, so every train
+    // token occurrence is the prev or tok of some bigram — distinct
+    // tokens ≡ distinct(prev) ∪ distinct(tok)). Without the
+    // checkpoint, Spark re-runs the train-corpus explode+count once
+    // per derived table — three full passes instead of one.
+    val c2 = bg.filter(col("h") < "cc")
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
+    val v = c2.select(col("prev").as("tok"))
+      .union(c2.select(col("tok")))
+      .agg(count_distinct(col("tok")).as("v"))
+    val perDoc = bg
+      .join(broadcast(c2), Seq("prev", "tok"), "left")
+      .join(broadcast(c1), Seq("prev"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("t",
+        log2(coalesce(col("c1"), lit(0L)) + col("v")) -
+          log2(coalesce(col("c2"), lit(0L)) + lit(1L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bi"), sum("t").as("st"))
+      .select(col("doc_id"), col("n_bi"),
+        round(col("st") / col("n_bi"), 4).as("nll_bits"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll_bits"), col("doc_id"))
+    perDoc
+      .withColumn("decile", ntile(10).over(rankW).cast("long"))
+      .withColumn("bucket",
+        when(col("decile") <= 3, "head")
+          .when(col("decile") <= 7, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
   /** The tx_tfidf_terms plan over tokenized docs `(doc_id, w)`: term
     * frequencies shuffle once on the uniform (doc_id, term) key; the
     * vocabulary-sized df table and the single-row corpus count
@@ -349,6 +415,65 @@ object TextQueries {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "corpus-relative rarity: mean token document frequency per " +
         "doc (boilerplate scores high, noise scores low)"),
+
+    // CCNet-style LM quality bucketing: fit a Laplace bigram LM on the
+    // train split, score every doc's mean per-bigram surprise (bits),
+    // decile-rank into head/middle/tail. See [[lmPlan]] for the
+    // cross-engine determinism and plan-shape reasoning.
+    "tx_lm_score" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"),
+            TextOps.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 2)
+          .cache()
+        val out = lmPlan(docs).localCheckpoint(true)
+        docs.unpersist()
+        out
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+          |         string_split_regex(trim(lower(text)), '\s+') AS w
+          |  FROM documents
+          |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+          |bg AS (
+          |  SELECT doc_id, h, w[i] AS prev, w[i+1] AS tok
+          |  FROM w, unnest(range(1, len(w))) AS u(i)),
+          |c2 AS (
+          |  SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2
+          |  FROM bg WHERE h < 'cc' GROUP BY 1, 2),
+          |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1
+          |       FROM c2 GROUP BY 1),
+          |v AS (
+          |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+          |  FROM (SELECT unnest(w) AS tok FROM w WHERE h < 'cc')),
+          |sc AS (
+          |  SELECT bg.doc_id,
+          |         log2(coalesce(c1.c1, CAST(0 AS BIGINT)) + v.v)
+          |           - log2(coalesce(c2.c2, CAST(0 AS BIGINT)) + 1) AS t
+          |  FROM bg
+          |  LEFT JOIN c2 USING (prev, tok)
+          |  LEFT JOIN c1 USING (prev)
+          |  CROSS JOIN v),
+          |agg AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+          |         round(sum(t) / count(*), 4) AS nll_bits
+          |  FROM sc GROUP BY doc_id),
+          |rk AS (
+          |  SELECT doc_id, n_bi, nll_bits,
+          |         CAST(ntile(10) OVER (ORDER BY nll_bits, doc_id)
+          |              AS BIGINT) AS decile
+          |  FROM agg)
+          |SELECT doc_id, n_bi, nll_bits, decile,
+          |  CASE WHEN decile <= 3 THEN 'head'
+          |       WHEN decile <= 7 THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM rk ORDER BY doc_id""".stripMargin),
+      doc = "CCNet-style LM quality scoring: train-split Laplace bigram " +
+        "LM, mean per-bigram surprise in bits, corpus-decile " +
+        "head/middle/tail buckets"),
 
     // PII scrubbing — the redaction pass every public-web training
     // corpus runs (emails and IPv4 addresses here; the pattern set is

@@ -124,6 +124,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(r("b") == (("b", 4L, 5L, 7L, 5L, 5L, 7L, 7L)))
   }
 
+  test("lmPlan: Laplace bigram surprise matches hand computation") {
+    import org.apache.spark.sql.functions._
+    // train: "a b a b" -> c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2
+    // test:  "a b c"   -> t(a,b)=log2(4)-log2(3), t(b,c)=log2(3)-log2(1)
+    //                     mean = (2 - log2 3 + log2 3)/2 = exactly 1.0
+    val docs = Seq(
+      (0L, "00", Seq("a", "b", "a", "b")),
+      (1L, "ff", Seq("a", "b", "c"))
+    ).toDF("doc_id", "h", "w")
+    val r = graft.queries.TextQueries.lmPlan(docs)
+      .select("doc_id", "n_bi", "nll_bits", "decile", "bucket")
+      .as[(Long, Long, Double, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r(0) == ((0L, 3L, 0.4717, 1L, "head")))
+    assert(r(1) == ((1L, 2L, 1.0, 2L, "head")))
+  }
+
   test("ds_split pins known md5 thresholds and is deterministic") {
     val out = queries.CorpusQueries.defs("ds_split").fn(spark, sf)
       .as[(Long, String)].collect().toMap

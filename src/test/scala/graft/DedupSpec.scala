@@ -162,6 +162,25 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(r(3L)._4 - 4.0 / 10.0) < 1e-12)
   }
 
+  test("bloomProbe flags exactly the train docs sharing a held-out 5-gram") {
+    graft.functions.GraftFunctions.register(spark)
+    val heldOut = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the held-out window "alpha beta gamma delta epsilon"
+      (0L, "prefix words alpha beta gamma delta epsilon and more tail"),
+      (1L, "completely unrelated text about storage engines and files"),
+      (2L, "tiny doc") // < 5 tokens -> zero grams, never flagged
+    ).toDF("doc_id", "text")
+    val r = Dedup.bloomProbe(train, heldOut, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // no false negatives: the shared-window doc MUST be flagged
+    assert(r(0)._4 == 1L && r(0)._3 >= 1L)
+    // (3 set-positions / 16384)^3 FP odds — the clean docs stay clean
+    assert(r(1) == ((1L, 4L, 0L, 0L)))
+    assert(r(2) == ((2L, 0L, 0L, 0L)))
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -132,13 +132,15 @@ class PlanSpec extends AnyFunSuite {
     // shape that can never survive a 100x scale-up. Every query in the
     // registry must plan without one; the two broadcast nested loops are
     // deliberate bounded-side designs (brute-force topK broadcasts ~10
-    // query vectors; IVF ranking broadcasts nList centroids) and stay
+    // query vectors; IVF ranking broadcasts nList centroids; the Bloom
+    // probe broadcasts ONE sorted-position row) and they stay
     // allowlisted as long as their loop side is a broadcast.
     // Caveat: queries whose builders eagerly localCheckpoint return a
     // LogicalRDD scan, so their INTERNAL joins are not visible here —
     // those pipelines' operators are asserted directly in the next test.
     graft.functions.GraftFunctions.register(spark)
-    val bnljAllowed = Set("sim_topk_brute", "sim_ivf_topk")
+    val bnljAllowed =
+      Set("sim_topk_brute", "sim_ivf_topk", "dd_bloom_probe")
     SparkEntry.registry.foreach { case (name, qd) =>
       val p = plan(qd.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -208,6 +210,42 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.queries.TextQueries.tfidfPlan(docs))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Exchange hashpartitioning(term"), p)
+  }
+
+  test("tx_lm_score broadcasts the fitted LM — corpus never shuffles on bigram keys") {
+    // The c2/c1 model tables are vocabulary-bounded dimensions; the
+    // corpus-side scoring join must broadcast them (stop-word bigrams
+    // are extreme hot keys). The only (prev[, tok]) exchanges allowed
+    // are the two model-count aggregations themselves.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"),
+        graft.operators.TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val p = graft.queries.TextQueries.lmPlan(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin [prev") &&
+      !p.contains("ShuffledHashJoin [prev"), p)
+    // the c2 fit is materialized (localCheckpoint); the only remaining
+    // prev-keyed exchange is the vocabulary-sized c1 marginal
+    assert(p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(prev")) == 1, p)
+  }
+
+  test("dd_bloom_probe: the filter broadcasts — no gram-keyed exchange at all") {
+    // The held-out side folds into one sorted-position row; probing is
+    // a broadcast nested-loop of that single row, so the training gram
+    // table is never shuffled or joined on the gram hash.
+    val docs = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val p = graft.operators.Dedup.bloomProbe(
+        docs.filter(h < "e6"), docs.filter(h >= "e6"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(gh"), p)
+    assert(!p.contains("SortMergeJoin [gh") &&
+      !p.contains("ShuffledHashJoin [gh"), p)
   }
 
   test("ds_prep_pipeline: three hash exchanges after the survivor materialization") {
