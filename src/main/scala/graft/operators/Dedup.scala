@@ -420,6 +420,63 @@ object Dedup {
       verify(cand, sets).filter(col("jac") >= threshold), sets)
   }
 
+  /** Incremental near-dup check: which documents of a NEW batch are
+    * near-duplicates (Jaccard >= `threshold`) of the historical
+    * `index` corpus — the daily-crawl-vs-index pass an always-on
+    * pipeline runs, where re-enumerating index-vs-index pairs every
+    * day would be quadratic waste.
+    *
+    * Candidates come from the shared MinHash-LSH banding over the
+    * combined corpus ([[lshCandidates]] — the skew-tiled enumeration,
+    * so one viral boilerplate bucket never owns a quadratic task),
+    * then cross-split orientation happens BEFORE exact verification:
+    * candidate pairs semi-join the (id-only, broadcastable) batch and
+    * index id sets, so the expensive sorted-intersect Jaccard runs
+    * only on (index, batch) pairs — within-index and within-batch
+    * collisions are discarded as bare id pairs. At true scale the
+    * index side's signatures/bands are a precomputed table this query
+    * would read instead of recomputing; the dataflow from the band
+    * join onward is identical.
+    *
+    * Returns one row per batch document: `(id, n_dups, canon_id,
+    * best_jac, is_dup)` — `canon_id` the smallest matching index id
+    * (the survivor the batch doc collapses into), -1 when clean. */
+  def incrementalDedup(index: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double, k: Int = 32, bands: Int = 16,
+      w: Int = 3, hotThreshold: Long = 100000L,
+      tiles: Int = 8): DataFrame = {
+    val all = index.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val sets = shingleSets(all, idCol, textCol, w).cache()
+    val exploded = sets.select(col("id"), explode(col("hs")).as("sh"))
+    val cand = lshCandidates(minhashSignature(exploded, k), bands, k / bands,
+      hotThreshold, tiles)
+    val newIds = batch.select(col(idCol).as("id"))
+    // orient (i=index, j=batch); selfJoinPairs emits unordered i<j, so
+    // a cross pair can arrive either way around. Only the batch id set
+    // is broadcast (the day's crawl — small by construction); "in the
+    // index" is its complement, so the 100 TB index side never ships:
+    // semi-join one endpoint, anti-join the other, both against the
+    // same tiny set. Assumes index/batch ids are disjoint.
+    def oriented(oldSide: String, newSide: String) = cand
+      .join(broadcast(newIds), cand(newSide) === newIds("id"), "left_semi")
+      .join(broadcast(newIds), cand(oldSide) === newIds("id"), "left_anti")
+      .select(col(oldSide).as("i"), col(newSide).as("j"))
+    val cross = oriented("i", "j").union(oriented("j", "i"))
+    val matched = verify(cross, sets).filter(col("jac") >= threshold)
+      .groupBy(col("j").as("id"))
+      .agg(count(lit(1)).as("n_dups"), min("i").as("canon_id"),
+        max("jac").as("best_jac"))
+    finishWithUnpersist(
+      newIds.join(matched, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("canon_id"), lit(-1L)).as("canon_id"),
+          coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+          when(col("n_dups").isNotNull, 1L).otherwise(0L).as("is_dup")),
+      sets)
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** SimHash width: 60 bits = 15 md5 hex chars, so the per-token hash is

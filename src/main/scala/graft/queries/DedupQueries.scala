@@ -319,6 +319,55 @@ object DedupQueries {
         ">= 5 distinct 3-gram shingles with a test-split doc " +
         "(df-capped probe index)"),
 
+    // Incremental dedup: today's batch (h >= 'cc', ~20%) against the
+    // historical index (h < 'cc') — cross-split near-dups only, no
+    // index-vs-index re-enumeration. LSH + exact verify == brute-force
+    // cross-split pairwise Jaccard, so the oracle is the brute join.
+    "dd_incremental" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        Dedup.incrementalDedup(
+          docs.filter(h < "cc"), docs.filter(h >= "cc"),
+          "doc_id", "text", 0.8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $shingleCtes,
+           |sp AS (
+           |  SELECT doc_id, sg,
+           |         md5(CAST(doc_id AS VARCHAR)) >= 'cc' AS is_new
+           |  FROM sh WHERE len(sg) > 0),
+           |px AS (
+           |  SELECT o.doc_id AS i, n.doc_id AS j,
+           |         CAST(len(list_intersect(o.sg, n.sg)) AS DOUBLE) /
+           |           (len(o.sg) + len(n.sg)
+           |            - len(list_intersect(o.sg, n.sg))) AS jac
+           |  FROM sp o JOIN sp n ON NOT o.is_new AND n.is_new
+           |  WHERE CAST(len(list_intersect(o.sg, n.sg)) AS DOUBLE) /
+           |          (len(o.sg) + len(n.sg)
+           |           - len(list_intersect(o.sg, n.sg))) >= 0.8),
+           |ag AS (
+           |  SELECT j AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+           |         CAST(min(i) AS BIGINT) AS canon_id,
+           |         max(jac) AS best_jac
+           |  FROM px GROUP BY 1)
+           |SELECT b.doc_id,
+           |  coalesce(ag.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+           |  coalesce(ag.canon_id, CAST(-1 AS BIGINT)) AS canon_id,
+           |  coalesce(ag.best_jac, 0.0) AS best_jac,
+           |  CAST(CASE WHEN ag.n_dups IS NOT NULL THEN 1 ELSE 0 END
+           |       AS BIGINT) AS is_dup
+           |FROM (SELECT doc_id FROM documents
+           |      WHERE md5(CAST(doc_id AS VARCHAR)) >= 'cc') b
+           |LEFT JOIN ag USING (doc_id)
+           |ORDER BY b.doc_id""".stripMargin),
+      doc = "incremental dedup: new-batch docs probed against the " +
+        "historical index's MinHash-LSH bands, cross-split pairs only " +
+        "(index never re-enumerated), per-doc canonical survivor"),
+
     // Bloom-filter decontamination: the held-out split's 5-gram Bloom
     // filter (m=2^14 positions, k=3 md5-digit hashes) probes every
     // non-test doc map-side — the constant-memory asymmetric form of

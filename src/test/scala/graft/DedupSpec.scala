@@ -162,6 +162,28 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(r(3L)._4 - 4.0 / 10.0) < 1e-12)
   }
 
+  test("incrementalDedup flags cross-split near-dups only, with canon id") {
+    graft.functions.GraftFunctions.register(spark)
+    val other = "completely different words all over here my friend " +
+      "nothing alike at all today"
+    val index = Seq((0L, base), (2L, "some indexed but unrelated " +
+      "content sits here quietly minding its own business")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base + " slightly changed"), // near-dup of index doc 0
+      (11L, other),                      // within-batch dup of 13 ONLY
+      (12L, base),                       // exact dup of index doc 0
+      (13L, other)                       // within-batch dup of 11 ONLY
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedup(index, batch, "doc_id", "text", 0.5)
+      .select("id", "n_dups", "canon_id", "is_dup")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r(0) == ((10L, 1L, 0L, 1L)))
+    // within-batch duplicates are NOT the incremental pass's job
+    assert(r(1) == ((11L, 0L, -1L, 0L)))
+    assert(r(2) == ((12L, 1L, 0L, 1L)))
+    assert(r(3) == ((13L, 0L, -1L, 0L)))
+  }
+
   test("bloomProbe flags exactly the train docs sharing a held-out 5-gram") {
     graft.functions.GraftFunctions.register(spark)
     val heldOut = Seq(
