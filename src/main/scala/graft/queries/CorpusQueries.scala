@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.operators.TextOps
+import graft.operators.{Dedup, TextOps}
 
 /** Corpus-preparation operators for the training-data pipeline: the
   * steps between a filtered/deduped document set and a training run —
@@ -424,6 +424,74 @@ object CorpusQueries {
            |ORDER BY doc_id""".stripMargin
       },
       doc = "corpus mixing: stratified deterministic sampling with " +
-        "per-source rates + inverse-rate loss weights")
+        "per-source rates + inverse-rate loss weights"),
+
+    // Temperature-based source mixing (XLM-R/mT5-style): per-source
+    // sample rates DERIVED from corpus statistics — p_s ∝ (n_s)^α with
+    // α = 0.5, so low-resource sources are upsampled relative to their
+    // share — targeting a β = 0.5 token budget. α = 0.5 is deliberate:
+    // sqrt is IEEE-correctly-rounded in both engines (pow(x, 0.7) is
+    // not), so the rate doubles are bit-identical and the hash-
+    // threshold keep decision replays exactly. The stats aggregate is
+    // source-count-sized, rates broadcast back into the corpus scan,
+    // and the keep test is a pure projection — zero corpus shuffle;
+    // the decision hash is 2^40-scaled so floor(r·2^40) stays inside
+    // double-exact integer range.
+    "ds_temperature_mix" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(graft.operators.TextOps.tokens(col("text")))
+              .cast("long").as("n_tokens"))
+        val ns = docs.groupBy("source")
+          .agg(sum("n_tokens").as("n_s"))
+          .withColumn("sq", sqrt(col("n_s").cast("double")))
+        val tot = ns.agg(sum("n_s").as("n"), sum("sq").as("z"))
+        val rates = ns.crossJoin(broadcast(tot))
+          .select(col("source"),
+            least(lit(1.0),
+              lit(0.5) * col("n").cast("double") * col("sq") / col("z")
+                / col("n_s").cast("double")).as("r"))
+        val scale = 1099511627776L // 2^40
+        docs.join(broadcast(rates), "source")
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            when(
+              Dedup.tokenHash60(
+                concat(lit("mix|"), col("doc_id").cast("string"))) % scale
+                < floor(col("r") * scale).cast("long"), 1L)
+              .otherwise(0L).as("kept"),
+            round(lit(1.0) / col("r"), 6).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+          |              AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |ns AS (
+          |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_s,
+          |         sqrt(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)) AS sq
+          |  FROM tok GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n, sum(sq) AS z
+          |        FROM ns),
+          |rates AS (
+          |  SELECT source,
+          |         least(1.0, 0.5 * CAST(tot.n AS DOUBLE) * sq / tot.z
+          |                    / CAST(n_s AS DOUBLE)) AS r
+          |  FROM ns, tot)
+          |SELECT t.doc_id, t.source, t.n_tokens,
+          |  CAST(CASE WHEN
+          |    CAST(concat('0x', substr(md5(
+          |      'mix|' || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          |      % 1099511627776
+          |    < CAST(floor(r * 1099511627776) AS BIGINT)
+          |  THEN 1 ELSE 0 END AS BIGINT) AS kept,
+          |  round(1.0 / r, 6) AS weight
+          |FROM tok t JOIN rates USING (source)
+          |ORDER BY t.doc_id""".stripMargin),
+      doc = "temperature mixing (alpha=0.5): data-derived per-source " +
+        "rates p_s ~ sqrt(n_s) at a half-token budget, broadcast back " +
+        "as a pure keep/weight projection")
   )
 }

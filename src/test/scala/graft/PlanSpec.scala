@@ -139,8 +139,8 @@ class PlanSpec extends AnyFunSuite {
     // LogicalRDD scan, so their INTERNAL joins are not visible here —
     // those pipelines' operators are asserted directly in the next test.
     graft.functions.GraftFunctions.register(spark)
-    val bnljAllowed =
-      Set("sim_topk_brute", "sim_ivf_topk", "dd_bloom_probe")
+    val bnljAllowed = Set("sim_topk_brute", "sim_ivf_topk",
+      "dd_bloom_probe", "ds_temperature_mix")
     SparkEntry.registry.foreach { case (name, qd) =>
       val p = plan(qd.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
