@@ -180,6 +180,28 @@ object ScaleAudit {
     val (ivfR16, ivfSb16, ivfPl16) = ivfAudit(16)
     val (ivfR1024, ivfSb1024, ivfPl1024) = ivfAudit(1024)
 
+    // Bloom vs join decontamination at sf1 doc counts: the claim is
+    // that the Bloom probe never shuffles the training gram table —
+    // its only exchanges are the tiny position-distinct (≤ m rows
+    // after partial agg) and the per-doc hit aggregate — while the
+    // exact join shuffles every training gram occurrence. Both shuffle
+    // totals measured from executed plans over the same corpus.
+    def shuffleAudit(df: DataFrame): (Long, Long) = {
+      val rows = df.queryExecution.toRdd.count()
+      val sb = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+      }.sum
+      (rows, sb)
+    }
+    val heldOut = docsDf.filter(col("doc_id") % 500L === 0L)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val (blR, blSb) = shuffleAudit(graft.operators.Dedup
+      .bloomProbe(docsDf, heldOut, "doc_id", "text"))
+    val (cnR, cnSb) = shuffleAudit(graft.operators.Dedup
+      .contamination(docsDf, heldOut, "doc_id", "text", minShared = 5))
+
     def pct(a: Long, b: Long): Double =
       math.round(a.toDouble / b * 10000) / 100.0
     val json =
@@ -200,7 +222,10 @@ object ScaleAudit {
          |                      "bucketed_rows": $bkRows, "plain_rows": $plRows},
          |  "ivf_assign": {"corpus_rows": $nVecs,
          |    "nlist16":   {"rows": $ivfR16, "shuffle_bytes": $ivfSb16, "plan_chars": $ivfPl16},
-         |    "nlist1024": {"rows": $ivfR1024, "shuffle_bytes": $ivfSb1024, "plan_chars": $ivfPl1024}}
+         |    "nlist1024": {"rows": $ivfR1024, "shuffle_bytes": $ivfSb1024, "plan_chars": $ivfPl1024}},
+         |  "decontaminate": {"train_docs": $nDocs, "held_docs": ${heldOut.count()},
+         |    "bloom_probe": {"rows": $blR, "shuffle_bytes": $blSb},
+         |    "exact_join":  {"rows": $cnR, "shuffle_bytes": $cnSb}}
          |}""".stripMargin
     println(json)
     java.nio.file.Files.write(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.GraftFunctions
-import graft.operators.TextOps
+import graft.operators.{Dedup, TextOps}
 
 /** Text-analysis pipeline demos over the `documents` table (the
   * training-data surface: token counting, language ID, quality scoring,
@@ -415,6 +415,75 @@ object TextQueries {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "corpus-relative rarity: mean token document frequency per " +
         "doc (boilerplate scores high, noise scores low)"),
+
+    // Count-Min-sketch token frequencies: the bounded-memory answer to
+    // "how often does this token appear in 100 TB" — 3 rows × 4096
+    // counters (the base-m digits of the 60-bit md5 hash index each
+    // row), point estimate = min over rows. Counters are
+    // order-independent integer sums, so unlike Misra-Gries-family
+    // sketches the result is independent of aggregation/merge order
+    // and DuckDB rebuilds the sketch bit-for-bit. The demo reports the
+    // exact top-20 tokens with exact and CMS counts side by side
+    // (estimate >= exact always; the gap IS the collision error). The
+    // sketch aggregate's shuffle is 3×4096 keys after map-side
+    // combine, regardless of corpus size.
+    "tx_cms_counts" -> QueryDef(
+      (s, d) => {
+        val m = 4096L
+        val occ = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .withColumn("gh", Dedup.tokenHash60(col("tok")))
+        val cms = occ
+          .select(explode(array((0 until 3).map(j =>
+            struct(lit(j.toLong).as("j"),
+              expr(s"(gh div ${math.pow(m, j).toLong}) % $m").as("pos"))
+          ): _*)).as("e"))
+          .groupBy(col("e.j").as("j"), col("e.pos").as("pos"))
+          .agg(count(lit(1)).as("c"))
+        val top = occ.groupBy("tok")
+          .agg(count(lit(1)).as("exact"), first("gh").as("gh"))
+          .orderBy(col("exact").desc, col("tok")).limit(20)
+        val est = top
+          .select(col("tok"), col("exact"), explode(array((0 until 3).map(j =>
+            struct(lit(j.toLong).as("j"),
+              expr(s"(gh div ${math.pow(m, j).toLong}) % $m").as("pos"))
+          ): _*)).as("e"))
+          .join(broadcast(cms),
+            col("e.j") === cms("j") && col("e.pos") === cms("pos"))
+          .groupBy("tok", "exact").agg(min("c").as("cms_est"))
+        est.orderBy(col("exact").desc, col("tok"))
+      },
+      Some(
+        """WITH occ AS (
+          |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+          |           AS tok
+          |  FROM documents),
+          |h AS (
+          |  SELECT tok,
+          |         CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+          |           AS gh
+          |  FROM occ),
+          |e AS (
+          |  SELECT tok, gh, j, (gh // CAST(pow(4096, j) AS BIGINT)) % 4096
+          |           AS pos
+          |  FROM h, unnest([0, 1, 2]) AS u(j)),
+          |cms AS (
+          |  SELECT j, pos, CAST(count(*) AS BIGINT) AS c
+          |  FROM e GROUP BY 1, 2),
+          |top AS (
+          |  SELECT tok, CAST(count(*) AS BIGINT) AS exact
+          |  FROM h GROUP BY tok ORDER BY exact DESC, tok LIMIT 20),
+          |est AS (
+          |  SELECT t.tok, t.exact, CAST(min(cms.c) AS BIGINT) AS cms_est
+          |  FROM top t
+          |  JOIN (SELECT DISTINCT tok, j, pos FROM e) ep USING (tok)
+          |  JOIN cms USING (j, pos)
+          |  GROUP BY 1, 2)
+          |SELECT tok, exact, cms_est FROM est
+          |ORDER BY exact DESC, tok""".stripMargin),
+      doc = "Count-Min sketch (3x4096) token frequencies: exact top-20 " +
+        "vs point estimates, order-independent counters the oracle " +
+        "rebuilds bit-for-bit"),
 
     // CCNet-style LM quality bucketing: fit a Laplace bigram LM on the
     // train split, score every doc's mean per-bigram surprise (bits),

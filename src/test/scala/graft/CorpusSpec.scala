@@ -124,6 +124,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(r("b") == (("b", 4L, 5L, 7L, 5L, 5L, 7L, 7L)))
   }
 
+  test("tx_cms_counts: estimates never undercount (CMS guarantee)") {
+    val r = graft.queries.TextQueries.defs("tx_cms_counts").fn(spark, sf)
+      .select("tok", "exact", "cms_est")
+      .as[(String, Long, Long)].collect()
+    assert(r.length == 20)
+    assert(r.forall { case (_, exact, est) => est >= exact })
+  }
+
   test("lmPlan: Laplace bigram surprise matches hand computation") {
     import org.apache.spark.sql.functions._
     // train: "a b a b" -> c2(a,b)=2, c2(b,a)=1, c1(a)=2, c1(b)=1, V=2
