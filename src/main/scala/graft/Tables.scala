@@ -24,15 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and derive a micros timestamp
-    * (`ts`) + the raw nanos (`ts_ns`). DuckDB reads ns natively — oracle
-    * SQL uses `epoch_us(ts)` for the same truncation. */
+  /** events.parquet has carried either TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long, derive a micros
+    * `ts`) or plain TIMESTAMP(MICROS) (read as NTZ — cast to session-UTC
+    * timestamp, derive `ts_ns` = micros×1000) across testdata
+    * generations. Dispatch on the physical schema so both shapes expose
+    * the same `(ts TIMESTAMP, ts_ns BIGINT)` view; DuckDB reads either
+    * natively — oracle SQL uses `epoch_ns(ts)` for the same values. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
 
   /** DuckDB fragment mirroring [[events]] (view name `ev` to avoid
