@@ -253,4 +253,99 @@ object Multimodal {
       }
     }
   }
+
+  /** Exact-integer per-frame luminance stats — the codec-layer reduction
+    * for [[sceneCuts]]. Byte iteration lives here (the same genuine
+    * JVM-iteration slot as [[decodeImages]]); only 24-byte stat rows
+    * leave the scan stage, never payload bytes. */
+  case class FrameLuma(id: Long, frameIdx: Int, lumaSum: Long, frameLen: Int)
+
+  def frameLumas(m: Dataset[Media], frameBytes: Int): Dataset[FrameLuma] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    m.filter(_.mediaType == "video").flatMap { row =>
+      row.payload.grouped(frameBytes).zipWithIndex.map { case (w, i) =>
+        var acc = 0L; var j = 0
+        while (j < w.length) { acc += (w(j) & 0xff); j += 1 }
+        FrameLuma(row.id, i, acc, w.length)
+      }
+    }
+  }
+
+  /** Scene-change segmentation for video payloads: a frame starts a new
+    * scene when its mean luma moves more than `thrLevels` byte levels
+    * from the previous frame's. The pipeline use is keyframe selection —
+    * sample one frame per *scene* instead of per fixed stride.
+    *
+    * All comparisons are exact integers (cross-multiplied means:
+    * |s_i·l_p − s_p·l_i| > thr·l_i·l_p), so the DuckDB oracle replays
+    * every cut decision bit-for-bit. Scene grouping is the
+    * [[dedupFrames]] shape — a lag flag + running sum over per-video
+    * frame-count-bounded window partitions; at 100 TB the shuffle
+    * carries only the 24-byte stat rows. */
+  def sceneCuts(m: Dataset[Media], frameBytes: Int, thrLevels: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("frameIdx")
+    val pS = lag(col("lumaSum"), 1).over(w)
+    val pL = lag(col("frameLen"), 1).over(w)
+    val cut = when(pS.isNull, 1).otherwise(
+      when(abs(col("lumaSum") * pL - pS * col("frameLen")) >
+        lit(thrLevels) * col("frameLen") * pL, 1).otherwise(0))
+    frameLumas(m, frameBytes).toDF()
+      .withColumn("_s", sum(cut).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "_s")
+      .agg(min("frameIdx").as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        sum("lumaSum").as("_ls"), sum("frameLen").as("_ll"))
+      .select(col("id"), (col("_s") - 1).cast("int").as("scene_idx"),
+        col("start_frame"), col("n_frames"),
+        round(col("_ls").cast("double") * 1000 / col("_ll"))
+          .cast("long").as("luma_milli"))
+  }
+
+  /** Exact-integer audio window energy ([[energySegments]]'s codec-layer
+    * reduction): sum of squared byte "samples" per window. */
+  case class AudioEnergy(id: Long, windowIdx: Int, sumSq: Long, len: Int)
+
+  def audioEnergy(m: Dataset[Media], window: Int): Dataset[AudioEnergy] = {
+    val spark = m.sparkSession
+    import spark.implicits._
+    m.filter(_.mediaType == "audio").flatMap { row =>
+      row.payload.grouped(window).zipWithIndex.map { case (w, i) =>
+        var acc = 0L; var j = 0
+        while (j < w.length) { val v = (w(j) & 0xff).toLong; acc += v * v; j += 1 }
+        AudioEnergy(row.id, i, acc, w.length)
+      }
+    }
+  }
+
+  /** VAD-style energy segmentation: windows whose mean square energy
+    * clears `thrLevel²` are "active"; runs of same-state windows
+    * collapse to one segment row — the speech/silence gate an audio
+    * pipeline runs before any expensive transcription. The activity
+    * test is exact integers (sumSq ≥ thr²·len, no sqrt), so the oracle
+    * replays it; segment grouping mirrors [[sceneCuts]]. */
+  def energySegments(m: Dataset[Media], window: Int, thrLevel: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy("windowIdx")
+    val active = when(
+      col("sumSq") >= lit(thrLevel.toLong * thrLevel) * col("len"), 1)
+      .otherwise(0)
+    val chg = when(lag(active, 1).over(w).isNull ||
+      lag(active, 1).over(w) =!= active, 1).otherwise(0)
+    audioEnergy(m, window).toDF()
+      .withColumn("_act", active)
+      .withColumn("_s", sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "_s")
+      .agg(min("windowIdx").as("start_window"),
+        count(lit(1)).as("n_windows"),
+        min("_act").as("active"),
+        sum("sumSq").as("_es"), sum("len").as("_el"))
+      .select(col("id"), (col("_s") - 1).cast("int").as("seg_idx"),
+        col("start_window"), col("n_windows"), col("active"),
+        round(col("_es").cast("double") * 1000 / col("_el"))
+          .cast("long").as("msq_milli"))
+  }
 }

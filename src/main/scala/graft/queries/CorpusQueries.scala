@@ -68,6 +68,30 @@ object CorpusQueries {
       .select(col("doc_id"), col("source"), col("tokens"),
         expr(s"offset div $budget").as("shard"))
 
+  /** Deterministic epoch shuffle: each document's global training-order
+    * position for `epoch` is its rank under `md5(epoch:doc_id)` (ties —
+    * practically impossible — broken by doc_id). Rank assignment is the
+    * two-phase shape: rank within a 256-way bucket keyed by the digest's
+    * first hex byte (bucket order IS key order, so local ranks + a
+    * broadcast exclusive bucket-count rebase reproduce the global
+    * row_number without a single-partition window). */
+  def epochOrder(docs: DataFrame, epoch: Int): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(epoch), col("doc_id"))).as("k"))
+      .withColumn("_bkt", substring(col("k"), 1, 2))
+    val wLocal = Window.partitionBy("_bkt").orderBy("k", "doc_id")
+    val wBase = Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = keyed.groupBy("_bkt").agg(count(lit(1)).as("_c"))
+      .withColumn("_base", coalesce(sum(col("_c")).over(wBase), lit(0L)))
+      .select("_bkt", "_base")
+    keyed
+      .withColumn("_rk", row_number().over(wLocal).cast("long") - 1)
+      .join(broadcast(bases), "_bkt")
+      .select(col("doc_id"), (col("_base") + col("_rk")).as("pos"))
+  }
+
   /** The two-phase exclusive token prefix sum itself: `(doc_id, source,
     * tokens)` → `+ offset`, the global token offset of each document in
     * (source, doc_id) order. Phase 1 windows within (source, bucket);
@@ -492,6 +516,28 @@ object CorpusQueries {
           |ORDER BY t.doc_id""".stripMargin),
       doc = "temperature mixing (alpha=0.5): data-derived per-source " +
         "rates p_s ~ sqrt(n_s) at a half-token budget, broadcast back " +
-        "as a pure keep/weight projection")
+        "as a pure keep/weight projection"),
+
+    // Deterministic epoch shuffle: the global training order for epoch e
+    // is the sort by md5(e:doc_id) — reshuffled every epoch, reproducible
+    // from (corpus, epoch) alone, no materialized permutation table.
+    // Assigning the global position is the same two-phase prefix-sum
+    // shape as ds_token_shards_bucketed: rank within a 256-way hash
+    // bucket (the key's first hex byte, so bucket order IS key order)
+    // plus a broadcast exclusive bucket-count rebase — no global window,
+    // every window partition ~corpus/256. The oracle is the GLOBAL
+    // single-window row_number, so the hash match checks the two-phase
+    // decomposition, not just the hashing.
+    "ds_epoch_order" -> QueryDef(
+      (s, d) => epochOrder(Tables.documents(s, d), 1).orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CAST(row_number() OVER (
+          |    ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+          |    AS BIGINT) AS pos
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "deterministic epoch shuffle: global training position = " +
+        "rank under md5(epoch:doc_id), assigned via bucketed rank + " +
+        "broadcast offset rebase (no global window)")
   )
 }

@@ -222,6 +222,87 @@ object MultimodalQueries {
           |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) = length(text)
           |        AND length(text) > 0
           |) ORDER BY id, "windowIdx"""".stripMargin),
-      doc = "audio window features: mean + RMS per 256-byte window")
+      doc = "audio window features: mean + RMS per 256-byte window"),
+
+    // Scene-change segmentation: mean-luma deltas between consecutive
+    // 128-byte frames, cut at >4 byte levels. All cut decisions are
+    // cross-multiplied exact integers; the only double is the final
+    // milli-rendered scene mean (one IEEE division of exact ints).
+    "mm_scene_cuts" -> QueryDef(
+      (s, d) => Multimodal.sceneCuts(
+        Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) > 0)), 128, 4)
+        .orderBy("id", "scene_idx"),
+      Some(
+        """WITH fr AS (
+          |  SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+          |    CAST(list_sum([ascii(substr(text, CAST(i*128 + k AS INT), 1))
+          |      for k in range(1, CAST(least(128, length(text) - i*128) + 1 AS BIGINT))]) AS BIGINT) AS ls,
+          |    CAST(least(128, length(text) - i*128) AS BIGINT) AS fl
+          |  FROM (SELECT doc_id, text FROM documents
+          |        WHERE doc_id % 3 = 2 AND octet_length(encode(text)) = length(text)
+          |          AND length(text) > 0),
+          |       UNNEST(range(0, CAST(ceil(length(text)/128.0) AS BIGINT))) AS t(i)),
+          |lg AS (
+          |  SELECT *, lag(ls) OVER (PARTITION BY id ORDER BY frame_idx) AS pls,
+          |            lag(fl) OVER (PARTITION BY id ORDER BY frame_idx) AS pfl
+          |  FROM fr),
+          |seg AS (
+          |  SELECT id, frame_idx, ls, fl,
+          |    CAST(sum(CASE WHEN pls IS NULL THEN 1
+          |             WHEN abs(ls*pfl - pls*fl) > 4*fl*pfl THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY id ORDER BY frame_idx) AS BIGINT) AS s
+          |  FROM lg)
+          |SELECT id, CAST(s - 1 AS INT) AS scene_idx,
+          |       CAST(min(frame_idx) AS INT) AS start_frame,
+          |       CAST(count(*) AS BIGINT) AS n_frames,
+          |       CAST(round(CAST(sum(ls) AS DOUBLE) * 1000 / CAST(sum(fl) AS DOUBLE)) AS BIGINT) AS luma_milli
+          |FROM seg GROUP BY id, s ORDER BY id, scene_idx""".stripMargin),
+      doc = "video scene-cut segmentation: exact-integer mean-luma " +
+        "deltas between consecutive frames, runs collapsed to scenes " +
+        "(keyframe selection unit)"),
+
+    // VAD-style energy gate: windows whose mean square clears 97² are
+    // active; runs of same-state windows collapse to segments. The
+    // activity test is exact integers (no sqrt crosses the hash).
+    "mm_audio_vad" -> QueryDef(
+      (s, d) => Multimodal.energySegments(
+        Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) > 0)), 256, 97)
+        .orderBy("id", "seg_idx"),
+      Some(
+        """WITH win AS (
+          |  SELECT doc_id AS id, CAST(wi AS INT) AS window_idx,
+          |    CAST(list_sum([v*v for v in vals]) AS BIGINT) AS ss,
+          |    CAST(len(vals) AS BIGINT) AS l
+          |  FROM (
+          |    SELECT doc_id, wi,
+          |      [ascii(substr(text, CAST(wi*256 + k AS INT), 1))
+          |       for k in range(1, CAST(least(256, length(text) - wi*256) + 1 AS BIGINT))] AS vals
+          |    FROM documents,
+          |         UNNEST(range(0, CAST(ceil(length(text)/256.0) AS BIGINT))) AS t(wi)
+          |    WHERE doc_id % 3 = 1 AND octet_length(encode(text)) = length(text)
+          |          AND length(text) > 0)),
+          |st AS (
+          |  SELECT id, window_idx, ss, l,
+          |         CASE WHEN ss >= 9409 * l THEN 1 ELSE 0 END AS act
+          |  FROM win),
+          |lg AS (SELECT *, lag(act) OVER (PARTITION BY id ORDER BY window_idx) AS pact
+          |       FROM st),
+          |seg AS (
+          |  SELECT id, window_idx, ss, l, act,
+          |    CAST(sum(CASE WHEN pact IS NULL OR pact <> act THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY id ORDER BY window_idx) AS BIGINT) AS s
+          |  FROM lg)
+          |SELECT id, CAST(s - 1 AS INT) AS seg_idx,
+          |       CAST(min(window_idx) AS INT) AS start_window,
+          |       CAST(count(*) AS BIGINT) AS n_windows,
+          |       CAST(min(act) AS INT) AS active,
+          |       CAST(round(CAST(sum(ss) AS DOUBLE) * 1000 / CAST(sum(l) AS DOUBLE)) AS BIGINT) AS msq_milli
+          |FROM seg GROUP BY id, s ORDER BY id, seg_idx""".stripMargin),
+      doc = "audio energy segmentation (VAD shape): exact-integer mean-" +
+        "square threshold, same-state runs collapsed to segments")
   )
 }

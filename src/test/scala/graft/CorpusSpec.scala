@@ -162,6 +162,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(train > 0.7 && train < 0.9, s"train fraction $train")
   }
 
+  test("epochOrder: bucketed two-phase rank equals the global sort rank") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i text", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = queries.CorpusQueries.epochOrder(docs, 3)
+      .as[(Long, Long)].collect()
+    // a permutation of 0..n-1 ...
+    assert(out.map(_._2).sorted.toSeq == (0L until 200L))
+    // ... equal to the rank under the global md5(epoch:id) sort
+    val expected = (0L until 200L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"3:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(out.forall { case (id, p) => expected(id) == p })
+    // different epochs produce different permutations
+    val e2 = queries.CorpusQueries.epochOrder(docs, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out.exists { case (id, p) => e2(id) != p })
+  }
+
   test("ds_token_shards: exclusive prefix sum, per-source reset") {
     val out = queries.CorpusQueries.defs("ds_token_shards").fn(spark, sf)
       .as[(Long, String, Long, Long)].collect()

@@ -153,4 +153,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w.forall(x => x.rms >= x.mean)) // RMS >= mean for nonneg values
     assert(w.forall(x => x.mean > 0 && x.rms < 256))
   }
+
+  test("scene cuts split on mean-luma jumps and collapse stable runs") {
+    // 'a'(97)×64 then 'z'(122)×64, 32-byte frames → two 2-frame scenes
+    // split exactly at the luma jump (25 levels > threshold 4).
+    val rows = Seq((2L, "a" * 64 + "z" * 64, "en", "s1", 128L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.sceneCuts(Multimodal.media(rows), 32, 4)
+      .as[(Long, Int, Int, Long, Long)].collect().sortBy(_._2)
+    assert(out.length == 2, out.mkString(","))
+    assert(out(0) == ((2L, 0, 0, 2L, 97000L)))
+    assert(out(1) == ((2L, 1, 2, 2L, 122000L)))
+  }
+
+  test("energy segments gate windows on exact mean-square threshold") {
+    // ' '(32²=1024) quiet, 'z'(122²=14884) loud around thr 97²=9409:
+    // one inactive then one active segment, two windows each.
+    val rows = Seq((1L, " " * 64 + "z" * 64, "en", "s1", 128L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.energySegments(Multimodal.media(rows), 32, 97)
+      .as[(Long, Int, Int, Long, Int, Long)].collect().sortBy(_._2)
+    assert(out.length == 2, out.mkString(","))
+    assert(out(0) == ((1L, 0, 0, 2L, 0, 1024000L)))
+    assert(out(1) == ((1L, 1, 2, 2L, 1, 14884000L)))
+  }
 }
