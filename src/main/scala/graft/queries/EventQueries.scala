@@ -86,6 +86,87 @@ object EventQueries {
           |  FROM ev WHERE event_id < 500
           |) ORDER BY event_id""".stripMargin,
         Tables.evSql)),
-      doc = "operations.clj:151-189 byte-range parse, clamp, 416 detect")
+      doc = "operations.clj:151-189 byte-range parse, clamp, 416 detect"),
+
+    // Sessionization: per-user event runs split at >30-min gaps — the
+    // standard event-analytics operator (and the batch mirror of the
+    // streaming upload-session tracking, IS2). Gap tests are exact
+    // integer micros; the lag + prefix-sum + group chain shuffles once
+    // on user_id (per-user windows are bounded), and the final groupBy
+    // keys (user_id, session) are clustered by that same partitioning,
+    // so no second exchange.
+    "ev_sessionize" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val gap = col("us") - lag(col("us"), 1).over(w)
+        val brk = when(gap.isNull || gap > 1800000000L, 1).otherwise(0)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            col("value"))
+          .withColumn("_s", sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "_s")
+          .agg(min("us").as("start_us"), max("us").as("end_us"),
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .select(col("user_id"), (col("_s") - 1).as("session_idx"),
+            col("start_us"), col("end_us"), col("n_events"), col("total"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some(withCtes(
+        """SELECT user_id, CAST(s - 1 AS BIGINT) AS session_idx,
+          |       CAST(min(us) AS BIGINT) AS start_us,
+          |       CAST(max(us) AS BIGINT) AS end_us,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM (
+          |  SELECT user_id, us, value,
+          |    CAST(sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+          |             THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY us, event_id)
+          |      AS BIGINT) AS s
+          |  FROM (
+          |    SELECT user_id, event_id, epoch_us(ts) AS us, value,
+          |           lag(epoch_us(ts)) OVER (
+          |             PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+          |             AS pus
+          |    FROM ev))
+          |GROUP BY user_id, s ORDER BY user_id, session_idx""".stripMargin,
+        Tables.evSql)),
+      doc = "sessionization: per-user 30-min-gap session split, exact " +
+        "integer micros, one user_id shuffle end-to-end"),
+
+    // Cohort retention: users bucketed by first-seen date, distinct
+    // actives per (cohort, day offset) — the other staple event rollup.
+    // Two map-side-combined aggregates + one equi-join on user_id; the
+    // distinct-user count is Spark's two-phase partial-distinct agg.
+    "ev_retention" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val first = e.groupBy("user_id").agg(min("d").as("cohort"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("d"), col("cohort")).as("day_offset"))
+          .agg(countDistinct("user_id").as("users"))
+          // render the date as a string: the checker's pandas layer
+          // widens DuckDB DATE to midnight datetimes, Spark's not
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("day_offset"), col("users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some(withCtes(
+        """SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+          |       CAST(date_diff('day', cohort, d) AS INT) AS day_offset,
+          |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS users
+          |FROM (SELECT user_id, CAST(ts AS DATE) AS d FROM ev) e
+          |JOIN (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+          |      FROM ev GROUP BY 1) f USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+        Tables.evSql)),
+      doc = "cohort retention: first-seen-date cohorts x day offset " +
+        "distinct actives")
   )
 }
