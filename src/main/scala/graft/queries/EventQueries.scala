@@ -167,6 +167,54 @@ object EventQueries {
           |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
         Tables.evSql)),
       doc = "cohort retention: first-seen-date cohorts x day offset " +
-        "distinct actives")
+        "distinct actives"),
+
+    // Ordered funnel: view → click → purchase, each step strictly after
+    // the user's previous step. Funnels are inherently sequential (step
+    // k's earliest time depends on step k-1's), so the plan is a chain
+    // of per-user min-aggregates + equi-joins — but every shuffle is on
+    // user_id, so past the first exchange the stages are co-partitioned;
+    // step timestamps are exact integer micros.
+    "ev_funnel" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("v_us"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("us") > col("v_us"))
+          .groupBy("user_id").agg(min("us").as("c_us"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("us") > col("c_us"))
+          .groupBy("user_id").agg(min("us").as("p_us"))
+        val s1 = v.agg(count(lit(1)).as("users"))
+          .select(lit(1).as("step"), lit("view").as("stage"), col("users"))
+        val s2 = c.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("step"), lit("click").as("stage"), col("users"))
+        val s3 = p.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("step"), lit("purchase").as("stage"), col("users"))
+        s1.union(s2).union(s3).orderBy("step")
+      },
+      Some(withCtes(
+        """SELECT step, stage, users FROM (
+          |  WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM ev),
+          |  v AS (SELECT user_id, min(us) AS v_us FROM e
+          |        WHERE event_type = 'view' GROUP BY 1),
+          |  c AS (SELECT e.user_id, min(us) AS c_us
+          |        FROM e JOIN v USING (user_id)
+          |        WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+          |  pu AS (SELECT e.user_id, min(us) AS p_us
+          |         FROM e JOIN c USING (user_id)
+          |         WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+          |  SELECT 1 AS step, 'view' AS stage, count(*) AS users FROM v
+          |  UNION ALL
+          |  SELECT 2, 'click', count(*) FROM c
+          |  UNION ALL
+          |  SELECT 3, 'purchase', count(*) FROM pu
+          |) ORDER BY step""".stripMargin,
+        Tables.evSql)),
+      doc = "ordered funnel view->click->purchase: per-user strictly-" +
+        "increasing step times, all shuffles on user_id")
   )
 }

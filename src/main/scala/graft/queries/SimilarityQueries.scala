@@ -213,6 +213,25 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB replay of [[Similarity.withNearestCell]] + per-cell stats —
+    * the index-health audit for the same refined centroids the IVF /
+    * SemDedup entries build. */
+  private def ivfStatsSql(nList: Int, iters: Int): String = {
+    val cents = s"cents$iters"
+    s"""WITH $duckPrep,
+       |${centsSql(nList, iters)},
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    ${rankedSql(cents, "")}) WHERE rnk = 1)
+       |SELECT a.cid, count(*) AS n_members,
+       |  CAST(round(CAST(sum(p.n2 + c.cn2 -
+       |    2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT)) AS DOUBLE)
+       |    * 1000 / count(*)) AS BIGINT) AS msd_milli
+       |FROM assign a JOIN p ON p.vec_id = a.vec_id
+       |     JOIN $cents c ON c.cid = a.cid
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+  }
+
   /** DuckDB replay of SRP-blocked near-dup pairs fed through connected
     * components (transitive closure by recursive CTE) down to the
     * surviving canonical vectors — the embedding-modality twin of
@@ -476,6 +495,34 @@ object SimilarityQueries {
       },
       Some(semDedupOracleSql(0.4, 1024, 1)),
       doc = "SemDedup at wide nList (1024 cells, 1 Lloyd iter): " +
-        "within-cell drop rule at sqrt(n)-class cell counts")
+        "within-cell drop rule at sqrt(n)-class cell counts"),
+
+    // IVF index health: per-cell member count + mean squared distance to
+    // the centroid (milli) — the audit that tells you whether the coarse
+    // quantizer is balanced (skewed cells = hot probe partitions) and
+    // tight (high msd = recall loss) BEFORE a recall regression shows up
+    // in production. Same refined centroids as sim_ivf_topk; one
+    // broadcast join + one map-side-combined aggregate past the
+    // assignment pass, and the only double is the final milli rendering.
+    "sim_ivf_stats" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        val cents = Similarity.refinedCentroids(prep, 16, 2)
+        Similarity.withNearestCell(prep, cents)
+          .join(broadcast(cents), "cid")
+          .withColumn("d2", col("n2") + col("cn2") -
+            lit(2) * Similarity.idot(col("qv"), col("cv")))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"), sum("d2").as("_sd"))
+          .select(col("cid"), col("n_members"),
+            round(col("_sd").cast("double") * 1000 / col("n_members"))
+              .cast("long").as("msd_milli"))
+          .orderBy("cid")
+      },
+      Some(ivfStatsSql(16, 2)),
+      doc = "IVF index health: per-cell member count + mean squared " +
+        "centroid distance (milli) over the sim_ivf_topk quantizer")
   )
 }

@@ -140,7 +140,7 @@ class PlanSpec extends AnyFunSuite {
     // those pipelines' operators are asserted directly in the next test.
     graft.functions.GraftFunctions.register(spark)
     val bnljAllowed = Set("sim_topk_brute", "sim_ivf_topk",
-      "dd_bloom_probe", "ds_temperature_mix")
+      "dd_bloom_probe", "ds_temperature_mix", "sim_ivf_stats")
     SparkEntry.registry.foreach { case (name, qd) =>
       val p = plan(qd.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
