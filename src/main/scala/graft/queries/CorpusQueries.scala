@@ -538,6 +538,51 @@ object CorpusQueries {
           |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "deterministic epoch shuffle: global training position = " +
         "rank under md5(epoch:doc_id), assigned via bucketed rank + " +
-        "broadcast offset rebase (no global window)")
+        "broadcast offset rebase (no global window)"),
+
+    // Curriculum ordering: sequence-length warmup (short documents
+    // first) with a deterministic shuffle inside each length tier —
+    // train on easy/short docs early without feeding them in corpus
+    // order. The global sort key is (tier, md5(1:doc_id), doc_id); the
+    // position is assigned by the same two-phase shape as
+    // ds_epoch_order, with the bucket extended to (tier, first hex
+    // byte) so bucket order stays a prefix of the full key order. The
+    // oracle is the global single-window row_number over the composite
+    // key — again checking the decomposition itself.
+    "ds_curriculum_order" -> QueryDef(
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            least(expr("n_chars div 512"), lit(7L)).as("tier"),
+            md5(concat_ws(":", lit(1), col("doc_id"))).as("k"))
+          .withColumn("_bkt", substring(col("k"), 1, 2))
+        val wLocal = Window.partitionBy("tier", "_bkt")
+          .orderBy("k", "doc_id")
+        val wBase = Window.orderBy("tier", "_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bases = keyed.groupBy("tier", "_bkt")
+          .agg(count(lit(1)).as("_c"))
+          .withColumn("_base", coalesce(sum(col("_c")).over(wBase), lit(0L)))
+          .select("tier", "_bkt", "_base")
+        keyed
+          .withColumn("_rk", row_number().over(wLocal).cast("long") - 1)
+          .join(broadcast(bases), Seq("tier", "_bkt"))
+          .select(col("doc_id"), col("tier"),
+            (col("_base") + col("_rk")).as("pos"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, tier,
+          |  CAST(row_number() OVER (
+          |    ORDER BY tier, md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+          |    AS BIGINT) AS pos
+          |FROM (SELECT doc_id,
+          |        least(CASE WHEN n_chars < 0 THEN -(abs(n_chars) // 512)
+          |              ELSE abs(n_chars) // 512 END, 7) AS tier
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin),
+      doc = "curriculum ordering: length-tier warmup (short docs first) " +
+        "with a deterministic in-tier shuffle, two-phase rank " +
+        "assignment against a global-window oracle")
   )
 }
