@@ -191,6 +191,24 @@ object EventStreams {
     dedupDocuments(gated, watermark)
   }
 
+  /** Gap-based user sessions as a continuous query: Spark's native
+    * `session_window` (30-min event-time gap) — the streaming mirror of
+    * the batch `ev_sessionize` query, with the same gap semantics. The
+    * watermark bounds session state: a session closes (and its row
+    * finalizes) once the watermark passes its end, so state per user is
+    * O(open sessions), not O(history) — the shape that holds on a
+    * 1000-executor state store. Append mode emits only closed sessions.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total"))
+
   def sessionTotals(events: Dataset[EventRow],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
       : Dataset[SessionUpdate] = {

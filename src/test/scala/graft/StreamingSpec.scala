@@ -38,6 +38,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window sessions close at the 30-min gap once the " +
+      "watermark passes") {
+    val input = MemoryStream[EventRow](spark)
+    // user 100: 10:00 + 10:10 (one session), 11:30 (a second);
+    // user 200: 10:05 alone
+    input.addData(
+      ev(1, 0, 100, "view", 1.0), ev(2, 10, 100, "click", 2.0),
+      ev(3, 5, 200, "view", 4.0))
+    val q = EventStreams.userSessions(input.toDF(), "30 minutes",
+        "10 minutes")
+      .writeStream.format("memory").queryName("user_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second batch: the 11:30 event + a far-future watermark pusher
+      // (next day) so every earlier session is closed and emitted
+      input.addData(
+        EventRow(4, Timestamp.valueOf("2026-01-01 11:30:00"), 100L,
+          "view", 8.0, "{}"),
+        EventRow(5, Timestamp.valueOf("2026-01-02 09:00:00"), 999L,
+          "view", 0.0, "{}"))
+      q.processAllAvailable()
+      input.addData(
+        EventRow(6, Timestamp.valueOf("2026-01-02 10:00:00"), 999L,
+          "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("user_sessions")
+        .select("user_id", "session_start", "session_end", "n_events",
+          "total")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .filter(_._1 != 999L).sortBy(r => (r._1, r._2.getTime))
+      // session end = last event + gap (native session_window semantics,
+      // matching the batch ev_sessionize 30-min-gap rule)
+      assert(got.toSeq == Seq(
+        (100L, Timestamp.valueOf("2026-01-01 10:00:00"),
+          Timestamp.valueOf("2026-01-01 10:40:00"), 2L, 3.0),
+        (100L, Timestamp.valueOf("2026-01-01 11:30:00"),
+          Timestamp.valueOf("2026-01-01 12:00:00"), 1L, 8.0),
+        (200L, Timestamp.valueOf("2026-01-01 10:05:00"),
+          Timestamp.valueOf("2026-01-01 10:35:00"), 1L, 4.0)), got.toSeq)
+    } finally q.stop()
+  }
+
   test("stateful session totals accumulate across micro-batches") {
     val input = MemoryStream[EventRow](spark)
     val q = EventStreams.sessionTotals(input.toDS())
