@@ -160,6 +160,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p2)
   }
 
+  test("sessionize and the two-phase ranks bound their exchanges") {
+    // ev_sessionize: ONE user_id hash shuffle end-to-end (window +
+    // lag + groupBy all reuse it); the only other exchange is the
+    // deterministic-output orderBy. The two-phase rank queries
+    // (epoch/curriculum order) plan exactly two hash exchanges —
+    // bucket-window + bucket-count aggregate — and never a global
+    // (empty-key) window over the corpus.
+    // formatted mode lists each Exchange once, its partitioning on the
+    // Arguments line — count the partitioning spec, not the node name
+    def hashEx(p: String): Int = "hashpartitioning\\(".r
+      .findAllMatchIn(p).size
+    val ps = plan(queries.EventQueries.defs("ev_sessionize").fn(spark, sf))
+    assert(hashEx(ps) == 1, ps)
+    for (n <- Seq("ds_epoch_order", "ds_curriculum_order")) {
+      val p = plan(queries.CorpusQueries.defs(n).fn(spark, sf))
+      assert(hashEx(p) == 2, s"$n:\n$p")
+    }
+    val pm = plan(queries.MultimodalQueries.defs("mm_scene_cuts").fn(spark, sf))
+    assert(hashEx(pm) == 1, pm)
+  }
+
   test("semDedup pair enumeration plans an equi-join, never a cartesian") {
     // Operator-level (the query's builder eagerly checkpoints): the
     // within-cell enumeration must reach the planner as an equi-join on
