@@ -303,6 +303,58 @@ object MultimodalQueries {
           |       CAST(round(CAST(sum(ss) AS DOUBLE) * 1000 / CAST(sum(l) AS DOUBLE)) AS BIGINT) AS msq_milli
           |FROM seg GROUP BY id, s ORDER BY id, seg_idx""".stripMargin),
       doc = "audio energy segmentation (VAD shape): exact-integer mean-" +
-        "square threshold, same-state runs collapsed to segments")
+        "square threshold, same-state runs collapsed to segments"),
+
+    // Keyframe selection — the composition mm_scene_cuts exists for:
+    // one representative frame (digest) per scene instead of per fixed
+    // stride. Scenes join back to the frame table on (id, frame_idx);
+    // both sides derive from the same media scan and shuffle on id, so
+    // the join is co-partitioned.
+    "mm_keyframes" -> QueryDef(
+      (s, d) => {
+        val m = Multimodal.media(Tables.documents(s, d)
+          .filter(octet_length(col("text")) === length(col("text")) &&
+            length(col("text")) > 0))
+        val scenes = Multimodal.sceneCuts(m, 128, 4)
+        val frames = Multimodal.sampleFrames(m, 128)
+        scenes.join(frames,
+            scenes("id") === frames("id") &&
+              scenes("start_frame") === frames("frame_idx"))
+          .select(scenes("id"), col("scene_idx"), col("frame_idx"),
+            col("frame_md5"), col("n_frames"))
+          .orderBy("id", "scene_idx")
+      },
+      Some(
+        """WITH fr AS (
+          |  SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+          |    md5(substr(text, CAST(i*128+1 AS INT), 128)) AS frame_md5,
+          |    CAST(list_sum([ascii(substr(text, CAST(i*128 + k AS INT), 1))
+          |      for k in range(1, CAST(least(128, length(text) - i*128) + 1 AS BIGINT))]) AS BIGINT) AS ls,
+          |    CAST(least(128, length(text) - i*128) AS BIGINT) AS fl
+          |  FROM (SELECT doc_id, text FROM documents
+          |        WHERE doc_id % 3 = 2 AND octet_length(encode(text)) = length(text)
+          |          AND length(text) > 0),
+          |       UNNEST(range(0, CAST(ceil(length(text)/128.0) AS BIGINT))) AS t(i)),
+          |lg AS (
+          |  SELECT *, lag(ls) OVER (PARTITION BY id ORDER BY frame_idx) AS pls,
+          |            lag(fl) OVER (PARTITION BY id ORDER BY frame_idx) AS pfl
+          |  FROM fr),
+          |seg AS (
+          |  SELECT id, frame_idx, ls, fl,
+          |    CAST(sum(CASE WHEN pls IS NULL THEN 1
+          |             WHEN abs(ls*pfl - pls*fl) > 4*fl*pfl THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY id ORDER BY frame_idx) AS BIGINT) AS s
+          |  FROM lg),
+          |sc AS (
+          |  SELECT id, CAST(s - 1 AS INT) AS scene_idx,
+          |         CAST(min(frame_idx) AS INT) AS start_frame,
+          |         CAST(count(*) AS BIGINT) AS n_frames
+          |  FROM seg GROUP BY id, s)
+          |SELECT sc.id, sc.scene_idx, f.frame_idx, f.frame_md5, sc.n_frames
+          |FROM sc JOIN fr f
+          |  ON f.id = sc.id AND f.frame_idx = sc.start_frame
+          |ORDER BY sc.id, sc.scene_idx""".stripMargin),
+      doc = "keyframe selection: the first frame digest of every scene " +
+        "(sceneCuts x sampleFrames co-partitioned join)")
   )
 }
