@@ -282,6 +282,45 @@ object DedupQueries {
       doc = "full dedup pass: near-dup clusters collapse to the min-id " +
         "canonical document (the surviving corpus + absorption counts)"),
 
+    // Duplication-aware sampling weights — the soft alternative to
+    // dropping: every document stays in the corpus but carries
+    // weight = 1/cluster_size, so a cluster contributes one document's
+    // worth of gradient no matter how many copies the crawl found.
+    // Same clusters as dd_survivors; the size join is label-keyed and
+    // both sides derive from the components output, so it is
+    // co-partitioned behind one shuffle.
+    "dd_dup_weights" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+          .select("i", "j")
+        val comp = Dedup.components(docs.select(col("doc_id").as("id")),
+          pairs, pairsContained = true)
+        val sizes = comp.groupBy("label")
+          .agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, "label")
+          .select(col("id").as("doc_id"), col("label"),
+            col("cluster_size"),
+            round(lit(1000.0) / col("cluster_size")).cast("long")
+              .as("weight_milli"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""${clustersCtes("0.5")},
+           |labels AS (
+           |  SELECT id, CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY id),
+           |sz AS (
+           |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM labels GROUP BY 1)
+           |SELECT l.id AS doc_id, l.label, s.cluster_size,
+           |       CAST(round(1000.0 / s.cluster_size) AS BIGINT) AS weight_milli
+           |FROM labels l JOIN sz s USING (label)
+           |ORDER BY doc_id""".stripMargin),
+      doc = "duplication-aware sampling weights: keep every document, " +
+        "weight 1/cluster_size (soft dedup - a cluster contributes one " +
+        "document's worth of sampling mass)"),
+
     // Benchmark decontamination: which non-test (train+val) documents
     // leak a test-split document's content? Shares the ds_split hash
     // boundary ('e6' = the ~10% test slice), so the check runs against
