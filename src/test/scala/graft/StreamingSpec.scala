@@ -81,6 +81,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessions match the oracle-checked batch ev_sessionize") {
+    import org.apache.spark.sql.functions._
+    // real sf0.001 events through the file stream, plus one far-future
+    // watermark pusher so every real session closes and is emitted
+    val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.userSessions(
+        EventStreams.eventStream(spark, dir), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val far = Timestamp.valueOf("2030-01-01 00:00:00")
+      Seq((-1L, far, -1L, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val got = spark.table("stream_sessions")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+          col("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      // batch form: same gap rule, keyed by (user, session start, count)
+      val want = queries.EventQueries.defs("ev_sessionize")
+        .fn(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), col("start_us"), col("n_events"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful session totals accumulate across micro-batches") {
     val input = MemoryStream[EventRow](spark)
     val q = EventStreams.sessionTotals(input.toDS())
