@@ -48,4 +48,32 @@ object Profile {
       .agg(picks.head, picks.tail: _*)
       .withColumnRenamed("g", groupCol)
   }
+
+  /** Robust per-group outlier detection over a discrete-domain value:
+    * median + MAD (median absolute deviation), both exact type-1
+    * quantiles via [[quantiles]], and the count of rows where
+    * `|v − median| > k·MAD`. The z-score alternative needs mean/stddev
+    * doubles whose summation order no two engines agree on; median/MAD
+    * stays in exact integers end to end AND is the statistically robust
+    * choice (one corrupt feed can move a mean arbitrarily, not a
+    * median). The median/MAD tables are group-count-sized and
+    * broadcast; the two histogram passes are map-side-combined, so the
+    * corpus shuffles only |distinct values| rows per group. */
+  def robustOutliers(df: DataFrame, groupCol: String,
+      valCol: org.apache.spark.sql.Column, k: Int = 3): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), valCol.as("cv"))
+    val med = quantiles(base, "g", "cv", Seq(50))
+      .select(col("g"), col("n"), col("p50").as("med"))
+    val dev = base.join(broadcast(med), "g")
+      .withColumn("ad", abs(col("cv") - col("med")))
+    val mad = quantiles(dev, "g", "ad", Seq(50))
+      .select(col("g"), col("p50").as("mad"))
+    dev.join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("ad") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumnRenamed("g", groupCol)
+  }
 }

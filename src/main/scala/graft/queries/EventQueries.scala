@@ -215,6 +215,69 @@ object EventQueries {
           |) ORDER BY step""".stripMargin,
         Tables.evSql)),
       doc = "ordered funnel view->click->purchase: per-user strictly-" +
-        "increasing step times, all shuffles on user_id")
+        "increasing step times, all shuffles on user_id"),
+
+    // Robust per-type outlier detection: median + MAD over value cents
+    // (floor(value*100) — one IEEE double multiply+floor, identical in
+    // both engines), outlier = |v − median| > 3·MAD. Exact integers
+    // end to end where a z-score would need order-sensitive double
+    // sums; the data-quality gate an event feed runs before metering
+    // trusts the numbers.
+    "ev_outliers" -> QueryDef(
+      (s, d) => graft.operators.Profile.robustOutliers(
+        Tables.events(s, d), "event_type",
+        floor(col("value") * 100).cast("long"), k = 3)
+        .select(col("event_type"), col("n"),
+          col("med").as("med_cents"), col("mad").as("mad_cents"),
+          col("n_outliers"))
+        .orderBy("event_type"),
+      Some(withCtes(
+        """SELECT b.g AS event_type, t.n, m.med AS med_cents,
+          |       d.mad AS mad_cents,
+          |       CAST(sum(CASE WHEN abs(b.cv - m.med) > 3 * d.mad
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM (SELECT event_type AS g,
+          |             CAST(floor(value*100) AS BIGINT) AS cv FROM ev) b
+          |JOIN (
+          |  SELECT cu.g, min(CASE WHEN cum >= (50*n+99)//100 THEN v END) AS med
+          |  FROM (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+          |        FROM (SELECT event_type AS g,
+          |                     CAST(floor(value*100) AS BIGINT) AS v,
+          |                     count(*) AS c
+          |              FROM ev GROUP BY 1, 2)) cu
+          |  JOIN (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n
+          |        FROM ev GROUP BY 1) tt USING (g)
+          |  GROUP BY cu.g) m ON m.g = b.g
+          |JOIN (
+          |  SELECT cu2.g, min(CASE WHEN cum >= (50*n+99)//100 THEN v END) AS mad
+          |  FROM (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+          |        FROM (
+          |          SELECT b2.g, abs(b2.cv - m2.med) AS v, count(*) AS c
+          |          FROM (SELECT event_type AS g,
+          |                       CAST(floor(value*100) AS BIGINT) AS cv
+          |                FROM ev) b2
+          |          JOIN (
+          |            SELECT cu3.g,
+          |                   min(CASE WHEN cum >= (50*n+99)//100 THEN v END) AS med
+          |            FROM (SELECT g, v,
+          |                         sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+          |                  FROM (SELECT event_type AS g,
+          |                               CAST(floor(value*100) AS BIGINT) AS v,
+          |                               count(*) AS c
+          |                        FROM ev GROUP BY 1, 2)) cu3
+          |            JOIN (SELECT event_type AS g,
+          |                         CAST(count(*) AS BIGINT) AS n
+          |                  FROM ev GROUP BY 1) t3 USING (g)
+          |            GROUP BY cu3.g) m2 ON m2.g = b2.g
+          |          GROUP BY 1, 2)) cu2
+          |  JOIN (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n
+          |        FROM ev GROUP BY 1) t2 USING (g)
+          |  GROUP BY cu2.g) d ON d.g = b.g
+          |JOIN (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n
+          |      FROM ev GROUP BY 1) t ON t.g = b.g
+          |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
+        Tables.evSql)),
+      doc = "robust outlier gate: exact-integer median + MAD per event " +
+        "type over value cents, |v - med| > 3*MAD flagged")
   )
 }
