@@ -40,6 +40,21 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "subword_tokens", exprs => {
+        val vocab = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, _)) =>
+            arr.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                .toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"subword_tokens: vocab must be an array<string> literal, got $other")
+        }
+        SubwordTokens(exprs(0), vocab)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "kmv_mins", exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
@@ -55,6 +70,12 @@ object GraftFunctions {
     * column, sorted ascending (see [[KmvSketch]]). */
   def kmvMins(h: Column, k: Int): Column =
     call_function("kmv_mins", h, lit(k))
+
+  /** Greedy longest-match subword tokenization of a word array against
+    * a fixed vocabulary, embedded as a plan literal (see
+    * [[SubwordTokens]]). */
+  def subwordTokens(words: Column, vocab: Seq[String]): Column =
+    call_function("subword_tokens", words, typedLit(vocab))
 
   /** One-pass 60-bit SimHash of a token array (see [[SimHash60]]). */
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `subword_tokens(words, vocab)`: greedy longest-match subword
+  * tokenization of a word array against a FIXED vocabulary of character
+  * n-grams — the WordPiece/BPE-inference segmentation rule (Wu et al.
+  * 2016 §4.1: left-to-right, longest vocabulary entry first) with a
+  * deterministic, corpus-derived vocabulary
+  * ([[graft.operators.TextOps.subwordVocab]]: top-K character n-grams
+  * by frequency) instead of learned merges.
+  *
+  * Per word, scanning left to right: emit the LONGEST vocabulary gram
+  * that prefixes the remaining suffix; if none matches, emit the single
+  * next character (the unconditional fallback that makes tokenization
+  * total — no `<unk>`). A document's tokens are its words' tokens
+  * concatenated in word order.
+  *
+  * The vocabulary is embedded in the expression as a literal (resolved
+  * from a foldable array argument at registration), so it ships with
+  * the serialized plan to every task — broadcast semantics with zero
+  * vocab-keyed or token-keyed shuffle; tokenization is a pure
+  * scan-stage projection at any corpus size. All indexing is
+  * code-point based (`UTF8String.substring`/`numChars`), matching the
+  * DuckDB oracle's `substr`/`len` semantics exactly, so the recursive-
+  * CTE replay hash-matches.
+  */
+case class SubwordTokens(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subword_tokens expects array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.size * 2)
+    vocab.foreach(g => s.add(UTF8String.fromString(g)))
+    s
+  }
+  @transient private lazy val maxGram: Int =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+  @transient private lazy val minGram: Int =
+    if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).min
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < words.numElements()) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        val n = w.numChars()
+        var pos = 0
+        while (pos < n) {
+          var step = 1
+          var tok: UTF8String = null
+          var l = math.min(maxGram, n - pos)
+          while (l >= minGram && tok == null) {
+            val cand = w.substring(pos, pos + l)
+            if (vocabSet.contains(cand)) { tok = cand; step = l }
+            l -= 1
+          }
+          if (tok == null) tok = w.substring(pos, pos + 1)
+          out += tok
+          pos += step
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): SubwordTokens =
+    copy(child = c)
+
+  override def prettyName: String = "subword_tokens"
+}

@@ -58,10 +58,17 @@ object Profile {
     * choice (one corrupt feed can move a mean arbitrarily, not a
     * median). The median/MAD tables are group-count-sized and
     * broadcast; the two histogram passes are map-side-combined, so the
-    * corpus shuffles only |distinct values| rows per group. */
+    * corpus shuffles only |distinct values| rows per group.
+    *
+    * NULL values are dropped up front: Spark's window `ORDER BY v`
+    * sorts NULLs first while DuckDB sorts them last, and a NULL would
+    * otherwise still count into `n` — either effect silently shifts
+    * the median against an external replay. Dropping them makes the
+    * oracle parity independent of the profiled column's nullability. */
   def robustOutliers(df: DataFrame, groupCol: String,
       valCol: org.apache.spark.sql.Column, k: Int = 3): DataFrame = {
     val base = df.select(col(groupCol).as("g"), valCol.as("cv"))
+      .filter(col("cv").isNotNull)
     val med = quantiles(base, "g", "cv", Seq(50))
       .select(col("g"), col("n"), col("p50").as("med"))
     val dev = base.join(broadcast(med), "g")

@@ -32,6 +32,55 @@ object TextOps {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  // ---- subword tokenization (deterministic corpus-derived vocab) ---------
+
+  /** Subword vocabulary parameters: character n-gram lengths counted
+    * for the vocabulary, and the vocabulary size. Single characters are
+    * NOT vocabulary entries — they are the tokenizer's unconditional
+    * fallback, which is what makes tokenization total without `<unk>`. */
+  val SubwordMinGram = 2
+  val SubwordMaxGram = 4
+  val SubwordVocabK = 64
+
+  /** All character n-grams (lengths [[SubwordMinGram]]..[[SubwordMaxGram]],
+    * every position, with multiplicity) of one word, as a pure column
+    * expression. The `when` guard matters for short words: Spark's
+    * `sequence(1, len-l+1)` would generate a DESCENDING sequence when
+    * `len < l`. */
+  def subwordGrams(w: Column): Column =
+    flatten(array((SubwordMinGram to SubwordMaxGram).map { l =>
+      when(length(w) >= l,
+        transform(sequence(lit(1), length(w) - (l - 1)),
+          i => w.substr(i, lit(l))))
+        .otherwise(typedLit(Seq.empty[String]))
+    }: _*))
+
+  /** Deterministic subword vocabulary: the top-K character n-grams of
+    * the corpus's lowercased whitespace words by occurrence count, ties
+    * broken by gram ascending — reproducible from the corpus alone, by
+    * any engine (the DuckDB oracle re-derives it in SQL and the
+    * `tx_subword_vocab` entry hash-matches the table itself).
+    * Returns `(gram, cnt)` in rank order.
+    *
+    * Scale shape: gram extraction is a scan-stage explode; the count
+    * aggregate is map-side combined and its key domain is bounded by
+    * |charset|^4, not the corpus; the final top-K is a TakeOrdered —
+    * no global sort. The K-row result is the bounded driver-side state
+    * a tokenizer ships to every task (same class as the IVF centroid
+    * table). */
+  def subwordVocab(docs: DataFrame, k: Int = SubwordVocabK): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("wd"))
+      .select(explode(subwordGrams(col("wd"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+
+  /** The vocabulary as a driver-side Seq for embedding into
+    * [[graft.functions.SubwordTokens]] as a plan literal (a K-row
+    * bounded collect — the "train once, broadcast everywhere" step). */
+  def subwordVocabSeq(docs: DataFrame, k: Int = SubwordVocabK): Seq[String] =
+    subwordVocab(docs, k).collect().map(_.getString(0)).toSeq
+
   // ---- language identification (n-gram/marker-word heuristic) -----------
 
   /** Distinctive high-frequency marker words per Latin-script language.

@@ -250,6 +250,43 @@ object CorpusQueries {
       doc = s"two-phase token-budget sharding: per-(source, id-bucket) " +
         s"local prefix sums + broadcast base-offset rebase (IS2 shape)"),
 
+    // ds_token_shards_bucketed with REAL token counts: the shard unit
+    // is the subword token count (greedy longest-match against the
+    // deterministic corpus vocab — tx_subword_tokens), not whitespace
+    // words, so the 4096-token budget means what a training run means
+    // by it (whitespace counts diverge 30-50% from subword counts on
+    // real corpora, skewing every shard/pack/mix budget keyed on them).
+    // Same two-phase prefix-sum plan as ds_token_shards_bucketed; the
+    // tokenizer adds ZERO exchanges (vocab is a plan literal, counting
+    // is a scan-stage projection). Oracle = the GLOBAL single-window
+    // shard SQL over the recursive-CTE tokenizer replay.
+    "ds_token_shards_subword" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val vocab = TextOps.subwordVocabSeq(Tables.documents(s, d))
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(graft.functions.GraftFunctions.subwordTokens(
+              TextOps.tokens(col("text")), vocab)).cast("long").as("tokens"))
+        tokenShards(toks, ShardBudget, expr("doc_id div 64"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE ${TextQueries.subwordTokenizeCtes},\n" +
+        s"""dt AS (SELECT w2.doc_id, w2.source,
+           |         CAST(sum(wt.nt) AS BIGINT) AS tokens
+           |       FROM wrds w2 JOIN wt ON wt.w = w2.wd GROUP BY 1, 2)
+           |SELECT doc_id, source, tokens,
+           |  CAST(COALESCE(cumb, 0) // $ShardBudget AS BIGINT) AS shard
+           |FROM (
+           |  SELECT doc_id, source, tokens,
+           |    sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumb
+           |  FROM dt)
+           |ORDER BY doc_id""".stripMargin),
+      doc = s"token-budget sharding on SUBWORD counts: two-phase prefix " +
+        s"sum over greedy-tokenized documents, $ShardBudget real tokens " +
+        s"per shard"),
+
     // GPT-style sequence packing (concatenate-and-chunk): every source's
     // token stream, in doc_id order, is sliced into fixed SeqLen-token
     // training sequences; each document maps to the sequences its token

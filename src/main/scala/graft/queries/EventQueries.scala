@@ -237,16 +237,16 @@ object EventQueries {
           |       CAST(sum(CASE WHEN abs(b.cv - m.med) > 3 * d.mad
           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM (SELECT event_type AS g,
-          |             CAST(floor(value*100) AS BIGINT) AS cv FROM ev) b
+          |             CAST(floor(value*100) AS BIGINT) AS cv FROM evn) b
           |JOIN (
           |  SELECT cu.g, min(CASE WHEN cum >= (50*n+99)//100 THEN v END) AS med
           |  FROM (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
           |        FROM (SELECT event_type AS g,
           |                     CAST(floor(value*100) AS BIGINT) AS v,
           |                     count(*) AS c
-          |              FROM ev GROUP BY 1, 2)) cu
+          |              FROM evn GROUP BY 1, 2)) cu
           |  JOIN (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n
-          |        FROM ev GROUP BY 1) tt USING (g)
+          |        FROM evn GROUP BY 1) tt USING (g)
           |  GROUP BY cu.g) m ON m.g = b.g
           |JOIN (
           |  SELECT cu2.g, min(CASE WHEN cum >= (50*n+99)//100 THEN v END) AS mad
@@ -255,7 +255,7 @@ object EventQueries {
           |          SELECT b2.g, abs(b2.cv - m2.med) AS v, count(*) AS c
           |          FROM (SELECT event_type AS g,
           |                       CAST(floor(value*100) AS BIGINT) AS cv
-          |                FROM ev) b2
+          |                FROM evn) b2
           |          JOIN (
           |            SELECT cu3.g,
           |                   min(CASE WHEN cum >= (50*n+99)//100 THEN v END) AS med
@@ -264,19 +264,20 @@ object EventQueries {
           |                  FROM (SELECT event_type AS g,
           |                               CAST(floor(value*100) AS BIGINT) AS v,
           |                               count(*) AS c
-          |                        FROM ev GROUP BY 1, 2)) cu3
+          |                        FROM evn GROUP BY 1, 2)) cu3
           |            JOIN (SELECT event_type AS g,
           |                         CAST(count(*) AS BIGINT) AS n
-          |                  FROM ev GROUP BY 1) t3 USING (g)
+          |                  FROM evn GROUP BY 1) t3 USING (g)
           |            GROUP BY cu3.g) m2 ON m2.g = b2.g
           |          GROUP BY 1, 2)) cu2
           |  JOIN (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n
-          |        FROM ev GROUP BY 1) t2 USING (g)
+          |        FROM evn GROUP BY 1) t2 USING (g)
           |  GROUP BY cu2.g) d ON d.g = b.g
           |JOIN (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n
-          |      FROM ev GROUP BY 1) t ON t.g = b.g
+          |      FROM evn GROUP BY 1) t ON t.g = b.g
           |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin,
-        Tables.evSql)),
+        Tables.evSql,
+        "evn AS (SELECT * FROM ev WHERE value IS NOT NULL)")),
       doc = "robust outlier gate: exact-integer median + MAD per event " +
         "type over value cents, |v - med| > 3*MAD flagged")
   )

@@ -315,13 +315,19 @@ object MultimodalQueries {
         val m = Multimodal.media(Tables.documents(s, d)
           .filter(octet_length(col("text")) === length(col("text")) &&
             length(col("text")) > 0))
-        val scenes = Multimodal.sceneCuts(m, 128, 4)
-        val frames = Multimodal.sampleFrames(m, 128)
+        // Both sides derive from the same scan `m`, so the join
+        // condition is written against explicit string aliases rather
+        // than Dataset column refs — dataframe("col") resolution on a
+        // shared lineage leans on Spark's ambiguous-self-join
+        // disambiguation, which is fragile to refactors and to
+        // disabling spark.sql.analyzer.failAmbiguousSelfJoin.
+        val scenes = Multimodal.sceneCuts(m, 128, 4).as("sc")
+        val frames = Multimodal.sampleFrames(m, 128).as("fr")
         scenes.join(frames,
-            scenes("id") === frames("id") &&
-              scenes("start_frame") === frames("frame_idx"))
-          .select(scenes("id"), col("scene_idx"), col("frame_idx"),
-            col("frame_md5"), col("n_frames"))
+            col("sc.id") === col("fr.id") &&
+              col("sc.start_frame") === col("fr.frame_idx"))
+          .select(col("sc.id").as("id"), col("sc.scene_idx"),
+            col("fr.frame_idx"), col("fr.frame_md5"), col("sc.n_frames"))
           .orderBy("id", "scene_idx")
       },
       Some(

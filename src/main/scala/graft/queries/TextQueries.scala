@@ -167,7 +167,121 @@ object TextQueries {
        |) WHERE predicted = 'en' AND quality >= 0.5
        |    AND n_words BETWEEN 5 AND 5000""".stripMargin
 
+  // ---- subword tokenizer oracle (shared by tx_subword_* and
+  // ds_token_shards_subword) ----------------------------------------------
+
+  // character n-gram lists per word, one bracket per gram length —
+  // range(1, len-l+2) yields the l-gram start positions (empty when the
+  // word is shorter than l)
+  private val subwordGramLists =
+    (TextOps.SubwordMinGram to TextOps.SubwordMaxGram)
+      .map(l => s"[substr(wd,i,$l) for i in range(1, len(wd)-${l - 2})]")
+      .mkString(" ||\n       ")
+
+  /** Vocabulary derivation CTEs: every word occurrence → n-gram counts →
+    * top-K by (cnt DESC, gram ASC) — the same deterministic derivation
+    * as [[TextOps.subwordVocab]]. */
+  private[queries] val subwordVocabCtes =
+    s"""occ AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS wd
+       |         FROM documents),
+       |grams AS (
+       |  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(
+       |      $subwordGramLists) AS gram
+       |    FROM occ) GROUP BY 1),
+       |vocab AS (
+       |  SELECT gram, cnt,
+       |         CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INT) AS rank
+       |  FROM grams
+       |  QUALIFY row_number() OVER (ORDER BY cnt DESC, gram) <= ${TextOps.SubwordVocabK})""".stripMargin
+
+  // greedy longest-match step length: the longest vocab gram prefixing
+  // the remaining suffix, else 1 (single-char fallback)
+  private val subwordStepCase =
+    (TextOps.SubwordMinGram to TextOps.SubwordMaxGram).reverse
+      .map(l => s"WHEN pos+${l - 1} <= len(w) AND " +
+        s"list_contains((SELECT vg FROM vl), substr(w,pos,$l)) THEN $l")
+      .mkString("CASE ", "\n           ", "\n           ELSE 1 END")
+
+  /** Tokenization replay CTEs: greedy longest-match as a recursive CTE
+    * over DISTINCT words (tokenization is a pure function of the word),
+    * joined back to per-doc word occurrences. `toks` is the
+    * space-joined subword string per word; `wrds` carries the word
+    * position so per-doc token strings concatenate in word order. */
+  private[queries] val subwordTokenizeCtes =
+    s"""$subwordVocabCtes,
+       |vl AS (SELECT list(gram) AS vg FROM vocab),
+       |dw AS (SELECT DISTINCT wd AS w FROM occ WHERE wd <> ''),
+       |st AS (
+       |  SELECT w, 1 AS pos, '' AS toks FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + sl,
+       |         CASE WHEN toks = '' THEN substr(w, pos, sl)
+       |              ELSE toks || ' ' || substr(w, pos, sl) END
+       |  FROM (
+       |    SELECT w, pos, toks,
+       |      $subwordStepCase AS sl
+       |    FROM st WHERE pos <= len(w))
+       |),
+       |wt AS (SELECT w, toks, CAST(len(string_split(toks, ' ')) AS BIGINT) AS nt
+       |       FROM st WHERE pos > len(w)),
+       |wrds AS (SELECT doc_id, source, unnest(ws) AS wd,
+       |                unnest(range(1, len(ws)+1)) AS wp
+       |         FROM (SELECT doc_id, source,
+       |                 string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |               FROM documents))""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+
+    // The deterministic subword vocabulary ITSELF, oracle-checked: if
+    // this table hash-matches, Spark and the oracle derived the same
+    // tokenizer, and every downstream subword count means the same
+    // thing in both engines.
+    "tx_subword_vocab" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("gram"))
+        // single-partition window over the K-row TakeOrdered result —
+        // bounded by SubwordVocabK, never corpus-sized
+        TextOps.subwordVocab(Tables.documents(s, d))
+          .withColumn("rank", row_number().over(w).cast("int"))
+          .select("rank", "gram", "cnt")
+          .orderBy("rank")
+      },
+      Some(s"WITH $subwordVocabCtes\n" +
+        "SELECT rank, gram, cnt FROM vocab ORDER BY rank"),
+      doc = s"deterministic subword vocabulary: top-" +
+        s"${TextOps.SubwordVocabK} character " +
+        s"${TextOps.SubwordMinGram}..${TextOps.SubwordMaxGram}-grams by " +
+        "corpus frequency, ties by gram"),
+
+    // Greedy longest-match subword tokenization of every document
+    // against the corpus-derived vocab, emitting the FULL token string
+    // (maximal oracle evidence: the hash pins every token boundary, not
+    // just counts). The vocab is a K-row driver collect embedded in the
+    // expression as a plan literal — broadcast semantics, and the
+    // tokenize pass is a pure scan-stage projection with no exchange
+    // before the final sort (PlanSpec pin).
+    "tx_subword_tokens" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val vocab = TextOps.subwordVocabSeq(Tables.documents(s, d))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            GraftFunctions.subwordTokens(
+              TextOps.tokens(col("text")), vocab).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+            array_join(col("toks"), " ").as("subword_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE $subwordTokenizeCtes\n" +
+        """SELECT w2.doc_id, CAST(sum(wt.nt) AS BIGINT) AS n_tokens,
+          |       string_agg(wt.toks, ' ' ORDER BY w2.wp) AS subword_text
+          |FROM wrds w2 JOIN wt ON wt.w = w2.wd
+          |GROUP BY w2.doc_id ORDER BY doc_id""".stripMargin),
+      doc = "greedy longest-match subword tokenization (WordPiece-style) " +
+        "against the deterministic corpus vocab; full token string " +
+        "hash-matched vs a recursive-CTE replay"),
 
     "tx_token_counts" -> QueryDef(
       (s, d) => Tables.documents(s, d)

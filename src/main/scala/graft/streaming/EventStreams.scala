@@ -193,12 +193,22 @@ object EventStreams {
 
   /** Gap-based user sessions as a continuous query: Spark's native
     * `session_window` (30-min event-time gap) — the streaming mirror of
-    * the batch `ev_sessionize` query, with the same gap semantics. The
+    * the batch `ev_sessionize` query: the same gap SEMANTICS, i.e. the
+    * same (user_id, session_start, n_events) partition of events. The
     * watermark bounds session state: a session closes (and its row
     * finalizes) once the watermark passes its end, so state per user is
     * O(open sessions), not O(history) — the shape that holds on a
     * 1000-executor state store. Append mode emits only closed sessions.
-    */
+    *
+    * Cross-surface caveats (why StreamingSpec pins only
+    * `(user_id, start, n_events)`): `session_end` here is
+    * last-event-time PLUS the gap (native `session_window` end), while
+    * batch `ev_sessionize.end_us` is `max(us)` — they differ by exactly
+    * the gap; and `total` is a `sum` over doubles whose summation order
+    * differs between the state-store merge and the batch hash
+    * aggregate, so totals agree only to floating-point reassociation.
+    * Consumers comparing the two surfaces must not assume full row
+    * equality on `session_end`/`total`. */
   def userSessions(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "10 minutes"): DataFrame =
     events

@@ -71,6 +71,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema") && !p.contains("lang"), p)
   }
 
+  test("subword tokenization is a zero-shuffle scan-stage projection " +
+      "with the vocab embedded as a plan literal") {
+    graft.functions.GraftFunctions.register(spark)
+    val vocab = Seq("er", "in", "me", "mer", "row", "scan")
+    val p = plan(Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.GraftFunctions.subwordTokens(
+          TextOps.tokens(col("text")), vocab)).as("n_tokens")))
+    // no exchange at all: the vocab travels inside the serialized
+    // expression (broadcast semantics), tokenization runs inside the
+    // scan stage, and only doc_id/text are read
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("subword_tokens"), p)
+    assert(p.contains("ReadSchema") && !p.contains("lang"), p)
+  }
+
   test("substringDups: partial agg on window hash, no cartesian") {
     val p = plan(Dedup.substringDups(
       Tables.documents(spark, sf), "doc_id", "text"))

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.TextOps
+
+/** Greedy longest-match subword tokenization ([[graft.functions
+  * .SubwordTokens]]) + deterministic vocabulary derivation
+  * ([[TextOps.subwordVocab]]). */
+class SubwordSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tok(vocab: Seq[String], words: Seq[String]): Seq[String] =
+    Seq(Tuple1(words)).toDF("w")
+      .select(GraftFunctions.subwordTokens($"w", vocab).as("t"))
+      .as[Seq[String]].collect().head
+
+  test("longest vocabulary match wins at every position") {
+    // at pos 0 of "abcd" both "ab" and "abc" match; greedy takes "abc"
+    assert(tok(Seq("ab", "abc", "cd"), Seq("abcd")) == Seq("abc", "d"))
+    assert(tok(Seq("ab", "abc", "cd"), Seq("abab")) == Seq("ab", "ab"))
+    assert(tok(Seq("ab", "abc", "cd"), Seq("xcd")) == Seq("x", "cd"))
+  }
+
+  test("unmatched positions fall back to single characters (total, no unk)") {
+    assert(tok(Seq("zz"), Seq("abc")) == Seq("a", "b", "c"))
+    assert(tok(Seq.empty, Seq("ab")) == Seq("a", "b"))
+  }
+
+  test("a document's tokens are its words' tokens in word order") {
+    assert(tok(Seq("ab"), Seq("abx", "yab")) == Seq("ab", "x", "y", "ab"))
+    assert(tok(Seq("ab"), Seq.empty) == Seq.empty)
+  }
+
+  test("matching is code-point based (multi-byte chars count as one)") {
+    // "é" is 2 bytes in UTF-8; byte-based indexing would split it
+    assert(tok(Seq("éa"), Seq("héab")) == Seq("h", "éa", "b"))
+  }
+
+  test("vocabulary derivation: frequency order, ties by gram ascending") {
+    // "aba" occurrences: grams ab, ba, aba; ×2 docs → ab:2 ba:2 aba:2
+    // "xy" once → xy:1; K=3 keeps the count-2 grams, tie-broken asc
+    val docs = Seq("aba aba", "xy").toDF("text")
+    val v = TextOps.subwordVocab(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v == Seq(("ab", 2L), ("aba", 2L), ("ba", 2L)))
+  }
+
+  test("tokenization against the derived vocab matches a hand replay") {
+    val docs = Seq("aba aba", "xy").toDF("text")
+    val vocab = TextOps.subwordVocabSeq(docs, 3)
+    // "aba": pos0 longest match "aba" (3-gram in vocab); "xy": not in
+    // vocab (count 1 < K cut? no — K=3 keeps only the three count-2
+    // grams), so falls back to chars
+    assert(tok(vocab, Seq("aba")) == Seq("aba"))
+    assert(tok(vocab, Seq("xy")) == Seq("x", "y"))
+    assert(tok(vocab, Seq("abab")) == Seq("aba", "b"))
+  }
+}
