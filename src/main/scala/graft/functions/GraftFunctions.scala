@@ -41,16 +41,25 @@ object GraftFunctions {
       "nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "subword_tokens", exprs => {
+        // Accept ANY foldable array<string> vocab (a Literal, but also
+        // e.g. array('ab','cd') from SQL, which analyzes as a foldable
+        // CreateArray) by evaluating it at registration time.
         val vocab = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(
-              arr: org.apache.spark.sql.catalyst.util.ArrayData,
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StringType, _)) =>
-            arr.toObjectArray(org.apache.spark.sql.types.StringType)
-              .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-                .toString).toSeq
+          case e if e.foldable && (e.dataType match {
+                case org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.StringType, _) => true
+                case _ => false
+              }) =>
+            e.eval() match {
+              case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+                arr.toObjectArray(org.apache.spark.sql.types.StringType)
+                  .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                    .toString).toSeq
+              case _ => throw new IllegalArgumentException(
+                "subword_tokens: vocab must not be null")
+            }
           case other => throw new IllegalArgumentException(
-            s"subword_tokens: vocab must be an array<string> literal, got $other")
+            s"subword_tokens: vocab must be a foldable array<string>, got $other")
         }
         SubwordTokens(exprs(0), vocab)
       }, "built-in")

@@ -46,10 +46,15 @@ case class SubwordTokens(child: Expression, vocab: Seq[String])
     vocab.foreach(g => s.add(UTF8String.fromString(g)))
     s
   }
+  // Gram-length bounds in CODE POINTS (UTF8String.numChars), matching
+  // the code-point substring probes below — String.length would count
+  // UTF-16 units and overshoot for supplementary characters.
   @transient private lazy val maxGram: Int =
-    if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
+    if (vocab.isEmpty) 1
+    else vocab.iterator.map(g => UTF8String.fromString(g).numChars()).max
   @transient private lazy val minGram: Int =
-    if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).min
+    if (vocab.isEmpty) 1
+    else vocab.iterator.map(g => UTF8String.fromString(g).numChars()).min
 
   override def nullSafeEval(v: Any): Any = {
     val words = v.asInstanceOf[ArrayData]

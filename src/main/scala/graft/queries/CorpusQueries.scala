@@ -271,10 +271,16 @@ object CorpusQueries {
         tokenShards(toks, ShardBudget, expr("doc_id div 64"))
           .orderBy("doc_id")
       },
+      // dt LEFT-JOINs documents so empty/whitespace-only docs appear
+      // with tokens=0 (they still occupy a shard slot on the Spark
+      // side, where the tokenizer is a total projection).
       Some(s"WITH RECURSIVE ${TextQueries.subwordTokenizeCtes},\n" +
-        s"""dt AS (SELECT w2.doc_id, w2.source,
-           |         CAST(sum(wt.nt) AS BIGINT) AS tokens
-           |       FROM wrds w2 JOIN wt ON wt.w = w2.wd GROUP BY 1, 2)
+        s"""dt AS (SELECT d.doc_id, d.source,
+           |         CAST(COALESCE(t.tokens, 0) AS BIGINT) AS tokens
+           |       FROM documents d LEFT JOIN (
+           |         SELECT w2.doc_id, CAST(sum(wt.nt) AS BIGINT) AS tokens
+           |         FROM wrds w2 JOIN wt ON wt.w = w2.wd
+           |         GROUP BY w2.doc_id) t ON t.doc_id = d.doc_id)
            |SELECT doc_id, source, tokens,
            |  CAST(COALESCE(cumb, 0) // $ShardBudget AS BIGINT) AS shard
            |FROM (

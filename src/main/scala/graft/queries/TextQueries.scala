@@ -274,11 +274,18 @@ object TextQueries {
             array_join(col("toks"), " ").as("subword_text"))
           .orderBy("doc_id")
       },
+      // LEFT JOIN back to documents so an empty/whitespace-only doc
+      // (whose words all tokenize to nothing) still yields a
+      // (doc_id, 0, '') row, matching Spark's total projection.
       Some(s"WITH RECURSIVE $subwordTokenizeCtes\n" +
-        """SELECT w2.doc_id, CAST(sum(wt.nt) AS BIGINT) AS n_tokens,
-          |       string_agg(wt.toks, ' ' ORDER BY w2.wp) AS subword_text
-          |FROM wrds w2 JOIN wt ON wt.w = w2.wd
-          |GROUP BY w2.doc_id ORDER BY doc_id""".stripMargin),
+        """SELECT d.doc_id, CAST(COALESCE(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |       COALESCE(t.subword_text, '') AS subword_text
+          |FROM documents d LEFT JOIN (
+          |  SELECT w2.doc_id, CAST(sum(wt.nt) AS BIGINT) AS n_tokens,
+          |         string_agg(wt.toks, ' ' ORDER BY w2.wp) AS subword_text
+          |  FROM wrds w2 JOIN wt ON wt.w = w2.wd
+          |  GROUP BY w2.doc_id) t ON t.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
       doc = "greedy longest-match subword tokenization (WordPiece-style) " +
         "against the deterministic corpus vocab; full token string " +
         "hash-matched vs a recursive-CTE replay"),

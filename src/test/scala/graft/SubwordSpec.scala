@@ -49,6 +49,37 @@ class SubwordSpec extends AnyFunSuite {
     assert(v == Seq(("ab", 2L), ("aba", 2L), ("ba", 2L)))
   }
 
+  test("empty and whitespace-only words tokenize to nothing (total)") {
+    // split('', '\\s+') yields [""]; the empty word must contribute
+    // zero tokens, and the doc-level projection must still emit a row
+    // (the oracle LEFT JOINs documents for the same reason)
+    assert(tok(Seq("ab"), Seq("")) == Seq.empty)
+    val row = Seq(Tuple2(1L, "   ")).toDF("doc_id", "text")
+      .select($"doc_id",
+        GraftFunctions.subwordTokens(TextOps.tokens($"text"), Seq("ab"))
+          .as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
+        array_join($"toks", " ").as("subword_text"))
+      .as[(Long, Long, String)].collect().head
+    assert(row == ((1L, 0L, "")))
+  }
+
+  test("SQL callers can pass the vocab as array(...), not only a Literal") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT subword_tokens(array('abcd'), array('ab','cd')) AS t")
+      .as[Seq[String]].collect().head
+    assert(got == Seq("ab", "cd"))
+  }
+
+  test("gram bounds use code points: astral-only vocab still matches") {
+    // "𝕏" (U+1D54F) is 2 UTF-16 units; String.length-based bounds would
+    // set minGram=4 for vocab "𝕏𝕏" and never probe 2-code-point grams
+    assert(tok(Seq("𝕏𝕏"),
+      Seq("𝕏𝕏a")) ==
+      Seq("𝕏𝕏", "a"))
+  }
+
   test("tokenization against the derived vocab matches a hand replay") {
     val docs = Seq("aba aba", "xy").toDF("text")
     val vocab = TextOps.subwordVocabSeq(docs, 3)
