@@ -405,6 +405,77 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded signature table with a single composite bucket key per
+    * (doc, band): `bk = "<band>_<m..>"` (band id leads, so keys from
+    * different bands can never collide). This is the PERSISTABLE form
+    * of the LSH index — written bucketed by `bk`, a daily batch probe
+    * joins it with zero index-side exchange (see
+    * [[graft.sources.Models.lshIndex]]). */
+  def bandTable(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    val bandKeys = (0 until b).map { i =>
+      concat_ws("_",
+        lit(i) +: (0 until r).map(o => col(s"m${i * r + o}")): _*)
+    }
+    sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("bk"), col("id"))
+  }
+
+  /** Incremental near-dup check against a PERSISTED historical index —
+    * the steady-state daily form of [[incrementalDedup]]: instead of
+    * re-shingling and re-banding the whole combined corpus, the index
+    * side arrives as two pre-trained bucketed tables
+    * (`indexBands (bk, id)`, `indexSets (id, hs, n)` — see
+    * [[graft.sources.Models.lshIndex]]) and only the day's batch is
+    * shingled/signed/banded from scratch.
+    *
+    * Candidates are a direct `indexBands ⋈ batchBands` equi-join on the
+    * band bucket key — every hit is already a cross-split pair, so the
+    * orientation semi/anti-join dance of the from-scratch form
+    * disappears. With `indexBands` bucketed by `bk` and `indexSets` by
+    * `id`, the only shuffles are of batch-sized data into the index's
+    * bucket layout: the 100 TB index never moves. Batch shingle sets
+    * are broadcast into the verification join (the day's crawl — small
+    * by construction).
+    *
+    * Output contract is identical to [[incrementalDedup]] (same band
+    * scheme ⇒ same candidates ⇒ same verified pairs), so the two forms
+    * share an oracle. */
+  def incrementalDedupIndexed(indexBands: DataFrame, indexSets: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
+    val bSets = shingleSets(batch, idCol, textCol, w).cache()
+    val bBands = bandTable(
+      minhashSignature(
+        bSets.select(col("id"), explode(col("hs")).as("sh")), k),
+      bands, k / bands)
+    val cand = indexBands.join(bBands.withColumnRenamed("id", "j"), "bk")
+      .select(col("id").as("i"), col("j")).distinct()
+    val withJac = cand
+      .join(indexSets.select(col("id").as("i"), col("hs").as("ha"),
+        col("n").as("ni")), "i")
+      .join(broadcast(bSets.select(col("id").as("j"), col("hs").as("hb"),
+        col("n").as("nj"))), "j")
+      .withColumn("inter",
+        graft.functions.GraftFunctions
+          .sortedIntersectCount(col("ha"), col("hb")))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") /
+          (col("ni") + col("nj") - col("inter"))).as("jac"))
+    val matched = withJac.filter(col("jac") >= threshold)
+      .groupBy(col("j").as("id"))
+      .agg(count(lit(1)).as("n_dups"), min("i").as("canon_id"),
+        max("jac").as("best_jac"))
+    val newIds = batch.select(col(idCol).as("id"))
+    finishWithUnpersist(
+      newIds.join(matched, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("canon_id"), lit(-1L)).as("canon_id"),
+          coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+          when(col("n_dups").isNotNull, 1L).otherwise(0L).as("is_dup")),
+      bSets)
+  }
+
   /** MinHash-LSH near-dup pipeline: shingle → signature → banded
     * candidates → exact-Jaccard verification at `threshold`. Same output
     * as brute-force pairwise Jaccard (up to the negligible LSH miss

@@ -263,7 +263,7 @@ object CorpusQueries {
     "ds_token_shards_subword" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val vocab = TextOps.subwordVocabSeq(Tables.documents(s, d))
+        val vocab = graft.sources.Models.subwordVocabSeq(s, d)
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             size(graft.functions.GraftFunctions.subwordTokens(

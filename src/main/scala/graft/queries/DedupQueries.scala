@@ -37,6 +37,41 @@ object DedupQueries {
        |      >= $threshold
        |ORDER BY i, j""".stripMargin
 
+  /** Shared oracle for both incremental-dedup forms (from-scratch and
+    * persisted-index): brute-force cross-split Jaccard at 0.8 over the
+    * md5-split corpus — the two Spark plans differ only in WHERE the
+    * index's bands come from, never in the result. */
+  private val incrementalOracle =
+    s"""WITH $shingleCtes,
+       |sp AS (
+       |  SELECT doc_id, sg,
+       |         md5(CAST(doc_id AS VARCHAR)) >= 'cc' AS is_new
+       |  FROM sh WHERE len(sg) > 0),
+       |px AS (
+       |  SELECT o.doc_id AS i, n.doc_id AS j,
+       |         CAST(len(list_intersect(o.sg, n.sg)) AS DOUBLE) /
+       |           (len(o.sg) + len(n.sg)
+       |            - len(list_intersect(o.sg, n.sg))) AS jac
+       |  FROM sp o JOIN sp n ON NOT o.is_new AND n.is_new
+       |  WHERE CAST(len(list_intersect(o.sg, n.sg)) AS DOUBLE) /
+       |          (len(o.sg) + len(n.sg)
+       |           - len(list_intersect(o.sg, n.sg))) >= 0.8),
+       |ag AS (
+       |  SELECT j AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+       |         CAST(min(i) AS BIGINT) AS canon_id,
+       |         max(jac) AS best_jac
+       |  FROM px GROUP BY 1)
+       |SELECT b.doc_id,
+       |  coalesce(ag.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+       |  coalesce(ag.canon_id, CAST(-1 AS BIGINT)) AS canon_id,
+       |  coalesce(ag.best_jac, 0.0) AS best_jac,
+       |  CAST(CASE WHEN ag.n_dups IS NOT NULL THEN 1 ELSE 0 END
+       |       AS BIGINT) AS is_dup
+       |FROM (SELECT doc_id FROM documents
+       |      WHERE md5(CAST(doc_id AS VARCHAR)) >= 'cc') b
+       |LEFT JOIN ag USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   /** Near-dup cluster oracle: brute-force pairs at `threshold`, then the
     * transitive closure as a recursive CTE, labeled by component min. */
   /** Shared recursive-CTE prefix: brute-force Jaccard pairs → edges →
@@ -373,39 +408,35 @@ object DedupQueries {
           .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id")
       },
-      Some(
-        s"""WITH $shingleCtes,
-           |sp AS (
-           |  SELECT doc_id, sg,
-           |         md5(CAST(doc_id AS VARCHAR)) >= 'cc' AS is_new
-           |  FROM sh WHERE len(sg) > 0),
-           |px AS (
-           |  SELECT o.doc_id AS i, n.doc_id AS j,
-           |         CAST(len(list_intersect(o.sg, n.sg)) AS DOUBLE) /
-           |           (len(o.sg) + len(n.sg)
-           |            - len(list_intersect(o.sg, n.sg))) AS jac
-           |  FROM sp o JOIN sp n ON NOT o.is_new AND n.is_new
-           |  WHERE CAST(len(list_intersect(o.sg, n.sg)) AS DOUBLE) /
-           |          (len(o.sg) + len(n.sg)
-           |           - len(list_intersect(o.sg, n.sg))) >= 0.8),
-           |ag AS (
-           |  SELECT j AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
-           |         CAST(min(i) AS BIGINT) AS canon_id,
-           |         max(jac) AS best_jac
-           |  FROM px GROUP BY 1)
-           |SELECT b.doc_id,
-           |  coalesce(ag.n_dups, CAST(0 AS BIGINT)) AS n_dups,
-           |  coalesce(ag.canon_id, CAST(-1 AS BIGINT)) AS canon_id,
-           |  coalesce(ag.best_jac, 0.0) AS best_jac,
-           |  CAST(CASE WHEN ag.n_dups IS NOT NULL THEN 1 ELSE 0 END
-           |       AS BIGINT) AS is_dup
-           |FROM (SELECT doc_id FROM documents
-           |      WHERE md5(CAST(doc_id AS VARCHAR)) >= 'cc') b
-           |LEFT JOIN ag USING (doc_id)
-           |ORDER BY b.doc_id""".stripMargin),
+      Some(incrementalOracle),
       doc = "incremental dedup: new-batch docs probed against the " +
         "historical index's MinHash-LSH bands, cross-split pairs only " +
         "(index never re-enumerated), per-doc canonical survivor"),
+
+    // The steady-state form of dd_incremental: the historical index's
+    // bands + shingle sets are PERSISTED bucketed tables
+    // (Models.lshIndex — trained on first use, loaded thereafter, also
+    // across restarts), and only the day's batch is processed from
+    // scratch. Identical output contract ⇒ identical oracle. The probe
+    // join reads the index with zero index-side exchange (bucketed on
+    // the band key / doc id; PlanSpec pins it) — at 100 TB the index
+    // never moves, the batch does.
+    "dd_incremental_indexed" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        val (bands, sets) = graft.sources.Models.lshIndex(
+          s, d, docs.filter(h < "cc"), "doc_id", "text")
+        Dedup.incrementalDedupIndexed(
+          bands, sets, docs.filter(h >= "cc"), "doc_id", "text", 0.8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(incrementalOracle),
+      doc = "incremental dedup against the PERSISTED historical LSH " +
+        "index (bucketed band + shingle-set tables, trained once): " +
+        "zero index-side exchange in the probe join"),
 
     // Bloom-filter decontamination: the held-out split's 5-gram Bloom
     // filter (m=2^14 positions, k=3 md5-digit hashes) probes every

@@ -258,14 +258,16 @@ object TextQueries {
     // Greedy longest-match subword tokenization of every document
     // against the corpus-derived vocab, emitting the FULL token string
     // (maximal oracle evidence: the hash pins every token boundary, not
-    // just counts). The vocab is a K-row driver collect embedded in the
-    // expression as a plan literal — broadcast semantics, and the
-    // tokenize pass is a pure scan-stage projection with no exchange
-    // before the final sort (PlanSpec pin).
+    // just counts). The vocab is LOADED from the persisted model store
+    // (Models.subwordVocabSeq — trained once per corpus, a K-row read
+    // thereafter) and embedded in the expression as a plan literal —
+    // broadcast semantics, no vocab-derivation subtree in the plan, and
+    // the tokenize pass is a pure scan-stage projection with no
+    // exchange before the final sort (PlanSpec pin).
     "tx_subword_tokens" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
-        val vocab = TextOps.subwordVocabSeq(Tables.documents(s, d))
+        val vocab = graft.sources.Models.subwordVocabSeq(s, d)
         Tables.documents(s, d)
           .select(col("doc_id"),
             GraftFunctions.subwordTokens(

@@ -1,0 +1,170 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps}
+
+/** Persisted trained artifacts — the "train once, apply forever" store.
+  *
+  * Two of the engine's operators depend on state derived from a corpus
+  * pass: the deterministic subword vocabulary (the tokenizer's model)
+  * and the historical MinHash-LSH band index + shingle sets (the
+  * incremental-dedup index). Re-deriving either inside every query is
+  * correct but wasteful — a daily pipeline trains them once and every
+  * subsequent run LOADS them, exactly like the reference's metastore is
+  * a persisted index consulted per request rather than rebuilt
+  * (pithos: src/io/pithos/meta.clj:29-85).
+  *
+  * This object is that store: `ensure*` entry points train-and-persist
+  * on first use (per corpus, per parameterization — both are encoded in
+  * the on-disk path) and read the persisted table afterwards, including
+  * across JVM restarts. All artifacts are deterministic functions of
+  * the corpus, so a reload is bit-identical to a retrain and every
+  * oracle that re-derives the artifact in SQL still hash-matches.
+  *
+  * Scale notes:
+  *  - the vocab is a K-row table — the bounded driver-side state a
+  *    tokenizer ships to every task as a plan literal.
+  *  - the LSH index is corpus-sized; it is written BUCKETED by the band
+  *    bucket key (bands) / doc id (shingle sets) via
+  *    [[Lake.writeBucketedTable]], so the daily probe joins read it
+  *    with ZERO exchange on the index side — the shuffle is paid once
+  *    at train time, never per run. Bucketing metadata lives in the
+  *    session catalog; after a restart the table is re-registered over
+  *    the existing files with a `CREATE TABLE ... CLUSTERED BY ...
+  *    LOCATION` DDL (no rewrite).
+  */
+object Models {
+
+  /** Bucket count for the LSH index tables — part of the on-disk
+    * contract (see [[Lake.DefaultParts]]); at 100 TB this is sized to
+    * the cluster, here to local[32]'s task granularity. */
+  val IndexBuckets = 16
+
+  private val vocabCache = TrieMap.empty[String, Seq[String]]
+
+  /** Artifact root for one corpus. Overridable for tests via
+    * GRAFT_MODELS_DIR; defaults under the warehouse dir. */
+  def root(sfDir: String): String = {
+    val base = sys.env.getOrElse("GRAFT_MODELS_DIR",
+      sys.props.getOrElse("graft.models.dir",
+        s"${sys.props("user.dir")}/spark-warehouse/models"))
+    s"$base/${corpusId(sfDir)}"
+  }
+
+  /** Corpus key: the sf dir, sanitized to a path/identifier fragment. */
+  def corpusId(sfDir: String): String =
+    sfDir.replaceAll("^/+", "").replaceAll("[^A-Za-z0-9]+", "_")
+      .toLowerCase
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // ---- subword vocabulary ------------------------------------------------
+
+  /** Path encodes the training parameterization: a changed K or gram
+    * range is a different model, never a silent overwrite. */
+  def vocabPath(sfDir: String, k: Int): String =
+    s"${root(sfDir)}/subword_vocab_k${k}_g${TextOps.SubwordMinGram}" +
+      s"_${TextOps.SubwordMaxGram}"
+
+  /** The persisted subword vocabulary for this corpus: train + persist
+    * on first use, read-only afterwards. Returns `(gram, cnt)` rows. */
+  def subwordVocabTable(spark: SparkSession, sfDir: String,
+      k: Int = TextOps.SubwordVocabK): DataFrame = synchronized {
+    val path = vocabPath(sfDir, k)
+    if (!exists(spark, path)) {
+      TextOps.subwordVocab(graft.Tables.documents(spark, sfDir), k)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** The vocabulary as the driver-side Seq embedded into
+    * [[graft.functions.SubwordTokens]] as a plan literal. Loading
+    * (not training) is the steady state; the K-row collect is cached
+    * per corpus for the session. Rank order (cnt desc, gram asc) is
+    * re-imposed on read so the artifact's file layout is irrelevant. */
+  def subwordVocabSeq(spark: SparkSession, sfDir: String,
+      k: Int = TextOps.SubwordVocabK): Seq[String] =
+    vocabCache.getOrElseUpdate(s"${vocabPath(sfDir, k)}",
+      subwordVocabTable(spark, sfDir, k)
+        .orderBy(col("cnt").desc, col("gram"))
+        .collect().map(_.getString(0)).toSeq)
+
+  // ---- historical MinHash-LSH index --------------------------------------
+
+  def lshBandsPath(sfDir: String, k: Int, b: Int, w: Int): String =
+    s"${root(sfDir)}/lsh_bands_k${k}_b${b}_w$w"
+  def lshSetsPath(sfDir: String, w: Int): String =
+    s"${root(sfDir)}/lsh_sets_w$w"
+
+  private def tableName(path: String): String =
+    "graft_model_" + path.replaceAll("[^A-Za-z0-9]+", "_").takeRight(80)
+      .dropWhile(_ == '_')
+
+  /** Register-or-reuse a bucketed table over `path`, training via
+    * `train` when the files don't exist yet. `schemaDdl`/`bucketCol`
+    * re-register the existing files after a JVM restart (bucket
+    * metadata lives in the catalog, not the files). */
+  private def ensureBucketed(spark: SparkSession, path: String,
+      schemaDdl: String, bucketCol: String)(train: => DataFrame): DataFrame =
+    synchronized {
+      val name = tableName(path)
+      if (!exists(spark, path)) {
+        Lake.writeBucketedTable(train, name, path, bucketCol, IndexBuckets)
+      } else if (!spark.catalog.tableExists(name)) {
+        spark.sql(
+          s"""CREATE TABLE $name ($schemaDdl)
+             |USING PARQUET
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+             |INTO $IndexBuckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      }
+      spark.table(name)
+    }
+
+  /** The historical LSH index of `indexDocs`: `(bands, sets)` — bands
+    * `(bk, id)` bucketed by the band bucket key, shingle sets
+    * `(id, hs, n)` bucketed by doc id. Trained + persisted on first
+    * use; afterwards both sides of the daily probe join read
+    * pre-bucketed files with zero index-side exchange. */
+  def lshIndex(spark: SparkSession, sfDir: String,
+      indexDocs: => DataFrame, idCol: String, textCol: String,
+      k: Int = 32, b: Int = 16, w: Int = 3): (DataFrame, DataFrame) = {
+    lazy val sets = Dedup.shingleSets(indexDocs, idCol, textCol, w)
+    val setsDf = ensureBucketed(spark, lshSetsPath(sfDir, w),
+      "id BIGINT, hs ARRAY<BIGINT>, n BIGINT", "id")(sets)
+    val bandsDf = ensureBucketed(spark, lshBandsPath(sfDir, k, b, w),
+      "bk STRING, id BIGINT", "bk") {
+      Dedup.bandTable(
+        Dedup.minhashSignature(
+          setsDf.select(col("id"), explode(col("hs")).as("sh")), k),
+        b, k / b)
+        .select(col("bk"), col("id"))
+    }
+    (bandsDf, setsDf)
+  }
+
+  /** Drop only the session-level memo (test hook: forces the next
+    * `subwordVocabSeq` to re-read the persisted files, proving the
+    * load path — not the memo — carries the model). */
+  def clearSessionCache(): Unit = vocabCache.clear()
+
+  /** Drop every cached/persisted artifact for a corpus (test hook). */
+  def reset(spark: SparkSession, sfDir: String): Unit = synchronized {
+    vocabCache.clear()
+    val dir = new org.apache.hadoop.fs.Path(root(sfDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_model_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Models
+
+/** Persisted trained artifacts ([[graft.sources.Models]]): the subword
+  * vocabulary and the historical MinHash-LSH index are trained ONCE per
+  * corpus, persisted, and loaded by every subsequent query — including
+  * after a catalog loss (JVM restart). Loading must be bit-identical to
+  * retraining, and the persisted-index probe must equal the
+  * from-scratch incremental dedup. */
+class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+  private val tmp =
+    java.nio.file.Files.createTempDirectory("graft-models").toString
+
+  override def beforeAll(): Unit = {
+    sys.props("graft.models.dir") = tmp
+    Models.reset(spark, sf)
+  }
+  override def afterAll(): Unit = {
+    Models.reset(spark, sf)
+    sys.props.remove("graft.models.dir")
+  }
+
+  test("subword vocab: first use trains + persists, reload == retrain") {
+    val fromStore = Models.subwordVocabSeq(spark, sf)
+    val path = new java.io.File(
+      new java.net.URI("file:" + Models.vocabPath(sf, TextOps.SubwordVocabK)))
+    assert(new java.io.File(path, "_SUCCESS").exists(),
+      s"vocab not persisted at $path")
+    // drop the session memo: the next call must come from the FILES
+    Models.clearSessionCache()
+    val reloaded = Models.subwordVocabSeq(spark, sf)
+    val retrained = TextOps.subwordVocabSeq(Tables.documents(spark, sf))
+    assert(reloaded == fromStore)
+    assert(reloaded == retrained)
+  }
+
+  test("lsh index: trained bucketed tables are registered and bucketed") {
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val index = Tables.documents(spark, sf).filter(h < "cc")
+    val (bands, sets) = Models.lshIndex(spark, sf, index, "doc_id", "text")
+    assert(bands.columns.toSeq == Seq("bk", "id"))
+    assert(sets.columns.toSeq == Seq("id", "hs", "n"))
+    // the index side of the probe join must read pre-bucketed files:
+    // a batch-bands join plans exactly ONE exchange (the batch side)
+    val batchBands = Dedup.bandTable(
+      Dedup.minhashSignature(
+        Dedup.shingleSets(
+          Tables.documents(spark, sf).filter(h >= "cc"), "doc_id", "text")
+          .select(col("id"), explode(col("hs")).as("sh")), 32), 16, 2)
+    val probe = bands.join(batchBands.withColumnRenamed("id", "j"), "bk")
+    val p = probe.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange (batch side), got:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("persisted-index probe == from-scratch incremental dedup") {
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val docs = Tables.documents(spark, sf)
+    val (bands, sets) =
+      Models.lshIndex(spark, sf, docs.filter(h < "cc"), "doc_id", "text")
+    val indexed = Dedup.incrementalDedupIndexed(
+      bands, sets, docs.filter(h >= "cc"), "doc_id", "text", 0.8)
+      .orderBy("id").collect().toSeq
+    val scratch = Dedup.incrementalDedup(
+      docs.filter(h < "cc"), docs.filter(h >= "cc"), "doc_id", "text", 0.8)
+      .orderBy("id").collect().toSeq
+    assert(indexed == scratch)
+    assert(indexed.nonEmpty)
+  }
+
+  test("catalog loss (restart): tables re-register over existing files") {
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val index = Tables.documents(spark, sf).filter(h < "cc")
+    val (bands0, _) = Models.lshIndex(spark, sf, index, "doc_id", "text")
+    val before = bands0.count()
+    // simulate a new session: the catalog forgets, the files remain
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_model_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    val (bands1, sets1) = Models.lshIndex(spark, sf, index, "doc_id", "text")
+    assert(bands1.count() == before)
+    // and the re-registered table is still BUCKETED (zero index-side
+    // exchange in a key-equi self-aggregation)
+    val p = bands1.groupBy("bk").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(bk"),
+      s"bucketed re-registration lost:\n$p")
+    assert(sets1.count() > 0)
+  }
+}

@@ -87,6 +87,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema") && !p.contains("lang"), p)
   }
 
+  test("registered tokenization queries load the persisted vocab — " +
+      "no gram-explode/derivation subtree in the plan") {
+    // training (Models.subwordVocabSeq) happens driver-side before the
+    // plan exists; the QUERY plan must contain only the tokenize
+    // projection — no explode over grams, no count aggregate, no limit
+    for (name <- Seq("tx_subword_tokens", "ds_token_shards_subword")) {
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(!p.contains("Generate"), s"$name retrains the vocab:\n$p")
+      assert(p.contains("subword_tokens"), s"$name: $p")
+    }
+  }
+
   test("substringDups: partial agg on window hash, no cartesian") {
     val p = plan(Dedup.substringDups(
       Tables.documents(spark, sf), "doc_id", "text"))
