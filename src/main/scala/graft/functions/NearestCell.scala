@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
 
@@ -31,9 +31,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
   * empty or all-skipped centroid array yields null.
   */
 case class NearestCell(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // the result is null when every centroid is skipped, regardless of
+  // input nullability — without this override a non-nullable centroid
+  // column would let the planner treat the output slot as garbage
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -50,9 +55,12 @@ case class NearestCell(left: Expression, right: Expression)
           s"${l.catalogString}, ${r.catalogString}")
     }
 
-  override def nullSafeEval(q: Any, cs: Any): Any = {
-    val qv = q.asInstanceOf[ArrayData]
-    val cents = cs.asInstanceOf[ArrayData]
+  override def nullSafeEval(q: Any, cs: Any): Any =
+    nearest(q.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
+
+  /** The argmin kernel, shared by the interpreted and generated paths;
+    * null when no centroid matches the query dimension. */
+  def nearest(qv: ArrayData, cents: ArrayData): java.lang.Long = {
     val dim = qv.numElements()
     val n = cents.numElements()
     var bestScore = Long.MaxValue
@@ -73,7 +81,16 @@ case class NearestCell(left: Expression, right: Expression)
       }
       i += 1
     }
-    if (found) bestCid else null
+    if (found) java.lang.Long.valueOf(bestCid) else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCell", this,
+      classOf[NearestCell].getName)
+    nullSafeCodeGen(ctx, ev, (q, cs) =>
+      s"""java.lang.Long ${ev.value}_r = $ref.nearest($q, $cs);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.longValue(); }""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

@@ -4,7 +4,7 @@ import java.util.Arrays
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly (modulo ~2^-50 collision odds per document).
   */
 case class ShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -43,8 +43,12 @@ case class ShingleHashes(child: Expression, w: Int)
 
   private val space = UTF8String.fromString(" ")
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = hashes(v.asInstanceOf[ArrayData])
+
+  /** The shingling kernel, shared by the interpreted and generated
+    * paths (called through a plan reference from generated code so the
+    * scan-stage projection stays fully compiled). */
+  def hashes(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val count = n - w + 1
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
@@ -68,6 +72,12 @@ case class ShingleHashes(child: Expression, w: Int)
       k += 1
     }
     new GenericArrayData(if (out == count) hs else Arrays.copyOf(hs, out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this,
+      classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hashes($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * of the corpus scan; only the (tiny) signature table ever shuffles.
   */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -34,8 +34,12 @@ case class SimHash60(child: Expression)
       s"simhash60 expects array<string>, got ${other.catalogString}")
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = hash(v.asInstanceOf[ArrayData])
+
+  /** The SimHash kernel, shared by the interpreted and generated paths
+    * (called through a plan reference from generated code so the
+    * scan-stage projection stays fully compiled). */
+  def hash(toks: ArrayData): Long = {
     val n = toks.numElements()
     val md = SimHash60.digest.get()
     val seen = new java.util.HashSet[Long](math.max(16, n * 2))
@@ -75,6 +79,11 @@ case class SimHash60(child: Expression)
       j += 1
     }
     sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash60", this, classOf[SimHash60].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hash($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash60 =

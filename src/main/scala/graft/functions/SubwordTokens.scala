@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CTE replay hash-matches.
   */
 case class SubwordTokens(child: Expression, vocab: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -56,8 +56,15 @@ case class SubwordTokens(child: Expression, vocab: Seq[String])
     if (vocab.isEmpty) 1
     else vocab.iterator.map(g => UTF8String.fromString(g).numChars()).min
 
-  override def nullSafeEval(v: Any): Any = {
-    val words = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = tokenize(v.asInstanceOf[ArrayData])
+
+  /** The tokenization kernel, shared verbatim by the interpreted and
+    * generated paths (the generated code calls it through a plan
+    * reference — one virtual call per row, the per-token inner loop
+    * stays JIT-compiled and the enclosing projection stays inside
+    * whole-stage codegen instead of falling back to interpreted eval
+    * of the whole subtree). */
+  def tokenize(words: ArrayData): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i < words.numElements()) {
@@ -82,6 +89,12 @@ case class SubwordTokens(child: Expression, vocab: Seq[String])
       i += 1
     }
     new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("subwordTokens", this,
+      classOf[SubwordTokens].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.tokenize($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): SubwordTokens =
