@@ -183,6 +183,60 @@ object TextOps {
   def uniqWordRatio(w: Column): Column =
     size(array_distinct(w)).cast("double") / size(w).cast("double")
 
+  // ---- Gopher segment-repetition signals (Rae et al. 2021 Table A1) ------
+
+  /** Non-empty segments of raw `text` split on `sep` (lines: `"\n"`,
+    * paragraphs: `"\n\n"` — Gopher's blank-line convention). */
+  def segments(text: Column, sep: String): Column =
+    filter(split(text, sep), s => s =!= "")
+
+  /** Total characters across a string array (0 when empty). */
+  def segChars(s: Column): Column =
+    coalesce(aggregate(s, lit(0L), (a, x) => a + length(x).cast("long")),
+      lit(0L))
+
+  /** Characters inside occurrences-beyond-the-first of each distinct
+    * element of a SORTED string array (duplicates are adjacent — one
+    * linear walk, zero shuffle). Pass a MATERIALIZED sorted column:
+    * `element_at` references re-evaluate an inline subtree per access. */
+  def dupAdjacentChars(s: Column): Column =
+    when(size(s) >= 2,
+      aggregate(sequence(lit(2), size(s)), lit(0L),
+        (acc, i) => acc +
+          when(element_at(s, i) === element_at(s, i - 1),
+            length(element_at(s, i)).cast("long")).otherwise(lit(0L))))
+      .otherwise(lit(0L))
+
+  /** Duplicate-segment count fraction: occurrences beyond the first of
+    * each distinct segment, over all segments (0 when none). */
+  def dupSegmentRatio(s: Column): Column =
+    when(size(s) > 0,
+      (size(s) - size(array_distinct(s))).cast("double") /
+        size(s).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Characters covered by the single most-repeated element of a SORTED
+    * string array: `max over distinct g of count(g) * chars(g)` — the
+    * numerator of Gopher's top-n-gram character fraction. One stateful
+    * run-length walk over the sorted array (struct-state `aggregate`
+    * HOF), zero shuffle; 0 for an empty array. */
+  def topRunChars(s: Column): Column =
+    when(size(s) === 0, lit(0L))
+      .when(size(s) === 1, length(element_at(s, 1)).cast("long"))
+      .otherwise(aggregate(
+        sequence(lit(2), size(s)),
+        struct(lit(1).as("cur"),
+          length(element_at(s, 1)).cast("long").as("best")),
+        (st, i) => {
+          val cur = when(element_at(s, i) === element_at(s, i - 1),
+            st.getField("cur") + 1).otherwise(lit(1))
+          struct(cur.as("cur"),
+            greatest(st.getField("best"),
+              cur.cast("long") * length(element_at(s, i)).cast("long"))
+              .as("best"))
+        },
+        st => st.getField("best")))
+
   // ---- C4 heuristic cleaning (Raffel et al. 2020 §2.2) -------------------
 
   /** The lines of `text` that pass C4's line gate: end in terminal

@@ -451,7 +451,7 @@ object TextQueries {
       (s, d) => {
         val w = col("w")
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("w"))
         val top = docs
           .select(col("doc_id"), explode(w).as("word"))
           .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
@@ -465,30 +465,73 @@ object TextQueries {
         // broadcasts and SMJ is the planner's choice anyway, so the
         // hint costs nothing — and on a doc_id-bucketed corpus layout
         // the docs side needs no exchange at all (LakeSpec pins this).
+        // The Gopher segment/top-gram signals are stateful HOF walks
+        // over MATERIALIZED sorted arrays (CollapseProject keeps
+        // multiply-referenced expensive columns; element_at on an
+        // inline subtree would re-evaluate it per access).
         docs.join(top.hint("merge"), "doc_id")
+          .withColumn("ls", TextOps.segments(col("text"), "\n"))
+          .withColumn("sl", sort_array(col("ls")))
+          .withColumn("ps", TextOps.segments(col("text"), "\n\n"))
+          .withColumn("sp", sort_array(col("ps")))
+          .withColumn("g4", sort_array(TextOps.ngrams(w, 4)))
           .select(col("doc_id"), size(w).cast("long").as("n_words"),
             TextOps.uniqWordRatio(w).as("uniq_word_ratio"),
             (col("top_n").cast("double") / size(w).cast("double"))
               .as("top_word_ratio"),
             TextOps.dupNgramRatio(w, 2).as("dup_bigram_ratio"),
-            TextOps.dupNgramRatio(w, 3).as("dup_trigram_ratio"))
+            TextOps.dupNgramRatio(w, 3).as("dup_trigram_ratio"),
+            TextOps.dupSegmentRatio(col("ls")).as("dup_line_ratio"),
+            when(TextOps.segChars(col("ls")) > 0,
+              TextOps.dupAdjacentChars(col("sl")).cast("double") /
+                TextOps.segChars(col("ls")).cast("double"))
+              .otherwise(lit(0.0)).as("dup_line_char_ratio"),
+            TextOps.dupSegmentRatio(col("ps")).as("dup_para_ratio"),
+            when(TextOps.segChars(col("ps")) > 0,
+              TextOps.dupAdjacentChars(col("sp")).cast("double") /
+                TextOps.segChars(col("ps")).cast("double"))
+              .otherwise(lit(0.0)).as("dup_para_char_ratio"),
+            when(size(col("g4")) > 0,
+              TextOps.topRunChars(col("g4")).cast("double") /
+                length(array_join(w, " ")).cast("double"))
+              .otherwise(lit(0.0)).as("top_4gram_char_ratio"))
           .orderBy("doc_id")
       },
       Some(
         """WITH w AS (
-          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          |  SELECT doc_id, text,
+          |         string_split_regex(trim(lower(text)), '\s+') AS w
           |  FROM documents),
           |top AS (
           |  SELECT doc_id, max(n) AS top_n FROM (
           |    SELECT doc_id, word, count(*) AS n
           |    FROM (SELECT doc_id, unnest(w) AS word FROM w) GROUP BY 1, 2)
           |  GROUP BY doc_id),
+          |t4 AS (
+          |  SELECT doc_id, CAST(max(n * len(gram)) AS BIGINT) AS top4_chars
+          |  FROM (
+          |    SELECT doc_id, gram, count(*) AS n
+          |    FROM (SELECT doc_id,
+          |            unnest([w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]
+          |                    for i in range(1, len(w)-2)]) AS gram
+          |          FROM w)
+          |    GROUP BY 1, 2)
+          |  GROUP BY doc_id),
           |m AS (
           |  SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS uw,
+          |    len(array_to_string(w, ' ')) AS wchars,
           |    [w[i]||' '||w[i+1] for i in range(1, len(w))] AS bg,
-          |    [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] AS tg
-          |  FROM w)
-          |SELECT m.doc_id, CAST(nw AS BIGINT) AS n_words,
+          |    [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] AS tg,
+          |    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+          |    list_filter(string_split(text, chr(10)||chr(10)), x -> x <> '')
+          |      AS ps
+          |  FROM w),
+          |m2 AS (
+          |  SELECT *, list_sort(ls) AS sl, list_sort(ps) AS sp,
+          |    coalesce(list_sum([len(x) for x in ls]), 0) AS lchars,
+          |    coalesce(list_sum([len(x) for x in ps]), 0) AS pchars
+          |  FROM m)
+          |SELECT m2.doc_id, CAST(nw AS BIGINT) AS n_words,
           |  CAST(uw AS DOUBLE) / CAST(nw AS DOUBLE) AS uniq_word_ratio,
           |  CAST(top_n AS DOUBLE) / CAST(nw AS DOUBLE) AS top_word_ratio,
           |  CASE WHEN len(bg) > 0
@@ -498,10 +541,36 @@ object TextQueries {
           |  CASE WHEN len(tg) > 0
           |       THEN CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE)
           |          / CAST(len(tg) AS DOUBLE)
-          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_ratio
-          |FROM m JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin),
-      doc = "repetition signals: unique-word / top-word / duplicate " +
-        "2,3-gram fractions per document"),
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_ratio,
+          |  CASE WHEN len(ls) > 0
+          |       THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+          |          / CAST(len(ls) AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_line_ratio,
+          |  CASE WHEN lchars > 0
+          |       THEN CAST(coalesce(list_sum(
+          |              [CASE WHEN sl[i] = sl[i-1] THEN len(sl[i]) ELSE 0 END
+          |               for i in range(2, len(sl)+1)]), 0) AS DOUBLE)
+          |          / CAST(lchars AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_line_char_ratio,
+          |  CASE WHEN len(ps) > 0
+          |       THEN CAST(len(ps) - len(list_distinct(ps)) AS DOUBLE)
+          |          / CAST(len(ps) AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_para_ratio,
+          |  CASE WHEN pchars > 0
+          |       THEN CAST(coalesce(list_sum(
+          |              [CASE WHEN sp[i] = sp[i-1] THEN len(sp[i]) ELSE 0 END
+          |               for i in range(2, len(sp)+1)]), 0) AS DOUBLE)
+          |          / CAST(pchars AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS dup_para_char_ratio,
+          |  CASE WHEN t4.top4_chars IS NOT NULL AND wchars > 0
+          |       THEN CAST(t4.top4_chars AS DOUBLE) / CAST(wchars AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS top_4gram_char_ratio
+          |FROM m2 JOIN top USING (doc_id) LEFT JOIN t4 USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+      doc = "Gopher repetition table (Rae et al. 2021 A1): unique-word" +
+        " / top-word fractions, duplicate 2,3-gram fractions, duplicate" +
+        " line/paragraph fractions by count AND by char share, top" +
+        " 4-gram char fraction"),
 
     // Corpus-relative rarity score (the cheap proxy for CCNet's
     // LM-perplexity quality dial): mean document frequency of a doc's

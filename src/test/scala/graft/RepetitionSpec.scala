@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Gopher segment-repetition signals (Rae et al. 2021 Table A1) — the
+  * corpus testdata is single-line, so the line/paragraph dup fractions
+  * are pinned here on crafted multi-line documents. */
+class RepetitionSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val text = "aa\nbb\naa\n\ncc dd cc dd cc dd cc dd"
+
+  private def row = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("w", TextOps.tokens(col("text")))
+      .withColumn("ls", TextOps.segments(col("text"), "\n"))
+      .withColumn("sl", sort_array(col("ls")))
+      .withColumn("ps", TextOps.segments(col("text"), "\n\n"))
+      .withColumn("sp", sort_array(col("ps")))
+      .withColumn("g4", sort_array(TextOps.ngrams(col("w"), 4)))
+    df.select(
+      TextOps.dupSegmentRatio(col("ls")).as("dlr"),
+      (TextOps.dupAdjacentChars(col("sl")).cast("double") /
+        TextOps.segChars(col("ls")).cast("double")).as("dlcr"),
+      TextOps.dupSegmentRatio(col("ps")).as("dpr"),
+      TextOps.dupAdjacentChars(col("sp")).as("dpchars"),
+      TextOps.topRunChars(col("g4")).as("top4"),
+      length(array_join(col("w"), " ")).as("wchars"))
+      .collect().head
+  }
+
+  test("duplicate line fraction by count and by char share") {
+    // lines (nonempty): aa, bb, aa, "cc dd cc dd cc dd cc dd" — one
+    // repeat of "aa" → 1/4 by count, 2 chars / 29 chars by share
+    val r = row
+    assert(r.getDouble(0) == 0.25)
+    assert(math.abs(r.getDouble(1) - 2.0 / 29.0) < 1e-12)
+  }
+
+  test("paragraphs (blank-line split) have no duplicates here") {
+    val r = row
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getLong(3) == 0L)
+  }
+
+  test("top 4-gram char coverage: count x gram chars (overlaps counted)") {
+    // tokens: aa bb aa cc dd cc dd cc dd cc dd (11) → 8 4-grams;
+    // "cc dd cc dd" occurs 3x, 11 chars → 33; joined words = 32 chars
+    val r = row
+    assert(r.getLong(4) == 33L)
+    assert(r.getInt(5) == 32)
+  }
+
+  test("degenerate inputs: no segments, short docs") {
+    val r = Seq((1L, "")).toDF("doc_id", "text")
+      .withColumn("ls", TextOps.segments(col("text"), "\n"))
+      .withColumn("sl", sort_array(col("ls")))
+      .select(TextOps.dupSegmentRatio(col("ls")),
+        TextOps.dupAdjacentChars(col("sl")),
+        TextOps.segChars(col("ls")),
+        TextOps.topRunChars(col("sl")))
+      .collect().head
+    assert(r.getDouble(0) == 0.0 && r.getLong(1) == 0L &&
+      r.getLong(2) == 0L && r.getLong(3) == 0L)
+  }
+
+  test("registered tx_repetition emits the full Gopher column set") {
+    val cols = SparkEntry.queries("tx_repetition")(
+      spark, "/root/testdata/sf0.001").columns.toSeq
+    assert(cols == Seq("doc_id", "n_words", "uniq_word_ratio",
+      "top_word_ratio", "dup_bigram_ratio", "dup_trigram_ratio",
+      "dup_line_ratio", "dup_line_char_ratio", "dup_para_ratio",
+      "dup_para_char_ratio", "top_4gram_char_ratio"))
+  }
+}
