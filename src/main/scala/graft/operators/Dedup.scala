@@ -548,6 +548,26 @@ object Dedup {
       sets)
   }
 
+  /** Batch twin of the streaming watermark dedup
+    * ([[graft.streaming.EventStreams.dedupDocuments]]): over documents
+    * with an event-time `ts` column, keep the first arrival — min
+    * `(ts, id)`, i.e. stream arrival order — per (content fingerprint,
+    * tumbling `windowLen` event-time window), with the window's arrival
+    * count. The stream's sliding state horizon and the twin's tumbling
+    * windows agree on every fingerprint's EARLIEST window (pinned in
+    * StreamingSpec); a re-arrival in a later window survives here but
+    * is suppressed by the stream while its state lives. One fp-keyed
+    * exchange; window assignment is a scan-stage projection. */
+  def streamDedupBatch(docs: DataFrame, idCol: String, textCol: String,
+      windowLen: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", TextOps.mdFingerprint(col(textCol)))
+      .groupBy(col("fp"), window(col("ts"), windowLen))
+      .agg(min(struct(col("ts"), col(idCol))).as("first"),
+        count(lit(1)).as("n_arrivals"))
+      .select(col("window.start").as("win_start"), col("fp"),
+        col(s"first.$idCol").as(idCol), col("n_arrivals"))
+
   // ---- SimHash -----------------------------------------------------------
 
   /** SimHash width: 60 bits = 15 md5 hex chars, so the per-token hash is

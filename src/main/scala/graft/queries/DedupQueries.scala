@@ -438,6 +438,48 @@ object DedupQueries {
         "index (bucketed band + shingle-set tables, trained once): " +
         "zero index-side exchange in the probe join"),
 
+    // Batch-equivalence twin of the STREAMING ingest dedup
+    // (EventStreams.dedupDocuments): documents arrive at a
+    // deterministic event time (doc_id % 50 minutes past a fixed
+    // epoch — the same clock StreamingSpec feeds the memory stream),
+    // and the survivor is the first arrival per content fingerprint
+    // per 10-minute event-time window (ties by (ts, doc_id) — arrival
+    // order). dropDuplicatesWithinWatermark holds a sliding horizon
+    // rather than tumbling windows, so the surfaces agree exactly on a
+    // fingerprint's EARLIEST window (StreamingSpec pins that); a
+    // re-arrival in a later window survives here but is suppressed by
+    // the stream while its state lives. One fp-keyed exchange; the
+    // window assignment is a scan-stage projection.
+    "dd_stream_dedup_batch" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("ts", expr("timestamp'2026-01-01 10:00:00' + " +
+            "(doc_id % 50) * INTERVAL '1' MINUTE"))
+        Dedup.streamDedupBatch(docs, "doc_id", "text")
+          .orderBy("win_start", "fp")
+      },
+      Some(
+        """WITH e AS (
+          |  SELECT doc_id,
+          |    TIMESTAMP '2026-01-01 10:00:00'
+          |      + (doc_id % 50) * INTERVAL 1 MINUTE AS ts,
+          |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM documents)
+          |SELECT win_start, fp, doc_id, n_arrivals FROM (
+          |  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start, fp,
+          |    doc_id,
+          |    row_number() OVER (
+          |      PARTITION BY fp, time_bucket(INTERVAL 10 MINUTE, ts)
+          |      ORDER BY ts, doc_id) AS rn,
+          |    CAST(count(*) OVER (
+          |      PARTITION BY fp, time_bucket(INTERVAL 10 MINUTE, ts))
+          |      AS BIGINT) AS n_arrivals
+          |  FROM e)
+          |WHERE rn = 1 ORDER BY win_start, fp""".stripMargin),
+      doc = "batch twin of the streaming watermark dedup: first arrival " +
+        "per (content fingerprint, 10-min event window), with arrival " +
+        "counts — the backfill job that agrees with the hot path"),
+
     // Bloom-filter decontamination: the held-out split's 5-gram Bloom
     // filter (m=2^14 positions, k=3 md5-digit hashes) probes every
     // non-test doc map-side — the constant-memory asymmetric form of

@@ -197,6 +197,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark dedup vs its oracle-checked batch twin on real dups") {
+    import org.apache.spark.sql.functions._
+    // the corpus has no duplicate fingerprints, so the interplay is
+    // pinned here: a same-window dup (dropped by BOTH surfaces), a
+    // distinct doc, and a later-window re-arrival (kept by the batch
+    // twin's new window, suppressed by the stream's live state — the
+    // documented divergence)
+    val rows = Seq(
+      (1L, "10:01:00", "aa"), (2L, "10:03:00", "aa"),
+      (3L, "10:05:00", "bb"), (4L, "10:15:00", "aa"))
+    val batchIn = rows.toDF("doc_id", "t", "text")
+      .withColumn("ts", to_timestamp(concat(lit("2026-01-01 "), col("t"))))
+      .select("doc_id", "ts", "text")
+    val twin = graft.operators.Dedup
+      .streamDedupBatch(batchIn, "doc_id", "text")
+      .select(col("win_start").cast("string"), col("doc_id"),
+        col("n_arrivals"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(twin == Set(
+      ("2026-01-01 10:00:00", 1L, 2L),   // aa: first window, dup folded
+      ("2026-01-01 10:00:00", 3L, 1L),   // bb
+      ("2026-01-01 10:10:00", 4L, 1L)))  // aa again: new window survivor
+
+    val input = MemoryStream[DocEvent](spark)
+    val q = EventStreams.dedupDocuments(input.toDS())
+      .writeStream.format("memory").queryName("twin_dedup")
+      .outputMode("append").start()
+    try {
+      def de(id: Long, t: String, text: String) =
+        DocEvent(id, Timestamp.valueOf(s"2026-01-01 $t"), text)
+      input.addData(de(1, "10:01:00", "aa"), de(2, "10:03:00", "aa"),
+        de(3, "10:05:00", "bb"))
+      q.processAllAvailable()
+      input.addData(de(4, "10:15:00", "aa")) // state still live → dropped
+      q.processAllAvailable()
+      val streamIds = spark.table("twin_dedup").select("doc_id")
+        .as[Long].collect().toSet
+      // stream == the twin's earliest-window survivors per fingerprint
+      assert(streamIds == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming ingest gate filters language/quality, then dedups") {
     val input = MemoryStream[DocEvent](spark)
     val q = EventStreams.ingestGate(input.toDS())
@@ -349,6 +391,22 @@ class StreamingSpec extends AnyFunSuite {
         .distinct().as[String].collect().toSet
       assert(streamFps == batchFps)
       assert(spark.table("e2e_dedup").count() == batchFps.size)
+
+      // dedup parity vs the ORACLE-CHECKED batch twin
+      // (dd_stream_dedup_batch, same doc_id%50-minute event clock):
+      // the stream keeps each fingerprint's globally-first arrival,
+      // which is exactly the batch twin's survivor in that
+      // fingerprint's EARLIEST window (later-window re-arrivals are
+      // the documented cross-surface divergence)
+      val streamSurvivors = spark.table("e2e_dedup")
+        .select("fp", "doc_id").as[(String, Long)].collect().toMap
+      val batchFirstWindow = SparkEntry
+        .queries("dd_stream_dedup_batch")(spark, sf)
+        .groupBy("fp")
+        .agg(min(struct(col("win_start"), col("doc_id"))).as("f"))
+        .select(col("fp"), col("f.doc_id"))
+        .as[(String, Long)].collect().toMap
+      assert(streamSurvivors == batchFirstWindow)
 
       // metering parity: final stream windows == batch windowed agg
       val got = spark.table("e2e_meter")
