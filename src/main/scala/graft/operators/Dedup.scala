@@ -351,6 +351,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    lastComponentsIterations = iter
     // mid-propagation labels are silently wrong — refuse to return them.
     // With pointer jumping the default budget covers diameter ~2^50;
     // hitting this indicates a bug, not a long chain.
@@ -360,6 +361,12 @@ object Dedup {
     ids.select(col("id")).join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
+
+  /** Rounds the most recent [[components]] call took to converge —
+    * driver-side instrumentation (the loop IS a driver loop) read by
+    * ScaleAudit, which records it alongside the run's shuffle volume so
+    * the cluster family's O(log diameter) claim is a measured artifact. */
+  @volatile var lastComponentsIterations: Int = 0
 
   // ---- MinHash + LSH -----------------------------------------------------
 
