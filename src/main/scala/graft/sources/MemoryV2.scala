@@ -1,0 +1,256 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete in-memory DataSource V2 connector
+  * (`format("graft.sources.MemoryV2")`, option `table`) — the NON-FILE
+  * binding of the [[ConnectorStore]] seam.
+  *
+  * The Cassandra swap claim (reference: store.clj:17-43 instantiates
+  * stores from config by symbol; our [[CassandraStore]] fixes a format
+  * name + options map) rests on the operator layer speaking only the
+  * DSv2 interface. The file-backed contract runs exercise DSv2 *over
+  * files*; this connector exercises the same interface with no
+  * filesystem at all: `TableProvider` → `Table` with
+  * BATCH_READ/BATCH_WRITE/TRUNCATE capabilities, a `ScanBuilder` with
+  * **filter pushdown** (`SupportsPushDownFilters` — equality, ranges,
+  * prefix, And) and **column pruning**
+  * (`SupportsPushDownRequiredColumns`), and a `WriteBuilder` with
+  * `SupportsTruncate` for SaveMode.Overwrite — the exact surface the
+  * Cassandra connector implements. Pushed filters are applied at
+  * partition-planning time, so they demonstrably cut the rows shipped
+  * to executors (StoreContractSpec asserts this through the scan
+  * description), and pruning projects rows before they leave the
+  * planner.
+  *
+  * Storage is a driver-side map of UnsafeRow arrays: writers send
+  * their rows back in commit messages (the standard DSv2 pattern for
+  * a driver-materialized sink), so the connector works across
+  * executor JVM boundaries, not just in local mode.
+  */
+object MemoryV2 {
+  /** table name → (schema, rows) */
+  val tables = TrieMap.empty[String, (StructType, Array[UnsafeRow])]
+
+  def clear(): Unit = tables.clear()
+
+  /** Evaluate a pushed source filter against a row of `schema`. Only
+    * the filter shapes [[MemV2ScanBuilder.pushFilters]] CLAIMS are ever
+    * evaluated here — everything else stays in Spark's post-scan
+    * filter. */
+  private[sources] def eval(f: Filter, schema: StructType,
+      row: InternalRow): Boolean = {
+    def idx(attr: String) = schema.fieldIndex(attr)
+    def value(attr: String): Any = {
+      val i = idx(attr)
+      schema(i).dataType match {
+        case StringType => row.getUTF8String(i)
+        case LongType => row.getLong(i)
+        case dt => row.get(i, dt)
+      }
+    }
+    def cmp(attr: String, v: Any): Int = (value(attr), v) match {
+      case (a: UTF8String, b: String) => a.compareTo(UTF8String.fromString(b))
+      case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+      case (a: Long, b: java.lang.Long) => java.lang.Long.compare(a, b)
+      case (a, b) => throw new IllegalArgumentException(s"cmp($a, $b)")
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v) == 0
+      case GreaterThan(a, v) => cmp(a, v) > 0
+      case GreaterThanOrEqual(a, v) => cmp(a, v) >= 0
+      case LessThan(a, v) => cmp(a, v) < 0
+      case LessThanOrEqual(a, v) => cmp(a, v) <= 0
+      case StringStartsWith(a, p) => value(a) match {
+        case s: UTF8String => s.startsWith(UTF8String.fromString(p))
+        case _ => false
+      }
+      case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
+      case other => throw new IllegalArgumentException(
+        s"unsupported pushed filter $other")
+    }
+  }
+
+  private[sources] def supported(f: Filter): Boolean = f match {
+    case EqualTo(_, _: String) | EqualTo(_, _: java.lang.Long) => true
+    case GreaterThan(_, _: String) | GreaterThan(_, _: java.lang.Long) => true
+    case GreaterThanOrEqual(_, _: String) |
+         GreaterThanOrEqual(_, _: java.lang.Long) => true
+    case LessThan(_, _: String) | LessThan(_, _: java.lang.Long) => true
+    case LessThanOrEqual(_, _: String) |
+         LessThanOrEqual(_, _: java.lang.Long) => true
+    case StringStartsWith(_, _) => true
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+}
+
+class MemoryV2 extends TableProvider {
+  private def tableName(options: CaseInsensitiveStringMap): String = {
+    val t = options.get("table")
+    require(t != null, "MemoryV2 requires a 'table' option")
+    t
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MemoryV2.tables.get(tableName(options)).map(_._1)
+      .getOrElse(new StructType())
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val t = properties.get("table")
+    require(t != null, "MemoryV2 requires a 'table' option")
+    new MemV2Table(t, schema)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] class MemV2Table(table: String, writeSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"memv2:$table"
+  override def schema(): StructType =
+    MemoryV2.tables.get(table).map(_._1).getOrElse(writeSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemV2ScanBuilder(table, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MemV2WriteBuilder(table, info.schema())
+}
+
+private[sources] class MemV2ScanBuilder(table: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(MemoryV2.supported)
+    pushed = ok
+    // claimed filters are fully evaluated at partition planning — Spark
+    // need not re-check them (rest stays in the post-scan Filter)
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new MemV2Scan(table, full, required, pushed)
+}
+
+private[sources] class MemV2Scan(table: String, full: StructType,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"memv2:$table, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = MemoryV2.tables.get(table).map(_._2).getOrElse(Array.empty)
+    // pushed filters cut the data HERE — executors only ever see
+    // surviving rows (the property a real connector's server-side
+    // filtering provides)
+    val kept = rows.filter(r => pushed.forall(MemoryV2.eval(_, full, r)))
+    val slices = math.max(1, math.min(4, kept.length))
+    kept.grouped(math.max(1, (kept.length + slices - 1) / slices))
+      .map(g => MemV2Partition(g): InputPartition).toArray match {
+      case Array() => Array(MemV2Partition(Array.empty))
+      case a => a
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemV2ReaderFactory(full, required)
+}
+
+private[sources] case class MemV2Partition(rows: Array[UnsafeRow])
+    extends InputPartition
+
+private[sources] class MemV2ReaderFactory(full: StructType,
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows = p.asInstanceOf[MemV2Partition].rows
+      private val fullAttrs =
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(full)
+      private val proj = UnsafeProjection.create(
+        required.fieldNames.toSeq.map(n =>
+          fullAttrs(full.fieldIndex(n))
+            : org.apache.spark.sql.catalyst.expressions.Expression),
+        fullAttrs)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = proj(rows(i))
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] class MemV2WriteBuilder(table: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new MemV2BatchWrite(
+      table, schema, truncateFirst)
+  }
+}
+
+private[sources] case class MemV2Commit(rows: Array[UnsafeRow])
+    extends WriterCommitMessage
+
+private[sources] class MemV2BatchWrite(table: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new MemV2WriterFactory(schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.flatMap(_.asInstanceOf[MemV2Commit].rows)
+    MemoryV2.tables.updateWith(table) {
+      case Some((s, prev)) if !truncate => Some((s, prev ++ incoming))
+      case _ => Some((schema, incoming))
+    }
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class MemV2WriterFactory(schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+    private val toUnsafe = UnsafeProjection.create(schema)
+    override def write(r: InternalRow): Unit = buf += toUnsafe(r).copy()
+    override def commit(): WriterCommitMessage = MemV2Commit(buf.toArray)
+    override def abort(): Unit = buf.clear()
+    override def close(): Unit = ()
+  }
+}

@@ -38,6 +38,14 @@ class StoreContractSpec extends AnyFunSuite {
     ("connector", {
       val dir = Files.createTempDirectory("store_conn").toString
       new ConnectorStore("parquet", t => Map("path" -> s"$dir/$t"))
+    }, true),
+    // the NON-FILE DSv2 path: same ConnectorStore class bound to the
+    // in-memory V2 connector (TableProvider + pushdown + truncate —
+    // the interface surface the Cassandra connector implements); no
+    // filesystem anywhere in the read/write path
+    ("memv2", {
+      graft.sources.MemoryV2.clear()
+      new ConnectorStore("graft.sources.MemoryV2", t => Map("table" -> t))
     }, true))
 
   private def sortedRows(df: DataFrame): Seq[String] =
@@ -95,6 +103,27 @@ class StoreContractSpec extends AnyFunSuite {
       store.write(base, "meta", SaveMode.Overwrite)
       assert(store.read(spark, "meta").count() == n0, s"[$name] overwrite")
     }
+  }
+
+  test("memv2 connector: pushed filters cut rows AT THE SCAN") {
+    graft.sources.MemoryV2.clear()
+    val store =
+      new ConnectorStore("graft.sources.MemoryV2", t => Map("table" -> t))
+    val objects = Tables.objects(spark, sf)
+      .select("bucket", "object", "size", "checksum")
+    store.write(objects, "objects", SaveMode.Overwrite)
+    val total = objects.count()
+    val one = objects.limit(1).collect().head.getString(0)
+    val want = objects.filter(col("bucket") === one).count()
+    assert(want < total)
+    val scanned = store.read(spark, "objects").filter(col("bucket") === one)
+    scanned.queryExecution.toRdd.foreach(_ => ())
+    // the scan's own output-row metric equals the MATCHING rows — the
+    // equality was applied at partition planning (server-side in a
+    // real connector), not in Spark's post-scan filter
+    val scanRows = scanned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    assert(scanRows == want, s"scan emitted $scanRows, want $want of $total")
   }
 
   test("memory store: ErrorIfExists throws, Ignore is a no-op") {
