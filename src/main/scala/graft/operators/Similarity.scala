@@ -196,7 +196,17 @@ object Similarity {
     // cached: cents/assign/probe/rescoring all branch from it — without
     // the cache each branch re-scans and re-quantizes the corpus
     val prep = prepared(embs, idCol, vecCol).cache()
-    val cents = refinedCentroids(prep, nList, refineIters)
+    ivfTopKWith(prep, refinedCentroids(prep, nList, refineIters),
+      k, queryLimit, nProbe)
+  }
+
+  /** The IVF probe/rescore core against an EXISTING centroid table —
+    * the steady-state form where the quantizer is a persisted trained
+    * artifact ([[graft.sources.Models.ivfCentroids]]) rather than
+    * re-derived per query. `prep` must be cached by the caller; it is
+    * unpersisted here after the eager checkpoint. */
+  def ivfTopKWith(prep: DataFrame, cents: DataFrame, k: Int,
+      queryLimit: Long, nProbe: Int): DataFrame = {
     // Assignment is an in-row argmin; probe lists sort the distance
     // array ONLY for the (tiny) query-row slice — the former shared
     // ranked table posexploded corpus × nList structs through the plan.

@@ -401,6 +401,26 @@ object SimilarityQueries {
         "(exact trunc-div integer centroids), 4-cell probe, exact " +
         "cosine rescoring"),
 
+    // sim_ivf_topk's steady-state form: the coarse quantizer is a
+    // PERSISTED trained artifact (Models.ivfCentroids — Lloyd runs once
+    // per corpus, every later query loads the nList-row table), so the
+    // per-query work is probe + rescore only. Identical result
+    // contract, identical oracle (which re-derives the quantizer in
+    // SQL — the hash match proves reload == retrain).
+    "sim_ivf_indexed" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val cents = graft.sources.Models.ivfCentroids(s, d, 16, 2)
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding").cache()
+        Similarity.ivfTopKWith(prep, cents, 5, queryLimit = 10L, nProbe = 4)
+          .orderBy("qid", "rank")
+      },
+      Some(ivfOracleSql(5, 10, 16, 4, 2)),
+      doc = "IVF ANN against the PERSISTED coarse quantizer (trained " +
+        "once per corpus): per-query cost is probe + exact rescore, " +
+        "no Lloyd pass"),
+
     // Product quantization + ADC (Jégou et al. 2011): 8 subspaces × 16
     // sample-codebook entries (4 bytes/vector vs 256 of float32 — the
     // ~64× memory-compression path), asymmetric-distance scoring from

@@ -98,6 +98,32 @@ object Models {
         .orderBy(col("cnt").desc, col("gram"))
         .collect().map(_.getString(0)).toSeq)
 
+  // ---- IVF coarse quantizer ----------------------------------------------
+
+  /** Path encodes (nList, Lloyd iterations) — the quantizer's training
+    * parameterization. */
+  def ivfCentroidsPath(sfDir: String, nList: Int, iters: Int): String =
+    s"${root(sfDir)}/ivf_centroids_n${nList}_i$iters"
+
+  /** The persisted IVF coarse quantizer for this corpus's embeddings:
+    * `(cid, cv, cn2)` — trained (seed sample + exact-int Lloyd steps,
+    * [[graft.operators.Similarity.refinedCentroids]]) and persisted on
+    * first use, an nList-row read thereafter. Deterministic, so a
+    * reload is bit-identical to a retrain and the SQL oracles that
+    * re-derive the quantizer still hash-match. */
+  def ivfCentroids(spark: SparkSession, sfDir: String,
+      nList: Int = 16, iters: Int = 2): DataFrame = synchronized {
+    val path = ivfCentroidsPath(sfDir, nList, iters)
+    if (!exists(spark, path)) {
+      val prep = graft.operators.Similarity.prepared(
+        graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      graft.operators.Similarity.refinedCentroids(prep, nList, iters)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   // ---- historical MinHash-LSH index --------------------------------------
 
   def lshBandsPath(sfDir: String, k: Int, b: Int, w: Int): String =

@@ -43,6 +43,25 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reloaded == retrained)
   }
 
+  test("ivf centroids: persisted quantizer == retrained quantizer") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cid"), col("cv").cast("string"), col("cn2"))
+        .collect().map(_.toString).sorted.toSeq
+    val stored = Models.ivfCentroids(spark, sf, 16, 2)
+    val prep = graft.operators.Similarity.prepared(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val retrained = graft.operators.Similarity.refinedCentroids(prep, 16, 2)
+    assert(rows(stored) == rows(retrained))
+    assert(stored.count() == 16)
+    // and the indexed query equals the retrain-per-run query
+    graft.functions.GraftFunctions.register(spark)
+    val a = SparkEntry.queries("sim_ivf_indexed")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("sim_ivf_topk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("lsh index: trained bucketed tables are registered and bucketed") {
     val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
     val index = Tables.documents(spark, sf).filter(h < "cc")
