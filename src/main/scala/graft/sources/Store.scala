@@ -88,6 +88,32 @@ class CassandraStore(keyspace: String,
   extends ConnectorStore(format,
     table => Map("keyspace" -> keyspace, "table" -> table))
 
+/** Store bound to any JDBC database — the relational analogue of the
+  * connector swap: reads/writes go through Spark's JDBC source, so
+  * predicate pushdown arrives at the database as a WHERE clause (the
+  * server-side filtering a Cassandra deployment gets from the
+  * connector). `tableOptions` supplies per-table extras — e.g.
+  * `createTableColumnTypes` to pin VARCHAR widths on engines whose
+  * default string mapping (CLOB on Derby) is not comparable/indexable.
+  * The contract suite runs this against embedded in-memory Derby, so
+  * the seam is exercised against a REAL SQL engine with its own
+  * dialect, not only against Spark-managed storage. */
+class JdbcStore(url: String,
+    tableOptions: String => Map[String, String] = _ => Map.empty)
+  extends Store {
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .load()
+
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(tableOptions(table))
+      .mode(mode).save()
+}
+
 /** In-memory store for tests and ephemeral pipelines: tables are
   * eagerly materialized DataFrames in a concurrent map. It has no file
   * pushdown at all — predicates evaluate in-plan — so operators passing

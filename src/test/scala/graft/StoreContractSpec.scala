@@ -46,7 +46,16 @@ class StoreContractSpec extends AnyFunSuite {
     ("memv2", {
       graft.sources.MemoryV2.clear()
       new ConnectorStore("graft.sources.MemoryV2", t => Map("table" -> t))
-    }, true))
+    }, true),
+    // a REAL SQL engine behind the seam: embedded in-memory Derby via
+    // Spark's JDBC source — pushdown arrives as a WHERE clause. String
+    // columns are pinned to VARCHAR (Derby's default CLOB mapping is
+    // not comparable); a unique db name isolates each freshStores()
+    ("jdbc-derby", new graft.sources.JdbcStore(
+      s"jdbc:derby:memory:store${System.nanoTime()};create=true",
+      _ => Map("createTableColumnTypes" ->
+        ("bucket VARCHAR(255), object VARCHAR(1024), " +
+          "checksum VARCHAR(64)"))), true))
 
   private def sortedRows(df: DataFrame): Seq[String] =
     df.select(col("bucket"), col("object"), col("size"))
