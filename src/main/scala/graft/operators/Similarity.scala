@@ -260,7 +260,16 @@ object Similarity {
       hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     // cached: feeds centroid refinement, assignment, and the pair join
     val prep = prepared(embs, idCol, vecCol).cache()
-    val cents = refinedCentroids(prep, nList, refineIters)
+    semDedupWith(prep, refinedCentroids(prep, nList, refineIters),
+      threshold, hotThreshold, tiles)
+  }
+
+  /** The SemDedup cell/drop core against an EXISTING centroid table —
+    * the steady-state form with a persisted quantizer
+    * ([[graft.sources.Models.ivfCentroids]]). `prep` must be cached by
+    * the caller; it is unpersisted here after the eager checkpoint. */
+  def semDedupWith(prep: DataFrame, cents: DataFrame, threshold: Double,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     // the cell id is a per-row argmin over the broadcast centroid
     // array (no assignment join-back); cached because both the pair
     // enumeration and the output join consume it

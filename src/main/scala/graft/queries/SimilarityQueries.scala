@@ -486,6 +486,25 @@ object SimilarityQueries {
       doc = "SemDedup semantic dedup: IVF cells (16, 2 Lloyd iters) + " +
         "within-cell lower-id drop at cosine >= 0.4"),
 
+    // dd_semdedup's steady-state form: the quantizer is the PERSISTED
+    // centroid table (Models.ivfCentroids — shared with
+    // sim_ivf_indexed: one trained artifact serves both the ANN and
+    // the dedup pipelines, as in a real embedding platform). Identical
+    // result, identical oracle.
+    "dd_semdedup_indexed" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val cents = graft.sources.Models.ivfCentroids(s, d, 16, 2)
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding").cache()
+        Similarity.semDedupWith(prep, cents, 0.4)
+          .orderBy("vec_id")
+      },
+      Some(semDedupOracleSql(0.4, 16, 2)),
+      doc = "SemDedup against the PERSISTED quantizer (shared with " +
+        "sim_ivf_indexed): per-run cost is assignment + within-cell " +
+        "drop, no Lloyd pass"),
+
     // The same two pipelines at SemDedup-realistic nList (1024 — wider
     // than sqrt(n) at sf0.1's 2000 vectors; at sf0.01 the 500-vector
     // corpus caps the seed sample at 500 cells, the honest degenerate
