@@ -178,6 +178,36 @@ object Models {
     (bandsDf, setsDf)
   }
 
+  /** Fold a processed batch INTO the persisted LSH index — the second
+    * half of the daily loop: probe the batch against the index
+    * ([[graft.operators.Dedup.incrementalDedupIndexed]]), then append
+    * the batch's bands + shingle sets so tomorrow's probe sees today's
+    * documents. Appends preserve the bucket spec (Spark validates it
+    * against the catalog table), so the zero-exchange probe property
+    * survives every fold. Requires the index to exist (train first via
+    * [[lshIndex]]). */
+  def lshIndexAppend(spark: SparkSession, sfDir: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 32, b: Int = 16, w: Int = 3): Unit = synchronized {
+    val setsName = tableName(lshSetsPath(sfDir, w))
+    val bandsName = tableName(lshBandsPath(sfDir, k, b, w))
+    require(spark.catalog.tableExists(setsName) &&
+      spark.catalog.tableExists(bandsName),
+      "lshIndexAppend requires a trained index (call lshIndex first)")
+    val sets = Dedup.shingleSets(batch, idCol, textCol, w)
+      .localCheckpoint(true) // bands derive from sets: shingle ONCE
+    sets.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(IndexBuckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(setsName)
+    Dedup.bandTable(
+      Dedup.minhashSignature(
+        sets.select(col("id"), explode(col("hs")).as("sh")), k), b, k / b)
+      .select(col("bk"), col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(IndexBuckets, "bk").sortBy("bk")
+      .format("parquet").saveAsTable(bandsName)
+  }
+
   /** Drop only the session-level memo (test hook: forces the next
     * `subwordVocabSeq` to re-read the persisted files, proving the
     * load path — not the memo — carries the model). */

@@ -15,6 +15,7 @@ import graft.sources.Models
   * from-scratch incremental dedup. */
 class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark.spark
+  import spark.implicits._
 
   val sf = "/root/testdata/sf0.001"
   private val tmp =
@@ -95,6 +96,35 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("id").collect().toSeq
     assert(indexed == scratch)
     assert(indexed.nonEmpty)
+  }
+
+  test("daily loop: appended batch is visible to tomorrow's probe") {
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(h >= "cc")
+    val (bands0, sets0) =
+      Models.lshIndex(spark, sf, docs.filter(h < "cc"), "doc_id", "text")
+    val before = sets0.count()
+    // day 1: fold the probed batch into the index
+    Models.lshIndexAppend(spark, sf, batch, "doc_id", "text")
+    val (bands1, sets1) = Models.lshIndex(spark, sf,
+      sys.error("index exists — training must not run"), "doc_id", "text")
+    assert(sets1.count() == before + batch.count())
+    // day 2: an exact copy of a day-1 batch doc must now be caught
+    val src = batch.select("doc_id", "text").orderBy("doc_id")
+      .limit(1).collect().head
+    val day2 = Seq((src.getLong(0) + 1000000L, src.getString(1)))
+      .toDF("doc_id", "text")
+    val res = graft.operators.Dedup.incrementalDedupIndexed(
+      bands1, sets1, day2, "doc_id", "text", 0.8).collect().head
+    assert(res.getLong(4) == 1L, s"dup not caught: $res") // is_dup
+    assert(res.getDouble(3) == 1.0) // best_jac: exact copy
+    // the append preserved the bucket layout: a bk-keyed aggregation
+    // over the grown index still plans no bk exchange
+    val p = bands1.groupBy("bk").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(bk"),
+      s"append lost the bucket spec:\n$p")
   }
 
   test("catalog loss (restart): tables re-register over existing files") {
