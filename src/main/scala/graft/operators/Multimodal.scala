@@ -304,6 +304,59 @@ object Multimodal {
           .cast("long").as("luma_milli"))
   }
 
+  // ---- perceptual frame hashing (aHash) ----------------------------------
+
+  /** 60-bit average hash of a TEXT-coded frame (the classic aHash of
+    * image near-dup pipelines, on the deterministic byte-as-luma stand-
+    * in this corpus uses): 60 evenly-strided sample "pixels", bit j set
+    * iff sample j is strictly above the frame mean — compared via the
+    * exact cross-multiplication `v_j * 60 > Σv` so no division ever
+    * happens and the DuckDB oracle replays every bit. 60 bits keeps the
+    * hash positive in an int64 (the [[graft.operators.Dedup]] SimHash
+    * convention) and splits evenly into 4×15-bit bands for the
+    * candidate join. Expects `frame` to be a materialized column of
+    * full `2*60`-char frames. */
+  def aHash60(df: DataFrame, frameCol: String): DataFrame =
+    df.withColumn("_v",
+      expr(s"transform(sequence(0, 59), j -> " +
+        s"CAST(ascii(substr($frameCol, j*2+1, 1)) AS BIGINT))"))
+      .withColumn("_s", expr("aggregate(_v, 0L, (a, x) -> a + x)"))
+      .withColumn("ahash", expr(
+        "aggregate(sequence(0, 59), 0L, (a, j) -> " +
+          "a + IF(element_at(_v, j+1) * 60 > _s, shiftleft(1L, j), 0L))"))
+      .drop("_v", "_s")
+
+  /** Perceptual near-duplicate frame pairs: `(i, j, dist)` with
+    * hamming(aHash_i, aHash_j) <= `maxDist` over a frame table
+    * `(fid, ahash)`. Candidates come from a banded self-join (4×15-bit
+    * bands through [[Skew.selfJoinPairs]] — by pigeonhole a pair within
+    * hamming 3 agrees on at least one band, so `maxDist` <= 3 has zero
+    * false negatives), verified by the codegen'd
+    * `bit_count(xor)`. The all-pairs oracle is the correctness
+    * contract; the banded plan is the 100 TB shape — no frame ever
+    * compares outside its band buckets. */
+  def phashNearDups(frames: DataFrame, maxDist: Int = 3,
+      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
+    require(maxDist <= 3, "4 bands guarantee recall only for dist <= 3")
+    val banded = frames.select(col("fid").as("id"), col("ahash"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> " +
+          "named_struct('band', b, 'key', shiftright(ahash, b*15) % 32768))"))
+        .as("bk"))
+      .select(col("id"), col("ahash"), col("bk.band"), col("bk.key"))
+    val cand = graft.operators.Skew
+      .selfJoinPairs(banded.select("id", "band", "key"),
+        Seq("band", "key"), "id", hotThreshold, tiles)
+      .distinct()
+    val h = frames.select(col("fid"), col("ahash"))
+    cand
+      .join(h.select(col("fid").as("i"), col("ahash").as("ha")), "i")
+      .join(h.select(col("fid").as("j"), col("ahash").as("hb")), "j")
+      .select(col("i"), col("j"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact-integer audio window energy ([[energySegments]]'s codec-layer
     * reduction): sum of squared byte "samples" per window. */
   case class AudioEnergy(id: Long, windowIdx: Int, sumSq: Long, len: Int)

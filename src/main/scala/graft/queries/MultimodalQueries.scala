@@ -84,6 +84,70 @@ object MultimodalQueries {
         "to (run start, digest, length) — digests through the window, " +
         "never payload bytes"),
 
+    // Perceptual frame near-dup (aHash): every full frame's 60-bit
+    // average hash (bit j = strided sample j strictly above the frame
+    // mean, exact cross-multiplied integers) plus its count of
+    // hamming<=3 neighbors across ALL videos. Spark enumerates
+    // candidates through the 4x15-bit banded self-join (pigeonhole:
+    // recall 1.0 at dist<=3) and verifies with codegen'd
+    // bit_count(xor); the oracle is brute-force all-pairs — the hash
+    // match proves both every hash bit and the banding's completeness.
+    "mm_phash" -> QueryDef(
+      (s, d) => {
+        val frames = Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 2 &&
+            octet_length(col("text")) === length(col("text")))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(
+              |  sequence(0, cast(ceil(length(text) / 128.0d) as int) - 1),
+              |  i -> substring(text, i * 128 + 1, 128))""".stripMargin))
+            .as(Seq("frame_idx", "frame")))
+          .filter(length(col("frame")) === 128)
+          .select((col("doc_id") * 1000 + col("frame_idx")).as("fid"),
+            col("frame"))
+        val hashed = Multimodal.aHash60(frames, "frame")
+          .select("fid", "ahash").localCheckpoint(true)
+        val pairs = Multimodal.phashNearDups(hashed, 3)
+        val cnt = pairs
+          .select(explode(array(col("i"), col("j"))).as("fid"))
+          .groupBy("fid").agg(count(lit(1)).as("n"))
+        hashed.join(cnt, Seq("fid"), "left")
+          .select(col("fid"), col("ahash"),
+            coalesce(col("n"), lit(0L)).as("n_near"))
+          .orderBy("fid")
+      },
+      Some(
+        """WITH f0 AS (
+          |  SELECT doc_id, i, substr(text, CAST(i*128+1 AS INT), 128) AS frame
+          |  FROM (SELECT doc_id, text FROM documents
+          |        WHERE doc_id % 3 = 2
+          |          AND octet_length(encode(text)) = length(text)),
+          |       UNNEST(range(0, CAST(ceil(length(text)/128.0) AS BIGINT)))
+          |         AS t(i)),
+          |fr AS (SELECT doc_id*1000 + i AS fid, frame
+          |       FROM f0 WHERE length(frame) = 128),
+          |hv AS (SELECT fid,
+          |         [CAST(ascii(substr(frame, CAST(j*2+1 AS INT), 1)) AS BIGINT)
+          |          for j in range(0, 60)] AS v
+          |       FROM fr),
+          |hs AS (SELECT fid, CAST(list_sum(
+          |         [CASE WHEN v[j+1]*60 > list_sum(v)
+          |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+          |          for j in range(0, 60)]) AS BIGINT) AS ahash
+          |       FROM hv),
+          |px AS (SELECT a.fid AS i, b.fid AS j
+          |       FROM hs a JOIN hs b ON a.fid < b.fid
+          |       WHERE bit_count(xor(a.ahash, b.ahash)) <= 3),
+          |cnt AS (SELECT fid, CAST(count(*) AS BIGINT) AS n_near FROM
+          |        (SELECT i AS fid FROM px UNION ALL SELECT j FROM px)
+          |        GROUP BY 1)
+          |SELECT h.fid, h.ahash,
+          |       coalesce(c.n_near, CAST(0 AS BIGINT)) AS n_near
+          |FROM hs h LEFT JOIN cnt c USING (fid) ORDER BY h.fid""".stripMargin),
+      doc = "perceptual frame hashing: 60-bit aHash per full frame + " +
+        "hamming<=3 neighbor counts via the banded self-join (all-pairs " +
+        "oracle pins hash bits AND banding recall)"),
+
     // Stubbed decode + feature extraction — plumbing is real
     // (mapPartitions batch iteration, typed schema), codec deterministic.
     // Oracle-checked: the stub's stripe means are float32 divisions of

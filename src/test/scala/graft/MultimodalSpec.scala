@@ -15,6 +15,29 @@ class MultimodalSpec extends AnyFunSuite {
     (2L, "video payload content " * 20, "en", "s2", 440L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("aHash60: deterministic bits; near-dup survives small edits") {
+    // samples sit at odd 1-based positions (stride 2); frames must
+    // vary IN SAMPLE SPACE or every uniform/2-periodic frame hashes
+    // to the same bit pattern. base alternates its samples a,b,a,b…;
+    // near flips only sample 0; far cycles q,q,z,z — a different
+    // pattern at ~half the bits
+    val base = ("aZbZ" * 32).substring(0, 128)
+    val near = "zZ" + base.substring(2)
+    val far  = ("qAqAzAzA" * 16).substring(0, 128)
+    val frames = Seq((1L, base), (2L, near), (3L, far), (4L, base))
+      .toDF("fid", "frame")
+    val hashed = Multimodal.aHash60(frames, "frame").select("fid", "ahash")
+    val h = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L))                      // identical -> same hash
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <= 3)
+    val pairs = Multimodal.phashNearDups(hashed, 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))            // exact dup, dist 0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // far frame clean
+  }
+
+
   test("media view assigns modality round-robin with typed metadata") {
     val m = Multimodal.media(docs).collect()
     assert(m.map(r => r.id -> r.mediaType).toMap ==
