@@ -55,26 +55,33 @@ object MemoryV2 {
   private[sources] def eval(f: Filter, schema: StructType,
       row: InternalRow): Boolean = {
     def idx(attr: String) = schema.fieldIndex(attr)
+    // SQL comparison semantics: any comparison against NULL is not
+    // true, so a null cell simply fails the pushed predicate (it must
+    // NOT throw — a real connector drops such rows server-side)
     def value(attr: String): Any = {
       val i = idx(attr)
-      schema(i).dataType match {
+      if (row.isNullAt(i)) null
+      else schema(i).dataType match {
         case StringType => row.getUTF8String(i)
         case LongType => row.getLong(i)
         case dt => row.get(i, dt)
       }
     }
-    def cmp(attr: String, v: Any): Int = (value(attr), v) match {
-      case (a: UTF8String, b: String) => a.compareTo(UTF8String.fromString(b))
-      case (a: Long, b: Long) => java.lang.Long.compare(a, b)
-      case (a: Long, b: java.lang.Long) => java.lang.Long.compare(a, b)
+    // None = incomparable (null cell) → predicate not satisfied
+    def cmp(attr: String, v: Any): Option[Int] = (value(attr), v) match {
+      case (null, _) | (_, null) => None
+      case (a: UTF8String, b: String) =>
+        Some(a.compareTo(UTF8String.fromString(b)))
+      case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
+      case (a: Long, b: java.lang.Long) => Some(java.lang.Long.compare(a, b))
       case (a, b) => throw new IllegalArgumentException(s"cmp($a, $b)")
     }
     f match {
-      case EqualTo(a, v) => cmp(a, v) == 0
-      case GreaterThan(a, v) => cmp(a, v) > 0
-      case GreaterThanOrEqual(a, v) => cmp(a, v) >= 0
-      case LessThan(a, v) => cmp(a, v) < 0
-      case LessThanOrEqual(a, v) => cmp(a, v) <= 0
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
       case StringStartsWith(a, p) => value(a) match {
         case s: UTF8String => s.startsWith(UTF8String.fromString(p))
         case _ => false

@@ -135,6 +135,25 @@ class StoreContractSpec extends AnyFunSuite {
     assert(scanRows == want, s"scan emitted $scanRows, want $want of $total")
   }
 
+  test("memv2 connector: null cells fail pushed predicates, never throw") {
+    graft.sources.MemoryV2.clear()
+    val store =
+      new ConnectorStore("graft.sources.MemoryV2", t => Map("table" -> t))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("b1", "k1", 1L),
+        org.apache.spark.sql.Row(null, "k2", 2L),
+        org.apache.spark.sql.Row("b3", null, 3L)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "bucket STRING, object STRING, size BIGINT"))
+    store.write(df, "nulls", SaveMode.Overwrite)
+    val back = store.read(spark, "nulls")
+    assert(back.filter(col("bucket") === "b1").count() == 1)
+    assert(back.filter(col("object") >= "k").count() == 2)
+    assert(back.filter(col("bucket").startsWith("b")).count() == 2)
+    assert(back.count() == 3)
+  }
+
   test("memory store: ErrorIfExists throws, Ignore is a no-op") {
     val st = new MemoryStore
     val df = Tables.objects(spark, sf).limit(3)
