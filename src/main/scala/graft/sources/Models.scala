@@ -44,6 +44,13 @@ object Models {
     * the cluster, here to local[32]'s task granularity. */
   val IndexBuckets = 16
 
+  /** Training-algorithm version, part of every artifact path. Bump it
+    * whenever a derivation changes (vocab ranking, hash family, Lloyd
+    * update rule, …): a persisted artifact from an older algorithm
+    * must become invisible — the oracles re-derive from scratch, so a
+    * stale model would fail the hash gate, silently-correct-looking. */
+  val ModelVersion = 1
+
   private val vocabCache = TrieMap.empty[String, Seq[String]]
 
   /** Artifact root for one corpus. Overridable for tests via
@@ -52,7 +59,7 @@ object Models {
     val base = sys.env.getOrElse("GRAFT_MODELS_DIR",
       sys.props.getOrElse("graft.models.dir",
         s"${sys.props("user.dir")}/spark-warehouse/models"))
-    s"$base/${corpusId(sfDir)}"
+    s"$base/v$ModelVersion/${corpusId(sfDir)}"
   }
 
   /** Corpus key: the sf dir, sanitized to a path/identifier fragment. */
