@@ -739,4 +739,53 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Window length for content-defined chunk boundaries. */
+  val CdcWindow = 16
+  /** Boundary divisor: P(boundary) = 1/64 per position → ~64-char
+    * average chunks (miniature of the 2-8 KiB blob-store regime). */
+  val CdcDivisor = 64
+
+  /** Content-defined chunking (the Rabin-fingerprint dedup primitive
+    * under blob stores and long-document dedup): a chunk boundary falls
+    * AFTER character position `i` whenever the 60-bit md5 hash of the
+    * [[CdcWindow]]-char window ending at `i` is ≡ 0 (mod [[CdcDivisor]]).
+    * Boundaries depend only on LOCAL content, so an insertion reshapes
+    * one chunk instead of shifting every fixed-width chunk edge — the
+    * property that makes chunk-level dedup survive near-identical
+    * documents (MDFS/LBFS lineage; the content-defined counterpart of
+    * the reference's fixed-size chunk split, blob.clj:79-93).
+    *
+    * Returns one row per non-empty chunk: every input column plus
+    * `(chunk, chunk_off, chunk_len, chunk_digest)`. Pure scan-stage HOF explode —
+    * zero shuffle (PlanSpec pin); hash arithmetic is the same
+    * 60-bit-md5-prefix integer form the oracle rebuilds exactly.
+    */
+  def cdcChunks(docs: DataFrame, textCol: String): DataFrame = {
+    val w = CdcWindow
+    val bounds =
+      s"""concat(array(CAST(0 AS BIGINT)),
+         |  IF(length($textCol) >= $w,
+         |     filter(transform(
+         |       sequence(CAST($w AS BIGINT), CAST(length($textCol) AS BIGINT)),
+         |       i -> IF(CAST(conv(substring(md5(encode(substring(
+         |                $textCol, CAST(i - ${w - 1} AS INT), $w), 'UTF-8')),
+         |                1, 15), 16, 10) AS BIGINT) % $CdcDivisor = 0,
+         |              i, CAST(NULL AS BIGINT))),
+         |       x -> x IS NOT NULL),
+         |     array()),
+         |  array(CAST(length($textCol) AS BIGINT)))""".stripMargin
+    docs
+      .withColumn("_bounds", expr(bounds))
+      .withColumn("_ch", explode(expr(
+        """filter(transform(sequence(0, size(_bounds) - 2),
+          |  k -> struct(_bounds[k] AS lo, _bounds[k + 1] AS hi)),
+          |  c -> c.hi > c.lo)""".stripMargin)))
+      .withColumn("chunk", expr(
+        s"substring($textCol, CAST(_ch.lo + 1 AS INT), CAST(_ch.hi - _ch.lo AS INT))"))
+      .withColumn("chunk_off", expr("_ch.lo"))
+      .drop("_bounds", "_ch")
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .withColumn("chunk_digest", md5(encode(col("chunk"), "UTF-8")))
+  }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark's DataFrame API lacks as primitives: the as-of
+  * join (latest build row at-or-before each probe instant) and the
+  * interval overlap join (probe instants × build `[start, end]` ranges).
+  *
+  * Both are spelled so that NO cartesian / broadcast-nested-loop plan
+  * appears at any scale — the naive range-condition join degenerates to
+  * BNLJ the moment the build side outgrows the broadcast threshold,
+  * which is exactly what happens first on a 100 TB pipeline.
+  *
+  * Reference analogue: version resolution (`meta.clj:46-53` picks the
+  * newest version at-or-before a request) is a point as-of lookup; these
+  * operators are its set-oriented generalization.
+  */
+object Temporal {
+
+  /** Left as-of join: for every probe row, the build row with the same
+    * `key` and the greatest `(time, tie)` such that
+    * `build.time <= probe.time`. Returns every probe column plus one
+    * `asof` struct (`time`/`tie`/payloads; NULL when no build precedes).
+    *
+    * Implementation is the union + running-window spelling: tag both
+    * sides, union, and take the running `last` non-null build struct per
+    * key ordered by `(time, build-first, tie)` — builds sort before
+    * probes at equal times, so "at-or-before" includes exact ties, and
+    * among equal-time builds the greatest `tie` wins deterministically.
+    *
+    * Scale: ONE shuffle total (the window's hashpartitioning on `key`) —
+    * no join operator in the plan at all, and per-key window state is a
+    * single struct. The alternative spellings do strictly more work: a
+    * per-probe max-subquery is a second shuffled aggregate plus a
+    * self-join, and a range-condition join is a BNLJ. Pinned in
+    * PlanSpec.
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame, key: String,
+               time: String, tie: String, payloads: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val extras = probeCols.filterNot(c => c == key || c == time)
+    val bAsof = build.select(
+      col(key), col(time), lit(1).as("_b"),
+      struct(
+        col(time) +: col(tie) +: payloads.map(col): _*).as("asof"))
+    val asofType = bAsof.schema("asof").dataType
+    val tieType = build.schema(tie).dataType
+    val bSide = bAsof.select(
+      col(key) +: col(time) +: col("_b") +: col(s"asof.$tie").cast(tieType).as("_tie") +:
+        col("asof") +:
+        extras.map(c => lit(null).cast(probe.schema(c).dataType).as(c)): _*)
+    val pSide = probe.select(
+      col(key) +: col(time) +: lit(0).as("_b") +:
+        lit(null).cast(tieType).as("_tie") +:
+        lit(null).cast(asofType).as("asof") +: extras.map(col): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(time).asc, col("_b").desc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pSide.unionByName(bSide)
+      .withColumn("_m", last(col("asof"), ignoreNulls = true).over(w))
+      .filter(col("_b") === 0)
+      .select(probeCols.map(col) :+ col("_m").as("asof"): _*)
+  }
+
+  /** Interval overlap join: probe rows carrying an `instant` column ×
+    * build rows carrying inclusive `[start, end]` ranges. Equi-join on a
+    * fixed-width time bucket plus a residual range predicate: each
+    * interval explodes into the `O(len/width + 1)` buckets it spans,
+    * each instant hashes to exactly ONE bucket, so every true match
+    * shares a bucket, no match is duplicated, and the join is a plain
+    * shuffled equi-join — never cartesian / BNLJ (PlanSpec pin).
+    *
+    * Pick `widthUs` near the typical interval length: interval fan-out
+    * stays O(1) while probe fan-out is exactly 1. A pathologically long
+    * interval fans out linearly — cap it upstream or split the regime;
+    * a pathologically HOT bucket (skewed instants) is the standard
+    * salted-join regime ([[Skew.saltedJoin]]).
+    */
+  def intervalJoin(probe: DataFrame, instant: String,
+                   build: DataFrame, start: String, end: String,
+                   widthUs: Long): DataFrame = {
+    require(widthUs > 0, "bucket width must be positive")
+    val b = build.withColumn("_bkt",
+      explode(sequence(expr(s"$start div $widthUs"), expr(s"$end div $widthUs"))))
+    val p = probe.withColumn("_bkt", expr(s"$instant div $widthUs"))
+    p.join(b, "_bkt")
+      .filter(col(instant).between(col(start), col(end)))
+      .drop("_bkt")
+  }
+}

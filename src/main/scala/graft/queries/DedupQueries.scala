@@ -549,6 +549,62 @@ object DedupQueries {
           .orderBy("i", "j")
       },
       Some(simhashOracleSql(3)),
-      doc = "SimHash-60 near-dup: 4x15-bit band blocking + popcount verify")
+      doc = "SimHash-60 near-dup: 4x15-bit band blocking + popcount verify"),
+
+    // Content-defined chunking dedup audit: CDC chunk boundaries (60-bit
+    // md5 of the 16-char window ending at each position ≡ 0 mod 64),
+    // per-source chunk-store economics — total vs unique chunk chars is
+    // exactly the dedup ratio a content-addressed store achieves.
+    // Chunking is a zero-shuffle scan-stage explode; the only exchanges
+    // aggregate (source, digest) counts, map-side combined. Equal
+    // digests imply equal lengths, so the two-level aggregate is exact.
+    "dd_cdc_chunks" -> QueryDef(
+      (s, d) => Dedup.cdcChunks(Tables.documents(s, d), "text")
+        .groupBy(col("source"), col("chunk_digest"))
+        .agg(min("chunk_len").as("clen"), count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(sum("cnt").as("n_chunks"),
+          count(lit(1)).as("n_unique"),
+          sum(col("clen") * col("cnt")).as("total_chars"),
+          sum("clen").as("unique_chars"))
+        .withColumn("dedup_ratio",
+          col("unique_chars").cast("double") / col("total_chars").cast("double"))
+        .orderBy("source"),
+      Some(
+        s"""WITH t AS (SELECT doc_id, source, text, length(text) AS n
+           |           FROM documents),
+           |b AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+           |      FROM t, unnest(range(${Dedup.CdcWindow}, n + 1)) AS u(i)
+           |      WHERE CAST(concat('0x', substr(md5(substr(text,
+           |              CAST(i - ${Dedup.CdcWindow - 1} AS INT),
+           |              ${Dedup.CdcWindow})), 1, 15)) AS BIGINT)
+           |            % ${Dedup.CdcDivisor} = 0),
+           |bounds AS (
+           |  SELECT doc_id, pos FROM b
+           |  UNION SELECT doc_id, CAST(0 AS BIGINT) FROM t WHERE n > 0
+           |  UNION SELECT doc_id, CAST(n AS BIGINT) FROM t WHERE n > 0),
+           |seg AS (SELECT doc_id,
+           |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+           |                 AS lo,
+           |               pos AS hi
+           |        FROM bounds),
+           |ch AS (SELECT s.doc_id, t.source,
+           |              substr(t.text, CAST(lo + 1 AS INT),
+           |                     CAST(hi - lo AS INT)) AS chunk
+           |       FROM seg s JOIN t USING (doc_id)
+           |       WHERE lo IS NOT NULL AND hi > lo),
+           |g AS (SELECT source, md5(chunk) AS dg, length(chunk) AS clen,
+           |             count(*) AS cnt
+           |      FROM ch GROUP BY 1, 2, 3)
+           |SELECT source,
+           |       CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           |       CAST(count(*) AS BIGINT) AS n_unique,
+           |       CAST(sum(clen * cnt) AS BIGINT) AS total_chars,
+           |       CAST(sum(clen) AS BIGINT) AS unique_chars,
+           |       CAST(sum(clen) AS DOUBLE) / CAST(sum(clen * cnt) AS DOUBLE)
+           |         AS dedup_ratio
+           |FROM g GROUP BY source ORDER BY source""".stripMargin),
+      doc = "content-defined chunking (Rabin-style local boundaries): " +
+        "per-source chunk-store dedup economics, zero-shuffle chunking")
   )
 }

@@ -279,6 +279,112 @@ object EventQueries {
         Tables.evSql,
         "evn AS (SELECT * FROM ev WHERE value IS NOT NULL)")),
       doc = "robust outlier gate: exact-integer median + MAD per event " +
-        "type over value cents, |v - med| > 3*MAD flagged")
+        "type over value cents, |v - med| > 3*MAD flagged"),
+
+    // As-of join: every click event picks up the user's latest purchase
+    // at-or-before it (ties: same-instant purchase visible, max event_id
+    // wins). The set-oriented generalization of the reference's
+    // newest-version-at-or-before point lookup (meta.clj:46-53), and the
+    // operator behind "join events to the dimension snapshot that was
+    // current". Spark side is Temporal.asofJoin — union + running
+    // window, ONE user_id shuffle, no join operator; the oracle spells
+    // the same semantics as max-subquery + argmax joins.
+    "ev_asof" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+        val probe = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "us")
+        val build = e.filter(col("event_type") === "purchase")
+          .select("user_id", "us", "event_id", "value")
+        graft.operators.Temporal
+          .asofJoin(probe, build, "user_id", "us", "event_id", Seq("value"))
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("asof.us").as("asof_us"),
+            col("asof.event_id").as("asof_event_id"),
+            col("asof.value").as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some(withCtes(
+        """SELECT p.event_id, p.user_id, p.us,
+          |       me.v_us AS asof_us, me.v_eid AS asof_event_id,
+          |       v.value AS asof_value
+          |FROM pp p
+          |LEFT JOIN me ON me.pid = p.event_id
+          |LEFT JOIN vv v ON v.user_id = p.user_id AND v.event_id = me.v_eid
+          |ORDER BY p.event_id""".stripMargin,
+        Tables.evSql,
+        """vv AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
+          |       FROM ev WHERE event_type = 'purchase')""".stripMargin,
+        """pp AS (SELECT event_id, user_id, epoch_us(ts) AS us
+          |       FROM ev WHERE event_type = 'click')""".stripMargin,
+        """mx AS (SELECT p.event_id AS pid, max(v.us) AS v_us
+          |       FROM pp p JOIN vv v
+          |         ON v.user_id = p.user_id AND v.us <= p.us
+          |       GROUP BY 1)""".stripMargin,
+        """me AS (SELECT p.event_id AS pid, mx.v_us, max(v.event_id) AS v_eid
+          |       FROM pp p JOIN mx ON mx.pid = p.event_id
+          |       JOIN vv v ON v.user_id = p.user_id AND v.us = mx.v_us
+          |       GROUP BY 1, 2)""".stripMargin)),
+      doc = "as-of join: click events x latest at-or-before purchase per " +
+        "user — union + running window, one shuffle, no join operator"),
+
+    // Interval overlap join: sessions of the tracked cohort
+    // (user_id % 10 == 0) x events of everyone else that fall inside
+    // them — who else was active while a tracked user was mid-session.
+    // Temporal.intervalJoin buckets both sides on a 1-hour grid so the
+    // range condition rides a plain equi-join (no BNLJ/cartesian —
+    // PlanSpec pin); intervals explode into the buckets they span,
+    // instants hash to exactly one bucket.
+    "ev_overlap" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val gap = col("us") - lag(col("us"), 1).over(w)
+        val brk = when(gap.isNull || gap > 1800000000L, 1).otherwise(0)
+        val sessions = e.filter(col("user_id") % 10 === 0)
+          .withColumn("_s", sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("_s"))
+          .agg(min("us").as("start_us"), max("us").as("end_us"))
+          .select(col("user_id").as("owner_user"),
+            (col("_s") - 1).as("session_idx"),
+            col("start_us"), col("end_us"))
+        val probes = e.filter(col("user_id") % 10 =!= 0)
+          .select(col("user_id").as("p_user"), col("us"))
+        graft.operators.Temporal
+          .intervalJoin(probes, "us", sessions, "start_us", "end_us",
+            widthUs = 3600000000L)
+          .groupBy("owner_user", "session_idx", "start_us", "end_us")
+          .agg(count(lit(1)).as("n_overlap"),
+            countDistinct("p_user").as("n_users"))
+          .orderBy("owner_user", "session_idx")
+      },
+      Some(withCtes(
+        """SELECT owner_user, session_idx, start_us, end_us,
+          |       count(*) AS n_overlap,
+          |       CAST(count(DISTINCT p_user) AS BIGINT) AS n_users
+          |FROM sess JOIN p ON p.us BETWEEN start_us AND end_us
+          |GROUP BY 1, 2, 3, 4 ORDER BY owner_user, session_idx""".stripMargin,
+        Tables.evSql,
+        "e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM ev)",
+        """tr AS (
+          |  SELECT user_id, us,
+          |         CAST(sum(CASE WHEN pus IS NULL OR us - pus > 1800000000
+          |                  THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id ORDER BY us, event_id)
+          |           AS BIGINT) AS s
+          |  FROM (SELECT user_id, event_id, us,
+          |               lag(us) OVER (PARTITION BY user_id
+          |                             ORDER BY us, event_id) AS pus
+          |        FROM e WHERE user_id % 10 = 0))""".stripMargin,
+        """sess AS (SELECT user_id AS owner_user, s - 1 AS session_idx,
+          |               min(us) AS start_us, max(us) AS end_us
+          |        FROM tr GROUP BY 1, 2)""".stripMargin,
+        "p AS (SELECT user_id AS p_user, us FROM e WHERE user_id % 10 <> 0)")),
+      doc = "interval overlap join: tracked-cohort sessions x other " +
+        "users' in-session events via 1-hour bucket equi-join + residual")
   )
 }

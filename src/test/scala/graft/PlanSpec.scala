@@ -358,4 +358,39 @@ class PlanSpec extends AnyFunSuite {
     noCartesian(plan(Dedup.lshCandidates(
       Dedup.minhashSignature(exploded, 8), 4, 2)), "lshCandidates")
   }
+
+  test("as-of join is one shuffle and NO join operator") {
+    import graft.operators.Temporal
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+    val p = plan(Temporal.asofJoin(
+      e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "us"),
+      e.filter(col("event_type") === "purchase")
+        .select("user_id", "us", "event_id", "value"),
+      "user_id", "us", "event_id", Seq("value")))
+    assert(!p.contains("Join"), p)
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(shuffles === 1, s"expected exactly one shuffle, got $shuffles:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("interval join is a bucket equi-join, never cartesian/BNLJ") {
+    import graft.operators.Temporal
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val ivs = e.groupBy(col("user_id").as("owner"))
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val p = plan(Temporal.intervalJoin(
+      e.select(col("user_id").as("p_user"), col("us")), "us",
+      ivs, "start_us", "end_us", widthUs = 3600000000L))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("content-defined chunking is a zero-shuffle scan-stage explode") {
+    val p = plan(Dedup.cdcChunks(Tables.documents(spark, sf), "text"))
+    assert(!p.contains("Exchange"), p)
+  }
 }

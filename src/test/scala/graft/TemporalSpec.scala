@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Temporal}
+
+/** Semantics of the temporal joins (as-of, interval overlap) and the
+  * content-defined chunking kernel on hand-built frames where the
+  * expected answer is computable by eye. */
+class TemporalSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ---- as-of join -------------------------------------------------------
+
+  private def asof(probe: Seq[(Long, Long, Long)],
+                   build: Seq[(Long, Long, Long, Double)]) = {
+    val p = probe.toDF("event_id", "user_id", "us")
+      .select("event_id", "user_id", "us")
+    val b = build.toDF("user_id", "us", "event_id", "value")
+    Temporal.asofJoin(p, b, "user_id", "us", "event_id", Seq("value"))
+      .select($"event_id", $"asof.us".as("aus"),
+        $"asof.event_id".as("aeid"), $"asof.value".as("aval"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2)))))
+      .toMap
+  }
+
+  test("as-of join picks the latest at-or-before build row per key") {
+    val got = asof(
+      probe = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 50L)),
+      build = Seq((7L, 80L, 10L, 1.0), (7L, 200L, 11L, 2.0)))
+    assert(got(1L) === Some((80L, 10L)))   // 80 <= 100 < 200
+    assert(got(2L) === Some((200L, 11L)))
+    assert(got(3L) === None)               // before every build
+  }
+
+  test("as-of join: a build at exactly the probe instant is visible") {
+    val got = asof(
+      probe = Seq((1L, 7L, 100L)),
+      build = Seq((7L, 100L, 10L, 1.0)))
+    assert(got(1L) === Some((100L, 10L)))
+  }
+
+  test("as-of join: equal-time builds break ties on max tie column") {
+    val got = asof(
+      probe = Seq((1L, 7L, 100L)),
+      build = Seq((7L, 90L, 10L, 1.0), (7L, 90L, 12L, 2.0), (7L, 90L, 11L, 3.0)))
+    assert(got(1L) === Some((90L, 12L)))
+  }
+
+  test("as-of join: keys never mix, null payloads still match") {
+    val p = Seq((1L, 7L, 100L), (2L, 8L, 100L))
+      .toDF("event_id", "user_id", "us")
+    val b = Seq((7L, 50L, 10L, Some(1.5)), (8L, 60L, 11L, Option.empty[Double]))
+      .toDF("user_id", "us", "event_id", "value")
+    val got = Temporal.asofJoin(p, b, "user_id", "us", "event_id", Seq("value"))
+      .select($"event_id", $"asof.event_id".as("aeid"), $"asof.value".as("av"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got(1L) === ((10L, Some(1.5))))
+    // the build row itself carries a NULL payload — the struct (and its
+    // time/tie fields) must still be the matched one
+    assert(got(2L) === ((11L, None)))
+  }
+
+  // ---- interval overlap join -------------------------------------------
+
+  test("interval join matches across bucket boundaries, inclusive ends, no dups") {
+    val ivs = Seq((1L, 5L, 25L), (2L, 95L, 105L))
+      .toDF("iv_id", "start_us", "end_us")
+    val pts = Seq((10L, 5L), (11L, 25L), (12L, 26L), (13L, 100L), (14L, 4L))
+      .toDF("p_id", "us")
+    val got = Temporal.intervalJoin(pts, "us", ivs, "start_us", "end_us",
+        widthUs = 10L)
+      .select("p_id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    // iv 1 spans buckets 0..2, iv 2 spans 9..10; point 11 sits at the
+    // inclusive end; 12 and 14 fall outside; 13 matches in bucket 10.
+    assert(got === Seq((10L, 1L), (11L, 1L), (13L, 2L)))
+  }
+
+  test("interval join: a long interval never duplicates a match") {
+    val ivs = Seq((1L, 0L, 1000L)).toDF("iv_id", "start_us", "end_us")
+    val pts = Seq((10L, 500L)).toDF("p_id", "us")
+    val got = Temporal.intervalJoin(pts, "us", ivs, "start_us", "end_us", 10L)
+    assert(got.count() === 1L)
+  }
+
+  // ---- content-defined chunking ----------------------------------------
+
+  test("cdc chunks concatenate back to the text, in order, non-empty") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val chunks = Dedup.cdcChunks(docs, "text")
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      // input order of concat_ws over collect_list isn't guaranteed —
+      // tag each chunk with its offset and sort-merge
+      .agg(expr("concat_ws('', transform(" +
+        "array_sort(collect_list(struct(chunk_off, chunk))), c -> c.chunk))")
+        .as("re"))
+    val orig = docs.select(col("doc_id"), col("text"))
+    val bad = rebuilt.join(orig, "doc_id")
+      .filter(col("re") =!= col("text")).count()
+    assert(bad === 0L)
+    assert(chunks.filter(length(col("chunk")) === 0).count() === 0L)
+  }
+
+  test("cdc chunking: short and empty texts") {
+    val docs = Seq((1L, "tiny"), (2L, "")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "text")
+      .select("doc_id", "chunk").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "tiny"))) // shorter than the window: one chunk
+  }
+
+  test("cdc boundaries are content-local: a prefix insertion only reshapes " +
+      "the head chunks") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(length(col("text")) > 300).limit(1)
+      .select(col("text")).as[String].head()
+    val docs = Seq((1L, base), (2L, "XYZZY " + base)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "text")
+      .select("doc_id", "chunk_digest").as[(Long, String)].collect()
+    val d1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val d2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    // all but the first chunk(s) resynchronize — fixed-width chunking
+    // would share nothing
+    assert((d1 intersect d2).size >= d1.size - 2,
+      s"shared=${(d1 intersect d2).size} of ${d1.size}")
+  }
+}
