@@ -310,4 +310,88 @@ object TextOps {
     * [[graft.functions.GraftFunctions.register]] on the session). */
   def rollFingerprint(text: Column): Column =
     call_function("rolling_hash", normText(text))
+
+  // ---- BPE pair-merge training (Sennrich et al. 2016) --------------------
+
+  /** Merge rounds for the demo BPE queries — enough for merges to chain
+    * (later rounds merge the products of earlier ones). */
+  val BpeRounds = 6
+
+  /** Word-frequency dictionary: lowercased whitespace words with corpus
+    * counts. BPE's defining scale property (Sennrich et al. 2016 §3.2)
+    * is that training runs on THIS dictionary-sized table, never the
+    * corpus: one corpus scan builds it, every merge round after touches
+    * |vocabulary| rows. */
+  def bpeWordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+
+  /** Initial segmentation: the word as space-joined characters, padded
+    * with sentinel spaces so merge application is a plain bounded
+    * string replace of ` a b ` with ` ab `. */
+  def bpeSeg0(word: Column): Column =
+    concat(lit(" "), array_join(split(word, ""), " "), lit(" "))
+
+  /** Frequency of each adjacent symbol pair over the current
+    * segmentations, weighted by word count. The `IF` guard matters for
+    * single-symbol words: `sequence(0, -1)` would descend. */
+  def bpePairCounts(segs: DataFrame): DataFrame =
+    segs.select(col("c"), split(trim(col("seg")), " ").as("toks"))
+      .select(col("c"), explode(expr(
+        """IF(size(toks) >= 2,
+          |   transform(sequence(0, size(toks) - 2),
+          |     i -> concat(toks[i], ' ', toks[i + 1])),
+          |   CAST(array() AS ARRAY<STRING>))""".stripMargin)).as("pr"))
+      .groupBy("pr").agg(sum("c").as("pc"))
+
+  /** One merge application: every ` a b ` becomes ` ab `. Two
+    * sequential left-to-right non-overlapping replaces, because the
+    * first pass consumes the shared boundary space of an odd-length
+    * same-symbol run (` a a a ` → ` aa a `): the second pass merges
+    * what the first's consumed delimiter hid. Both engines scan
+    * left-to-right non-overlapping, so the oracle replays the exact
+    * same fixpoint-after-two-passes semantics. */
+  private def bpeApply(seg: Column, pair: Column): Column = {
+    val from = concat(lit(" "), pair, lit(" "))
+    val to = concat(lit(" "), call_function("replace", pair, lit(" "), lit("")),
+      lit(" "))
+    call_function("replace", call_function("replace", seg, from, to), from, to)
+  }
+
+  /** BPE pair-merge training: `rounds` rounds of count-pairs → merge
+    * the most frequent (ties to the lexicographically smallest pair —
+    * deterministic from the corpus alone, which is what lets the DuckDB
+    * oracle replay every round bit-for-bit).
+    *
+    * Returns `(merges, finalSegs)`: `merges` = one row per round
+    * `(round, pair, pair_count)` — the learned merge table a tokenizer
+    * ships; `finalSegs` = `(word, c, seg)` — the trained dictionary
+    * segmentation.
+    *
+    * Scale: the dictionary is `localCheckpoint`ed once per round so the
+    * plan stays flat (the alternative is a 2^rounds lineage). Each
+    * round is a dictionary-sized pair aggregate + a TakeOrdered(1) +
+    * a broadcast of the single winning pair — corpus data is touched
+    * exactly once, in [[bpeWordDict]]. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int = BpeRounds)
+      : (DataFrame, DataFrame) = {
+    var segs = bpeWordDict(docs, textCol)
+      .withColumn("seg", bpeSeg0(col("word")))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val best = bpePairCounts(segs)
+        .orderBy(col("pc").desc, col("pr"))
+        .limit(1)
+        .localCheckpoint(true)
+      segs = segs
+        .crossJoin(broadcast(best.select(col("pr").as("_pr"))))
+        .withColumn("seg", bpeApply(col("seg"), col("_pr")))
+        .drop("_pr")
+        .localCheckpoint(true)
+      best.select(lit(r).as("round"), col("pr").as("pair"),
+        col("pc").as("pair_count"))
+    }
+    (merges.reduce(_ union _), segs)
+  }
 }

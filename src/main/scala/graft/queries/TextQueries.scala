@@ -984,6 +984,127 @@ object TextQueries {
           |          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
           |        FROM documents)
           |) ORDER BY doc_id""".stripMargin),
-      doc = "document fingerprinting: md5(normal form) + 64-bit rolling hash")
+      doc = "document fingerprinting: md5(normal form) + 64-bit rolling hash"),
+
+    // BPE pair-merge training (Sennrich et al. 2016): the actual merge
+    // loop — not a frequency-vocab proxy — with every round's argmax
+    // pair and count hash-matched against an unrolled DuckDB CTE chain
+    // that replays the training (same dictionary, same tie-break, same
+    // two-pass replace application). Corpus is scanned ONCE (the word
+    // dictionary); each round is dictionary-sized.
+    "tx_bpe_merges" -> QueryDef(
+      (s, d) => {
+        val (merges, _) = TextOps.bpeTrain(Tables.documents(s, d), "text")
+        merges.orderBy("round")
+      },
+      Some(bpeOracle(TextOps.BpeRounds,
+        """SELECT * FROM merges ORDER BY round""")),
+      doc = "BPE merge training: argmax adjacent pair per round over the " +
+        "word-frequency dictionary, lexicographic tie-break, oracle " +
+        "replays all rounds"),
+
+    // The trained tokenizer applied back to the corpus: every word is
+    // joined to its trained segmentation (a dictionary-sized equi-join),
+    // per-doc BPE token counts + an order-sensitive md5 over the full
+    // segmented text — one hash pins every merge decision at every
+    // position of every document.
+    "tx_bpe_segment" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (_, segs) = TextOps.bpeTrain(docs, "text")
+        val words = docs.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+          .filter(col("word") =!= "")
+        val perDoc = words.join(segs.select("word", "seg"), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(split(trim(col("seg")), " ")).cast("long"))
+              .as("n_bpe_tokens"),
+            md5(encode(array_join(expr(
+              "transform(array_sort(collect_list(struct(pos, seg))), x -> trim(x.seg))"),
+              " "), "UTF-8")).as("seg_md5"))
+        docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+            coalesce(col("seg_md5"), lit("")).as("seg_md5"))
+          .orderBy("doc_id")
+      },
+      Some(bpeOracle(TextOps.BpeRounds,
+        s"""SELECT d.doc_id,
+           |       coalesce(n_words, CAST(0 AS BIGINT)) AS n_words,
+           |       coalesce(n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+           |       coalesce(seg_md5, '') AS seg_md5
+           |FROM documents d LEFT JOIN pd USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+        s""",
+           |wrds AS (
+           |  SELECT doc_id, i AS pos, w[i] AS word
+           |  FROM (SELECT doc_id,
+           |               string_split_regex(trim(lower(text)), '\\s+') AS w
+           |        FROM documents),
+           |       unnest(range(1, len(w) + 1)) AS u(i)
+           |  WHERE w[i] <> ''),
+           |ap AS (
+           |  SELECT doc_id, pos, trim(s.seg) AS seg,
+           |         len(string_split(trim(s.seg), ' ')) AS ntk
+           |  FROM wrds JOIN s${TextOps.BpeRounds} s USING (word)),
+           |pd AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |         CAST(sum(ntk) AS BIGINT) AS n_bpe_tokens,
+           |         md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_md5
+           |  FROM ap GROUP BY doc_id)""".stripMargin)),
+      doc = "trained BPE applied to the corpus: dictionary equi-join, " +
+        "per-doc token counts + order-sensitive segmentation md5")
   )
+
+  /** Unrolled DuckDB replay of [[TextOps.bpeTrain]]: CTEs `w` (word
+    * dictionary), `s0` (char segmentation), then per round `r`:
+    * `p{r}` pair counts → `b{r}` argmax with lexicographic tie-break →
+    * `s{r}` two-pass replace application; plus a `merges` union. The
+    * SQL is GENERATED from the same round count the Spark side uses, so
+    * the constants cannot drift. */
+  private def bpeOracle(rounds: Int, body: String, extraCtes: String = "")
+      : String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |          AS word
+        |        FROM documents)
+        |  WHERE word <> '' GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, c,
+        |         ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+        |           AS seg
+        |  FROM w)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++=
+        s""",
+           |p$r AS MATERIALIZED (
+           |  SELECT pr, CAST(sum(c) AS BIGINT) AS pc FROM (
+           |    SELECT c, toks[i] || ' ' || toks[i + 1] AS pr
+           |    FROM (SELECT c, string_split(trim(seg), ' ') AS toks
+           |          FROM s${r - 1}),
+           |         unnest(range(1, len(toks))) AS u(i))
+           |  GROUP BY 1),
+           |b$r AS MATERIALIZED (SELECT pr, pc FROM p$r ORDER BY pc DESC, pr LIMIT 1),
+           |s$r AS MATERIALIZED (
+           |  SELECT word, c,
+           |         replace(replace(seg,
+           |             ' ' || (SELECT pr FROM b$r) || ' ',
+           |             ' ' || (SELECT replace(pr, ' ', '') FROM b$r) || ' '),
+           |           ' ' || (SELECT pr FROM b$r) || ' ',
+           |           ' ' || (SELECT replace(pr, ' ', '') FROM b$r) || ' ')
+           |           AS seg
+           |  FROM s${r - 1})""".stripMargin
+    }
+    sb ++= ",\nmerges AS (" + (1 to rounds).map(r =>
+      s"SELECT $r AS round, pr AS pair, pc AS pair_count FROM b$r")
+      .mkString("\n  UNION ALL ") + ")"
+    sb ++= extraCtes
+    sb ++= "\n" + body
+    sb.toString
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** BPE pair-merge training semantics on corpora small enough to run the
+  * algorithm by hand. */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def train(texts: Seq[String], rounds: Int) = {
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, segs) = TextOps.bpeTrain(docs, "text", rounds)
+    (merges.orderBy("round").as[(Int, String, Long)].collect().toSeq,
+      segs.select("word", "seg").as[(String, String)].collect().toMap)
+  }
+
+  test("merges follow weighted pair frequency with lexicographic ties") {
+    // dictionary: "abab" x3, "ab" x2  → pair counts: a b: 3*2+2=8,
+    // b a: 3. Round 1 merges "a b"; round 2 sees ab ab (pair "ab ab"
+    // count 3) vs nothing else → merges "ab ab".
+    val (merges, segs) = train(Seq("abab abab abab ab ab"), 2)
+    assert(merges.map(m => (m._1, m._2, m._3)) ===
+      Seq((1, "a b", 8L), (2, "ab ab", 3L)))
+    assert(segs("abab").trim === "abab")
+    assert(segs("ab").trim === "ab")
+  }
+
+  test("equal counts break ties to the lexicographically smallest pair") {
+    // "xy" and "ax" each once: pairs "x y"=1, "a x"=1 → "a x" wins.
+    val (merges, _) = train(Seq("xy ax"), 1)
+    assert(merges.head._2 === "a x")
+  }
+
+  test("odd same-symbol runs merge greedily left-to-right (two-pass)") {
+    // "aaa": pairs "a a"=2 (weight 1 each position). Merging "a a" on
+    // " a a a " left-to-right non-overlapping gives " aa a ".
+    val (_, segs) = train(Seq("aaa"), 1)
+    assert(segs("aaa").trim === "aa a")
+    // a run of five: pass one matches at 0 and (after the consumed
+    // boundary space) at 6 — " aa a aa " — and pass two finds no more
+    val (_, segs5) = train(Seq("aaaaa"), 1)
+    assert(segs5("aaaaa").trim === "aa a aa")
+  }
+
+  test("single-character words contribute no pairs but stay segmented") {
+    val (merges, segs) = train(Seq("a b a b ab"), 1)
+    assert(merges.head._2 === "a b") // only "ab" has a pair
+    assert(segs("a").trim === "a")
+  }
+
+  test("merge counts are non-increasing across rounds on real data") {
+    // a new pair (x, AB) created by merging AB can only occur where
+    // (x, A) occurred, so each round's max is <= the previous round's —
+    // the monotonicity the training loop must preserve
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (merges, _) = TextOps.bpeTrain(docs, "text", 6)
+    val got = merges.orderBy("round").as[(Int, String, Long)].collect()
+    assert(got.length === 6)
+    assert(got.sliding(2).forall(w => w(0)._3 >= w(1)._3),
+      got.mkString(", "))
+  }
+}
