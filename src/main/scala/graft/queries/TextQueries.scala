@@ -1055,7 +1055,63 @@ object TextQueries {
            |         md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_md5
            |  FROM ap GROUP BY doc_id)""".stripMargin)),
       doc = "trained BPE applied to the corpus: dictionary equi-join, " +
-        "per-doc token counts + order-sensitive segmentation md5")
+        "per-doc token counts + order-sensitive segmentation md5"),
+
+    // The steady-state form: the trained dictionary is a PERSISTED
+    // bucketed lake table (Models.bpe — trained once per corpus, a
+    // dictionary-sized zero-exchange read thereafter), so the query is
+    // pure apply: explode words, join the stored segmentations,
+    // aggregate. Same oracle as tx_bpe_segment — the oracle retrains
+    // from scratch, so the hash match proves reload ≡ retrain.
+    "tx_bpe_segment_indexed" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (_, segs) = graft.sources.Models.bpe(s, d)
+        val words = docs.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+          .filter(col("word") =!= "")
+        val perDoc = words.join(segs.select("word", "seg"), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(split(trim(col("seg")), " ")).cast("long"))
+              .as("n_bpe_tokens"),
+            md5(encode(array_join(expr(
+              "transform(array_sort(collect_list(struct(pos, seg))), x -> trim(x.seg))"),
+              " "), "UTF-8")).as("seg_md5"))
+        docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).as("n_words"),
+            coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+            coalesce(col("seg_md5"), lit("")).as("seg_md5"))
+          .orderBy("doc_id")
+      },
+      Some(bpeOracle(TextOps.BpeRounds,
+        s"""SELECT d.doc_id,
+           |       coalesce(n_words, CAST(0 AS BIGINT)) AS n_words,
+           |       coalesce(n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+           |       coalesce(seg_md5, '') AS seg_md5
+           |FROM documents d LEFT JOIN pd USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+        s""",
+           |wrds AS (
+           |  SELECT doc_id, i AS pos, w[i] AS word
+           |  FROM (SELECT doc_id,
+           |               string_split_regex(trim(lower(text)), '\\s+') AS w
+           |        FROM documents),
+           |       unnest(range(1, len(w) + 1)) AS u(i)
+           |  WHERE w[i] <> ''),
+           |ap AS (
+           |  SELECT doc_id, pos, trim(s.seg) AS seg,
+           |         len(string_split(trim(s.seg), ' ')) AS ntk
+           |  FROM wrds JOIN s${TextOps.BpeRounds} s USING (word)),
+           |pd AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |         CAST(sum(ntk) AS BIGINT) AS n_bpe_tokens,
+           |         md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_md5
+           |  FROM ap GROUP BY doc_id)""".stripMargin)),
+      doc = "steady-state BPE apply: persisted bucketed dictionary " +
+        "(zero dictionary-side exchange), oracle retrains — reload " +
+        "matches retrain")
   )
 
   /** Unrolled DuckDB replay of [[TextOps.bpeTrain]]: CTEs `w` (word

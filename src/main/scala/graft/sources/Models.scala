@@ -215,6 +215,48 @@ object Models {
       .format("parquet").saveAsTable(bandsName)
   }
 
+  // ---- BPE merge table + trained segmentation dictionary -----------------
+
+  def bpeMergesPath(sfDir: String, rounds: Int): String =
+    s"${root(sfDir)}/bpe_merges_r$rounds"
+  def bpeSegsPath(sfDir: String, rounds: Int): String =
+    s"${root(sfDir)}/bpe_segs_r$rounds"
+
+  /** The persisted BPE artifacts for this corpus: the merge table
+    * (`rounds` rows — the model a tokenizer ships) and the trained
+    * word→segmentation dictionary. Trained once ([[TextOps.bpeTrain]])
+    * and persisted on first use; the steady state is a
+    * dictionary-sized read. The dictionary is written BUCKETED by
+    * `word`, so the apply-to-corpus join reads the dictionary side
+    * with zero exchange — only the exploded corpus words shuffle into
+    * its layout (the lshIndex property, for the tokenizer).
+    * Deterministic, so a reload is bit-identical to a retrain and the
+    * training-replay oracle still hash-matches. */
+  def bpe(spark: SparkSession, sfDir: String,
+      rounds: Int = TextOps.BpeRounds): (DataFrame, DataFrame) = {
+    val mp = bpeMergesPath(sfDir, rounds)
+    val segsDf = ensureBucketed(spark, bpeSegsPath(sfDir, rounds),
+      "word STRING, c BIGINT, seg STRING", "word") {
+      val (merges, segs) =
+        TextOps.bpeTrain(graft.Tables.documents(spark, sfDir), "text", rounds)
+      synchronized {
+        if (!exists(spark, mp))
+          merges.coalesce(1).write.mode("overwrite").parquet(mp)
+      }
+      segs
+    }
+    synchronized {
+      if (!exists(spark, mp)) {
+        // segs already existed but merges were wiped: retrain just the
+        // merge table (same deterministic derivation)
+        val (merges, _) =
+          TextOps.bpeTrain(graft.Tables.documents(spark, sfDir), "text", rounds)
+        merges.coalesce(1).write.mode("overwrite").parquet(mp)
+      }
+    }
+    (spark.read.parquet(mp), segsDf)
+  }
+
   /** Drop only the session-level memo (test hook: forces the next
     * `subwordVocabSeq` to re-read the persisted files, proving the
     * load path — not the memo — carries the model). */

@@ -146,4 +146,28 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketed re-registration lost:\n$p")
     assert(sets1.count() > 0)
   }
+
+  test("bpe artifacts: reload == retrain, dictionary side never shuffles") {
+    val (merges, segs) = Models.bpe(spark, sf)
+    val (rtMerges, rtSegs) = TextOps.bpeTrain(Tables.documents(spark, sf), "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("round").collect().map(_.toString).toSeq
+    def sg(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "c", "seg").collect().map(_.toString).sorted.toSeq
+    assert(m(merges) == m(rtMerges))
+    assert(sg(segs) == sg(rtSegs))
+    // the persisted dictionary is bucketed by word: the apply join
+    // plans no word-exchange on the dictionary side
+    val p = segs.groupBy("word").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(word"),
+      s"bpe dictionary not bucketed:\n$p")
+    // and the registered indexed query agrees with the retraining one
+    graft.functions.GraftFunctions.register(spark)
+    val a = SparkEntry.queries("tx_bpe_segment_indexed")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("tx_bpe_segment")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }
