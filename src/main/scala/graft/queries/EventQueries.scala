@@ -385,6 +385,48 @@ object EventQueries {
           |        FROM tr GROUP BY 1, 2)""".stripMargin,
         "p AS (SELECT user_id AS p_user, us FROM e WHERE user_id % 10 <> 0)")),
       doc = "interval overlap join: tracked-cohort sessions x other " +
-        "users' in-session events via 1-hour bucket equi-join + residual")
+        "users' in-session events via 1-hour bucket equi-join + residual"),
+
+    // Trending top-k over SLIDING windows (1h window, 30min slide) —
+    // the batch twin of the streaming sliding metering
+    // (EventStreams.metering with width > slide). Window assignment is
+    // exact integer arithmetic: an event at `us` belongs to window ids
+    // `us div slide` and `us div slide - 1`, produced by ONE scan with
+    // a 2-element explode (no double read, no range join); counts are
+    // map-side combined on (window, type); the rank window partitions
+    // by window id — bounded by the distinct event types.
+    "ev_trending" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val slide = 1800000000L
+        val a = Tables.events(s, d)
+          .select(unix_micros(col("ts")).as("us"), col("event_type"))
+          .select(explode(expr(
+            s"array(us div $slide, us div $slide - 1)")).as("k"),
+            col("event_type"))
+        val w = Window.partitionBy("k")
+          .orderBy(col("n").desc, col("event_type"))
+        a.groupBy("k", "event_type").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select((col("k") * slide).as("window_start_us"),
+            col("event_type"), col("n"), col("rnk"))
+          .orderBy("window_start_us", "rnk")
+      },
+      Some(withCtes(
+        """SELECT k * 1800000000 AS window_start_us, event_type, n, rnk
+          |FROM (SELECT k, event_type, n,
+          |             row_number() OVER (PARTITION BY k
+          |                                ORDER BY n DESC, event_type) AS rnk
+          |      FROM (SELECT k, event_type, count(*) AS n
+          |            FROM (SELECT us // 1800000000 AS k, event_type FROM e
+          |                  UNION ALL
+          |                  SELECT us // 1800000000 - 1, event_type FROM e)
+          |            GROUP BY 1, 2))
+          |WHERE rnk <= 3 ORDER BY window_start_us, rnk""".stripMargin,
+        Tables.evSql,
+        "e AS (SELECT epoch_us(ts) AS us, event_type FROM ev)")),
+      doc = "sliding-window trending top-3 event types (1h window / 30min " +
+        "slide): integer window ids via 2-element explode, one scan")
   )
 }

@@ -43,6 +43,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Sliding-window trending counts: watermarked overlapping windows
+    * (`width` > `slide`) per event type — the streaming mirror of the
+    * batch `ev_trending` assignment, whose integer window ids
+    * `us div slide` and `us div slide - 1` enumerate exactly these
+    * windows when `width = 2*slide` (StreamingSpec pins the equality).
+    * Counts stream incrementally; the top-k RANK does not (it is not
+    * monotone under late data), so ranking stays a bounded batch pass
+    * over the window/type counts — per window, at most |event types|
+    * rows. */
+  def trending(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "30 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"))
+
   // ---- stateful session tracking (I-S2 analogue) -------------------------
 
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

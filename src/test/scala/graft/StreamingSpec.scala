@@ -155,6 +155,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trending's sliding windows equal the batch integer " +
+      "window ids (ev_trending's assignment)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("evtrend").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.trending(
+        EventStreams.eventStream(spark, dir), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("trend_meter")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("trend_meter")
+        .select(unix_micros(col("window_start")), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      val slide = 1800000000L
+      val want = events
+        .select(unix_micros(col("ts")).as("us"), col("event_type"))
+        .select(explode(expr(
+          s"array(us div $slide, us div $slide - 1)")).as("k"),
+          col("event_type"))
+        .groupBy("k", "event_type").agg(count(lit(1)).as("n"))
+        .select((col("k") * slide), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   def pe(upload: String, kind: String, partno: Int, size: Long, minute: Int) =
     PartEvent(upload, kind, partno, size, f"ck$upload%s$partno%d",
       Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"))
