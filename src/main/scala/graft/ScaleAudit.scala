@@ -202,6 +202,49 @@ object ScaleAudit {
     val (cnR, cnSb) = shuffleAudit(graft.operators.Dedup
       .contamination(docsDf, heldOut, "doc_id", "text", minShared = 5))
 
+    // Temporal-join audit at sf1-scale event counts: the as-of join's
+    // claim is ONE key shuffle and NO join operator — vs the
+    // max-subquery spelling (range join + two aggregates + two joins
+    // back), which does strictly more shuffling over the same rows.
+    // The interval join's claim is a plain bucket equi-join (no
+    // BNLJ/cartesian) with single-bucket probe fan-out. All measured
+    // from executed plans.
+    val nEv = 2000000L
+    val evDf = spark.range(nEv).select(
+      col("id").as("event_id"),
+      (col("id") % 100000L).as("user_id"),
+      (col("id") * 37L % 1000000000L).as("us"),
+      (col("id") % 7L).cast("double").as("value"))
+      .localCheckpoint(true)
+    val tProbes = evDf.filter(col("event_id") % 3L =!= 0L)
+      .select("event_id", "user_id", "us")
+    val tBuilds = evDf.filter(col("event_id") % 3L === 0L)
+      .select("user_id", "us", "event_id", "value")
+    val asofDf = graft.operators.Temporal.asofJoin(
+      tProbes, tBuilds, "user_id", "us", "event_id", Seq("value"))
+    val (asofRows, asofSb) = shuffleAudit(asofDf)
+    val asofJoinFree =
+      !asofDf.queryExecution.executedPlan.toString.contains("Join")
+    // the max-subquery spelling of the same as-of semantics
+    val mx = tProbes
+      .join(tBuilds.select(col("user_id"), col("us").as("bus")), "user_id")
+      .filter(col("bus") <= col("us"))
+      .groupBy("event_id").agg(max("bus").as("v_us"))
+    val subq = tProbes.join(mx, Seq("event_id"), "left")
+      .join(tBuilds.select(col("user_id"), col("us").as("v_us"),
+        col("value").as("asof_value")), Seq("user_id", "v_us"), "left")
+    val (subqRows, subqSb) = shuffleAudit(subq)
+    // interval join: per-user [min, max] event-time spans x instants
+    val tIvs = tBuilds.groupBy(col("user_id").as("owner"))
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val ivDf = graft.operators.Temporal.intervalJoin(
+      tProbes.select(col("user_id").as("p_user"), col("us")), "us",
+      tIvs, "start_us", "end_us", widthUs = 100000000L)
+    val (ivRows, ivSb) = shuffleAudit(ivDf)
+    val ivPlan = ivDf.queryExecution.executedPlan.toString
+    val ivEqui = !ivPlan.contains("BroadcastNestedLoopJoin") &&
+      !ivPlan.contains("CartesianProduct")
+
     // Unpartitioned-window bound audit (round-8 task 6): the bench log's
     // "WindowExec: No Partition Defined" warnings all come from windows
     // whose INPUT is a bounded derived table (the K-row vocab rank, the
@@ -296,6 +339,10 @@ object ScaleAudit {
          |  "decontaminate": {"train_docs": $nDocs, "held_docs": ${heldOut.count()},
          |    "bloom_probe": {"rows": $blR, "shuffle_bytes": $blSb},
          |    "exact_join":  {"rows": $cnR, "shuffle_bytes": $cnSb}},
+         |  "temporal_sf1": {"events": $nEv,
+         |    "asof_window":   {"rows": $asofRows, "shuffle_bytes": $asofSb, "join_free": $asofJoinFree},
+         |    "asof_subquery": {"rows": $subqRows, "shuffle_bytes": $subqSb},
+         |    "interval_join": {"rows": $ivRows, "shuffle_bytes": $ivSb, "equi_join": $ivEqui}},
          |  "global_windows_sf01": {${windowAudit.map { case (n, c, w, b) =>
                s""""$n": {"windows": $c, "max_input_rows": $w, "bound": $b}"""
              }.mkString(", ")}},

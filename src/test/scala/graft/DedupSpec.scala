@@ -203,6 +203,26 @@ class DedupSpec extends AnyFunSuite {
     assert(r(2) == ((2L, 0L, 0L, 0L)))
   }
 
+  test("containment: a quoted short doc is caught; symmetric Jaccard " +
+      "would miss it") {
+    val corpus = Seq(
+      // doc 1 is doc 0's text quoted wholesale inside a longer page
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "header menu line alpha beta gamma delta epsilon zeta " +
+        "plus a long unrelated tail of many extra words here at the end"),
+      (2L, "completely different content about storage engines")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    // 0 fully contained in 1 (containment 1.0); nothing else qualifies
+    assert(got.map(p => (p._1, p._2)) == Seq((0L, 1L)))
+    assert(got.head._3 == 1.0)
+    // and the symmetric Jaccard of the same pair is far below 0.5 —
+    // the regime the asymmetric operator exists for
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5)
+    assert(jac.count() == 0L)
+  }
+
   test("simhash: identical docs at distance 0, near-dups close, others far") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

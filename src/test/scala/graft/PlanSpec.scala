@@ -357,6 +357,22 @@ class PlanSpec extends AnyFunSuite {
       .select(col("id"), explode(col("hs")).as("sh"))
     noCartesian(plan(Dedup.lshCandidates(
       Dedup.minhashSignature(exploded, 8), 4, 2)), "lshCandidates")
+    noCartesian(plan(Dedup.containmentPairs(docs, "doc_id", "text")),
+      "containmentPairs")
+  }
+
+  test("SQ8 scoring broadcasts bounds and queries — corpus never " +
+      "shuffles before the top-k window") {
+    graft.functions.GraftFunctions.register(spark)
+    val prep = Similarity.prepared(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val rng = broadcast(Similarity.sqRanges(prep))
+    val codes = prep.crossJoin(rng)
+      .select(col("id").as("nid"), col("qv"))
+    val p = plan(codes)
+    // encoding side: only broadcast exchanges (the one-row bounds)
+    assert(!p.contains("Exchange hashpartitioning(nid"), p)
+    assert(!p.contains("Exchange hashpartitioning(id"), p)
   }
 
   test("as-of join is one shuffle and NO join operator") {

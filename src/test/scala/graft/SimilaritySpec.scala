@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Similarity
@@ -239,6 +240,34 @@ class SimilaritySpec extends AnyFunSuite {
       .sortBy(_._3)
     assert(r.map(_._1).toSeq == Seq(2L, 3L, 1L, 4L))
     assert(r.map(_._2).toSeq == Seq(0L, 0L, 400000000L, 400000000L))
+  }
+
+  test("SQ8: codes stay in [0,255], bounds reconstruct exactly, and " +
+      "neighbor order matches brute force on well-separated vectors") {
+    // dim=4 vectors, well separated so byte quantization cannot flip
+    // the neighbor ORDER even though distances are approximate
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.sqTopK(e, "vec_id", "embedding", 3,
+        queryLimit = 1L, dim = 4)
+      .select("nid", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L)) // L2 order from vec 0
+    // a vector AT a dimension's corpus bound reconstructs exactly:
+    // code 0 at lo, code 255 at hi -> ad2 contribution 0
+    val prep = Similarity.prepared(e, "vec_id", "embedding")
+    val codes = prep.crossJoin(broadcast(Similarity.sqRanges(prep)))
+      .select(col("id"), expr(
+        """zip_with(qv, _rng, (x, r) ->
+          |  IF(r.hi > r.lo, ((x - r.lo) * 255L) div (r.hi - r.lo), 0L))"""
+          .stripMargin).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes.values.flatten.forall(c => c >= 0L && c <= 255L))
+    assert(codes(0L).head == 255L) // 1.0 is dim-0's corpus max
+    assert(codes(3L).head == 0L)   // -1.0 is dim-0's corpus min
   }
 
   test("SRP-LSH ANN excludes ragged and null vectors from the index") {
