@@ -209,11 +209,16 @@ object ScaleAudit {
     // The interval join's claim is a plain bucket equi-join (no
     // BNLJ/cartesian) with single-bucket probe fan-out. All measured
     // from executed plans.
+    // per-user event times cluster in a ~4k-wide span near
+    // user_id*10000 (users spread over 1e9): realistic session-like
+    // locality, so intervals are NARROW — a synthetic where every
+    // interval spans the whole domain would make the true overlap
+    // result itself quadratic, which no join algorithm can avoid
     val nEv = 2000000L
     val evDf = spark.range(nEv).select(
       col("id").as("event_id"),
       (col("id") % 100000L).as("user_id"),
-      (col("id") * 37L % 1000000000L).as("us"),
+      expr("(id % 100000) * 10000 + (id div 100000) * 197").as("us"),
       (col("id") % 7L).cast("double").as("value"))
       .localCheckpoint(true)
     val tProbes = evDf.filter(col("event_id") % 3L =!= 0L)
@@ -239,7 +244,7 @@ object ScaleAudit {
       .agg(min("us").as("start_us"), max("us").as("end_us"))
     val ivDf = graft.operators.Temporal.intervalJoin(
       tProbes.select(col("user_id").as("p_user"), col("us")), "us",
-      tIvs, "start_us", "end_us", widthUs = 100000000L)
+      tIvs, "start_us", "end_us", widthUs = 5000L)
     val (ivRows, ivSb) = shuffleAudit(ivDf)
     val ivPlan = ivDf.queryExecution.executedPlan.toString
     val ivEqui = !ivPlan.contains("BroadcastNestedLoopJoin") &&

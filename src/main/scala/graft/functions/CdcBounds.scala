@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `cdc_bounds(text)`: the content-defined chunk boundary positions of
+  * a string — every 1-based CODE-POINT index `i >= w` where the top 60
+  * bits of `md5(utf8(codepoints[i-w+1 .. i]))` are ≡ 0 (mod `divisor`).
+  *
+  * Bit-identical to the HOF spelling
+  * `conv(substring(md5(encode(substring(text, i-w+1, w), 'UTF-8')),
+  * 1, 15), 16, 10) % divisor = 0` (15 hex digits = the first 8 digest
+  * bytes big-endian `>>> 4`), which is what the DuckDB oracle replays —
+  * but in ONE pass over the UTF-8 bytes with zero per-position string
+  * allocations: code-point starts are scanned directly off the byte
+  * array and each window is digested as a byte-range slice. The md5
+  * work itself is irreducible (it IS the boundary function); this
+  * removes the ~3 object allocations + hex round-trip per position the
+  * HOF form pays around each digest.
+  */
+case class CdcBounds(child: Expression, w: Int, divisor: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w >= 1 && divisor >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cdc_bounds expects (string, w>=1, divisor>=1), got " +
+        s"${child.dataType.catalogString}, w=$w, d=$divisor")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CdcBounds.bounds(v.asInstanceOf[UTF8String], w, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcBounds.bounds($c, $w, $divisor);")
+
+  override protected def withNewChildInternal(c: Expression): CdcBounds =
+    copy(child = c)
+
+  override def prettyName: String = "cdc_bounds"
+}
+
+object CdcBounds {
+
+  private val md5Local = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** One-pass boundary scan (shared by interpreted and generated
+    * paths). */
+  def bounds(s: UTF8String, w: Int, divisor: Int): ArrayData = {
+    val bytes = s.getBytes // UTF-8
+    // byte offsets of each code-point start, plus the end sentinel
+    val nb = bytes.length
+    var nCp = 0
+    var i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) nCp += 1
+      i += 1
+    }
+    if (nCp < w) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nCp + 1)
+    var cp = 0
+    i = 0
+    while (i < nb) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(cp) = i; cp += 1 }
+      i += 1
+    }
+    starts(nCp) = nb
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[Long]()
+    // window of code points [p - w + 1, p] (1-based p), p from w to nCp:
+    // bytes [starts(p - w), starts(p))
+    var p = w
+    while (p <= nCp) {
+      md.reset()
+      md.update(bytes, starts(p - w), starts(p) - starts(p - w))
+      val d = md.digest()
+      val first8 =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      if ((first8 >>> 4) % divisor == 0) out.add(p.toLong)
+      p += 1
+    }
+    val arr = new Array[Long](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+}

@@ -64,6 +64,27 @@ object GraftFunctions {
         SubwordTokens(exprs(0), vocab)
       }, "built-in")
     reg.createOrReplaceTempFunction(
+      "cdc_bounds", exprs => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"cdc_bounds: $what must be a literal, got $other")
+        }
+        CdcBounds(exprs(0), intLit(exprs(1), "w"), intLit(exprs(2), "divisor"))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "mmr_select", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"mmr_select: k must be a literal, got $other")
+        }
+        MmrSelect(exprs(0), k)
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
       "kmv_mins", exprs => {
         val k = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
@@ -79,6 +100,15 @@ object GraftFunctions {
     * column, sorted ascending (see [[KmvSketch]]). */
   def kmvMins(h: Column, k: Int): Column =
     call_function("kmv_mins", h, lit(k))
+
+  /** Content-defined chunk boundary positions (see [[CdcBounds]]). */
+  def cdcBounds(text: Column, w: Int, divisor: Int): Column =
+    call_function("cdc_bounds", text, lit(w), lit(divisor))
+
+  /** MMR diversification over a bounded candidate pool (see
+    * [[MmrSelect]]). */
+  def mmrSelect(cands: Column, k: Int): Column =
+    call_function("mmr_select", cands, lit(k))
 
   /** Greedy longest-match subword tokenization of a word array against
     * a fixed vocabulary, embedded as a plan literal (see

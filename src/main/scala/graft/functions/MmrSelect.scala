@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `mmr_select(cands, k)`: Maximal-Marginal-Relevance selection
+  * (Carbonell & Goldstein 1998) over one query's candidate pool —
+  * greedily pick `k` results balancing relevance against redundancy
+  * with what is already picked, at λ = 1/2:
+  * `argmax_d [ rel(d) − max_{s∈selected} sim(d, s) ]`, ties to the
+  * smaller id. Similarities are exact-int64 dot products of the
+  * quantized vectors, so selection is bit-deterministic and the DuckDB
+  * oracle replays every greedy step.
+  *
+  * Input per row: `array<struct<nid:bigint, qdot:bigint,
+  * qv:array<bigint>>>` — the query's candidate pool (id, relevance =
+  * query·candidate dot, candidate vector). Output:
+  * `array<struct<nid:bigint, rank:int>>`.
+  *
+  * The greedy loop is inherently sequential in `k` but the pool is
+  * top-N BOUNDED (N ~ tens), so it runs per-row inside the scan stage:
+  * the diversification step of a retrieval pipeline costs O(k·N·dim)
+  * per query with no extra shuffle — the standard two-stage
+  * retrieve-then-rerank shape at any corpus size. */
+case class MmrSelect(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("nid", LongType, nullable = false),
+      StructField("rank", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 3 && fields(0).dataType == LongType &&
+          fields(1).dataType == LongType &&
+          fields(2).dataType.isInstanceOf[ArrayType] && k >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "mmr_select expects (array<struct<nid:bigint, qdot:bigint, " +
+        s"qv:array<bigint>>>, k>=1), got ${child.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MmrSelect.select(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MmrSelect.select($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): MmrSelect =
+    copy(child = c)
+
+  override def prettyName: String = "mmr_select"
+}
+
+object MmrSelect {
+
+  /** The greedy selection kernel (shared interpreted/generated). */
+  def select(cands: ArrayData, k: Int): ArrayData = {
+    val n = cands.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val nid = new Array[Long](n)
+    val rel = new Array[Long](n)
+    val vecs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val row = cands.getStruct(i, 3)
+      nid(i) = row.getLong(0)
+      rel(i) = row.getLong(1)
+      vecs(i) = row.getArray(2).toLongArray()
+      i += 1
+    }
+    // maxSim(i) = max dot(i, s) over selected s so far
+    val maxSim = Array.fill(n)(Long.MinValue)
+    val taken = new Array[Boolean](n)
+    val out = new Array[Any](math.min(k, n))
+    var r = 0
+    while (r < out.length) {
+      var best = -1
+      var bestScore = Long.MinValue
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          // round 0: pure relevance; later: relevance - max redundancy
+          val score = if (r == 0) rel(i) else rel(i) - maxSim(i)
+          if (score > bestScore ||
+              (score == bestScore && (best < 0 || nid(i) < nid(best)))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out(r) = new GenericInternalRow(Array[Any](nid(best), r + 1))
+      // fold the new pick into every remaining candidate's redundancy
+      val bv = vecs(best)
+      i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val v = vecs(i)
+          var d = 0L
+          var j = 0
+          val len = math.min(v.length, bv.length)
+          while (j < len) { d += v(j) * bv(j); j += 1 }
+          if (d > maxSim(i)) maxSim(i) = d
+        }
+        i += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -805,21 +805,16 @@ object Dedup {
     * 60-bit-md5-prefix integer form the oracle rebuilds exactly.
     */
   def cdcChunks(docs: DataFrame, textCol: String): DataFrame = {
-    val w = CdcWindow
-    val bounds =
-      s"""concat(array(CAST(0 AS BIGINT)),
-         |  IF(length($textCol) >= $w,
-         |     filter(transform(
-         |       sequence(CAST($w AS BIGINT), CAST(length($textCol) AS BIGINT)),
-         |       i -> IF(CAST(conv(substring(md5(encode(substring(
-         |                $textCol, CAST(i - ${w - 1} AS INT), $w), 'UTF-8')),
-         |                1, 15), 16, 10) AS BIGINT) % $CdcDivisor = 0,
-         |              i, CAST(NULL AS BIGINT))),
-         |       x -> x IS NOT NULL),
-         |     array()),
-         |  array(CAST(length($textCol) AS BIGINT)))""".stripMargin
+    // boundary scan is the native one-pass `cdc_bounds` expression
+    // (functions/CdcBounds.scala) — bit-identical to the HOF spelling
+    // the oracle replays (DedupSpec pins the equivalence), without the
+    // per-position substring/hex/conv allocations
     docs
-      .withColumn("_bounds", expr(bounds))
+      .withColumn("_bounds", concat(
+        array(lit(0L)),
+        graft.functions.GraftFunctions
+          .cdcBounds(col(textCol), CdcWindow, CdcDivisor),
+        array(length(col(textCol)).cast("long"))))
       .withColumn("_ch", explode(expr(
         """filter(transform(sequence(0, size(_bounds) - 2),
           |  k -> struct(_bounds[k] AS lo, _bounds[k + 1] AS hi)),

@@ -504,6 +504,48 @@ object Similarity {
     out
   }
 
+  // ---- MMR diversification (retrieve-then-rerank) ------------------------
+
+  /** Two-stage retrieval with MMR diversification (Carbonell &
+    * Goldstein 1998): per query, a top-`poolN` candidate pool by exact
+    * inner product, then greedy maximal-marginal-relevance selection of
+    * `k` results at λ = 1/2 — each pick maximizes
+    * `relevance − max-similarity-to-already-picked`, so near-duplicate
+    * results are traded for coverage. All similarities are exact-int64
+    * dots of the quantized vectors; ties break to the smaller id — the
+    * greedy sequence is bit-deterministic and the oracle replays every
+    * step.
+    *
+    * Scale shape: the pool stage is the standard broadcast-query scan +
+    * bounded per-query window; the MMR stage is ONE native expression
+    * over the collected ≤`poolN`-row pool per query (O(k·poolN·dim)
+    * per query, scan-stage, no extra shuffle) — the first-stage
+    * retriever can swap to any ANN path without touching the
+    * diversifier. */
+  def mmrTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      poolN: Int, queryLimit: Long): DataFrame = {
+    val prep = prepared(embs, idCol, vecCol).cache()
+    val queries = prep.filter(col("id") < queryLimit)
+      .select(col("id").as("qid"), col("qv").as("qqv"))
+    val scored = prep.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), col("qv"),
+        idot(col("qqv"), col("qv")).as("qdot"))
+    val w = Window.partitionBy("qid").orderBy(col("qdot").desc, col("nid"))
+    val pool = scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= poolN)
+      .groupBy("qid")
+      .agg(collect_list(struct(col("nid"), col("qdot"), col("qv")))
+        .as("cands"))
+    val out = pool
+      .select(col("qid"), explode(
+        GraftFunctions.mmrSelect(col("cands"), k)).as("m"))
+      .select(col("qid"), col("m.nid").as("nid"), col("m.rank").as("rank"))
+      .localCheckpoint(true)
+    prep.unpersist()
+    out
+  }
+
   // ---- Scalar quantization (SQ8 — the byte-per-dimension path) ----------
 
   /** Per-dimension corpus `(lo, hi)` bounds as ONE broadcast row (a

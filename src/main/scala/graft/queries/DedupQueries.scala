@@ -584,7 +584,10 @@ object DedupQueries {
     // aggregate (source, digest) counts, map-side combined. Equal
     // digests imply equal lengths, so the two-level aggregate is exact.
     "dd_cdc_chunks" -> QueryDef(
-      (s, d) => Dedup.cdcChunks(Tables.documents(s, d), "text")
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.cdcChunks(Tables.documents(s, d), "text")
+      }
         .groupBy(col("source"), col("chunk_digest"))
         .agg(min("chunk_len").as("clen"), count(lit(1)).as("cnt"))
         .groupBy("source")

@@ -608,6 +608,86 @@ object SimilarityQueries {
       },
       Some(ivfStatsSql(16, 2)),
       doc = "IVF index health: per-cell member count + mean squared " +
-        "centroid distance (milli) over the sim_ivf_topk quantizer")
+        "centroid distance (milli) over the sim_ivf_topk quantizer"),
+
+    // MMR diversification (Carbonell & Goldstein 1998): the standard
+    // two-stage serving shape — top-20 pool by exact inner product,
+    // then greedy maximal-marginal-relevance selection of 5 at λ=1/2
+    // (pick = argmax relevance − max-dot-to-already-picked, ties to
+    // the smaller id). The greedy loop runs as ONE native expression
+    // over the collected pool per query; the oracle unrolls all five
+    // steps, so every selection decision is hash-pinned.
+    "sim_mmr" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.mmrTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, poolN = 20, queryLimit = 10L)
+          .orderBy("qid", "rank")
+      },
+      Some(mmrOracleSql(k = 5, poolN = 20, queryLimit = 10)),
+      doc = "MMR diversified retrieval: top-20 exact pool, greedy " +
+        "relevance-minus-redundancy selection, oracle replays each step")
   )
+
+  /** Unrolled DuckDB replay of [[Similarity.mmrTopK]]'s greedy loop:
+    * pool + pairwise dots once, then per step `r` the argmax of
+    * `qdot − max(dot to selected)` with ties to the smaller nid. SQL is
+    * GENERATED from the same (k, poolN, queryLimit) the Spark side
+    * uses. */
+  private def mmrOracleSql(k: Int, poolN: Int, queryLimit: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         [CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qv
+         |  FROM embeddings),
+         |sc AS MATERIALIZED (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid, b.qv AS qv,
+         |         CAST(list_sum([a.qv[i]*b.qv[i] for i in range(1,65)]) AS BIGINT) AS qdot
+         |  FROM (SELECT vec_id, qv FROM q WHERE vec_id < $queryLimit) a
+         |  JOIN q b ON a.vec_id <> b.vec_id),
+         |pool AS MATERIALIZED (
+         |  SELECT qid, nid, qv, qdot FROM (
+         |    SELECT qid, nid, qv, qdot,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY qdot DESC, nid) AS rn
+         |    FROM sc) WHERE rn <= $poolN),
+         |pd AS MATERIALIZED (
+         |  SELECT x.qid, x.nid AS i, y.nid AS j,
+         |         CAST(list_sum([x.qv[m]*y.qv[m] for m in range(1,65)]) AS BIGINT) AS d
+         |  FROM pool x JOIN pool y USING (qid) WHERE x.nid <> y.nid),
+         |s1 AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |                                        ORDER BY qdot DESC, nid) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT qid, nid FROM s1)""".stripMargin
+    for (r <- 2 to k) {
+      sb ++=
+        s""",
+           |s$r AS MATERIALIZED (
+           |  SELECT qid, nid FROM (
+           |    SELECT p.qid, p.nid,
+           |           row_number() OVER (PARTITION BY p.qid
+           |                              ORDER BY p.qdot - m.ms DESC, p.nid)
+           |             AS rn
+           |    FROM pool p
+           |    JOIN (SELECT pd.qid, pd.i AS nid, max(pd.d) AS ms
+           |          FROM pd JOIN sel${r - 1} s
+           |            ON s.qid = pd.qid AND s.nid = pd.j
+           |          GROUP BY 1, 2) m
+           |      ON m.qid = p.qid AND m.nid = p.nid
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
+           |                      WHERE z.qid = p.qid AND z.nid = p.nid))
+           |  WHERE rn = 1),
+           |sel$r AS MATERIALIZED (
+           |  SELECT qid, nid FROM sel${r - 1}
+           |  UNION ALL SELECT qid, nid FROM s$r)""".stripMargin
+    }
+    sb ++= "\nSELECT qid, nid, CAST(rank AS INT) AS rank FROM (" +
+      (1 to k).map(r =>
+        s"SELECT qid, nid, $r AS rank FROM s$r").mkString("\n  UNION ALL ") +
+      ") ORDER BY qid, rank"
+    sb.toString
+  }
 }

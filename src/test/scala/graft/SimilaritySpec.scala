@@ -270,6 +270,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codes(3L).head == 0L)   // -1.0 is dim-0's corpus min
   }
 
+  test("MMR picks the most relevant first, then trades redundancy for " +
+      "coverage") {
+    // query 0 = (1,0). Candidates 1 and 2 are identical long vectors
+    // aligned with the query (relevance 1.2e8 each, mutual dot
+    // 1.44e8 > relevance); 3 is orthogonal (relevance 0, redundancy 0).
+    // Pure relevance ranks (1, 2, 3) — with 1 before 2 only by the id
+    // tie-break, which this also pins. MMR at lambda=1/2 scores 2 at
+    // 1.2e8 − 1.44e8 < 0 after picking 1, so the orthogonal 3 (score
+    // 0) displaces the duplicate: (1, 3, 2).
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.2f, 0.0f)),
+      (2L, Array(1.2f, 0.0f)),
+      (3L, Array(0.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    graft.functions.GraftFunctions.register(TestSpark.spark)
+    val got = Similarity.mmrTopK(e, "vec_id", "embedding",
+        k = 3, poolN = 3, queryLimit = 1L)
+      .select("nid", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
+  }
+
   test("SRP-LSH ANN excludes ragged and null vectors from the index") {
     val good = (0L until 20L).map { i =>
       (i, Array.tabulate(16)(d => math.sin(i + d).toFloat))

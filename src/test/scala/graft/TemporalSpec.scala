@@ -114,6 +114,35 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === Seq((1L, "tiny"))) // shorter than the window: one chunk
   }
 
+  test("native cdc_bounds equals the HOF md5-window spelling the oracle " +
+      "replays, including non-BMP code points") {
+    val w = Dedup.CdcWindow
+    val d = Dedup.CdcDivisor
+    def hofBounds(docs: org.apache.spark.sql.DataFrame) = docs.select(
+      col("doc_id"), expr(
+        s"""IF(length(text) >= $w,
+           |   filter(transform(
+           |     sequence(CAST($w AS BIGINT), CAST(length(text) AS BIGINT)),
+           |     i -> IF(CAST(conv(substring(md5(encode(substring(
+           |              text, CAST(i - ${w - 1} AS INT), $w), 'UTF-8')),
+           |              1, 15), 16, 10) AS BIGINT) % $d = 0,
+           |            i, CAST(NULL AS BIGINT))),
+           |     x -> x IS NOT NULL),
+           |   array())""".stripMargin).as("b"))
+    def natBounds(docs: org.apache.spark.sql.DataFrame) = docs.select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.cdcBounds(col("text"), w, d).as("b"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Long])].collect().toMap
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    assert(toMap(natBounds(real)) === toMap(hofBounds(real)))
+    val uni = Seq(
+      (1L, "héllo wörld ünicode mixé ≥ emoji 😀😀 and enough padding " +
+        "text that several sixteen-char windows exist"),
+      (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    assert(toMap(natBounds(uni)) === toMap(hofBounds(uni)))
+  }
+
   test("cdc boundaries are content-local: a prefix insertion only reshapes " +
       "the head chunks") {
     val base = Tables.documents(spark, "/root/testdata/sf0.001")
