@@ -826,4 +826,28 @@ object Dedup {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
       .withColumn("chunk_digest", md5(encode(col("chunk"), "UTF-8")))
   }
+
+  /** Cross-document chunk sharing: ordered pairs `(i, j)` of documents
+    * sharing at least `minShared` distinct CDC chunks of at least
+    * `minLen` chars, with the shared chunk count and character mass —
+    * the near-dup edge list a content-addressed chunk store yields for
+    * free (two docs that dedup against each other's chunks are the
+    * same edit lineage). Short chunks are excluded up front: a 1-char
+    * chunk shared by half the corpus is noise AND a hot join key.
+    * The digest self-join goes through [[Skew.selfJoinRows]] (tiled
+    * hot buckets — viral boilerplate chunks never own a quadratic
+    * task); the pair aggregate is map-side combined. */
+  def cdcCross(docs: DataFrame, idCol: String, textCol: String,
+      minShared: Int = 2, minLen: Int = 24): DataFrame = {
+    val ch = cdcChunks(docs, textCol)
+      .filter(col("chunk_len") >= minLen)
+      .select(col(idCol).as("id"), col("chunk_digest").as("dg"),
+        col("chunk_len").as("clen"))
+      .distinct()
+    Skew.selfJoinRows(ch, Seq("dg"), "id", Seq("clen"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("shared_chunks"),
+        sum(col("i_clen")).as("shared_chars"))
+      .filter(col("shared_chunks") >= minShared)
+  }
 }

@@ -633,6 +633,50 @@ object DedupQueries {
            |         AS dedup_ratio
            |FROM g GROUP BY source ORDER BY source""".stripMargin),
       doc = "content-defined chunking (Rabin-style local boundaries): " +
-        "per-source chunk-store dedup economics, zero-shuffle chunking")
+        "per-source chunk-store dedup economics, zero-shuffle chunking"),
+
+    // Cross-document chunk sharing: the near-dup edge list a
+    // content-addressed store yields for free — pairs sharing >= 2
+    // distinct CDC chunks of >= 24 chars, with shared chunk count and
+    // character mass. Digest self-join is skew-tiled (boilerplate
+    // chunks are hot keys by construction).
+    "dd_cdc_cross" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.cdcCross(Tables.documents(s, d), "doc_id", "text")
+          .orderBy("i", "j")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id, text, length(text) AS n
+           |           FROM documents),
+           |b AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+           |      FROM t, unnest(range(${Dedup.CdcWindow}, n + 1)) AS u(i)
+           |      WHERE CAST(concat('0x', substr(md5(substr(text,
+           |              CAST(i - ${Dedup.CdcWindow - 1} AS INT),
+           |              ${Dedup.CdcWindow})), 1, 15)) AS BIGINT)
+           |            % ${Dedup.CdcDivisor} = 0),
+           |bounds AS (
+           |  SELECT doc_id, pos FROM b
+           |  UNION SELECT doc_id, CAST(0 AS BIGINT) FROM t WHERE n > 0
+           |  UNION SELECT doc_id, CAST(n AS BIGINT) FROM t WHERE n > 0),
+           |seg AS (SELECT doc_id,
+           |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+           |                 AS lo,
+           |               pos AS hi
+           |        FROM bounds),
+           |ch AS (SELECT DISTINCT s.doc_id,
+           |              md5(substr(t.text, CAST(lo + 1 AS INT),
+           |                         CAST(hi - lo AS INT))) AS dg,
+           |              CAST(hi - lo AS BIGINT) AS clen
+           |       FROM seg s JOIN t USING (doc_id)
+           |       WHERE lo IS NOT NULL AND hi - lo >= 24)
+           |SELECT a.doc_id AS i, b2.doc_id AS j,
+           |       count(*) AS shared_chunks,
+           |       CAST(sum(a.clen) AS BIGINT) AS shared_chars
+           |FROM ch a JOIN ch b2 ON a.dg = b2.dg AND a.doc_id < b2.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY i, j""".stripMargin),
+      doc = "cross-doc CDC chunk sharing: >= 2 shared >= 24-char chunks " +
+        "per pair, skew-tiled digest self-join")
   )
 }

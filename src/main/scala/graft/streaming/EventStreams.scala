@@ -62,6 +62,20 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("event_type"), col("n"))
 
+  /** Stream-static enrichment: each micro-batch of the event stream
+    * equi-joins a STATIC dimension snapshot, broadcast — Structured
+    * Streaming's stream-static join surface (no state store, no
+    * watermark; the static side is re-planned per micro-batch, so a
+    * replaced snapshot file is picked up on the next batch). This is
+    * the streaming form of the reference's per-request bucket/keystore
+    * lookup joins (C1/C5): the dimension rides with the tasks, the
+    * stream never shuffles. Left join — events with no dimension row
+    * pass through with nulls, a metering feed must not drop on a
+    * missing dimension entry. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // ---- stateful session tracking (I-S2 analogue) -------------------------
 
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

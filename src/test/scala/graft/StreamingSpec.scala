@@ -184,6 +184,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dimension per " +
+      "micro-batch and matches the batch join") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("evenrich").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.coalesce(1).write.mode("overwrite").parquet(dir)
+    // a static dimension keyed by event_type; 'view' is deliberately
+    // missing — left semantics must keep those events with a null class
+    val dim = Seq(("click", "interactive"), ("purchase", "revenue"),
+      ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "event_class")
+    val q = EventStreams.enrichedEvents(
+        EventStreams.eventStream(spark, dir), dim, "event_type")
+      .select("event_id", "event_type", "event_class")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .as[(Long, String, Option[String])].collect().toSet
+      val want = events.join(broadcast(dim), Seq("event_type"), "left")
+        .select("event_id", "event_type", "event_class")
+        .as[(Long, String, Option[String])].collect().toSet
+      assert(got == want)
+      assert(got.exists(_._3.isEmpty)) // the uncovered type passed through
+    } finally q.stop()
+  }
+
   def pe(upload: String, kind: String, partno: Int, size: Long, minute: Int) =
     PartEvent(upload, kind, partno, size, f"ck$upload%s$partno%d",
       Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"))
