@@ -297,6 +297,19 @@ object DedupQueries {
       doc = "near-dup clustering: connected components by iterative " +
         "min-label propagation, canonical survivor per cluster"),
 
+    // The steady-state form of the cluster map: the (id, label)
+    // assignment is a PERSISTED id-bucketed lake table (Models.dedupMap
+    // — the similarity join + connected components run once per
+    // corpus), and this query is a plain read of the stored artifact.
+    // Same recursive-CTE oracle as dd_clusters: the from-scratch replay
+    // hash-matching the stored map proves reload == retrain.
+    "dd_clusters_indexed" -> QueryDef(
+      (s, d) => graft.sources.Models.dedupMap(s, d)
+        .select("id", "label").orderBy("id"),
+      Some(clustersSql("0.5")),
+      doc = "persisted dedup map: the cluster assignment as a bucketed " +
+        "lake table, trained once — oracle retrains from scratch"),
+
     // The end-to-end dedup pass a training pipeline runs: shingle →
     // candidates → verify → cluster → keep ONE canonical doc per
     // near-dup cluster (min doc_id), with the cluster size it absorbs.

@@ -215,6 +215,34 @@ object Models {
       .format("parquet").saveAsTable(bandsName)
   }
 
+  // ---- near-dup cluster map (the dedup map) ------------------------------
+
+  def dedupMapPath(sfDir: String, tPct: Int): String =
+    s"${root(sfDir)}/dedup_map_j$tPct"
+
+  /** The persisted near-dup cluster assignment `(id, label)` at Jaccard
+    * ≥ `tPct`/100 — THE artifact a dedup pipeline materializes: the
+    * expensive pass (prefix-filtered similarity join + pointer-jumping
+    * connected components, the bench registry's slowest family) runs
+    * once per corpus; every downstream consumer (survivor pick,
+    * sampling weights, decontamination joins) reads the map. Written
+    * BUCKETED by `id`, so joins back to an id-bucketed corpus plan
+    * zero map-side exchange. Deterministic (min-label canonicalization)
+    * — the recursive-CTE oracle that re-derives the components still
+    * hash-matches a reload. */
+  def dedupMap(spark: SparkSession, sfDir: String,
+      tPct: Int = 50): DataFrame =
+    ensureBucketed(spark, dedupMapPath(sfDir, tPct),
+      "id BIGINT, label BIGINT", "id") {
+      graft.functions.GraftFunctions.register(spark)
+      val docs = graft.Tables.documents(spark, sfDir)
+      val pairs = Dedup
+        .jaccardPairs(docs, "doc_id", "text", tPct / 100.0)
+        .select("i", "j")
+      Dedup.components(docs.select(col("doc_id").as("id")), pairs,
+        pairsContained = true)
+    }
+
   // ---- BPE merge table + trained segmentation dictionary -----------------
 
   def bpeMergesPath(sfDir: String, rounds: Int): String =

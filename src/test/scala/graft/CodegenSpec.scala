@@ -69,6 +69,33 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a != 0L)
   }
 
+  test("cdc_bounds compiles and matches known boundary structure") {
+    val got = Seq("", "short", "a string long enough to hold several " +
+        "sixteen-character windows for the boundary scan")
+      .toDF("text")
+      .select(GraftFunctions.cdcBounds(col("text"), 16, 64).as("b"),
+        length(col("text")).as("n"))
+      .as[(Seq[Long], Int)].collect().toSeq
+    assert(got(0)._1.isEmpty && got(1)._1.isEmpty) // below the window
+    // boundaries, if any, are strictly increasing positions in [16, n]
+    val (bs, n) = got(2)
+    assert(bs == bs.sorted && bs.forall(p => p >= 16 && p <= n))
+  }
+
+  test("mmr_select compiles and picks by relevance-minus-redundancy") {
+    val df = Seq(1).toDF("x").withColumn("cands", expr(
+      "array(struct(10L as nid, 100L as qdot, array(12L) as qv)," +
+        "    struct(11L as nid, 100L as qdot, array(12L) as qv)," +
+        "    struct(12L as nid,  10L as qdot, array(-5L) as qv))"))
+    val got = df.select(explode(
+        GraftFunctions.mmrSelect(col("cands"), 3)).as("m"))
+      .select("m.nid", "m.rank").as[(Long, Int)].collect()
+      .sortBy(_._2).map(_._1).toSeq
+    // 10 first (tie to smaller nid); its duplicate 11 scores
+    // 100-144<0, the anti-correlated 12 scores 10+60>0 -> (10, 12, 11)
+    assert(got == Seq(10L, 12L, 11L))
+  }
+
   test("nearest_cell compiles; no-centroid rows are null, not garbage") {
     val df = Seq(
       (1L, Seq(1L, 0L)),

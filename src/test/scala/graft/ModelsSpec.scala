@@ -147,6 +147,24 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sets1.count() > 0)
   }
 
+  test("dedup map: reload == retrain, bucketed by id") {
+    graft.functions.GraftFunctions.register(spark)
+    val stored = Models.dedupMap(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val retrained = graft.operators.Dedup.components(
+      docs.select(col("doc_id").as("id")),
+      graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+        .select("i", "j"),
+      pairsContained = true)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "label").collect().map(_.toString).sorted.toSeq
+    assert(m(stored) == m(retrained))
+    val p = stored.groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"dedup map not bucketed:\n$p")
+  }
+
   test("bpe artifacts: reload == retrain, dictionary side never shuffles") {
     val (merges, segs) = Models.bpe(spark, sf)
     val (rtMerges, rtSegs) = TextOps.bpeTrain(Tables.documents(spark, sf), "text")
