@@ -310,6 +310,37 @@ object DedupQueries {
       doc = "persisted dedup map: the cluster assignment as a bucketed " +
         "lake table, trained once — oracle retrains from scratch"),
 
+    // A downstream consumer of the persisted map: duplication-aware
+    // sampling weights computed FROM the stored (id, label) table —
+    // cluster sizes + 1/size weights are two cheap aggregates over the
+    // bucketed artifact (zero id-side exchange on the map read), where
+    // dd_dup_weights re-runs the full similarity + components pass.
+    // Same oracle as dd_dup_weights.
+    "dd_dup_weights_indexed" -> QueryDef(
+      (s, d) => {
+        val m = graft.sources.Models.dedupMap(s, d).select("id", "label")
+        val sizes = m.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        m.join(sizes, "label")
+          .select(col("id").as("doc_id"), col("label"), col("cluster_size"),
+            round(lit(1000.0) / col("cluster_size")).cast("long")
+              .as("weight_milli"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""${clustersCtes("0.5")},
+           |labels AS (
+           |  SELECT id, CAST(min(r) AS BIGINT) AS label FROM reach GROUP BY id),
+           |sz AS (
+           |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+           |  FROM labels GROUP BY 1)
+           |SELECT l.id AS doc_id, l.label, s.cluster_size,
+           |       CAST(round(1000.0 / s.cluster_size) AS BIGINT) AS weight_milli
+           |FROM labels l JOIN sz s USING (label)
+           |ORDER BY doc_id""".stripMargin),
+      doc = "duplication-aware weights from the PERSISTED dedup map: " +
+        "two aggregates over the stored artifact, no retraining — " +
+        "oracle retrains from scratch"),
+
     // The end-to-end dedup pass a training pipeline runs: shingle →
     // candidates → verify → cluster → keep ONE canonical doc per
     // near-dup cluster (min doc_id), with the cluster size it absorbs.

@@ -427,6 +427,42 @@ object EventQueries {
         Tables.evSql,
         "e AS (SELECT epoch_us(ts) AS us, event_type FROM ev)")),
       doc = "sliding-window trending top-3 event types (1h window / 30min " +
-        "slide): integer window ids via 2-element explode, one scan")
+        "slide): integer window ids via 2-element explode, one scan"),
+
+    // Trailing-hour rolling stats per user: a RANGE window frame (all
+    // rows whose event time falls within the preceding hour of the
+    // current row's — value-based, so simultaneous events are always in
+    // each other's frame regardless of tie order, where a ROWS frame
+    // would be nondeterministic under ties). One user_id shuffle; the
+    // summed measure is exact integer cents.
+    "ev_rolling" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-3600000000L, 0)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("cents_1h", sum("cents").over(w))
+          .select(col("event_id"), col("user_id"), col("us"),
+            col("n_1h"), coalesce(col("cents_1h"), lit(0L)).as("cents_1h"))
+          .orderBy("event_id")
+      },
+      Some(withCtes(
+        """SELECT event_id, user_id, us,
+          |       count(*) OVER w AS n_1h,
+          |       coalesce(CAST(sum(cents) OVER w AS BIGINT),
+          |                CAST(0 AS BIGINT)) AS cents_1h
+          |FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+          |             CAST(floor(value * 100) AS BIGINT) AS cents
+          |      FROM ev)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY us
+          |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
+        Tables.evSql)),
+      doc = "trailing-1h rolling count/sum per user: value-based RANGE " +
+        "frame (tie-safe), exact integer cents, one user_id shuffle")
   )
 }

@@ -1112,7 +1112,135 @@ object TextQueries {
       doc = "steady-state BPE apply: persisted bucketed dictionary " +
         "(zero dictionary-side exchange), oracle retrains — reload " +
         "matches retrain")
-  )
+  ) + kmvSetopsDef
+
+  /** KMV set-operation entry, separate val to keep `defs` readable. */
+  private lazy val kmvSetopsDef: (String, QueryDef) = {
+    val k = 256
+    val M = 4503599627370496.0 // 2^52
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    "tx_kmv_setops" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val hs = Tables.documents(s, d)
+          .filter(col("source").isin(srcs: _*))
+          .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+          .select(col("source"), explode(expr(
+            """IF(size(toks) >= 3,
+              |   transform(sequence(0, size(toks) - 3),
+              |     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])),
+              |   CAST(array() AS ARRAY<STRING>))""".stripMargin)).as("s3"))
+          .select(col("source"),
+            conv(substring(md5(encode(col("s3"), "UTF-8")), 1, 13), 16, 10)
+              .cast("long").as("h"))
+          .distinct()
+          .localCheckpoint(true) // feeds sketches AND exact counts
+        val sk = hs.groupBy("source")
+          .agg(GraftFunctions.kmvMins(col("h"), k).as("mins"))
+        val pairs = sk
+          .select(col("source").as("src_a"), col("mins").as("ma"))
+          .crossJoin(sk.select(col("source").as("src_b"),
+            col("mins").as("mb")))
+          .filter(col("src_a") < col("src_b"))
+          .withColumn("umins", expr(
+            s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)"))
+          .withColumn("u_n", size(col("umins")).cast("long"))
+          .withColumn("u_kth",
+            coalesce(expr(s"try_element_at(umins, $k)"), lit(0L)))
+          .withColumn("inter_k", size(expr(
+            "array_intersect(array_intersect(umins, ma), mb)")).cast("long"))
+        val estU = lit(255.0) * lit(M) / col("u_kth").cast("double")
+        val ns = hs.groupBy("source").agg(count(lit(1)).as("n"))
+        val exi = hs.select(col("source").as("src_a"), col("h"))
+          .join(hs.select(col("source").as("src_b"), col("h")), "h")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("ei"))
+        pairs
+          .join(ns.select(col("source").as("src_a"), col("n").as("na")),
+            "src_a")
+          .join(ns.select(col("source").as("src_b"), col("n").as("nb")),
+            "src_b")
+          .join(exi, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"), col("u_n"),
+            when(col("u_n") < k, col("u_n").cast("double"))
+              .otherwise(estU).as("est_union"),
+            when(col("u_n") < k, col("inter_k").cast("double"))
+              .otherwise(col("inter_k").cast("double") / lit(256.0) * estU)
+              .as("est_inter"),
+            (col("na") + col("nb") - coalesce(col("ei"), lit(0L)))
+              .as("exact_union"),
+            coalesce(col("ei"), lit(0L)).as("exact_inter"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(
+        s"""WITH t AS (
+           |  SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS w
+           |  FROM documents
+           |  WHERE source IN (${srcs.map(x => s"'$x'").mkString(", ")})),
+           |hs AS (
+           |  SELECT DISTINCT source,
+           |         CAST(concat('0x', substr(md5(
+           |           w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 13))
+           |           AS BIGINT) AS h
+           |  FROM t, unnest(range(1, len(w) - 1)) AS u(i)
+           |  WHERE len(w) >= 3),
+           |r AS (SELECT source, h,
+           |             row_number() OVER (PARTITION BY source ORDER BY h)
+           |               AS rn
+           |      FROM hs),
+           |mins AS (SELECT source, h FROM r WHERE rn <= $k),
+           |pu AS (SELECT a.source AS src_a, b.source AS src_b
+           |       FROM (SELECT DISTINCT source FROM hs) a
+           |       JOIN (SELECT DISTINCT source FROM hs) b
+           |         ON a.source < b.source),
+           |um AS (SELECT pu.src_a, pu.src_b, m.h
+           |       FROM pu JOIN mins m ON m.source = pu.src_a
+           |       UNION
+           |       SELECT pu.src_a, pu.src_b, m.h
+           |       FROM pu JOIN mins m ON m.source = pu.src_b),
+           |ur AS (SELECT src_a, src_b, h,
+           |              row_number() OVER (PARTITION BY src_a, src_b
+           |                                 ORDER BY h) AS rn
+           |       FROM um),
+           |us AS (SELECT src_a, src_b, h FROM ur WHERE rn <= $k),
+           |ustat AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS u_n,
+           |                 max(h) AS u_kth
+           |          FROM us GROUP BY 1, 2),
+           |icnt AS (SELECT us.src_a, us.src_b,
+           |                CAST(count(*) AS BIGINT) AS inter_k
+           |         FROM us
+           |         JOIN mins ma ON ma.source = us.src_a AND ma.h = us.h
+           |         JOIN mins mb ON mb.source = us.src_b AND mb.h = us.h
+           |         GROUP BY 1, 2),
+           |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           |       FROM hs GROUP BY 1),
+           |exi AS (SELECT a.source AS src_a, b.source AS src_b,
+           |               CAST(count(*) AS BIGINT) AS ei
+           |        FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+           |        GROUP BY 1, 2)
+           |SELECT u.src_a, u.src_b, u.u_n,
+           |  CASE WHEN u.u_n < $k THEN CAST(u.u_n AS DOUBLE)
+           |       ELSE CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(u.u_kth AS DOUBLE)
+           |  END AS est_union,
+           |  CASE WHEN u.u_n < $k
+           |       THEN CAST(coalesce(i.inter_k, 0) AS DOUBLE)
+           |       ELSE CAST(coalesce(i.inter_k, 0) AS DOUBLE) / CAST(256 AS DOUBLE) *
+           |            (CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+           |             / CAST(u.u_kth AS DOUBLE))
+           |  END AS est_inter,
+           |  na.n + nb.n - coalesce(e.ei, CAST(0 AS BIGINT)) AS exact_union,
+           |  coalesce(e.ei, CAST(0 AS BIGINT)) AS exact_inter
+           |FROM ustat u
+           |JOIN ns na ON na.source = u.src_a
+           |JOIN ns nb ON nb.source = u.src_b
+           |LEFT JOIN icnt i ON i.src_a = u.src_a AND i.src_b = u.src_b
+           |LEFT JOIN exi e ON e.src_a = u.src_a AND e.src_b = u.src_b
+           |ORDER BY u.src_a, u.src_b""".stripMargin),
+      doc = "KMV sketch set operations (Beyer et al. 2007): cross-source " +
+        "shingle-overlap estimates — union via k-th min of the merged " +
+        "sketch, intersection via the union-sketch membership ratio — " +
+        "next to the exact answers, all deterministic")
+  }
 
   /** Unrolled DuckDB replay of [[TextOps.bpeTrain]]: CTEs `w` (word
     * dictionary), `s0` (char segmentation), then per round `r`:
