@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
   * (reference scalar kernels, SURVEY.md §2.H). */
 object GraftFunctions {
 
+  /** Extract a required int-literal argument of a registered function
+    * — one uniform error (NULL literal included) for every call site. */
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+        if v != null => v.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a non-null literal int, got $other")
+  }
+
   /** Register all custom Catalyst expressions on a session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -23,15 +33,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "ldot", exprs => LongArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => {
-        val w = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"shingle_hashes: w must be a literal, got $other")
-        }
-        ShingleHashes(exprs(0), w)
-      }, "built-in")
+      "shingle_hashes", exprs =>
+        ShingleHashes(exprs(0), intLit(exprs(1), "shingle_hashes", "w")),
+      "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
@@ -64,36 +68,19 @@ object GraftFunctions {
         SubwordTokens(exprs(0), vocab)
       }, "built-in")
     reg.createOrReplaceTempFunction(
-      "cdc_bounds", exprs => {
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-            what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"cdc_bounds: $what must be a literal, got $other")
-        }
-        CdcBounds(exprs(0), intLit(exprs(1), "w"), intLit(exprs(2), "divisor"))
-      }, "built-in")
+      "cdc_bounds", exprs =>
+        CdcBounds(exprs(0), intLit(exprs(1), "cdc_bounds", "w"),
+          intLit(exprs(2), "cdc_bounds", "divisor")),
+      "built-in")
     reg.createOrReplaceTempFunction(
-      "mmr_select", exprs => {
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"mmr_select: k must be a literal, got $other")
-        }
-        MmrSelect(exprs(0), k)
-      }, "built-in")
+      "mmr_select", exprs =>
+        MmrSelect(exprs(0), intLit(exprs(1), "mmr_select", "k")),
+      "built-in")
     reg.createOrReplaceTempFunction(
-      "kmv_mins", exprs => {
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-            v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"kmv_mins: k must be a literal, got $other")
-        }
-        KmvSketch(exprs(0), k).toAggregateExpression()
-      }, "built-in")
+      "kmv_mins", exprs =>
+        KmvSketch(exprs(0), intLit(exprs(1), "kmv_mins", "k"))
+          .toAggregateExpression(),
+      "built-in")
   }
 
   /** KMV cardinality sketch: the k smallest distinct values of a hash

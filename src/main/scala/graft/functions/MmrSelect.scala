@@ -37,7 +37,12 @@ case class MmrSelect(child: Expression, k: Int) extends UnaryExpression {
     case ArrayType(StructType(fields), _)
         if fields.length == 3 && fields(0).dataType == LongType &&
           fields(1).dataType == LongType &&
-          fields(2).dataType.isInstanceOf[ArrayType] && k >= 1 =>
+          // the kernel reads the vector with toLongArray — any other
+          // element type would be silently misread, not coerced
+          (fields(2).dataType match {
+            case ArrayType(LongType, _) => true
+            case _ => false
+          }) && k >= 1 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       "mmr_select expects (array<struct<nid:bigint, qdot:bigint, " +

@@ -41,7 +41,16 @@ object Temporal {
                time: String, tie: String, payloads: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
     val extras = probeCols.filterNot(c => c == key || c == time)
-    val bAsof = build.select(
+    // SQL join semantics for NULLs: a build row with a NULL key, time,
+    // or tie can never be "the latest at-or-before" anything — drop it
+    // here, or nulls-first ordering would sort it ahead of every probe
+    // and leak it into their running `last`. NULL-key/time PROBES stay:
+    // their partition (or their nulls-first position) contains no
+    // surviving build, so they emit a NULL `asof` — left-join
+    // semantics, same as the max-subquery spelling.
+    val cleanBuild = build.filter(
+      col(key).isNotNull && col(time).isNotNull && col(tie).isNotNull)
+    val bAsof = cleanBuild.select(
       col(key), col(time), lit(1).as("_b"),
       struct(
         col(time) +: col(tie) +: payloads.map(col): _*).as("asof"))

@@ -379,19 +379,39 @@ object TextOps {
     var segs = bpeWordDict(docs, textCol)
       .withColumn("seg", bpeSeg0(col("word")))
       .localCheckpoint(true)
-    val merges = (1 to rounds).map { r =>
+    val merges = Seq.newBuilder[DataFrame]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val best = bpePairCounts(segs)
         .orderBy(col("pc").desc, col("pr"))
         .limit(1)
         .localCheckpoint(true)
-      segs = segs
-        .crossJoin(broadcast(best.select(col("pr").as("_pr"))))
-        .withColumn("seg", bpeApply(col("seg"), col("_pr")))
-        .drop("_pr")
-        .localCheckpoint(true)
-      best.select(lit(r).as("round"), col("pr").as("pair"),
-        col("pc").as("pair_count"))
+      if (best.isEmpty) {
+        // no adjacent pairs remain (every word fully merged): stop —
+        // an empty `best` cross-joined in would silently EMPTY the
+        // dictionary. The oracle's per-round CTEs guard the same way
+        // (no b_r row → s_r carries s_{r-1} through unchanged), so
+        // both sides emit merges only for the rounds that happened.
+        exhausted = true
+      } else {
+        segs = segs
+          .crossJoin(broadcast(best.select(col("pr").as("_pr"))))
+          .withColumn("seg", bpeApply(col("seg"), col("_pr")))
+          .drop("_pr")
+          .localCheckpoint(true)
+        merges += best.select(lit(r).as("round"), col("pr").as("pair"),
+          col("pc").as("pair_count"))
+        r += 1
+      }
     }
-    (merges.reduce(_ union _), segs)
+    val built = merges.result()
+    val mergesDf =
+      if (built.nonEmpty) built.reduce(_ union _)
+      else segs.sparkSession.emptyDataFrame
+        .select(lit(0).as("round"), lit("").as("pair"),
+          lit(0L).as("pair_count"))
+        .limit(0)
+    (mergesDf, segs)
   }
 }

@@ -24,6 +24,29 @@ object DedupQueries {
       |  FROM toks
       |)""".stripMargin
 
+  /** DuckDB CTEs replaying the CDC boundary scan (`t`/`b`/`bounds`/
+    * `seg`) — ONE spelling of the window/divisor/bounds arithmetic,
+    * shared by both CDC oracles so the boundary definition cannot
+    * drift between them. */
+  private val cdcSegCtes: String =
+    s"""t AS (SELECT doc_id, source, text, length(text) AS n
+       |      FROM documents),
+       |b AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
+       |      FROM t, unnest(range(${Dedup.CdcWindow}, n + 1)) AS u(i)
+       |      WHERE CAST(concat('0x', substr(md5(substr(text,
+       |              CAST(i - ${Dedup.CdcWindow - 1} AS INT),
+       |              ${Dedup.CdcWindow})), 1, 15)) AS BIGINT)
+       |            % ${Dedup.CdcDivisor} = 0),
+       |bounds AS (
+       |  SELECT doc_id, pos FROM b
+       |  UNION SELECT doc_id, CAST(0 AS BIGINT) FROM t WHERE n > 0
+       |  UNION SELECT doc_id, CAST(n AS BIGINT) FROM t WHERE n > 0),
+       |seg AS (SELECT doc_id,
+       |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                 AS lo,
+       |               pos AS hi
+       |        FROM bounds)""".stripMargin
+
   /** Brute-force pairwise-Jaccard oracle at a given threshold (DuckDB
     * list_intersect over per-doc distinct 3-gram shingle lists). */
   private def pairwiseJaccardSql(threshold: String): String =
@@ -643,23 +666,7 @@ object DedupQueries {
           col("unique_chars").cast("double") / col("total_chars").cast("double"))
         .orderBy("source"),
       Some(
-        s"""WITH t AS (SELECT doc_id, source, text, length(text) AS n
-           |           FROM documents),
-           |b AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
-           |      FROM t, unnest(range(${Dedup.CdcWindow}, n + 1)) AS u(i)
-           |      WHERE CAST(concat('0x', substr(md5(substr(text,
-           |              CAST(i - ${Dedup.CdcWindow - 1} AS INT),
-           |              ${Dedup.CdcWindow})), 1, 15)) AS BIGINT)
-           |            % ${Dedup.CdcDivisor} = 0),
-           |bounds AS (
-           |  SELECT doc_id, pos FROM b
-           |  UNION SELECT doc_id, CAST(0 AS BIGINT) FROM t WHERE n > 0
-           |  UNION SELECT doc_id, CAST(n AS BIGINT) FROM t WHERE n > 0),
-           |seg AS (SELECT doc_id,
-           |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-           |                 AS lo,
-           |               pos AS hi
-           |        FROM bounds),
+        s"""WITH $cdcSegCtes,
            |ch AS (SELECT s.doc_id, t.source,
            |              substr(t.text, CAST(lo + 1 AS INT),
            |                     CAST(hi - lo AS INT)) AS chunk
@@ -691,23 +698,7 @@ object DedupQueries {
           .orderBy("i", "j")
       },
       Some(
-        s"""WITH t AS (SELECT doc_id, text, length(text) AS n
-           |           FROM documents),
-           |b AS (SELECT doc_id, CAST(i AS BIGINT) AS pos
-           |      FROM t, unnest(range(${Dedup.CdcWindow}, n + 1)) AS u(i)
-           |      WHERE CAST(concat('0x', substr(md5(substr(text,
-           |              CAST(i - ${Dedup.CdcWindow - 1} AS INT),
-           |              ${Dedup.CdcWindow})), 1, 15)) AS BIGINT)
-           |            % ${Dedup.CdcDivisor} = 0),
-           |bounds AS (
-           |  SELECT doc_id, pos FROM b
-           |  UNION SELECT doc_id, CAST(0 AS BIGINT) FROM t WHERE n > 0
-           |  UNION SELECT doc_id, CAST(n AS BIGINT) FROM t WHERE n > 0),
-           |seg AS (SELECT doc_id,
-           |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-           |                 AS lo,
-           |               pos AS hi
-           |        FROM bounds),
+        s"""WITH $cdcSegCtes,
            |ch AS (SELECT DISTINCT s.doc_id,
            |              md5(substr(t.text, CAST(lo + 1 AS INT),
            |                         CAST(hi - lo AS INT))) AS dg,

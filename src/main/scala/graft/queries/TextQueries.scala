@@ -1009,110 +1009,80 @@ object TextQueries {
     // segmented text — one hash pins every merge decision at every
     // position of every document.
     "tx_bpe_segment" -> QueryDef(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val (_, segs) = TextOps.bpeTrain(docs, "text")
-        val words = docs.select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
-          .filter(col("word") =!= "")
-        val perDoc = words.join(segs.select("word", "seg"), "word")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_words"),
-            sum(size(split(trim(col("seg")), " ")).cast("long"))
-              .as("n_bpe_tokens"),
-            md5(encode(array_join(expr(
-              "transform(array_sort(collect_list(struct(pos, seg))), x -> trim(x.seg))"),
-              " "), "UTF-8")).as("seg_md5"))
-        docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_words"), lit(0L)).as("n_words"),
-            coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-            coalesce(col("seg_md5"), lit("")).as("seg_md5"))
-          .orderBy("doc_id")
-      },
-      Some(bpeOracle(TextOps.BpeRounds,
-        s"""SELECT d.doc_id,
-           |       coalesce(n_words, CAST(0 AS BIGINT)) AS n_words,
-           |       coalesce(n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
-           |       coalesce(seg_md5, '') AS seg_md5
-           |FROM documents d LEFT JOIN pd USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin,
-        s""",
-           |wrds AS (
-           |  SELECT doc_id, i AS pos, w[i] AS word
-           |  FROM (SELECT doc_id,
-           |               string_split_regex(trim(lower(text)), '\\s+') AS w
-           |        FROM documents),
-           |       unnest(range(1, len(w) + 1)) AS u(i)
-           |  WHERE w[i] <> ''),
-           |ap AS (
-           |  SELECT doc_id, pos, trim(s.seg) AS seg,
-           |         len(string_split(trim(s.seg), ' ')) AS ntk
-           |  FROM wrds JOIN s${TextOps.BpeRounds} s USING (word)),
-           |pd AS (
-           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-           |         CAST(sum(ntk) AS BIGINT) AS n_bpe_tokens,
-           |         md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_md5
-           |  FROM ap GROUP BY doc_id)""".stripMargin)),
+      (s, d) => bpeSegmentQuery(Tables.documents(s, d),
+        TextOps.bpeTrain(Tables.documents(s, d), "text")._2),
+      Some(bpeSegmentOracle),
       doc = "trained BPE applied to the corpus: dictionary equi-join, " +
         "per-doc token counts + order-sensitive segmentation md5"),
 
     // The steady-state form: the trained dictionary is a PERSISTED
     // bucketed lake table (Models.bpe — trained once per corpus, a
     // dictionary-sized zero-exchange read thereafter), so the query is
-    // pure apply: explode words, join the stored segmentations,
-    // aggregate. Same oracle as tx_bpe_segment — the oracle retrains
-    // from scratch, so the hash match proves reload ≡ retrain.
+    // pure apply over the stored artifact. Same oracle as
+    // tx_bpe_segment — the oracle retrains from scratch, so the hash
+    // match proves reload ≡ retrain.
     "tx_bpe_segment_indexed" -> QueryDef(
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val (_, segs) = graft.sources.Models.bpe(s, d)
-        val words = docs.select(col("doc_id"),
-          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
-          .filter(col("word") =!= "")
-        val perDoc = words.join(segs.select("word", "seg"), "word")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_words"),
-            sum(size(split(trim(col("seg")), " ")).cast("long"))
-              .as("n_bpe_tokens"),
-            md5(encode(array_join(expr(
-              "transform(array_sort(collect_list(struct(pos, seg))), x -> trim(x.seg))"),
-              " "), "UTF-8")).as("seg_md5"))
-        docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_words"), lit(0L)).as("n_words"),
-            coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-            coalesce(col("seg_md5"), lit("")).as("seg_md5"))
-          .orderBy("doc_id")
-      },
-      Some(bpeOracle(TextOps.BpeRounds,
-        s"""SELECT d.doc_id,
-           |       coalesce(n_words, CAST(0 AS BIGINT)) AS n_words,
-           |       coalesce(n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
-           |       coalesce(seg_md5, '') AS seg_md5
-           |FROM documents d LEFT JOIN pd USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin,
-        s""",
-           |wrds AS (
-           |  SELECT doc_id, i AS pos, w[i] AS word
-           |  FROM (SELECT doc_id,
-           |               string_split_regex(trim(lower(text)), '\\s+') AS w
-           |        FROM documents),
-           |       unnest(range(1, len(w) + 1)) AS u(i)
-           |  WHERE w[i] <> ''),
-           |ap AS (
-           |  SELECT doc_id, pos, trim(s.seg) AS seg,
-           |         len(string_split(trim(s.seg), ' ')) AS ntk
-           |  FROM wrds JOIN s${TextOps.BpeRounds} s USING (word)),
-           |pd AS (
-           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-           |         CAST(sum(ntk) AS BIGINT) AS n_bpe_tokens,
-           |         md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_md5
-           |  FROM ap GROUP BY doc_id)""".stripMargin)),
+      (s, d) => bpeSegmentQuery(Tables.documents(s, d),
+        graft.sources.Models.bpe(s, d)._2),
+      Some(bpeSegmentOracle),
       doc = "steady-state BPE apply: persisted bucketed dictionary " +
         "(zero dictionary-side exchange), oracle retrains — reload " +
         "matches retrain")
   ) + kmvSetopsDef
+
+
+  /** Shared apply-the-dictionary body of the two BPE segmentation
+    * queries (retrain-per-run vs persisted dictionary): explode words
+    * with position, join the segmentation dictionary, per-doc token
+    * counts + an order-sensitive md5 over the full segmented text,
+    * LEFT JOIN back to documents so empty/whitespace-only docs survive
+    * with zeros. One definition — the two entries cannot drift. */
+  private def bpeSegmentQuery(docs: org.apache.spark.sql.DataFrame,
+      segs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val perDoc = words.join(segs.select("word", "seg"), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(trim(col("seg")), " ")).cast("long"))
+          .as("n_bpe_tokens"),
+        md5(encode(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, seg))), x -> trim(x.seg))"),
+          " "), "UTF-8")).as("seg_md5"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("seg_md5"), lit("")).as("seg_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The one oracle both segmentation entries share. */
+  private lazy val bpeSegmentOracle: String = bpeOracle(TextOps.BpeRounds,
+    s"""SELECT d.doc_id,
+       |       coalesce(n_words, CAST(0 AS BIGINT)) AS n_words,
+       |       coalesce(n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+       |       coalesce(seg_md5, '') AS seg_md5
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin,
+    s""",
+       |wrds AS (
+       |  SELECT doc_id, i AS pos, w[i] AS word
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(trim(lower(text)), '\\s+') AS w
+       |        FROM documents),
+       |       unnest(range(1, len(w) + 1)) AS u(i)
+       |  WHERE w[i] <> ''),
+       |ap AS (
+       |  SELECT doc_id, pos, trim(s.seg) AS seg,
+       |         len(string_split(trim(s.seg), ' ')) AS ntk
+       |  FROM wrds JOIN s${TextOps.BpeRounds} s USING (word)),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(ntk) AS BIGINT) AS n_bpe_tokens,
+       |         md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_md5
+       |  FROM ap GROUP BY doc_id)""".stripMargin)
 
   /** KMV set-operation entry, separate val to keep `defs` readable. */
   private lazy val kmvSetopsDef: (String, QueryDef) = {
@@ -1276,12 +1246,13 @@ object TextQueries {
            |b$r AS MATERIALIZED (SELECT pr, pc FROM p$r ORDER BY pc DESC, pr LIMIT 1),
            |s$r AS MATERIALIZED (
            |  SELECT word, c,
-           |         replace(replace(seg,
-           |             ' ' || (SELECT pr FROM b$r) || ' ',
-           |             ' ' || (SELECT replace(pr, ' ', '') FROM b$r) || ' '),
-           |           ' ' || (SELECT pr FROM b$r) || ' ',
-           |           ' ' || (SELECT replace(pr, ' ', '') FROM b$r) || ' ')
-           |           AS seg
+           |         CASE WHEN (SELECT count(*) FROM b$r) = 0 THEN seg
+           |              ELSE replace(replace(seg,
+           |                ' ' || (SELECT pr FROM b$r) || ' ',
+           |                ' ' || (SELECT replace(pr, ' ', '') FROM b$r) || ' '),
+           |              ' ' || (SELECT pr FROM b$r) || ' ',
+           |              ' ' || (SELECT replace(pr, ' ', '') FROM b$r) || ' ')
+           |         END AS seg
            |  FROM s${r - 1})""".stripMargin
     }
     sb ++= ",\nmerges AS (" + (1 to rounds).map(r =>

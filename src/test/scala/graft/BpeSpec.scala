@@ -53,6 +53,16 @@ class BpeSpec extends AnyFunSuite {
     assert(segs("a").trim === "a")
   }
 
+  test("training stops cleanly when merges exhaust before the round budget") {
+    // "ab ab": round 1 merges "a b" and every word is one symbol;
+    // rounds 2..5 have no pairs — an unguarded empty-argmax cross join
+    // would silently EMPTY the dictionary (and the oracle would not)
+    val (merges, segs) = train(Seq("ab ab"), 5)
+    assert(merges === Seq((1, "a b", 2L)))
+    assert(segs("ab").trim === "ab")
+    assert(segs.size === 1) // the dictionary survives the dry rounds
+  }
+
   test("merge counts are non-increasing across rounds on real data") {
     // a new pair (x, AB) created by merging AB can only occur where
     // (x, A) occurred, so each round's max is <= the previous round's —

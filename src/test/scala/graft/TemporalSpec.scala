@@ -66,6 +66,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(2L) === ((11L, None)))
   }
 
+  test("as-of join: NULL-time/key builds never match; NULL probes keep " +
+      "left semantics") {
+    val p = Seq(
+      (1L, Option(7L), Option(100L)),
+      (2L, Option.empty[Long], Option(100L)), // null key
+      (3L, Option(7L), Option.empty[Long]))   // null time
+      .toDF("event_id", "user_id", "us")
+    val b = Seq(
+      (Option(7L), Option.empty[Long], 10L, 1.0), // null time: dropped
+      (Option.empty[Long], Option(50L), 11L, 2.0), // null key: dropped
+      (Option(7L), Option(50L), 12L, 3.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val got = Temporal.asofJoin(p, b, "user_id", "us", "event_id",
+        Seq("value"))
+      .select($"event_id", $"asof.event_id".as("aeid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(12L), 2L -> None, 3L -> None))
+  }
+
   // ---- interval overlap join -------------------------------------------
 
   test("interval join matches across bucket boundaries, inclusive ends, no dups") {
