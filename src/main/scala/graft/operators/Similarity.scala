@@ -375,6 +375,79 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---- IVF-PQ (coarse cells + residual product quantization) ------------
+
+  /** IVF-PQ ANN (Jégou et al. 2011 §IV — the FAISS `IVFPQ` shape, the
+    * index production vector search actually deploys): the coarse
+    * quantizer routes every vector to a cell, product quantization
+    * encodes the RESIDUAL `x − centroid` (residuals cluster near the
+    * origin, so the same codebook budget buys far finer resolution
+    * than PQ on raw vectors), and a query probes its `nProbe` nearest
+    * cells, scoring only those cells' codes via ADC lookup tables
+    * built from the QUERY's residual in each probed cell. Exact int64
+    * end to end — centroids, residuals, codes, and asymmetric
+    * distances all hash-match the oracle's replay.
+    *
+    * Scale shape: the stored index is `(cid, m 4-bit codes)` per
+    * vector; the centroid table and residual codebook each broadcast
+    * as one row, the per-query LUTs broadcast with the (tiny) probe
+    * set, and the scan side touches only the probed cells' codes —
+    * partition the codes table by `cid` and each query reads
+    * `~nProbe/nList` of the index. The only exchange is the per-query
+    * top-k window. */
+  def ivfPqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryLimit: Long, nList: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val prep = prepared(embs, idCol, vecCol)
+      .filter(size(col("qv")) === dim).cache()
+    val cents = refinedCentroids(prep, nList, iters).localCheckpoint(true)
+    val cvOf = broadcast(cents.select(col("cid"), col("cv")))
+    // per-vector residual in its own cell
+    val res = withNearestCell(prep, cents)
+      .join(cvOf, "cid")
+      .withColumn("rv", expr("zip_with(qv, cv, (x, c) -> x - c)"))
+      .select(col("id"), col("cid"), col("rv"), col("qv"))
+      .localCheckpoint(true) // feeds codebook AND corpus encoding
+    // residual codebook: ONE broadcast cbid-sorted row (sample id<ksub)
+    val cb = broadcast(res.filter(col("id") < ksub)
+      .agg(array_sort(collect_list(
+        struct(col("id").as("cid"), col("rv").as("cv")))).as("_cb")))
+    val codeArr = transform(sequence(lit(0), lit(m - 1)), mm =>
+      array_min(transform(sequence(lit(1), lit(ksub)), p =>
+        struct(subD2(col("rv"), element_at(col("_cb"), p).getField("cv"),
+          mm, subDim).as("d2"), p.as("p")))
+        .cast("array<struct<d2:bigint,p:int>>")).getField("p"))
+    val codes = res.crossJoin(cb)
+      .select(col("id").as("nid"), col("cid"), codeArr.as("codes"))
+    // per-query probe list + per-probed-cell residual LUTs
+    val probe = prep.filter(col("id") < queryLimit)
+      .crossJoin(centArr(cents))
+      .select(col("id").as("qid"), col("qv"),
+        explode(transform(slice(array_sort(distArr), 1, nProbe),
+          c => c.getField("cid"))).as("cid"))
+    val luts = probe.join(cvOf, "cid")
+      .withColumn("qrv", expr("zip_with(qv, cv, (x, c) -> x - c)"))
+      .crossJoin(cb)
+      .select(col("qid"), col("cid"),
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          transform(col("_cb"), e =>
+            subD2(col("qrv"), e.getField("cv"), mm, subDim))).as("luts"))
+    val scored = codes.join(broadcast(luts), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        aggregate(zip_with(col("codes"), col("luts"),
+          (c, lut) => element_at(lut, c)),
+          lit(0L), (acc, x) => acc + x).as("ad2"))
+    val w = Window.partitionBy("qid").orderBy(col("ad2"), col("nid"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .localCheckpoint(true)
+    prep.unpersist()
+    out
+  }
+
   // ---- SRP-LSH (the scale path) -----------------------------------------
 
   /** Deterministic pseudo-random *integer* hyperplanes (LCG, fixed

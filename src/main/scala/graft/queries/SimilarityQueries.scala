@@ -189,6 +189,64 @@ object SimilarityQueries {
        |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB replay of [[Similarity.ivfPqTopK]]: refined centroids,
+    * per-vector residuals, residual codebook + code assignment, probe
+    * lists, per-cell query-residual LUT distances, ADC sums. Generated
+    * from the same parameters the Spark side uses. */
+  private def ivfPqOracleSql(k: Int, queryLimit: Int, nList: Int,
+      nProbe: Int, iters: Int, m: Int, ksub: Int): String = {
+    val cents = s"cents$iters"
+    val subDim = 64 / m
+    def subd2(a: String, b: String): String =
+      s"""CAST(list_sum([($a[CAST(t.m*$subDim+kk AS INT)]
+         | - $b[CAST(t.m*$subDim+kk AS INT)])
+         | * ($a[CAST(t.m*$subDim+kk AS INT)]
+         | - $b[CAST(t.m*$subDim+kk AS INT)])
+         |for kk in range(1, ${subDim + 1})]) AS BIGINT)""".stripMargin
+    s"""WITH $duckPrep,
+       |${centsSql(nList, iters)},
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    ${rankedSql(cents, "")}) WHERE rnk = 1),
+       |res AS (
+       |  SELECT p.vec_id, a.cid,
+       |         [p.qv[kk] - c.cv[kk] for kk in range(1, 65)] AS rv
+       |  FROM p JOIN asg a USING (vec_id) JOIN $cents c USING (cid)),
+       |cb AS (SELECT vec_id AS cbid, rv AS cbv FROM res
+       |       WHERE vec_id < $ksub),
+       |cd AS (
+       |  SELECT vec_id, cid, m, cbid FROM (
+       |    SELECT r.vec_id, r.cid, t.m, c.cbid,
+       |           row_number() OVER (PARTITION BY r.vec_id, t.m
+       |             ORDER BY ${subd2("r.rv", "c.cbv")}, c.cbid) AS rn
+       |    FROM res r, unnest(range(0, $m)) AS t(m), cb c)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    ${rankedSql(cents, s" WHERE p.vec_id < $queryLimit")})
+       |  WHERE rnk <= $nProbe),
+       |qres AS (
+       |  SELECT pr.qid, pr.cid,
+       |         [p.qv[kk] - c.cv[kk] for kk in range(1, 65)] AS qrv
+       |  FROM probe pr JOIN p ON p.vec_id = pr.qid
+       |       JOIN $cents c USING (cid)),
+       |qd AS (
+       |  SELECT q.qid, q.cid, t.m, c.cbid,
+       |         ${subd2("q.qrv", "c.cbv")} AS d2
+       |  FROM qres q, unnest(range(0, $m)) AS t(m), cb c),
+       |adc AS (
+       |  SELECT qd.qid, cd.vec_id AS nid, CAST(sum(qd.d2) AS BIGINT) AS ad2
+       |  FROM cd JOIN qd ON qd.cid = cd.cid AND qd.m = cd.m
+       |                 AND qd.cbid = cd.cbid
+       |  WHERE qd.qid <> cd.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT qid, nid, ad2, CAST(rank AS INT) AS rank FROM (
+       |  SELECT qid, nid, ad2,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY ad2, nid) AS rank
+       |  FROM adc) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB replay of [[Similarity.semDedup]]: refined centroids + cell
     * assignment + within-cell lower-id near-neighbor drop rule. */
   private def semDedupOracleSql(threshold: Double, nList: Int,
@@ -609,6 +667,25 @@ object SimilarityQueries {
       Some(ivfStatsSql(16, 2)),
       doc = "IVF index health: per-cell member count + mean squared " +
         "centroid distance (milli) over the sim_ivf_topk quantizer"),
+
+    // IVF-PQ (Jégou et al. 2011 §IV — the FAISS IVFPQ shape production
+    // vector search deploys): coarse cells route vectors, PQ encodes
+    // the residual x − centroid, queries probe nProbe cells and score
+    // codes via per-cell residual ADC LUTs. Exact int64 end to end —
+    // the oracle replays the Lloyd-refined quantizer, every residual,
+    // every code assignment, and every asymmetric distance.
+    "sim_ivfpq" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.ivfPqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, queryLimit = 10L)
+          .orderBy("qid", "rank")
+      },
+      Some(ivfPqOracleSql(k = 5, queryLimit = 10, nList = 16, nProbe = 4,
+        iters = 2, m = 8, ksub = 16)),
+      doc = "IVF-PQ ANN: Lloyd-refined coarse cells + residual product " +
+        "quantization + per-cell ADC — the production index, exact-int " +
+        "replayed"),
 
     // MMR diversification (Carbonell & Goldstein 1998): the standard
     // two-stage serving shape — top-20 pool by exact inner product,
