@@ -167,8 +167,11 @@ class PlanSpec extends AnyFunSuite {
     // LogicalRDD scan, so their INTERNAL joins are not visible here —
     // those pipelines' operators are asserted directly in the next test.
     graft.functions.GraftFunctions.register(spark)
+    // tx_kmv_setops cross-pairs per-SOURCE sketch rows (|sources|² pairs
+    // of 256-long arrays — source-domain-bounded, never corpus-sized)
     val bnljAllowed = Set("sim_topk_brute", "sim_ivf_topk",
-      "dd_bloom_probe", "ds_temperature_mix", "sim_ivf_stats")
+      "dd_bloom_probe", "ds_temperature_mix", "sim_ivf_stats",
+      "tx_kmv_setops")
     SparkEntry.registry.foreach { case (name, qd) =>
       val p = plan(qd.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
