@@ -408,7 +408,9 @@ object Similarity {
     val res = withNearestCell(prep, cents)
       .join(cvOf, "cid")
       .withColumn("rv", expr("zip_with(qv, cv, (x, c) -> x - c)"))
-      .select(col("id"), col("cid"), col("rv"), col("qv"))
+      // rv only: the raw vector never rides the checkpointed index —
+      // the probe/LUT side reads qv from prep
+      .select(col("id"), col("cid"), col("rv"))
       .localCheckpoint(true) // feeds codebook AND corpus encoding
     // residual codebook: ONE broadcast cbid-sorted row (sample id<ksub)
     val cb = broadcast(res.filter(col("id") < ksub)

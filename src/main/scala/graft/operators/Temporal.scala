@@ -41,15 +41,18 @@ object Temporal {
                time: String, tie: String, payloads: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
     val extras = probeCols.filterNot(c => c == key || c == time)
-    // SQL join semantics for NULLs: a build row with a NULL key, time,
-    // or tie can never be "the latest at-or-before" anything — drop it
-    // here, or nulls-first ordering would sort it ahead of every probe
-    // and leak it into their running `last`. NULL-key/time PROBES stay:
-    // their partition (or their nulls-first position) contains no
-    // surviving build, so they emit a NULL `asof` — left-join
-    // semantics, same as the max-subquery spelling.
+    // SQL join semantics for NULLs: a build row with a NULL key or time
+    // can never be "the latest at-or-before" anything — drop it here,
+    // or nulls-first ordering would sort a NULL-time build ahead of
+    // every probe and leak it into their running `last`. NULL-key/time
+    // PROBES stay: their partition (or their nulls-first position)
+    // contains no surviving build, so they emit a NULL `asof` —
+    // left-join semantics, same as the max-subquery spelling. A NULL
+    // TIE is only an ordering input, not a match condition: the row
+    // stays eligible and loses equal-time ties to any non-null tie
+    // (nulls-first ascending), deterministically.
     val cleanBuild = build.filter(
-      col(key).isNotNull && col(time).isNotNull && col(tie).isNotNull)
+      col(key).isNotNull && col(time).isNotNull)
     val bAsof = cleanBuild.select(
       col(key), col(time), lit(1).as("_b"),
       struct(

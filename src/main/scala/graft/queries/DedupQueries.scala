@@ -24,6 +24,12 @@ object DedupQueries {
       |  FROM toks
       |)""".stripMargin
 
+  /** dd_cdc_cross parameters — ONE definition feeding both the Spark
+    * call and the interpolated oracle, per the generated-from-the-
+    * same-constants convention. */
+  private val CdcCrossMinShared = 2
+  private val CdcCrossMinLen = 24
+
   /** DuckDB CTEs replaying the CDC boundary scan (`t`/`b`/`bounds`/
     * `seg`) — ONE spelling of the window/divisor/bounds arithmetic,
     * shared by both CDC oracles so the boundary definition cannot
@@ -694,7 +700,8 @@ object DedupQueries {
     "dd_cdc_cross" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        Dedup.cdcCross(Tables.documents(s, d), "doc_id", "text")
+        Dedup.cdcCross(Tables.documents(s, d), "doc_id", "text",
+          minShared = CdcCrossMinShared, minLen = CdcCrossMinLen)
           .orderBy("i", "j")
       },
       Some(
@@ -704,12 +711,12 @@ object DedupQueries {
            |                         CAST(hi - lo AS INT))) AS dg,
            |              CAST(hi - lo AS BIGINT) AS clen
            |       FROM seg s JOIN t USING (doc_id)
-           |       WHERE lo IS NOT NULL AND hi - lo >= 24)
+           |       WHERE lo IS NOT NULL AND hi - lo >= $CdcCrossMinLen)
            |SELECT a.doc_id AS i, b2.doc_id AS j,
            |       count(*) AS shared_chunks,
            |       CAST(sum(a.clen) AS BIGINT) AS shared_chars
            |FROM ch a JOIN ch b2 ON a.dg = b2.dg AND a.doc_id < b2.doc_id
-           |GROUP BY 1, 2 HAVING count(*) >= 2
+           |GROUP BY 1, 2 HAVING count(*) >= $CdcCrossMinShared
            |ORDER BY i, j""".stripMargin),
       doc = "cross-doc CDC chunk sharing: >= 2 shared >= 24-char chunks " +
         "per pair, skew-tiled digest self-join")

@@ -1119,7 +1119,7 @@ object TextQueries {
             coalesce(expr(s"try_element_at(umins, $k)"), lit(0L)))
           .withColumn("inter_k", size(expr(
             "array_intersect(array_intersect(umins, ma), mb)")).cast("long"))
-        val estU = lit(255.0) * lit(M) / col("u_kth").cast("double")
+        val estU = lit((k - 1).toDouble) * lit(M) / col("u_kth").cast("double")
         val ns = hs.groupBy("source").agg(count(lit(1)).as("n"))
         val exi = hs.select(col("source").as("src_a"), col("h"))
           .join(hs.select(col("source").as("src_b"), col("h")), "h")
@@ -1135,7 +1135,7 @@ object TextQueries {
             when(col("u_n") < k, col("u_n").cast("double"))
               .otherwise(estU).as("est_union"),
             when(col("u_n") < k, col("inter_k").cast("double"))
-              .otherwise(col("inter_k").cast("double") / lit(256.0) * estU)
+              .otherwise(col("inter_k").cast("double") / lit(k.toDouble) * estU)
               .as("est_inter"),
             (col("na") + col("nb") - coalesce(col("ei"), lit(0L)))
               .as("exact_union"),
@@ -1190,12 +1190,12 @@ object TextQueries {
            |        GROUP BY 1, 2)
            |SELECT u.src_a, u.src_b, u.u_n,
            |  CASE WHEN u.u_n < $k THEN CAST(u.u_n AS DOUBLE)
-           |       ELSE CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(u.u_kth AS DOUBLE)
+           |       ELSE CAST(${k - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / CAST(u.u_kth AS DOUBLE)
            |  END AS est_union,
            |  CASE WHEN u.u_n < $k
            |       THEN CAST(coalesce(i.inter_k, 0) AS DOUBLE)
-           |       ELSE CAST(coalesce(i.inter_k, 0) AS DOUBLE) / CAST(256 AS DOUBLE) *
-           |            (CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+           |       ELSE CAST(coalesce(i.inter_k, 0) AS DOUBLE) / CAST($k AS DOUBLE) *
+           |            (CAST(${k - 1} AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
            |             / CAST(u.u_kth AS DOUBLE))
            |  END AS est_inter,
            |  na.n + nb.n - coalesce(e.ei, CAST(0 AS BIGINT)) AS exact_union,

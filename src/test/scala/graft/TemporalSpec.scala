@@ -74,9 +74,9 @@ class TemporalSpec extends AnyFunSuite {
       (3L, Option(7L), Option.empty[Long]))   // null time
       .toDF("event_id", "user_id", "us")
     val b = Seq(
-      (Option(7L), Option.empty[Long], 10L, 1.0), // null time: dropped
-      (Option.empty[Long], Option(50L), 11L, 2.0), // null key: dropped
-      (Option(7L), Option(50L), 12L, 3.0))
+      (Option(7L), Option.empty[Long], Option(10L), 1.0), // null time: dropped
+      (Option.empty[Long], Option(50L), Option(11L), 2.0), // null key: dropped
+      (Option(7L), Option(50L), Option(12L), 3.0))
       .toDF("user_id", "us", "event_id", "value")
     val got = Temporal.asofJoin(p, b, "user_id", "us", "event_id",
         Seq("value"))
@@ -84,6 +84,25 @@ class TemporalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(got === Map(1L -> Some(12L), 2L -> None, 3L -> None))
+    // a NULL TIE is an ordering input, not a match condition: the row
+    // stays eligible (it is the only build at-or-before here) but
+    // loses an equal-time tie to any non-null tie
+    val b2 = Seq(
+      (Option(7L), Option(50L), Option.empty[Long], 1.0),
+      (Option(7L), Option(50L), Option(12L), 3.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val got2 = Temporal.asofJoin(
+        Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "us"),
+        b2, "user_id", "us", "event_id", Seq("value"))
+      .select($"asof.event_id").collect().head
+    assert(!got2.isNullAt(0) && got2.getLong(0) === 12L)
+    val got3 = Temporal.asofJoin(
+        Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "us"),
+        b2.filter($"event_id".isNull), "user_id", "us", "event_id",
+        Seq("value"))
+      .select($"asof".isNull.as("noasof"), $"asof.us".as("aus"))
+      .collect().head
+    assert(!got3.getBoolean(0) && got3.getLong(1) === 50L)
   }
 
   // ---- interval overlap join -------------------------------------------
