@@ -395,43 +395,56 @@ object Similarity {
     * partition the codes table by `cid` and each query reads
     * `~nProbe/nList` of the index. The only exchange is the per-query
     * top-k window. */
-  def ivfPqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
-      queryLimit: Long, nList: Int = 16, nProbe: Int = 4, iters: Int = 2,
-      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val subDim = dim / m
-    val prep = prepared(embs, idCol, vecCol)
-      .filter(size(col("qv")) === dim).cache()
-    val cents = refinedCentroids(prep, nList, iters).localCheckpoint(true)
-    val cvOf = broadcast(cents.select(col("cid"), col("cv")))
-    // per-vector residual in its own cell
-    val res = withNearestCell(prep, cents)
-      .join(cvOf, "cid")
+  /** Per-vector residuals `(id, cid, rv)` — every corpus vector minus
+    * its cell centroid, the signal PQ encodes. */
+  def ivfPqResiduals(prep: DataFrame, cents: DataFrame): DataFrame =
+    withNearestCell(prep, cents)
+      .join(broadcast(cents.select(col("cid"), col("cv"))), "cid")
       .withColumn("rv", expr("zip_with(qv, cv, (x, c) -> x - c)"))
-      // rv only: the raw vector never rides the checkpointed index —
+      // rv only: the raw vector never rides the stored index —
       // the probe/LUT side reads qv from prep
       .select(col("id"), col("cid"), col("rv"))
-      .localCheckpoint(true) // feeds codebook AND corpus encoding
-    // residual codebook: ONE broadcast cbid-sorted row (sample id<ksub)
-    val cb = broadcast(res.filter(col("id") < ksub)
-      .agg(array_sort(collect_list(
-        struct(col("id").as("cid"), col("rv").as("cv")))).as("_cb")))
+
+  /** Codebook `(cid, cv)` rows → the ONE cbid-sorted broadcast row
+    * every encode/LUT consumer joins in. */
+  def codebookRow(cbRows: DataFrame): DataFrame =
+    broadcast(cbRows.agg(array_sort(collect_list(
+      struct(col("cid"), col("cv")))).as("_cb")))
+
+  /** PQ codes over residuals: `(nid, cid, codes)` — m positions into
+    * the cbid-sorted codebook (ties to the smaller position == the
+    * smaller cbid). This IS the stored index: m small codes + a cell
+    * id per vector. */
+  def ivfPqCodes(res: DataFrame, cbRows: DataFrame, m: Int, ksub: Int,
+      dim: Int): DataFrame = {
+    val subDim = dim / m
     val codeArr = transform(sequence(lit(0), lit(m - 1)), mm =>
       array_min(transform(sequence(lit(1), lit(ksub)), p =>
         struct(subD2(col("rv"), element_at(col("_cb"), p).getField("cv"),
           mm, subDim).as("d2"), p.as("p")))
         .cast("array<struct<d2:bigint,p:int>>")).getField("p"))
-    val codes = res.crossJoin(cb)
+    res.crossJoin(codebookRow(cbRows))
       .select(col("id").as("nid"), col("cid"), codeArr.as("codes"))
-    // per-query probe list + per-probed-cell residual LUTs
+  }
+
+  /** The probe/score core against an EXISTING index (centroids +
+    * codebook rows + codes) — the steady-state form where all three are
+    * persisted trained artifacts ([[graft.sources.Models.ivfPqIndex]]).
+    * `prep` must be cached by the caller; unpersisted here after the
+    * eager checkpoint. */
+  def ivfPqScoreWith(prep: DataFrame, cents: DataFrame, cbRows: DataFrame,
+      codes: DataFrame, k: Int, queryLimit: Long, nProbe: Int, m: Int,
+      dim: Int): DataFrame = {
+    val subDim = dim / m
     val probe = prep.filter(col("id") < queryLimit)
       .crossJoin(centArr(cents))
       .select(col("id").as("qid"), col("qv"),
         explode(transform(slice(array_sort(distArr), 1, nProbe),
           c => c.getField("cid"))).as("cid"))
-    val luts = probe.join(cvOf, "cid")
+    val luts = probe
+      .join(broadcast(cents.select(col("cid"), col("cv"))), "cid")
       .withColumn("qrv", expr("zip_with(qv, cv, (x, c) -> x - c)"))
-      .crossJoin(cb)
+      .crossJoin(codebookRow(cbRows))
       .select(col("qid"), col("cid"),
         transform(sequence(lit(0), lit(m - 1)), mm =>
           transform(col("_cb"), e =>
@@ -448,6 +461,21 @@ object Similarity {
       .localCheckpoint(true)
     prep.unpersist()
     out
+  }
+
+  def ivfPqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryLimit: Long, nList: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val prep = prepared(embs, idCol, vecCol)
+      .filter(size(col("qv")) === dim).cache()
+    val cents = refinedCentroids(prep, nList, iters).localCheckpoint(true)
+    val res = ivfPqResiduals(prep, cents)
+      .localCheckpoint(true) // feeds codebook AND corpus encoding
+    val cbRows = res.filter(col("id") < ksub)
+      .select(col("id").as("cid"), col("rv").as("cv"))
+    val codes = ivfPqCodes(res, cbRows, m, ksub, dim)
+    ivfPqScoreWith(prep, cents, cbRows, codes, k, queryLimit, nProbe, m, dim)
   }
 
   // ---- SRP-LSH (the scale path) -----------------------------------------

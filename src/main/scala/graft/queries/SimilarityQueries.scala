@@ -687,6 +687,28 @@ object SimilarityQueries {
         "quantization + per-cell ADC — the production index, exact-int " +
         "replayed"),
 
+    // The steady-state IVF-PQ: quantizer, residual codebook, and the
+    // cid-bucketed codes table are PERSISTED artifacts
+    // (Models.ivfPqIndex — the quantizer is the same stored artifact
+    // sim_ivf_indexed uses); the query is pure probe + LUT + ADC over
+    // the stored index. Same retraining oracle as sim_ivfpq — the hash
+    // match proves reload == retrain for all three artifacts at once.
+    "sim_ivfpq_indexed" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+          .filter(size(col("qv")) === 64).cache()
+        val (cents, cbRows, codes) = graft.sources.Models.ivfPqIndex(s, d)
+        Similarity.ivfPqScoreWith(prep, cents, cbRows, codes,
+          k = 5, queryLimit = 10L, nProbe = 4, m = 8, dim = 64)
+          .orderBy("qid", "rank")
+      },
+      Some(ivfPqOracleSql(k = 5, queryLimit = 10, nList = 16, nProbe = 4,
+        iters = 2, m = 8, ksub = 16)),
+      doc = "steady-state IVF-PQ: persisted quantizer + codebook + " +
+        "cid-bucketed codes, pure probe/ADC per query — oracle retrains"),
+
     // MMR diversification (Carbonell & Goldstein 1998): the standard
     // two-stage serving shape — top-20 pool by exact inner product,
     // then greedy maximal-marginal-relevance selection of 5 at λ=1/2

@@ -215,6 +215,51 @@ object Models {
       .format("parquet").saveAsTable(bandsName)
   }
 
+  // ---- IVF-PQ index (coarse cells + residual codebook + codes) -----------
+
+  def ivfPqCodebookPath(sfDir: String, nList: Int, iters: Int, m: Int,
+      ksub: Int): String =
+    s"${root(sfDir)}/ivfpq_cb_n${nList}_i${iters}_m${m}_k$ksub"
+  def ivfPqCodesPath(sfDir: String, nList: Int, iters: Int, m: Int,
+      ksub: Int): String =
+    s"${root(sfDir)}/ivfpq_codes_n${nList}_i${iters}_m${m}_k$ksub"
+
+  /** The persisted IVF-PQ index — the production ANN artifact: the
+    * coarse quantizer (the SHARED [[ivfCentroids]] artifact), the
+    * residual codebook (`ksub` rows), and the corpus codes table
+    * `(nid, cid, codes)` written BUCKETED by `cid`, so a probe reads
+    * the index side with zero exchange and — partitioned by cell —
+    * only the probed cells' buckets. Trained once
+    * ([[graft.operators.Similarity.ivfPqCodes]]); a reload is
+    * bit-identical to a retrain, which the retraining oracle of
+    * `sim_ivfpq_indexed` proves per run. Returns
+    * `(centroids, codebookRows, codes)`. */
+  def ivfPqIndex(spark: SparkSession, sfDir: String, nList: Int = 16,
+      iters: Int = 2, m: Int = 8, ksub: Int = 16, dim: Int = 64)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cents = ivfCentroids(spark, sfDir, nList, iters)
+    val cbPath = ivfPqCodebookPath(sfDir, nList, iters, m, ksub)
+    lazy val prep = graft.operators.Similarity.prepared(
+      graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      .filter(size(col("qv")) === dim)
+    lazy val res = graft.operators.Similarity.ivfPqResiduals(prep, cents)
+      .localCheckpoint(true)
+    synchronized {
+      if (!exists(spark, cbPath)) {
+        res.filter(col("id") < ksub)
+          .select(col("id").as("cid"), col("rv").as("cv"))
+          .coalesce(1).write.mode("overwrite").parquet(cbPath)
+      }
+    }
+    val cbRows = spark.read.parquet(cbPath)
+    val codes = ensureBucketed(spark,
+      ivfPqCodesPath(sfDir, nList, iters, m, ksub),
+      "nid BIGINT, cid BIGINT, codes ARRAY<INT>", "cid") {
+      graft.operators.Similarity.ivfPqCodes(res, cbRows, m, ksub, dim)
+    }
+    (cents, cbRows, codes)
+  }
+
   // ---- near-dup cluster map (the dedup map) ------------------------------
 
   def dedupMapPath(sfDir: String, tPct: Int): String =

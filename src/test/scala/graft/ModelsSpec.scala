@@ -165,6 +165,39 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"dedup map not bucketed:\n$p")
   }
 
+  test("ivf-pq index: reload == retrain, codes bucketed by cell") {
+    graft.functions.GraftFunctions.register(spark)
+    val (cents, cbRows, codes) = Models.ivfPqIndex(spark, sf)
+    val prep = graft.operators.Similarity.prepared(
+      Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .filter(size(col("qv")) === 64)
+    val res = graft.operators.Similarity.ivfPqResiduals(prep, cents)
+      .localCheckpoint(true)
+    val rtCb = res.filter(col("id") < 16)
+      .select(col("id").as("cid"), col("rv").as("cv"))
+    val rtCodes = graft.operators.Similarity.ivfPqCodes(res, rtCb, 8, 16, 64)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(cbRows.select(col("cid"), col("cv").cast("string"))) ==
+      rows(rtCb.select(col("cid"), col("cv").cast("string"))))
+    assert(rows(codes.select(col("nid"), col("cid"),
+        col("codes").cast("string"))) ==
+      rows(rtCodes.select(col("nid"), col("cid"),
+        col("codes").cast("string"))))
+    // the stored codes table is bucketed: a cid-keyed aggregation
+    // plans no cid exchange — the probe join's zero-exchange side
+    val p = codes.groupBy("cid").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(cid"),
+      s"ivfpq codes not bucketed:\n$p")
+    // and the registered indexed query equals the retraining one
+    val a = SparkEntry.queries("sim_ivfpq_indexed")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("sim_ivfpq")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("bpe artifacts: reload == retrain, dictionary side never shuffles") {
     val (merges, segs) = Models.bpe(spark, sf)
     val (rtMerges, rtSegs) = TextOps.bpeTrain(Tables.documents(spark, sf), "text")
