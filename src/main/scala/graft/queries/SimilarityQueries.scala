@@ -194,6 +194,19 @@ object SimilarityQueries {
     * lists, per-cell query-residual LUT distances, ADC sums. Generated
     * from the same parameters the Spark side uses. */
   private def ivfPqOracleSql(k: Int, queryLimit: Int, nList: Int,
+      nProbe: Int, iters: Int, m: Int, ksub: Int): String =
+    ivfPqCtes(queryLimit, nList, nProbe, iters, m, ksub) +
+      s"""
+         |SELECT qid, nid, ad2, CAST(rank AS INT) AS rank FROM (
+         |  SELECT qid, nid, ad2,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY ad2, nid) AS rank
+         |  FROM adc) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** The shared `WITH … adc` chain of the IVF-PQ oracles (through the
+    * unranked per-candidate ADC sums) — one spelling for the top-k
+    * query and the recall audit. */
+  private def ivfPqCtes(queryLimit: Int, nList: Int,
       nProbe: Int, iters: Int, m: Int, ksub: Int): String = {
     val cents = s"cents$iters"
     val subDim = 64 / m
@@ -239,12 +252,7 @@ object SimilarityQueries {
        |  FROM cd JOIN qd ON qd.cid = cd.cid AND qd.m = cd.m
        |                 AND qd.cbid = cd.cbid
        |  WHERE qd.qid <> cd.vec_id
-       |  GROUP BY 1, 2)
-       |SELECT qid, nid, ad2, CAST(rank AS INT) AS rank FROM (
-       |  SELECT qid, nid, ad2,
-       |         row_number() OVER (PARTITION BY qid
-       |                            ORDER BY ad2, nid) AS rank
-       |  FROM adc) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** DuckDB replay of [[Similarity.semDedup]]: refined centroids + cell
@@ -708,6 +716,75 @@ object SimilarityQueries {
         iters = 2, m = 8, ksub = 16)),
       doc = "steady-state IVF-PQ: persisted quantizer + codebook + " +
         "cid-bucketed codes, pure probe/ADC per query — oracle retrains"),
+
+    // The production index's QUALITY metric as a deterministic
+    // artifact: recall@5 of the persisted IVF-PQ index against
+    // exact-L2 brute-force ground truth, per query — the audit a
+    // serving pipeline runs before flipping traffic to a rebuilt
+    // index (the SRP path has sim_ann_recall; this closes the loop
+    // for the compressed index). Both the approximate answer and the
+    // ground truth are exact-int, so the recall itself hash-matches.
+    "sim_ivfpq_recall" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+          .filter(size(col("qv")) === 64).cache()
+        val queries = prep.filter(col("id") < 10)
+          .select(col("id").as("qid"), col("qv").as("qqv"),
+            col("n2").as("qn2"))
+        val gt = prep.crossJoin(broadcast(queries))
+          .filter(col("qid") =!= col("id"))
+          .select(col("qid"), col("id").as("nid"),
+            (col("qn2") + col("n2") -
+              lit(2L) * Similarity.idot(col("qqv"), col("qv"))).as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("d2"), col("nid"))
+        val gtTop = gt.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5).select("qid", "nid")
+          .localCheckpoint(true)
+        val (cents, cbRows, codes) = graft.sources.Models.ivfPqIndex(s, d)
+        val approx = Similarity.ivfPqScoreWith(prep, cents, cbRows, codes,
+          k = 5, queryLimit = 10L, nProbe = 4, m = 8, dim = 64)
+        val hits = approx.join(gtTop, Seq("qid", "nid"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+        gtTop.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") /
+              lit(5.0).cast("double")).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some(ivfPqCtes(queryLimit = 10, nList = 16, nProbe = 4, iters = 2,
+        m = 8, ksub = 16) +
+        s""",
+           |appr AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           |                                        ORDER BY ad2, nid) AS rank
+           |    FROM adc) WHERE rank <= 5),
+           |gt AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |             a.n2 + b.n2 - 2*CAST(list_sum(
+           |               [a.qv[kk]*b.qv[kk] for kk in range(1,65)])
+           |               AS BIGINT),
+           |             b.vec_id) AS rk
+           |    FROM (SELECT * FROM p WHERE vec_id < 10) a
+           |    JOIN p b ON b.vec_id <> a.vec_id) WHERE rk <= 5),
+           |h AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hits
+           |      FROM appr a JOIN gt USING (qid, nid) GROUP BY 1)
+           |SELECT q.vec_id AS qid,
+           |       coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           |       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+           |         / CAST(5 AS DOUBLE) AS recall_at_5
+           |FROM (SELECT vec_id FROM p WHERE vec_id < 10) q
+           |LEFT JOIN h ON h.qid = q.vec_id
+           |ORDER BY qid""".stripMargin),
+      doc = "IVF-PQ recall@5 audit vs exact-L2 brute force — the " +
+        "compressed index's quality metric, itself hash-deterministic"),
 
     // MMR diversification (Carbonell & Goldstein 1998): the standard
     // two-stage serving shape — top-20 pool by exact inner product,
