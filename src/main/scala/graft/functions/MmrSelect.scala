@@ -64,21 +64,43 @@ case class MmrSelect(child: Expression, k: Int) extends UnaryExpression {
 
 object MmrSelect {
 
-  /** The greedy selection kernel (shared interpreted/generated). */
+  /** The greedy selection kernel (shared interpreted/generated).
+    * Null pool elements and elements with a null id/relevance/vector
+    * are skipped, not dereferenced: the internal callers (collect_list
+    * pools) never produce them, but the function is registered for
+    * general SQL use where the analyzer admits containsNull inputs —
+    * a null candidate must degrade to "not in the pool", not NPE an
+    * executor task. */
   def select(cands: ArrayData, k: Int): ArrayData = {
-    val n = cands.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
-    val nid = new Array[Long](n)
-    val rel = new Array[Long](n)
-    val vecs = new Array[Array[Long]](n)
-    var i = 0
-    while (i < n) {
-      val row = cands.getStruct(i, 3)
-      nid(i) = row.getLong(0)
-      rel(i) = row.getLong(1)
-      vecs(i) = row.getArray(2).toLongArray()
-      i += 1
+    val total = cands.numElements()
+    if (total == 0) return new GenericArrayData(Array.empty[Any])
+    val nid = new Array[Long](total)
+    val rel = new Array[Long](total)
+    val vecs = new Array[Array[Long]](total)
+    var n = 0
+    var idx = 0
+    while (idx < total) {
+      if (!cands.isNullAt(idx)) {
+        val row = cands.getStruct(idx, 3)
+        if (!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2)) {
+          val arr = row.getArray(2)
+          var hasNull = false
+          var e = 0
+          while (e < arr.numElements() && !hasNull) {
+            hasNull = arr.isNullAt(e); e += 1
+          }
+          if (!hasNull) {
+            nid(n) = row.getLong(0)
+            rel(n) = row.getLong(1)
+            vecs(n) = arr.toLongArray()
+            n += 1
+          }
+        }
+      }
+      idx += 1
     }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    var i = 0
     // maxSim(i) = max dot(i, s) over selected s so far
     val maxSim = Array.fill(n)(Long.MinValue)
     val taken = new Array[Boolean](n)

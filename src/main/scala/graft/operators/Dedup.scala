@@ -291,10 +291,26 @@ object Dedup {
     *   (every query in this repo) may pass true to skip the containment
     *   semi-joins; leave false when the pair source could be wider than
     *   `ids` — an endpoint outside `ids` must not become a canonical
-    *   label, or downstream joins on the label silently drop clusters. */
+    *   label, or downstream joins on the label silently drop clusters.
+    * @param checkpointDir where each round's label state materializes.
+    *   None (default) uses `localCheckpoint` — blocks live on executor
+    *   storage, the fastest option, but a LOST EXECUTOR loses its
+    *   slice of the state and fails the job (restart recomputes from
+    *   the pairs). Some(dir) uses RELIABLE checkpointing to `dir`
+    *   (HDFS/object store at scale): each round writes its state to
+    *   the shared filesystem, so executor loss costs one task retry,
+    *   not the run — the right trade for a 100 TB CC loop where
+    *   O(log d) rounds each take minutes and preemption is routine.
+    *   Sets the context's checkpoint dir as a side effect. */
   def components(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 50, pairsContained: Boolean = false,
-      jumpAfter: Int = 2): DataFrame = {
+      jumpAfter: Int = 2, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(ids.sparkSession.sparkContext.setCheckpointDir)
+    // one spelling of the per-round materialization barrier — local
+    // (executor-storage) or reliable (shared-fs), chosen by the caller
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     val idOnly = ids.select(col("id"))
     val inIds =
       if (pairsContained) pairs.select(col("i"), col("j"))
@@ -312,9 +328,8 @@ object Dedup {
     // is sparse (most documents pair with nothing), so every round's
     // joins run on |V(edges)| rows, not |corpus| rows; singletons are
     // unioned back at the end.
-    var labels = edges.select(col("i").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    var labels = snap(edges.select(col("i").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -342,10 +357,9 @@ object Dedup {
             least(col("plabel"), coalesce(col("gl"), col("plabel")))
               .as("nl"),
             col("old"))
-      val updated = jumped
+      val updated = snap(jumped
         .select(col("id"), col("nl").as("label"),
-          (col("nl") =!= col("old")).as("changed"))
-        .localCheckpoint(true)
+          (col("nl") =!= col("old")).as("changed")))
       converged = updated.filter(col("changed")).limit(1).count() == 0
       labels = updated.select("id", "label")
       iter += 1

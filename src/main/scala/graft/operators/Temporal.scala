@@ -39,6 +39,14 @@ object Temporal {
     */
   def asofJoin(probe: DataFrame, build: DataFrame, key: String,
                time: String, tie: String, payloads: Seq[String]): DataFrame = {
+    // the union/window machinery introduces these working columns — an
+    // input column with the same name would silently corrupt the result
+    // or fail analysis (mirrors Skew.selfJoinRows' reserved-name check)
+    val reserved = Set("_b", "_tie", "_m", "asof")
+    val clash = (probe.columns ++ build.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
     val probeCols = probe.columns.toSeq
     val extras = probeCols.filterNot(c => c == key || c == time)
     // SQL join semantics for NULLs: a build row with a NULL key or time
@@ -94,9 +102,24 @@ object Temporal {
                    build: DataFrame, start: String, end: String,
                    widthUs: Long): DataFrame = {
     require(widthUs > 0, "bucket width must be positive")
+    // the equi-join keeps both sides' columns, so a shared name (other
+    // than the internal _bkt, which is reserved outright) would make
+    // the residual-predicate columns ambiguous — reject instead of
+    // letting the analyzer produce duplicate output columns
+    require(!probe.columns.contains("_bkt") && !build.columns.contains("_bkt"),
+      "intervalJoin reserves column name _bkt; rename the input column")
+    val shared = probe.columns.toSet.intersect(build.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalJoin requires disjoint probe/build column names; " +
+        s"shared: ${shared.mkString(", ")} — rename one side")
+    // `X div Y` truncates toward zero on BOTH an interval bound and an
+    // instant, so the bucket arithmetic matches even at negative times;
+    // backtick-quote the names so any valid column identifier parses
+    def bkt(c: String) =
+      expr(s"`${c.replace("`", "``")}` div $widthUs")
     val b = build.withColumn("_bkt",
-      explode(sequence(expr(s"$start div $widthUs"), expr(s"$end div $widthUs"))))
-    val p = probe.withColumn("_bkt", expr(s"$instant div $widthUs"))
+      explode(sequence(bkt(start), bkt(end))))
+    val p = probe.withColumn("_bkt", bkt(instant))
     p.join(b, "_bkt")
       .filter(col(instant).between(col(start), col(end)))
       .drop("_bkt")

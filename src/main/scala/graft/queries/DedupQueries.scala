@@ -30,6 +30,12 @@ object DedupQueries {
   private val CdcCrossMinShared = 2
   private val CdcCrossMinLen = 24
 
+  /** dd_containment threshold (tNum/tDen) — same one-definition
+    * convention: interpolated into both the Spark call and the oracle,
+    * so a changed default can never silently drift the two apart. */
+  private val ContainTNum = 9
+  private val ContainTDen = 10
+
   /** DuckDB CTEs replaying the CDC boundary scan (`t`/`b`/`bounds`/
     * `seg`) — ONE spelling of the window/divisor/bounds arithmetic,
     * shared by both CDC oracles so the boundary definition cannot
@@ -370,6 +376,28 @@ object DedupQueries {
         "two aggregates over the stored artifact, no retraining — " +
         "oracle retrains from scratch"),
 
+    // The end-to-end dedup pass (dd_survivors) in its steady-state
+    // form: the surviving corpus is derived from the PERSISTED cluster
+    // map — one label-count aggregate over the id-bucketed artifact
+    // plus the n_chars join back to documents — instead of re-running
+    // the similarity join + connected components (the registry's
+    // slowest retrain, ~4 s folded). Same recursive-CTE oracle as
+    // dd_survivors: the from-scratch replay hash-matching the stored
+    // map's survivors proves reload == retrain for the whole pass.
+    "dd_survivors_indexed" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.sources.Models.dedupMap(s, d)
+          .groupBy(col("label").as("doc_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .join(docs.select("doc_id", "n_chars"), "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(survivorsSql("0.5")),
+      doc = "full dedup pass from the PERSISTED cluster map: survivors " +
+        "+ absorption counts as one aggregate over the stored artifact " +
+        "— oracle retrains from scratch"),
+
     // The end-to-end dedup pass a training pipeline runs: shingle →
     // candidates → verify → cluster → keep ONE canonical doc per
     // near-dup cluster (min doc_id), with the cluster size it absorbs.
@@ -633,7 +661,8 @@ object DedupQueries {
     "dd_containment" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text")
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          ContainTNum, ContainTDen)
           .orderBy("i", "j")
       },
       Some(
@@ -643,7 +672,8 @@ object DedupQueries {
            |         / CAST(len(a.sg) AS DOUBLE) AS containment
            |FROM sh a, sh b
            |WHERE a.doc_id <> b.doc_id AND len(a.sg) >= 1
-           |  AND 10 * len(list_intersect(a.sg, b.sg)) >= 9 * len(a.sg)
+           |  AND $ContainTDen * len(list_intersect(a.sg, b.sg))
+           |      >= $ContainTNum * len(a.sg)
            |ORDER BY i, j""".stripMargin),
       doc = "containment near-dup (Broder resemblance vs containment): " +
         "asymmetric C(A->B) >= 0.9, prefix-filter candidates + exact " +

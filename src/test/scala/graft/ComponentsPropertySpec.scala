@@ -57,4 +57,28 @@ class ComponentsPropertySpec extends AnyFunSuite {
       assert(got == want, s"case $i: n=$n edges=$edges")
     }
   }
+
+  test("reliable-checkpoint path produces identical labels") {
+    // the checkpointDir option changes WHERE per-round state
+    // materializes (shared fs vs executor storage), never the labels —
+    // one property case runs end to end through Dataset.checkpoint
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val (n, edges) = genCase.pureApply(
+        Gen.Parameters.default, rng.Seed(4242L))
+      val ids = (0L until n).toDF("id")
+      val pairs = edges.toDF("i", "j")
+      val got = Dedup.components(ids, pairs, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, edges))
+      // the reliable path actually wrote rdd checkpoint state
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .count() > 1
+      assert(wrote, "no checkpoint state written under the reliable dir")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -163,6 +163,19 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning(id"),
       s"dedup map not bucketed:\n$p")
+    // the registered indexed survivors query equals the retraining one…
+    val a = SparkEntry.queries("dd_survivors_indexed")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("dd_survivors")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    // …and its plan is a pure read of the stored map: no Generate
+    // (the shingle explode) anywhere — the similarity-join/components
+    // retrain subtree is absent, not merely cached
+    val ip = SparkEntry.queries("dd_survivors_indexed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ip.contains("Generate"),
+      s"indexed survivors re-derives shingles:\n$ip")
   }
 
   test("ivf-pq index: reload == retrain, codes bucketed by cell") {
