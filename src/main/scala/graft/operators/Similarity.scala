@@ -434,7 +434,33 @@ object Similarity {
     * eager checkpoint. */
   def ivfPqScoreWith(prep: DataFrame, cents: DataFrame, cbRows: DataFrame,
       codes: DataFrame, k: Int, queryLimit: Long, nProbe: Int, m: Int,
-      dim: Int): DataFrame = {
+      dim: Int, rerank: Int = 0): DataFrame = {
+    val out = ivfPqScorePlan(prep, cents, cbRows, codes, k, queryLimit,
+      nProbe, m, dim, rerank).localCheckpoint(true)
+    prep.unpersist()
+    out
+  }
+
+  /** The un-materialized probe/LUT/ADC/top-k plan of [[ivfPqScoreWith]]
+    * — separated so multi-configuration consumers ([[ivfPqSweep]]) can
+    * share one cached `prep`/index across configs without the public
+    * entry's eager checkpoint + unpersist per call.
+    *
+    * `rerank = 0` returns the pure-ADC ranking `(qid, nid, ad2, rank)`.
+    * `rerank = R > 0` adds the FAISS-`refine` stage production IVF-PQ
+    * serves with: the ADC pass only SHORTLISTS the top `R` candidates
+    * per query, which are then re-scored with the EXACT integer L2
+    * distance and re-ranked — output `(qid, nid, d2, rank)`. This is
+    * what lifts recall@5 from the ~0.26-0.38 pure-ADC band to ≥0.9
+    * (see `sim_ivfpq_sweep`): ADC error no longer orders the final
+    * top-k, it only has to keep true neighbors inside the shortlist.
+    * Scale shape: the rerank join reads `R` raw vectors per query via
+    * an id-keyed equi-join against the corpus (point lookups on the
+    * id-bucketed table at scale) — the scan side still touches only
+    * the probed cells' codes. */
+  private[graft] def ivfPqScorePlan(prep: DataFrame, cents: DataFrame,
+      cbRows: DataFrame, codes: DataFrame, k: Int, queryLimit: Long,
+      nProbe: Int, m: Int, dim: Int, rerank: Int = 0): DataFrame = {
     val subDim = dim / m
     val probe = prep.filter(col("id") < queryLimit)
       .crossJoin(centArr(cents))
@@ -456,16 +482,97 @@ object Similarity {
           (c, lut) => element_at(lut, c)),
           lit(0L), (acc, x) => acc + x).as("ad2"))
     val w = Window.partitionBy("qid").orderBy(col("ad2"), col("nid"))
-    val out = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .localCheckpoint(true)
+    if (rerank <= 0)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    else {
+      val short = scored.withColumn("_srk", row_number().over(w))
+        .filter(col("_srk") <= rerank)
+        .select("qid", "nid")
+      val exact = short
+        .join(prep.select(col("id").as("qid"), col("qv").as("qqv"),
+          col("n2").as("qn2")), "qid")
+        .join(prep.select(col("id").as("nid"), col("qv").as("nqv"),
+          col("n2").as("nn2")), "nid")
+        .select(col("qid"), col("nid"),
+          (col("qn2") + col("nn2") -
+            lit(2L) * idot(col("qqv"), col("nqv"))).as("d2"))
+      val w2 = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+    }
+  }
+
+  /** Exact-L2 top-`k` ground truth for the first `queryLimit` vectors —
+    * the audit side of every recall measurement: brute-force integer
+    * squared distances, ties to the smaller id. Returns `(qid, nid)`. */
+  def exactL2TopK(prep: DataFrame, k: Int, queryLimit: Long): DataFrame = {
+    val queries = prep.filter(col("id") < queryLimit)
+      .select(col("id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val gt = prep.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        (col("qn2") + col("n2") -
+          lit(2L) * idot(col("qqv"), col("qv"))).as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    gt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("qid", "nid")
+  }
+
+  /** IVF-PQ operating-point sweep: recall@`k` vs exact-L2 ground truth
+    * for every (nProbe × ksub) combination, as ONE result table — the
+    * parameter study a serving pipeline runs before choosing the index
+    * configuration it persists (the dial: nProbe trades scan fraction
+    * for coarse recall, ksub trades code size for residual resolution).
+    *
+    * Cost shape: the expensive shared work happens ONCE — quantizer
+    * training (`iters` Lloyd steps), residuals, the ground-truth pass,
+    * and one codes table per `ksub` (NOT per config); each (nProbe,
+    * ksub) config then pays only its probe + broadcast-LUT + ADC scan,
+    * exactly the per-query serving cost it is auditing. Output rows
+    * `(n_probe, ksub, n_hits, recall_at_k)` stay exact: hits are
+    * integer counts and the recall is one IEEE division by the fixed
+    * `queryLimit·k` denominator, so the whole sweep hash-matches a
+    * from-scratch oracle replay. */
+  def ivfPqSweep(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryLimit: Long, nProbes: Seq[Int], ksubs: Seq[Int],
+      reranks: Seq[Int] = Seq(0), nList: Int = 16, iters: Int = 2,
+      m: Int = 8, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val prep = prepared(embs, idCol, vecCol)
+      .filter(size(col("qv")) === dim).cache()
+    val cents = refinedCentroids(prep, nList, iters).localCheckpoint(true)
+    val res = ivfPqResiduals(prep, cents).localCheckpoint(true)
+    val gt = exactL2TopK(prep, k, queryLimit).localCheckpoint(true)
+    val denom = (queryLimit * k).toDouble
+    val arms = for {
+      ksub <- ksubs
+      codes = ivfPqCodes(res,
+        res.filter(col("id") < ksub)
+          .select(col("id").as("cid"), col("rv").as("cv")),
+        m, ksub, dim).localCheckpoint(true)
+      nProbe <- nProbes
+      rerank <- reranks
+    } yield {
+      val cbRows = res.filter(col("id") < ksub)
+        .select(col("id").as("cid"), col("rv").as("cv"))
+      ivfPqScorePlan(prep, cents, cbRows, codes, k, queryLimit, nProbe,
+          m, dim, rerank)
+        .join(gt, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(nProbe).as("n_probe"), lit(ksub).as("ksub"),
+          lit(rerank).as("rerank"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(denom)).as(s"recall_at_$k"))
+    }
+    val out = arms.reduce(_.unionAll(_)).localCheckpoint(true)
     prep.unpersist()
     out
   }
 
   def ivfPqTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
       queryLimit: Long, nList: Int = 16, nProbe: Int = 4, iters: Int = 2,
-      m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+      m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      rerank: Int = 0): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val prep = prepared(embs, idCol, vecCol)
       .filter(size(col("qv")) === dim).cache()
@@ -475,7 +582,8 @@ object Similarity {
     val cbRows = res.filter(col("id") < ksub)
       .select(col("id").as("cid"), col("rv").as("cv"))
     val codes = ivfPqCodes(res, cbRows, m, ksub, dim)
-    ivfPqScoreWith(prep, cents, cbRows, codes, k, queryLimit, nProbe, m, dim)
+    ivfPqScoreWith(prep, cents, cbRows, codes, k, queryLimit, nProbe, m,
+      dim, rerank)
   }
 
   // ---- SRP-LSH (the scale path) -----------------------------------------

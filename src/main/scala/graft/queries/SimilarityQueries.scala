@@ -255,6 +255,86 @@ object SimilarityQueries {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Extends [[ivfPqCtes]] with the exact-rerank refine stage: `short`
+    * (the ADC top-`rerank` shortlist per query) and `rr` (the shortlist
+    * re-scored with exact integer L2) — the oracle twin of
+    * [[Similarity.ivfPqScorePlan]]'s `rerank > 0` path. */
+  private def ivfPqRefinedCtes(queryLimit: Int, nList: Int, nProbe: Int,
+      iters: Int, m: Int, ksub: Int, rerank: Int): String =
+    ivfPqCtes(queryLimit, nList, nProbe, iters, m, ksub) +
+      s""",
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |                                        ORDER BY ad2, nid) AS srk
+         |    FROM adc) WHERE srk <= $rerank),
+         |rr AS (
+         |  SELECT s.qid, s.nid,
+         |         a.n2 + b.n2 - 2*CAST(list_sum(
+         |           [a.qv[kk]*b.qv[kk] for kk in range(1,65)]) AS BIGINT)
+         |           AS d2
+         |  FROM short s JOIN p a ON a.vec_id = s.qid
+         |       JOIN p b ON b.vec_id = s.nid)""".stripMargin
+
+  /** DuckDB replay of the refined (rerank > 0) IVF-PQ top-k. */
+  private def ivfPqRefinedOracleSql(k: Int, queryLimit: Int, nList: Int,
+      nProbe: Int, iters: Int, m: Int, ksub: Int, rerank: Int): String =
+    ivfPqRefinedCtes(queryLimit, nList, nProbe, iters, m, ksub, rerank) +
+      s"""
+         |SELECT qid, nid, d2, CAST(rank AS INT) AS rank FROM (
+         |  SELECT qid, nid, d2,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY d2, nid) AS rank
+         |  FROM rr) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** One arm of the sweep oracle: a full independent replay of the
+    * IVF-PQ pipeline at one (nProbe, ksub) + the exact-L2 ground truth
+    * + the aggregate hit count, as a parenthesized subquery (DuckDB
+    * allows a WITH chain inside a derived table) — generated from the
+    * same parameters as the Spark arm, so the operating points can
+    * never drift between the two sides. */
+  private def ivfPqSweepArmSql(k: Int, queryLimit: Int, nList: Int,
+      nProbe: Int, iters: Int, m: Int, ksub: Int, rerank: Int): String = {
+    val ctes =
+      if (rerank <= 0) ivfPqCtes(queryLimit, nList, nProbe, iters, m, ksub)
+      else ivfPqRefinedCtes(queryLimit, nList, nProbe, iters, m, ksub, rerank)
+    val apprSrc = if (rerank <= 0) "adc" else "rr"
+    val apprKey = if (rerank <= 0) "ad2" else "d2"
+    s"""SELECT * FROM (
+       |$ctes,
+       |appr AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |                                        ORDER BY $apprKey, nid)
+       |             AS rank
+       |    FROM $apprSrc) WHERE rank <= $k),
+       |gt AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             a.n2 + b.n2 - 2*CAST(list_sum(
+       |               [a.qv[kk]*b.qv[kk] for kk in range(1,65)])
+       |               AS BIGINT),
+       |             b.vec_id) AS rk
+       |    FROM (SELECT * FROM p WHERE vec_id < $queryLimit) a
+       |    JOIN p b ON b.vec_id <> a.vec_id) WHERE rk <= $k),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM appr JOIN gt USING (qid, nid))
+       |SELECT CAST($nProbe AS INT) AS n_probe, CAST($ksub AS INT) AS ksub,
+       |       CAST($rerank AS INT) AS rerank, n_hits,
+       |       CAST(n_hits AS DOUBLE) / CAST(${queryLimit * k} AS DOUBLE)
+       |         AS recall_at_$k
+       |FROM h)""".stripMargin
+  }
+
+  private def ivfPqSweepSql(k: Int, queryLimit: Int, nList: Int,
+      iters: Int, m: Int, nProbes: Seq[Int], ksubs: Seq[Int],
+      reranks: Seq[Int]): String =
+    (for { ksub <- ksubs; nProbe <- nProbes; rerank <- reranks }
+      yield ivfPqSweepArmSql(k, queryLimit, nList, nProbe, iters, m, ksub,
+        rerank))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY n_probe, ksub, rerank")
+
   /** DuckDB replay of [[Similarity.semDedup]]: refined centroids + cell
     * assignment + within-cell lower-id near-neighbor drop rule. */
   private def semDedupOracleSql(threshold: Double, nList: Int,
@@ -698,9 +778,13 @@ object SimilarityQueries {
     // The steady-state IVF-PQ: quantizer, residual codebook, and the
     // cid-bucketed codes table are PERSISTED artifacts
     // (Models.ivfPqIndex — the quantizer is the same stored artifact
-    // sim_ivf_indexed uses); the query is pure probe + LUT + ADC over
-    // the stored index. Same retraining oracle as sim_ivfpq — the hash
-    // match proves reload == retrain for all three artifacts at once.
+    // sim_ivf_indexed uses); the query is probe + LUT + ADC shortlist
+    // + exact rerank over the stored index, at the SERVABLE operating
+    // point the sim_ivfpq_sweep study selected: nProbe=8, 8-bit codes
+    // (ksub=256), rerank=50 — 0.92 recall@5 where the old pure-ADC
+    // (nProbe=4, ksub=16) default measured 0.26. Same retraining
+    // oracle discipline as sim_ivfpq — the hash match proves reload ==
+    // retrain for all three artifacts at once.
     "sim_ivfpq_indexed" -> QueryDef(
       (s, d) => {
         GraftFunctions.register(s)
@@ -709,13 +793,15 @@ object SimilarityQueries {
           .filter(size(col("qv")) === 64).cache()
         val (cents, cbRows, codes) = graft.sources.Models.ivfPqIndex(s, d)
         Similarity.ivfPqScoreWith(prep, cents, cbRows, codes,
-          k = 5, queryLimit = 10L, nProbe = 4, m = 8, dim = 64)
+          k = 5, queryLimit = 10L, nProbe = 8, m = 8, dim = 64,
+          rerank = 50)
           .orderBy("qid", "rank")
       },
-      Some(ivfPqOracleSql(k = 5, queryLimit = 10, nList = 16, nProbe = 4,
-        iters = 2, m = 8, ksub = 16)),
-      doc = "steady-state IVF-PQ: persisted quantizer + codebook + " +
-        "cid-bucketed codes, pure probe/ADC per query — oracle retrains"),
+      Some(ivfPqRefinedOracleSql(k = 5, queryLimit = 10, nList = 16,
+        nProbe = 8, iters = 2, m = 8, ksub = 256, rerank = 50)),
+      doc = "steady-state IVF-PQ at the sweep-selected servable point " +
+        "(nProbe=8, 8-bit codes, rerank=50 — 0.92 recall@5): persisted " +
+        "quantizer + codebook + cid-bucketed codes — oracle retrains"),
 
     // The production index's QUALITY metric as a deterministic
     // artifact: recall@5 of the persisted IVF-PQ index against
@@ -730,22 +816,12 @@ object SimilarityQueries {
         val prep = Similarity.prepared(
           Tables.embeddings(s, d), "vec_id", "embedding")
           .filter(size(col("qv")) === 64).cache()
-        val queries = prep.filter(col("id") < 10)
-          .select(col("id").as("qid"), col("qv").as("qqv"),
-            col("n2").as("qn2"))
-        val gt = prep.crossJoin(broadcast(queries))
-          .filter(col("qid") =!= col("id"))
-          .select(col("qid"), col("id").as("nid"),
-            (col("qn2") + col("n2") -
-              lit(2L) * Similarity.idot(col("qqv"), col("qv"))).as("d2"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("d2"), col("nid"))
-        val gtTop = gt.withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5).select("qid", "nid")
+        val gtTop = Similarity.exactL2TopK(prep, 5, 10L)
           .localCheckpoint(true)
         val (cents, cbRows, codes) = graft.sources.Models.ivfPqIndex(s, d)
         val approx = Similarity.ivfPqScoreWith(prep, cents, cbRows, codes,
-          k = 5, queryLimit = 10L, nProbe = 4, m = 8, dim = 64)
+          k = 5, queryLimit = 10L, nProbe = 8, m = 8, dim = 64,
+          rerank = 50)
         val hits = approx.join(gtTop, Seq("qid", "nid"), "left_semi")
           .groupBy("qid").agg(count(lit(1)).as("n_hits"))
         gtTop.select("qid").distinct()
@@ -756,14 +832,14 @@ object SimilarityQueries {
               lit(5.0).cast("double")).as("recall_at_5"))
           .orderBy("qid")
       },
-      Some(ivfPqCtes(queryLimit = 10, nList = 16, nProbe = 4, iters = 2,
-        m = 8, ksub = 16) +
+      Some(ivfPqRefinedCtes(queryLimit = 10, nList = 16, nProbe = 8,
+        iters = 2, m = 8, ksub = 256, rerank = 50) +
         s""",
            |appr AS (
            |  SELECT qid, nid FROM (
            |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
-           |                                        ORDER BY ad2, nid) AS rank
-           |    FROM adc) WHERE rank <= 5),
+           |                                        ORDER BY d2, nid) AS rank
+           |    FROM rr) WHERE rank <= 5),
            |gt AS (
            |  SELECT qid, nid FROM (
            |    SELECT a.vec_id AS qid, b.vec_id AS nid,
@@ -783,8 +859,34 @@ object SimilarityQueries {
            |FROM (SELECT vec_id FROM p WHERE vec_id < 10) q
            |LEFT JOIN h ON h.qid = q.vec_id
            |ORDER BY qid""".stripMargin),
-      doc = "IVF-PQ recall@5 audit vs exact-L2 brute force — the " +
+      doc = "IVF-PQ recall@5 audit vs exact-L2 brute force at the " +
+        "servable default (nProbe=8, 8-bit codes, rerank=50) — the " +
         "compressed index's quality metric, itself hash-deterministic"),
+
+    // The operating-point sweep behind the servable default: recall@5
+    // vs exact-L2 ground truth for nProbe ∈ {4,8,16} × ksub ∈ {16,256}
+    // (4-bit vs 8-bit residual codes) over the SAME trained quantizer —
+    // the parameter study that justified raising the persisted index's
+    // default from (nProbe=4, ksub=16) ≈ 0.26 recall@5 to an ≥0.8
+    // operating point. Shared work (Lloyd training, residuals, ground
+    // truth, one codes table per ksub) runs once; each config pays only
+    // its own probe + ADC — and every cell of the study is itself
+    // hash-checked against a from-scratch DuckDB replay.
+    "sim_ivfpq_sweep" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.ivfPqSweep(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 5, queryLimit = 10L,
+          nProbes = Seq(4, 8, 16), ksubs = Seq(16, 256),
+          reranks = Seq(0, 50))
+          .orderBy("n_probe", "ksub", "rerank")
+      },
+      Some(ivfPqSweepSql(k = 5, queryLimit = 10, nList = 16, iters = 2,
+        m = 8, nProbes = Seq(4, 8, 16), ksubs = Seq(16, 256),
+        reranks = Seq(0, 50))),
+      doc = "IVF-PQ operating-point sweep: recall@5 per (nProbe x ksub " +
+        "x rerank) config vs exact-L2 ground truth — the study that " +
+        "picks the persisted index's servable default"),
 
     // MMR diversification (Carbonell & Goldstein 1998): the standard
     // two-stage serving shape — top-20 pool by exact inner product,

@@ -233,9 +233,15 @@ object Models {
     * ([[graft.operators.Similarity.ivfPqCodes]]); a reload is
     * bit-identical to a retrain, which the retraining oracle of
     * `sim_ivfpq_indexed` proves per run. Returns
-    * `(centroids, codebookRows, codes)`. */
+    * `(centroids, codebookRows, codes)`.
+    *
+    * The default `ksub = 256` (8-bit codes) is the operating point the
+    * `sim_ivfpq_sweep` study selected: with nProbe=8 + exact rerank=50
+    * it audits at 0.92 recall@5 (`sim_ivfpq_recall`), where the
+    * original 4-bit/nProbe=4 pure-ADC point measured 0.26 — a point a
+    * serving pipeline would actually flip traffic to. */
   def ivfPqIndex(spark: SparkSession, sfDir: String, nList: Int = 16,
-      iters: Int = 2, m: Int = 8, ksub: Int = 16, dim: Int = 64)
+      iters: Int = 2, m: Int = 8, ksub: Int = 256, dim: Int = 64)
       : (DataFrame, DataFrame, DataFrame) = {
     val cents = ivfCentroids(spark, sfDir, nList, iters)
     val cbPath = ivfPqCodebookPath(sfDir, nList, iters, m, ksub)

@@ -186,9 +186,10 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(size(col("qv")) === 64)
     val res = graft.operators.Similarity.ivfPqResiduals(prep, cents)
       .localCheckpoint(true)
-    val rtCb = res.filter(col("id") < 16)
+    // retrain side mirrors the persisted default (ksub = 256, 8-bit)
+    val rtCb = res.filter(col("id") < 256)
       .select(col("id").as("cid"), col("rv").as("cv"))
-    val rtCodes = graft.operators.Similarity.ivfPqCodes(res, rtCb, 8, 16, 64)
+    val rtCodes = graft.operators.Similarity.ivfPqCodes(res, rtCb, 8, 256, 64)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toString).sorted.toSeq
     assert(rows(cbRows.select(col("cid"), col("cv").cast("string"))) ==
@@ -203,10 +204,15 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning(cid"),
       s"ivfpq codes not bucketed:\n$p")
-    // and the registered indexed query equals the retraining one
+    // and the registered indexed query (servable point: nProbe=8,
+    // ksub=256, rerank=50) equals an in-query retrain at the same point
     val a = SparkEntry.queries("sim_ivfpq_indexed")(spark, sf)
       .collect().map(_.toString).toSeq
-    val b = SparkEntry.queries("sim_ivfpq")(spark, sf)
+    val b = graft.operators.Similarity.ivfPqTopK(
+        Tables.embeddings(spark, sf), "vec_id", "embedding",
+        k = 5, queryLimit = 10L, nList = 16, nProbe = 8, iters = 2,
+        m = 8, ksub = 256, dim = 64, rerank = 50)
+      .orderBy("qid", "rank")
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
