@@ -418,8 +418,12 @@ object Similarity {
   def ivfPqCodes(res: DataFrame, cbRows: DataFrame, m: Int, ksub: Int,
       dim: Int): DataFrame = {
     val subDim = dim / m
+    // iterate the codebook's ACTUAL size, not the nominal ksub: a
+    // codebook trained from a corpus sample can hold fewer than ksub
+    // entries (sample ids are sparse under a split/filter), and ANSI
+    // element_at throws past the end rather than returning null
     val codeArr = transform(sequence(lit(0), lit(m - 1)), mm =>
-      array_min(transform(sequence(lit(1), lit(ksub)), p =>
+      array_min(transform(sequence(lit(1), size(col("_cb"))), p =>
         struct(subD2(col("rv"), element_at(col("_cb"), p).getField("cv"),
           mm, subDim).as("d2"), p.as("p")))
         .cast("array<struct<d2:bigint,p:int>>")).getField("p"))
@@ -585,6 +589,23 @@ object Similarity {
     ivfPqScoreWith(prep, cents, cbRows, codes, k, queryLimit, nProbe, m,
       dim, rerank)
   }
+
+  /** Post-append drift audit over an IVF-PQ index: per-cell member
+    * counts split into index-resident vs freshly-appended rows — the
+    * `sim_ivf_stats`-style balance check a daily append loop runs
+    * before trusting the grown index (a batch that piles into few
+    * cells means the FROZEN quantizer no longer fits the incoming
+    * distribution and the index needs a rebuild, exactly the drift
+    * signal production IVF deployments watch). Exact integer counts
+    * only — the audit itself hash-matches an oracle replay. */
+  def ivfPqAppendStats(codesIndex: DataFrame,
+      codesNew: DataFrame): DataFrame =
+    codesIndex.select(col("cid"), lit(0L).as("_new"))
+      .unionAll(codesNew.select(col("cid"), lit(1L).as("_new")))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_total"), sum("_new").as("n_appended"))
+      .select(col("cid"), (col("n_total") - col("n_appended")).as("n_index"),
+        col("n_appended"), col("n_total"))
 
   // ---- SRP-LSH (the scale path) -----------------------------------------
 

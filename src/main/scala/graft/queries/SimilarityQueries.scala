@@ -121,12 +121,13 @@ object SimilarityQueries {
   /** Ranked corpus×centroids for a given centroid CTE: rnk 1 = cell
     * assignment (= [[Similarity.withNearestCell]]'s argmin), rnk <=
     * nProbe = probe list ([[Similarity.ivfTopK]]'s sorted-slice). */
-  private def rankedSql(cents: String, extra: String): String =
-    s"""SELECT p.vec_id, c.cid,
-       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
-       |        p.n2 + c.cn2 - 2*CAST(list_sum([p.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
+  private def rankedSql(cents: String, extra: String,
+      src: String = "p"): String =
+    s"""SELECT $src.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+       |        $src.n2 + c.cn2 - 2*CAST(list_sum([$src.qv[k]*c.cv[k] for k in range(1,65)]) AS BIGINT),
        |        c.cid) AS rnk
-       |    FROM p, $cents c$extra""".stripMargin
+       |    FROM $src, $cents c$extra""".stripMargin
 
   /** CTE chain `cents0 … cents<iters>` replaying
     * [[Similarity.refinedCentroids]] (seed sample + unrolled Lloyd
@@ -334,6 +335,72 @@ object SimilarityQueries {
       yield ivfPqSweepArmSql(k, queryLimit, nList, nProbe, iters, m, ksub,
         rerank))
       .mkString("", "\nUNION ALL\n", "\nORDER BY n_probe, ksub, rerank")
+
+  /** DuckDB replay of the daily append fold: the md5-split old corpus
+    * trains the quantizer + residual codebook, the new batch is encoded
+    * against the FROZEN model, and the output is the post-append
+    * per-cell drift audit — counts plus the appended rows' summed code
+    * positions, so the encode-against-frozen-model step itself is
+    * hash-pinned, not just the routing. */
+  private def ivfPqAppendSql(nList: Int, iters: Int, m: Int,
+      ksub: Int): String = {
+    val cents = s"cents$iters"
+    val subDim = 64 / m
+    def subd2(a: String, b: String): String =
+      s"""CAST(list_sum([($a[CAST(t.m*$subDim+kk AS INT)]
+         | - $b[CAST(t.m*$subDim+kk AS INT)])
+         | * ($a[CAST(t.m*$subDim+kk AS INT)]
+         | - $b[CAST(t.m*$subDim+kk AS INT)])
+         |for kk in range(1, ${subDim + 1})]) AS BIGINT)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qv
+       |  FROM embeddings),
+       |pall AS (
+       |  SELECT vec_id, qv,
+       |         CAST(list_sum([qv[k]*qv[k] for k in range(1,65)]) AS BIGINT) AS n2
+       |  FROM q),
+       |p AS (SELECT * FROM pall WHERE md5(CAST(vec_id AS VARCHAR)) < 'cc'),
+       |pb AS (SELECT * FROM pall WHERE md5(CAST(vec_id AS VARCHAR)) >= 'cc'),
+       |${centsSql(nList, iters)},
+       |asg AS (SELECT vec_id, cid FROM (
+       |    ${rankedSql(cents, "")}) WHERE rnk = 1),
+       |res AS (
+       |  SELECT p.vec_id, a.cid,
+       |         [p.qv[kk] - c.cv[kk] for kk in range(1, 65)] AS rv
+       |  FROM p JOIN asg a USING (vec_id) JOIN $cents c USING (cid)),
+       |cb AS (SELECT vec_id AS cbid, rv AS cbv FROM res
+       |       WHERE vec_id < $ksub),
+       |cbp AS (SELECT cbid, cbv,
+       |               row_number() OVER (ORDER BY cbid) AS pos FROM cb),
+       |asgb AS (SELECT vec_id, cid FROM (
+       |    ${rankedSql(cents, "", "pb")}) WHERE rnk = 1),
+       |resb AS (
+       |  SELECT pb.vec_id, a.cid,
+       |         [pb.qv[kk] - c.cv[kk] for kk in range(1, 65)] AS rv
+       |  FROM pb JOIN asgb a USING (vec_id) JOIN $cents c USING (cid)),
+       |cdn AS (
+       |  SELECT vec_id, cid, m, pos FROM (
+       |    SELECT r.vec_id, r.cid, t.m, c.pos,
+       |           row_number() OVER (PARTITION BY r.vec_id, t.m
+       |             ORDER BY ${subd2("r.rv", "c.cbv")}, c.cbid) AS rn
+       |    FROM resb r, unnest(range(0, $m)) AS t(m), cbp c)
+       |  WHERE rn = 1),
+       |oldc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_index
+       |         FROM asg GROUP BY cid),
+       |newc AS (SELECT cid,
+       |                CAST(count(DISTINCT vec_id) AS BIGINT) AS n_appended,
+       |                CAST(sum(pos) AS BIGINT) AS new_code_sum
+       |         FROM cdn GROUP BY cid)
+       |SELECT COALESCE(o.cid, n.cid) AS cid,
+       |       COALESCE(o.n_index, CAST(0 AS BIGINT)) AS n_index,
+       |       COALESCE(n.n_appended, CAST(0 AS BIGINT)) AS n_appended,
+       |       COALESCE(o.n_index, CAST(0 AS BIGINT))
+       |         + COALESCE(n.n_appended, CAST(0 AS BIGINT)) AS n_total,
+       |       COALESCE(n.new_code_sum, CAST(0 AS BIGINT)) AS new_code_sum
+       |FROM oldc o FULL OUTER JOIN newc n ON o.cid = n.cid
+       |ORDER BY cid""".stripMargin
+  }
 
   /** DuckDB replay of [[Similarity.semDedup]]: refined centroids + cell
     * assignment + within-cell lower-id near-neighbor drop rule. */
@@ -862,6 +929,54 @@ object SimilarityQueries {
       doc = "IVF-PQ recall@5 audit vs exact-L2 brute force at the " +
         "servable default (nProbe=8, 8-bit codes, rerank=50) — the " +
         "compressed index's quality metric, itself hash-deterministic"),
+
+    // The ANN side of the daily ingest loop (the IVF-PQ twin of
+    // dd_incremental): the md5-split "old" corpus trains quantizer +
+    // residual codebook, the "new" batch is encoded against the FROZEN
+    // model (training never reruns — old and new codes stay comparable
+    // under one set of ADC LUTs), and the result is the post-append
+    // per-cell drift audit: index/appended/total member counts plus
+    // the appended rows' summed code positions, so the oracle pins the
+    // encode step itself, not just the routing. The persisted-index
+    // mutation path (Models.ivfPqIndexAppend — append preserving the
+    // cid bucket spec + the same drift guard) is exercised in
+    // ModelsSpec's daily-loop test.
+    "sim_ivfpq_append" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
+        val embs = Tables.embeddings(s, d)
+        val old = Similarity.prepared(embs.filter(h < "cc"),
+          "vec_id", "embedding").filter(size(col("qv")) === 64).cache()
+        val batch = Similarity.prepared(embs.filter(h >= "cc"),
+          "vec_id", "embedding").filter(size(col("qv")) === 64)
+        val cents = Similarity.refinedCentroids(old, 16, 2)
+          .localCheckpoint(true)
+        val resOld = Similarity.ivfPqResiduals(old, cents)
+          .localCheckpoint(true)
+        val cbRows = resOld.filter(col("id") < 256)
+          .select(col("id").as("cid"), col("rv").as("cv"))
+        val codesOld = Similarity.ivfPqCodes(resOld, cbRows, 8, 256, 64)
+        val codesNew = Similarity.ivfPqCodes(
+          Similarity.ivfPqResiduals(batch, cents), cbRows, 8, 256, 64)
+          .localCheckpoint(true) // encode once: stats + code sum read it
+        val newSum = codesNew.groupBy("cid")
+          .agg(sum(aggregate(col("codes"), lit(0L), (a, x) => a + x))
+            .as("new_code_sum"))
+        val out = Similarity.ivfPqAppendStats(codesOld, codesNew)
+          .join(newSum, Seq("cid"), "left")
+          .select(col("cid"), col("n_index"), col("n_appended"),
+            col("n_total"),
+            coalesce(col("new_code_sum"), lit(0L)).as("new_code_sum"))
+          .orderBy("cid")
+          .localCheckpoint(true)
+        old.unpersist()
+        out
+      },
+      Some(ivfPqAppendSql(nList = 16, iters = 2, m = 8, ksub = 256)),
+      doc = "daily IVF-PQ append fold: batch encoded against the FROZEN " +
+        "quantizer/codebook + per-cell drift audit — oracle replays the " +
+        "frozen-model encode"),
 
     // The operating-point sweep behind the servable default: recall@5
     // vs exact-L2 ground truth for nProbe ∈ {4,8,16} × ksub ∈ {16,256}

@@ -266,6 +266,59 @@ object Models {
     (cents, cbRows, codes)
   }
 
+  /** Fold a new batch INTO the persisted IVF-PQ index — the ANN side
+    * of the daily loop [[lshIndexAppend]] closes for text dedup: the
+    * batch is encoded against the FROZEN quantizer and residual
+    * codebook (training never reruns — the artifacts that define code
+    * semantics are immutable between rebuilds, so old and new codes
+    * stay comparable under one set of ADC LUTs) and appended to the
+    * cid-bucketed codes table preserving its bucket spec, so the
+    * zero-exchange probe property survives every fold.
+    *
+    * Returns the post-append per-cell drift audit
+    * ([[graft.operators.Similarity.ivfPqAppendStats]]). A frozen
+    * quantizer silently degrades when the incoming distribution
+    * shifts — batches piling into few cells make hot probe partitions
+    * and recall loss — so the fold fails fast when any cell's
+    * post-append share of the index exceeds `maxCellShareMilli`/1000
+    * (default 1000 = never: the caller opts into the threshold that
+    * fits its nList). A tripped guard means "rebuild the index", not
+    * "drop the batch": the appended rows are already durable, as in
+    * any append-then-audit pipeline. */
+  def ivfPqIndexAppend(spark: SparkSession, sfDir: String,
+      batch: DataFrame, idCol: String, vecCol: String, nList: Int = 16,
+      iters: Int = 2, m: Int = 8, ksub: Int = 256, dim: Int = 64,
+      maxCellShareMilli: Int = 1000): DataFrame = synchronized {
+    val codesName = tableName(ivfPqCodesPath(sfDir, nList, iters, m, ksub))
+    require(exists(spark, ivfPqCodesPath(sfDir, nList, iters, m, ksub)),
+      "ivfPqIndexAppend requires a trained index (call ivfPqIndex first)")
+    // re-registers the bucketed table after a catalog loss (restart)
+    // and loads the frozen artifacts; never retrains here
+    val (cents, cbRows, _) = ivfPqIndex(spark, sfDir, nList, iters, m,
+      ksub, dim)
+    val prep = graft.operators.Similarity.prepared(batch, idCol, vecCol)
+      .filter(size(col("qv")) === dim)
+    val newCodes = graft.operators.Similarity
+      .ivfPqCodes(graft.operators.Similarity.ivfPqResiduals(prep, cents),
+        cbRows, m, ksub, dim)
+      .localCheckpoint(true) // encode once: the write + audit both read it
+    newCodes.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(IndexBuckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(codesName)
+    val post = spark.table(codesName)
+    val stats = graft.operators.Similarity
+      .ivfPqAppendStats(post.join(newCodes.select("nid"), Seq("nid"),
+        "left_anti"), newCodes)
+      .localCheckpoint(true)
+    val agg = stats.agg(sum("n_total"), max("n_total")).head
+    val (total, maxCell) = (agg.getLong(0), agg.getLong(1))
+    require(maxCell * 1000L <= maxCellShareMilli.toLong * total,
+      s"drift guard: hottest cell holds $maxCell/$total rows " +
+        s"(> $maxCellShareMilli/1000 of the index) — rebuild the " +
+        "quantizer before further folds")
+    stats
+  }
+
   // ---- near-dup cluster map (the dedup map) ------------------------------
 
   def dedupMapPath(sfDir: String, tPct: Int): String =

@@ -217,6 +217,53 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("ivf-pq daily loop: appended batch encodes against the frozen " +
+      "model and keeps the bucket spec") {
+    graft.functions.GraftFunctions.register(spark)
+    val (cents, cbRows, codes0) = Models.ivfPqIndex(spark, sf)
+    val before = codes0.count()
+    // day 1: three new vectors, exact copies of existing corpus rows
+    // under fresh ids — the frozen quantizer + codebook must give them
+    // the SAME cell and codes as their sources
+    val src = Tables.embeddings(spark, sf)
+      .orderBy("vec_id").limit(3).collect()
+    val batch = src.map(r => (r.getLong(0) + 1000000L,
+      r.getSeq[Float](r.fieldIndex("embedding")))).toSeq
+      .toDF("vec_id", "embedding")
+    val stats = Models.ivfPqIndexAppend(spark, sf, batch,
+      "vec_id", "embedding")
+    assert(stats.agg(sum("n_appended")).head.getLong(0) == 3L)
+    val (_, _, codes1) = Models.ivfPqIndex(spark, sf)
+    assert(codes1.count() == before + 3)
+    // appended codes == their sources' codes (encode determinism
+    // against the frozen artifacts)
+    val byId = codes1.select(col("nid"), col("cid"),
+        col("codes").cast("string").as("cs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    src.foreach { r =>
+      val id = r.getLong(0)
+      assert(byId(id + 1000000L) == byId(id),
+        s"appended copy of $id diverged")
+    }
+    // the append preserved the bucket layout: a cid-keyed aggregation
+    // over the grown codes table still plans no cid exchange
+    val p = codes1.groupBy("cid").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(cid"),
+      s"append lost the bucket spec:\n$p")
+    // drift guard trips when the threshold is tightened below the
+    // hottest cell's actual share
+    val batch2 = src.map(r => (r.getLong(0) + 2000000L,
+      r.getSeq[Float](r.fieldIndex("embedding")))).toSeq
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Models.ivfPqIndexAppend(spark, sf, batch2, "vec_id", "embedding",
+        maxCellShareMilli = 1)
+    }
+    assert(ex.getMessage.contains("drift guard"))
+  }
+
   test("bpe artifacts: reload == retrain, dictionary side never shuffles") {
     val (merges, segs) = Models.bpe(spark, sf)
     val (rtMerges, rtSegs) = TextOps.bpeTrain(Tables.documents(spark, sf), "text")
