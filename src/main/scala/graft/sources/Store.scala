@@ -24,6 +24,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 trait Store {
   def read(spark: SparkSession, table: String): DataFrame
   def write(df: DataFrame, table: String, mode: SaveMode): Unit
+
+  /** Remove a table entirely (idempotent; missing tables are a no-op).
+    * Used by [[VersionedStore]]'s snapshot GC; the default is a no-op
+    * so bindings without a cheap drop (generic connectors) only leak
+    * retired snapshots instead of failing commits. */
+  def drop(spark: SparkSession, table: String): Unit = ()
 }
 
 /** File-directory store with the [[Lake]] layout for the two big
@@ -47,6 +53,13 @@ class FileStore(root: String, format: String,
       case "chunks" => Lake.writeChunks(df, path(table), nPart, mode, format)
       case _ => df.write.mode(mode).format(format).save(path(table))
     }
+
+  override def drop(spark: SparkSession, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
 }
 
 /** Parquet binding of the [[FileStore]] layout. */
@@ -112,6 +125,16 @@ class JdbcStore(url: String,
       .option("url", url).option("dbtable", table)
       .options(tableOptions(table))
       .mode(mode).save()
+
+  override def drop(spark: SparkSession, table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () } // missing: no-op
+      finally st.close()
+    } finally conn.close()
+  }
 }
 
 /** In-memory store for tests and ephemeral pipelines: tables are
@@ -145,5 +168,203 @@ class MemoryStore extends Store {
       case SaveMode.Ignore =>
         tables.computeIfAbsent(table, _ => snap(df)); ()
     }
+  }
+
+  override def drop(spark: SparkSession, table: String): Unit = {
+    tables.remove(table); ()
+  }
+}
+
+/** Atomic versioned-snapshot commits over ANY inner [[Store]] binding —
+  * the transactional upgrade SURVEY §7.4 promised over the reference's
+  * documented last-write-wins race (two concurrent metadata updates
+  * interleave, reference: src/io/pithos/bucket.clj:75-87). With this
+  * decorator the A4/A8 MERGE and A5/A9 DELETE pipelines become
+  * read-compute-COMMIT: a reader always sees one complete committed
+  * snapshot, never a mix of two writers' rows.
+  *
+  * Protocol (the Delta-style file-pointer shape, minimal):
+  *  - data for each snapshot is STAGED in a writer-private inner table
+  *    (`<table>__s<uuid>`) — invisible to readers, who only resolve
+  *    tables through the commit log;
+  *  - the commit log is a directory of manifest files
+  *    `<logRoot>/<table>/<n>.commit`, each naming its staged table; a
+  *    commit is ONE atomic `rename(tmp, n.commit)` — the Hadoop/POSIX
+  *    rename both claims the version (rename fails if `n.commit`
+  *    exists) and publishes the complete manifest. The committed
+  *    snapshot is simply the highest `n` present.
+  *  - `Overwrite` retries the claim at n+1 on conflict (last complete
+  *    writer wins — each loser's snapshot was still atomic);
+  *    `Append` re-derives from the new head and retries (serializable:
+  *    no appended batch is ever lost to a concurrent commit).
+  *  - GC unlinks manifests and drops staged tables older than the
+  *    newest `keep` snapshots. `keep >= 2` leaves the previous
+  *    snapshot readable for readers that resolved it just before a
+  *    commit; size it to reader latency × commit rate at scale.
+  *
+  * At 100 TB the log directory lives on the shared store (HDFS/object
+  * store with atomic rename, e.g. ABFS/GCS; on S3 use a
+  * rename-consistent layer) while data tables stay in whatever binding
+  * the deployment uses — the pointer swap is metadata-only, so commit
+  * cost is independent of table size. Note staged tables go through
+  * the inner store's GENERIC write path (the objects/chunks lake
+  * layout specialization keys on the table name, which staging
+  * obscures); pipelines that need layout + transactions point the
+  * inner store's layout rules at the staged prefix. */
+class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
+  extends Store {
+
+  require(keep >= 1, "keep must be >= 1")
+
+  private def fs(spark: SparkSession) =
+    new org.apache.hadoop.fs.Path(logRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: String) =
+    new org.apache.hadoop.fs.Path(logRoot, table)
+
+  /** Highest committed `(version, stagedTable)`, if any. Re-lists on a
+    * read failure: a concurrent GC may unlink an older manifest between
+    * the listing and the open — never the MAX manifest (GC only deletes
+    * below head), so one retry always converges. */
+  private def committed(spark: SparkSession,
+      table: String): Option[(Long, String)] = {
+    val f = fs(spark)
+    val dir = logDir(table)
+    def once(): Option[(Long, String)] =
+      if (!f.exists(dir)) None
+      else {
+        val versions = f.listStatus(dir).map(_.getPath.getName)
+          .filter(_.endsWith(".commit"))
+          .map(_.stripSuffix(".commit").toLong)
+        if (versions.isEmpty) None
+        else {
+          val n = versions.max
+          val in = f.open(new org.apache.hadoop.fs.Path(dir, s"$n.commit"))
+          val staged =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          Some((n, staged))
+        }
+      }
+    try once() catch { case _: java.io.IOException => once() }
+  }
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    committed(spark, table) match {
+      case Some((_, staged)) => inner.read(spark, staged)
+      case None => throw new NoSuchElementException(
+        s"VersionedStore has no committed snapshot for '$table'")
+    }
+
+  override def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
+    val spark = df.sparkSession
+    mode match {
+      case SaveMode.Overwrite =>
+        commitSnapshot(spark, table, df, exact = None); ()
+      case SaveMode.Append =>
+        // serializable append: derive from the CURRENT head and claim
+        // exactly head+1; a conflict means another commit landed first
+        // — re-derive from the new head so no batch is ever lost
+        var done = false
+        while (!done) {
+          val head = committed(spark, table)
+          val data = head match {
+            case Some((_, staged)) =>
+              inner.read(spark, staged).unionByName(df)
+            case None => df
+          }
+          done = commitSnapshot(spark, table, data,
+            exact = Some(head.map(_._1 + 1L).getOrElse(1L)))
+        }
+      case SaveMode.ErrorIfExists =>
+        if (committed(spark, table).nonEmpty)
+          throw new IllegalStateException(s"table '$table' already exists")
+        commitSnapshot(spark, table, df, exact = None); ()
+      case SaveMode.Ignore =>
+        if (committed(spark, table).isEmpty) {
+          commitSnapshot(spark, table, df, exact = None); ()
+        }
+    }
+  }
+
+  /** Stage `df` then claim a version by atomic manifest rename.
+    * `exact = Some(n)` claims only version n (append's serializable
+    * form) — returns false and un-stages on conflict; `exact = None`
+    * (overwrite) walks forward to the first free slot. */
+  private def commitSnapshot(spark: SparkSession, table: String,
+      df: DataFrame, exact: Option[Long]): Boolean = {
+    val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
+    val staged = s"${table}__s$uuid"
+    inner.write(df, staged, SaveMode.Overwrite)
+    val f = fs(spark)
+    val dir = logDir(table)
+    f.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_$uuid")
+    val out = f.create(tmp, true)
+    try out.write(staged.getBytes("UTF-8")) finally out.close()
+    var n = exact.getOrElse(
+      committed(spark, table).map(_._1 + 1L).getOrElse(1L))
+    var claimed = false
+    while (!claimed) {
+      claimed = claim(f, tmp, new org.apache.hadoop.fs.Path(dir, s"$n.commit"))
+      if (!claimed) {
+        if (exact.isDefined) { // append lost the race: un-stage, retry
+          f.delete(tmp, false)
+          inner.drop(spark, staged)
+          return false
+        }
+        n += 1L
+      }
+    }
+    f.delete(tmp, false) // claimed via link on local fs: tmp may remain
+    gc(spark, table, n)
+    true
+  }
+
+  /** Atomically publish `tmp` as `dst`, failing (false) when `dst`
+    * already exists — the claim primitive the whole protocol rests on.
+    * On HDFS-like filesystems `rename` has exactly these semantics.
+    * On `file://` it does NOT (Java's rename silently REPLACES an
+    * existing destination), so the local claim is an atomic hard link
+    * (`link(2)` fails with EEXIST when the destination exists). Object
+    * stores without atomic no-overwrite rename need a consistent
+    * layer, same as any file-pointer commit log. */
+  private def claim(f: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else f.rename(tmp, dst)
+
+  /** Unlink manifests (first — readers resolve max only) and drop
+    * staged tables older than the newest `keep` snapshots. Idempotent
+    * under concurrent GC: deletes and drops tolerate missing targets. */
+  private def gc(spark: SparkSession, table: String, head: Long): Unit = {
+    val f = fs(spark)
+    val dir = logDir(table)
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong)
+      .filter(_ <= head - keep)
+      .foreach { n =>
+        val p = new org.apache.hadoop.fs.Path(dir, s"$n.commit")
+        val staged =
+          try {
+            val in = f.open(p)
+            try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim)
+            finally in.close()
+          } catch { case _: java.io.IOException => None }
+        f.delete(p, false)
+        staged.foreach(inner.drop(spark, _))
+      }
   }
 }

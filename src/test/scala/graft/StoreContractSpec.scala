@@ -154,6 +154,135 @@ class StoreContractSpec extends AnyFunSuite {
     assert(back.count() == 3)
   }
 
+  // ---- VersionedStore: atomic snapshot commits over any binding --------
+
+  /** The four bindings the transactional-commit claim is tested on.
+    * The jdbc binding here carries no createTableColumnTypes — the
+    * versioned test tables have no string columns. */
+  private def versionedBindings(): Seq[(String, Store)] = Seq(
+    ("parquet",
+      new ParquetStore(Files.createTempDirectory("vstore_pq").toString, 2)),
+    ("orc",
+      new OrcStore(Files.createTempDirectory("vstore_orc").toString, 2)),
+    ("memory", new MemoryStore),
+    ("jdbc-derby", new graft.sources.JdbcStore(
+      s"jdbc:derby:memory:vstore${System.nanoTime()};create=true")))
+
+  test("versioned commits: overwrite/append/read + snapshot GC bound") {
+    import graft.sources.VersionedStore
+    for ((name, inner) <- versionedBindings()) {
+      val logRoot = Files.createTempDirectory(s"vlog_$name").toString
+      val vs = new VersionedStore(inner, logRoot, keep = 2)
+      intercept[NoSuchElementException] { vs.read(spark, "t") }
+      def snap(tag: Int) =
+        spark.range(20).select(col("id"), lit(tag).as("tag"))
+      vs.write(snap(1), "t", SaveMode.Overwrite)
+      assert(vs.read(spark, "t").count() == 20, s"[$name]")
+      vs.write(snap(2), "t", SaveMode.Append)
+      assert(vs.read(spark, "t").count() == 40, s"[$name] append")
+      vs.write(snap(3), "t", SaveMode.Overwrite)
+      assert(vs.read(spark, "t").agg(min("tag"), max("tag"))
+        .collect().head.toString == "[3,3]", s"[$name] overwrite replaces")
+      intercept[IllegalStateException] {
+        vs.write(snap(4), "t", SaveMode.ErrorIfExists)
+      }
+      vs.write(snap(5), "t", SaveMode.Ignore) // no-op: t exists
+      assert(vs.read(spark, "t").agg(max("tag")).collect().head.getInt(0)
+        == 3, s"[$name] ignore")
+      // GC bound: after 3 commits at keep=2, at most 2 manifests remain
+      val manifests = new java.io.File(s"$logRoot/t")
+        .listFiles().map(_.getName).filter(_.endsWith(".commit"))
+      assert(manifests.length <= 2, s"[$name] ${manifests.toSeq}")
+    }
+    // file binding only: retired snapshots' DATA is dropped too
+    val dir = Files.createTempDirectory("vstore_gc").toString
+    val vs = new VersionedStore(new ParquetStore(dir, 2),
+      Files.createTempDirectory("vlog_gc").toString, keep = 2)
+    (1 to 5).foreach(i => vs.write(
+      spark.range(10).select(col("id"), lit(i).as("tag")), "t",
+      SaveMode.Overwrite))
+    val staged = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("t__s"))
+    assert(staged.length <= 2, s"staged snapshots not GCed: ${staged.toSeq}")
+  }
+
+  test("versioned commits: concurrent merge writers never expose a " +
+      "torn snapshot") {
+    import graft.sources.VersionedStore
+    for ((name, inner) <- versionedBindings()) {
+      val vs = new VersionedStore(inner,
+        Files.createTempDirectory(s"vlog_c_$name").toString, keep = 8)
+      def snap(w: Int, i: Int) = spark.range(50)
+        .select(col("id"), lit(w).as("w"), lit(i).as("i"))
+      vs.write(snap(0, 0), "t", SaveMode.Overwrite)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      // two writers interleave 4 merges each: read the current
+      // snapshot, re-tag every row (the A4/A8 upsert shape: every key
+      // updated), commit — the read-compute-COMMIT cycle the reference
+      // documents as racy (bucket.clj:75-87)
+      val writers = (1 to 2).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try (1 to 4).foreach { i =>
+              val merged = vs.read(spark, "t")
+                .select(col("id"), lit(w).as("w"), lit(i).as("i"))
+              vs.write(merged, "t", SaveMode.Overwrite)
+            } catch { case e: Throwable => failures.add(e.toString) }
+        })
+      }
+      // reader: every observation must be ONE complete snapshot —
+      // exactly one (w, i) pair and all 50 rows
+      var torn = List.empty[String]
+      while (!writers.forall(_.isDone)) {
+        val obs = vs.read(spark, "t")
+          .groupBy("w", "i").agg(count(lit(1)).as("n"))
+          .collect()
+        if (obs.length != 1 || obs.head.getLong(2) != 50L)
+          torn ::= obs.map(_.toString).mkString(",")
+      }
+      writers.foreach(_.get())
+      pool.shutdown()
+      assert(failures.isEmpty, s"[$name] writer failed: $failures")
+      assert(torn.isEmpty, s"[$name] torn snapshots observed: $torn")
+      // final state is some writer's complete last merge
+      val fin = vs.read(spark, "t").groupBy("w", "i")
+        .agg(count(lit(1)).as("n")).collect()
+      assert(fin.length == 1 && fin.head.getLong(2) == 50L, s"[$name]")
+    }
+  }
+
+  test("versioned commits: concurrent appends are serializable " +
+      "(no lost batch)") {
+    import graft.sources.VersionedStore
+    for ((name, inner) <- versionedBindings()) {
+      val vs = new VersionedStore(inner,
+        Files.createTempDirectory(s"vlog_a_$name").toString, keep = 8)
+      vs.write(spark.range(1).select(col("id"), lit(-1).as("b")), "t",
+        SaveMode.Overwrite)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val writers = (0 to 1).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try (0 until 3).foreach { i =>
+              vs.write(spark.range(10)
+                .select(col("id"), lit(w * 3 + i).as("b")), "t",
+                SaveMode.Append)
+            } catch { case e: Throwable => failures.add(e.toString) }
+        })
+      }
+      writers.foreach(_.get())
+      pool.shutdown()
+      assert(failures.isEmpty, s"[$name] writer failed: $failures")
+      // every one of the 6 appended batches survived — the lost-update
+      // interleave the append retry loop exists to prevent
+      val got = vs.read(spark, "t")
+      assert(got.count() == 1 + 60, s"[$name] lost rows")
+      assert(got.select("b").distinct().count() == 7, s"[$name] lost batch")
+    }
+  }
+
   test("memory store: ErrorIfExists throws, Ignore is a no-op") {
     val st = new MemoryStore
     val df = Tables.objects(spark, sf).limit(3)
