@@ -148,6 +148,147 @@ class E2ESpec extends AnyFunSuite {
       out(4L)._5.contains("<BucketName>nosuch</BucketName>"))
   }
 
+  private def fixture(name: String): String =
+    scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/reffixtures/$name"), "UTF-8").mkString
+
+  /** Multipart/form-data parse at the reference's fixture boundary:
+    * field name → value, plus the file part's content. */
+  private def parseForm(body: String, boundary: String)
+      : (Map[String, String], String) = {
+    val parts = body.split(java.util.regex.Pattern.quote(s"--$boundary"))
+      .toSeq.filter(_.contains("Content-Disposition"))
+    val fieldPat =
+      """(?s)name="([^"]+)"(?:; filename="[^"]*")?.*?\r\n\r\n(.*)\r\n$""".r
+    val kv = parts.flatMap { p =>
+      fieldPat.findFirstMatchIn(p).map(m => m.group(1) -> m.group(2))
+    }.toMap
+    (kv - "file", kv.getOrElse("file", ""))
+  }
+
+  test("CORS config PUT → preflight OPTIONS → GET with Allow-Origin, " +
+      "including on 404 (ops_test:468-516, 540-570)") {
+    import graft.operators.{Cors, Errors, Router}
+    // PUT /batman?cors with the reference's cors1.xml stores the rules
+    assert(Router.route("PUT", "/batman", Some("cors")) == "put-bucket:cors")
+    val rules = Cors.parseCors(fixture("cors1.xml"))
+    assert(rules.nonEmpty)
+    // the full request surface: preflight, allowed GETs (hit + miss),
+    // and a non-matching origin — driven through route → CORS match →
+    // object lookup → status/render
+    val objects = Seq(("batman", "foo.txt", 6L)).toDF("bucket", "object", "size")
+    val reqs = Seq(
+      (1L, "OPTIONS", "/batman/foo.txt", "http://batman.example.com", "GET"),
+      (2L, "GET", "/batman/foo.txt", "http://batman.example.com", null),
+      (3L, "GET", "/batman/foobar.txt", "http://batman.example.com", null),
+      (4L, "GET", "/batman/foo.txt", "http://evil.example.org", null)
+    ).toDF("rid", "method", "path", "origin", "acrm")
+    val routeUdf = udf((m: String, p: String) => Router.route(m, p, None))
+    val corsUdf = udf((origin: String, acrm: String, method: String) =>
+      Cors.corsMatch(rules,
+        Map("origin" -> origin) ++
+          Option(acrm).map("access-control-request-method" -> _),
+        method.toLowerCase))
+    val parsed = reqs
+      .withColumn("op", routeUdf($"method", $"path"))
+      .withColumn("cors", corsUdf($"origin", $"acrm", $"method"))
+      .withColumn("object_req",
+        split(regexp_replace($"path", "^/", ""), "/", 2)(1))
+      .join(objects.select($"object".as("object_req"),
+        $"size".as("obj_size")), Seq("object_req"), "left")
+    val errType = when($"method" === "OPTIONS", "none")
+      .when($"obj_size".isNull, "no-such-key").otherwise("none")
+    val status = when($"method" === "OPTIONS", 204)
+      .otherwise(when(errType === "none", 200)
+        .otherwise(Errors.statusOf(errType)))
+    val out = parsed.select($"rid", $"op",
+      element_at($"cors", "Access-Control-Allow-Origin").as("allowOrigin"),
+      status.as("status"), errType.as("err"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getInt(3), r.getString(4))).toMap
+    // preflight: 204 + echoed origin (the reference's OPTIONS assertion)
+    assert(out(1L) == ("options-object", "http://batman.example.com", 204, "none"))
+    // actual GET: 200 with Allow-Origin
+    assert(out(2L) == ("get-object", "http://batman.example.com", 200, "none"))
+    // missing key: CORS headers ride the 404 too (ops_test:562-570)
+    assert(out(3L)._2 == "http://batman.example.com" && out(3L)._3 == 404 &&
+      out(3L)._4 == "no-such-key")
+    // non-matching origin: no CORS headers at all, request still 200
+    assert(out(4L)._2 == null && out(4L)._3 == 200)
+    // preflight without Access-Control-Request-Method is invalid-argument
+    val ex = intercept[Cors.CorsError] {
+      Cors.corsMatch(rules,
+        Map("origin" -> "http://batman.example.com"), "options")
+    }
+    assert(ex.errType == "invalid-argument")
+  }
+
+  test("form-based POST upload: policy pass → 201 + stored content; " +
+      "policy mismatch → 403 (ops_test:518-538)") {
+    import graft.operators.{Errors, PostPolicy, Router}
+    // the browser form POSTs to the bucket
+    assert(Router.route("POST", "/batman", None) == "post-bucket")
+    val boundary = "9431149156168" // from the fixture's content-type
+    def decodePolicy(b64: String): PostPolicy.Policy = {
+      val json = new String(
+        java.util.Base64.getDecoder.decode(b64), "UTF-8")
+      val exp = """"expiration"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(json).get.group(1)
+      val conds = """\{\s*"(\w+)"\s*:\s*"([^"]*)"\s*\}""".r
+        .findAllMatchIn(json)
+        .map(m => PostPolicy.Eq(m.group(1), m.group(2))).toSeq
+      PostPolicy.Policy(exp, conds)
+    }
+    val now = "2025-06-01T00:00:00.000Z" // fixture policies expire 2025-12-01
+    // upload 1: every policy condition holds → success_action_status 201
+    val (f1, content1) = parseForm(fixture("form-upload1.txt"), boundary)
+    val policy1 = decodePolicy(f1("Policy"))
+    val params1 = f1 + ("bucket" -> "batman")
+    assert(PostPolicy.matches(policy1, params1, now))
+    val status1 = f1("success_action_status").toInt
+    assert(status1 == 201)
+    // the accepted upload commits: ingest under the form's key, read
+    // back through the chunk store — the reference's GET /qux check
+    assert(f1("key") == "qux")
+    val chunks = chunk(7L, content1, chunkSize = 5)
+    val got = BlobOps.rangeRead(chunks, 0L, content1.length.toLong)
+      .orderBy("offset").select("cropped")
+      .collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
+      .mkString
+    assert(got == "not much to say.")
+    // upload 2: form says success_action_status=204 but the policy
+    // requires 201 → condition fails → AccessDenied 403
+    val (f2, _) = parseForm(fixture("form-upload2.txt"), boundary)
+    assert(f2("success_action_status") == "204")
+    val policy2 = decodePolicy(f2("Policy"))
+    assert(!PostPolicy.matches(policy2, f2 + ("bucket" -> "batman"), now))
+    val denied = Seq(Tuple1("access-denied")).toDF("err")
+    val st = denied.select(Errors.statusOf($"err").as("s"))
+      .collect().head.getInt(0)
+    assert(st == 403)
+    // and an expired policy denies even a matching form
+    assert(!PostPolicy.matches(policy1, params1, "2026-01-01T00:00:00.000Z"))
+  }
+
+  test("response-header overrides: response-* query params become " +
+      "response headers (ops_test:572-583)") {
+    import graft.operators.Router
+    assert(Router.route("GET", "/batman/foo.txt", None) == "get-object")
+    val qs = "response-content-type=application/json&" +
+      "response-content-disposition=blargh&marker=x"
+    // the b8 pipeline shape: parse query string → keep response-* →
+    // strip the prefix → emit as headers, 2xx authenticated GETs only
+    val headers = Seq((1L, qs)).toDF("rid", "qs")
+      .select($"rid", explode(expr(
+        "str_to_map(qs, '&', '=')")).as(Seq("param", "value")))
+      .filter($"param".startsWith("response-"))
+      .select(regexp_replace($"param", "^response-", "").as("header"),
+        $"value")
+      .as[(String, String)].collect().toMap
+    assert(headers == Map("content-type" -> "application/json",
+      "content-disposition" -> "blargh"))
+  }
+
   test("orphaned part inodes are GC'd after assembly (concepts.rst:96-100)") {
     val live = Seq((100L)).toDF("inode")
     val all = chunk(10L, "foo", 2).unionAll(chunk(11L, "bar", 2))
