@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Fold bench runs per the BASELINE.md protocol: per-query MIN across
+runs (never average — throttled samples are a different machine, not
+noise), canaries carried over from each input run exactly once.
+
+Usage: python3 tools/fold_bench.py OUT.json RUN1.json [RUN2.json ...]
+
+Each input is one Bench.scala output line ({"queries": {...},
+"canary": [...], "errors": {...}}). The fold:
+  - keeps a query's min time across all runs where it succeeded
+    (failed runs report -1 and are excluded from the min; a query that
+    failed EVERYWHERE stays -1 and keeps its error string);
+  - concatenates each input's canary array once, in argument order —
+    never re-reading a previous fold's canaries from OUT.json (the
+    round-10 fold accidentally re-appended them every run, inflating
+    the array; to fold onto a previous fold, pass that file as an
+    input explicitly);
+  - sums the folded per-query times into "value".
+"""
+import json
+import sys
+
+
+def main(out_path, run_paths):
+    runs = [json.load(open(p)) for p in run_paths]
+    queries = {}
+    errors = {}
+    for r in runs:
+        for name, t in r.get("queries", {}).items():
+            if t is None or t < 0:
+                continue
+            if name not in queries or t < queries[name]:
+                queries[name] = t
+        for name, e in r.get("errors", {}).items():
+            errors.setdefault(name, e)
+    # only queries that never succeeded keep an error (and report -1)
+    errors = {k: v for k, v in errors.items() if k not in queries}
+    for k in errors:
+        queries[k] = -1.0
+    canaries = [c for r in runs for c in r.get("canary", [])]
+    total = sum(t for t in queries.values() if t >= 0)
+    out = {
+        "metric": "total",
+        "value": round(total, 6),
+        "unit": "sec",
+        "canary": canaries,
+        "queries": dict(sorted(queries.items())),
+        "errors": errors,
+        "sf": runs[-1].get("sf", ""),
+        "folded_runs": len(runs),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+        f.write("\n")
+    worst = sorted(((v, k) for k, v in queries.items()), reverse=True)[:8]
+    print(f"folded {len(runs)} runs -> {out_path}: "
+          f"{total:.1f} s over {len(queries)} queries")
+    for v, k in worst:
+        print(f"  {v:7.3f}  {k}")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    main(sys.argv[1], sys.argv[2:])
