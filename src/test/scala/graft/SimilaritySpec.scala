@@ -292,6 +292,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L))
   }
 
+  test("ivfPqSweep: full-probe + full-rerank arm recovers exact " +
+      "ground truth (recall 1.0)") {
+    graft.functions.GraftFunctions.register(spark)
+    val sweep = Similarity.ivfPqSweep(vecs, "vec_id", "embedding",
+      k = 2, queryLimit = 2L, nProbes = Seq(1, 2), ksubs = Seq(2),
+      reranks = Seq(0, 4), nList = 2, iters = 1, m = 3, dim = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getDouble(4)).toMap
+    assert(sweep.size == 4)
+    assert(sweep.values.forall(r => r >= 0.0 && r <= 1.0))
+    // probing every cell with a shortlist covering every candidate and
+    // exact re-ranking IS brute force — recall must be exactly 1
+    assert(sweep((2, 2, 4)) == 1.0, s"$sweep")
+    // monotone in nProbe at fixed (ksub, rerank): more probed cells can
+    // only add candidates
+    assert(sweep((1, 2, 4)) <= sweep((2, 2, 4)))
+  }
+
   test("SRP-LSH ANN excludes ragged and null vectors from the index") {
     val good = (0L until 20L).map { i =>
       (i, Array.tabulate(16)(d => math.sin(i + d).toFloat))
