@@ -160,6 +160,11 @@ object Models {
              |INTO $IndexBuckets BUCKETS
              |LOCATION '$path'""".stripMargin)
       }
+      // drop this session's cached file listing: appends may land from
+      // ANOTHER session (a foreachBatch clone in streaming maintenance
+      // invalidates only its own relation cache), and a stale cached
+      // index silently hides them from this session's reads
+      spark.catalog.refreshTable(name)
       spark.table(name)
     }
 

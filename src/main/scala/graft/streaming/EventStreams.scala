@@ -224,6 +224,44 @@ object EventStreams {
     dedupDocuments(gated, watermark)
   }
 
+  /** One embedding arriving on the vector-ingest feed. */
+  case class VecEvent(vec_id: Long, embedding: Seq[Float])
+
+  /** Streaming ANN index maintenance: each micro-batch of new vectors
+    * folds into the persisted IVF-PQ index through
+    * [[graft.sources.Models.ivfPqIndexAppend]] — encoded against the
+    * FROZEN quantizer/codebook (training never reruns on the hot
+    * path), appended preserving the cid bucket spec, drift-audited per
+    * fold. This is the continuous form of the daily batch loop: the
+    * same frozen-model append, driven by `foreachBatch` so the fold is
+    * transactional per micro-batch and replays idempotently from the
+    * checkpoint (a re-run batch re-encodes to identical codes — the
+    * appended rows are deterministic functions of the frozen model).
+    *
+    * A tripped drift guard (a batch piling into few cells —
+    * distribution shift the frozen quantizer no longer fits) FAILS the
+    * stream rather than silently degrading recall: restart after an
+    * index rebuild, which is the correct operational response.
+    *
+    * Scale: the micro-batch encode is a broadcast-model scan of batch
+    * size only; state is the streaming checkpoint, not vectors. */
+  def indexMaintenance(vecs: DataFrame, sfDir: String,
+      checkpointDir: String, maxCellShareMilli: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Models.ivfPqIndexAppend(batch.sparkSession,
+            sfDir, batch.toDF(), "vec_id", "embedding",
+            maxCellShareMilli = maxCellShareMilli)
+          ()
+        }
+      }
+      .start()
+
   /** Gap-based user sessions as a continuous query: Spark's native
     * `session_window` (30-min event-time gap) — the streaming mirror of
     * the batch `ev_sessionize` query: the same gap SEMANTICS, i.e. the

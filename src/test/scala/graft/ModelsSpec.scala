@@ -264,6 +264,41 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("drift guard"))
   }
 
+  test("ivf-pq streaming maintenance: micro-batches fold into the " +
+      "persisted index via the frozen model") {
+    graft.functions.GraftFunctions.register(spark)
+    val (_, _, codes0) = Models.ivfPqIndex(spark, sf)
+    val before = codes0.count()
+    val src = Tables.embeddings(spark, sf)
+      .orderBy("vec_id").limit(2).collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.VecEvent](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-idx-ckpt").toString
+    val q = graft.streaming.EventStreams.indexMaintenance(
+      input.toDF(), sf, ckpt)
+    try {
+      // two micro-batches, one new vector each (copies under fresh ids)
+      src.zipWithIndex.foreach { case (r, i) =>
+        input.addData(graft.streaming.EventStreams.VecEvent(
+          r.getLong(0) + 3000000L + i,
+          r.getSeq[Float](r.fieldIndex("embedding"))))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val (_, _, codes1) = Models.ivfPqIndex(spark, sf)
+    assert(codes1.count() == before + 2)
+    // streamed copies carry their sources' cell + codes (frozen-model
+    // encode determinism, same pin as the batch daily-loop test)
+    val byId = codes1.select(col("nid"), col("cid"),
+        col("codes").cast("string").as("cs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    src.zipWithIndex.foreach { case (r, i) =>
+      assert(byId(r.getLong(0) + 3000000L + i) == byId(r.getLong(0)))
+    }
+  }
+
   test("bpe artifacts: reload == retrain, dictionary side never shuffles") {
     val (merges, segs) = Models.bpe(spark, sf)
     val (rtMerges, rtSegs) = TextOps.bpeTrain(Tables.documents(spark, sf), "text")
