@@ -296,10 +296,16 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
       df: DataFrame, exact: Option[Long]): Boolean = {
     val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
     val staged = s"${table}__s$uuid"
-    inner.write(df, staged, SaveMode.Overwrite)
     val f = fs(spark)
     val dir = logDir(table)
     f.mkdirs(dir)
+    // staging marker BEFORE the data write: a writer that dies mid-
+    // stage leaves marker + partial table, which vacuum() reclaims;
+    // without the marker the orphan would be unfindable through the
+    // generic Store seam (no list-tables primitive)
+    f.create(new org.apache.hadoop.fs.Path(dir, s"_staged_$staged"), true)
+      .close()
+    inner.write(df, staged, SaveMode.Overwrite)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_$uuid")
     val out = f.create(tmp, true)
     try out.write(staged.getBytes("UTF-8")) finally out.close()
@@ -312,6 +318,8 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
         if (exact.isDefined) { // append lost the race: un-stage, retry
           f.delete(tmp, false)
           inner.drop(spark, staged)
+          f.delete(new org.apache.hadoop.fs.Path(dir, s"_staged_$staged"),
+            false)
           return false
         }
         n += 1L
@@ -364,7 +372,49 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
             finally in.close()
           } catch { case _: java.io.IOException => None }
         f.delete(p, false)
-        staged.foreach(inner.drop(spark, _))
+        staged.foreach { s =>
+          inner.drop(spark, s)
+          f.delete(new org.apache.hadoop.fs.Path(dir, s"_staged_$s"), false)
+        }
       }
+  }
+
+  /** Reclaim ORPHANED staged tables — left by writers that died
+    * between staging and claiming (the one garbage the commit protocol
+    * can produce; readers never see these, they only waste storage).
+    * An orphan = a staging marker whose table is referenced by NO
+    * surviving manifest and whose marker is older than `minAgeMs` —
+    * the age gate keeps vacuum from destroying a LIVE writer's
+    * in-flight staging (size it above the longest expected
+    * stage-to-claim latency; 0 only when no writer can be active).
+    * Returns the dropped staged-table names. */
+  def vacuum(spark: SparkSession, table: String,
+      minAgeMs: Long = 3600000L): Seq[String] = {
+    val f = fs(spark)
+    val dir = logDir(table)
+    if (!f.exists(dir)) return Seq.empty
+    val statuses = f.listStatus(dir)
+    val live = statuses.map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .flatMap { c =>
+        try {
+          val in = f.open(new org.apache.hadoop.fs.Path(dir, c))
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim)
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      }.toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    statuses
+      .filter(s => s.getPath.getName.startsWith("_staged_") &&
+        s.getModificationTime < cutoff)
+      .map(_.getPath)
+      .filter(p => !live.contains(p.getName.stripPrefix("_staged_")))
+      .map { p =>
+        val staged = p.getName.stripPrefix("_staged_")
+        inner.drop(spark, staged)
+        f.delete(p, false)
+        staged
+      }.toSeq
   }
 }

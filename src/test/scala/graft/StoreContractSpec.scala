@@ -283,6 +283,38 @@ class StoreContractSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned commits: vacuum reclaims a crashed writer's staging, " +
+      "never a live snapshot or an in-flight one") {
+    import graft.sources.VersionedStore
+    for ((name, inner) <- versionedBindings()
+        if name == "parquet" || name == "memory") {
+      val logRoot = Files.createTempDirectory(s"vlog_v_$name").toString
+      val vs = new VersionedStore(inner, logRoot, keep = 2)
+      def snap(tag: Int) =
+        spark.range(10).select(col("id"), lit(tag).as("tag"))
+      vs.write(snap(1), "t", SaveMode.Overwrite)
+      // simulate a writer that died AFTER staging, BEFORE claiming:
+      // marker + staged table exist, no manifest references them
+      val orphan = "t__sdeadbeef"
+      inner.write(snap(99), orphan, SaveMode.Overwrite)
+      new java.io.File(s"$logRoot/t/_staged_$orphan").createNewFile()
+      // readers never see the orphan
+      assert(vs.read(spark, "t").agg(max("tag")).head.getInt(0) == 1,
+        s"[$name]")
+      // the age gate protects what could be an in-flight staging
+      assert(vs.vacuum(spark, "t", minAgeMs = 3600000L).isEmpty, s"[$name]")
+      Thread.sleep(50)
+      val dropped = vs.vacuum(spark, "t", minAgeMs = 0L)
+      assert(dropped == Seq(orphan), s"[$name] $dropped")
+      // orphan's data is gone from the inner store…
+      intercept[Exception] { inner.read(spark, orphan).collect() }
+      // …and the committed snapshot still reads intact
+      assert(vs.read(spark, "t").count() == 10, s"[$name]")
+      // a second vacuum finds nothing (idempotent)
+      assert(vs.vacuum(spark, "t", minAgeMs = 0L).isEmpty, s"[$name]")
+    }
+  }
+
   test("memory store: ErrorIfExists throws, Ignore is a no-op") {
     val st = new MemoryStore
     val df = Tables.objects(spark, sf).limit(3)
