@@ -67,6 +67,41 @@ object SourceQueries {
         Tables.objectsSql)),
       doc = "lake layout round trip: partition-pruned single-bucket read"),
 
+    // The transactional store surface through the oracle gate: three
+    // commits to a VersionedStore (over the MemoryStore binding) —
+    // overwrite with a DECOY snapshot, overwrite with the real rows
+    // (last complete writer wins; a reader of v1 saw a complete decoy,
+    // never a mix), then append a derived batch (serializable — the
+    // appended rows ride on the v2 head). Reading the committed head
+    // must yield exactly real ∪ appended: the oracle recomputes that
+    // set from the source table directly, so a torn snapshot, a leaked
+    // decoy row, or a lost append all hash-mismatch.
+    "src_versioned_commit" -> QueryDef(
+      (s, d) => {
+        val vs = new graft.sources.VersionedStore(
+          new graft.sources.MemoryStore, tempDir("graft_vlog"), keep = 2)
+        val objs = Tables.objects(s, d).select("bucket", "object", "size")
+        vs.write(objs.withColumn("size", col("size") + lit(999999L)),
+          "objects", org.apache.spark.sql.SaveMode.Overwrite) // decoy v1
+        vs.write(objs, "objects",
+          org.apache.spark.sql.SaveMode.Overwrite) // v2: the real rows
+        vs.write(objs.filter(col("bucket") === "src1")
+            .withColumn("object", concat(col("object"), lit(".v2"))),
+          "objects", org.apache.spark.sql.SaveMode.Append) // v3
+        vs.read(s, "objects").orderBy("bucket", "object", "size")
+      },
+      Some(graft.QueryDef.withCtes(
+        """SELECT bucket, object, size FROM (
+          |  SELECT bucket, object, size FROM objects
+          |  UNION ALL
+          |  SELECT bucket, object || '.v2' AS object, size FROM objects
+          |  WHERE bucket = 'src1')
+          |ORDER BY bucket, object, size""".stripMargin,
+        Tables.objectsSql)),
+      doc = "atomic versioned commits (VersionedStore): decoy overwrite " +
+        "-> real overwrite -> serializable append; the committed head " +
+        "hash-matches the expected snapshot exactly"),
+
     // The engine is equally drivable through plain SQL over registered
     // views — the ListObjects page expressed as one spark.sql query.
     "src_sql_interface" -> QueryDef(

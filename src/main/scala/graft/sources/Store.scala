@@ -257,6 +257,27 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
         s"VersionedStore has no committed snapshot for '$table'")
     }
 
+  /** The table's committed version number, if any. */
+  def currentVersion(spark: SparkSession, table: String): Option[Long] =
+    committed(spark, table).map(_._1)
+
+  /** Time travel: read snapshot `version` as committed — available
+    * while the version is within the newest `keep` snapshots (older
+    * ones are GC'd; size `keep` to the retention the pipeline needs,
+    * exactly Delta's VACUUM-vs-time-travel trade). */
+  def readVersion(spark: SparkSession, table: String,
+      version: Long): DataFrame = {
+    val f = fs(spark)
+    val p = new org.apache.hadoop.fs.Path(logDir(table), s"$version.commit")
+    if (!f.exists(p)) throw new NoSuchElementException(
+      s"no snapshot v$version for '$table' (GC'd or never committed)")
+    val in = f.open(p)
+    val staged =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    inner.read(spark, staged)
+  }
+
   override def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
     val spark = df.sparkSession
     mode match {

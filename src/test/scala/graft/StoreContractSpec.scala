@@ -193,6 +193,15 @@ class StoreContractSpec extends AnyFunSuite {
       val manifests = new java.io.File(s"$logRoot/t")
         .listFiles().map(_.getName).filter(_.endsWith(".commit"))
       assert(manifests.length <= 2, s"[$name] ${manifests.toSeq}")
+      // time travel within the keep window: v3 is the overwrite, v2
+      // the append result; v1 is GC'd
+      assert(vs.currentVersion(spark, "t").contains(3L), s"[$name]")
+      assert(vs.readVersion(spark, "t", 2L).count() == 40, s"[$name]")
+      assert(vs.readVersion(spark, "t", 3L)
+        .agg(max("tag")).head.getInt(0) == 3, s"[$name]")
+      intercept[NoSuchElementException] {
+        vs.readVersion(spark, "t", 1L)
+      }
     }
     // file binding only: retired snapshots' DATA is dropped too
     val dir = Files.createTempDirectory("vstore_gc").toString
