@@ -32,6 +32,38 @@ object TextOps {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  // ---- CCNet-style bigram LM (the quality-scoring model) -----------------
+
+  /** Tokenized docs `(doc_id, h, w)` for the LM paths: md5 split hash +
+    * whitespace tokens, ≥2-token docs only (a bigram model needs at
+    * least one bigram per doc). */
+  def lmDocs(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"),
+      tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+
+  /** Per-position bigram rows `(doc_id, h, prev, tok)` — zero-shuffle
+    * scan-stage explode shared by fit and score. */
+  def lmBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("h"),
+      explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("prev"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("tok"))).as("b"))
+      .select(col("doc_id"), col("h"),
+        col("b.prev").as("prev"), col("b.tok").as("tok"))
+
+  /** Fit the Laplace-smoothed bigram LM on the train split (`h <
+    * 'cc'`, the ds_split boundary): the MODEL is just the
+    * `(prev, tok, c2)` count table — vocabulary²-bounded, map-side
+    * combined, ONE shuffle on the bigram key — from which the scoring
+    * side derives the prefix marginal and the vocabulary size
+    * (every train token occurrence is the prev or tok of some bigram,
+    * so distinct tokens ≡ distinct(prev) ∪ distinct(tok)). */
+  def lmFit(docs: DataFrame): DataFrame =
+    lmBigrams(docs).filter(col("h") < "cc")
+      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+
   // ---- subword tokenization (deterministic corpus-derived vocab) ---------
 
   /** Subword vocabulary parameters: character n-gram lengths counted

@@ -67,23 +67,21 @@ object TextQueries {
     * corpus-rank ntile — a single-partition window over the per-doc
     * result (rows = documents, not tokens); at 100 TB that rank runs
     * as the two-phase distributed histogram (ds_length_quantiles). */
-  def lmPlan(docs: DataFrame): DataFrame = {
-    val bg = docs.select(col("doc_id"), col("h"),
-      explode(arrays_zip(
-        slice(col("w"), lit(1), size(col("w")) - 1).as("prev"),
-        slice(col("w"), lit(2), size(col("w")) - 1).as("tok"))).as("b"))
-      .select(col("doc_id"), col("h"),
-        col("b.prev").as("prev"), col("b.tok").as("tok"))
+  def lmPlan(docs: DataFrame): DataFrame =
     // Fit ONCE: the bigram table is vocabulary²-bounded, so it
     // materializes eagerly and the prefix-marginal AND the vocabulary
-    // size both derive from it (docs have >= 2 tokens, so every train
-    // token occurrence is the prev or tok of some bigram — distinct
-    // tokens ≡ distinct(prev) ∪ distinct(tok)). Without the
-    // checkpoint, Spark re-runs the train-corpus explode+count once
-    // per derived table — three full passes instead of one.
-    val c2 = bg.filter(col("h") < "cc")
-      .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
-      .localCheckpoint(true)
+    // size both derive from it. Without the checkpoint, Spark re-runs
+    // the train-corpus explode+count once per derived table — three
+    // full passes instead of one.
+    lmScoreWith(docs, TextOps.lmFit(docs).localCheckpoint(true))
+
+  /** The scoring half of [[lmPlan]] against an EXISTING fitted bigram
+    * table — the steady-state form where the model is a persisted
+    * artifact ([[graft.sources.Models.bigramLm]]). The prefix marginal
+    * and vocabulary size re-derive from the (small) model table, so
+    * the artifact stays one table. */
+  def lmScoreWith(docs: DataFrame, c2: DataFrame): DataFrame = {
+    val bg = TextOps.lmBigrams(docs)
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
     val v = c2.select(col("prev").as("tok"))
       .union(c2.select(col("tok")))
@@ -109,6 +107,51 @@ object TextQueries {
           .otherwise("tail"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB replay of [[lmPlan]] — fit on the train split + score the
+    * whole corpus + decile-bucket. ONE spelling shared by both
+    * `tx_lm_score` (retrain-per-run) and `tx_lm_score_indexed`
+    * (persisted model): the two Spark plans differ only in WHERE the
+    * bigram table comes from, never in the result. */
+  private val lmOracleSql =
+    """WITH w AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |         string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, h, w[i] AS prev, w[i+1] AS tok
+      |  FROM w, unnest(range(1, len(w))) AS u(i)),
+      |c2 AS (
+      |  SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2
+      |  FROM bg WHERE h < 'cc' GROUP BY 1, 2),
+      |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1
+      |       FROM c2 GROUP BY 1),
+      |v AS (
+      |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      |  FROM (SELECT unnest(w) AS tok FROM w WHERE h < 'cc')),
+      |sc AS (
+      |  SELECT bg.doc_id,
+      |         log2(coalesce(c1.c1, CAST(0 AS BIGINT)) + v.v)
+      |           - log2(coalesce(c2.c2, CAST(0 AS BIGINT)) + 1) AS t
+      |  FROM bg
+      |  LEFT JOIN c2 USING (prev, tok)
+      |  LEFT JOIN c1 USING (prev)
+      |  CROSS JOIN v),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+      |         round(sum(t) / count(*), 4) AS nll_bits
+      |  FROM sc GROUP BY doc_id),
+      |rk AS (
+      |  SELECT doc_id, n_bi, nll_bits,
+      |         CAST(ntile(10) OVER (ORDER BY nll_bits, doc_id)
+      |              AS BIGINT) AS decile
+      |  FROM agg)
+      |SELECT doc_id, n_bi, nll_bits, decile,
+      |  CASE WHEN decile <= 3 THEN 'head'
+      |       WHEN decile <= 7 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM rk ORDER BY doc_id""".stripMargin
 
   /** The tx_tfidf_terms plan over tokenized docs `(doc_id, w)`: term
     * frequencies shuffle once on the uniform (doc_id, term) key; the
@@ -683,58 +726,33 @@ object TextQueries {
     // cross-engine determinism and plan-shape reasoning.
     "tx_lm_score" -> QueryDef(
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"),
-            md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"),
-            TextOps.tokens(col("text")).as("w"))
-          .filter(size(col("w")) >= 2)
-          .cache()
+        val docs = TextOps.lmDocs(Tables.documents(s, d)).cache()
         val out = lmPlan(docs).localCheckpoint(true)
         docs.unpersist()
         out
       },
-      Some(
-        """WITH w AS (
-          |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-          |         string_split_regex(trim(lower(text)), '\s+') AS w
-          |  FROM documents
-          |  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 2),
-          |bg AS (
-          |  SELECT doc_id, h, w[i] AS prev, w[i+1] AS tok
-          |  FROM w, unnest(range(1, len(w))) AS u(i)),
-          |c2 AS (
-          |  SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2
-          |  FROM bg WHERE h < 'cc' GROUP BY 1, 2),
-          |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1
-          |       FROM c2 GROUP BY 1),
-          |v AS (
-          |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-          |  FROM (SELECT unnest(w) AS tok FROM w WHERE h < 'cc')),
-          |sc AS (
-          |  SELECT bg.doc_id,
-          |         log2(coalesce(c1.c1, CAST(0 AS BIGINT)) + v.v)
-          |           - log2(coalesce(c2.c2, CAST(0 AS BIGINT)) + 1) AS t
-          |  FROM bg
-          |  LEFT JOIN c2 USING (prev, tok)
-          |  LEFT JOIN c1 USING (prev)
-          |  CROSS JOIN v),
-          |agg AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
-          |         round(sum(t) / count(*), 4) AS nll_bits
-          |  FROM sc GROUP BY doc_id),
-          |rk AS (
-          |  SELECT doc_id, n_bi, nll_bits,
-          |         CAST(ntile(10) OVER (ORDER BY nll_bits, doc_id)
-          |              AS BIGINT) AS decile
-          |  FROM agg)
-          |SELECT doc_id, n_bi, nll_bits, decile,
-          |  CASE WHEN decile <= 3 THEN 'head'
-          |       WHEN decile <= 7 THEN 'middle'
-          |       ELSE 'tail' END AS bucket
-          |FROM rk ORDER BY doc_id""".stripMargin),
+      Some(lmOracleSql),
       doc = "CCNet-style LM quality scoring: train-split Laplace bigram " +
         "LM, mean per-bigram surprise in bits, corpus-decile " +
         "head/middle/tail buckets"),
+
+    // tx_lm_score's steady-state form: the bigram count table is the
+    // PERSISTED model (Models.bigramLm — fit once on the train split,
+    // a small table read thereafter); scoring broadcasts it and
+    // derives marginal + vocabulary on load. Same retraining oracle:
+    // the hash match proves reload == retrain for the LM artifact.
+    "tx_lm_score_indexed" -> QueryDef(
+      (s, d) => {
+        val docs = TextOps.lmDocs(Tables.documents(s, d)).cache()
+        val out = lmScoreWith(docs, graft.sources.Models.bigramLm(s, d))
+          .localCheckpoint(true)
+        docs.unpersist()
+        out
+      },
+      Some(lmOracleSql),
+      doc = "LM quality scoring from the PERSISTED bigram model: " +
+        "fit once per corpus, per-run cost is the broadcast scoring " +
+        "pass — oracle retrains from scratch"),
 
     // PII scrubbing — the redaction pass every public-web training
     // corpus runs (emails and IPv4 addresses here; the pattern set is

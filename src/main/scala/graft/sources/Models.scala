@@ -352,6 +352,31 @@ object Models {
         pairsContained = true)
     }
 
+  // ---- CCNet-style bigram LM (quality-scoring model) ---------------------
+
+  def bigramLmPath(sfDir: String): String =
+    s"${root(sfDir)}/bigram_lm"
+
+  /** The persisted bigram language model for this corpus: the
+    * `(prev, tok, c2)` Laplace count table fit on the train split
+    * ([[graft.operators.TextOps.lmFit]]) — the quality-scoring model a
+    * CCNet-style pipeline fits once and applies to every incoming
+    * batch. Vocabulary²-bounded (small), so it persists as one file;
+    * the scoring side broadcasts it and derives the prefix marginal +
+    * vocabulary size on load. Deterministic — reload is bit-identical
+    * to retrain, which `tx_lm_score_indexed`'s retraining oracle
+    * proves per run. */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val path = bigramLmPath(sfDir)
+      if (!exists(spark, path)) {
+        TextOps.lmFit(TextOps.lmDocs(graft.Tables.documents(spark, sfDir)))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+
   // ---- BPE merge table + trained segmentation dictionary -----------------
 
   def bpeMergesPath(sfDir: String, rounds: Int): String =

@@ -299,6 +299,21 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bigram lm: reload == retrain, indexed query equals retraining") {
+    val stored = Models.bigramLm(spark, sf)
+    val retrained = TextOps.lmFit(
+      TextOps.lmDocs(Tables.documents(spark, sf)))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(m(stored) == m(retrained))
+    graft.functions.GraftFunctions.register(spark)
+    val a = SparkEntry.queries("tx_lm_score_indexed")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("tx_lm_score")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bpe artifacts: reload == retrain, dictionary side never shuffles") {
     val (merges, segs) = Models.bpe(spark, sf)
     val (rtMerges, rtSegs) = TextOps.bpeTrain(Tables.documents(spark, sf), "text")
