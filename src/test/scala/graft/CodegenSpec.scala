@@ -96,6 +96,30 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(10L, 12L, 11L))
   }
 
+  test("mmr_select skips null pool elements and null-field candidates") {
+    // direct-SQL pools can carry nulls (containsNull arrays); they must
+    // degrade to "not in the pool", never NPE an executor task
+    val st = "struct<nid:bigint,qdot:bigint,qv:array<bigint>>"
+    val df = Seq(1).toDF("x").withColumn("cands", expr(
+      s"""array(
+         |  cast(struct(10L, 100L, array(12L)) as $st),
+         |  cast(null as $st),
+         |  cast(struct(11L, cast(null as bigint), array(1L)) as $st),
+         |  cast(struct(12L, 10L, cast(null as array<bigint>)) as $st),
+         |  cast(struct(13L, 5L, array(cast(null as bigint))) as $st))"""
+        .stripMargin))
+    val got = df.select(explode(
+        GraftFunctions.mmrSelect(col("cands"), 5)).as("m"))
+      .select("m.nid", "m.rank").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((10L, 1)))
+    // an all-null pool yields an empty selection, not a crash
+    val empty = Seq(1).toDF("x").withColumn("cands", expr(
+      "array(cast(null as struct<nid:bigint,qdot:bigint,qv:array<bigint>>))"))
+      .select(size(GraftFunctions.mmrSelect(col("cands"), 3)).as("n"))
+      .head.getInt(0)
+    assert(empty == 0)
+  }
+
   test("nearest_cell compiles; no-centroid rows are null, not garbage") {
     val df = Seq(
       (1L, Seq(1L, 0L)),

@@ -107,6 +107,40 @@ class TemporalSpec extends AnyFunSuite {
 
   // ---- interval overlap join -------------------------------------------
 
+  test("reserved/overlapping input column names are rejected up front") {
+    val p = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "us")
+    val b = Seq((1L, 3L, 9L, 1.0)).toDF("user_id", "us", "event_id", "value")
+    // asofJoin: an input column named like an internal working column
+    // would silently corrupt the union/window machinery
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(p.withColumnRenamed("event_id", "asof"),
+        b, "user_id", "us", "event_id", Seq("value"))
+    }
+    assert(e1.getMessage.contains("asof"))
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(p, b.withColumnRenamed("value", "_tie"),
+        "user_id", "us", "event_id", Seq("_tie"))
+    }
+    // intervalJoin: shared probe/build names would make the residual
+    // predicate ambiguous; _bkt is reserved outright
+    val probe = Seq((1L, 5L)).toDF("eid", "at")
+    val build = Seq((1L, 9L)).toDF("lo", "hi")
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.intervalJoin(probe, "at",
+        build.withColumnRenamed("lo", "at"), "at", "hi", 10L)
+    }
+    assert(e2.getMessage.contains("at"))
+    intercept[IllegalArgumentException] {
+      Temporal.intervalJoin(probe.withColumn("_bkt", lit(1)), "at",
+        build, "lo", "hi", 10L)
+    }
+    // backtick-quoting: a column name with a space still parses
+    val got = Temporal.intervalJoin(
+      probe.withColumnRenamed("at", "at us"), "at us",
+      build, "lo", "hi", 10L)
+    assert(got.count() == 1)
+  }
+
   test("interval join matches across bucket boundaries, inclusive ends, no dups") {
     val ivs = Seq((1L, 5L, 25L), (2L, 95L, 105L))
       .toDF("iv_id", "start_us", "end_us")
