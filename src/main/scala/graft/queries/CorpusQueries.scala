@@ -417,6 +417,108 @@ object CorpusQueries {
         "fingerprint window), survivors materialized, three small " +
         "exchanges after"),
 
+    // The STEADY-STATE daily pipeline — the capstone composition a
+    // 100 TB training-data platform actually runs per batch, consuming
+    // THREE persisted artifacts instead of retraining anything:
+    //   gate (stateless quality/language predicate)
+    //   → canonical survivors via the stored near-dup cluster map
+    //     (Models.dedupMap — the similarity join + components ran once)
+    //   → LM-quality filter via the stored bigram model
+    //     (Models.bigramLm — keep head+middle deciles, CCNet-style)
+    //   → two-phase token sharding + split/sequence assignment.
+    // The oracle recomputes EVERYTHING from scratch — recursive-CTE
+    // clustering, LM fit, gate, sharding — composed from the same
+    // shared SQL fragments the standalone queries use, so the hash
+    // match simultaneously checks the composition and re-proves
+    // reload == retrain for both consumed models. A cluster whose
+    // canonical doc fails the gate drops entirely (survivor semantics:
+    // the canonical represents its cluster; if it is gate-rejected the
+    // cluster's content was rejected).
+    "ds_daily_pipeline" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+        val gated = docs.filter(TextOps.ingestGate(col("text")))
+        val surv = gated.join(
+          graft.sources.Models.dedupMap(s, d)
+            .filter(col("id") === col("label"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+          .localCheckpoint(true) // feeds LM scoring AND token counts
+        val scored = TextQueries
+          .lmScoreWith(TextOps.lmDocs(surv),
+            graft.sources.Models.bigramLm(s, d))
+          .filter(col("decile") <= 7)
+          .select("doc_id", "nll_bits", "bucket")
+          .localCheckpoint(true) // feeds the keep join AND final cols
+        val toks = surv.join(scored.select("doc_id"), Seq("doc_id"),
+            "left_semi")
+          .select(col("doc_id"), col("source"),
+            TextOps.wsTokenCount(col("text")).cast("long").as("tokens"))
+          .localCheckpoint(true)
+        withTokenOffsets(toks, expr("doc_id div 64"))
+          .join(scored, "doc_id")
+          .withColumn("h",
+            md5(encode(col("doc_id").cast("string"), "UTF-8")))
+          .select(col("doc_id"), col("source"),
+            when(col("h") < "cc", "train")
+              .when(col("h") < "e6", "val")
+              .otherwise("test").as("split"),
+            col("tokens"),
+            expr(s"offset div $ShardBudget").as("shard"),
+            expr(s"offset div $SeqLen").as("seq_id"),
+            col("nll_bits"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""${DedupQueries.clustersCtes("0.5")},
+           |labels AS (
+           |  SELECT id, CAST(min(r) AS BIGINT) AS label
+           |  FROM reach GROUP BY id),
+           |k AS (SELECT doc_id, source, text
+           |      FROM (${TextQueries.gatedDocsSql})),
+           |surv AS (
+           |  SELECT k.* FROM k JOIN labels l ON l.id = k.doc_id
+           |  WHERE l.label = k.doc_id),
+           |${TextQueries.lmFitCtes},
+           |bgs AS (SELECT bg.* FROM bg JOIN surv USING (doc_id)),
+           |${TextQueries.lmScoredCtes("bgs")},
+           |rk AS (
+           |  SELECT doc_id, nll_bits,
+           |         CAST(ntile(10) OVER (ORDER BY nll_bits, doc_id)
+           |              AS BIGINT) AS decile
+           |  FROM agg),
+           |kp AS (SELECT doc_id, nll_bits,
+           |         CASE WHEN decile <= 3 THEN 'head'
+           |              ELSE 'middle' END AS bucket
+           |       FROM rk WHERE decile <= 7),
+           |t AS (
+           |  SELECT s.doc_id, s.source,
+           |    CAST(len(string_split_regex(trim(s.text), '\\s+'))
+           |         AS BIGINT) AS tokens,
+           |    md5(CAST(s.doc_id AS VARCHAR)) AS h,
+           |    kp.nll_bits, kp.bucket
+           |  FROM surv s JOIN kp USING (doc_id)),
+           |o AS (
+           |  SELECT doc_id, source, tokens, h, nll_bits, bucket,
+           |    CAST(COALESCE(sum(tokens) OVER (PARTITION BY source
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS "offset"
+           |  FROM t)
+           |SELECT doc_id, source,
+           |  CASE WHEN h < 'cc' THEN 'train'
+           |       WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split,
+           |  tokens,
+           |  CAST("offset" // $ShardBudget AS BIGINT) AS shard,
+           |  CAST("offset" // $SeqLen AS BIGINT) AS seq_id,
+           |  nll_bits, bucket
+           |FROM o ORDER BY doc_id""".stripMargin),
+      doc = "steady-state daily pipeline: gate -> survivors from the " +
+        "PERSISTED dedup map -> head/middle filter from the PERSISTED " +
+        "bigram LM -> token shards; oracle retrains everything from " +
+        "scratch"),
+
     // Corpus mixing / reweighting: stratified deterministic sampling —
     // each source keeps a fixed fraction of its documents (hash
     // threshold per stratum, like ds_split but per-source rates), and

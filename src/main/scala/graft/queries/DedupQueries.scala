@@ -112,7 +112,7 @@ object DedupQueries {
   /** Shared recursive-CTE prefix: brute-force Jaccard pairs → edges →
     * transitive closure (`reach`) — the oracle's independent route to
     * connected components. */
-  private def clustersCtes(threshold: String): String =
+  private[queries] def clustersCtes(threshold: String): String =
     s"""WITH RECURSIVE $shingleCtes,
        |jpairs AS (
        |  SELECT a.doc_id AS i, b.doc_id AS j

@@ -108,13 +108,11 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** DuckDB replay of [[lmPlan]] — fit on the train split + score the
-    * whole corpus + decile-bucket. ONE spelling shared by both
-    * `tx_lm_score` (retrain-per-run) and `tx_lm_score_indexed`
-    * (persisted model): the two Spark plans differ only in WHERE the
-    * bigram table comes from, never in the result. */
-  private val lmOracleSql =
-    """WITH w AS (
+  /** CTEs `w`/`bg`/`c2`/`c1`/`v`: the full-corpus tokenization + the
+    * bigram-LM fit on the train split — ONE spelling shared by the
+    * `tx_lm_score*` oracles and the composed daily-pipeline oracle. */
+  private[queries] val lmFitCtes =
+    """w AS (
       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
       |         string_split_regex(trim(lower(text)), '\s+') AS w
       |  FROM documents
@@ -129,29 +127,45 @@ object TextQueries {
       |       FROM c2 GROUP BY 1),
       |v AS (
       |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-      |  FROM (SELECT unnest(w) AS tok FROM w WHERE h < 'cc')),
-      |sc AS (
-      |  SELECT bg.doc_id,
-      |         log2(coalesce(c1.c1, CAST(0 AS BIGINT)) + v.v)
-      |           - log2(coalesce(c2.c2, CAST(0 AS BIGINT)) + 1) AS t
-      |  FROM bg
-      |  LEFT JOIN c2 USING (prev, tok)
-      |  LEFT JOIN c1 USING (prev)
-      |  CROSS JOIN v),
-      |agg AS (
-      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
-      |         round(sum(t) / count(*), 4) AS nll_bits
-      |  FROM sc GROUP BY doc_id),
-      |rk AS (
-      |  SELECT doc_id, n_bi, nll_bits,
-      |         CAST(ntile(10) OVER (ORDER BY nll_bits, doc_id)
-      |              AS BIGINT) AS decile
-      |  FROM agg)
-      |SELECT doc_id, n_bi, nll_bits, decile,
-      |  CASE WHEN decile <= 3 THEN 'head'
-      |       WHEN decile <= 7 THEN 'middle'
-      |       ELSE 'tail' END AS bucket
-      |FROM rk ORDER BY doc_id""".stripMargin
+      |  FROM (SELECT unnest(w) AS tok FROM w WHERE h < 'cc'))"""
+      .stripMargin
+
+  /** CTEs `sc`/`agg`: score the bigram rows of `bgSrc` against the
+    * fitted model (Laplace per-bigram surprise, 4dp-rounded per-doc
+    * mean) — parameterized on the source so the daily pipeline can
+    * score a SUBSET with the same arithmetic spelling. */
+  private[queries] def lmScoredCtes(bgSrc: String): String =
+    s"""sc AS (
+       |  SELECT $bgSrc.doc_id,
+       |         log2(coalesce(c1.c1, CAST(0 AS BIGINT)) + v.v)
+       |           - log2(coalesce(c2.c2, CAST(0 AS BIGINT)) + 1) AS t
+       |  FROM $bgSrc
+       |  LEFT JOIN c2 USING (prev, tok)
+       |  LEFT JOIN c1 USING (prev)
+       |  CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi,
+       |         round(sum(t) / count(*), 4) AS nll_bits
+       |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB replay of [[lmPlan]] — fit on the train split + score the
+    * whole corpus + decile-bucket. ONE spelling shared by both
+    * `tx_lm_score` (retrain-per-run) and `tx_lm_score_indexed`
+    * (persisted model): the two Spark plans differ only in WHERE the
+    * bigram table comes from, never in the result. */
+  private val lmOracleSql =
+    s"""WITH $lmFitCtes,
+       |${lmScoredCtes("bg")},
+       |rk AS (
+       |  SELECT doc_id, n_bi, nll_bits,
+       |         CAST(ntile(10) OVER (ORDER BY nll_bits, doc_id)
+       |              AS BIGINT) AS decile
+       |  FROM agg)
+       |SELECT doc_id, n_bi, nll_bits, decile,
+       |  CASE WHEN decile <= 3 THEN 'head'
+       |       WHEN decile <= 7 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM rk ORDER BY doc_id""".stripMargin
 
   /** The tx_tfidf_terms plan over tokenized docs `(doc_id, w)`: term
     * frequencies shuffle once on the uniform (doc_id, term) key; the
