@@ -32,6 +32,14 @@ object TextOps {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  /** Token document frequencies `(tok, df)` over tokenized docs
+    * `(doc_id, w)` — the vocabulary-sized corpus statistic behind the
+    * rarity/tf-idf dials: one map-side-combined aggregate whose output
+    * is the vocabulary, not the corpus. */
+  def dfTable(docs: DataFrame): DataFrame =
+    docs.select(explode(array_distinct(col("w"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
   // ---- CCNet-style bigram LM (the quality-scoring model) -----------------
 
   /** Tokenized docs `(doc_id, h, w)` for the LM paths: md5 split hash +

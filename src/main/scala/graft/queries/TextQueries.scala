@@ -30,10 +30,13 @@ object TextQueries {
     * the df side is one row per distinct token, exactly the
     * broadcast-dimension shape. The only wide exchange left is the
     * uniform groupBy(doc_id). PlanSpec pins the BroadcastHashJoin. */
-  def rarityPlan(docs: DataFrame): DataFrame = {
-    val df = docs
-      .select(explode(array_distinct(col("w"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+  def rarityPlan(docs: DataFrame): DataFrame =
+    rarityScoreWith(docs, graft.operators.TextOps.dfTable(docs))
+
+  /** The scoring half of [[rarityPlan]] against an EXISTING df table —
+    * the steady-state form where the corpus statistic is a persisted
+    * artifact ([[graft.sources.Models.dfTable]]). */
+  def rarityScoreWith(docs: DataFrame, df: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(col("w")).as("tok"))
       .join(broadcast(df), "tok")
       .groupBy("doc_id")
@@ -42,7 +45,6 @@ object TextQueries {
         (col("df_sum").cast("double") / col("n_tokens").cast("double"))
           .as("mean_df"))
       .orderBy("doc_id")
-  }
 
   /** The tx_lm_score plan over tokenized docs `(doc_id, h, w)` with
     * `len(w) >= 2`: a CCNet-style n-gram language-model quality dial.
@@ -664,6 +666,35 @@ object TextQueries {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "corpus-relative rarity: mean token document frequency per " +
         "doc (boilerplate scores high, noise scores low)"),
+
+    // tx_rarity's steady-state form: the df table is the PERSISTED
+    // corpus statistic (Models.dfTable — derived once, broadcast per
+    // run); scoring is the occurrence explode + broadcast join only.
+    // Same retraining oracle — the hash match proves reload == retrain
+    // for the statistic, completing the artifact story for every
+    // corpus-derived model/statistic in the engine.
+    "tx_rarity_indexed" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        rarityScoreWith(docs, graft.sources.Models.dfTable(s, d))
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          |  FROM documents),
+          |df AS (
+          |  SELECT tok, count(*) AS df FROM (
+          |    SELECT unnest(list_distinct(w)) AS tok FROM w)
+          |  GROUP BY tok),
+          |occ AS (SELECT doc_id, unnest(w) AS tok FROM w)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(CAST(sum(df) AS BIGINT) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE) AS mean_df
+          |FROM occ JOIN df USING (tok)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "rarity from the PERSISTED df table: derive once, " +
+        "broadcast-score per run — oracle retrains from scratch"),
 
     // Count-Min-sketch token frequencies: the bounded-memory answer to
     // "how often does this token appear in 100 TB" — 3 rows × 4096

@@ -352,6 +352,28 @@ object Models {
         pairsContained = true)
     }
 
+  // ---- token document-frequency table (rarity/tf-idf statistic) ----------
+
+  def dfTablePath(sfDir: String): String =
+    s"${root(sfDir)}/df_table"
+
+  /** The persisted token document-frequency table for this corpus:
+    * `(tok, df)` — vocabulary-sized, derived once
+    * ([[graft.operators.TextOps.dfTable]]) and broadcast by every
+    * rarity/tf-idf consumer thereafter. Deterministic; the
+    * `tx_rarity_indexed` retraining oracle proves reload ≡ retrain. */
+  def dfTable(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val path = dfTablePath(sfDir)
+      if (!exists(spark, path)) {
+        TextOps.dfTable(graft.Tables.documents(spark, sfDir)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("w")))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+
   // ---- CCNet-style bigram LM (quality-scoring model) ---------------------
 
   def bigramLmPath(sfDir: String): String =

@@ -299,6 +299,21 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("df table: reload == retrain, indexed query equals retraining") {
+    val stored = Models.dfTable(spark, sf)
+    val retrained = TextOps.dfTable(Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w")))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(m(stored) == m(retrained))
+    graft.functions.GraftFunctions.register(spark)
+    val a = SparkEntry.queries("tx_rarity_indexed")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("tx_rarity")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bigram lm: reload == retrain, indexed query equals retraining") {
     val stored = Models.bigramLm(spark, sf)
     val retrained = TextOps.lmFit(
