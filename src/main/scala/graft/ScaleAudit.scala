@@ -320,6 +320,49 @@ object ScaleAudit {
     spark.sparkContext.removeSparkListener(ccListener)
     val ccIters = graft.operators.Dedup.lastComponentsIterations
 
+    // IVF-PQ daily-fold audit (round 11): appending a FIXED batch onto
+    // indexes of different sizes must cost the same ENCODE/SHUFFLE work
+    // (frozen model broadcast over the batch; only batch rows written)
+    // — the index-size-proportional term is exactly one single-column
+    // (cid) scan for the post-append drift audit, which shows up in
+    // input bytes, never in shuffle. Synthetic embeddings at 20k and
+    // 100k vectors; batch = 200.
+    sys.props("graft.models.dir") = s"$root/models"
+    def synEmb(n: Long, dir: String): Unit =
+      spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), " +
+          "k -> cast(((id * 31 + k) % 97) / 10.0 as float))").as("embedding"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def appendCost(n: Long): (Long, Long) = {
+      val dir = s"$root/syn$n"
+      synEmb(n, dir)
+      graft.sources.Models.ivfPqIndex(spark, dir,
+        nList = 16, iters = 1, m = 8, ksub = 16) // train once (untimed)
+      val batch = spark.range(n, n + 200).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), " +
+          "k -> cast(((id * 31 + k) % 97) / 10.0 as float))").as("embedding"))
+      val sb = new java.util.concurrent.atomic.AtomicLong
+      val ib = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          sb.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics
+            .bytesWritten)
+          ib.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      graft.sources.Models.ivfPqIndexAppend(spark, dir, batch,
+        "vec_id", "embedding", nList = 16, iters = 1, m = 8, ksub = 16)
+      Thread.sleep(1000)
+      spark.sparkContext.removeSparkListener(l)
+      (sb.get, ib.get)
+    }
+    val (apSb20, apIb20) = appendCost(20000L)
+    val (apSb100, apIb100) = appendCost(100000L)
+
     def pct(a: Long, b: Long): Double =
       math.round(a.toDouble / b * 10000) / 100.0
     val json =
@@ -352,7 +395,10 @@ object ScaleAudit {
                s""""$n": {"windows": $c, "max_input_rows": $w, "bound": $b}"""
              }.mkString(", ")}},
          |  "dd_clusters_sf01": {"rows": $ccRows, "cc_iterations": $ccIters,
-         |    "shuffle_stages": ${shufStages.get}, "shuffle_bytes": ${shufBytes.get}}
+         |    "shuffle_stages": ${shufStages.get}, "shuffle_bytes": ${shufBytes.get}},
+         |  "ivfpq_append": {"batch": 200,
+         |    "idx20k":  {"shuffle_bytes": $apSb20, "input_bytes": $apIb20},
+         |    "idx100k": {"shuffle_bytes": $apSb100, "input_bytes": $apIb100}}
          |}""".stripMargin
     println(json)
     java.nio.file.Files.write(

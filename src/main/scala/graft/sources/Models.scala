@@ -311,9 +311,19 @@ object Models {
       .bucketBy(IndexBuckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(codesName)
     val post = spark.table(codesName)
-    val stats = graft.operators.Similarity
-      .ivfPqAppendStats(post.join(newCodes.select("nid"), Seq("nid"),
-        "left_anti"), newCodes)
+    // drift audit WITHOUT an index-sized shuffle: both sides reduce to
+    // per-cell counts map-side (the nid anti-join spelling shuffled
+    // the whole index per fold — ScaleAudit caught it: 3× shuffle at
+    // 5× index); the only index-proportional cost left is the
+    // RLE-compressed single-column cid scan
+    val totals = post.groupBy("cid").agg(count(lit(1)).as("n_total"))
+    val news = newCodes.groupBy("cid").agg(count(lit(1)).as("n_appended"))
+    val stats = totals.join(news, Seq("cid"), "left")
+      .select(col("cid"),
+        (col("n_total") - coalesce(col("n_appended"), lit(0L)))
+          .as("n_index"),
+        coalesce(col("n_appended"), lit(0L)).as("n_appended"),
+        col("n_total"))
       .localCheckpoint(true)
     val agg = stats.agg(sum("n_total"), max("n_total")).head
     val (total, maxCell) = (agg.getLong(0), agg.getLong(1))
