@@ -299,6 +299,32 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivf-pq streaming maintenance: a tripped drift guard FAILS the " +
+      "stream instead of silently degrading") {
+    graft.functions.GraftFunctions.register(spark)
+    Models.ivfPqIndex(spark, sf) // ensure trained
+    val src = Tables.embeddings(spark, sf).orderBy("vec_id").limit(1)
+      .collect().head
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.VecEvent](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-idx-ckpt2").toString
+    // an impossible threshold: any batch trips the guard
+    val q = graft.streaming.EventStreams.indexMaintenance(
+      input.toDF(), sf, ckpt, maxCellShareMilli = 1)
+    try {
+      input.addData(graft.streaming.EventStreams.VecEvent(
+        src.getLong(0) + 9000000L,
+        src.getSeq[Float](src.fieldIndex("embedding"))))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("drift guard") ||
+        Option(ex.getCause).exists(_.getMessage.contains("drift guard")),
+        s"unexpected failure: $ex")
+    } finally q.stop()
+  }
+
   test("df table: reload == retrain, indexed query equals retraining") {
     val stored = Models.dfTable(spark, sf)
     val retrained = TextOps.dfTable(Tables.documents(spark, sf)

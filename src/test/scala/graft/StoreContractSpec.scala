@@ -324,6 +324,53 @@ class StoreContractSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned commits: random op sequences match a reference model") {
+    import graft.sources.VersionedStore
+    val rng = new scala.util.Random(20260814L)
+    for (round <- 0 until 3) {
+      val vs = new VersionedStore(new MemoryStore,
+        Files.createTempDirectory(s"vlog_m_$round").toString, keep = 2)
+      // reference model: the committed table as a multiset of tags
+      var model = Option.empty[List[Int]]
+      var nextTag = 0
+      for (_ <- 0 until 12) {
+        val tag = { nextTag += 1; nextTag }
+        def snap = spark.range(5).select(col("id"), lit(tag).as("tag"))
+        rng.nextInt(4) match {
+          case 0 =>
+            vs.write(snap, "t", SaveMode.Overwrite)
+            model = Some(List.fill(5)(tag))
+          case 1 =>
+            vs.write(snap, "t", SaveMode.Append)
+            model = Some(model.getOrElse(Nil) ++ List.fill(5)(tag))
+          case 2 =>
+            try {
+              vs.write(snap, "t", SaveMode.ErrorIfExists)
+              assert(model.isEmpty, s"[$round] ErrorIfExists succeeded " +
+                "on existing table")
+              model = Some(List.fill(5)(tag))
+            } catch { case _: IllegalStateException =>
+              assert(model.nonEmpty)
+            }
+          case 3 =>
+            vs.write(snap, "t", SaveMode.Ignore)
+            if (model.isEmpty) model = Some(List.fill(5)(tag))
+        }
+        val got = model match {
+          case None =>
+            intercept[NoSuchElementException] { vs.read(spark, "t") }
+            Nil
+          case Some(m) =>
+            val rows = vs.read(spark, "t").select("tag")
+              .collect().map(_.getInt(0)).sorted.toList
+            assert(rows == m.sorted, s"[$round] model mismatch")
+            rows
+        }
+        assert(got.size == model.map(_.size).getOrElse(0))
+      }
+    }
+  }
+
   test("memory store: ErrorIfExists throws, Ignore is a no-op") {
     val st = new MemoryStore
     val df = Tables.objects(spark, sf).limit(3)
