@@ -1041,7 +1041,64 @@ object SimilarityQueries {
       },
       Some(mmrOracleSql(k = 5, poolN = 20, queryLimit = 10)),
       doc = "MMR diversified retrieval: top-20 exact pool, greedy " +
-        "relevance-minus-redundancy selection, oracle replays each step")
+        "relevance-minus-redundancy selection, oracle replays each step"),
+
+    // The two-stage SERVING composition the sim_mmr scaladoc promises
+    // ("the first-stage retriever can swap to any ANN path"), made
+    // executable: candidate pool = the PERSISTED IVF-PQ index's
+    // refined top-20 (probe + ADC shortlist + exact rerank, the
+    // sim_ivfpq_indexed serving path at k=20), then the identical
+    // greedy MMR diversifier over that pool. The oracle prepends the
+    // full from-scratch IVF-PQ replay to the SAME unrolled MMR steps
+    // the exact-pool query uses — one spelling of the selection loop,
+    // two retrievers.
+    "sim_mmr_ivfpq" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+          .filter(size(col("qv")) === 64).cache()
+        val (cents, cbRows, codes) = graft.sources.Models.ivfPqIndex(s, d)
+        val shortlist = Similarity.ivfPqScorePlan(prep, cents, cbRows,
+          codes, k = 20, queryLimit = 10L, nProbe = 8, m = 8, dim = 64,
+          rerank = 50).select("qid", "nid")
+        val pool = shortlist
+          .join(prep.select(col("id").as("qid"), col("qv").as("qqv")),
+            "qid")
+          .join(prep.select(col("id").as("nid"), col("qv")), "nid")
+          .select(col("qid"), col("nid"), col("qv"),
+            Similarity.idot(col("qqv"), col("qv")).as("qdot"))
+          .groupBy("qid")
+          .agg(collect_list(struct(col("nid"), col("qdot"), col("qv")))
+            .as("cands"))
+        val out = pool
+          .select(col("qid"), explode(
+            GraftFunctions.mmrSelect(col("cands"), 5)).as("m"))
+          .select(col("qid"), col("m.nid").as("nid"),
+            col("m.rank").as("rank"))
+          .orderBy("qid", "rank")
+          .localCheckpoint(true)
+        prep.unpersist()
+        out
+      },
+      Some(ivfPqRefinedCtes(queryLimit = 10, nList = 16, nProbe = 8,
+        iters = 2, m = 8, ksub = 256, rerank = 50) +
+        s""",
+           |short20 AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           |                                        ORDER BY d2, nid) AS rank
+           |    FROM rr) WHERE rank <= 20),
+           |pool AS MATERIALIZED (
+           |  SELECT s.qid, s.nid, b.qv,
+           |         CAST(list_sum([a.qv[i]*b.qv[i] for i in range(1,65)])
+           |           AS BIGINT) AS qdot
+           |  FROM short20 s JOIN p a ON a.vec_id = s.qid
+           |       JOIN p b ON b.vec_id = s.nid)""".stripMargin +
+        mmrStepsSql(5)),
+      doc = "two-stage serving composition: persisted IVF-PQ refined " +
+        "top-20 shortlist -> greedy MMR diversification; one MMR oracle " +
+        "spelling shared with the exact-pool sim_mmr")
   )
 
   /** Unrolled DuckDB replay of [[Similarity.mmrTopK]]'s greedy loop:
@@ -1049,24 +1106,33 @@ object SimilarityQueries {
     * `qdot − max(dot to selected)` with ties to the smaller nid. SQL is
     * GENERATED from the same (k, poolN, queryLimit) the Spark side
     * uses. */
-  private def mmrOracleSql(k: Int, poolN: Int, queryLimit: Int): String = {
+  private def mmrOracleSql(k: Int, poolN: Int, queryLimit: Int): String =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         [CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qv
+       |  FROM embeddings),
+       |sc AS MATERIALIZED (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, b.qv AS qv,
+       |         CAST(list_sum([a.qv[i]*b.qv[i] for i in range(1,65)]) AS BIGINT) AS qdot
+       |  FROM (SELECT vec_id, qv FROM q WHERE vec_id < $queryLimit) a
+       |  JOIN q b ON a.vec_id <> b.vec_id),
+       |pool AS MATERIALIZED (
+       |  SELECT qid, nid, qv, qdot FROM (
+       |    SELECT qid, nid, qv, qdot,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY qdot DESC, nid) AS rn
+       |    FROM sc) WHERE rn <= $poolN)""".stripMargin +
+      mmrStepsSql(k)
+
+  /** The greedy-selection CTE chain from `pd` onward — parameterized
+    * only on a preceding `pool(qid, nid, qv, qdot)` CTE, so ANY
+    * first-stage retriever (exact top-N, IVF-PQ shortlist, …) can
+    * prepend its own pool and reuse the identical unrolled MMR
+    * replay. */
+  private def mmrStepsSql(k: Int): String = {
     val sb = new StringBuilder
     sb ++=
-      s"""WITH q AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         [CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qv
-         |  FROM embeddings),
-         |sc AS MATERIALIZED (
-         |  SELECT a.vec_id AS qid, b.vec_id AS nid, b.qv AS qv,
-         |         CAST(list_sum([a.qv[i]*b.qv[i] for i in range(1,65)]) AS BIGINT) AS qdot
-         |  FROM (SELECT vec_id, qv FROM q WHERE vec_id < $queryLimit) a
-         |  JOIN q b ON a.vec_id <> b.vec_id),
-         |pool AS MATERIALIZED (
-         |  SELECT qid, nid, qv, qdot FROM (
-         |    SELECT qid, nid, qv, qdot,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY qdot DESC, nid) AS rn
-         |    FROM sc) WHERE rn <= $poolN),
+      s""",
          |pd AS MATERIALIZED (
          |  SELECT x.qid, x.nid AS i, y.nid AS j,
          |         CAST(list_sum([x.qv[m]*y.qv[m] for m in range(1,65)]) AS BIGINT) AS d
