@@ -736,6 +736,75 @@ object Similarity {
     out
   }
 
+  // ---- Random-projection retrieval (Johnson-Lindenstrauss) ---------------
+
+  /** Scale shift for the projected coordinates: |qv·g| ≤ dim·10⁴·2²⁰ ≈
+    * 6.7e11 would overflow int64 when squared; dividing by 2²⁰ keeps
+    * reduced-space squared distances ≤ ~3e13. */
+  val RpShift = 1L << 20
+
+  /** Reduced-space vectors: each of `kDim` coordinates is the integer
+    * dot with a deterministic plane, truncated-divided by [[RpShift]]
+    * via a shift on the magnitude (sign-explicit — a plain `div`
+    * truncates on Spark but floors on DuckDB; shifting |s| and
+    * re-applying the sign replays identically on both). */
+  def rpProject(qv: Column, planes: Seq[Seq[Long]]): Column =
+    array(planes.map { g =>
+      val s = idot(qv, typedLit(g))
+      val q = shiftright(abs(s), 20)
+      when(s < 0, -q).otherwise(q)
+    }: _*)
+
+  /** Johnson-Lindenstrauss retrieval: project to `kDim` integer
+    * coordinates (deterministic planes — [[intPlanes]], the SRP family
+    * without the sign quantization), SCAN in the reduced space
+    * (kDim·8 bytes per vector — 4× less than the quantized vector at
+    * kDim=16), shortlist the top `rerank` per query by reduced squared
+    * L2, and re-rank the shortlist with the exact full-dimension L2 —
+    * the JL counterpart of the PQ/SQ8 compressed-scan-plus-refine
+    * shape, completing the compression bracket: subspace codebooks
+    * (PQ), per-dimension bytes (SQ8), sign bits (SRP-LSH), and now
+    * dense low-rank projection (RP). Returns `(qid, nid, d2, rank)`.
+    *
+    * Scale shape: projection is a zero-shuffle scan; the query side
+    * broadcasts; the rerank reads `rerank` raw vectors per query by
+    * id-equi-join; the only exchanges are the two top-k windows. All
+    * arithmetic exact int64, so the whole path hash-matches a replay. */
+  def rpTopK(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+      queryLimit: Long, kDim: Int = 32, rerank: Int = 150,
+      dim: Int = 64, seed: Long = 11L): DataFrame = {
+    val prep = prepared(embs, idCol, vecCol)
+      .filter(size(col("qv")) === dim).cache()
+    val planes = intPlanes(kDim, dim, seed)
+    val reduced = prep.select(col("id"),
+      rpProject(col("qv"), planes).as("rp"))
+    val queries = reduced.filter(col("id") < queryLimit)
+      .select(col("id").as("qid"), col("rp").as("qrp"))
+    val scored = reduced.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"),
+        aggregate(zip_with(col("qrp"), col("rp"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("rd2"))
+    val w = Window.partitionBy("qid").orderBy(col("rd2"), col("nid"))
+    val short = scored.withColumn("_srk", row_number().over(w))
+      .filter(col("_srk") <= rerank).select("qid", "nid")
+    val exact = short
+      .join(prep.select(col("id").as("qid"), col("qv").as("qqv"),
+        col("n2").as("qn2")), "qid")
+      .join(prep.select(col("id").as("nid"), col("qv").as("nqv"),
+        col("n2").as("nn2")), "nid")
+      .select(col("qid"), col("nid"),
+        (col("qn2") + col("nn2") -
+          lit(2L) * idot(col("qqv"), col("nqv"))).as("d2"))
+    val w2 = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    val out = exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .localCheckpoint(true)
+    prep.unpersist()
+    out
+  }
+
   // ---- MMR diversification (retrieve-then-rerank) ------------------------
 
   /** Two-stage retrieval with MMR diversification (Carbonell &

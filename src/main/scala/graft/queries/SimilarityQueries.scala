@@ -35,7 +35,7 @@ object SimilarityQueries {
       .mkString("[\n", ",\n", "\n]")
     val r = nBits / bands
     val mask = (1L << r) - 1
-    s"""$duckPrep,
+    s"""WITH $duckPrep,
        |planes AS (SELECT $planesLit AS g),
        |sigb AS (
        |  SELECT vec_id,
@@ -400,6 +400,45 @@ object SimilarityQueries {
        |       COALESCE(n.new_code_sum, CAST(0 AS BIGINT)) AS new_code_sum
        |FROM oldc o FULL OUTER JOIN newc n ON o.cid = n.cid
        |ORDER BY cid""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.rpTopK]]'s chain through the exact
+    * rerank: planes literal → sign-explicit shifted projections →
+    * reduced-space ranking → top-`rerank` shortlist → exact full-dim
+    * L2 (`ex(qid, nid, d2)`). Generated from the same (kDim, seed) as
+    * the Spark side, so the planes can never drift. */
+  private def rpCtes(queryLimit: Int, kDim: Int, rerank: Int,
+      seed: Long): String = {
+    val planes = Similarity.intPlanes(kDim, 64, seed)
+    val planesLit = planes.map(_.mkString("[", ",", "]"))
+      .mkString("[\n", ",\n", "\n]")
+    s"""WITH $duckPrep,
+       |planes AS (SELECT $planesLit AS g),
+       |red AS (
+       |  SELECT vec_id,
+       |         [CASE WHEN s < 0 THEN -(abs(s) // ${Similarity.RpShift})
+       |               ELSE abs(s) // ${Similarity.RpShift} END
+       |          for s in [CAST(list_sum(
+       |              [qv[i]*g[j][i] for i in range(1,65)]) AS BIGINT)
+       |            for j in range(1, ${kDim + 1})]] AS rp
+       |  FROM p, planes),
+       |rd AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |         CAST(list_sum([(a.rp[j]-b.rp[j])*(a.rp[j]-b.rp[j])
+       |           for j in range(1,${kDim + 1})]) AS BIGINT) AS rd2
+       |  FROM (SELECT * FROM red WHERE vec_id < $queryLimit) a
+       |  JOIN red b ON b.vec_id <> a.vec_id),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |                                        ORDER BY rd2, nid) AS srk
+       |    FROM rd) WHERE srk <= $rerank),
+       |ex AS (
+       |  SELECT s.qid, s.nid,
+       |         a.n2 + b.n2 - 2*CAST(list_sum(
+       |           [a.qv[i]*b.qv[i] for i in range(1,65)]) AS BIGINT) AS d2
+       |  FROM short s JOIN p a ON a.vec_id = s.qid
+       |       JOIN p b ON b.vec_id = s.nid)""".stripMargin
   }
 
   /** DuckDB replay of [[Similarity.semDedup]]: refined centroids + cell
@@ -1024,6 +1063,88 @@ object SimilarityQueries {
         "x rerank) config over the PERSISTED index artifacts — the " +
         "study that picks the servable default; oracle retrains from " +
         "scratch, so each cell doubles as a reload==retrain proof"),
+
+    // Johnson-Lindenstrauss retrieval: dense integer random projection
+    // to 32 coordinates (the SRP planes WITHOUT sign quantization —
+    // 256 B/vector, half the quantized vectors), reduced-space
+    // scan -> top-150 shortlist -> exact full-dimension rerank, the
+    // operating point a (16,24,32)x(50,100,150) study put at 0.90
+    // recall@5 (16x50 measured 0.36 — reduced-space distortion on a
+    // near-random corpus needs either width or shortlist depth). The
+    // fourth compressed-index family, bracketing the design space with
+    // PQ (subspace codebooks), SQ8 (per-dim bytes), and SRP-LSH (sign
+    // bits); sign-explicit shifted projections keep every coordinate
+    // exact int64, so the whole path hash-matches the replay.
+    "sim_rp_topk" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        Similarity.rpTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, queryLimit = 10L)
+          .orderBy("qid", "rank")
+      },
+      Some(rpCtes(queryLimit = 10, kDim = 32, rerank = 150, seed = 11L) +
+        """
+          |SELECT qid, nid, d2, CAST(rank AS INT) AS rank FROM (
+          |  SELECT qid, nid, d2,
+          |         row_number() OVER (PARTITION BY qid
+          |                            ORDER BY d2, nid) AS rank
+          |  FROM ex) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+      doc = "Johnson-Lindenstrauss ANN: 32-coordinate integer random " +
+        "projection scan + exact rerank of the top-150 shortlist " +
+        "(0.90 recall@5)"),
+
+    // The RP index's quality audit, same discipline as the other
+    // families: recall@5 vs exact-L2 ground truth, per query,
+    // hash-deterministic end to end.
+    "sim_rp_recall" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val prep = Similarity.prepared(
+          Tables.embeddings(s, d), "vec_id", "embedding")
+          .filter(size(col("qv")) === 64).cache()
+        val gtTop = Similarity.exactL2TopK(prep, 5, 10L)
+          .localCheckpoint(true)
+        prep.unpersist()
+        val approx = Similarity.rpTopK(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 5, queryLimit = 10L)
+        val hits = approx.join(gtTop, Seq("qid", "nid"), "left_semi")
+          .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+        gtTop.select("qid").distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") /
+              lit(5.0).cast("double")).as("recall_at_5"))
+          .orderBy("qid")
+      },
+      Some(rpCtes(queryLimit = 10, kDim = 32, rerank = 150, seed = 11L) +
+        s""",
+           |appr AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+           |                                        ORDER BY d2, nid) AS rank
+           |    FROM ex) WHERE rank <= 5),
+           |gt AS (
+           |  SELECT qid, nid FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |             a.n2 + b.n2 - 2*CAST(list_sum(
+           |               [a.qv[kk]*b.qv[kk] for kk in range(1,65)])
+           |               AS BIGINT),
+           |             b.vec_id) AS rk
+           |    FROM (SELECT * FROM p WHERE vec_id < 10) a
+           |    JOIN p b ON b.vec_id <> a.vec_id) WHERE rk <= 5),
+           |h AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hits
+           |      FROM appr a JOIN gt USING (qid, nid) GROUP BY 1)
+           |SELECT q.vec_id AS qid,
+           |       coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           |       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+           |         / CAST(5 AS DOUBLE) AS recall_at_5
+           |FROM (SELECT vec_id FROM p WHERE vec_id < 10) q
+           |LEFT JOIN h ON h.qid = q.vec_id
+           |ORDER BY qid""".stripMargin),
+      doc = "RP index quality: recall@5 vs exact-L2 ground truth — the " +
+        "JL family's hash-deterministic audit"),
 
     // MMR diversification (Carbonell & Goldstein 1998): the standard
     // two-stage serving shape — top-20 pool by exact inner product,
