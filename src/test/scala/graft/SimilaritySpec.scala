@@ -310,6 +310,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sweep((1, 2, 4)) <= sweep((2, 2, 4)))
   }
 
+  test("rpTopK: a corpus-covering shortlist IS brute force") {
+    graft.functions.GraftFunctions.register(spark)
+    // rerank >= corpus: the reduced space only orders the shortlist,
+    // which covers everything — the exact rerank must return the true
+    // top-k regardless of projection distortion
+    val got = Similarity.rpTopK(vecs, "vec_id", "embedding", k = 2,
+      queryLimit = 2L, kDim = 4, rerank = 10, dim = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    val prep = Similarity.prepared(vecs, "vec_id", "embedding")
+    val want = Similarity.exactL2TopK(prep, 2, 2L)
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .toSeq
+    assert(got.map(r => (r._1, r._2)).sorted == want.sorted)
+  }
+
   test("SRP-LSH ANN excludes ragged and null vectors from the index") {
     val good = (0L until 20L).map { i =>
       (i, Array.tabulate(16)(d => math.sin(i + d).toFloat))
