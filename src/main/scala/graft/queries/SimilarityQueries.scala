@@ -35,7 +35,7 @@ object SimilarityQueries {
       .mkString("[\n", ",\n", "\n]")
     val r = nBits / bands
     val mask = (1L << r) - 1
-    s"""WITH $duckPrep,
+    s"""$duckPrep,
        |planes AS (SELECT $planesLit AS g),
        |sigb AS (
        |  SELECT vec_id,
