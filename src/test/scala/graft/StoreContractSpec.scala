@@ -324,6 +324,26 @@ class StoreContractSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned commits: a fresh instance (restart) resolves the " +
+      "committed snapshot from the log alone") {
+    import graft.sources.VersionedStore
+    val dataRoot = Files.createTempDirectory("vstore_rs").toString
+    val logRoot = Files.createTempDirectory("vlog_rs").toString
+    val vs1 = new VersionedStore(new ParquetStore(dataRoot, 2), logRoot, 2)
+    vs1.write(spark.range(7).select(col("id"), lit(1).as("tag")), "t",
+      SaveMode.Overwrite)
+    vs1.write(spark.range(7).select(col("id"), lit(2).as("tag")), "t",
+      SaveMode.Append)
+    // a NEW instance over the same roots: no shared in-memory state —
+    // the commit log IS the durable pointer
+    val vs2 = new VersionedStore(new ParquetStore(dataRoot, 2), logRoot, 2)
+    assert(vs2.read(spark, "t").count() == 14)
+    assert(vs2.currentVersion(spark, "t").contains(2L))
+    vs2.write(spark.range(3).select(col("id"), lit(3).as("tag")), "t",
+      SaveMode.Overwrite)
+    assert(vs1.read(spark, "t").count() == 3) // and vice versa
+  }
+
   test("versioned commits: random op sequences match a reference model") {
     import graft.sources.VersionedStore
     val rng = new scala.util.Random(20260814L)
