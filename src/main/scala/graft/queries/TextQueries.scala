@@ -65,10 +65,13 @@ object TextQueries {
     * prefix-marginal, and the single-row vocabulary size — BROADCASTS
     * into the scoring join (stop-word bigrams are extreme hot keys;
     * same reasoning as [[rarityPlan]]), so corpus scoring is map-side
-    * plus one uniform doc_id aggregation. The final decile is a
-    * corpus-rank ntile — a single-partition window over the per-doc
-    * result (rows = documents, not tokens); at 100 TB that rank runs
-    * as the two-phase distributed histogram (ds_length_quantiles). */
+    * plus one uniform doc_id aggregation. The final decile is the
+    * EXACT distributed ntile ([[graft.operators.Rank.ntileExact]]):
+    * the only unpartitioned window runs over the nll_bits VALUE
+    * HISTOGRAM (4dp-quantized, domain-bounded), tie groups rebase
+    * through doc_id sub-buckets — no corpus-sized window partition
+    * anywhere, and the oracle stays the global single-window ntile
+    * SQL, so the hash match proves the decomposition. */
   def lmPlan(docs: DataFrame): DataFrame =
     // Fit ONCE: the bigram table is vocabulary²-bounded, so it
     // materializes eagerly and the prefix-marginal AND the vocabulary
@@ -99,10 +102,10 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bi"), sum("t").as("st"))
       .select(col("doc_id"), col("n_bi"),
         round(col("st") / col("n_bi"), 4).as("nll_bits"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("nll_bits"), col("doc_id"))
-    perDoc
-      .withColumn("decile", ntile(10).over(rankW).cast("long"))
+    graft.operators.Rank
+      .ntileExact(perDoc, 10, "nll_bits", "doc_id", "decile")
+      .select(col("doc_id"), col("n_bi"), col("nll_bits"),
+        col("decile").cast("long").as("decile"))
       .withColumn("bucket",
         when(col("decile") <= 3, "head")
           .when(col("decile") <= 7, "middle")

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Rank
+
+/** [[Rank.ntileExact]] / [[Rank.globalRowNumber]] must reproduce the
+  * single-window `row_number()/ntile(n) OVER (ORDER BY v, id)`
+  * EXACTLY — the decomposition is only admissible because it is
+  * indistinguishable from the global window. Random cases sweep the
+  * hard regions: N not divisible by n, heavy ties (few distinct
+  * values), N < n, sparse non-dense ids, and tiny grpWidth (every
+  * tie group split across many sub-buckets). */
+class RankSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val genCase = for {
+    n <- Gen.choose(1, 300)
+    nVals <- Gen.choose(1, 12) // few distinct values → heavy ties
+    rows <- Gen.listOfN(n, Gen.choose(0, nVals - 1))
+  } yield rows.zipWithIndex.map { case (v, i) =>
+    (i.toLong * 37L + 5L, v.toDouble / 4.0) // sparse ids, 2dp-ish values
+  }
+
+  private def check(rows: Seq[(Long, Double)], nTiles: Int,
+      grpWidth: Long, tag: String): Unit = {
+    val df = rows.toDF("doc_id", "v")
+    val w = Window.orderBy(col("v"), col("doc_id"))
+    val want = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("t", ntile(nTiles).over(w).cast("long"))
+      .select("doc_id", "r", "t")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val gotR = Rank.globalRowNumber(df, "v", "doc_id", "r", grpWidth)
+      .select("doc_id", "r").as[(Long, Long)].collect().toMap
+    val gotT = Rank.ntileExact(df, nTiles, "v", "doc_id", "t", grpWidth)
+      .select("doc_id", "t").as[(Long, Long)].collect().toMap
+    want.foreach { case (id, r, t) =>
+      assert(gotR(id) == r, s"$tag: rank of doc $id")
+      assert(gotT(id) == t, s"$tag: ntile($nTiles) of doc $id")
+    }
+  }
+
+  test("ntileExact/globalRowNumber match the global window on random data") {
+    (0 until 10).foreach { i =>
+      val rows = genCase.pureApply(Gen.Parameters.default, rng.Seed(421L + i))
+      val nTiles = 1 + (i % 4) * 3 // 1, 4, 7, 10
+      val grpWidth = Seq(1L, 4L, 64L, Rank.DefaultGrpWidth)(i % 4)
+      check(rows, nTiles, grpWidth, s"case $i (n=${rows.size})")
+    }
+  }
+
+  test("N smaller than the tile count") {
+    check(Seq((10L, 0.5), (3L, 0.5), (7L, 0.25)), 10, 2L, "N<n")
+  }
+
+  test("all rows one tie group") {
+    check((0 until 57).map(i => (i.toLong, 1.0)), 10, 8L, "one value")
+  }
+
+  test("no corpus-sized unpartitioned window in the plan") {
+    val df = (0 until 200).map(i => (i.toLong, (i % 9).toDouble)).toDF("doc_id", "v")
+    val out = Rank.ntileExact(df, 10, "v", "doc_id", "decile")
+    out.queryExecution.toRdd.foreach(_ => ())
+    // AQE hides finished stages behind QueryStageExec LEAVES — a plain
+    // collect sees only the final stage, so flatten recursively
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    def rowsOf(n: SparkPlan): Long =
+      n.metrics.get("numOutputRows").map(_.value)
+        .orElse(n.metrics.get("shuffleRecordsWritten").map(_.value))
+        .getOrElse(n.children.headOption.map(rowsOf).getOrElse(-1L))
+    val globals = allNodes(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => rowsOf(w.child)
+    }
+    // the only unpartitioned windows are histogram-sized (9 distinct
+    // values here) — never the 200-row corpus
+    assert(globals.nonEmpty)
+    globals.foreach(r => assert(r <= 9L, s"global window saw $r rows"))
+  }
+}
