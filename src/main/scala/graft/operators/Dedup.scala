@@ -296,21 +296,41 @@ object Dedup {
     *   None (default) uses `localCheckpoint` — blocks live on executor
     *   storage, the fastest option, but a LOST EXECUTOR loses its
     *   slice of the state and fails the job (restart recomputes from
-    *   the pairs). Some(dir) uses RELIABLE checkpointing to `dir`
-    *   (HDFS/object store at scale): each round writes its state to
-    *   the shared filesystem, so executor loss costs one task retry,
-    *   not the run — the right trade for a 100 TB CC loop where
-    *   O(log d) rounds each take minutes and preemption is routine.
-    *   Sets the context's checkpoint dir as a side effect. */
+    *   the pairs). Some(dir) uses RELIABLE checkpointing to a
+    *   per-invocation subdirectory of `dir` (HDFS/object store at
+    *   scale): each round writes its state to the shared filesystem,
+    *   so executor loss costs one task retry, not the run — the right
+    *   trade for a 100 TB CC loop where O(log d) rounds each take
+    *   minutes and preemption is routine. Superseded rounds' data is
+    *   DELETED as labels advance, so disk high-water is two rounds of
+    *   state, not O(log d); only the FINAL round's checkpoint (which
+    *   the returned DataFrame reads lazily) outlives the call — delete
+    *   the invocation subdirectory once consumers are done, or enable
+    *   `spark.cleaner.referenceTracking.cleanCheckpoints`. The
+    *   context's global checkpoint dir is restored on exit. */
   def components(ids: DataFrame, pairs: DataFrame,
       maxIter: Int = 50, pairsContained: Boolean = false,
       jumpAfter: Int = 2, checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(ids.sparkSession.sparkContext.setCheckpointDir)
+    val sc = ids.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
+    val scoped = checkpointDir.map(d =>
+      s"$d/components_${java.util.UUID.randomUUID.toString.take(8)}")
+    var round = 0
     // one spelling of the per-round materialization barrier — local
-    // (executor-storage) or reliable (shared-fs), chosen by the caller
-    def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(true)
+    // (executor-storage) or reliable (shared-fs), chosen by the caller;
+    // each reliable round gets its own subdir so superseded rounds can
+    // be reclaimed by path, not by chasing RDD checkpoint files
+    def snap(df: DataFrame): DataFrame = scoped match {
+      case Some(base) =>
+        sc.setCheckpointDir(s"$base/round_$round")
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(true)
+    }
+    def dropRound(r: Int): Unit = scoped.foreach { base =>
+      val p = new org.apache.hadoop.fs.Path(s"$base/round_$r")
+      val fsys = p.getFileSystem(sc.hadoopConfiguration)
+      if (fsys.exists(p)) { fsys.delete(p, true); () }
+    }
     val idOnly = ids.select(col("id"))
     val inIds =
       if (pairsContained) pairs.select(col("i"), col("j"))
@@ -357,14 +377,19 @@ object Dedup {
             least(col("plabel"), coalesce(col("gl"), col("plabel")))
               .as("nl"),
             col("old"))
+      round += 1
       val updated = snap(jumped
         .select(col("id"), col("nl").as("label"),
           (col("nl") =!= col("old")).as("changed")))
       converged = updated.filter(col("changed")).limit(1).count() == 0
       labels = updated.select("id", "label")
+      // the eager checkpoint above is the last reader of round-1's
+      // state: reclaim it now (disk high-water = two rounds)
+      dropRound(round - 1)
       iter += 1
     }
     edges.unpersist()
+    sc.setCheckpointDir(prevCkptDir.orNull)
     lastComponentsIterations = iter
     // mid-propagation labels are silently wrong — refuse to return them.
     // With pointer jumping the default budget covers diameter ~2^50;

@@ -43,8 +43,10 @@ object Skew {
     * broadcast (≤ n/hotThreshold buckets by construction). Callers
     * `.distinct()` across buckets as before. */
   def selfJoinPairs(blocked: DataFrame, keyCols: Seq[String], idCol: String,
-      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame =
-    selfJoinRows(blocked, keyCols, idCol, Nil, hotThreshold, tiles)
+      hotThreshold: Long = 100000L, tiles: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame =
+    selfJoinRows(blocked, keyCols, idCol, Nil, hotThreshold, tiles,
+      checkpointDir)
       .select("i", "j")
 
   /** Internal column names of the pair enumeration — caller columns in
@@ -73,17 +75,24 @@ object Skew {
     * tiling), since the hot-set broadcast bound `≤ n/hotThreshold`
     * does not apply to it.
     *
-    * Lifetime note: the checkpointed band table's cached blocks are
-    * released when the returned plan's RDD is garbage-collected (the
-    * `ContextCleaner` unpersists them) — there is no explicit release
-    * handle, and the truncated lineage means an executor loss mid-job
-    * fails the job instead of recomputing. The trade is deliberate:
-    * the table feeds up to four branches of one short-lived job, and
-    * callers that keep results eagerly materialize + drop the
-    * reference (e.g. Dedup.finishWithUnpersist). */
+    * Lifetime note: by default the band table materializes via
+    * `localCheckpoint` — cached blocks are released when the returned
+    * plan's RDD is garbage-collected (the `ContextCleaner` unpersists
+    * them), and the truncated lineage means an executor loss mid-job
+    * fails the job instead of recomputing. That trade fits a
+    * short-lived local job; for a 100 TB banding join where executor
+    * preemption is routine, pass `checkpointDir = Some(dir)` to
+    * materialize RELIABLY to the shared filesystem (per-invocation
+    * subdirectory, same escape hatch as
+    * [[Dedup.components]]'s) — executor loss then costs one task
+    * retry, not the run. The reliable state outlives the call (the
+    * returned plan reads it lazily); delete the subdirectory when
+    * consumers are done or enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`. The context's
+    * global checkpoint dir is restored before returning. */
   def selfJoinRows(blocked: DataFrame, keyCols: Seq[String], idCol: String,
       payloadCols: Seq[String], hotThreshold: Long = 100000L,
-      tiles: Int = 8): DataFrame = {
+      tiles: Int = 8, checkpointDir: Option[String] = None): DataFrame = {
     val userCols = keyCols ++ (idCol +: payloadCols)
     require(userCols.forall(c => !Reserved(c)),
       s"column names ${Reserved.mkString(", ")} are reserved by " +
@@ -94,10 +103,19 @@ object Skew {
     // drops them (null comparison), while a tiled off-diagonal pair
     // (ibid =!= jbid) would survive — the two paths must agree, and a
     // null id cannot be canonicalized into an ordered pair anyway.
-    val bands = blocked
+    val pruned = blocked
       .select(userCols.map(col): _*)
       .filter(col(idCol).isNotNull)
-      .localCheckpoint(true)
+    val bands = checkpointDir match {
+      case Some(dir) =>
+        val sc = blocked.sparkSession.sparkContext
+        val prev = sc.getCheckpointDir
+        sc.setCheckpointDir(
+          s"$dir/skew_${java.util.UUID.randomUUID.toString.take(8)}")
+        try pruned.checkpoint(eager = true)
+        finally sc.setCheckpointDir(prev.orNull)
+      case None => pruned.localCheckpoint(true)
+    }
 
     def sided(df: DataFrame, side: String): DataFrame =
       df.select(keys ++ Seq(col(idCol).as(side)) ++

@@ -102,6 +102,130 @@ object SourceQueries {
         "-> real overwrite -> serializable append; the committed head " +
         "hash-matches the expected snapshot exactly"),
 
+    // ---- The mutating-sink operators THROUGH the transactional read
+    // path (round-12 task 4): the plain a4/a8/a9/gc entries prove the
+    // merge/delete/resolve SEMANTICS; these twins run the identical
+    // computation as read-compute-COMMIT cycles over a VersionedStore
+    // and return the COMMITTED snapshot — same oracles, so the hash
+    // match proves the semantics survive the snapshot protocol. The
+    // pointer swap is metadata-only: the twins' query plans are the
+    // plain entries' plans plus one committed-table read. -------------
+
+    // A4 upsert: base committed as v1, the full-outer merge reads the
+    // committed head and commits v2; readers of v1 saw complete base,
+    // readers after the swap see the complete merge — never a mix.
+    "a4_upsert_versioned" -> QueryDef(
+      (s, d) => {
+        val vs = new graft.sources.VersionedStore(
+          new graft.sources.MemoryStore, tempDir("graft_vlog_a4"), keep = 2)
+        vs.write(Tables.buckets(s, d), "buckets",
+          org.apache.spark.sql.SaveMode.Overwrite) // v1
+        val base = vs.read(s, "buckets")
+        val updates = base.filter(col("n_docs") % 2 === 0)
+          .select(col("bucket"),
+            concat(col("tenant"), lit("-v2")).as("tenant"),
+            (col("n_docs") + 1).as("n_docs"))
+          .unionAll(base.filter(col("bucket") === "src1")
+            .select(lit("src_new").as("bucket"), col("tenant"),
+              lit(0L).as("n_docs")))
+        val merged = base.as("o")
+          .join(updates.as("u"), Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("u.tenant"), col("o.tenant")).as("tenant"),
+            coalesce(col("u.n_docs"), col("o.n_docs")).as("n_docs"))
+        vs.write(merged, "buckets",
+          org.apache.spark.sql.SaveMode.Overwrite) // v2: atomic swap
+        vs.read(s, "buckets").orderBy("bucket")
+      },
+      OpsQueries.defs("a4_bucket_upsert").oracle,
+      doc = "A4 upsert as read-compute-COMMIT through VersionedStore; " +
+        "same oracle as a4_bucket_upsert"),
+
+    // A8 version resolve over the SERIALIZABLE APPEND path: the base
+    // version set commits as v1, the newer versions arrive as an
+    // append (the retry loop guarantees no batch is lost), and the
+    // resolve reads the committed head.
+    "a8_resolve_versioned" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vs = new graft.sources.VersionedStore(
+          new graft.sources.MemoryStore, tempDir("graft_vlog_a8"), keep = 2)
+        val objs = Tables.objects(s, d)
+        vs.write(objs.select(col("bucket"), col("object"), col("inode"),
+          col("size"), lit(1000L).as("version_ts")), "versions",
+          org.apache.spark.sql.SaveMode.Overwrite) // v1
+        vs.write(objs.filter(col("inode") % 4 === 0)
+          .select(col("bucket"), col("object"),
+            (col("inode") + 1000000L).as("inode"),
+            (col("size") + 7L).as("size"),
+            (lit(2000L) + col("inode")).as("version_ts")), "versions",
+          org.apache.spark.sql.SaveMode.Append) // v2: appended batch
+        val w = Window.partitionBy("bucket", "object")
+          .orderBy(col("version_ts").desc, col("inode").desc)
+        vs.read(s, "versions")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("bucket", "object", "inode", "size", "version_ts")
+          .orderBy("bucket", "object")
+      },
+      OpsQueries.defs("a8_version_resolve").oracle,
+      doc = "A8 version resolve over the committed head after a " +
+        "serializable append; same oracle as a8_version_resolve"),
+
+    // A5/A9 delete: the anti-join delete commits a new snapshot; the
+    // returned aggregate reads the committed head, so a torn delete
+    // (half the rows gone) would hash-mismatch.
+    "a9_delete_versioned" -> QueryDef(
+      (s, d) => {
+        val vs = new graft.sources.VersionedStore(
+          new graft.sources.MemoryStore, tempDir("graft_vlog_a9"), keep = 2)
+        vs.write(Tables.objects(s, d), "objects",
+          org.apache.spark.sql.SaveMode.Overwrite) // v1
+        val deletes = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("source").as("bucket"), col("doc_id").as("inode"))
+        val remaining = vs.read(s, "objects")
+          .join(deletes, Seq("bucket", "inode"), "left_anti")
+        vs.write(remaining, "objects",
+          org.apache.spark.sql.SaveMode.Overwrite) // v2: atomic delete
+        vs.read(s, "objects")
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_remaining"), sum("size").as("bytes"))
+          .orderBy("bucket")
+      },
+      OpsQueries.defs("a9_object_delete").oracle,
+      doc = "A9 delete as an anti-join snapshot commit; the aggregate " +
+        "reads the committed head — same oracle as a9_object_delete"),
+
+    // GC: orphan compaction as a committed swap, with the report
+    // derived ENTIRELY from committed snapshots — v1 (time travel
+    // within the keep window) minus the compacted head IS the orphan
+    // set, so the hash match proves both the compaction and the
+    // retained-snapshot read path.
+    "gc_compact_versioned" -> QueryDef(
+      (s, d) => {
+        val vs = new graft.sources.VersionedStore(
+          new graft.sources.MemoryStore, tempDir("graft_vlog_gc"), keep = 2)
+        vs.write(Tables.chunks(s, d), "chunks",
+          org.apache.spark.sql.SaveMode.Overwrite) // v1
+        val live = Tables.objects(s, d)
+          .filter(col("inode") % 10 =!= 0).select("inode")
+        val compacted = vs.read(s, "chunks")
+          .join(live, Seq("inode"), "left_semi")
+        vs.write(compacted, "chunks",
+          org.apache.spark.sql.SaveMode.Overwrite) // v2: orphans dropped
+        val headInodes = vs.read(s, "chunks").select("inode").distinct()
+        vs.readVersion(s, "chunks", 1L)
+          .join(headInodes, Seq("inode"), "left_anti")
+          .groupBy("inode")
+          .agg(count(lit(1)).as("n_chunks"), sum("chunksize").as("bytes"))
+          .orderBy("inode")
+      },
+      BlobQueries.defs("gc_orphan_blocks").oracle,
+      doc = "orphan GC as a committed compaction; the report is " +
+        "v1-minus-head over committed snapshots — same oracle as " +
+        "gc_orphan_blocks"),
+
     // The engine is equally drivable through plain SQL over registered
     // views — the ListObjects page expressed as one spark.sql query.
     "src_sql_interface" -> QueryDef(

@@ -86,12 +86,34 @@ object TextQueries {
     * and vocabulary size re-derive from the (small) model table, so
     * the artifact stays one table. */
   def lmScoreWith(docs: DataFrame, c2: DataFrame): DataFrame = {
+    // materialize the scoring ONCE: the two-phase rank reads the
+    // per-doc table from four plan branches (value histogram,
+    // tie-group counts, row-level window, total) — left lazy, each
+    // branch re-runs the whole bigram scoring join
+    val perDoc = lmPerDoc(docs, c2).localCheckpoint(true)
+    graft.operators.Rank
+      .ntileExact(perDoc, 10, "nll_bits", "doc_id", "decile")
+      .select(col("doc_id"), col("n_bi"), col("nll_bits"),
+        col("decile").cast("long").as("decile"))
+      .withColumn("bucket",
+        when(col("decile") <= 3, "head")
+          .when(col("decile") <= 7, "middle")
+          .otherwise("tail"))
+      .orderBy("doc_id")
+  }
+
+  /** The scoring stage of [[lmScoreWith]] alone — per-doc
+    * `(doc_id, n_bi, nll_bits)` against a fitted bigram table, NOT
+    * materialized (PlanSpec pins its shape: model broadcasts, one
+    * vocabulary-sized `prev` exchange for the c1 marginal, corpus
+    * never shuffles on bigram keys). */
+  def lmPerDoc(docs: DataFrame, c2: DataFrame): DataFrame = {
     val bg = TextOps.lmBigrams(docs)
     val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
     val v = c2.select(col("prev").as("tok"))
       .union(c2.select(col("tok")))
       .agg(count_distinct(col("tok")).as("v"))
-    val perDoc = bg
+    bg
       .join(broadcast(c2), Seq("prev", "tok"), "left")
       .join(broadcast(c1), Seq("prev"), "left")
       .crossJoin(broadcast(v))
@@ -102,15 +124,6 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bi"), sum("t").as("st"))
       .select(col("doc_id"), col("n_bi"),
         round(col("st") / col("n_bi"), 4).as("nll_bits"))
-    graft.operators.Rank
-      .ntileExact(perDoc, 10, "nll_bits", "doc_id", "decile")
-      .select(col("doc_id"), col("n_bi"), col("nll_bits"),
-        col("decile").cast("long").as("decile"))
-      .withColumn("bucket",
-        when(col("decile") <= 3, "head")
-          .when(col("decile") <= 7, "middle")
-          .otherwise("tail"))
-      .orderBy("doc_id")
   }
 
   /** CTEs `w`/`bg`/`c2`/`c1`/`v`: the full-corpus tokenization + the

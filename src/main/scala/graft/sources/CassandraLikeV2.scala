@@ -1,0 +1,357 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A Cassandra-SHAPED DataSource V2 connector
+  * (`format("graft.sources.CassandraLikeV2")`, options `table`,
+  * `partitionKeys`, `clusteringKeys`) — the conformance binding for
+  * the reference's actual storage engine semantics
+  * (reference: src/io/pithos/store.clj:17-43 instantiates Cassandra
+  * stores; meta.clj:153-173 is the A6 access path
+  * `WHERE bucket = ? AND object >= ? ORDER BY object LIMIT n`).
+  * The live connector jar is a deploy-time dependency
+  * ([[CassandraStore]]); THIS class enforces, at the DSv2 interface,
+  * the access rules that make that deployment shape work — so the
+  * operator layer is tested against Cassandra's restrictions, not just
+  * against file sources that happily push anything:
+  *
+  *  - '''partition key''': only EQUALITY is claimable, and only when
+  *    EVERY pk column is equality-constrained (a pk range is a
+  *    cluster-wide token scan — the engine must keep that predicate
+  *    and see it post-scan);
+  *  - '''clustering columns''': equality/ranges claimable only under
+  *    full pk equality and only in CLUSTERING-PREFIX order — a range
+  *    on `ck_i` requires equality on `ck_0..ck_{i-1}` (CQL's slice
+  *    restriction);
+  *  - '''regular columns''': never claimable (no ALLOW FILTERING);
+  *  - '''limit / top-N''': pushed per partition; a top-N whose sort
+  *    order is the clustering-prefix ascending under full pk equality
+  *    is FULLY pushed — rows leave the connector in clustering order
+  *    (Cassandra's `ORDER BY ck LIMIT n` page) and Spark plans no
+  *    re-sort.
+  *
+  * Rows are stored sorted by (pk, ck) and partition-planned one
+  * input partition per pk value — the token-ownership model. The last
+  * scan's claimed filters/limit are recorded per table so conformance
+  * specs can assert exactly what ARRIVED at the connector, mirroring
+  * the prepared statements of meta.clj:153-173. */
+object CassandraLikeV2 {
+
+  /** table → (schema, pk cols, ck cols, rows sorted by (pk, ck)) */
+  case class TableState(schema: StructType, pk: Seq[String],
+      ck: Seq[String], rows: Array[UnsafeRow])
+  val tables = TrieMap.empty[String, TableState]
+
+  /** What the last scan of each table pushed to the "server". */
+  case class ScanRecord(pushed: Seq[String], postScan: Seq[String],
+      limit: Option[Int], topNOrder: Seq[String], topNFullyPushed: Boolean)
+  val lastScan = TrieMap.empty[String, ScanRecord]
+
+  def clear(): Unit = { tables.clear(); lastScan.clear() }
+
+  /** The single column a pushable filter shape references, if any. */
+  private[sources] def refCol(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a)
+    case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a)
+    case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a)
+    case StringStartsWith(a, _) => Some(a)
+    case _ => None
+  }
+
+  private def isEquality(f: Filter): Boolean = f match {
+    case EqualTo(_, _) => true
+    case _ => false
+  }
+
+  /** CQL claimability: which of `filters` may run server-side given
+    * the pk/ck declaration. See the class doc for the three rules. */
+  private[sources] def claimable(pk: Seq[String], ck: Seq[String],
+      filters: Array[Filter]): Array[Filter] = {
+    val pkFull = pk.forall(c =>
+      filters.exists(f => isEquality(f) && refCol(f).contains(c)))
+    if (!pkFull) Array.empty
+    else {
+      // clustering prefix: ck_i usable iff ck_0..ck_{i-1} all have
+      // equality; the first non-equality ck closes the prefix after
+      // itself (a range on it is the slice bound)
+      val eqCk = ck.takeWhile(c =>
+        filters.exists(f => isEquality(f) && refCol(f).contains(c)))
+      val usableCk: Set[String] =
+        (eqCk ++ ck.drop(eqCk.length).take(1)).toSet
+      filters.filter {
+        // nullability guards on KEY columns are vacuously true in CQL
+        // (key columns cannot be null) — claim them, or the residual
+        // post-scan Filter they'd leave blocks Spark's limit/top-N
+        // pushdown over the very page pattern this connector exists
+        // to serve
+        case IsNotNull(c) => pk.contains(c) || ck.contains(c)
+        case f =>
+          MemoryV2.supported(f) && (refCol(f) match {
+            case Some(c) if pk.contains(c) => isEquality(f)
+            case Some(c) if ck.contains(c) => usableCk(c)
+            case _ => false // regular column: no ALLOW FILTERING
+          })
+      }
+    }
+  }
+
+  /** [[MemoryV2.eval]] plus the IsNotNull shape [[claimable]] may
+    * claim on key columns. */
+  private[sources] def eval(f: Filter, schema: StructType,
+      row: InternalRow): Boolean = f match {
+    case IsNotNull(a) => !row.isNullAt(schema.fieldIndex(a))
+    case other => MemoryV2.eval(other, schema, row)
+  }
+
+  /** Null-first ordering over `cols` of `schema` rows (the storage
+    * sort and the fully-pushed top-N both use it). */
+  private[sources] def keyOrdering(schema: StructType,
+      cols: Seq[String]): Ordering[UnsafeRow] = new Ordering[UnsafeRow] {
+    private val idx = cols.map(schema.fieldIndex)
+    private val dts = idx.map(schema(_).dataType)
+    override def compare(x: UnsafeRow, y: UnsafeRow): Int = {
+      var k = 0
+      while (k < idx.length) {
+        val i = idx(k)
+        val c = (x.isNullAt(i), y.isNullAt(i)) match {
+          case (true, true) => 0
+          case (true, false) => -1
+          case (false, true) => 1
+          case (false, false) => dts(k) match {
+            case StringType =>
+              x.getUTF8String(i).compareTo(y.getUTF8String(i))
+            case LongType => java.lang.Long.compare(x.getLong(i), y.getLong(i))
+            case IntegerType =>
+              java.lang.Integer.compare(x.getInt(i), y.getInt(i))
+            case dt => throw new IllegalArgumentException(
+              s"unsupported key type $dt")
+          }
+        }
+        if (c != 0) return c
+        k += 1
+      }
+      0
+    }
+  }
+}
+
+class CassandraLikeV2 extends TableProvider {
+
+  private def opt(m: util.Map[String, String], k: String): Option[String] =
+    Option(new CaseInsensitiveStringMap(m).get(k))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = options.get("table")
+    require(t != null, "CassandraLikeV2 requires a 'table' option")
+    CassandraLikeV2.tables.get(t).map(_.schema).getOrElse(new StructType())
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val t = opt(properties, "table").getOrElse(
+      throw new IllegalArgumentException("missing 'table' option"))
+    val pk = opt(properties, "partitionKeys").getOrElse(
+      throw new IllegalArgumentException("missing 'partitionKeys' option"))
+      .split(',').map(_.trim).toSeq
+    val ck = opt(properties, "clusteringKeys").map(
+      _.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)
+    new CasV2Table(t, pk, ck, schema)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] class CasV2Table(table: String, pk: Seq[String],
+    ck: Seq[String], writeSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"casv2:$table"
+  override def schema(): StructType =
+    CassandraLikeV2.tables.get(table).map(_.schema).getOrElse(writeSchema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CasV2ScanBuilder(table, pk, ck, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val s = info.schema()
+    (pk ++ ck).foreach(c => require(s.fieldNames.contains(c),
+      s"casv2:$table: declared key column '$c' missing from write " +
+        s"schema ${s.catalogString}"))
+    new CasV2WriteBuilder(table, pk, ck, s)
+  }
+}
+
+private[sources] class CasV2ScanBuilder(table: String, pk: Seq[String],
+    ck: Seq[String], full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var unclaimed: Array[Filter] = Array.empty
+  private var required: StructType = full
+  private var limit: Option[Int] = None
+  private var topNOrder: Seq[String] = Seq.empty
+  private var topNFull = false
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = CassandraLikeV2.claimable(pk, ck, filters)
+    unclaimed = filters.filterNot(pushed.contains)
+    // everything unclaimed stays in Spark's post-scan Filter
+    unclaimed
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Single-partition scan ⇔ every pk column equality-claimed: the
+    * plan touches one token's rows, Cassandra's point-partition page. */
+  private def singlePartition: Boolean =
+    pk.forall(c => pushed.exists {
+      case EqualTo(a, _) => a == c
+      case _ => false
+    })
+
+  override def pushLimit(n: Int): Boolean = {
+    // applied per input partition (per token range, as the connector
+    // does); Spark keeps its own Limit above, so this is always safe
+    limit = Some(n)
+    true
+  }
+
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    // claim only the CQL-expressible shape: ascending nulls-first
+    // prefix of the clustering order under full pk equality
+    val cols = orders.toSeq.map(_.expression()).collect {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        f.fieldNames()(0)
+    }
+    val asc = orders.forall(o =>
+      o.direction() == SortDirection.ASCENDING &&
+        o.nullOrdering() == NullOrdering.NULLS_FIRST)
+    val isCkPrefix = cols.nonEmpty && cols.length == orders.length &&
+      ck.startsWith(cols)
+    if (asc && isCkPrefix && singlePartition) {
+      limit = Some(n)
+      topNOrder = cols
+      topNFull = true
+      true
+    } else false
+  }
+
+  /** Rows leave the single partition already in clustering order, so
+    * the claimed top-N IS the global answer — Spark plans no re-sort. */
+  override def isPartiallyPushed: Boolean = !topNFull
+
+  override def build(): Scan = {
+    CassandraLikeV2.lastScan(table) = CassandraLikeV2.ScanRecord(
+      pushed.map(_.toString).toSeq, unclaimed.map(_.toString).toSeq,
+      limit, topNOrder, topNFull)
+    new CasV2Scan(table, full, required, pushed, limit)
+  }
+}
+
+private[sources] class CasV2Scan(table: String, full: StructType,
+    required: StructType, pushed: Array[Filter], limit: Option[Int])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"casv2:$table, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedLimit: ${limit.getOrElse(-1)}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val state = CassandraLikeV2.tables.get(table)
+    val rows = state.map(_.rows).getOrElse(Array.empty[UnsafeRow])
+    // server-side: claimed filters cut rows before they reach Spark
+    val kept = rows.filter(r =>
+      pushed.forall(CassandraLikeV2.eval(_, full, r)))
+    // one partition per pk value (token ownership); rows are stored
+    // (pk, ck)-sorted, so pk runs are contiguous and each partition
+    // stays in clustering order — slice the runs
+    val pkOrd = state.map(s => CassandraLikeV2.keyOrdering(full, s.pk))
+    val groups = pkOrd match {
+      case None => Array(kept)
+      case Some(ord) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[UnsafeRow]]
+        var start = 0
+        var i = 1
+        while (i <= kept.length) {
+          if (i == kept.length || ord.compare(kept(i - 1), kept(i)) != 0) {
+            out += kept.slice(start, i)
+            start = i
+          }
+          i += 1
+        }
+        out.toArray
+    }
+    val limited = limit match {
+      case Some(n) => groups.map(_.take(n)) // per token range, as CQL
+      case None => groups
+    }
+    limited.map(g => MemV2Partition(g): InputPartition) match {
+      case Array() => Array(MemV2Partition(Array.empty))
+      case a => a
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemV2ReaderFactory(full, required)
+}
+
+private[sources] class CasV2WriteBuilder(table: String, pk: Seq[String],
+    ck: Seq[String], schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new CasV2BatchWrite(table, pk, ck, schema, truncateFirst)
+  }
+}
+
+private[sources] class CasV2BatchWrite(table: String, pk: Seq[String],
+    ck: Seq[String], schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new MemV2WriterFactory(schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.flatMap(_.asInstanceOf[MemV2Commit].rows)
+    val ord = CassandraLikeV2.keyOrdering(schema, pk ++ ck)
+    CassandraLikeV2.tables.updateWith(table) {
+      case Some(prev) if !truncate =>
+        Some(prev.copy(rows = (prev.rows ++ incoming).sorted(ord)))
+      case _ =>
+        Some(CassandraLikeV2.TableState(schema, pk, ck,
+          incoming.sorted(ord)))
+    }
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}

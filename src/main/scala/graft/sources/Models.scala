@@ -289,11 +289,22 @@ object Models {
     * (default 1000 = never: the caller opts into the threshold that
     * fits its nList). A tripped guard means "rebuild the index", not
     * "drop the batch": the appended rows are already durable, as in
-    * any append-then-audit pipeline. */
+    * any append-then-audit pipeline.
+    *
+    * `dedupeIds = true` makes the fold IDEMPOTENT for at-least-once
+    * callers (the streaming maintenance loop): ids already present in
+    * the index are dropped from the batch before the append, so a
+    * replayed batch appends nothing. The spelling never shuffles the
+    * index: the index side streams MAP-SIDE against a broadcast of the
+    * batch's ids (left-semi, build-right), and the resulting hit set —
+    * at most batch-sized — broadcasts back onto the batch as an anti
+    * join. Cost class = the drift audit's single-column scan, not the
+    * index-shuffling nid anti-join ScaleAudit vetoed in round 10. */
   def ivfPqIndexAppend(spark: SparkSession, sfDir: String,
       batch: DataFrame, idCol: String, vecCol: String, nList: Int = 16,
       iters: Int = 2, m: Int = 8, ksub: Int = 256, dim: Int = 64,
-      maxCellShareMilli: Int = 1000): DataFrame = synchronized {
+      maxCellShareMilli: Int = 1000,
+      dedupeIds: Boolean = false): DataFrame = synchronized {
     val codesName = tableName(ivfPqCodesPath(sfDir, nList, iters, m, ksub))
     require(exists(spark, ivfPqCodesPath(sfDir, nList, iters, m, ksub)),
       "ivfPqIndexAppend requires a trained index (call ivfPqIndex first)")
@@ -303,10 +314,20 @@ object Models {
       ksub, dim)
     val prep = graft.operators.Similarity.prepared(batch, idCol, vecCol)
       .filter(size(col("qv")) === dim)
-    val newCodes = graft.operators.Similarity
+    val encoded = graft.operators.Similarity
       .ivfPqCodes(graft.operators.Similarity.ivfPqResiduals(prep, cents),
         cbRows, m, ksub, dim)
       .localCheckpoint(true) // encode once: the write + audit both read it
+    val newCodes =
+      if (!dedupeIds) encoded
+      else {
+        val present = spark.table(codesName)
+          .join(broadcast(encoded.select(col("nid"))), Seq("nid"),
+            "left_semi")
+          .select(col("nid")).localCheckpoint(true)
+        encoded.join(broadcast(present), Seq("nid"), "left_anti")
+          .localCheckpoint(true)
+      }
     newCodes.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(codesName)

@@ -126,12 +126,33 @@ class JdbcStore(url: String,
       .options(tableOptions(table))
       .mode(mode).save()
 
+  /** Missing-table SQLStates across common dialects: Derby 42X05
+    * (object does not exist) / 42Y55 (DROP on nonexistent), ANSI-ish
+    * 42S02 (base table not found), Postgres 42P01 (undefined table). */
+  private val MissingTableStates = Set("42X05", "42Y55", "42S02", "42P01")
+
   override def drop(spark: SparkSession, table: String): Unit = {
+    // the name reaches a SQL statement: permit only plain identifier
+    // characters (staged snapshot names are `table__s<hex>`) — quoting
+    // is NOT an option here because Spark's JDBC writer emits the
+    // dbtable unquoted (case-folded by the engine), so a quoted DROP
+    // would name a different, case-sensitive identifier
+    require(table.matches("[A-Za-z0-9_.]+"),
+      s"illegal JDBC table identifier: '$table'")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
       try st.executeUpdate(s"DROP TABLE $table")
-      catch { case _: java.sql.SQLException => () } // missing: no-op
+      catch {
+        case e: java.sql.SQLException
+            if !MissingTableStates.contains(e.getSQLState) =>
+          // NOT missing-table (lock timeout, permissions, bad
+          // credentials): surface it — swallowing leaks the retired
+          // snapshot forever with no trace. Callers for whom drop is
+          // best-effort (VersionedStore GC) catch and log.
+          throw e
+        case _: java.sql.SQLException => () // missing table: no-op
+      }
       finally st.close()
     } finally conn.close()
   }
@@ -214,7 +235,11 @@ class MemoryStore extends Store {
 class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
   extends Store {
 
-  require(keep >= 1, "keep must be >= 1")
+  // keep=1 would let a commit+GC drop the staged table a lazy reader
+  // DataFrame still points at (the reader resolved the previous head
+  // an instant before the commit); >= 2 is the documented floor
+  require(keep >= 2, "keep must be >= 2 (the previous snapshot must " +
+    "stay readable for readers that resolved it just before a commit)")
 
   private def fs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(logRoot)
@@ -223,10 +248,12 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
   private def logDir(table: String) =
     new org.apache.hadoop.fs.Path(logRoot, table)
 
-  /** Highest committed `(version, stagedTable)`, if any. Re-lists on a
-    * read failure: a concurrent GC may unlink an older manifest between
-    * the listing and the open — never the MAX manifest (GC only deletes
-    * below head), so one retry always converges. */
+  /** Highest committed `(version, stagedTable)`, if any. Retries until
+    * the listing converges: a concurrent GC may unlink an older
+    * manifest between the listing and the open — never the MAX
+    * manifest (GC only deletes below head), so each retry observes a
+    * strictly newer head and the loop terminates as soon as one
+    * list+open pair agrees. Bounded only as a corruption backstop. */
   private def committed(spark: SparkSession,
       table: String): Option[(Long, String)] = {
     val f = fs(spark)
@@ -247,7 +274,16 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
           Some((n, staged))
         }
       }
-    try once() catch { case _: java.io.IOException => once() }
+    var attempts = 0
+    while (true) {
+      try return once()
+      catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          if (attempts >= 10) throw e // log corruption, not a race
+      }
+    }
+    None // unreachable
   }
 
   override def read(spark: SparkSession, table: String): DataFrame =
@@ -269,9 +305,15 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
       version: Long): DataFrame = {
     val f = fs(spark)
     val p = new org.apache.hadoop.fs.Path(logDir(table), s"$version.commit")
-    if (!f.exists(p)) throw new NoSuchElementException(
-      s"no snapshot v$version for '$table' (GC'd or never committed)")
-    val in = f.open(p)
+    // open directly — an exists-then-open pair races a concurrent GC
+    // unlinking this manifest between the two calls
+    val in =
+      try f.open(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new NoSuchElementException(
+            s"no snapshot v$version for '$table' (GC'd or never committed)")
+      }
     val staged =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
@@ -394,8 +436,20 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
           } catch { case _: java.io.IOException => None }
         f.delete(p, false)
         staged.foreach { s =>
-          inner.drop(spark, s)
-          f.delete(new org.apache.hadoop.fs.Path(dir, s"_staged_$s"), false)
+          // best-effort: the commit already succeeded; a transient drop
+          // failure (lock timeout) must not fail the writer — log it
+          // and LEAVE the _staged_ marker, which keeps the table
+          // findable for a later vacuum() to reclaim
+          val dropped =
+            try { inner.drop(spark, s); true }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"GC could not drop retired snapshot '$s': $e")
+                false
+            }
+          if (dropped)
+            f.delete(new org.apache.hadoop.fs.Path(dir, s"_staged_$s"), false)
         }
       }
   }

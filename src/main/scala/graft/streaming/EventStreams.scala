@@ -233,10 +233,15 @@ object EventStreams {
     * FROZEN quantizer/codebook (training never reruns on the hot
     * path), appended preserving the cid bucket spec, drift-audited per
     * fold. This is the continuous form of the daily batch loop: the
-    * same frozen-model append, driven by `foreachBatch` so the fold is
-    * transactional per micro-batch and replays idempotently from the
-    * checkpoint (a re-run batch re-encodes to identical codes — the
-    * appended rows are deterministic functions of the frozen model).
+    * same frozen-model append, driven by `foreachBatch`. The fold
+    * replays IDEMPOTENTLY under at-least-once delivery, by two layers:
+    * an applied-batchId marker under the stream's checkpoint dir
+    * short-circuits clean replays entirely, and the append itself runs
+    * with `dedupeIds = true` (already-present ids are dropped via a
+    * broadcast semi/anti pair that never shuffles the index), which
+    * covers the crash window between a durable Parquet append and the
+    * marker/checkpoint commit — deterministic re-encoding alone would
+    * NOT prevent duplicate rows there.
     *
     * A tripped drift guard (a batch piling into few cells —
     * distribution shift the frozen quantizer no longer fits) FAILS the
@@ -252,12 +257,20 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
-          _: Long) =>
-        if (!batch.isEmpty) {
-          graft.sources.Models.ivfPqIndexAppend(batch.sparkSession,
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$checkpointDir/applied/$batchId")
+        val f = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(marker) && !batch.isEmpty) {
+          graft.sources.Models.ivfPqIndexAppend(spark,
             sfDir, batch.toDF(), "vec_id", "embedding",
-            maxCellShareMilli = maxCellShareMilli)
-          ()
+            maxCellShareMilli = maxCellShareMilli, dedupeIds = true)
+          // marker AFTER the append: a crash in between replays the
+          // batch, which dedupeIds then folds to a no-op
+          f.mkdirs(marker.getParent)
+          f.create(marker, true).close()
         }
       }
       .start()

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Listing
+import graft.sources.{CassandraLikeV2, ConnectorStore}
+
+/** Conformance of the operator layer against CASSANDRA-shaped access
+  * rules ([[CassandraLikeV2]]): the reference's production engine only
+  * serves pk-equality + clustering-slice + limit pages
+  * (meta.clj:153-173), so the claim "the Cassandra swap is a config
+  * change" requires the A6/A12/A13 access paths to arrive at the
+  * connector EXACTLY in that shape — and predicates Cassandra cannot
+  * serve must stay in Spark's post-scan filter, with results
+  * unchanged. */
+class CassandraLikeSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def objectsStore(): ConnectorStore = {
+    CassandraLikeV2.clear()
+    new ConnectorStore("graft.sources.CassandraLikeV2", t => Map(
+      "table" -> t,
+      "partitionKeys" -> "bucket",
+      "clusteringKeys" -> "object"))
+  }
+
+  test("A6 range scan arrives as pk equality + clustering slice + " +
+      "pushed limit, matching the parquet path's pushed set") {
+    val store = objectsStore()
+    val objects = Tables.objects(spark, sf)
+      .select("bucket", "object", "size", "checksum")
+    store.write(objects, "objects", SaveMode.Overwrite)
+    val p = Listing.ListParams(prefix = Some("en/"), marker = Some("en/d2"))
+    val pred = Listing.scanPredicate("src1", p)
+    val page = store.read(spark, "objects").filter(pred)
+      .orderBy("object").limit(10)
+    val got = page.select("object").collect().map(_.getString(0)).toSeq
+    val want = objects.filter(pred).orderBy("object").limit(10)
+      .select("object").collect().map(_.getString(0)).toSeq
+    assert(got == want && got.nonEmpty)
+
+    val rec = CassandraLikeV2.lastScan("objects")
+    // the meta.clj:153-173 page, verbatim: bucket = ?, object >= ?,
+    // object < inc_prefix, object > marker, LIMIT n
+    assert(rec.pushed.exists(_.startsWith("EqualTo(bucket")), rec.pushed)
+    assert(rec.pushed.exists(_.startsWith("GreaterThanOrEqual(object")),
+      rec.pushed)
+    assert(rec.pushed.exists(_.startsWith("LessThan(object")), rec.pushed)
+    assert(rec.pushed.exists(_.startsWith("GreaterThan(object")), rec.pushed)
+    assert(rec.limit.contains(10), rec)
+
+    // pushed-set parity with the parquet lake path: everything the
+    // file source pushes (minus its IsNotNull nullability guards, which
+    // CQL key columns cannot need) is served by the connector too
+    val dir = java.nio.file.Files.createTempDirectory("cas_pq").toString
+    objects.write.mode("overwrite").parquet(dir)
+    val pq = spark.read.parquet(dir).filter(pred)
+    val scan = pq.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val pqPushed = scan.metadata("PushedFilters")
+      .stripPrefix("[").stripSuffix("]").split(", ")
+      .filterNot(_.startsWith("IsNotNull")).toSet
+    assert(pqPushed.nonEmpty && pqPushed.subsetOf(rec.pushed.toSet),
+      s"parquet pushed $pqPushed, connector pushed ${rec.pushed}")
+  }
+
+  test("A12/A13 ordered block scan: composite pk equality + " +
+      "clustering-order top-N fully pushed, no re-sort in the plan") {
+    CassandraLikeV2.clear()
+    val store = new ConnectorStore("graft.sources.CassandraLikeV2",
+      t => Map("table" -> t,
+        "partitionKeys" -> "inode,version",
+        "clusteringKeys" -> "block"))
+    import spark.implicits._
+    val blocks = (0L until 400L).map(i =>
+      (i % 10, i % 2, (i / 20) * 65536L, 65536L))
+      .toDF("inode", "version", "block", "size")
+    store.write(blocks, "blocks", SaveMode.Overwrite)
+    val q = store.read(spark, "blocks")
+      .filter(col("inode") === 7L && col("version") === 1L)
+      .orderBy("block").limit(5)
+    val got = q.select("block").collect().map(_.getLong(0)).toSeq
+    val want = blocks.filter(col("inode") === 7L && col("version") === 1L)
+      .orderBy("block").limit(5)
+      .select("block").collect().map(_.getLong(0)).toSeq
+    assert(got == want && got == got.sorted && got.nonEmpty)
+
+    val rec = CassandraLikeV2.lastScan("blocks")
+    assert(rec.pushed.exists(_.startsWith("EqualTo(inode")), rec.pushed)
+    assert(rec.pushed.exists(_.startsWith("EqualTo(version")), rec.pushed)
+    assert(rec.topNFullyPushed && rec.topNOrder == Seq("block"), rec)
+    assert(rec.limit.contains(5), rec)
+    // the connector's clustering order is trusted: no Sort anywhere
+    val plan = q.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Sort"), s"re-sort planned:\n$plan")
+  }
+
+  test("cassandra restrictions: pk ranges, clustering-without-pk, " +
+      "broken clustering prefixes and regular columns stay post-scan " +
+      "— results unchanged") {
+    val store = objectsStore()
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "k1", 5L, 10L), ("b", "k1", 1L, 20L), ("b", "k2", 2L, 30L),
+      ("b", "k3", 9L, 40L), ("c", "k9", 3L, 50L))
+      .toDF("bucket", "object", "version", "size")
+    CassandraLikeV2.clear()
+    val vstore = new ConnectorStore("graft.sources.CassandraLikeV2",
+      t => Map("table" -> t,
+        "partitionKeys" -> "bucket",
+        "clusteringKeys" -> "object,version"))
+    vstore.write(rows, "objects", SaveMode.Overwrite)
+    def back = vstore.read(spark, "objects")
+    def rec = CassandraLikeV2.lastScan("objects")
+
+    // pk range: a cluster-wide token scan — nothing claimable
+    assert(back.filter(col("bucket") > "a").count() == 4)
+    assert(rec.pushed.isEmpty &&
+      rec.postScan.exists(_.startsWith("GreaterThan(bucket")), rec)
+
+    // clustering predicate without pk equality: not claimable
+    assert(back.filter(col("object") >= "k2").count() == 3)
+    assert(rec.pushed.isEmpty &&
+      rec.postScan.exists(_.startsWith("GreaterThanOrEqual(object")), rec)
+
+    // broken clustering prefix: range on ck_1 (version) without
+    // equality on ck_0 (object) — pk equality and the ck_0 slice are
+    // served, the ck_1 range is not (CQL slice restriction)
+    assert(back.filter(col("bucket") === "b" && col("version") > 1L)
+      .count() == 2)
+    assert(rec.pushed.exists(_.startsWith("EqualTo(bucket")), rec)
+    assert(rec.postScan.exists(_.startsWith("GreaterThan(version")), rec)
+    // …and WITH the ck_0 equality the ck_1 range is served
+    assert(back.filter(col("bucket") === "b" && col("object") === "k2" &&
+      col("version") >= 2L).count() == 1)
+    assert(rec.pushed.exists(_.startsWith("GreaterThanOrEqual(version")),
+      rec)
+
+    // regular column: never claimable, even under full pk equality
+    assert(back.filter(col("bucket") === "b" && col("size") > 25L)
+      .count() == 2)
+    assert(rec.pushed.filterNot(_.startsWith("IsNotNull"))
+      == Seq("EqualTo(bucket,b)") &&
+      rec.postScan.exists(_.startsWith("GreaterThan(size")), rec)
+  }
+
+  test("pushed filters cut rows AT the connector (server-side paging)") {
+    val store = objectsStore()
+    val objects = Tables.objects(spark, sf)
+      .select("bucket", "object", "size", "checksum")
+    store.write(objects, "objects", SaveMode.Overwrite)
+    val one = objects.limit(1).collect().head.getString(0)
+    val want = objects.filter(col("bucket") === one).count()
+    assert(want < objects.count())
+    val scanned = store.read(spark, "objects")
+      .filter(col("bucket") === one)
+    scanned.queryExecution.toRdd.foreach(_ => ())
+    val scanRows = scanned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+    assert(scanRows == want, s"scan emitted $scanRows, want $want")
+  }
+}

@@ -76,6 +76,19 @@ class ComponentsPropertySpec extends AnyFunSuite {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .count() > 1
       assert(wrote, "no checkpoint state written under the reliable dir")
+      // superseded rounds are reclaimed as labels advance: only the
+      // FINAL round's state survives in the per-invocation subdir
+      val scoped = new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.startsWith("components_"))
+      assert(scoped.size == 1, s"expected one invocation subdir: $scoped")
+      val rounds = scoped.head.listFiles().toSeq
+        .filter(_.getName.startsWith("round_"))
+      assert(rounds.size == 1,
+        s"superseded rounds not reclaimed: ${rounds.map(_.getName)}")
+      // the global checkpoint dir was restored (this session never set
+      // one, so it must be unset again after the call)
+      assert(spark.sparkContext.getCheckpointDir.forall(
+        !_.contains("components_")))
     } finally {
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir))

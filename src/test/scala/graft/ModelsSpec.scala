@@ -264,6 +264,29 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("drift guard"))
   }
 
+  test("ivf-pq append replay folds to a no-op with dedupeIds " +
+      "(at-least-once crash window)") {
+    graft.functions.GraftFunctions.register(spark)
+    val (_, _, codes0) = Models.ivfPqIndex(spark, sf)
+    val before = codes0.count()
+    val src = Tables.embeddings(spark, sf)
+      .orderBy("vec_id").limit(2).collect()
+    val batch = src.map(r => (r.getLong(0) + 4000000L,
+      r.getSeq[Float](r.fieldIndex("embedding")))).toSeq
+      .toDF("vec_id", "embedding")
+    val s1 = Models.ivfPqIndexAppend(spark, sf, batch,
+      "vec_id", "embedding", dedupeIds = true)
+    assert(s1.agg(sum("n_appended")).head.getLong(0) == 2L)
+    // the replay a crash between the durable append and the streaming
+    // checkpoint commit produces: the SAME batch again
+    val s2 = Models.ivfPqIndexAppend(spark, sf, batch,
+      "vec_id", "embedding", dedupeIds = true)
+    assert(s2.agg(sum("n_appended")).head.getLong(0) == 0L,
+      "replayed batch re-appended rows")
+    val (_, _, codes1) = Models.ivfPqIndex(spark, sf)
+    assert(codes1.count() == before + 2, "duplicate vectors in the index")
+  }
+
   test("ivf-pq streaming maintenance: micro-batches fold into the " +
       "persisted index via the frozen model") {
     graft.functions.GraftFunctions.register(spark)

@@ -274,7 +274,11 @@ class PlanSpec extends AnyFunSuite {
         md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"),
         graft.operators.TextOps.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
-    val p = graft.queries.TextQueries.lmPlan(docs)
+    // the SCORING stage (lmScoreWith materializes it before the
+    // distributed decile, so pin its plan directly)
+    val p = graft.queries.TextQueries
+      .lmPerDoc(docs, graft.operators.TextOps.lmFit(docs)
+        .localCheckpoint(true))
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin [prev") &&
@@ -283,6 +287,11 @@ class PlanSpec extends AnyFunSuite {
     // prev-keyed exchange is the vocabulary-sized c1 marginal
     assert(p.linesIterator
       .count(_.contains("Exchange hashpartitioning(prev")) == 1, p)
+    // …and the full plan's decile stage adds NO bigram-keyed exchange:
+    // the rank runs over the materialized per-doc table only
+    val full = graft.queries.TextQueries.lmPlan(docs)
+      .queryExecution.executedPlan.toString
+    assert(!full.contains("Exchange hashpartitioning(prev"), full)
   }
 
   test("dd_bloom_probe: the filter broadcasts — no gram-keyed exchange at all") {

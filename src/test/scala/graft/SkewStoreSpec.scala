@@ -46,6 +46,33 @@ class SkewStoreSpec extends AnyFunSuite {
     assert(hot == naive)
   }
 
+  test("selfJoinPairs reliable-checkpoint path: identical pairs, state " +
+      "on the shared dir, global checkpoint dir restored") {
+    val dir = Files.createTempDirectory("graft-skew-ckpt").toString
+    try {
+      val rows = (0L until 40L).map(i => (i % 5, i)).toDF("key", "id")
+      val naive = rows.as("a").join(rows.as("b"), Seq("key"))
+        .filter($"a.id" < $"b.id")
+        .select($"a.id".as("i"), $"b.id".as("j"))
+        .as[(Long, Long)].collect().toSet
+      val reliable = Skew.selfJoinPairs(rows, Seq("key"), "id",
+        hotThreshold = 0L, tiles = 4, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toSet
+      assert(reliable == naive)
+      // band-table state actually landed under the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count() > 0
+      assert(wrote, "no checkpoint state written under the reliable dir")
+      // the invocation restored the session's global checkpoint dir
+      assert(spark.sparkContext.getCheckpointDir.forall(
+        !_.contains("skew_")))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("selfJoinRows carries per-side payloads identically in both modes") {
     val rows = (0L until 30L).map(i => (i % 3, i, i * 10, i % 7))
       .toDF("key", "id", "n", "rank")

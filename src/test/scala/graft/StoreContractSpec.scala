@@ -47,6 +47,16 @@ class StoreContractSpec extends AnyFunSuite {
       graft.sources.MemoryV2.clear()
       new ConnectorStore("graft.sources.MemoryV2", t => Map("table" -> t))
     }, true),
+    // the CASSANDRA-SHAPED DSv2 path: partition key + clustering order
+    // + CQL claimability rules (CassandraLikeSpec holds the dedicated
+    // access-path conformance pins; here it runs the generic contract)
+    ("casv2", {
+      graft.sources.CassandraLikeV2.clear()
+      new ConnectorStore("graft.sources.CassandraLikeV2", t => Map(
+        "table" -> t,
+        "partitionKeys" -> "bucket",
+        "clusteringKeys" -> "object"))
+    }, true),
     // a REAL SQL engine behind the seam: embedded in-memory Derby via
     // Spark's JDBC source — pushdown arrives as a WHERE clause. String
     // columns are pinned to VARCHAR (Derby's default CLOB mapping is

@@ -37,7 +37,18 @@ def main(out_path, run_paths):
     errors = {k: v for k, v in errors.items() if k not in queries}
     for k in errors:
         queries[k] = -1.0
-    canaries = [c for r in runs for c in r.get("canary", [])]
+    # Concatenate each input's canaries once, SKIPPING an input whose
+    # canary sequence is already present — folding a previous fold
+    # together with its constituent run files would otherwise re-append
+    # the same samples every round (r10/r11 advice: 42 entries at HEAD),
+    # drowning the canary statistics in duplicates.
+    canaries = []
+    for r in runs:
+        c = r.get("canary", [])
+        seen = any(canaries[i:i + len(c)] == c
+                   for i in range(len(canaries) - len(c) + 1))
+        if c and not seen:
+            canaries.extend(c)
     total = sum(t for t in queries.values() if t >= 0)
     out = {
         "metric": "total",
