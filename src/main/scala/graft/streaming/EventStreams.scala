@@ -224,6 +224,60 @@ object EventStreams {
     dedupDocuments(gated, watermark)
   }
 
+  /** The STEADY-STATE daily pipeline as ONE CONTINUOUS QUERY — the
+    * streaming form of the batch capstone `ds_daily_pipeline`
+    * (reference analogue: the event/reporter dataflow
+    * reporter.clj:4-16 composed with ingest): [[ingestGate]] (gate +
+    * watermark-bounded exact dedup, the streaming-stateful stages) →
+    * per micro-batch, the same two persisted artifacts the batch
+    * pipeline consumes — near-dup survivors via the stored cluster map
+    * ([[graft.sources.Models.dedupMap]], stream-static semi-join) and
+    * the LM head/middle quality filter via the stored bigram model
+    * ([[graft.sources.Models.bigramLm]]) — emitting
+    * `(doc_id, nll_bits, bucket)` per fold to `sink`.
+    *
+    * The LM decile is a PER-FOLD corpus rank (the two-phase
+    * distributed form, [[graft.operators.Rank.ntileExact]] inside
+    * `lmScoreWith`): each fold's quality dial is computed over that
+    * fold's survivors, exactly what the batch pipeline does per daily
+    * batch. StreamingSpec pins batch equivalence: one fold holding the
+    * whole corpus emits exactly the oracle-checked
+    * `ds_daily_pipeline`'s `(doc_id, nll_bits, bucket)` rows.
+    *
+    * Scale: the streaming state is ONLY the watermark-horizon dedup
+    * store; the model joins broadcast fold-sized or model-sized
+    * tables; everything corpus-sized stays in the persisted artifacts.
+    * `sink` receives a fully-computed fold-local DataFrame and the
+    * batchId (write it through a [[graft.sources.VersionedStore]] for
+    * the transactional fold — the idempotence reasoning of
+    * [[indexMaintenance]] applies unchanged). */
+  def dailyPipeline(docs: Dataset[DocEvent], sfDir: String,
+      sink: (DataFrame, Long) => Unit, lang: String = "en",
+      minQuality: Double = 0.5, watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ingestGate(docs, lang, minQuality, watermark)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val surv = batch.toDF()
+            .join(graft.sources.Models.dedupMap(spark, sfDir)
+              .filter(col("id") === col("label"))
+              .select(col("id").as("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .localCheckpoint(true) // fold-sized; feeds scoring twice
+          val scored = graft.queries.TextQueries
+            .lmScoreWith(graft.operators.TextOps.lmDocs(surv),
+              graft.sources.Models.bigramLm(spark, sfDir))
+            .filter(col("decile") <= 7)
+            .select(col("doc_id"), col("nll_bits"), col("bucket"))
+          sink(scored, batchId)
+        }
+      }
+      .start()
+
   /** One embedding arriving on the vector-ingest feed. */
   case class VecEvent(vec_id: Long, embedding: Seq[Float])
 

@@ -176,7 +176,14 @@ class StoreContractSpec extends AnyFunSuite {
       new OrcStore(Files.createTempDirectory("vstore_orc").toString, 2)),
     ("memory", new MemoryStore),
     ("jdbc-derby", new graft.sources.JdbcStore(
-      s"jdbc:derby:memory:vstore${System.nanoTime()};create=true")))
+      s"jdbc:derby:memory:vstore${System.nanoTime()};create=true")),
+    // transactions over the Cassandra-shaped binding: staged snapshot
+    // tables flow through the same pk-declared DSv2 write path
+    ("casv2", {
+      graft.sources.CassandraLikeV2.clear()
+      new ConnectorStore("graft.sources.CassandraLikeV2", t => Map(
+        "table" -> t, "partitionKeys" -> "id"))
+    }))
 
   test("versioned commits: overwrite/append/read + snapshot GC bound") {
     import graft.sources.VersionedStore

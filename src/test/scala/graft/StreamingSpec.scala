@@ -507,4 +507,54 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally { qDedup.stop(); qMeter.stop(); qUp.stop() }
   }
+
+  /** The composed steady-state stream mirrors the oracle-checked batch
+    * capstone: one fold holding the whole corpus must emit EXACTLY the
+    * `(doc_id, nll_bits, bucket)` rows of `ds_daily_pipeline` — the
+    * same gate, the same stored cluster-map survivors, the same stored
+    * bigram model, the same per-fold distributed decile. */
+  test("streaming daily pipeline: one fold equals the batch capstone") {
+    import scala.jdk.CollectionConverters._
+    val sf = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    // batch side FIRST: trains/loads the persisted artifacts both
+    // surfaces consume
+    val want = SparkEntry.queries("ds_daily_pipeline")(spark, sf)
+      .select("doc_id", "nll_bits", "bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(want.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    def ts(i: Long) = Timestamp.valueOf(f"2026-01-01 10:${i % 50}%02d:00")
+    val input = MemoryStream[DocEvent](spark)
+    val out =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, String)]
+    // the fold sink is TRANSACTIONAL: each fold appends through a
+    // VersionedStore (the serializable-append path), so the committed
+    // head is itself checkable against the batch capstone
+    val vs = new graft.sources.VersionedStore(
+      new graft.sources.MemoryStore,
+      java.nio.file.Files.createTempDirectory("vlog_daily").toString,
+      keep = 2)
+    val q = EventStreams.dailyPipeline(input.toDS(), sf,
+      (df, _) => {
+        val fold = df.localCheckpoint(true)
+        vs.write(fold, "daily_out", org.apache.spark.sql.SaveMode.Append)
+        fold.collect().foreach(r =>
+          out.add((r.getLong(0), r.getDouble(1), r.getString(2))))
+      })
+    try {
+      input.addData(docs.map(r =>
+        DocEvent(r.getLong(0), ts(r.getLong(0)), r.getString(1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = out.iterator().asScala.toSet
+    assert(got == want,
+      s"stream/batch divergence: extra=${got -- want} missing=${want -- got}")
+    // the committed snapshot holds exactly the same fold rows
+    val committed = vs.read(spark, "daily_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSet
+    assert(committed == want, "committed fold diverged from the batch")
+  }
 }
