@@ -51,13 +51,22 @@ object Rank {
     * decomposition above. `vCol` must be a discrete-domain value
     * (quantized score / integer); `idCol` must be numeric and unique. */
   def globalRowNumber(df: DataFrame, vCol: String, idCol: String,
-      outCol: String, grpWidth: Long = DefaultGrpWidth): DataFrame = {
+      outCol: String, grpWidth: Long = DefaultGrpWidth): DataFrame =
+    withRank(df, vCol, idCol, outCol, grpWidth)._1
+
+  /** [[globalRowNumber]] plus the value histogram it derived the
+    * level-1 bases from — callers needing corpus totals (ntile) read
+    * them from the histogram instead of rescanning the input. */
+  private def withRank(df: DataFrame, vCol: String, idCol: String,
+      outCol: String, grpWidth: Long): (DataFrame, DataFrame) = {
     require(grpWidth >= 1, s"grpWidth must be >= 1, got $grpWidth")
     val keyed = df.withColumn("_rk_g", expr(s"$idCol div $grpWidth"))
     // level 1: value histogram + exclusive prefix (histogram-sized
     // unpartitioned window, bounded by the value domain) → broadcast
-    val baseV = keyed.groupBy(col(vCol).as("_rk_v"))
+    val hist = keyed.groupBy(col(vCol).as("_rk_v"))
       .agg(count(lit(1)).as("_rk_c"))
+      .localCheckpoint(true) // histogram-sized; feeds bases AND totals
+    val baseV = hist
       .withColumn("_rk_basev",
         coalesce(sum("_rk_c").over(Window.orderBy("_rk_v")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -72,7 +81,7 @@ object Rank {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(vCol), col("_rk_g"), col("_rk_baseg"))
     // level 3: local row_number within (v, g), then rebase
-    keyed
+    val ranked = keyed
       .withColumn("_rk_rn", row_number().over(
         Window.partitionBy(col(vCol), col("_rk_g")).orderBy(idCol))
         .cast("long"))
@@ -80,6 +89,7 @@ object Rank {
       .join(broadcast(baseV), vCol)
       .withColumn(outCol, col("_rk_basev") + col("_rk_baseg") + col("_rk_rn"))
       .drop("_rk_g", "_rk_rn", "_rk_baseg", "_rk_basev")
+    (ranked, hist)
   }
 
   /** Exact `ntile(n) OVER (ORDER BY vCol, idCol)` without the
@@ -93,8 +103,10 @@ object Rank {
   def ntileExact(df: DataFrame, n: Int, vCol: String, idCol: String,
       outCol: String, grpWidth: Long = DefaultGrpWidth): DataFrame = {
     require(n >= 1, s"ntile buckets must be >= 1, got $n")
-    val tot = df.agg(count(lit(1)).as("_rk_n"))
-    globalRowNumber(df, vCol, idCol, "_rk_r", grpWidth)
+    val (ranked, hist) = withRank(df, vCol, idCol, "_rk_r", grpWidth)
+    // total N from the histogram — never a second scan of the input
+    val tot = hist.agg(sum("_rk_c").as("_rk_n"))
+    ranked
       .crossJoin(broadcast(tot))
       .withColumn(outCol, expr(
         s"""CASE WHEN _rk_r <= (_rk_n % $n) * (_rk_n div $n + 1)

@@ -46,6 +46,91 @@ object TextQueries {
           .as("mean_df"))
       .orderBy("doc_id")
 
+  /** BM25 retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75) — the
+    * lexical ranking a training-data platform runs for targeted corpus
+    * queries (find documents about X for curation/inspection). Scores
+    * the corpus against a DETERMINISTIC query term set (the df table's
+    * ranks 11-15 by (df DESC, tok) — mid-frequency terms, derivable
+    * identically by the oracle) and returns the top-`k` docs.
+    *
+    * Cross-engine exactness: idf = ln((N−df+0.5)/(df+0.5)) is spelled
+    * ln(2(N−df)+1) − ln(2df+1) — both log arguments EXACT integers, so
+    * engines differ only by libm ulps; the tf normalizer's only
+    * division is (dl·N)/S on exact ints (one IEEE-exact-rounded op);
+    * the per-doc sum (≤ |q| terms) is rounded to 4dp before the top-k
+    * cut, so tie-breaks (score DESC, doc_id) are engine-independent.
+    *
+    * Plan shape: the query-term table (|q| rows) and the df dimension
+    * BROADCAST; token occurrences are cut to query-term hits AT the
+    * explode (broadcast semi-shape join — the corpus never shuffles on
+    * `tok`); the only wide exchanges are the uniform doc_id joins and
+    * the global top-k (`TakeOrderedAndProject`). */
+  def bm25With(docs: DataFrame, df: DataFrame, qTerms: DataFrame,
+      k: Int = 20): DataFrame = {
+    val lens = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val tot = lens.agg(count(lit(1)).as("nn"), sum("dl").as("s"))
+    val tf = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+      .join(broadcast(qTerms.select("tok")), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf
+      .join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf",
+        log((lit(2L) * (col("nn") - col("df")) + lit(1L)).cast("double")) -
+          log((lit(2L) * col("df") + lit(1L)).cast("double")))
+      .withColumn("t",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + (lit(0.3) + lit(0.9) *
+            ((col("dl") * col("nn")).cast("double") /
+              col("s").cast("double")))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("t").as("sc"))
+      .select(col("doc_id"), col("n_hits"), round(col("sc"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** The deterministic BM25 demo query: the df table's ranks 11-15 by
+    * (df DESC, tok) — mid-frequency, so the top-k is discriminative
+    * at every scale factor. */
+  def bm25QueryTerms(df: DataFrame): DataFrame =
+    df.orderBy(col("df").desc, col("tok")).offset(10).limit(5)
+      .select("tok")
+
+  /** Shared DuckDB replay of [[bm25With]] over `tfSrc`/`df`/`q` CTEs —
+    * the same spelling serves the retrain, indexed, and postings
+    * entries (they differ only in WHERE the statistics come from). */
+  private[queries] val bm25OracleSql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |df AS (
+      |  SELECT tok, count(*) AS df FROM (
+      |    SELECT unnest(list_distinct(w)) AS tok FROM w)
+      |  GROUP BY tok),
+      |q AS (SELECT tok FROM df ORDER BY df DESC, tok LIMIT 5 OFFSET 10),
+      |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+      |               CAST(sum(dl) AS BIGINT) AS s FROM lens),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS tok FROM w) JOIN q USING (tok)
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    (ln(CAST(2*(nn - df) + 1 AS DOUBLE))
+      |       - ln(CAST(2*df + 1 AS DOUBLE)))
+      |    * (CAST(tf AS DOUBLE) * 2.2)
+      |    / (CAST(tf AS DOUBLE) + (0.3 + 0.9 *
+      |        (CAST(dl * nn AS DOUBLE) / CAST(s AS DOUBLE)))) AS t
+      |  FROM tf JOIN df USING (tok)
+      |  JOIN lens ON tf.doc_id = lens.doc_id
+      |  CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |       round(sum(t), 4) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   /** The tx_lm_score plan over tokenized docs `(doc_id, h, w)` with
     * `len(w) >= 2`: a CCNet-style n-gram language-model quality dial.
     * A Laplace-smoothed bigram LM is fit on the train split (`h <
@@ -711,6 +796,76 @@ object TextQueries {
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       doc = "rarity from the PERSISTED df table: derive once, " +
         "broadcast-score per run — oracle retrains from scratch"),
+
+    // BM25 retrieval over the corpus against a deterministic
+    // mid-frequency query term set — see [[bm25With]] for the
+    // cross-engine arithmetic and the broadcast plan shape.
+    "tx_bm25_topk" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .cache()
+        val df = TextOps.dfTable(docs).localCheckpoint(true)
+        val out = bm25With(docs, df, bm25QueryTerms(df))
+          .localCheckpoint(true)
+        docs.unpersist()
+        out
+      },
+      Some(bm25OracleSql),
+      doc = "BM25 top-20 (k1=1.2, b=0.75) against the df-rank-11..15 " +
+        "query terms: exact-integer log args, 4dp-rounded scores"),
+
+    // BM25's steady-state form: df statistic AND query-term derivation
+    // read the PERSISTED df table; per-run work is the tf scan +
+    // broadcast scoring. Same retraining oracle.
+    "tx_bm25_indexed" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        val df = graft.sources.Models.dfTable(s, d)
+        bm25With(docs, df, bm25QueryTerms(df))
+      },
+      Some(bm25OracleSql),
+      doc = "BM25 from the PERSISTED df table — oracle retrains from " +
+        "scratch"),
+
+    // BM25 entirely from PERSISTED retrieval artifacts: tf from the
+    // tok-bucketed postings index (a query reads only its terms'
+    // buckets — never re-tokenizes the corpus), dl from the stored
+    // doc-length table, df/q from the stored df table. The true
+    // query-time serving path; same retraining oracle, so the hash
+    // match proves postings+lens reload ≡ retokenize.
+    "tx_bm25_postings" -> QueryDef(
+      (s, d) => {
+        val df = graft.sources.Models.dfTable(s, d)
+        val q = bm25QueryTerms(df)
+        val lens = graft.sources.Models.docLens(s, d)
+        val tot = lens.agg(count(lit(1)).as("nn"), sum("dl").as("s"))
+        graft.sources.Models.postings(s, d)
+          .join(broadcast(q), "tok")
+          .join(broadcast(df), "tok")
+          .join(lens, "doc_id")
+          .crossJoin(broadcast(tot))
+          .withColumn("idf",
+            log((lit(2L) * (col("nn") - col("df")) + lit(1L))
+              .cast("double")) -
+              log((lit(2L) * col("df") + lit(1L)).cast("double")))
+          .withColumn("t",
+            col("idf") * (col("tf").cast("double") * lit(2.2)) /
+              (col("tf").cast("double") + (lit(0.3) + lit(0.9) *
+                ((col("dl") * col("nn")).cast("double") /
+                  col("s").cast("double")))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), sum("t").as("sc"))
+          .select(col("doc_id"), col("n_hits"),
+            round(col("sc"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some(bm25OracleSql),
+      doc = "BM25 from the tok-BUCKETED postings index + stored doc " +
+        "lens + stored df table: query-time cost is the query terms' " +
+        "posting buckets, not a corpus re-tokenize — oracle retrains " +
+        "from scratch"),
 
     // Count-Min-sketch token frequencies: the bounded-memory answer to
     // "how often does this token appear in 100 TB" — 3 rows × 4096

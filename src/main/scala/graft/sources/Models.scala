@@ -405,6 +405,45 @@ object Models {
       spark.read.parquet(path)
     }
 
+  // ---- BM25 retrieval artifacts (postings index + doc lengths) -----------
+
+  def postingsPath(sfDir: String): String =
+    s"${root(sfDir)}/postings"
+  def docLensPath(sfDir: String): String =
+    s"${root(sfDir)}/doc_lens"
+
+  /** The persisted inverted index `(tok, doc_id, tf)`, BUCKETED by
+    * `tok`: a retrieval query joins its (broadcast, few-row) term set
+    * against the postings with zero index-side exchange, and bucket
+    * pruning means it reads only the query terms' buckets — never
+    * re-tokenizes the corpus. Built once per corpus; the
+    * `tx_bm25_postings` retraining oracle proves reload ≡ retokenize. */
+  def postings(spark: SparkSession, sfDir: String): DataFrame =
+    ensureBucketed(spark, postingsPath(sfDir),
+      "tok STRING, doc_id BIGINT, tf BIGINT", "tok") {
+      graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  /** The persisted per-document token length `(doc_id, dl)` — the BM25
+    * normalizer's corpus statistic, stored beside the postings so
+    * query-time scoring touches no raw text at all. */
+  def docLens(spark: SparkSession, sfDir: String): DataFrame =
+    synchronized {
+      val path = docLensPath(sfDir)
+      if (!exists(spark, path)) {
+        graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+
   // ---- CCNet-style bigram LM (quality-scoring model) ---------------------
 
   def bigramLmPath(sfDir: String): String =

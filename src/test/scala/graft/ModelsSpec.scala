@@ -348,6 +348,36 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("postings index: reload == retokenize, bucketed by tok, " +
+      "bm25 over artifacts equals the retrain query") {
+    graft.functions.GraftFunctions.register(spark)
+    val stored = Models.postings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("w"))
+    val retok = docs.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(m(stored.select("tok", "doc_id", "tf")) == m(retok))
+    // bucket layout: a tok-keyed aggregation plans no tok exchange
+    val p = stored.groupBy("tok").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(tok"),
+      s"postings not bucketed:\n$p")
+    // doc lens reload == recompute
+    val lens = Models.docLens(spark, sf)
+    val relens = docs.select(col("doc_id"),
+      size(col("w")).cast("long").as("dl"))
+    assert(m(lens.select("doc_id", "dl")) == m(relens))
+    // the serving query equals the retrain query row for row
+    val a = SparkEntry.queries("tx_bm25_postings")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("tx_bm25_topk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("df table: reload == retrain, indexed query equals retraining") {
     val stored = Models.dfTable(spark, sf)
     val retrained = TextOps.dfTable(Tables.documents(spark, sf)

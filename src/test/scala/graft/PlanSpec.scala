@@ -169,9 +169,11 @@ class PlanSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(spark)
     // tx_kmv_setops cross-pairs per-SOURCE sketch rows (|sources|² pairs
     // of 256-long arrays — source-domain-bounded, never corpus-sized)
+    // tx_bm25_indexed/_postings cross-join the ONE-ROW corpus totals
+    // (N, S) — same bounded-broadcast class as the others
     val bnljAllowed = Set("sim_topk_brute", "sim_ivf_topk",
       "dd_bloom_probe", "ds_temperature_mix", "sim_ivf_stats",
-      "tx_kmv_setops")
+      "tx_kmv_setops", "tx_bm25_indexed", "tx_bm25_postings")
     SparkEntry.registry.foreach { case (name, qd) =>
       val p = plan(qd.fn(spark, sf))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -292,6 +294,25 @@ class PlanSpec extends AnyFunSuite {
     val full = graft.queries.TextQueries.lmPlan(docs)
       .queryExecution.executedPlan.toString
     assert(!full.contains("Exchange hashpartitioning(prev"), full)
+  }
+
+  test("tx_bm25: query terms + df broadcast — corpus never shuffles " +
+      "on tok; postings path plans zero tok exchange") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("w"))
+    val df = graft.operators.TextOps.dfTable(docs).localCheckpoint(true)
+    val p = graft.queries.TextQueries
+      .bm25With(docs, df, graft.queries.TextQueries.bm25QueryTerms(df))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(tok"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the postings serving path: the tok-bucketed index joins the
+    // broadcast term set with no index-side exchange
+    val pp = SparkEntry.queries("tx_bm25_postings")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("Exchange hashpartitioning(tok"), pp)
+    assert(pp.contains("TakeOrderedAndProject"), pp)
   }
 
   test("dd_bloom_probe: the filter broadcasts — no gram-keyed exchange at all") {
