@@ -444,6 +444,59 @@ object Models {
       spark.read.parquet(path)
     }
 
+  /** Fold a batch of new documents INTO the persisted retrieval
+    * artifacts — the daily loop for BM25 serving, closing the same
+    * append story as [[lshIndexAppend]]/[[ivfPqIndexAppend]]: the
+    * batch's postings rows append to the tok-bucketed index
+    * PRESERVING its bucket spec (zero-exchange probes survive every
+    * fold), the batch's doc lengths append to the stored length table,
+    * and the df statistic — which, unlike postings rows, is NOT
+    * per-doc-independent — is REFRESHED by merging the batch's
+    * distinct-token increments into the stored table. A fold that
+    * appended postings but kept the stale df would silently mis-weight
+    * idf; ModelsSpec pins folded ≡ retokenize-from-scratch for all
+    * three artifacts AND for the BM25 scores served from them.
+    *
+    * The df/len refreshes are plain overwrite/append writes — a reader
+    * racing the fold can see the old statistic with the new postings
+    * (scores off by one batch's df). Pipelines needing atomic folds
+    * stage all three through a [[VersionedStore]]. */
+  def postingsAppend(spark: SparkSession, sfDir: String,
+      batch: DataFrame, idCol: String, textCol: String): Unit =
+    synchronized {
+      // ensure all three artifacts exist for the BASE corpus before
+      // folding (also re-registers the bucketed table after a restart)
+      postings(spark, sfDir)
+      docLens(spark, sfDir)
+      dfTable(spark, sfDir)
+      val name = tableName(postingsPath(sfDir))
+      val toks = batch
+        .select(col(idCol).as("doc_id"),
+          TextOps.tokens(col(textCol)).as("w"))
+        .localCheckpoint(true) // postings + lens + df all derive from it
+      toks.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(IndexBuckets, "tok").sortBy("tok")
+        .format("parquet").saveAsTable(name)
+      toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(docLensPath(sfDir))
+      // df refresh: old counts + the batch's distinct-token increments
+      // (both sides vocabulary-sized; the merged table rewrites whole)
+      val inc = toks
+        .select(explode(array_distinct(col("w"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("inc"))
+      val merged = dfTable(spark, sfDir)
+        .join(inc, Seq("tok"), "full_outer")
+        .select(col("tok"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+            .as("df"))
+        .localCheckpoint(true) // sever from the file being overwritten
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(dfTablePath(sfDir))
+    }
+
   // ---- CCNet-style bigram LM (quality-scoring model) ---------------------
 
   def bigramLmPath(sfDir: String): String =

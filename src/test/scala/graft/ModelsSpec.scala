@@ -378,6 +378,70 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("postings daily fold: appended batch + refreshed df/lens equal " +
+      "a from-scratch retokenize of the grown corpus") {
+    graft.functions.GraftFunctions.register(spark)
+    // base corpus = ~90% of the docs (md5 split), batch = the rest —
+    // written as its own corpus dir so the artifacts train on the base
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-fold").toString
+    all.filter(h < "e6").write.mode("overwrite")
+      .parquet(s"$baseDir/documents.parquet")
+    val batch = all.filter(h >= "e6").select("doc_id", "text")
+    assert(batch.count() > 0)
+    Models.postings(spark, baseDir) // build base artifacts
+    Models.postingsAppend(spark, baseDir, batch, "doc_id", "text")
+    // folded artifacts == retokenize of the FULL corpus
+    val docs = all.select(col("doc_id"),
+      graft.operators.TextOps.tokens(col("text")).as("w"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(m(Models.postings(spark, baseDir)
+      .select("tok", "doc_id", "tf")) ==
+      m(docs.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))))
+    assert(m(Models.docLens(spark, baseDir).select("doc_id", "dl")) ==
+      m(docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))))
+    assert(m(Models.dfTable(spark, baseDir).select("tok", "df")) ==
+      m(graft.operators.TextOps.dfTable(docs)))
+    // the fold preserved the bucket layout
+    val p = Models.postings(spark, baseDir).groupBy("tok").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(tok"),
+      s"fold lost the bucket spec:\n$p")
+    // …and BM25 served from the folded artifacts equals the retrain
+    // query over the grown corpus
+    val df = graft.operators.TextOps.dfTable(docs).localCheckpoint(true)
+    val want = graft.queries.TextQueries
+      .bm25With(docs, df, graft.queries.TextQueries.bm25QueryTerms(df))
+      .collect().map(_.toString).toSeq
+    val dfStored = Models.dfTable(spark, baseDir)
+    val lens = Models.docLens(spark, baseDir)
+    val tot = lens.agg(count(lit(1)).as("nn"), sum("dl").as("s"))
+    val served = Models.postings(spark, baseDir)
+      .join(broadcast(graft.queries.TextQueries
+        .bm25QueryTerms(dfStored)), "tok")
+      .join(broadcast(dfStored), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf",
+        log((lit(2L) * (col("nn") - col("df")) + lit(1L)).cast("double")) -
+          log((lit(2L) * col("df") + lit(1L)).cast("double")))
+      .withColumn("t",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + (lit(0.3) + lit(0.9) *
+            ((col("dl") * col("nn")).cast("double") /
+              col("s").cast("double")))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("t").as("sc"))
+      .select(col("doc_id"), col("n_hits"), round(col("sc"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .collect().map(_.toString).toSeq
+    assert(served == want && want.nonEmpty)
+  }
+
   test("df table: reload == retrain, indexed query equals retraining") {
     val stored = Models.dfTable(spark, sf)
     val retrained = TextOps.dfTable(Tables.documents(spark, sf)
