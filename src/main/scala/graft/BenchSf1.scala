@@ -27,11 +27,18 @@ import org.apache.spark.sql.functions._
   * number, exactly as on the sf0.1 fold. */
 object BenchSf1 {
 
-  /** Heaviest folded families at sf0.1 (BASELINE.md protocol). */
+  /** Heaviest folded families at sf0.1 (BASELINE.md protocol), plus
+    * the round-12 rewrites whose scale behavior is the point: the LM
+    * family (distributed decile) and the BM25 paths. ds_daily_pipeline
+    * is deliberately ABSENT: its language gate rejects the synthetic's
+    * copy-prefixed tokens (no English marker-word boundaries), so at
+    * sf1 it would measure an empty pipeline, not the engine. */
   val Heavy = Seq(
     "dd_jaccard_pairs", "dd_clusters", "dd_survivors", "dd_dup_weights",
     "dd_semdedup", "tx_subword_vocab",
-    "sim_pq_adc", "sim_ivfpq", "sim_ivfpq_sweep", "sim_ivfpq_append")
+    "sim_pq_adc", "sim_ivfpq", "sim_ivfpq_sweep", "sim_ivfpq_append",
+    "tx_lm_score", "tx_lm_score_indexed",
+    "tx_bm25_topk", "tx_bm25_postings")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

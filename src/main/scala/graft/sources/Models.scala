@@ -460,9 +460,19 @@ object Models {
     * The df/len refreshes are plain overwrite/append writes — a reader
     * racing the fold can see the old statistic with the new postings
     * (scores off by one batch's df). Pipelines needing atomic folds
-    * stage all three through a [[VersionedStore]]. */
+    * stage all three through a [[VersionedStore]].
+    *
+    * `dedupeIds = true` makes the fold IDEMPOTENT for at-least-once
+    * callers ([[graft.streaming.EventStreams.retrievalMaintenance]]):
+    * docs whose ids are already in the stored doc-length table are
+    * dropped before ANY write — without it a replayed batch would
+    * duplicate postings rows AND double-count the df increments. The
+    * spelling streams the (two-column) length table map-side against a
+    * broadcast of the batch ids, then broadcasts the hit set back —
+    * the postings index itself is never read or shuffled. */
   def postingsAppend(spark: SparkSession, sfDir: String,
-      batch: DataFrame, idCol: String, textCol: String): Unit =
+      batch: DataFrame, idCol: String, textCol: String,
+      dedupeIds: Boolean = false): Unit =
     synchronized {
       // ensure all three artifacts exist for the BASE corpus before
       // folding (also re-registers the bucketed table after a restart)
@@ -470,10 +480,20 @@ object Models {
       docLens(spark, sfDir)
       dfTable(spark, sfDir)
       val name = tableName(postingsPath(sfDir))
-      val toks = batch
+      val fresh =
+        if (!dedupeIds) batch
+        else {
+          val present = docLens(spark, sfDir)
+            .join(broadcast(batch.select(col(idCol).as("doc_id"))),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id").as(idCol)).localCheckpoint(true)
+          batch.join(broadcast(present), Seq(idCol), "left_anti")
+        }
+      val toks = fresh
         .select(col(idCol).as("doc_id"),
           TextOps.tokens(col(textCol)).as("w"))
         .localCheckpoint(true) // postings + lens + df all derive from it
+      if (toks.isEmpty) return // pure replay: fold to a no-op
       toks.select(col("doc_id"), explode(col("w")).as("tok"))
         .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)

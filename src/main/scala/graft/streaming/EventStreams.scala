@@ -278,6 +278,38 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming BM25 retrieval-index maintenance — the text twin of
+    * [[indexMaintenance]]: each micro-batch of new documents folds
+    * into the persisted postings index + doc-length table + df
+    * statistic through [[graft.sources.Models.postingsAppend]]. Same
+    * two-layer at-least-once idempotence: an applied-batchId marker
+    * under the checkpoint dir short-circuits clean replays, and the
+    * fold itself runs with `dedupeIds = true` (already-indexed doc ids
+    * drop before any write — a replay would otherwise duplicate
+    * postings AND double-count df increments), covering the crash
+    * window between the durable appends and the marker. */
+  def retrievalMaintenance(docs: Dataset[DocEvent], sfDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$checkpointDir/applied/$batchId")
+        val f = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(marker) && !batch.isEmpty) {
+          graft.sources.Models.postingsAppend(spark, sfDir,
+            batch.toDF(), "doc_id", "text", dedupeIds = true)
+          f.mkdirs(marker.getParent)
+          f.create(marker, true).close()
+        }
+      }
+      .start()
+
   /** One embedding arriving on the vector-ingest feed. */
   case class VecEvent(vec_id: Long, embedding: Seq[Float])
 

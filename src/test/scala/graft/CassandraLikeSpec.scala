@@ -151,6 +151,43 @@ class CassandraLikeSpec extends AnyFunSuite {
       rec.postScan.exists(_.startsWith("GreaterThan(size")), rec)
   }
 
+  test("property: random predicate mixes return identical rows through " +
+      "the connector, whatever subset CQL could claim") {
+    import org.scalacheck.{Gen, rng}
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (s"b${i % 5}", f"k${i % 23}%02d", (i % 4).toLong, i.toLong)
+    }
+    val df = rows.toDF("bucket", "object", "version", "size")
+    CassandraLikeV2.clear()
+    val store = new ConnectorStore("graft.sources.CassandraLikeV2",
+      t => Map("table" -> t,
+        "partitionKeys" -> "bucket",
+        "clusteringKeys" -> "object,version"))
+    store.write(df, "t", SaveMode.Overwrite)
+    val back = store.read(spark, "t")
+    val genAtom: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+      Gen.choose(0, 4).map(b => col("bucket") === s"b$b"),
+      Gen.choose(0, 4).map(b => col("bucket") > s"b$b"),
+      Gen.choose(0, 22).map(k => col("object") === f"k$k%02d"),
+      Gen.choose(0, 22).map(k => col("object") >= f"k$k%02d"),
+      Gen.choose(0, 22).map(k => col("object") < f"k$k%02d"),
+      Gen.choose(0L, 3L).map(v => col("version") >= v),
+      Gen.choose(0L, 199L).map(s => col("size") > s),
+      Gen.const(col("object").startsWith("k1")))
+    val genPred = for {
+      n <- Gen.choose(1, 4)
+      atoms <- Gen.listOfN(n, genAtom)
+    } yield atoms.reduce(_ && _)
+    (0 until 25).foreach { i =>
+      val pred = genPred.pureApply(Gen.Parameters.default,
+        rng.Seed(777L + i))
+      val want = df.filter(pred).collect().map(_.toString).sorted.toSeq
+      val got = back.filter(pred).collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"case $i predicate $pred")
+    }
+  }
+
   test("pushed filters cut rows AT the connector (server-side paging)") {
     val store = objectsStore()
     val objects = Tables.objects(spark, sf)

@@ -442,6 +442,55 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == want && want.nonEmpty)
   }
 
+  test("retrieval streaming maintenance: micro-batches fold into the " +
+      "postings artifacts; replayed batches fold to a no-op") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-stream").toString
+    all.filter(h < "e6").write.mode("overwrite")
+      .parquet(s"$baseDir/documents.parquet")
+    Models.postings(spark, baseDir) // base artifacts
+    val newDocs = all.filter(h >= "e6")
+      .select("doc_id", "text").collect()
+    assert(newDocs.length >= 2)
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.DocEvent](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bm25-ckpt").toString
+    val q = graft.streaming.EventStreams
+      .retrievalMaintenance(input.toDS(), baseDir, ckpt)
+    def ev(r: org.apache.spark.sql.Row) =
+      graft.streaming.EventStreams.DocEvent(r.getLong(0),
+        java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), r.getString(1))
+    try {
+      input.addData(b1.map(ev).toSeq); q.processAllAvailable()
+      input.addData(b2.map(ev).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // folded artifacts == retokenize of the FULL corpus
+    val docs = all.select(col("doc_id"),
+      graft.operators.TextOps.tokens(col("text")).as("w"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(m(Models.postings(spark, baseDir)
+      .select("tok", "doc_id", "tf")) ==
+      m(docs.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))))
+    assert(m(Models.dfTable(spark, baseDir).select("tok", "df")) ==
+      m(graft.operators.TextOps.dfTable(docs)))
+    // the at-least-once crash window: the SAME batch again — no-op
+    val before = Models.postings(spark, baseDir).count()
+    import spark.implicits._
+    Models.postingsAppend(spark, baseDir,
+      b2.map(r => (r.getLong(0), r.getString(1))).toSeq
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dedupeIds = true)
+    assert(Models.postings(spark, baseDir).count() == before,
+      "replayed batch re-appended postings")
+  }
+
   test("df table: reload == retrain, indexed query equals retraining") {
     val stored = Models.dfTable(spark, sf)
     val retrained = TextOps.dfTable(Tables.documents(spark, sf)
