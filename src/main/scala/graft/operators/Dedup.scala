@@ -348,48 +348,52 @@ object Dedup {
     // is sparse (most documents pair with nothing), so every round's
     // joins run on |V(edges)| rows, not |corpus| rows; singletons are
     // unioned back at the end.
-    var labels = snap(edges.select(col("i").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
+    var labels: DataFrame = null
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // one join + one agg per plain round: self-loop edges fold the
-      // "own label" term into the neighborhood min, and the self-loop
-      // row (j == i) smuggles the previous label out of the groupBy so
-      // the changed flag needs no join back to `labels`
-      val withSelf = edges
-        .unionAll(labels.select(col("id").as("i"), col("id").as("j")))
-      val prop = withSelf.join(labels.withColumnRenamed("id", "j"), "j")
-        .groupBy(col("i").as("id"))
-        .agg(min("label").as("plabel"),
-          max(when(col("j") === col("i"), col("label"))).as("old"))
-      // pointer jump: plabel → labels[plabel] (≤ plabel by the monotone
-      // invariant), landing closer to the component minimum; skipped for
-      // the first `jumpAfter` rounds where plain propagation does the
-      // same label work with one less join
-      val jumped =
-        if (iter < jumpAfter)
-          prop.select(col("id"), col("plabel").as("nl"), col("old"))
-        else prop.join(
-            labels.select(col("label").as("gl"), col("id").as("plabel")),
-            Seq("plabel"), "left")
-          .select(col("id"),
-            least(col("plabel"), coalesce(col("gl"), col("plabel")))
-              .as("nl"),
-            col("old"))
-      round += 1
-      val updated = snap(jumped
-        .select(col("id"), col("nl").as("label"),
-          (col("nl") =!= col("old")).as("changed")))
-      converged = updated.filter(col("changed")).limit(1).count() == 0
-      labels = updated.select("id", "label")
-      // the eager checkpoint above is the last reader of round-1's
-      // state: reclaim it now (disk high-water = two rounds)
-      dropRound(round - 1)
-      iter += 1
-    }
+    // restore the session's checkpoint dir even when the loop throws
+    // (job failure, non-convergence)
+    try {
+      labels = snap(edges.select(col("i").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
+      while (!converged && iter < maxIter) {
+        // one join + one agg per plain round: self-loop edges fold the
+        // "own label" term into the neighborhood min, and the self-loop
+        // row (j == i) smuggles the previous label out of the groupBy so
+        // the changed flag needs no join back to `labels`
+        val withSelf = edges
+          .unionAll(labels.select(col("id").as("i"), col("id").as("j")))
+        val prop = withSelf.join(labels.withColumnRenamed("id", "j"), "j")
+          .groupBy(col("i").as("id"))
+          .agg(min("label").as("plabel"),
+            max(when(col("j") === col("i"), col("label"))).as("old"))
+        // pointer jump: plabel → labels[plabel] (≤ plabel by the monotone
+        // invariant), landing closer to the component minimum; skipped for
+        // the first `jumpAfter` rounds where plain propagation does the
+        // same label work with one less join
+        val jumped =
+          if (iter < jumpAfter)
+            prop.select(col("id"), col("plabel").as("nl"), col("old"))
+          else prop.join(
+              labels.select(col("label").as("gl"), col("id").as("plabel")),
+              Seq("plabel"), "left")
+            .select(col("id"),
+              least(col("plabel"), coalesce(col("gl"), col("plabel")))
+                .as("nl"),
+              col("old"))
+        round += 1
+        val updated = snap(jumped
+          .select(col("id"), col("nl").as("label"),
+            (col("nl") =!= col("old")).as("changed")))
+        converged = updated.filter(col("changed")).limit(1).count() == 0
+        labels = updated.select("id", "label")
+        // the eager checkpoint above is the last reader of round-1's
+        // state: reclaim it now (disk high-water = two rounds)
+        dropRound(round - 1)
+        iter += 1
+      }
+    } finally sc.setCheckpointDir(prevCkptDir.orNull)
     edges.unpersist()
-    sc.setCheckpointDir(prevCkptDir.orNull)
     lastComponentsIterations = iter
     // mid-propagation labels are silently wrong — refuse to return them.
     // With pointer jumping the default budget covers diameter ~2^50;

@@ -197,6 +197,39 @@ object SourceQueries {
       doc = "A9 delete as an anti-join snapshot commit; the aggregate " +
         "reads the committed head — same oracle as a9_object_delete"),
 
+    // The Cassandra-SHAPED connector under the oracle gate: the A6
+    // listing page served by CassandraLikeV2 — partition-key equality,
+    // clustering slice, pushed limit, rows leaving the connector in
+    // clustering order (the meta.clj:153-173 access path, enforced by
+    // the binding's CQL claimability rules rather than merely allowed).
+    // CassandraLikeSpec holds the access-path pins; this entry puts the
+    // RESULT under the driver's hash gate.
+    "src_casv2_listing" -> QueryDef(
+      (s, d) => {
+        graft.sources.CassandraLikeV2.clear()
+        val store = new graft.sources.ConnectorStore(
+          "graft.sources.CassandraLikeV2", t => Map(
+            "table" -> t,
+            "partitionKeys" -> "bucket",
+            "clusteringKeys" -> "object"))
+        store.write(Tables.objects(s, d)
+          .select("bucket", "object", "size", "checksum"),
+          "objects", org.apache.spark.sql.SaveMode.Overwrite)
+        store.read(s, "objects")
+          .filter(graft.operators.Listing.scanPredicate("src2",
+            graft.operators.Listing.ListParams(prefix = Some("es/"))))
+          .select("object", "size", "checksum")
+          .orderBy("object").limit(25)
+      },
+      Some(graft.QueryDef.withCtes(
+        """SELECT object, size, checksum FROM objects
+          |WHERE bucket = 'src2' AND object >= 'es/' AND object < 'es0'
+          |ORDER BY object LIMIT 25""".stripMargin,
+        Tables.objectsSql)),
+      doc = "the A6 page THROUGH the Cassandra-shaped DSv2 binding " +
+        "(pk equality + clustering slice + pushed top-N) — same " +
+        "oracle as a6_range_scan"),
+
     // GC: orphan compaction as a committed swap, with the report
     // derived ENTIRELY from committed snapshots — v1 (time travel
     // within the keep window) minus the compacted head IS the orphan
