@@ -97,6 +97,49 @@ object TextQueries {
     df.orderBy(col("df").desc, col("tok")).offset(10).limit(5)
       .select("tok")
 
+  /** BM25 served ENTIRELY from the persisted retrieval artifacts of
+    * `corpusDir` — tf from the tok-bucketed postings, dl from the
+    * stored length table, df/q from the stored df table; the identical
+    * arithmetic spelling as [[bm25With]]. */
+  def bm25FromArtifacts(s: org.apache.spark.sql.SparkSession,
+      corpusDir: String): DataFrame = {
+    val df = graft.sources.Models.dfTable(s, corpusDir)
+    val lens = graft.sources.Models.docLens(s, corpusDir)
+    val tot = lens.agg(count(lit(1)).as("nn"), sum("dl").as("s"))
+    graft.sources.Models.postings(s, corpusDir)
+      .join(broadcast(bm25QueryTerms(df)), "tok")
+      .join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf",
+        log((lit(2L) * (col("nn") - col("df")) + lit(1L)).cast("double")) -
+          log((lit(2L) * col("df") + lit(1L)).cast("double")))
+      .withColumn("t",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + (lit(0.3) + lit(0.9) *
+            ((col("dl") * col("nn")).cast("double") /
+              col("s").cast("double")))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("t").as("sc"))
+      .select(col("doc_id"), col("n_hits"), round(col("sc"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
+  /** Run-private temp dir, reclaimed on JVM exit (same contract as
+    * SourceQueries' round-trip demos). */
+  private def foldTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { val _ = Files.deleteIfExists(f) })
+      }
+    }))
+    p.toString
+  }
+
   /** Shared DuckDB replay of [[bm25With]] over `tfSrc`/`df`/`q` CTEs —
     * the same spelling serves the retrain, indexed, and postings
     * entries (they differ only in WHERE the statistics come from). */
@@ -836,36 +879,43 @@ object TextQueries {
     // query-time serving path; same retraining oracle, so the hash
     // match proves postings+lens reload ≡ retokenize.
     "tx_bm25_postings" -> QueryDef(
-      (s, d) => {
-        val df = graft.sources.Models.dfTable(s, d)
-        val q = bm25QueryTerms(df)
-        val lens = graft.sources.Models.docLens(s, d)
-        val tot = lens.agg(count(lit(1)).as("nn"), sum("dl").as("s"))
-        graft.sources.Models.postings(s, d)
-          .join(broadcast(q), "tok")
-          .join(broadcast(df), "tok")
-          .join(lens, "doc_id")
-          .crossJoin(broadcast(tot))
-          .withColumn("idf",
-            log((lit(2L) * (col("nn") - col("df")) + lit(1L))
-              .cast("double")) -
-              log((lit(2L) * col("df") + lit(1L)).cast("double")))
-          .withColumn("t",
-            col("idf") * (col("tf").cast("double") * lit(2.2)) /
-              (col("tf").cast("double") + (lit(0.3) + lit(0.9) *
-                ((col("dl") * col("nn")).cast("double") /
-                  col("s").cast("double")))))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_hits"), sum("t").as("sc"))
-          .select(col("doc_id"), col("n_hits"),
-            round(col("sc"), 4).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
-      },
+      (s, d) => bm25FromArtifacts(s, d),
       Some(bm25OracleSql),
       doc = "BM25 from the tok-BUCKETED postings index + stored doc " +
         "lens + stored df table: query-time cost is the query terms' " +
         "posting buckets, not a corpus re-tokenize — oracle retrains " +
         "from scratch"),
+
+    // The postings DAILY FOLD under the oracle gate (the text twin of
+    // sim_ivfpq_append): base artifacts build from the ~90% md5 split
+    // of the corpus written to a run-private dir, the held-out batch
+    // folds in through Models.postingsAppend (bucket-preserving
+    // postings append + CONSISTENT df/doc-length refresh), and the
+    // query serves BM25 from the FOLDED artifacts. The oracle retrains
+    // over the full corpus from scratch, so the hash match proves
+    // folded == retokenized — including the df refresh, which a
+    // postings-only append would silently corrupt.
+    "tx_bm25_append" -> QueryDef(
+      (s, d) => {
+        val tmp = foldTempDir("graft_bm25_fold")
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        docs.filter(h < "e6").write.mode("overwrite")
+          .parquet(s"$tmp/documents.parquet")
+        graft.sources.Models.postings(s, tmp) // base artifacts
+        graft.sources.Models.postingsAppend(s, tmp,
+          docs.filter(h >= "e6").select("doc_id", "text"),
+          "doc_id", "text", dedupeIds = true)
+        val out = bm25FromArtifacts(s, tmp).localCheckpoint(true)
+        // the result is materialized: reclaim the run-private fold
+        // corpus's artifacts so repeated runs don't accumulate them
+        graft.sources.Models.dropRetrievalArtifacts(s, tmp)
+        out
+      },
+      Some(bm25OracleSql),
+      doc = "BM25 served from FOLDED artifacts (base build + " +
+        "postingsAppend of the held-out batch) — oracle retokenizes " +
+        "the full corpus, proving the fold incl. the df refresh"),
 
     // Count-Min-sketch token frequencies: the bounded-memory answer to
     // "how often does this token appear in 100 TB" — 3 rows × 4096

@@ -517,6 +517,20 @@ object Models {
         .parquet(dfTablePath(sfDir))
     }
 
+  /** Reclaim ONE corpus's retrieval artifacts (postings table +
+    * catalog entry, doc-length and df parquet, the whole per-corpus
+    * model root) — for run-private fold corpora (`tx_bm25_append`
+    * builds base artifacts in a fresh dir per run; without reclamation
+    * every run leaks a corpus under the models root). */
+  def dropRetrievalArtifacts(spark: SparkSession, sfDir: String): Unit =
+    synchronized {
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${tableName(postingsPath(sfDir))}")
+      val dir = new org.apache.hadoop.fs.Path(root(sfDir))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) { fs.delete(dir, true); () }
+    }
+
   // ---- CCNet-style bigram LM (quality-scoring model) ---------------------
 
   def bigramLmPath(sfDir: String): String =
