@@ -174,6 +174,110 @@ object TextQueries {
       |FROM sc GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** The deterministic phrase/proximity demo query: the corpus's most
+    * frequent ADJACENT token bigram by (count DESC, w1, w2). One
+    * zero-shuffle scan-stage pair explode plus a bigram-keyed
+    * aggregate whose output is vocabulary²-bounded, derivable
+    * identically by the oracle (exact integer counts, total
+    * tie-break). */
+  def topBigram(docs: DataFrame): DataFrame =
+    docs.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), " +
+          "(x, i) -> struct(x AS w1, w[i + 1] AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+      .select("w1", "w2")
+
+  /** Per-doc `(doc_id, p1, p2)` position arrays for the (1-row,
+    * broadcast) phrase's two terms, from the positional postings
+    * index: two broadcast probes of the tok-bucketed index (the index
+    * side never shuffles on `tok`), then one uniform doc_id join
+    * between the two term hit-lists — the only wide exchange, sized by
+    * matching docs, not the corpus. */
+  private def phrasePositions(pp: DataFrame,
+      phrase: DataFrame): DataFrame = {
+    val p1 = pp.join(broadcast(phrase.select(col("w1").as("tok"))), "tok")
+      .select(col("doc_id"), col("positions").as("p1"))
+    val p2 = pp.join(broadcast(phrase.select(col("w2").as("tok"))), "tok")
+      .select(col("doc_id"), col("positions").as("p2"))
+    p1.join(p2, "doc_id")
+  }
+
+  /** Exact-phrase matches per document from the positional postings:
+    * `|{p ∈ positions(w1) : p+1 ∈ positions(w2)}|` — a per-row array
+    * intersection (positions within a row are distinct and sorted), no
+    * text re-scan, no per-occurrence explode. Top-`k` docs by
+    * (matches DESC, doc_id); exact integer counts, so the oracle — a
+    * full retokenize with an adjacency scan — hash-matches. */
+  def phraseMatches(pp: DataFrame, phrase: DataFrame,
+      k: Int = 20): DataFrame =
+    phrasePositions(pp, phrase)
+      .select(col("doc_id"),
+        size(array_intersect(
+          transform(col("p1"), x => x + lit(1L)), col("p2")))
+          .cast("long").as("matches"))
+      .filter(col("matches") > 0)
+      .orderBy(col("matches").desc, col("doc_id")).limit(k)
+
+  /** Within-`window` proximity pair count per document from the
+    * positional postings: `|{(a, b) : a ∈ positions(w1),
+    * b ∈ positions(w2), b ≠ a, |b − a| ≤ window}|`, evaluated as a
+    * bounded per-row HOF fold over the two position arrays (state is
+    * the two arrays' lengths — no pair explode leaves the row). The
+    * b ≠ a guard makes the self-phrase case (w1 = w2) well-defined:
+    * ordered pairs of DISTINCT positions, symmetric, engine-neutral. */
+  def nearMatches(pp: DataFrame, phrase: DataFrame, window: Int = 5,
+      k: Int = 20): DataFrame =
+    phrasePositions(pp, phrase)
+      .select(col("doc_id"),
+        expr(s"aggregate(p1, 0L, (acc, a) -> acc + " +
+          s"size(filter(p2, b -> b != a AND abs(b - a) <= $window)))")
+          .as("pairs"))
+      .filter(col("pairs") > 0)
+      .orderBy(col("pairs").desc, col("doc_id")).limit(k)
+
+  /** Shared oracle prelude: tokenization + 1-based position unnest +
+    * the top-adjacent-bigram phrase derivation (ranks by exact counts,
+    * then lexicographic — identical to [[topBigram]]). `pos` covers
+    * i ∈ [1, len) — every ADJACENT pair start; proximity needs the
+    * full [1, len] range and spells its own. */
+  private val phraseCtes =
+    """w AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w),
+      |big AS (
+      |  SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c
+      |  FROM pos GROUP BY 1, 2),
+      |ph AS (SELECT w1, w2 FROM big ORDER BY c DESC, w1, w2 LIMIT 1)"""
+      .stripMargin
+
+  private[queries] val phraseOracleSql =
+    s"""WITH $phraseCtes,
+      |m AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS matches
+      |  FROM pos, ph WHERE w[i] = ph.w1 AND w[i + 1] = ph.w2
+      |  GROUP BY doc_id)
+      |SELECT doc_id, matches FROM m
+      |ORDER BY matches DESC, doc_id LIMIT 20""".stripMargin
+
+  private[queries] val nearOracleSql =
+    s"""WITH $phraseCtes,
+      |allpos AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w),
+      |o1 AS (SELECT doc_id, i FROM allpos, ph WHERE w[i] = ph.w1),
+      |o2 AS (SELECT doc_id, i FROM allpos, ph WHERE w[i] = ph.w2),
+      |m AS (
+      |  SELECT o1.doc_id, CAST(count(*) AS BIGINT) AS pairs
+      |  FROM o1 JOIN o2 ON o1.doc_id = o2.doc_id
+      |    AND o2.i <> o1.i AND abs(o2.i - o1.i) <= 5
+      |  GROUP BY 1)
+      |SELECT doc_id, pairs FROM m
+      |ORDER BY pairs DESC, doc_id LIMIT 20""".stripMargin
+
   /** The tx_lm_score plan over tokenized docs `(doc_id, h, w)` with
     * `len(w) >= 2`: a CCNet-style n-gram language-model quality dial.
     * A Laplace-smoothed bigram LM is fit on the train split (`h <
@@ -916,6 +1020,81 @@ object TextQueries {
       doc = "BM25 served from FOLDED artifacts (base build + " +
         "postingsAppend of the held-out batch) — oracle retokenizes " +
         "the full corpus, proving the fold incl. the df refresh"),
+
+    // Exact-phrase retrieval from the POSITIONAL postings index — the
+    // capability the tf postings can't express (BM25 ranks bags of
+    // words; "order fast" as a phrase needs adjacency). The demo
+    // phrase is the corpus's top adjacent bigram (deterministic, so
+    // the oracle derives the same one); matching reads ONLY the two
+    // terms' index rows. The oracle retokenizes the corpus and scans
+    // adjacencies — the hash match proves positional reload ≡
+    // retokenize, the family's retraining-oracle pattern.
+    "tx_phrase_match" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        phraseMatches(
+          graft.sources.Models.positionalPostings(s, d),
+          topBigram(docs))
+      },
+      Some(phraseOracleSql),
+      doc = "exact-phrase top-20 (the corpus's top adjacent bigram) " +
+        "from the PERSISTED positional postings — per-row position " +
+        "intersection, oracle retokenizes + adjacency-scans"),
+
+    // Proximity retrieval from the same positional index: documents
+    // where the phrase terms co-occur within a 5-token window, ranked
+    // by the (distinct-position) pair count — the "terms near each
+    // other" relevance dial between bag-of-words and exact phrase.
+    "tx_near_match" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        nearMatches(
+          graft.sources.Models.positionalPostings(s, d),
+          topBigram(docs))
+      },
+      Some(nearOracleSql),
+      doc = "within-5-token proximity pair counts for the top-bigram " +
+        "terms, from the PERSISTED positional postings — bounded " +
+        "per-row HOF fold, no pair explode"),
+
+    // Conjunctive boolean retrieval from the tf postings: documents
+    // containing ALL five bm25QueryTerms (the AND query a curation
+    // pass runs before ranking), with their total query-term
+    // occurrence count. Counting distinct terms per doc over postings
+    // rows (already one row per (tok, doc)) makes the ALL-terms test a
+    // plain count equality — no per-occurrence state.
+    "tx_boolean_and" -> QueryDef(
+      (s, d) => {
+        val df = graft.sources.Models.dfTable(s, d)
+        graft.sources.Models.postings(s, d)
+          .join(broadcast(bm25QueryTerms(df)), "tok")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+          .filter(col("n_terms") === 5)
+          .select(col("doc_id"), col("tf_sum"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH w AS (
+          |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+          |  FROM documents),
+          |df AS (
+          |  SELECT tok, count(*) AS df FROM (
+          |    SELECT unnest(list_distinct(w)) AS tok FROM w)
+          |  GROUP BY tok),
+          |q AS (SELECT tok FROM df ORDER BY df DESC, tok LIMIT 5 OFFSET 10),
+          |tf AS (
+          |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, unnest(w) AS tok FROM w) JOIN q USING (tok)
+          |  GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+          |FROM tf GROUP BY doc_id HAVING count(*) = 5
+          |ORDER BY doc_id""".stripMargin),
+      doc = "conjunctive AND over the five bm25 query terms from the " +
+        "PERSISTED postings: docs containing ALL terms + total " +
+        "query-term tf — oracle retokenizes from scratch"),
 
     // Count-Min-sketch token frequencies: the bounded-memory answer to
     // "how often does this token appear in 100 TB" — 3 rows × 4096

@@ -428,6 +428,42 @@ object Models {
         .agg(count(lit(1)).as("tf"))
     }
 
+  def positionalPostingsPath(sfDir: String): String =
+    s"${root(sfDir)}/postings_pos"
+
+  /** The persisted POSITIONAL inverted index `(tok, doc_id, positions)`
+    * — positions are the token's 1-based offsets within the document,
+    * sorted ascending — BUCKETED by `tok` like [[postings]]. This is
+    * the artifact that upgrades the retrieval surface from bag-of-words
+    * ranking to phrase and proximity queries (Lucene keeps the same
+    * split: frequencies vs positions postings): an exact-phrase match
+    * is an intersection of one term's positions with the next term's
+    * positions shifted by one, a within-k proximity match is a bounded
+    * position-distance pair count — both computed per document from
+    * the index rows alone, never re-tokenizing the corpus. Row
+    * cardinality equals the tf postings' (one row per distinct
+    * (tok, doc) pair; positions add ~8 B per occurrence), and
+    * [[postingsAppend]] folds daily batches into it bucket-preserving.
+    * The `tx_phrase_match` retraining oracle proves reload ≡
+    * retokenize. */
+  def positionalPostings(spark: SparkSession, sfDir: String): DataFrame =
+    ensureBucketed(spark, positionalPostingsPath(sfDir),
+      "tok STRING, doc_id BIGINT, positions ARRAY<BIGINT>", "tok") {
+      positionalRows(graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w")))
+    }
+
+  /** Positional postings rows from tokenized docs `(doc_id, w)`:
+    * sorted-ascending 1-based offsets per (tok, doc). `sort_array`
+    * makes the row deterministic regardless of collect order. */
+  private def positionalRows(toks: DataFrame): DataFrame =
+    toks
+      .select(col("doc_id"),
+        posexplode(col("w")).as(Seq("i", "tok")))
+      .groupBy("tok", "doc_id")
+      .agg(sort_array(collect_list(col("i").cast("long") + lit(1L)))
+        .as("positions"))
+
   /** The persisted per-document token length `(doc_id, dl)` — the BM25
     * normalizer's corpus statistic, stored beside the postings so
     * query-time scoring touches no raw text at all. */
@@ -499,6 +535,19 @@ object Models {
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .bucketBy(IndexBuckets, "tok").sortBy("tok")
         .format("parquet").saveAsTable(name)
+      // the positional index, when this corpus has built one, folds in
+      // the same batch rows (positions are doc-local offsets, so an
+      // append IS the retokenize) — skipping it would silently serve
+      // phrase queries from a pre-fold snapshot while BM25 sees the
+      // grown corpus
+      if (exists(spark, positionalPostingsPath(sfDir))) {
+        positionalPostings(spark, sfDir) // re-register after a restart
+        positionalRows(toks)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(IndexBuckets, "tok").sortBy("tok")
+          .format("parquet")
+          .saveAsTable(tableName(positionalPostingsPath(sfDir)))
+      }
       toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(docLensPath(sfDir))
@@ -526,6 +575,8 @@ object Models {
     synchronized {
       spark.sql(
         s"DROP TABLE IF EXISTS ${tableName(postingsPath(sfDir))}")
+      spark.sql(
+        s"DROP TABLE IF EXISTS ${tableName(positionalPostingsPath(sfDir))}")
       val dir = new org.apache.hadoop.fs.Path(root(sfDir))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dir)) { fs.delete(dir, true); () }

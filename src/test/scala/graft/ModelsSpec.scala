@@ -442,6 +442,125 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == want && want.nonEmpty)
   }
 
+  test("positional postings: reload == retokenize, bucketed by tok; " +
+      "phrase/proximity/boolean queries equal independent spellings") {
+    graft.functions.GraftFunctions.register(spark)
+    val stored = Models.positionalPostings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("w"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // reload == retokenize
+    val retok = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
+      .groupBy("tok", "doc_id")
+      .agg(sort_array(collect_list(col("i").cast("long") + lit(1L)))
+        .as("positions"))
+    assert(m(stored.select("tok", "doc_id", "positions")) == m(retok))
+    // bucket layout: tok-keyed aggregation plans no tok exchange
+    val p = stored.groupBy("tok").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(tok"),
+      s"positional postings not bucketed:\n$p")
+    val ph = graft.queries.TextQueries.topBigram(docs)
+      .localCheckpoint(true)
+    // phrase from the index == a direct adjacency scan of the corpus
+    // (independent spelling: indexed-lambda filter over token slices)
+    val brutePhrase = docs.crossJoin(broadcast(ph))
+      .select(col("doc_id"),
+        expr("size(filter(slice(w, 1, greatest(size(w) - 1, 0)), " +
+          "(x, i) -> x = w1 AND w[i + 1] = w2))")
+          .cast("long").as("matches"))
+      .filter(col("matches") > 0)
+      .orderBy(col("matches").desc, col("doc_id")).limit(20)
+    val gotPhrase = graft.queries.TextQueries.phraseMatches(stored, ph)
+      .collect().map(_.toString).toSeq
+    assert(gotPhrase == brutePhrase.collect().map(_.toString).toSeq &&
+      gotPhrase.nonEmpty)
+    // proximity from the index == an explode + non-equi self-join
+    val occ = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"),
+        col("tok"))
+    val o1 = occ.join(broadcast(ph.select(col("w1").as("tok"))), "tok")
+      .select(col("doc_id"), col("i").as("a"))
+    val o2 = occ.join(broadcast(ph.select(col("w2").as("tok"))), "tok")
+      .select(col("doc_id").as("d2"), col("i").as("b"))
+    val bruteNear = o1
+      .join(o2, o1("doc_id") === o2("d2") && col("b") =!= col("a") &&
+        abs(col("b") - col("a")) <= 5)
+      .groupBy("doc_id").agg(count(lit(1)).as("pairs"))
+      .orderBy(col("pairs").desc, col("doc_id")).limit(20)
+    val gotNear = graft.queries.TextQueries.nearMatches(stored, ph)
+      .collect().map(_.toString).toSeq
+    assert(gotNear == bruteNear.collect().map(_.toString).toSeq &&
+      gotNear.nonEmpty)
+    // boolean AND from the tf postings == a raw-corpus spelling
+    val q = graft.queries.TextQueries
+      .bm25QueryTerms(Models.dfTable(spark, sf))
+    val bruteAnd = occ.join(broadcast(q), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("tf_sum"))
+      .filter(col("n_terms") === 5)
+      .select(col("doc_id"), col("tf_sum"))
+      .orderBy("doc_id")
+    val gotAnd = SparkEntry.queries("tx_boolean_and")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(gotAnd == bruteAnd.collect().map(_.toString).toSeq &&
+      gotAnd.nonEmpty)
+  }
+
+  test("positional postings daily fold: postingsAppend maintains the " +
+      "positional index; folded phrase serving == grown-corpus scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-pos-fold").toString
+    all.filter(h < "e6").write.mode("overwrite")
+      .parquet(s"$baseDir/documents.parquet")
+    val batch = all.filter(h >= "e6").select("doc_id", "text")
+    assert(batch.count() > 0)
+    Models.postings(spark, baseDir)
+    Models.positionalPostings(spark, baseDir) // base positional index
+    Models.postingsAppend(spark, baseDir, batch, "doc_id", "text")
+    val docs = all.select(col("doc_id"),
+      graft.operators.TextOps.tokens(col("text")).as("w"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // folded positional rows == retokenize of the FULL corpus
+    val retok = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
+      .groupBy("tok", "doc_id")
+      .agg(sort_array(collect_list(col("i").cast("long") + lit(1L)))
+        .as("positions"))
+    assert(m(Models.positionalPostings(spark, baseDir)
+      .select("tok", "doc_id", "positions")) == m(retok))
+    // the fold preserved the bucket layout
+    val p = Models.positionalPostings(spark, baseDir)
+      .groupBy("tok").count().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(tok"),
+      s"fold lost the positional bucket spec:\n$p")
+    // phrase served from the FOLDED index == adjacency scan of the
+    // grown corpus (phrase re-derived over the grown corpus, as a
+    // steady-state consumer would)
+    val ph = graft.queries.TextQueries.topBigram(docs)
+      .localCheckpoint(true)
+    val brute = docs.crossJoin(broadcast(ph))
+      .select(col("doc_id"),
+        expr("size(filter(slice(w, 1, greatest(size(w) - 1, 0)), " +
+          "(x, i) -> x = w1 AND w[i + 1] = w2))")
+          .cast("long").as("matches"))
+      .filter(col("matches") > 0)
+      .orderBy(col("matches").desc, col("doc_id")).limit(20)
+    val got = graft.queries.TextQueries
+      .phraseMatches(Models.positionalPostings(spark, baseDir), ph)
+      .collect().map(_.toString).toSeq
+    assert(got == brute.collect().map(_.toString).toSeq && got.nonEmpty)
+  }
+
   test("retrieval streaming maintenance: micro-batches fold into the " +
       "postings artifacts; replayed batches fold to a no-op") {
     graft.functions.GraftFunctions.register(spark)
