@@ -571,6 +571,7 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     all.filter(h < "e6").write.mode("overwrite")
       .parquet(s"$baseDir/documents.parquet")
     Models.postings(spark, baseDir) // base artifacts
+    Models.positionalPostings(spark, baseDir) // rides the same folds
     val newDocs = all.filter(h >= "e6")
       .select("doc_id", "text").collect()
     assert(newDocs.length >= 2)
@@ -599,8 +600,17 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))))
     assert(m(Models.dfTable(spark, baseDir).select("tok", "df")) ==
       m(graft.operators.TextOps.dfTable(docs)))
+    // the positional index rode the same micro-batch folds
+    assert(m(Models.positionalPostings(spark, baseDir)
+      .select("tok", "doc_id", "positions")) ==
+      m(docs.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("i", "tok")))
+        .groupBy("tok", "doc_id")
+        .agg(sort_array(collect_list(col("i").cast("long") + lit(1L)))
+          .as("positions"))))
     // the at-least-once crash window: the SAME batch again — no-op
     val before = Models.postings(spark, baseDir).count()
+    val posBefore = Models.positionalPostings(spark, baseDir).count()
     import spark.implicits._
     Models.postingsAppend(spark, baseDir,
       b2.map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -608,6 +618,8 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "doc_id", "text", dedupeIds = true)
     assert(Models.postings(spark, baseDir).count() == before,
       "replayed batch re-appended postings")
+    assert(Models.positionalPostings(spark, baseDir).count() == posBefore,
+      "replayed batch re-appended positional postings")
   }
 
   test("df table: reload == retrain, indexed query equals retraining") {

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based property test for the positional retrieval tier: the
+  * index-row spellings ([[graft.queries.TextQueries.phraseMatches]]'s
+  * shifted-array intersection, [[graft.queries.TextQueries
+  * .nearMatches]]'s bounded HOF pair fold) must agree with a direct
+  * pure-Scala scan of the token sequences on random corpora — small
+  * alphabet to force collisions, random phrase (self-phrase w1 = w2
+  * included), empty and single-token documents included. ModelsSpec
+  * pins the same equalities once on the real corpus; this spec walks
+  * the edge-case space. */
+class RetrievalPropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def phraseCount(w: Seq[String], w1: String, w2: String): Long =
+    if (w.size < 2) 0L
+    else (0 until w.size - 1).count(i => w(i) == w1 && w(i + 1) == w2).toLong
+
+  private def nearCount(w: Seq[String], w1: String, w2: String,
+      win: Int): Long = {
+    val p1 = w.indices.collect { case i if w(i) == w1 => i + 1 }
+    val p2 = w.indices.collect { case i if w(i) == w2 => i + 1 }
+    p1.map(a => p2.count(b => b != a && math.abs(b - a) <= win).toLong).sum
+  }
+
+  private def expectedTop(scored: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    scored.filter(_._2 > 0L)
+      .sortBy { case (id, m) => (-m, id) }.take(20)
+
+  private val alphabet = Seq("a", "b", "c")
+  private val genCase = for {
+    nDocs <- Gen.choose(1, 15)
+    docs <- Gen.listOfN(nDocs, for {
+      len <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(len, Gen.oneOf(alphabet))
+    } yield toks)
+    w1 <- Gen.oneOf(alphabet)
+    w2 <- Gen.oneOf(alphabet) // may equal w1: the self-phrase edge
+  } yield (docs.zipWithIndex.map { case (w, i) => (i.toLong, w) }, w1, w2)
+
+  test("phrase/proximity from index rows agree with a direct scan " +
+      "on random corpora") {
+    (0 until 12).foreach { it =>
+      val (docs, w1, w2) = genCase.pureApply(
+        Gen.Parameters.default, rng.Seed(4242L + it))
+      val docsDf = docs.toDF("doc_id", "w")
+      // index rows built exactly as Models.positionalPostings does
+      // (that builder ≡ the stored artifact is ModelsSpec's pin)
+      val pp = docsDf
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
+        .groupBy("tok", "doc_id")
+        .agg(sort_array(collect_list(col("i").cast("long") + lit(1L)))
+          .as("positions"))
+      val ph = Seq((w1, w2)).toDF("w1", "w2")
+      val gotPhrase = graft.queries.TextQueries.phraseMatches(pp, ph)
+        .as[(Long, Long)].collect().toSeq
+      val wantPhrase = expectedTop(
+        docs.map { case (id, w) => (id, phraseCount(w, w1, w2)) })
+      assert(gotPhrase == wantPhrase,
+        s"phrase mismatch (seed ${4242L + it}, phrase '$w1 $w2'): " +
+          s"got $gotPhrase want $wantPhrase docs $docs")
+      val gotNear = graft.queries.TextQueries.nearMatches(pp, ph)
+        .as[(Long, Long)].collect().toSeq
+      val wantNear = expectedTop(
+        docs.map { case (id, w) => (id, nearCount(w, w1, w2, 5)) })
+      assert(gotNear == wantNear,
+        s"near mismatch (seed ${4242L + it}, phrase '$w1 $w2'): " +
+          s"got $gotNear want $wantNear docs $docs")
+    }
+  }
+}
