@@ -315,6 +315,27 @@ class PlanSpec extends AnyFunSuite {
     assert(pp.contains("TakeOrderedAndProject"), pp)
   }
 
+  test("tx_phrase/near/boolean: positional+tf index probes broadcast — " +
+      "zero tok exchange, no position re-derivation in the serving plan") {
+    // The phrase DERIVATION scans the corpus once (that's the query
+    // formulation step); the MATCHING side must read index rows only:
+    // no posexplode anywhere (positions come from the artifact, never
+    // re-derived), no tok-keyed exchange (broadcast probes of the
+    // bucketed index), top-k as TakeOrderedAndProject.
+    for (name <- Seq("tx_phrase_match", "tx_near_match")) {
+      val p = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning(tok"), s"$name:\n$p")
+      assert(!p.contains("posexplode"), s"$name re-derives positions:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$name:\n$p")
+    }
+    val pb = SparkEntry.queries("tx_boolean_and")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pb.contains("Exchange hashpartitioning(tok"), pb)
+    assert(pb.contains("BroadcastHashJoin"), pb)
+  }
+
   test("dd_bloom_probe: the filter broadcasts — no gram-keyed exchange at all") {
     // The held-out side folds into one sorted-position row; probing is
     // a broadcast nested-loop of that single row, so the training gram
