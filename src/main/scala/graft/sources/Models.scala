@@ -566,6 +566,72 @@ object Models {
         .parquet(dfTablePath(sfDir))
     }
 
+  /** Rewrite one bucketed artifact table into its minimal file layout.
+    *
+    * Every daily fold ([[postingsAppend]], [[lshIndexAppend]],
+    * [[ivfPqIndexAppend]]) APPENDS bucketed files: after k folds a
+    * bucket's rows are spread over ~k small files, and at 100 TB a
+    * year of daily folds turns every index probe into a
+    * hundreds-of-small-files read (open/seek dominated, splittable
+    * parallelism lost). Compaction is the standard steady-state
+    * answer: rewrite the table's current rows into one file per
+    * bucket, PRESERVING the bucket spec — probe plans (zero
+    * index-side exchange) are untouched, only the file layout shrinks.
+    *
+    * The rewrite snapshots the table via an eager `localCheckpoint`
+    * (severing the plan from the files about to be overwritten), then
+    * rewrites through [[Lake.writeBucketedTable]] with the rows
+    * pre-partitioned on the bucket hash so each bucket lands in ONE
+    * file. NOT crash-atomic: a reader racing the overwrite can see a
+    * partial directory, and a crash mid-rewrite loses the on-disk copy
+    * (the artifact re-derives from the corpus, so this costs a
+    * retrain, not data) — run it in the maintenance window, or stage
+    * the compacted table through a [[VersionedStore]] commit for
+    * atomic cutover. Returns (dataFilesBefore, dataFilesAfter). */
+  def compactBucketed(spark: SparkSession, path: String,
+      bucketCol: String): (Long, Long) =
+    synchronized {
+      val name = tableName(path)
+      require(spark.catalog.tableExists(name),
+        s"no bucketed artifact table registered at $path")
+      def dataFiles(): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      val before = dataFiles()
+      val snap = spark.table(name).localCheckpoint(true)
+      // repartition on the bucket column: HashPartitioning uses the
+      // same Murmur3 pmod as the bucket id, so each of the
+      // IndexBuckets tasks writes exactly its own bucket's file
+      Lake.writeBucketedTable(
+        snap.repartition(IndexBuckets, col(bucketCol)),
+        name, path, bucketCol, IndexBuckets)
+      spark.catalog.refreshTable(name)
+      (before, dataFiles())
+    }
+
+  /** Compact this corpus's retrieval indexes (tf postings + the
+    * positional index when built) — the maintenance-window companion
+    * to [[postingsAppend]]'s daily folds. Returns per-artifact
+    * (filesBefore, filesAfter). */
+  def compactRetrievalIndexes(spark: SparkSession,
+      sfDir: String): Map[String, (Long, Long)] = {
+    val targets =
+      Seq("postings" -> postingsPath(sfDir)) ++
+        (if (exists(spark, positionalPostingsPath(sfDir)))
+          Seq("postings_pos" -> positionalPostingsPath(sfDir))
+        else Nil)
+    targets.map { case (label, p) =>
+      label -> compactBucketed(spark, p, "tok")
+    }.toMap
+  }
+
   /** Reclaim ONE corpus's retrieval artifacts (postings table +
     * catalog entry, doc-length and df parquet, the whole per-corpus
     * model root) — for run-private fold corpora (`tx_bm25_append`

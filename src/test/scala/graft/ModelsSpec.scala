@@ -561,6 +561,59 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute.collect().map(_.toString).toSeq && got.nonEmpty)
   }
 
+  test("index compaction: daily folds accumulate small files; " +
+      "compact rewrites one file per bucket with rows and bucket " +
+      "layout unchanged, and later folds still land") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    all.filter(h < "cc").write.mode("overwrite")
+      .parquet(s"$baseDir/documents.parquet")
+    Models.postings(spark, baseDir)
+    Models.positionalPostings(spark, baseDir)
+    // three daily folds (disjoint md5 slices, each non-empty)
+    for ((lo, hi) <- Seq(("cc", "dd"), ("dd", "ee"), ("ee", "f8"))) {
+      val batch = all.filter(h >= lo && h < hi).select("doc_id", "text")
+      assert(batch.count() > 0, s"empty fold slice [$lo,$hi)")
+      Models.postingsAppend(spark, baseDir, batch, "doc_id", "text")
+    }
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val rowsBefore = m(Models.postings(spark, baseDir)
+      .select("tok", "doc_id", "tf"))
+    val posBefore = m(Models.positionalPostings(spark, baseDir)
+      .select("tok", "doc_id", "positions"))
+    val res = Models.compactRetrievalIndexes(spark, baseDir)
+    // the folds really did fragment; compaction really did shrink
+    assert(res("postings")._1 > Models.IndexBuckets, res.toString)
+    assert(res("postings")._2 <= Models.IndexBuckets, res.toString)
+    assert(res("postings_pos")._1 > Models.IndexBuckets, res.toString)
+    assert(res("postings_pos")._2 <= Models.IndexBuckets, res.toString)
+    // rows byte-identical, bucket layout intact
+    assert(m(Models.postings(spark, baseDir)
+      .select("tok", "doc_id", "tf")) == rowsBefore)
+    assert(m(Models.positionalPostings(spark, baseDir)
+      .select("tok", "doc_id", "positions")) == posBefore)
+    val p = Models.postings(spark, baseDir).groupBy("tok").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(tok"),
+      s"compaction lost the bucket spec:\n$p")
+    // a fold AFTER compaction still lands and still equals retokenize
+    val late = all.filter(h >= "f8").select("doc_id", "text")
+    assert(late.count() > 0)
+    Models.postingsAppend(spark, baseDir, late, "doc_id", "text")
+    // base + three slices + the late fold = the whole corpus
+    val grown = all
+      .select(col("doc_id"),
+        graft.operators.TextOps.tokens(col("text")).as("w"))
+    assert(m(Models.postings(spark, baseDir)
+      .select("tok", "doc_id", "tf")) ==
+      m(grown.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))))
+  }
+
   test("retrieval streaming maintenance: micro-batches fold into the " +
       "postings artifacts; replayed batches fold to a no-op") {
     graft.functions.GraftFunctions.register(spark)
