@@ -578,26 +578,53 @@ object Models {
     * bucket, PRESERVING the bucket spec — probe plans (zero
     * index-side exchange) are untouched, only the file layout shrinks.
     *
-    * The rewrite snapshots the table via an eager `localCheckpoint`
-    * (severing the plan from the files about to be overwritten), then
-    * rewrites through [[Lake.writeBucketedTable]] with the rows
+    * The rewrite STREAMS old files to a staging directory
+    * (`<path>__compacting`, written as a bucketed table with the rows
     * pre-partitioned on the bucket hash so each bucket lands in ONE
-    * file. NOT crash-atomic: a reader racing the overwrite can see a
-    * partial directory, and a crash mid-rewrite loses the on-disk copy
-    * (the artifact re-derives from the corpus, so this costs a
-    * retrain, not data) — run it in the maintenance window, or stage
-    * the compacted table through a [[VersionedStore]] commit for
-    * atomic cutover. Returns (dataFilesBefore, dataFilesAfter). */
+    * file — never materialized in executor storage, so a 100 TB index
+    * compacts in one bounded pass), then cuts over: drop the catalog
+    * entry, delete the old directory, RENAME the staging directory
+    * into place (atomic on HDFS/posix), re-register the DDL. Crash
+    * windows: before the old-dir delete the original survives intact
+    * (a leftover staging dir is reclaimed by the next compact); after
+    * it, the data sits complete at the staging path and the next
+    * compact call finishes the rename before doing anything else —
+    * and in the worst case the artifact re-derives from the corpus,
+    * so a lost window costs a retrain, not data. Readers racing the
+    * cutover can see a missing table for an instant — run it in the
+    * maintenance window, or stage through a [[VersionedStore]] commit
+    * for fully atomic cutover. Returns (dataFilesBefore,
+    * dataFilesAfter). */
   def compactBucketed(spark: SparkSession, path: String,
       bucketCol: String): (Long, Long) =
     synchronized {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val stage = new org.apache.hadoop.fs.Path(path + "__compacting")
+      val fs = dst.getFileSystem(hconf)
       val name = tableName(path)
+      val stageName = name + "_compacting"
+      // finish a predecessor's crashed cutover: complete staging, no
+      // destination -> the rename is the only step left
+      if (!fs.exists(dst) && fs.exists(stage) &&
+          fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+        require(fs.rename(stage, dst), s"crash recovery rename failed: $stage")
+      }
+      // a crash between the cutover's DROP TABLE and the re-register
+      // (or a catalog loss) leaves files without a catalog entry —
+      // re-register from the parquet footer schema before proceeding
+      if (!spark.catalog.tableExists(name) && fs.exists(dst)) {
+        spark.sql(
+          s"""CREATE TABLE $name (${spark.read.parquet(path).schema.toDDL})
+             |USING PARQUET
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+             |INTO $IndexBuckets BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      }
       require(spark.catalog.tableExists(name),
         s"no bucketed artifact table registered at $path")
       def dataFiles(): Long = {
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(p, true)
+        val it = fs.listFiles(dst, true)
         var n = 0L
         while (it.hasNext) {
           if (it.next().getPath.getName.endsWith(".parquet")) n += 1
@@ -605,13 +632,26 @@ object Models {
         n
       }
       val before = dataFiles()
-      val snap = spark.table(name).localCheckpoint(true)
-      // repartition on the bucket column: HashPartitioning uses the
-      // same Murmur3 pmod as the bucket id, so each of the
-      // IndexBuckets tasks writes exactly its own bucket's file
+      if (fs.exists(stage)) fs.delete(stage, true) // reclaim leftovers
+      // stream the current rows into the staging table: repartition on
+      // the bucket column (HashPartitioning uses the same Murmur3 pmod
+      // as the bucket id), so each of the IndexBuckets tasks writes
+      // exactly its own bucket's one file
       Lake.writeBucketedTable(
-        snap.repartition(IndexBuckets, col(bucketCol)),
-        name, path, bucketCol, IndexBuckets)
+        spark.table(name).repartition(IndexBuckets, col(bucketCol)),
+        stageName, stage.toString, bucketCol, IndexBuckets)
+      val schemaDdl = spark.table(stageName).schema.toDDL
+      spark.sql(s"DROP TABLE IF EXISTS $stageName") // catalog only
+      // cutover
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      fs.delete(dst, true)
+      require(fs.rename(stage, dst), s"compaction cutover rename failed: $stage")
+      spark.sql(
+        s"""CREATE TABLE $name ($schemaDdl)
+           |USING PARQUET
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+           |INTO $IndexBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
       spark.catalog.refreshTable(name)
       (before, dataFiles())
     }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CompactDebugSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def countFiles(p: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  test("debug: compact from a bucketed-table read") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-debug2").toString
+    val df = (0 until 5000).map(i => (s"tok${i % 700}", i.toLong, 1L))
+      .toDF("tok", "doc_id", "tf")
+    spark.sql("DROP TABLE IF EXISTS dbg_src")
+    df.repartition(16, col("tok"))
+      .write.mode("overwrite").option("path", s"$dir/src")
+      .bucketBy(16, "tok").sortBy("tok").format("parquet")
+      .saveAsTable("dbg_src")
+    // two appends -> fragmentation
+    for (k <- 1 to 2) {
+      (0 until 300).map(i => (s"tok${i % 700}", (10000 * k + i).toLong, 1L))
+        .toDF("tok", "doc_id", "tf")
+        .write.mode("append").bucketBy(16, "tok").sortBy("tok")
+        .format("parquet").saveAsTable("dbg_src")
+    }
+    println(s"[debug] src files = ${countFiles(s"$dir/src")}")
+    val rd = spark.table("dbg_src").repartition(16, col("tok"))
+    println("[debug] plan:\n" + rd.queryExecution.executedPlan.toString)
+    spark.sql("DROP TABLE IF EXISTS dbg_dst")
+    rd.write.mode("overwrite").option("path", s"$dir/dst")
+      .bucketBy(16, "tok").sortBy("tok").format("parquet")
+      .saveAsTable("dbg_dst")
+    println(s"[debug] dst files = ${countFiles(s"$dir/dst")}")
+  }
+}

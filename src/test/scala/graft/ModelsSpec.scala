@@ -614,6 +614,61 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))))
   }
 
+  test("compaction crash recovery; compactBucketed generalizes to the " +
+      "LSH band index") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-crash").toString
+    all.filter(h < "cc").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Models.postings(spark, dir)
+    Models.postingsAppend(spark, dir,
+      all.filter(h >= "cc" && h < "ee").select("doc_id", "text"),
+      "doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val rows0 = m(Models.postings(spark, dir)
+      .select("tok", "doc_id", "tf"))
+    // simulate the worst crash window: cutover deleted the live dir
+    // and dropped the catalog entry, the complete rewrite sits at the
+    // staging path — exactly what a crashed compact leaves behind
+    val path = Models.postingsPath(dir)
+    val name = "graft_model_" + path.replaceAll("[^A-Za-z0-9]+", "_")
+      .takeRight(80).dropWhile(_ == '_') // mirrors Models.tableName
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    assert(fs.rename(dst, stage), "test setup rename failed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")),
+      "bucketed write left no _SUCCESS marker — recovery gate broken")
+    // the next compact must finish the rename, re-register, compact
+    val (_, after) = Models.compactBucketed(spark, path, "tok")
+    assert(after <= Models.IndexBuckets)
+    assert(m(Models.postings(spark, dir)
+      .select("tok", "doc_id", "tf")) == rows0)
+    // generality: the LSH band index (bk buckets) compacts the same way
+    val (bands0, _) = Models.lshIndex(spark, dir,
+      all.filter(h < "cc"), "doc_id", "text")
+    Models.lshIndexAppend(spark, dir,
+      all.filter(h >= "cc" && h < "ee").select("doc_id", "text"),
+      "doc_id", "text")
+    val bandsPath = Models.lshBandsPath(dir, 32, 16, 3)
+    val bandRows = m(spark.read.parquet(bandsPath))
+    val (bBefore, bAfter) =
+      Models.compactBucketed(spark, bandsPath, "bk")
+    assert(bAfter <= Models.IndexBuckets && bAfter <= bBefore)
+    assert(m(spark.read.parquet(bandsPath)) == bandRows)
+    val p = Models.lshIndex(spark, dir,
+        sys.error("index exists — training must not run"),
+        "doc_id", "text")._1
+      .groupBy("bk").count().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(bk"),
+      s"compaction lost the band bucket spec:\n$p")
+  }
+
   test("retrieval streaming maintenance: micro-batches fold into the " +
       "postings artifacts; replayed batches fold to a no-op") {
     graft.functions.GraftFunctions.register(spark)
