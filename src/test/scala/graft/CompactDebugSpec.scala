@@ -36,12 +36,19 @@ class CompactDebugSpec extends AnyFunSuite {
         .format("parquet").saveAsTable("dbg_src")
     }
     println(s"[debug] src files = ${countFiles(s"$dir/src")}")
-    val rd = spark.table("dbg_src").repartition(16, col("tok"))
+    // read the FILES, not the catalog table: a bucketed-table scan
+    // advertises HashPartitioning(tok,16), the optimizer then drops the
+    // user repartition as redundant, and DisableUnnecessaryBucketedScan
+    // subsequently disables the bucketed read -> plain file splits with
+    // mixed buckets per task -> one file per (task, bucket).
+    val rd = spark.read.parquet(s"$dir/src").repartition(16, col("tok"))
     println("[debug] plan:\n" + rd.queryExecution.executedPlan.toString)
     spark.sql("DROP TABLE IF EXISTS dbg_dst")
     rd.write.mode("overwrite").option("path", s"$dir/dst")
       .bucketBy(16, "tok").sortBy("tok").format("parquet")
       .saveAsTable("dbg_dst")
-    println(s"[debug] dst files = ${countFiles(s"$dir/dst")}")
+    val n = countFiles(s"$dir/dst")
+    println(s"[debug] dst files = $n")
+    assert(n <= 16, s"compacted write produced $n files, want <= 16")
   }
 }
