@@ -636,9 +636,16 @@ object Models {
       // stream the current rows into the staging table: repartition on
       // the bucket column (HashPartitioning uses the same Murmur3 pmod
       // as the bucket id), so each of the IndexBuckets tasks writes
-      // exactly its own bucket's one file
+      // exactly its own bucket's one file. Read the parquet FILES, not
+      // the catalog table: a bucketed-table scan advertises
+      // HashPartitioning(bucketCol, IndexBuckets), the optimizer then
+      // drops this repartition as redundant, and
+      // DisableUnnecessaryBucketedScan subsequently disables the
+      // bucketed read — plain file splits with mixed buckets per task,
+      // so the bucketBy writer emits one file per (task, bucket)
+      // instead of one per bucket.
       Lake.writeBucketedTable(
-        spark.table(name).repartition(IndexBuckets, col(bucketCol)),
+        spark.read.parquet(path).repartition(IndexBuckets, col(bucketCol)),
         stageName, stage.toString, bucketCol, IndexBuckets)
       val schemaDdl = spark.table(stageName).schema.toDDL
       spark.sql(s"DROP TABLE IF EXISTS $stageName") // catalog only
