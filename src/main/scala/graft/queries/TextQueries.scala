@@ -1021,6 +1021,46 @@ object TextQueries {
         "postingsAppend of the held-out batch) — oracle retokenizes " +
         "the full corpus, proving the fold incl. the df refresh"),
 
+    // The steady-state MAINTENANCE cycle under the oracle gate: daily
+    // folds fragment the bucketed postings (one file set per fold),
+    // Models.compactRetrievalIndexes rewrites them to one file per
+    // bucket, and the query serves BM25 from the COMPACTED index. The
+    // in-query gate requires the folds really fragmented
+    // (before > IndexBuckets) and compaction really restored the
+    // minimal layout (after <= IndexBuckets); the oracle retokenizes
+    // the full corpus from scratch, so the hash match proves
+    // compacted == folded == retokenized — the full
+    // fold→compact→serve lifecycle, not just the append half.
+    "tx_bm25_compacted" -> QueryDef(
+      (s, d) => {
+        val tmp = foldTempDir("graft_bm25_compact")
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        docs.filter(h < "cc").write.mode("overwrite")
+          .parquet(s"$tmp/documents.parquet")
+        graft.sources.Models.postings(s, tmp) // base artifacts
+        for ((lo, hi) <- Seq(("cc", "ee"), ("ee", "g"))) {
+          graft.sources.Models.postingsAppend(s, tmp,
+            docs.filter(h >= lo && h < hi).select("doc_id", "text"),
+            "doc_id", "text", dedupeIds = true)
+        }
+        val res = graft.sources.Models.compactRetrievalIndexes(s, tmp)
+        val (before, after) = res("postings")
+        require(before > graft.sources.Models.IndexBuckets &&
+          after <= graft.sources.Models.IndexBuckets,
+          s"compaction ineffective: files $before -> $after " +
+            s"(want > ${graft.sources.Models.IndexBuckets} before, " +
+            s"<= ${graft.sources.Models.IndexBuckets} after)")
+        val out = bm25FromArtifacts(s, tmp).localCheckpoint(true)
+        graft.sources.Models.dropRetrievalArtifacts(s, tmp)
+        out
+      },
+      Some(bm25OracleSql),
+      doc = "BM25 served from the COMPACTED index after two daily " +
+        "folds: in-query file-count gate (fragmented > 16 -> " +
+        "compacted <= 16), oracle retokenizes the full corpus — " +
+        "proves the fold->compact->serve lifecycle end to end"),
+
     // Exact-phrase retrieval from the POSITIONAL postings index — the
     // capability the tf postings can't express (BM25 ranks bags of
     // words; "order fast" as a phrase needs adjacency). The demo
