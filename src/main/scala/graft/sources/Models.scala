@@ -679,6 +679,51 @@ object Models {
     }.toMap
   }
 
+  /** Directory-name prefix → bucket column, for every BUCKETED
+    * artifact family this object persists. Longest-prefix order
+    * matters (`postings_pos` before `postings`). Non-bucketed
+    * single-file artifacts (doc_lens, df_table, vocab, centroids,
+    * codebooks, merge tables, bigram LM) are not listed — they never
+    * fragment. */
+  private val BucketedArtifactPrefixes: Seq[(String, String)] = Seq(
+    "postings_pos" -> "tok",
+    "postings" -> "tok",
+    "lsh_sets_" -> "id",
+    "lsh_bands_" -> "bk",
+    "ivfpq_codes_" -> "cid",
+    "dedup_map_" -> "id",
+    "bpe_segs_" -> "word")
+
+  /** Compact EVERY bucketed artifact present under this corpus's
+    * model root — the whole-maintenance-window generalization of
+    * [[compactRetrievalIndexes]]: walks the root, maps each directory
+    * to its bucket column by name prefix
+    * ([[BucketedArtifactPrefixes]]), and rewrites each through
+    * [[compactBucketed]]. Covers every append family
+    * ([[postingsAppend]], [[lshIndexAppend]], [[ivfPqIndexAppend]])
+    * AND the one-shot bucketed trains (dedup map, BPE dictionary),
+    * whose initial multi-task write also emits one file per
+    * (task, bucket). Returns per-artifact (filesBefore, filesAfter),
+    * keyed by directory name; skips leftover `__compacting` staging
+    * dirs (each is reclaimed or completed by its own artifact's
+    * compact call). */
+  def compactModelArtifacts(spark: SparkSession,
+      sfDir: String): Map[String, (Long, Long)] = {
+    val dir = new org.apache.hadoop.fs.Path(root(sfDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(_.getName.endsWith("__compacting"))
+      .flatMap { p =>
+        BucketedArtifactPrefixes
+          .collectFirst { case (pre, bc) if p.getName.startsWith(pre) =>
+            p.getName -> compactBucketed(spark, p.toString, bc)
+          }
+      }.toMap
+  }
+
   /** Reclaim ONE corpus's retrieval artifacts (postings table +
     * catalog entry, doc-length and df parquet, the whole per-corpus
     * model root) — for run-private fold corpora (`tx_bm25_append`

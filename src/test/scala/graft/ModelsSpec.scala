@@ -783,4 +783,77 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("compactModelArtifacts: every bucketed family — appended and " +
+      "one-shot — compacts to <= IndexBuckets files with rows and " +
+      "bucket layout unchanged") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-all").toString
+    all.filter(h < "cc").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    val batch = all.filter(h >= "cc" && h < "ee").select("doc_id", "text")
+    assert(batch.count() > 0)
+    // appended families: retrieval postings (tf + positional), LSH
+    // (sets + bands), IVF-PQ codes — base build + one fold each
+    Models.postings(spark, dir)
+    Models.positionalPostings(spark, dir)
+    Models.postingsAppend(spark, dir, batch, "doc_id", "text")
+    Models.lshIndex(spark, dir, docs, "doc_id", "text")
+    Models.lshIndexAppend(spark, dir, batch, "doc_id", "text")
+    Models.ivfPqIndex(spark, dir)
+    val src = Tables.embeddings(spark, dir)
+      .orderBy("vec_id").limit(3).collect()
+    val vb = src.map(r => (r.getLong(0) + 1000000L,
+      r.getSeq[Float](r.fieldIndex("embedding")))).toSeq
+      .toDF("vec_id", "embedding")
+    Models.ivfPqIndexAppend(spark, dir, vb, "vec_id", "embedding")
+    // one-shot bucketed trains: dedup cluster map, BPE dictionary
+    Models.dedupMap(spark, dir)
+    Models.bpe(spark, dir)
+    val arts = Seq(
+      Models.postingsPath(dir), Models.positionalPostingsPath(dir),
+      Models.lshSetsPath(dir, 3), Models.lshBandsPath(dir, 32, 16, 3),
+      Models.ivfPqCodesPath(dir, 16, 2, 8, 256),
+      Models.dedupMapPath(dir, 50),
+      Models.bpeSegsPath(dir, graft.operators.TextOps.BpeRounds))
+    def artName(p: String) = p.split('/').last
+    def snap(p: String): Seq[String] = {
+      val df = spark.read.parquet(p)
+      df.selectExpr(df.columns.sorted
+          .map(c => s"cast(`$c` as string)"): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val before = arts.map(p => p -> snap(p)).toMap
+    val res = Models.compactModelArtifacts(spark, dir)
+    // the walk found every family, nothing else
+    assert(res.keySet == arts.map(artName).toSet, res.toString)
+    res.foreach { case (n, (b0, a0)) =>
+      assert(a0 <= Models.IndexBuckets && a0 <= b0,
+        s"$n: files $b0 -> $a0 (want <= ${Models.IndexBuckets})")
+    }
+    // the folded retrieval index really had fragmented first
+    assert(res(artName(Models.postingsPath(dir)))._1 >
+      Models.IndexBuckets, res.toString)
+    // rows byte-identical per artifact
+    arts.foreach { p =>
+      assert(snap(p) == before(p), s"rows changed for ${artName(p)}")
+    }
+    // bucket layout intact for each distinct bucket column
+    Seq(
+      Models.postings(spark, dir).groupBy("tok").count() -> "tok",
+      Models.ivfPqIndex(spark, dir)._3.groupBy("cid").count() -> "cid",
+      Models.dedupMap(spark, dir).groupBy("id").count() -> "id",
+      Models.bpe(spark, dir)._2.groupBy("word").count() -> "word")
+      .foreach { case (q, c) =>
+        val p = q.queryExecution.executedPlan.toString
+        assert(!p.contains(s"Exchange hashpartitioning($c"),
+          s"compaction lost the $c bucket spec:\n$p")
+      }
+  }
 }
