@@ -278,6 +278,45 @@ object EventStreams {
       }
       .start()
 
+  /** The transactional, IDEMPOTENT fold sink [[dailyPipeline]]'s
+    * scaladoc promises: append each fold to `table` through a
+    * [[graft.sources.VersionedStore]] (serializable append — a
+    * conflicting concurrent commit re-derives, no fold is lost), made
+    * at-least-once-safe by the same two layers as
+    * [[retrievalMaintenance]]: an applied-batchId marker under
+    * `markerDir` short-circuits clean replays, and the append itself
+    * drops rows whose `idCol` is already at the committed head
+    * (left-semi against a broadcast of the fold's ids, then a
+    * broadcast anti back — the head is never shuffled), covering the
+    * crash window between the durable commit and the marker. A fully
+    * replayed fold therefore commits NOTHING: the head version does
+    * not advance. */
+  def versionedFoldSink(vs: graft.sources.VersionedStore, table: String,
+      markerDir: String, idCol: String = "doc_id")
+      : (DataFrame, Long) => Unit = (df, batchId) => {
+    val spark = df.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$markerDir/$batchId")
+    val f = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker)) {
+      val fold = df.localCheckpoint(true) // ids + append read it
+      val fresh =
+        try {
+          val present = vs.read(spark, table)
+            .join(broadcast(fold.select(col(idCol))), Seq(idCol),
+              "left_semi")
+            .select(col(idCol)).localCheckpoint(true)
+          fold.join(broadcast(present), Seq(idCol), "left_anti")
+        } catch {
+          case _: NoSuchElementException => fold // no snapshot yet
+        }
+      if (!fresh.isEmpty) {
+        vs.write(fresh, table, org.apache.spark.sql.SaveMode.Append)
+      }
+      f.mkdirs(marker.getParent)
+      f.create(marker, true).close()
+    }
+  }
+
   /** Streaming BM25 retrieval-index maintenance — the text twin of
     * [[indexMaintenance]]: each micro-batch of new documents folds
     * into the persisted postings index + doc-length table + df

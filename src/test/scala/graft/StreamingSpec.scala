@@ -536,10 +536,16 @@ class StreamingSpec extends AnyFunSuite {
       new graft.sources.MemoryStore,
       java.nio.file.Files.createTempDirectory("vlog_daily").toString,
       keep = 2)
+    val markerDir = java.nio.file.Files
+      .createTempDirectory("vlog_daily_applied").toString
+    val sink = EventStreams.versionedFoldSink(vs, "daily_out", markerDir)
+    val lastFold = new java.util.concurrent.atomic
+      .AtomicReference[(org.apache.spark.sql.DataFrame, Long)]
     val q = EventStreams.dailyPipeline(input.toDS(), sf,
-      (df, _) => {
+      (df, bid) => {
         val fold = df.localCheckpoint(true)
-        vs.write(fold, "daily_out", org.apache.spark.sql.SaveMode.Append)
+        lastFold.set((fold, bid))
+        sink(fold, bid)
         fold.collect().foreach(r =>
           out.add((r.getLong(0), r.getDouble(1), r.getString(2))))
       })
@@ -552,9 +558,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want,
       s"stream/batch divergence: extra=${got -- want} missing=${want -- got}")
     // the committed snapshot holds exactly the same fold rows
-    val committed = vs.read(spark, "daily_out")
+    def committedRows() = vs.read(spark, "daily_out")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
       .toSet
-    assert(committed == want, "committed fold diverged from the batch")
+    assert(committedRows() == want, "committed fold diverged from the batch")
+    // at-least-once replay idempotence, both layers
+    // ([[EventStreams.versionedFoldSink]]): a clean replay of the
+    // applied batch is marker-short-circuited — no new version
+    val (fold, bid) = lastFold.get()
+    val v1 = vs.currentVersion(spark, "daily_out")
+    sink(fold, bid)
+    assert(vs.currentVersion(spark, "daily_out") == v1,
+      "marker layer failed: clean replay advanced the head")
+    // crash-window replay (commit durable, marker lost): the id-dedup
+    // layer finds every row already at the head and commits nothing
+    val f = new org.apache.hadoop.fs.Path(s"$markerDir/$bid")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.delete(new org.apache.hadoop.fs.Path(s"$markerDir/$bid"),
+      false))
+    sink(fold, bid)
+    assert(vs.currentVersion(spark, "daily_out") == v1,
+      "dedup layer failed: crash-window replay advanced the head")
+    assert(committedRows() == want, "replay mutated the committed fold")
+    // a genuinely NEW fold still lands: serializable append head+1
+    val extra = fold.limit(1)
+      .withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 5000000L)
+    sink(extra, bid + 1)
+    assert(vs.currentVersion(spark, "daily_out") == v1.map(_ + 1),
+      "fresh fold after replays did not commit")
+    assert(committedRows().size == want.size + 1)
   }
 }
