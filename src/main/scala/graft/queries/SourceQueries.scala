@@ -230,6 +230,61 @@ object SourceQueries {
         "(pk equality + clustering slice + pushed top-N) — same " +
         "oracle as a6_range_scan"),
 
+    // The marker-pagination LOOP through the connector — the
+    // reference's actual multi-request protocol (meta.clj:163-172:
+    // the first page binds `object >= prefix`, every later page binds
+    // `object > marker`): three successive pages of 10, each a fresh
+    // connector scan whose pushed set carries that page's bound, the
+    // next marker being the previous page's last key (a one-row,
+    // page-bounded driver read — the marker IS driver state in the
+    // protocol). CassandraLikeSpec pins the per-page pushed sets; this
+    // entry puts the three stitched pages under the hash gate.
+    "src_casv2_paging" -> QueryDef(
+      (s, d) => {
+        graft.sources.CassandraLikeV2.clear()
+        val store = new graft.sources.ConnectorStore(
+          "graft.sources.CassandraLikeV2", t => Map(
+            "table" -> t,
+            "partitionKeys" -> "bucket",
+            "clusteringKeys" -> "object"))
+        store.write(Tables.objects(s, d)
+          .select("bucket", "object", "size", "checksum"),
+          "objects", org.apache.spark.sql.SaveMode.Overwrite)
+        val pageSize = 2 // tiny pages: 3 NON-EMPTY pages at every sf
+        var marker: Option[String] = None
+        val pages = (1 to 3).map { pg =>
+          val page = store.read(s, "objects")
+            .filter(graft.operators.Listing.scanPredicate("src2",
+              graft.operators.Listing.ListParams(prefix = Some("en/"),
+                marker = marker)))
+            .select("object", "size", "checksum")
+            .orderBy("object").limit(pageSize)
+            .withColumn("page", lit(pg.toLong))
+            .localCheckpoint(true) // marker read + union both consume it
+          page.select("object").orderBy(col("object").desc).limit(1)
+            .collect().headOption
+            .foreach(r => marker = Some(r.getString(0)))
+          page
+        }
+        pages.reduce(_.unionByName(_))
+          .select("page", "object", "size", "checksum")
+          .orderBy("object")
+      },
+      Some(graft.QueryDef.withCtes(
+        """SELECT CAST((rn - 1) // 2 + 1 AS BIGINT) AS page,
+          |  object, size, checksum
+          |FROM (
+          |  SELECT object, size, checksum,
+          |    row_number() OVER (ORDER BY object) AS rn
+          |  FROM objects
+          |  WHERE bucket = 'src2' AND object >= 'en/' AND object < 'en0')
+          |WHERE rn <= 6 ORDER BY object""".stripMargin,
+        Tables.objectsSql)),
+      doc = "three marker-paginated A6 pages through the " +
+        "Cassandra-shaped binding: page 1 pushes the prefix slice, " +
+        "pages 2-3 push object > marker — the meta.clj:163-172 " +
+        "first/later-page variant at the pushed-filter level"),
+
     // GC: orphan compaction as a committed swap, with the report
     // derived ENTIRELY from committed snapshots — v1 (time travel
     // within the keep window) minus the compacted head IS the orphan

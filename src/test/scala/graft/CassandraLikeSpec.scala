@@ -188,6 +188,49 @@ class CassandraLikeSpec extends AnyFunSuite {
     }
   }
 
+  test("marker pagination drives the first/later-page filter variant " +
+      "through the connector (meta.clj:163-172): page 1 pushes the " +
+      "prefix slice, later pages push object > marker") {
+    val store = objectsStore()
+    val objects = Tables.objects(spark, sf)
+      .select("bucket", "object", "size", "checksum")
+    store.write(objects, "objects", SaveMode.Overwrite)
+    val pageSize = 2
+    var marker: Option[String] = None
+    val pushedPerPage = (1 to 3).map { _ =>
+      val pred = Listing.scanPredicate("src2",
+        Listing.ListParams(prefix = Some("en/"), marker = marker))
+      val page = store.read(spark, "objects").filter(pred)
+        .select("object").orderBy("object").limit(pageSize)
+        .collect().map(_.getString(0)).toSeq
+      assert(page.nonEmpty, s"empty page at marker $marker")
+      marker.foreach(m => assert(page.forall(_ > m),
+        s"page re-listed keys at or before marker $m: $page"))
+      marker = Some(page.last)
+      CassandraLikeV2.lastScan("objects").pushed
+        .filterNot(_.startsWith("IsNotNull"))
+    }
+    // every page: pk equality + prefix clustering slice, at the server
+    pushedPerPage.foreach { pushed =>
+      assert(pushed.exists(_.startsWith("EqualTo(bucket,src2")), pushed)
+      assert(pushed.exists(_.startsWith("GreaterThanOrEqual(object,en/")),
+        pushed)
+      assert(pushed.exists(_.startsWith("LessThan(object,en0")), pushed)
+    }
+    // first page: NO marker bound; later pages: strict > previous
+    // page's last key — the exact >=-then-> variant of the reference
+    assert(!pushedPerPage.head.exists(_.startsWith("GreaterThan(object")),
+      pushedPerPage.head)
+    val laterMarkers = pushedPerPage.tail.flatMap(
+      _.collectFirst { case f if f.startsWith("GreaterThan(object,") =>
+        f.stripPrefix("GreaterThan(object,").stripSuffix(")")
+      })
+    assert(laterMarkers.size == 2, pushedPerPage.tail.toString)
+    assert(laterMarkers.forall(_.startsWith("en/")), laterMarkers)
+    assert(laterMarkers(0) < laterMarkers(1),
+      "markers must advance strictly")
+  }
+
   test("pushed filters cut rows AT the connector (server-side paging)") {
     val store = objectsStore()
     val objects = Tables.objects(spark, sf)
