@@ -38,7 +38,12 @@ object BenchSf1 {
     "dd_semdedup", "tx_subword_vocab",
     "sim_pq_adc", "sim_ivfpq", "sim_ivfpq_sweep", "sim_ivfpq_append",
     "tx_lm_score", "tx_lm_score_indexed",
-    "tx_bm25_topk", "tx_bm25_postings")
+    "tx_bm25_topk", "tx_bm25_postings",
+    // the retrieval tier's fold/serve paths (round-13 carry-over): the
+    // positional index probes, the daily postings fold, and the full
+    // fold->compact->serve maintenance cycle
+    "tx_phrase_match", "tx_near_match",
+    "tx_bm25_append", "tx_bm25_compacted")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
