@@ -326,9 +326,20 @@ object EventStreams {
     * fold itself runs with `dedupeIds = true` (already-indexed doc ids
     * drop before any write — a replay would otherwise duplicate
     * postings AND double-count df increments), covering the crash
-    * window between the durable appends and the marker. */
+    * window between the durable appends and the marker.
+    *
+    * `compactEvery > 0` closes the file-layout steady state INSIDE the
+    * loop: after every `compactEvery`-th applied fold the postings
+    * artifacts rewrite to one file per bucket
+    * ([[graft.sources.Models.compactRetrievalIndexes]]), so a year of
+    * continuous folds never degrades probes to open/seek-bound
+    * many-small-file reads — the maintenance window becomes part of
+    * the stream rather than an operator someone must remember to run.
+    * Compaction is row-preserving and crash-recoverable (staging +
+    * atomic rename; a crashed cutover completes on the next call), so
+    * it composes with the replay idempotence unchanged. */
   def retrievalMaintenance(docs: Dataset[DocEvent], sfDir: String,
-      checkpointDir: String)
+      checkpointDir: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
@@ -345,6 +356,10 @@ object EventStreams {
             batch.toDF(), "doc_id", "text", dedupeIds = true)
           f.mkdirs(marker.getParent)
           f.create(marker, true).close()
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.sources.Models.compactRetrievalIndexes(spark, sfDir)
+            ()
+          }
         }
       }
       .start()

@@ -688,8 +688,12 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .MemoryStream[graft.streaming.EventStreams.DocEvent](spark)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-bm25-ckpt").toString
+    // compactEvery = 2: the second applied fold triggers in-loop
+    // compaction, so the stream exercises fold -> fold -> compact and
+    // every equality below also proves compaction preserved the rows
     val q = graft.streaming.EventStreams
-      .retrievalMaintenance(input.toDS(), baseDir, ckpt)
+      .retrievalMaintenance(input.toDS(), baseDir, ckpt,
+        compactEvery = 2)
     def ev(r: org.apache.spark.sql.Row) =
       graft.streaming.EventStreams.DocEvent(r.getLong(0),
         java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), r.getString(1))
@@ -716,6 +720,22 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy("tok", "doc_id")
         .agg(sort_array(collect_list(col("i").cast("long") + lit(1L)))
           .as("positions"))))
+    // the in-loop compaction left the minimal file layout
+    def nFiles(p: String): Long = {
+      val d = new org.apache.hadoop.fs.Path(p)
+      val fsys = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fsys.listFiles(d, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    assert(nFiles(Models.postingsPath(baseDir)) <= Models.IndexBuckets,
+      "in-loop compaction did not restore the minimal layout")
+    assert(nFiles(Models.positionalPostingsPath(baseDir)) <=
+      Models.IndexBuckets,
+      "in-loop compaction missed the positional index")
     // the at-least-once crash window: the SAME batch again — no-op
     val before = Models.postings(spark, baseDir).count()
     val posBefore = Models.positionalPostings(spark, baseDir).count()
