@@ -389,9 +389,16 @@ object EventStreams {
     * index rebuild, which is the correct operational response.
     *
     * Scale: the micro-batch encode is a broadcast-model scan of batch
-    * size only; state is the streaming checkpoint, not vectors. */
+    * size only; state is the streaming checkpoint, not vectors.
+    *
+    * `compactEvery > 0` rewrites the cid-bucketed codes table to one
+    * file per bucket after every Nth applied fold
+    * ([[graft.sources.Models.compactBucketed]]) — the same in-loop
+    * file-hygiene valve as [[retrievalMaintenance]]'s, for the ANN
+    * side of the daily loop. */
   def indexMaintenance(vecs: DataFrame, sfDir: String,
-      checkpointDir: String, maxCellShareMilli: Int = 1000)
+      checkpointDir: String, maxCellShareMilli: Int = 1000,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -411,6 +418,12 @@ object EventStreams {
           // batch, which dedupeIds then folds to a no-op
           f.mkdirs(marker.getParent)
           f.create(marker, true).close()
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.sources.Models.compactBucketed(spark,
+              graft.sources.Models.ivfPqCodesPath(sfDir,
+                nList = 16, iters = 2, m = 8, ksub = 256), "cid")
+            ()
+          }
         }
       }
       .start()

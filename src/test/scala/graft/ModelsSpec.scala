@@ -298,8 +298,11 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .MemoryStream[graft.streaming.EventStreams.VecEvent](spark)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-idx-ckpt").toString
+    // compactEvery = 2: the second applied fold triggers the in-loop
+    // codes-table compaction, so the encode-determinism pins below
+    // also prove compaction preserved the streamed rows
     val q = graft.streaming.EventStreams.indexMaintenance(
-      input.toDF(), sf, ckpt)
+      input.toDF(), sf, ckpt, compactEvery = 2)
     try {
       // two micro-batches, one new vector each (copies under fresh ids)
       src.zipWithIndex.foreach { case (r, i) =>
@@ -311,6 +314,18 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
     val (_, _, codes1) = Models.ivfPqIndex(spark, sf)
     assert(codes1.count() == before + 2)
+    // the in-loop compaction left the minimal cid-bucketed layout
+    val codesDir = new org.apache.hadoop.fs.Path(
+      Models.ivfPqCodesPath(sf, 16, 2, 8, 256))
+    val cfs = codesDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val cit = cfs.listFiles(codesDir, true)
+    var cn = 0L
+    while (cit.hasNext) {
+      if (cit.next().getPath.getName.endsWith(".parquet")) cn += 1
+    }
+    assert(cn <= Models.IndexBuckets,
+      s"in-loop codes compaction left $cn files")
     // streamed copies carry their sources' cell + codes (frozen-model
     // encode determinism, same pin as the batch daily-loop test)
     val byId = codes1.select(col("nid"), col("cid"),
