@@ -819,6 +819,43 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("compactBucketed edges: idempotent re-compact, and a crashed " +
+      "partial staging dir (no _SUCCESS) is reclaimed, not renamed in") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-compact-edge").toString
+    all.filter(h < "cc").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Models.postings(spark, dir)
+    Models.postingsAppend(spark, dir,
+      all.filter(h >= "cc" && h < "ee").select("doc_id", "text"),
+      "doc_id", "text")
+    def m() = Models.postings(spark, dir)
+      .select("tok", "doc_id", "tf")
+      .collect().map(_.toString).sorted.toSeq
+    val rows0 = m()
+    val path = Models.postingsPath(dir)
+    val (_, a1) = Models.compactBucketed(spark, path, "tok")
+    assert(a1 <= Models.IndexBuckets)
+    // idempotence: a second compact keeps the minimal layout and rows
+    val (b2, a2) = Models.compactBucketed(spark, path, "tok")
+    assert(b2 == a1 && a2 <= Models.IndexBuckets && m() == rows0)
+    // a writer that died MID-STAGE leaves a partial staging dir with
+    // no _SUCCESS: the next compact must reclaim it (never rename a
+    // torn rewrite over the live table) and still compact correctly
+    val stage = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stage)
+    fs.create(new org.apache.hadoop.fs.Path(stage, "part-torn.parquet"),
+      true).close() // garbage partial file, no _SUCCESS marker
+    val (_, a3) = Models.compactBucketed(spark, path, "tok")
+    assert(a3 <= Models.IndexBuckets && m() == rows0,
+      "partial staging dir corrupted the compacted table")
+    assert(!fs.exists(stage), "staging dir not cleaned up")
+  }
+
   test("compactModelArtifacts: every bucketed family — appended and " +
       "one-shot — compacts to <= IndexBuckets files with rows and " +
       "bucket layout unchanged") {
