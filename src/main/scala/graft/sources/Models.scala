@@ -197,16 +197,43 @@ object Models {
     * documents. Appends preserve the bucket spec (Spark validates it
     * against the catalog table), so the zero-exchange probe property
     * survives every fold. Requires the index to exist (train first via
-    * [[lshIndex]]). */
+    * [[lshIndex]]).
+    *
+    * `dedupeIds = true` makes the fold IDEMPOTENT for at-least-once
+    * callers (the streaming dedup-maintenance loop), exactly like
+    * [[postingsAppend]]/[[ivfPqIndexAppend]]: ids already in the
+    * shingle-set table drop from the batch before any write — a
+    * replayed batch appends nothing, where a blind re-append would
+    * duplicate band rows (duplicate candidate pairs) AND set rows
+    * (corrupted Jaccard denominators). The check streams the
+    * two-column set-table ids MAP-SIDE against a broadcast of the
+    * batch ids and broadcasts the hit set back — the index itself is
+    * never read in full or shuffled. */
   def lshIndexAppend(spark: SparkSession, sfDir: String, batch: DataFrame,
       idCol: String, textCol: String,
-      k: Int = 32, b: Int = 16, w: Int = 3): Unit = synchronized {
+      k: Int = 32, b: Int = 16, w: Int = 3,
+      dedupeIds: Boolean = false): Unit = synchronized {
     val setsName = tableName(lshSetsPath(sfDir, w))
     val bandsName = tableName(lshBandsPath(sfDir, k, b, w))
     require(spark.catalog.tableExists(setsName) &&
       spark.catalog.tableExists(bandsName),
       "lshIndexAppend requires a trained index (call lshIndex first)")
-    val sets = Dedup.shingleSets(batch, idCol, textCol, w)
+    // a compaction may have rewritten the files from ANOTHER session
+    // (the foreachBatch clone in streaming maintenance invalidates
+    // only its own relation cache) — refresh before reading/appending,
+    // the same staleness guard as ensureBucketed's
+    spark.catalog.refreshTable(setsName)
+    spark.catalog.refreshTable(bandsName)
+    val fresh =
+      if (!dedupeIds) batch
+      else {
+        val present = spark.table(setsName)
+          .join(broadcast(batch.select(col(idCol).as("id"))),
+            Seq("id"), "left_semi")
+          .select(col("id").as(idCol)).localCheckpoint(true)
+        batch.join(broadcast(present), Seq(idCol), "left_anti")
+      }
+    val sets = Dedup.shingleSets(fresh, idCol, textCol, w)
       .localCheckpoint(true) // bands derive from sets: shingle ONCE
     sets.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "id").sortBy("id")

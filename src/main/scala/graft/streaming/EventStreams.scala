@@ -364,6 +364,64 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming near-dup maintenance — the dedup leg of the
+    * maintenance triad ([[retrievalMaintenance]] text,
+    * [[indexMaintenance]] vectors): each micro-batch of new documents
+    * PROBES the persisted historical MinHash-LSH index
+    * ([[graft.operators.Dedup.incrementalDedupIndexed]] — band-key
+    * equi-join, zero index-side exchange) and the per-doc
+    * survivor/duplicate decisions go to `sink(decisions, batchId)`;
+    * the batch then FOLDS into the index
+    * ([[graft.sources.Models.lshIndexAppend]]) so the next batch sees
+    * today's documents — the continuous form of the crawl-vs-index
+    * daily loop. Same two-layer at-least-once idempotence as the other
+    * loops: applied-batchId marker, and the fold runs with
+    * `dedupeIds = true` (a replayed batch appends nothing — a blind
+    * re-append would duplicate candidate pairs and corrupt Jaccard
+    * denominators). `compactEvery > 0` rewrites BOTH LSH artifacts
+    * (bands + shingle sets) to minimal file layout after every Nth
+    * applied fold. */
+  def dedupMaintenance(docs: Dataset[DocEvent], sfDir: String,
+      checkpointDir: String, sink: (DataFrame, Long) => Unit,
+      threshold: Double = 0.8, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.toDF().writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$checkpointDir/applied/$batchId")
+        val f = marker.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(marker) && !batch.isEmpty) {
+          val b = batch.toDF().select("doc_id", "text")
+            .localCheckpoint(true) // probe + fold both read it
+          val (bands, sets) = graft.sources.Models.lshIndex(spark, sfDir,
+            sys.error("dedupMaintenance requires a trained index " +
+              "(call lshIndex first)"), "doc_id", "text")
+          // materialize the decisions BEFORE the fold: a lazy sink
+          // plan would otherwise scan the index AFTER the append and
+          // probe the batch against itself
+          sink(graft.operators.Dedup.incrementalDedupIndexed(
+            bands, sets, b, "doc_id", "text", threshold)
+            .localCheckpoint(true), batchId)
+          graft.sources.Models.lshIndexAppend(spark, sfDir, b,
+            "doc_id", "text", dedupeIds = true)
+          f.mkdirs(marker.getParent)
+          f.create(marker, true).close()
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.sources.Models.compactBucketed(spark,
+              graft.sources.Models.lshBandsPath(sfDir, 32, 16, 3), "bk")
+            graft.sources.Models.compactBucketed(spark,
+              graft.sources.Models.lshSetsPath(sfDir, 3), "id")
+            ()
+          }
+        }
+      }
+      .start()
+
   /** One embedding arriving on the vector-ingest feed. */
   case class VecEvent(vec_id: Long, embedding: Seq[Float])
 

@@ -765,6 +765,78 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replayed batch re-appended positional postings")
   }
 
+  test("dedup streaming maintenance: micro-batches probe the persisted " +
+      "LSH index then fold in; decisions equal the sequential batch " +
+      "replay, replays are no-ops, in-loop compaction holds the layout") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val base = all.filter(h < "cc")
+    val b1 = all.filter(h >= "cc" && h < "dd").select("doc_id", "text")
+    val b2 = all.filter(h >= "dd" && h < "ee").select("doc_id", "text")
+    assert(b1.count() > 0 && b2.count() > 0)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // expected: the SEQUENTIAL daily-loop replay in a twin dir
+    val dirE = java.nio.file.Files
+      .createTempDirectory("graft-dedupm-exp").toString
+    val (eBands, eSets) =
+      Models.lshIndex(spark, dirE, base, "doc_id", "text")
+    val want1 = m(graft.operators.Dedup.incrementalDedupIndexed(
+      eBands, eSets, b1, "doc_id", "text", 0.8))
+    Models.lshIndexAppend(spark, dirE, b1, "doc_id", "text")
+    val (eBands1, eSets1) = Models.lshIndex(spark, dirE,
+      sys.error("trained"), "doc_id", "text")
+    val want2 = m(graft.operators.Dedup.incrementalDedupIndexed(
+      eBands1, eSets1, b2, "doc_id", "text", 0.8))
+    // the stream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupm").toString
+    Models.lshIndex(spark, dir, base, "doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, Seq[String]]()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.DocEvent](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dedupm-ckpt").toString
+    val q = graft.streaming.EventStreams.dedupMaintenance(
+      input.toDS(), dir, ckpt,
+      (df, bid) => { got(bid) = m(df); () }, compactEvery = 2)
+    def ev(r: org.apache.spark.sql.Row) =
+      graft.streaming.EventStreams.DocEvent(r.getLong(0),
+        java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), r.getString(1))
+    try {
+      input.addData(b1.collect().map(ev).toSeq); q.processAllAvailable()
+      input.addData(b2.collect().map(ev).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(got(0L) == want1, "batch-1 decisions diverged")
+    assert(got(1L) == want2,
+      "batch-2 decisions diverged (fold not visible to the next probe?)")
+    // replay idempotence: the dedupeIds fold layer appends nothing
+    val bandsPath = Models.lshBandsPath(dir, 32, 16, 3)
+    val setsPath = Models.lshSetsPath(dir, 3)
+    val nb = spark.read.parquet(bandsPath).count()
+    val ns = spark.read.parquet(setsPath).count()
+    Models.lshIndexAppend(spark, dir, b2, "doc_id", "text",
+      dedupeIds = true)
+    assert(spark.read.parquet(bandsPath).count() == nb,
+      "replayed fold re-appended band rows")
+    assert(spark.read.parquet(setsPath).count() == ns,
+      "replayed fold re-appended shingle sets")
+    // in-loop compaction (after the 2nd applied fold) held the layout
+    def nFiles2(p: String): Long = {
+      val d = new org.apache.hadoop.fs.Path(p)
+      val fsys = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fsys.listFiles(d, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    assert(nFiles2(bandsPath) <= Models.IndexBuckets, "bands fragmented")
+    assert(nFiles2(setsPath) <= Models.IndexBuckets, "sets fragmented")
+  }
+
   test("df table: reload == retrain, indexed query equals retraining") {
     val stored = Models.dfTable(spark, sf)
     val retrained = TextOps.dfTable(Tables.documents(spark, sf)
