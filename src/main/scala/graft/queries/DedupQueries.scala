@@ -539,6 +539,45 @@ object DedupQueries {
         "index (bucketed band + shingle-set tables, trained once): " +
         "zero index-side exchange in the probe join"),
 
+    // The LSH index DAILY FOLD under the oracle gate — the dedup twin
+    // of tx_bm25_append: base band + shingle-set artifacts train from
+    // the < a8 md5 slice in a RUN-PRIVATE dir, the [a8, cc) slice
+    // folds in through Models.lshIndexAppend (bucket-preserving band +
+    // set appends), and the >= cc batch probes the FOLDED index. Band
+    // keys are per-document functions of the content (minhash of the
+    // doc's own shingles), so folded index content == retrained index
+    // content, and the oracle — brute-force cross-split Jaccard of
+    // (< cc) vs (>= cc), the SAME one as dd_incremental — hash-matches
+    // iff the fold really produced the whole index.
+    "dd_incremental_append" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_lsh_fold").toString
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        graft.sources.Models.lshIndex(s, tmp,
+          docs.filter(h < "a8"), "doc_id", "text")
+        graft.sources.Models.lshIndexAppend(s, tmp,
+          docs.filter(h >= "a8" && h < "cc").select("doc_id", "text"),
+          "doc_id", "text")
+        val (bands, sets) = graft.sources.Models.lshIndex(s, tmp,
+          sys.error("index exists — training must not run"),
+          "doc_id", "text")
+        val out = Dedup.incrementalDedupIndexed(
+            bands, sets, docs.filter(h >= "cc"), "doc_id", "text", 0.8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id").localCheckpoint(true)
+        // result materialized: reclaim the run-private fold artifacts
+        graft.sources.Models.dropLshArtifacts(s, tmp)
+        out
+      },
+      Some(incrementalOracle),
+      doc = "incremental dedup served from a FOLDED LSH index (base " +
+        "train + lshIndexAppend of the held-out slice) — same " +
+        "brute-force oracle as dd_incremental, proving fold == " +
+        "retrain at the hash gate"),
+
     // Batch-equivalence twin of the STREAMING ingest dedup
     // (EventStreams.dedupDocuments): documents arrive at a
     // deterministic event time (doc_id % 50 minutes past a fixed

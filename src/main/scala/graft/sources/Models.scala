@@ -247,6 +247,22 @@ object Models {
       .format("parquet").saveAsTable(bandsName)
   }
 
+  /** Reclaim ONE corpus's LSH artifacts (band + shingle-set tables,
+    * catalog entries, the per-corpus model root) — the dedup twin of
+    * [[dropRetrievalArtifacts]], for run-private fold corpora
+    * (`dd_incremental_append` trains base artifacts in a fresh dir per
+    * run). */
+  def dropLshArtifacts(spark: SparkSession, sfDir: String,
+      k: Int = 32, b: Int = 16, w: Int = 3): Unit = synchronized {
+    spark.sql(
+      s"DROP TABLE IF EXISTS ${tableName(lshSetsPath(sfDir, w))}")
+    spark.sql(
+      s"DROP TABLE IF EXISTS ${tableName(lshBandsPath(sfDir, k, b, w))}")
+    val dir = new org.apache.hadoop.fs.Path(root(sfDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
   // ---- IVF-PQ index (coarse cells + residual codebook + codes) -----------
 
   def ivfPqCodebookPath(sfDir: String, nList: Int, iters: Int, m: Int,
