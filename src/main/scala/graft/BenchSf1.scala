@@ -43,7 +43,10 @@ object BenchSf1 {
     // positional index probes, the daily postings fold, and the full
     // fold->compact->serve maintenance cycle
     "tx_phrase_match", "tx_near_match",
-    "tx_bm25_append", "tx_bm25_compacted")
+    "tx_bm25_append", "tx_bm25_compacted",
+    // the LSH-index daily fold (round-14 oracle gate): base train +
+    // fold + probe-from-folded-index, the dedup twin of tx_bm25_append
+    "dd_incremental_append")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
