@@ -209,19 +209,30 @@ class MemoryStore extends Store {
   *    (`<table>__s<uuid>`) — invisible to readers, who only resolve
   *    tables through the commit log;
   *  - the commit log is a directory of manifest files
-  *    `<logRoot>/<table>/<n>.commit`, each naming its staged table; a
+  *    `<logRoot>/<table>/<n>.commit`, each listing the SEGMENTS (one
+  *    staged table name per line) whose union is the snapshot; a
   *    commit is ONE atomic `rename(tmp, n.commit)` — the Hadoop/POSIX
   *    rename both claims the version (rename fails if `n.commit`
   *    exists) and publishes the complete manifest. The committed
   *    snapshot is simply the highest `n` present.
-  *  - `Overwrite` retries the claim at n+1 on conflict (last complete
-  *    writer wins — each loser's snapshot was still atomic);
-  *    `Append` re-derives from the new head and retries (serializable:
-  *    no appended batch is ever lost to a concurrent commit).
-  *  - GC unlinks manifests and drops staged tables older than the
-  *    newest `keep` snapshots. `keep >= 2` leaves the previous
-  *    snapshot readable for readers that resolved it just before a
-  *    commit; size it to reader latency × commit rate at scale.
+  *  - `Overwrite` stages one segment and retries the claim at n+1 on
+  *    conflict (last complete writer wins — each loser's snapshot was
+  *    still atomic); `Append` stages ONLY the batch as a new segment
+  *    and claims a manifest of head's-segments + the new one — data
+  *    written per append is O(batch), NEVER a table rewrite (the
+  *    pre-r14 spelling materialized head ∪ batch per fold, an O(table)
+  *    copy a 100 TB daily fold cannot pay) — re-deriving just the
+  *    segment LIST and retrying on conflict (serializable: no appended
+  *    batch is ever lost, and the batch data is staged exactly once).
+  *  - GC unlinks manifests older than the newest `keep` snapshots and
+  *    drops the segments they reference that NO surviving manifest
+  *    still lists (append chains share segments). `keep >= 2` leaves
+  *    the previous snapshot readable for readers that resolved it just
+  *    before a commit; size it to reader latency × commit rate.
+  *  - After many appends a snapshot is many segments; reads union
+  *    them (cheap — Spark unions scans, it does not copy), and
+  *    [[compactSegments]] rewrites the head into one segment when the
+  *    file fan-in warrants a maintenance pass.
   *
   * At 100 TB the log directory lives on the shared store (HDFS/object
   * store with atomic rename, e.g. ABFS/GCS; on S3 use a
@@ -248,17 +259,22 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
   private def logDir(table: String) =
     new org.apache.hadoop.fs.Path(logRoot, table)
 
-  /** Highest committed `(version, stagedTable)`, if any. Retries until
+  /** Parse a manifest's content into its segment list (one staged
+    * table name per line; pre-r14 manifests hold a single line). */
+  private def parseSegments(content: String): Seq[String] =
+    content.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Highest committed `(version, segments)`, if any. Retries until
     * the listing converges: a concurrent GC may unlink an older
     * manifest between the listing and the open — never the MAX
     * manifest (GC only deletes below head), so each retry observes a
     * strictly newer head and the loop terminates as soon as one
     * list+open pair agrees. Bounded only as a corruption backstop. */
   private def committed(spark: SparkSession,
-      table: String): Option[(Long, String)] = {
+      table: String): Option[(Long, Seq[String])] = {
     val f = fs(spark)
     val dir = logDir(table)
-    def once(): Option[(Long, String)] =
+    def once(): Option[(Long, Seq[String])] =
       if (!f.exists(dir)) None
       else {
         val versions = f.listStatus(dir).map(_.getPath.getName)
@@ -268,10 +284,10 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
         else {
           val n = versions.max
           val in = f.open(new org.apache.hadoop.fs.Path(dir, s"$n.commit"))
-          val staged =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          val content =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
-          Some((n, staged))
+          Some((n, parseSegments(content)))
         }
       }
     var attempts = 0
@@ -286,9 +302,15 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
     None // unreachable
   }
 
+  /** A snapshot IS the union of its segments — Spark unions the scans
+    * (no copy), so an appended chain reads as one plan. */
+  private def readSegments(spark: SparkSession,
+      segments: Seq[String]): DataFrame =
+    segments.map(inner.read(spark, _)).reduce(_ unionByName _)
+
   override def read(spark: SparkSession, table: String): DataFrame =
     committed(spark, table) match {
-      case Some((_, staged)) => inner.read(spark, staged)
+      case Some((_, segments)) => readSegments(spark, segments)
       case None => throw new NoSuchElementException(
         s"VersionedStore has no committed snapshot for '$table'")
     }
@@ -314,75 +336,102 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
           throw new NoSuchElementException(
             s"no snapshot v$version for '$table' (GC'd or never committed)")
       }
-    val staged =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    inner.read(spark, staged)
+    readSegments(spark, parseSegments(content))
   }
 
   override def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
     val spark = df.sparkSession
     mode match {
       case SaveMode.Overwrite =>
-        commitSnapshot(spark, table, df, exact = None); ()
+        val seg = stageSegment(spark, table, df)
+        commitManifest(spark, table, Seq(seg), exact = None); ()
       case SaveMode.Append =>
-        // serializable append: derive from the CURRENT head and claim
+        // serializable O(batch) append: stage ONLY the batch as a new
+        // segment (the data is written exactly once, regardless of
+        // conflicts), then claim a manifest of head's-segments + it at
         // exactly head+1; a conflict means another commit landed first
-        // — re-derive from the new head so no batch is ever lost
+        // — re-derive just the segment LIST from the new head and
+        // retry, so no batch is ever lost and the table is never
+        // rewritten
+        val seg = stageSegment(spark, table, df)
         var done = false
         while (!done) {
           val head = committed(spark, table)
-          val data = head match {
-            case Some((_, staged)) =>
-              inner.read(spark, staged).unionByName(df)
-            case None => df
-          }
-          done = commitSnapshot(spark, table, data,
+          done = commitManifest(spark, table,
+            head.map(_._2).getOrElse(Seq.empty) :+ seg,
             exact = Some(head.map(_._1 + 1L).getOrElse(1L)))
         }
       case SaveMode.ErrorIfExists =>
         if (committed(spark, table).nonEmpty)
           throw new IllegalStateException(s"table '$table' already exists")
-        commitSnapshot(spark, table, df, exact = None); ()
+        val seg = stageSegment(spark, table, df)
+        commitManifest(spark, table, Seq(seg), exact = None); ()
       case SaveMode.Ignore =>
         if (committed(spark, table).isEmpty) {
-          commitSnapshot(spark, table, df, exact = None); ()
+          val seg = stageSegment(spark, table, df)
+          commitManifest(spark, table, Seq(seg), exact = None); ()
         }
     }
   }
 
-  /** Stage `df` then claim a version by atomic manifest rename.
+  /** Rewrite the head into a SINGLE segment — segment compaction, the
+    * maintenance pass that bounds read fan-in after many appends (the
+    * store twin of `Models.compactBucketed`'s file compaction). An
+    * ordinary Overwrite commit of the current head: atomic, and the
+    * old segments retire through normal GC once `keep` newer snapshots
+    * exist. Returns the number of segments the head held before. */
+  def compactSegments(spark: SparkSession, table: String): Int =
+    committed(spark, table) match {
+      case Some((_, segments)) =>
+        write(readSegments(spark, segments), table, SaveMode.Overwrite)
+        segments.size
+      case None => 0
+    }
+
+  /** Stage `df` as a writer-private segment table (invisible to
+    * readers until a manifest lists it). The staging marker is written
+    * BEFORE the data: a writer that dies mid-stage leaves marker +
+    * partial table, which vacuum() reclaims; without the marker the
+    * orphan would be unfindable through the generic Store seam (no
+    * list-tables primitive). */
+  private def stageSegment(spark: SparkSession, table: String,
+      df: DataFrame): String = {
+    val staged =
+      s"${table}__s${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val f = fs(spark)
+    f.mkdirs(logDir(table))
+    f.create(new org.apache.hadoop.fs.Path(logDir(table),
+      s"_staged_$staged"), true).close()
+    inner.write(df, staged, SaveMode.Overwrite)
+    staged
+  }
+
+  /** Claim a version by atomic manifest rename, publishing `segments`.
     * `exact = Some(n)` claims only version n (append's serializable
-    * form) — returns false and un-stages on conflict; `exact = None`
-    * (overwrite) walks forward to the first free slot. */
-  private def commitSnapshot(spark: SparkSession, table: String,
-      df: DataFrame, exact: Option[Long]): Boolean = {
-    val uuid = java.util.UUID.randomUUID.toString.replace("-", "")
-    val staged = s"${table}__s$uuid"
+    * form) — returns false on conflict, leaving the staged segments
+    * intact for the caller's retry; `exact = None` (overwrite) walks
+    * forward to the first free slot. */
+  private def commitManifest(spark: SparkSession, table: String,
+      segments: Seq[String], exact: Option[Long]): Boolean = {
     val f = fs(spark)
     val dir = logDir(table)
     f.mkdirs(dir)
-    // staging marker BEFORE the data write: a writer that dies mid-
-    // stage leaves marker + partial table, which vacuum() reclaims;
-    // without the marker the orphan would be unfindable through the
-    // generic Store seam (no list-tables primitive)
-    f.create(new org.apache.hadoop.fs.Path(dir, s"_staged_$staged"), true)
-      .close()
-    inner.write(df, staged, SaveMode.Overwrite)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"_tmp_$uuid")
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"_tmp_${java.util.UUID.randomUUID.toString.replace("-", "")}")
     val out = f.create(tmp, true)
-    try out.write(staged.getBytes("UTF-8")) finally out.close()
+    try out.write(segments.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     var n = exact.getOrElse(
       committed(spark, table).map(_._1 + 1L).getOrElse(1L))
     var claimed = false
     while (!claimed) {
       claimed = claim(f, tmp, new org.apache.hadoop.fs.Path(dir, s"$n.commit"))
       if (!claimed) {
-        if (exact.isDefined) { // append lost the race: un-stage, retry
+        if (exact.isDefined) { // append lost the race: retry the LIST
           f.delete(tmp, false)
-          inner.drop(spark, staged)
-          f.delete(new org.apache.hadoop.fs.Path(dir, s"_staged_$staged"),
-            false)
           return false
         }
         n += 1L
@@ -415,43 +464,50 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
       }
     } else f.rename(tmp, dst)
 
-  /** Unlink manifests (first — readers resolve max only) and drop
-    * staged tables older than the newest `keep` snapshots. Idempotent
-    * under concurrent GC: deletes and drops tolerate missing targets. */
+  /** Unlink manifests (first — readers resolve max only) older than
+    * the newest `keep` snapshots, then drop the segments they
+    * reference that NO surviving manifest still lists — append chains
+    * share segments, so referenced-by-survivor segments must outlive
+    * their first manifest. Idempotent under concurrent GC: deletes and
+    * drops tolerate missing targets. */
   private def gc(spark: SparkSession, table: String, head: Long): Unit = {
     val f = fs(spark)
     val dir = logDir(table)
-    f.listStatus(dir).map(_.getPath.getName)
+    def segsOf(n: Long): Seq[String] =
+      try {
+        val in = f.open(new org.apache.hadoop.fs.Path(dir, s"$n.commit"))
+        try parseSegments(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } catch { case _: java.io.IOException => Seq.empty }
+    val versions = f.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong)
-      .filter(_ <= head - keep)
-      .foreach { n =>
-        val p = new org.apache.hadoop.fs.Path(dir, s"$n.commit")
-        val staged =
-          try {
-            val in = f.open(p)
-            try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-              .mkString.trim)
-            finally in.close()
-          } catch { case _: java.io.IOException => None }
-        f.delete(p, false)
-        staged.foreach { s =>
-          // best-effort: the commit already succeeded; a transient drop
-          // failure (lock timeout) must not fail the writer — log it
-          // and LEAVE the _staged_ marker, which keeps the table
-          // findable for a later vacuum() to reclaim
-          val dropped =
-            try { inner.drop(spark, s); true }
-            catch {
-              case scala.util.control.NonFatal(e) =>
-                org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"GC could not drop retired snapshot '$s': $e")
-                false
-            }
-          if (dropped)
-            f.delete(new org.apache.hadoop.fs.Path(dir, s"_staged_$s"), false)
+    val (retired, surviving) = versions.partition(_ <= head - keep)
+    if (retired.isEmpty) return
+    // read every retired manifest BEFORE deleting any (a shared
+    // segment must be seen from each), and the survivors' live set
+    val retiredSegs = retired.flatMap(segsOf).distinct
+    val live = surviving.flatMap(segsOf).toSet
+    retired.foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(dir, s"$n.commit"), false)
+    }
+    retiredSegs.filterNot(live.contains).foreach { s =>
+      // best-effort: the commit already succeeded; a transient drop
+      // failure (lock timeout) must not fail the writer — log it
+      // and LEAVE the _staged_ marker, which keeps the table
+      // findable for a later vacuum() to reclaim
+      val dropped =
+        try { inner.drop(spark, s); true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"GC could not drop retired segment '$s': $e")
+            false
         }
-      }
+      if (dropped)
+        f.delete(new org.apache.hadoop.fs.Path(dir, s"_staged_$s"), false)
+    }
   }
 
   /** Reclaim ORPHANED staged tables — left by writers that died
@@ -474,10 +530,10 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
       .flatMap { c =>
         try {
           val in = f.open(new org.apache.hadoop.fs.Path(dir, c))
-          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim)
+          try parseSegments(
+            scala.io.Source.fromInputStream(in, "UTF-8").mkString)
           finally in.close()
-        } catch { case _: java.io.IOException => None }
+        } catch { case _: java.io.IOException => Seq.empty }
       }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     statuses

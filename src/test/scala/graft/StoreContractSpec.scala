@@ -419,4 +419,63 @@ class StoreContractSpec extends AnyFunSuite {
     assert(st.read(spark, "t").count() == 3)
     intercept[NoSuchElementException] { st.read(spark, "missing") }
   }
+
+  test("versioned commits: append stages ONLY the batch (O(batch), " +
+      "never a table rewrite); compactSegments folds the head back " +
+      "to one segment") {
+    import graft.sources.VersionedStore
+    val root = Files.createTempDirectory("vstore_seg").toString
+    val logRoot = Files.createTempDirectory("vlog_seg").toString
+    val vs = new VersionedStore(
+      new graft.sources.ParquetStore(root, 2), logRoot, keep = 2)
+    def segsOf(version: Long): Seq[String] = {
+      val src = scala.io.Source.fromFile(s"$logRoot/t/$version.commit")
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally src.close()
+    }
+    def fileState(dir: String): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    vs.write(spark.range(100000).select(col("id"),
+      (col("id") % 7).as("v")), "t", SaveMode.Overwrite) // v1: big base
+    val baseSeg = segsOf(1L) match { case Seq(s) => s }
+    val baseFiles = fileState(s"$root/$baseSeg")
+    assert(baseFiles.nonEmpty)
+    // three appends: each stages a NEW tiny segment; the base
+    // segment's files are byte-untouched (no rewrite, no re-copy)
+    for (k <- 1 to 3) {
+      vs.write(spark.range(k.toLong).select((col("id") + 1000000L * k)
+        .as("id"), lit(9L).as("v")), "t", SaveMode.Append)
+      assert(segsOf(1L + k).size == 1 + k, s"append $k")
+      assert(segsOf(1L + k).head == baseSeg, s"append $k reordered")
+      assert(fileState(s"$root/$baseSeg") == baseFiles,
+        s"append $k rewrote the base segment")
+      // the new segment holds ONLY the batch
+      val newSeg = segsOf(1L + k).last
+      assert(spark.read.parquet(s"$root/$newSeg").count() == k)
+    }
+    assert(vs.read(spark, "t").count() == 100006)
+    assert(vs.currentVersion(spark, "t").contains(4L))
+    // segment compaction: head folds to ONE segment, data identical
+    val sum0 = vs.read(spark, "t").agg(sum("id")).head.getLong(0)
+    assert(vs.compactSegments(spark, "t") == 4)
+    assert(vs.currentVersion(spark, "t").contains(5L))
+    assert(segsOf(5L).size == 1)
+    assert(vs.read(spark, "t").count() == 100006 &&
+      vs.read(spark, "t").agg(sum("id")).head.getLong(0) == sum0)
+    // the previous multi-segment snapshot is still time-travelable
+    // within the keep window
+    assert(vs.readVersion(spark, "t", 4L).count() == 100006)
+    // two more commits retire the appended chain; its segments that no
+    // surviving manifest lists are GC'd from the inner store
+    vs.write(spark.range(5).toDF("id").withColumn("v", lit(0L)), "t",
+      SaveMode.Overwrite) // v6
+    vs.write(spark.range(6).toDF("id").withColumn("v", lit(0L)), "t",
+      SaveMode.Overwrite) // v7 -> gc drops everything <= v5
+    assert(!new java.io.File(s"$root/$baseSeg").exists(),
+      "retired shared segment survived GC")
+    assert(vs.read(spark, "t").count() == 6)
+  }
 }
