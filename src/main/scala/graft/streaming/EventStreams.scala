@@ -290,9 +290,16 @@ object EventStreams {
     * broadcast anti back — the head is never shuffled), covering the
     * crash window between the durable commit and the marker. A fully
     * replayed fold therefore commits NOTHING: the head version does
-    * not advance. */
+    * not advance.
+    *
+    * Each append is an O(batch) segment commit
+    * ([[graft.sources.VersionedStore]]); `compactEvery > 0` folds the
+    * head back to ONE segment after every Nth applied batch
+    * (`compactSegments` — an atomic Overwrite commit), the same
+    * in-loop file-hygiene valve as the index-maintenance streams'. */
   def versionedFoldSink(vs: graft.sources.VersionedStore, table: String,
-      markerDir: String, idCol: String = "doc_id")
+      markerDir: String, idCol: String = "doc_id",
+      compactEvery: Int = 0)
       : (DataFrame, Long) => Unit = (df, batchId) => {
     val spark = df.sparkSession
     val marker = new org.apache.hadoop.fs.Path(s"$markerDir/$batchId")
@@ -311,6 +318,13 @@ object EventStreams {
         }
       if (!fresh.isEmpty) {
         vs.write(fresh, table, org.apache.spark.sql.SaveMode.Append)
+        // inside the appended-branch only: a crash-window replay that
+        // appended nothing must not commit a gratuitous compaction
+        // (the head version would advance on a no-op)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          vs.compactSegments(spark, table)
+          ()
+        }
       }
       f.mkdirs(marker.getParent)
       f.create(marker, true).close()

@@ -532,13 +532,16 @@ class StreamingSpec extends AnyFunSuite {
     // the fold sink is TRANSACTIONAL: each fold appends through a
     // VersionedStore (the serializable-append path), so the committed
     // head is itself checkable against the batch capstone
+    val vlogDir = java.nio.file.Files
+      .createTempDirectory("vlog_daily").toString
     val vs = new graft.sources.VersionedStore(
-      new graft.sources.MemoryStore,
-      java.nio.file.Files.createTempDirectory("vlog_daily").toString,
-      keep = 2)
+      new graft.sources.MemoryStore, vlogDir, keep = 2)
     val markerDir = java.nio.file.Files
       .createTempDirectory("vlog_daily_applied").toString
-    val sink = EventStreams.versionedFoldSink(vs, "daily_out", markerDir)
+    // compactEvery = 1: every applied fold appends (O(batch) segment)
+    // then folds the head back to one segment — the in-loop valve
+    val sink = EventStreams.versionedFoldSink(vs, "daily_out", markerDir,
+      compactEvery = 1)
     val lastFold = new java.util.concurrent.atomic
       .AtomicReference[(org.apache.spark.sql.DataFrame, Long)]
     val q = EventStreams.dailyPipeline(input.toDS(), sf,
@@ -580,13 +583,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(vs.currentVersion(spark, "daily_out") == v1,
       "dedup layer failed: crash-window replay advanced the head")
     assert(committedRows() == want, "replay mutated the committed fold")
-    // a genuinely NEW fold still lands: serializable append head+1
+    // the in-loop segment compaction left the head at ONE segment
+    def headSegments(): Int = {
+      val d = new java.io.File(s"$vlogDir/daily_out")
+      val v = d.listFiles().map(_.getName)
+        .filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit").toLong).max
+      val src = scala.io.Source.fromFile(s"$vlogDir/daily_out/$v.commit")
+      try src.getLines().count(_.trim.nonEmpty) finally src.close()
+    }
+    assert(headSegments() == 1, "in-loop segment compaction missing")
+    // a genuinely NEW fold still lands: serializable O(batch) append
+    // (head+1) then its compaction commit (head+2)
     val extra = fold.limit(1)
       .withColumn("doc_id",
         org.apache.spark.sql.functions.col("doc_id") + 5000000L)
     sink(extra, bid + 1)
-    assert(vs.currentVersion(spark, "daily_out") == v1.map(_ + 1),
+    assert(vs.currentVersion(spark, "daily_out") == v1.map(_ + 2),
       "fresh fold after replays did not commit")
     assert(committedRows().size == want.size + 1)
+    assert(headSegments() == 1)
   }
 }
