@@ -373,7 +373,7 @@ class StoreContractSpec extends AnyFunSuite {
       for (_ <- 0 until 12) {
         val tag = { nextTag += 1; nextTag }
         def snap = spark.range(5).select(col("id"), lit(tag).as("tag"))
-        rng.nextInt(4) match {
+        rng.nextInt(5) match {
           case 0 =>
             vs.write(snap, "t", SaveMode.Overwrite)
             model = Some(List.fill(5)(tag))
@@ -392,6 +392,10 @@ class StoreContractSpec extends AnyFunSuite {
           case 3 =>
             vs.write(snap, "t", SaveMode.Ignore)
             if (model.isEmpty) model = Some(List.fill(5)(tag))
+          case 4 =>
+            // segment compaction is data-invariant: the model is
+            // untouched whatever the segment layout was
+            vs.compactSegments(spark, "t")
         }
         val got = model match {
           case None =>
