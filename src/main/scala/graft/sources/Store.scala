@@ -379,16 +379,35 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
 
   /** Rewrite the head into a SINGLE segment — segment compaction, the
     * maintenance pass that bounds read fan-in after many appends (the
-    * store twin of `Models.compactBucketed`'s file compaction). An
-    * ordinary Overwrite commit of the current head: atomic, and the
-    * old segments retire through normal GC once `keep` newer snapshots
-    * exist. Returns the number of segments the head held before. */
+    * store twin of `Models.compactBucketed`'s file compaction). The
+    * compacted manifest claims EXACTLY head+1 — a plain Overwrite
+    * would walk forward past a concurrently committed append and
+    * silently swallow its batch (compaction must be data-invariant);
+    * on conflict the staged rewrite is reclaimed and the compaction
+    * re-derives from the new head. Old segments retire through normal
+    * GC once `keep` newer snapshots exist. Returns the number of
+    * segments the compacted snapshot held. */
   def compactSegments(spark: SparkSession, table: String): Int =
     committed(spark, table) match {
-      case Some((_, segments)) =>
-        write(readSegments(spark, segments), table, SaveMode.Overwrite)
-        segments.size
       case None => 0
+      case Some((v0, s0)) =>
+        var v = v0
+        var segs = s0
+        while (true) {
+          val seg = stageSegment(spark, table, readSegments(spark, segs))
+          if (commitManifest(spark, table, Seq(seg), exact = Some(v + 1L)))
+            return segs.size
+          // lost to a concurrent commit: reclaim the orphaned rewrite,
+          // re-derive from the new head
+          inner.drop(spark, seg)
+          fs(spark).delete(new org.apache.hadoop.fs.Path(logDir(table),
+            s"_staged_$seg"), false)
+          committed(spark, table) match {
+            case Some((v1, s1)) => v = v1; segs = s1
+            case None => return 0
+          }
+        }
+        0 // unreachable
     }
 
   /** Stage `df` as a writer-private segment table (invisible to
