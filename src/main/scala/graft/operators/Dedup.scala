@@ -489,7 +489,15 @@ object Dedup {
     *
     * Output contract is identical to [[incrementalDedup]] (same band
     * scheme ⇒ same candidates ⇒ same verified pairs), so the two forms
-    * share an oracle. */
+    * share an oracle.
+    *
+    * Index rows whose id is IN the batch are excluded from the
+    * candidate set (broadcast anti on the batch-sized id set): the
+    * decisions are always "batch vs the index WITHOUT the batch", so
+    * an at-least-once replay whose batch was already folded in (the
+    * crash window between a maintenance fold and its applied marker)
+    * re-emits the SAME decisions instead of matching every document
+    * to itself at jac = 1. */
   def incrementalDedupIndexed(indexBands: DataFrame, indexSets: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, threshold: Double,
       k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
@@ -498,7 +506,10 @@ object Dedup {
       minhashSignature(
         bSets.select(col("id"), explode(col("hs")).as("sh")), k),
       bands, k / bands)
-    val cand = indexBands.join(bBands.withColumnRenamed("id", "j"), "bk")
+    val cand = indexBands
+      .join(broadcast(batch.select(col(idCol).as("id"))), Seq("id"),
+        "left_anti")
+      .join(bBands.withColumnRenamed("id", "j"), "bk")
       .select(col("id").as("i"), col("j")).distinct()
     val withJac = cand
       .join(indexSets.select(col("id").as("i"), col("hs").as("ha"),

@@ -552,8 +552,7 @@ object DedupQueries {
     "dd_incremental_append" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_lsh_fold").toString
+        val tmp = TextQueries.foldTempDir("graft_lsh_fold")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
         graft.sources.Models.lshIndex(s, tmp,

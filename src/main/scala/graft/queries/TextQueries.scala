@@ -126,8 +126,9 @@ object TextQueries {
   }
 
   /** Run-private temp dir, reclaimed on JVM exit (same contract as
-    * SourceQueries' round-trip demos). */
-  private def foldTempDir(prefix: String): String = {
+    * SourceQueries' round-trip demos; shared with DedupQueries'
+    * fold-gate entry). */
+  private[queries] def foldTempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}

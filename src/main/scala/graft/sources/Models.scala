@@ -232,12 +232,21 @@ object Models {
             Seq("id"), "left_semi")
           .select(col("id").as(idCol)).localCheckpoint(true)
         batch.join(broadcast(present), Seq(idCol), "left_anti")
+          .localCheckpoint(true) // the emptiness check + both writes
       }
+    if (dedupeIds && fresh.isEmpty) return // pure replay: no-op fold
     val sets = Dedup.shingleSets(fresh, idCol, textCol, w)
       .localCheckpoint(true) // bands derive from sets: shingle ONCE
-    sets.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(IndexBuckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(setsName)
+    // write order is the crash contract: BANDS first, SETS last — the
+    // dedupe layer above probes the sets table, so a torn fold (crash
+    // between the two appends) leaves the batch ABSENT from sets and
+    // the replay re-runs BOTH writes, completing the fold. The
+    // re-appended band rows are duplicates, which every probe
+    // tolerates (candidate pairs pass through distinct()); duplicate
+    // SET rows would corrupt Jaccard denominators, which this ordering
+    // makes impossible. (Sets-first would invert it: the replay would
+    // see the ids present, no-op, and the bands would stay missing
+    // forever — silently dropping the batch from all future probes.)
     Dedup.bandTable(
       Dedup.minhashSignature(
         sets.select(col("id"), explode(col("hs")).as("sh")), k), b, k / b)
@@ -245,6 +254,9 @@ object Models {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "bk").sortBy("bk")
       .format("parquet").saveAsTable(bandsName)
+    sets.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(IndexBuckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(setsName)
   }
 
   /** Reclaim ONE corpus's LSH artifacts (band + shingle-set tables,
@@ -717,16 +729,49 @@ object Models {
         (if (exists(spark, positionalPostingsPath(sfDir)))
           Seq("postings_pos" -> positionalPostingsPath(sfDir))
         else Nil)
-    targets.map { case (label, p) =>
+    val bucketed = targets.map { case (label, p) =>
       label -> compactBucketed(spark, p, "tok")
     }.toMap
+    bucketed + ("doc_lens" -> compactPlainParquet(spark,
+      docLensPath(sfDir)))
+  }
+
+  /** Rewrite a plain (non-bucketed) per-fold-APPENDED parquet artifact
+    * into one file — [[postingsAppend]] appends a file set to the
+    * doc-length table on every fold (the df table rewrites whole per
+    * fold, so it never fragments), and after a year of folds the BM25
+    * normalizer join reads hundreds of tiny files. localCheckpoint
+    * severs the rows from the files being overwritten (the
+    * [[dfTable]]-merge pattern). Returns (filesBefore, filesAfter). */
+  private def compactPlainParquet(spark: SparkSession,
+      path: String): (Long, Long) = synchronized {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Long = {
+      val it = fs.listFiles(dst, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = dataFiles()
+    if (before > 1) {
+      spark.read.parquet(path).localCheckpoint(true)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    (before, dataFiles())
   }
 
   /** Directory-name prefix → bucket column, for every BUCKETED
     * artifact family this object persists. Longest-prefix order
     * matters (`postings_pos` before `postings`). Non-bucketed
-    * single-file artifacts (doc_lens, df_table, vocab, centroids,
-    * codebooks, merge tables, bigram LM) are not listed — they never
+    * artifacts that REWRITE whole per fold or never change (df_table,
+    * vocab, centroids, codebooks, merge tables, bigram LM) are not
+    * listed — they stay single-file; doc_lens, which is per-fold
+    * APPENDED, is handled separately ([[compactPlainParquet]] via
+    * [[compactRetrievalIndexes]]/[[compactModelArtifacts]]) — it and
+    * the other unlisted artifacts never
     * fragment. */
   private val BucketedArtifactPrefixes: Seq[(String, String)] = Seq(
     "postings_pos" -> "tok",
@@ -760,7 +805,9 @@ object Models {
       .map(_.getPath)
       .filterNot(_.getName.endsWith("__compacting"))
       .flatMap { p =>
-        BucketedArtifactPrefixes
+        if (p.getName == "doc_lens") // per-fold-appended plain parquet
+          Some(p.getName -> compactPlainParquet(spark, p.toString))
+        else BucketedArtifactPrefixes
           .collectFirst { case (pre, bc) if p.getName.startsWith(pre) =>
             p.getName -> compactBucketed(spark, p.toString, bc)
           }

@@ -390,6 +390,8 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
   def compactSegments(spark: SparkSession, table: String): Int =
     committed(spark, table) match {
       case None => 0
+      case Some((_, s0)) if s0.size <= 1 =>
+        s0.size // already minimal: no table copy, no gratuitous version
       case Some((v0, s0)) =>
         var v = v0
         var segs = s0
@@ -492,22 +494,32 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
   private def gc(spark: SparkSession, table: String, head: Long): Unit = {
     val f = fs(spark)
     val dir = logDir(table)
-    def segsOf(n: Long): Seq[String] =
+    def segsOf(n: Long): Option[Seq[String]] =
       try {
         val in = f.open(new org.apache.hadoop.fs.Path(dir, s"$n.commit"))
-        try parseSegments(
-          scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        try Some(parseSegments(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString))
         finally in.close()
-      } catch { case _: java.io.IOException => Seq.empty }
+      } catch { case _: java.io.IOException => None }
     val versions = f.listStatus(dir).map(_.getPath.getName)
       .filter(_.endsWith(".commit"))
       .map(_.stripSuffix(".commit").toLong)
     val (retired, surviving) = versions.partition(_ <= head - keep)
     if (retired.isEmpty) return
     // read every retired manifest BEFORE deleting any (a shared
-    // segment must be seen from each), and the survivors' live set
-    val retiredSegs = retired.flatMap(segsOf).distinct
-    val live = surviving.flatMap(segsOf).toSet
+    // segment must be seen from each); an unreadable RETIRED manifest
+    // was unlinked by a concurrent GC, which owns its segments
+    val retiredSegs = retired.flatMap(n => segsOf(n).getOrElse(Nil))
+      .distinct
+    // the survivors' live set must be STRICT: an unreadable surviving
+    // manifest (transient IO error, or a concurrent GC at a NEWER
+    // head unlinking what this stale head still counts as surviving)
+    // must abort the drop phase, never silently shrink the live set —
+    // dropping a segment the current head's manifest still lists is
+    // data loss at the committed head. The next commit's GC retries.
+    val survivingSegs = surviving.map(segsOf)
+    if (survivingSegs.exists(_.isEmpty)) return
+    val live = survivingSegs.flatMap(_.get).toSet
     retired.foreach { n =>
       f.delete(new org.apache.hadoop.fs.Path(dir, s"$n.commit"), false)
     }

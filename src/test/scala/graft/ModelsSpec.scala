@@ -751,6 +751,8 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nFiles(Models.positionalPostingsPath(baseDir)) <=
       Models.IndexBuckets,
       "in-loop compaction missed the positional index")
+    assert(nFiles(Models.docLensPath(baseDir)) == 1,
+      "in-loop compaction missed the appended doc-length table")
     // the at-least-once crash window: the SAME batch again — no-op
     val before = Models.postings(spark, baseDir).count()
     val posBefore = Models.positionalPostings(spark, baseDir).count()
@@ -811,6 +813,15 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0L) == want1, "batch-1 decisions diverged")
     assert(got(1L) == want2,
       "batch-2 decisions diverged (fold not visible to the next probe?)")
+    // crash-window replay decisions: batch 2 is ALREADY folded into
+    // the index, yet a re-probe emits the SAME decisions — index rows
+    // with batch ids are excluded from the candidate set, so a replay
+    // never matches a document to itself (or its batch-mates) at 1.0
+    val (rBands, rSets) = Models.lshIndex(spark, dir,
+      sys.error("trained"), "doc_id", "text")
+    assert(m(graft.operators.Dedup.incrementalDedupIndexed(
+      rBands, rSets, b2, "doc_id", "text", 0.8)) == want2,
+      "replayed probe against a folded-in batch diverged")
     // replay idempotence: the dedupeIds fold layer appends nothing
     val bandsPath = Models.lshBandsPath(dir, 32, 16, 3)
     val setsPath = Models.lshSetsPath(dir, 3)
@@ -962,6 +973,7 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     Models.bpe(spark, dir)
     val arts = Seq(
       Models.postingsPath(dir), Models.positionalPostingsPath(dir),
+      Models.docLensPath(dir), // per-fold-appended plain parquet
       Models.lshSetsPath(dir, 3), Models.lshBandsPath(dir, 32, 16, 3),
       Models.ivfPqCodesPath(dir, 16, 2, 8, 256),
       Models.dedupMapPath(dir, 50),
