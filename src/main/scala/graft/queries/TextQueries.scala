@@ -103,6 +103,9 @@ object TextQueries {
     * arithmetic spelling as [[bm25With]]. */
   def bm25FromArtifacts(s: org.apache.spark.sql.SparkSession,
       corpusDir: String): DataFrame = {
+    // first use on a corpus: derive all three artifacts in ONE
+    // tokenize pass (a no-op when they already exist)
+    graft.sources.Models.buildRetrievalArtifacts(s, corpusDir)
     val df = graft.sources.Models.dfTable(s, corpusDir)
     val lens = graft.sources.Models.docLens(s, corpusDir)
     val tot = lens.agg(count(lit(1)).as("nn"), sum("dl").as("s"))
@@ -1005,9 +1008,10 @@ object TextQueries {
         val tmp = foldTempDir("graft_bm25_fold")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        docs.filter(h < "e6").write.mode("overwrite")
-          .parquet(s"$tmp/documents.parquet")
-        graft.sources.Models.postings(s, tmp) // base artifacts
+        // base artifacts in ONE tokenize pass, straight from the
+        // in-plan ~90% slice — no run-private corpus copy
+        graft.sources.Models.buildRetrievalArtifacts(s, tmp,
+          docs = Some(docs.filter(h < "e6")))
         graft.sources.Models.postingsAppend(s, tmp,
           docs.filter(h >= "e6").select("doc_id", "text"),
           "doc_id", "text", dedupeIds = true)
@@ -1037,9 +1041,10 @@ object TextQueries {
         val tmp = foldTempDir("graft_bm25_compact")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        docs.filter(h < "cc").write.mode("overwrite")
-          .parquet(s"$tmp/documents.parquet")
-        graft.sources.Models.postings(s, tmp) // base artifacts
+        // base artifacts in ONE tokenize pass, straight from the
+        // in-plan ~80% slice — no run-private corpus copy
+        graft.sources.Models.buildRetrievalArtifacts(s, tmp,
+          docs = Some(docs.filter(h < "cc")))
         for ((lo, hi) <- Seq(("cc", "ee"), ("ee", "g"))) {
           graft.sources.Models.postingsAppend(s, tmp,
             docs.filter(h >= lo && h < hi).select("doc_id", "text"),

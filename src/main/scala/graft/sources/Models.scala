@@ -535,6 +535,76 @@ object Models {
       spark.read.parquet(path)
     }
 
+  /** Build ALL base retrieval artifacts for a corpus in ONE tokenize
+    * pass. The individual accessors ([[postings]], [[docLens]],
+    * [[dfTable]], [[positionalPostings]]) each retrain independently —
+    * correct, but a caller that needs the full retrieval tier (every
+    * BM25/phrase consumer, and [[postingsAppend]]'s base-ensure
+    * prologue) would tokenize the corpus three or four times. At
+    * 100 TB the tokenize IS the build cost, so this builder stages the
+    * tokenized corpus ONCE (a parquet staging dir under the model
+    * root — durable across executor loss, unlike a localCheckpoint,
+    * and reclaimed at the end or by [[dropRetrievalArtifacts]] after a
+    * crash) and derives every missing artifact from it:
+    *
+    *   - postings: explode + (tok, doc) count, bucketed write;
+    *   - positional postings (when requested): [[positionalRows]];
+    *   - doc lengths: `size(w)` per doc (from the TOKENS, not the
+    *     postings — a zero-token doc has no postings rows but still
+    *     owns a length row, and the BM25 normalizer's corpus count
+    *     must include it);
+    *   - df table: row-count per tok over the JUST-BUILT postings —
+    *     postings rows are exactly the distinct (tok, doc) pairs, so
+    *     this is value-identical to the from-text derivation while
+    *     reading the bucketed index with zero exchange.
+    *
+    * Each derivation is value-identical to its accessor's, so the
+    * retraining oracles (`tx_bm25_*`, `tx_phrase_match`) hash-match
+    * either way. `docs` overrides the corpus source (fold queries
+    * build base artifacts from an in-plan slice without materializing
+    * a run-private corpus copy first); it must carry `doc_id` and
+    * `text`. No-op when nothing is missing. */
+  def buildRetrievalArtifacts(spark: SparkSession, sfDir: String,
+      docs: Option[DataFrame] = None,
+      includePositional: Boolean = false): Unit = synchronized {
+    val needPost = !exists(spark, postingsPath(sfDir))
+    val needPos =
+      includePositional && !exists(spark, positionalPostingsPath(sfDir))
+    val needLens = !exists(spark, docLensPath(sfDir))
+    val needDf = !exists(spark, dfTablePath(sfDir))
+    if (!(needPost || needPos || needLens || needDf)) return
+    val staging = s"${root(sfDir)}/tok_staging"
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    docs.getOrElse(graft.Tables.documents(spark, sfDir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .write.mode("overwrite").parquet(staging)
+    val toks = spark.read.parquet(staging)
+    if (needPost) {
+      Lake.writeBucketedTable(
+        toks.select(col("doc_id"), explode(col("w")).as("tok"))
+          .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf")),
+        tableName(postingsPath(sfDir)), postingsPath(sfDir),
+        "tok", IndexBuckets)
+    }
+    if (needPos) {
+      Lake.writeBucketedTable(positionalRows(toks),
+        tableName(positionalPostingsPath(sfDir)),
+        positionalPostingsPath(sfDir), "tok", IndexBuckets)
+    }
+    if (needLens) {
+      toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+        .coalesce(1).write.mode("overwrite").parquet(docLensPath(sfDir))
+    }
+    if (needDf) {
+      postings(spark, sfDir)
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .coalesce(1).write.mode("overwrite").parquet(dfTablePath(sfDir))
+    }
+    fs.delete(sp, true)
+    ()
+  }
+
   /** Fold a batch of new documents INTO the persisted retrieval
     * artifacts — the daily loop for BM25 serving, closing the same
     * append story as [[lshIndexAppend]]/[[ivfPqIndexAppend]]: the
@@ -566,10 +636,10 @@ object Models {
       dedupeIds: Boolean = false): Unit =
     synchronized {
       // ensure all three artifacts exist for the BASE corpus before
-      // folding (also re-registers the bucketed table after a restart)
+      // folding — ONE tokenize pass when they're all missing — then
+      // re-register the bucketed table after a restart
+      buildRetrievalArtifacts(spark, sfDir)
       postings(spark, sfDir)
-      docLens(spark, sfDir)
-      dfTable(spark, sfDir)
       val name = tableName(postingsPath(sfDir))
       val fresh =
         if (!dedupeIds) batch

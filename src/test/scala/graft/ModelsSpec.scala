@@ -457,6 +457,54 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == want && want.nonEmpty)
   }
 
+  test("buildRetrievalArtifacts: one tokenize pass yields the same " +
+      "artifacts as the per-accessor trains, staging reclaimed") {
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val slice = all.filter(h < "e6")
+    // dir A: the combined builder, fed the in-plan slice (no corpus
+    // copy on disk); dir B: the independent per-accessor trains over
+    // an identical corpus dir
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-build-combined").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-build-accessors").toString
+    slice.write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    Models.buildRetrievalArtifacts(spark, dirA, docs = Some(slice),
+      includePositional = true)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(m(Models.postings(spark, dirA).select("tok", "doc_id", "tf")) ==
+      m(Models.postings(spark, dirB).select("tok", "doc_id", "tf")))
+    assert(m(Models.docLens(spark, dirA).select("doc_id", "dl")) ==
+      m(Models.docLens(spark, dirB).select("doc_id", "dl")))
+    assert(m(Models.dfTable(spark, dirA).select("tok", "df")) ==
+      m(Models.dfTable(spark, dirB).select("tok", "df")))
+    assert(m(Models.positionalPostings(spark, dirA)
+        .select(col("tok"), col("doc_id"), col("positions").cast("string"))) ==
+      m(Models.positionalPostings(spark, dirB)
+        .select(col("tok"), col("doc_id"), col("positions").cast("string"))))
+    // bucket layout from the builder's write: no tok-side exchange
+    val p = Models.postings(spark, dirA).groupBy("tok").count()
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(tok"),
+      s"builder lost the bucket spec:\n$p")
+    // the tokenize staging dir was reclaimed
+    val stage = new java.io.File(
+      new java.net.URI("file:" + Models.root(dirA) + "/tok_staging"))
+    assert(!stage.exists(), s"staging not reclaimed: $stage")
+    // a later fold still lands on builder-built base artifacts
+    val batch = all.filter(h >= "e6").select("doc_id", "text")
+    Models.postingsAppend(spark, dirA, batch, "doc_id", "text")
+    val docs = all.select(col("doc_id"),
+      graft.operators.TextOps.tokens(col("text")).as("w"))
+    assert(m(Models.postings(spark, dirA).select("tok", "doc_id", "tf")) ==
+      m(docs.select(col("doc_id"), explode(col("w")).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))))
+    Models.dropRetrievalArtifacts(spark, dirA)
+    Models.dropRetrievalArtifacts(spark, dirB)
+  }
+
   test("positional postings: reload == retokenize, bucketed by tok; " +
       "phrase/proximity/boolean queries equal independent spellings") {
     graft.functions.GraftFunctions.register(spark)
