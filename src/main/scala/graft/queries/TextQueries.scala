@@ -1162,7 +1162,7 @@ object TextQueries {
         val cms = occ
           .select(explode(array((0 until 3).map(j =>
             struct(lit(j.toLong).as("j"),
-              expr(s"(gh div ${math.pow(m, j).toLong}) % $m").as("pos"))
+              expr(s"(gh div ${math.pow(m.toDouble, j).toLong}) % $m").as("pos"))
           ): _*)).as("e"))
           .groupBy(col("e.j").as("j"), col("e.pos").as("pos"))
           .agg(count(lit(1)).as("c"))
@@ -1172,7 +1172,7 @@ object TextQueries {
         val est = top
           .select(col("tok"), col("exact"), explode(array((0 until 3).map(j =>
             struct(lit(j.toLong).as("j"),
-              expr(s"(gh div ${math.pow(m, j).toLong}) % $m").as("pos"))
+              expr(s"(gh div ${math.pow(m.toDouble, j).toLong}) % $m").as("pos"))
           ): _*)).as("e"))
           .join(broadcast(cms),
             col("e.j") === cms("j") && col("e.pos") === cms("pos"))

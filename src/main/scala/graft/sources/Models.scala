@@ -401,7 +401,7 @@ object Models {
         coalesce(col("n_appended"), lit(0L)).as("n_appended"),
         col("n_total"))
       .localCheckpoint(true)
-    val agg = stats.agg(sum("n_total"), max("n_total")).head
+    val agg = stats.agg(sum("n_total"), max("n_total")).head()
     val (total, maxCell) = (agg.getLong(0), agg.getLong(1))
     require(maxCell * 1000L <= maxCellShareMilli.toLong * total,
       s"drift guard: hottest cell holds $maxCell/$total rows " +

@@ -116,7 +116,7 @@ class CodegenSpec extends AnyFunSuite with BeforeAndAfterAll {
     val empty = Seq(1).toDF("x").withColumn("cands", expr(
       "array(cast(null as struct<nid:bigint,qdot:bigint,qv:array<bigint>>))"))
       .select(size(GraftFunctions.mmrSelect(col("cands"), 3)).as("n"))
-      .head.getInt(0)
+      .head().getInt(0)
     assert(empty == 0)
   }
 

@@ -232,7 +232,7 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding")
     val stats = Models.ivfPqIndexAppend(spark, sf, batch,
       "vec_id", "embedding")
-    assert(stats.agg(sum("n_appended")).head.getLong(0) == 3L)
+    assert(stats.agg(sum("n_appended")).head().getLong(0) == 3L)
     val (_, _, codes1) = Models.ivfPqIndex(spark, sf)
     assert(codes1.count() == before + 3)
     // appended codes == their sources' codes (encode determinism
@@ -276,12 +276,12 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding")
     val s1 = Models.ivfPqIndexAppend(spark, sf, batch,
       "vec_id", "embedding", dedupeIds = true)
-    assert(s1.agg(sum("n_appended")).head.getLong(0) == 2L)
+    assert(s1.agg(sum("n_appended")).head().getLong(0) == 2L)
     // the replay a crash between the durable append and the streaming
     // checkpoint commit produces: the SAME batch again
     val s2 = Models.ivfPqIndexAppend(spark, sf, batch,
       "vec_id", "embedding", dedupeIds = true)
-    assert(s2.agg(sum("n_appended")).head.getLong(0) == 0L,
+    assert(s2.agg(sum("n_appended")).head().getLong(0) == 0L,
       "replayed batch re-appended rows")
     val (_, _, codes1) = Models.ivfPqIndex(spark, sf)
     assert(codes1.count() == before + 2, "duplicate vectors in the index")
@@ -1030,7 +1030,7 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def snap(p: String): Seq[String] = {
       val df = spark.read.parquet(p)
       df.selectExpr(df.columns.sorted
-          .map(c => s"cast(`$c` as string)"): _*)
+          .map(c => s"cast(`$c` as string)").toIndexedSeq: _*)
         .collect().map(_.toString).sorted.toSeq
     }
     val before = arts.map(p => p -> snap(p)).toMap

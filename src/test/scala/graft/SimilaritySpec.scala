@@ -328,7 +328,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("SRP-LSH ANN excludes ragged and null vectors from the index") {
     val good = (0L until 20L).map { i =>
-      (i, Array.tabulate(16)(d => math.sin(i + d).toFloat))
+      (i, Array.tabulate(16)(d => math.sin((i + d).toDouble).toFloat))
     }
     val ragged = Seq(
       (100L, Array(1.0f, 2.0f)),            // wrong dimension

@@ -215,7 +215,7 @@ class StoreContractSpec extends AnyFunSuite {
       assert(vs.currentVersion(spark, "t").contains(3L), s"[$name]")
       assert(vs.readVersion(spark, "t", 2L).count() == 40, s"[$name]")
       assert(vs.readVersion(spark, "t", 3L)
-        .agg(max("tag")).head.getInt(0) == 3, s"[$name]")
+        .agg(max("tag")).head().getInt(0) == 3, s"[$name]")
       intercept[NoSuchElementException] {
         vs.readVersion(spark, "t", 1L)
       }
@@ -325,7 +325,7 @@ class StoreContractSpec extends AnyFunSuite {
       inner.write(snap(99), orphan, SaveMode.Overwrite)
       new java.io.File(s"$logRoot/t/_staged_$orphan").createNewFile()
       // readers never see the orphan
-      assert(vs.read(spark, "t").agg(max("tag")).head.getInt(0) == 1,
+      assert(vs.read(spark, "t").agg(max("tag")).head().getInt(0) == 1,
         s"[$name]")
       // the age gate protects what could be an in-flight staging
       assert(vs.vacuum(spark, "t", minAgeMs = 3600000L).isEmpty, s"[$name]")
@@ -463,12 +463,12 @@ class StoreContractSpec extends AnyFunSuite {
     assert(vs.read(spark, "t").count() == 100006)
     assert(vs.currentVersion(spark, "t").contains(4L))
     // segment compaction: head folds to ONE segment, data identical
-    val sum0 = vs.read(spark, "t").agg(sum("id")).head.getLong(0)
+    val sum0 = vs.read(spark, "t").agg(sum("id")).head().getLong(0)
     assert(vs.compactSegments(spark, "t") == 4)
     assert(vs.currentVersion(spark, "t").contains(5L))
     assert(segsOf(5L).size == 1)
     assert(vs.read(spark, "t").count() == 100006 &&
-      vs.read(spark, "t").agg(sum("id")).head.getLong(0) == sum0)
+      vs.read(spark, "t").agg(sum("id")).head().getLong(0) == sum0)
     // the previous multi-segment snapshot is still time-travelable
     // within the keep window
     assert(vs.readVersion(spark, "t", 4L).count() == 100006)
