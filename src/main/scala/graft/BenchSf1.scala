@@ -46,7 +46,11 @@ object BenchSf1 {
     "tx_bm25_append", "tx_bm25_compacted",
     // the LSH-index daily fold (round-14 oracle gate): base train +
     // fold + probe-from-folded-index, the dedup twin of tx_bm25_append
-    "dd_incremental_append")
+    "dd_incremental_append",
+    // the IVF-PQ drift repair (round-14): base train + fold + full
+    // rebuild + serve — the rebuild is a bounded retrain pass, so the
+    // ratio should track the other retrain-class families
+    "sim_ivfpq_rebuild")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1017,6 +1017,52 @@ object SimilarityQueries {
         "quantizer/codebook + per-cell drift audit — oracle replays the " +
         "frozen-model encode"),
 
+    // The drift REPAIR under the oracle gate — the third leg of the
+    // IVF-PQ lifecycle (train: sim_ivfpq_indexed, fold:
+    // sim_ivfpq_append, repair: here, closing the loop the append's
+    // drift guard opens with "rebuild the quantizer"): base artifacts
+    // train on the md5 < cc slice in a run-private dir, the >= cc
+    // batch folds in through Models.ivfPqIndexAppend (encoded against
+    // the FROZEN base model — the state a drifted index is in), then
+    // Models.ivfPqRebuild retrains quantizer + codebook + codes from
+    // the union corpus with a staged atomic-rename cutover, and
+    // serving runs from the REBUILT artifacts at the servable point.
+    // Training is a deterministic function of the corpus, so
+    // rebuild-on-union == retrain-on-full-corpus and the oracle is
+    // exactly sim_ivfpq_indexed's full retrain — the hash match proves
+    // the swap really replaced every family (stale codes scored under
+    // the new quantizer's LUTs would mis-rank and fail the gate).
+    "sim_ivfpq_rebuild" -> QueryDef(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val tmp = TextQueries.foldTempDir("graft_ivfpq_rebuild")
+        val embs = Tables.embeddings(s, d)
+        val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
+        embs.filter(h < "cc").write.mode("overwrite")
+          .parquet(s"$tmp/embeddings.parquet")
+        graft.sources.Models.ivfPqIndex(s, tmp)
+        graft.sources.Models.ivfPqIndexAppend(s, tmp,
+          embs.filter(h >= "cc").select("vec_id", "embedding"),
+          "vec_id", "embedding")
+        val (cents, cbRows, codes) = graft.sources.Models
+          .ivfPqRebuild(s, tmp, embs, "vec_id", "embedding")
+        val prep = Similarity.prepared(embs, "vec_id", "embedding")
+          .filter(size(col("qv")) === 64)
+        val out = Similarity.ivfPqScoreWith(prep, cents, cbRows, codes,
+          k = 5, queryLimit = 10L, nProbe = 8, m = 8, dim = 64,
+          rerank = 50)
+          .orderBy("qid", "rank").localCheckpoint(true)
+        graft.sources.Models.dropIvfPqArtifacts(s, tmp)
+        out
+      },
+      Some(ivfPqRefinedOracleSql(k = 5, queryLimit = 10, nList = 16,
+        nProbe = 8, iters = 2, m = 8, ksub = 256, rerank = 50)),
+      doc = "IVF-PQ drift repair: fold a batch into a frozen base " +
+        "model, then ivfPqRebuild retrains all three artifact families " +
+        "from the union corpus (staged cutover) and serving reads the " +
+        "rebuilt index — oracle is the full retrain, proving rebuild " +
+        "== retrain at the hash gate"),
+
     // The operating-point sweep behind the servable default: recall@5
     // vs exact-L2 ground truth for nProbe ∈ {4,8,16} × ksub ∈ {16,256}
     // (4-bit vs 8-bit residual codes) × rerank ∈ {0,50} over the SAME

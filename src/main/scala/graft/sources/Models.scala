@@ -410,6 +410,109 @@ object Models {
     stats
   }
 
+  /** REBUILD the persisted IVF-PQ index from `corpus` — the repair a
+    * tripped drift guard demands ([[ivfPqIndexAppend]] fails fast when
+    * a cell's post-append share exceeds the caller's threshold; this
+    * is the "rebuild the quantizer" that failure points at).
+    *
+    * Folds encode against FROZEN artifacts, so a shifted ingest
+    * distribution piles batches into few cells (hot probe partitions,
+    * recall loss) until the quantizer re-learns the data: the rebuild
+    * retrains all three artifact families — coarse quantizer, residual
+    * codebook, cid-bucketed codes — from the CURRENT corpus with the
+    * exact derivation [[ivfPqIndex]] uses, so the result is
+    * byte-identical to a from-scratch retrain (ModelsSpec pins it) and
+    * reload ≡ retrain keeps holding afterwards: every retraining
+    * oracle still hash-matches. The caller supplies the raw vectors
+    * (base + every folded batch): PQ codes are lossy, so the index
+    * cannot rebuild from itself — at 100 TB this is the embeddings
+    * table the folds also landed in.
+    *
+    * All three families stage to `<path>__rebuilding` first (the live
+    * index serves untouched during the corpus-sized retrain), then cut
+    * over dir-by-dir like [[compactBucketed]]: drop catalog entry,
+    * delete old dir, rename staging into place, re-register. Crash
+    * windows: a torn STAGING set is reclaimed at the next call (the
+    * live index never saw it); a crash MID-CUTOVER can leave families
+    * from two generations — old codes are NOT comparable under the new
+    * quantizer's ADC LUTs — so like compaction this is a
+    * maintenance-window op: re-run the rebuild to repair (it rewrites
+    * every family), never serve from a torn window. The codes table is
+    * written pre-partitioned on the bucket hash, so the rebuilt index
+    * starts at its minimal ≤[[IndexBuckets]]-file layout (no separate
+    * compact needed). Returns the rebuilt
+    * `(centroids, codebookRows, codes)`. */
+  def ivfPqRebuild(spark: SparkSession, sfDir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, nList: Int = 16, iters: Int = 2,
+      m: Int = 8, ksub: Int = 256, dim: Int = 64)
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
+    val centPath = ivfCentroidsPath(sfDir, nList, iters)
+    val cbPath = ivfPqCodebookPath(sfDir, nList, iters, m, ksub)
+    val codesPath = ivfPqCodesPath(sfDir, nList, iters, m, ksub)
+    val codesName = tableName(codesPath)
+    val fs = new org.apache.hadoop.fs.Path(centPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(centPath, cbPath, codesPath).foreach { p =>
+      val sp = new org.apache.hadoop.fs.Path(p + "__rebuilding")
+      if (fs.exists(sp)) fs.delete(sp, true) // reclaim a torn attempt
+    }
+    // the trainer's exact derivation over the caller's corpus: the
+    // quantizer trains on ALL prepared rows (ivfCentroids' spelling),
+    // codebook + codes on the dim-matched subset (ivfPqIndex's)
+    val prepAll = graft.operators.Similarity.prepared(corpus, idCol,
+      vecCol)
+    val cents = graft.operators.Similarity
+      .refinedCentroids(prepAll, nList, iters).localCheckpoint(true)
+    val res = graft.operators.Similarity
+      .ivfPqResiduals(prepAll.filter(size(col("qv")) === dim), cents)
+      .localCheckpoint(true) // codebook + codes both read it
+    val cbRows = res.filter(col("id") < ksub)
+      .select(col("id").as("cid"), col("rv").as("cv"))
+      .localCheckpoint(true)
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(centPath + "__rebuilding")
+    cbRows.coalesce(1).write.mode("overwrite")
+      .parquet(cbPath + "__rebuilding")
+    val stageCodesName = codesName + "_rebuilding"
+    Lake.writeBucketedTable(
+      graft.operators.Similarity.ivfPqCodes(res, cbRows, m, ksub, dim)
+        .repartition(IndexBuckets, col("cid")),
+      stageCodesName, codesPath + "__rebuilding", "cid", IndexBuckets)
+    val schemaDdl = spark.table(stageCodesName).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $stageCodesName") // catalog only
+    // cutover, family by family
+    spark.sql(s"DROP TABLE IF EXISTS $codesName")
+    Seq(centPath, cbPath, codesPath).foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(p + "__rebuilding"),
+        dst), s"rebuild cutover rename failed: $p")
+    }
+    spark.sql(
+      s"""CREATE TABLE $codesName ($schemaDdl)
+         |USING PARQUET
+         |CLUSTERED BY (cid) SORTED BY (cid)
+         |INTO $IndexBuckets BUCKETS
+         |LOCATION '$codesPath'""".stripMargin)
+    spark.catalog.refreshTable(codesName)
+    ivfPqIndex(spark, sfDir, nList, iters, m, ksub, dim)
+  }
+
+  /** Reclaim ONE corpus's IVF-PQ artifacts (quantizer, codebook, codes
+    * table + catalog entry, the per-corpus model root) — the ANN twin
+    * of [[dropLshArtifacts]], for run-private fold corpora
+    * (`sim_ivfpq_rebuild` trains, folds, and rebuilds in a fresh dir
+    * per run). */
+  def dropIvfPqArtifacts(spark: SparkSession, sfDir: String,
+      nList: Int = 16, iters: Int = 2, m: Int = 8,
+      ksub: Int = 256): Unit = synchronized {
+    spark.sql("DROP TABLE IF EXISTS " +
+      tableName(ivfPqCodesPath(sfDir, nList, iters, m, ksub)))
+    val dir = new org.apache.hadoop.fs.Path(root(sfDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
   // ---- near-dup cluster map (the dedup map) ------------------------------
 
   def dedupMapPath(sfDir: String, tPct: Int): String =

@@ -1060,4 +1060,80 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"compaction lost the $c bucket spec:\n$p")
       }
   }
+
+  test("ivf-pq rebuild: the drift repair retrains all three artifact " +
+      "families in place, byte-identical to a from-scratch retrain") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, sf)
+    val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
+    // base corpus = the < cc slice; the fold brings the rest
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-rebuild-live").toString
+    all.filter(h < "cc").write.mode("overwrite")
+      .parquet(s"$dirA/embeddings.parquet")
+    Models.ivfPqIndex(spark, dirA)
+    val batch = all.filter(h >= "cc").select("vec_id", "embedding")
+      .localCheckpoint(true)
+    assert(batch.count() > 0)
+    Models.ivfPqIndexAppend(spark, dirA, batch, "vec_id", "embedding")
+    // the repair SCENARIO: with a threshold tightened below the
+    // hottest cell's share, the next fold's guard trips and points at
+    // the rebuild
+    val ex = intercept[IllegalArgumentException] {
+      Models.ivfPqIndexAppend(spark, dirA,
+        batch.select((col("vec_id") + 9000000L).as("vec_id"),
+          col("embedding")),
+        "vec_id", "embedding", maxCellShareMilli = 1)
+    }
+    assert(ex.getMessage.contains("rebuild the quantizer"))
+    // (that tripped fold's rows are durable — append-then-audit — so
+    // the union corpus the operator rebuilds from includes them)
+    val union = all.select("vec_id", "embedding").unionAll(batch
+      .select((col("vec_id") + 9000000L).as("vec_id"),
+        col("embedding")))
+    // a torn staging set from a crashed earlier attempt must be
+    // reclaimed, never renamed over the live index
+    val stage = new org.apache.hadoop.fs.Path(
+      Models.ivfPqCodesPath(dirA, 16, 2, 8, 256) + "__rebuilding")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stage)
+    fs.create(new org.apache.hadoop.fs.Path(stage, "part-torn.parquet"),
+      true).close()
+    val (cents, cbRows, codes) =
+      Models.ivfPqRebuild(spark, dirA, union, "vec_id", "embedding")
+    assert(!fs.exists(stage), "staging dir not cleaned up")
+    // from-scratch retrain on the union corpus in a fresh dir
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-rebuild-scratch").toString
+    union.write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+    val (cents2, cbRows2, codes2) = Models.ivfPqIndex(spark, dirB)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.selectExpr(df.columns.sorted
+          .map(c => s"cast(`$c` as string)").toIndexedSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(cents) == rows(cents2), "quantizer != retrain")
+    assert(rows(cbRows) == rows(cbRows2), "codebook != retrain")
+    assert(rows(codes) == rows(codes2), "codes != retrain")
+    // the rebuilt codes table starts at its minimal bucketed layout
+    val codesDir = new org.apache.hadoop.fs.Path(
+      Models.ivfPqCodesPath(dirA, 16, 2, 8, 256))
+    val it = fs.listFiles(codesDir, true)
+    var nFiles = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    assert(nFiles <= Models.IndexBuckets, s"$nFiles files after rebuild")
+    val plan = codes.groupBy("cid").count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(cid"),
+      s"rebuild lost the cid bucket spec:\n$plan")
+    // the daily loop resumes: a fold lands on the rebuilt index
+    val before = codes.count()
+    val s1 = Models.ivfPqIndexAppend(spark, dirA,
+      batch.select((col("vec_id") + 8000000L).as("vec_id"),
+        col("embedding")).limit(2),
+      "vec_id", "embedding")
+    assert(s1.agg(sum("n_appended")).head().getLong(0) == 2L)
+    assert(Models.ivfPqIndex(spark, dirA)._3.count() == before + 2)
+  }
 }
