@@ -501,6 +501,37 @@ object Dedup {
   def incrementalDedupIndexed(indexBands: DataFrame, indexSets: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, threshold: Double,
       k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
+    val pairs = crossSplitPairsIndexed(indexBands, indexSets, batch,
+      idCol, textCol, threshold, k, bands, w)
+    val matched = pairs
+      .groupBy(col("j").as("id"))
+      .agg(count(lit(1)).as("n_dups"), min("i").as("canon_id"),
+        max("jac").as("best_jac"))
+    val newIds = batch.select(col(idCol).as("id"))
+    newIds.join(matched, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("canon_id"), lit(-1L)).as("canon_id"),
+        coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
+        when(col("n_dups").isNotNull, 1L).otherwise(0L).as("is_dup"))
+      .localCheckpoint(true)
+  }
+
+  /** The verified cross-split PAIRS of [[incrementalDedupIndexed]]:
+    * `(i = index doc, j = batch doc, jac)` at Jaccard ≥ `threshold` —
+    * the probe layer shared by the survivor summary above and the
+    * persisted-cluster-map fold
+    * ([[graft.sources.Models.dedupMapAppend]]), which needs the raw
+    * edges (a batch doc bridging two index clusters merges them — the
+    * per-doc canonical aggregate can't express that). Same candidate
+    * generation (band-key equi-join, index side never re-enumerated,
+    * index rows with batch ids anti-joined away so replays never match
+    * a document to itself) and the same exact sorted-intersect
+    * verification. The returned frame is materialized; the batch-side
+    * shingle cache is released before returning. */
+  def crossSplitPairsIndexed(indexBands: DataFrame, indexSets: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
     val bSets = shingleSets(batch, idCol, textCol, w).cache()
     val bBands = bandTable(
       minhashSignature(
@@ -522,19 +553,7 @@ object Dedup {
       .select(col("i"), col("j"),
         (col("inter").cast("double") /
           (col("ni") + col("nj") - col("inter"))).as("jac"))
-    val matched = withJac.filter(col("jac") >= threshold)
-      .groupBy(col("j").as("id"))
-      .agg(count(lit(1)).as("n_dups"), min("i").as("canon_id"),
-        max("jac").as("best_jac"))
-    val newIds = batch.select(col(idCol).as("id"))
-    finishWithUnpersist(
-      newIds.join(matched, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-          coalesce(col("canon_id"), lit(-1L)).as("canon_id"),
-          coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
-          when(col("n_dups").isNotNull, 1L).otherwise(0L).as("is_dup")),
-      bSets)
+    finishWithUnpersist(withJac.filter(col("jac") >= threshold), bSets)
   }
 
   /** MinHash-LSH near-dup pipeline: shingle → signature → banded

@@ -133,6 +133,35 @@ object DedupQueries {
        |SELECT id, CAST(min(r) AS BIGINT) AS label
        |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** [[clustersCtes]] restricted to a corpus predicate — the map-fold
+    * gate (dd_map_append) replays the full retrain over exactly the
+    * base∪folded slice. Same shingle/pair/reach spelling. */
+  private def clustersWhereSql(threshold: String, pred: String): String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+       |  FROM documents WHERE $pred
+       |), sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i]||' '||w[i+1]||' '||w[i+2]
+       |                        for i in range(1, len(w)-1)]) AS sg
+       |  FROM toks
+       |),
+       |jpairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+       |          (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg)))
+       |        >= $threshold
+       |),
+       |edges AS (SELECT i, j FROM jpairs UNION ALL SELECT j AS i, i AS j FROM jpairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE $pred
+       |  UNION
+       |  SELECT e.i, reach.r FROM edges e JOIN reach ON reach.id = e.j
+       |)
+       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS label
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   private def survivorsSql(threshold: String): String =
     s"""${clustersCtes(threshold)},
        |labels AS (
@@ -576,6 +605,44 @@ object DedupQueries {
         "train + lshIndexAppend of the held-out slice) — same " +
         "brute-force oracle as dd_incremental, proving fold == " +
         "retrain at the hash gate"),
+
+    // The cluster MAP daily fold under the oracle gate — the fourth
+    // and last append family (postings, LSH, ANN codes, and now the
+    // map): base map + LSH index train on the < a8 slice in a
+    // run-private dir, the [a8, cc) batch folds in through
+    // Models.dedupMapAppend (index-probed cross edges + exact
+    // batch-internal edges, mini component pass, bucket-preserving
+    // map append + the merge-remap ledger), and the RESOLVED map is
+    // served. Oracle: the full recursive-CTE retrain over the < cc
+    // slice — the hash match proves fold ≡ retrain INCLUDING merges
+    // (a batch doc bridging two base clusters must collapse their
+    // labels, which only the remap layer can express).
+    "dd_map_append" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val tmp = TextQueries.foldTempDir("graft_map_fold")
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        docs.filter(h < "a8").write.mode("overwrite")
+          .parquet(s"$tmp/documents.parquet")
+        graft.sources.Models.dedupMap(s, tmp, 80)
+        graft.sources.Models.lshIndex(s, tmp,
+          Tables.documents(s, tmp), "doc_id", "text")
+        graft.sources.Models.dedupMapAppend(s, tmp,
+          docs.filter(h >= "a8" && h < "cc").select("doc_id", "text"),
+          "doc_id", "text", 80)
+        val out = graft.sources.Models.dedupMapResolved(s, tmp, 80)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id").localCheckpoint(true)
+        graft.sources.Models.dropLshArtifacts(s, tmp)
+        out
+      },
+      Some(clustersWhereSql("0.8",
+        "md5(CAST(doc_id AS VARCHAR)) < 'cc'")),
+      doc = "cluster-map daily fold: batch probed against the persisted " +
+        "LSH index, folded into the bucketed map with a merge-remap " +
+        "ledger, served RESOLVED — oracle retrains the full clustering " +
+        "over the union slice, proving fold == retrain including merges"),
 
     // Batch-equivalence twin of the STREAMING ingest dedup
     // (EventStreams.dedupDocuments): documents arrive at a

@@ -1038,11 +1038,18 @@ object SimilarityQueries {
         val tmp = TextQueries.foldTempDir("graft_ivfpq_rebuild")
         val embs = Tables.embeddings(s, d)
         val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
-        embs.filter(h < "cc").write.mode("overwrite")
+        // base + one fold build the STALE pre-rebuild state (a
+        // genuinely folded frozen-model index whose codes the swap
+        // must replace — served stale they'd mis-rank and fail the
+        // gate); sixth-sized slices suffice for that and keep the
+        // scene-setting share of the oracle tax small. The rebuild
+        // itself always pays the full-corpus retrain.
+        embs.filter(h < "2a").write.mode("overwrite")
           .parquet(s"$tmp/embeddings.parquet")
         graft.sources.Models.ivfPqIndex(s, tmp)
         graft.sources.Models.ivfPqIndexAppend(s, tmp,
-          embs.filter(h >= "cc").select("vec_id", "embedding"),
+          embs.filter(h >= "2a" && h < "55")
+            .select("vec_id", "embedding"),
           "vec_id", "embedding")
         val (cents, cbRows, codes) = graft.sources.Models
           .ivfPqRebuild(s, tmp, embs, "vec_id", "embedding")

@@ -107,6 +107,19 @@ object Models {
 
   // ---- IVF coarse quantizer ----------------------------------------------
 
+  /** Spread a small-file corpus across the session's parallelism
+    * before the expression-heavy train stages (Lloyd argmin, PQ
+    * encode): a corpus slice staged as one parquet file otherwise
+    * evaluates the whole train on ONE task — measured 6–8 s for a
+    * 2k-row slice where the spread train takes under a second. No-op
+    * (and no shuffle) when the scan already has enough splits, so a
+    * 100 TB corpus never pays a redistribution it doesn't need. */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = math.min(
+      df.sparkSession.sparkContext.defaultParallelism, IndexBuckets)
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Path encodes (nList, Lloyd iterations) — the quantizer's training
     * parameterization. */
   def ivfCentroidsPath(sfDir: String, nList: Int, iters: Int): String =
@@ -122,8 +135,13 @@ object Models {
       nList: Int = 16, iters: Int = 2): DataFrame = synchronized {
     val path = ivfCentroidsPath(sfDir, nList, iters)
     if (!exists(spark, path)) {
-      val prep = graft.operators.Similarity.prepared(
-        graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+      // checkpointed: each Lloyd step re-reads the prep — without the
+      // materialization the scan+quantize replays once per iteration
+      // (train-once path: the corpus-sized executor-storage footprint
+      // is the same trade ivfPqIndex makes for its residuals)
+      val prep = spread(graft.operators.Similarity.prepared(
+        graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding"))
+        .localCheckpoint(true)
       graft.operators.Similarity.refinedCentroids(prep, nList, iters)
         .coalesce(1)
         .write.mode("overwrite").parquet(path)
@@ -305,9 +323,9 @@ object Models {
       : (DataFrame, DataFrame, DataFrame) = {
     val cents = ivfCentroids(spark, sfDir, nList, iters)
     val cbPath = ivfPqCodebookPath(sfDir, nList, iters, m, ksub)
-    lazy val prep = graft.operators.Similarity.prepared(
+    lazy val prep = spread(graft.operators.Similarity.prepared(
       graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
-      .filter(size(col("qv")) === dim)
+      .filter(size(col("qv")) === dim))
     lazy val res = graft.operators.Similarity.ivfPqResiduals(prep, cents)
       .localCheckpoint(true)
     synchronized {
@@ -367,8 +385,9 @@ object Models {
     // and loads the frozen artifacts; never retrains here
     val (cents, cbRows, _) = ivfPqIndex(spark, sfDir, nList, iters, m,
       ksub, dim)
-    val prep = graft.operators.Similarity.prepared(batch, idCol, vecCol)
-      .filter(size(col("qv")) === dim)
+    val prep = spread(graft.operators.Similarity
+      .prepared(batch, idCol, vecCol)
+      .filter(size(col("qv")) === dim))
     val encoded = graft.operators.Similarity
       .ivfPqCodes(graft.operators.Similarity.ivfPqResiduals(prep, cents),
         cbRows, m, ksub, dim)
@@ -459,8 +478,9 @@ object Models {
     // the trainer's exact derivation over the caller's corpus: the
     // quantizer trains on ALL prepared rows (ivfCentroids' spelling),
     // codebook + codes on the dim-matched subset (ivfPqIndex's)
-    val prepAll = graft.operators.Similarity.prepared(corpus, idCol,
-      vecCol)
+    val prepAll = spread(
+      graft.operators.Similarity.prepared(corpus, idCol, vecCol))
+      .localCheckpoint(true) // Lloyd steps + residuals all read it
     val cents = graft.operators.Similarity
       .refinedCentroids(prepAll, nList, iters).localCheckpoint(true)
     val res = graft.operators.Similarity
@@ -540,6 +560,231 @@ object Models {
       Dedup.components(docs.select(col("doc_id").as("id")), pairs,
         pairsContained = true)
     }
+
+  /** The map's label-REMAP side table `(from_label, to_label)` — the
+    * merge ledger [[dedupMapAppend]] maintains (see there). */
+  def dedupRemapPath(sfDir: String, tPct: Int): String =
+    s"${dedupMapPath(sfDir, tPct)}_remap"
+
+  /** The cluster map with merge remaps applied — what every consumer
+    * of a FOLDED map must read: `(id, label)` where stale labels of
+    * clusters that later merged resolve to the merged cluster's
+    * canonical min. The remap table is flat (one hop, maintained so by
+    * [[dedupMapAppend]]) and merge-event-sized, so the resolve is one
+    * broadcast join over the id-bucketed map read — the map itself
+    * never shuffles. Equal to a plain [[dedupMap]] read when no folds
+    * have merged anything (no remap file). */
+  def dedupMapResolved(spark: SparkSession, sfDir: String,
+      tPct: Int = 50): DataFrame = {
+    val map = dedupMap(spark, sfDir, tPct)
+    val rp = dedupRemapPath(sfDir, tPct)
+    if (!exists(spark, rp)) map
+    else {
+      val remap = spark.read.parquet(rp)
+      map.join(broadcast(remap), map("label") === remap("from_label"),
+          "left")
+        .select(map("id"),
+          coalesce(col("to_label"), map("label")).as("label"))
+    }
+  }
+
+  /** Fold a batch of new documents INTO the persisted cluster map —
+    * the missing fourth daily loop (postings: [[postingsAppend]], LSH:
+    * [[lshIndexAppend]], ANN codes: [[ivfPqIndexAppend]], and now the
+    * map): without it a folded corpus serves survivor picks, sampling
+    * weights, and decontamination joins from a map frozen at base-train
+    * time — every folded document invisible, every cross-batch
+    * duplicate double-counted.
+    *
+    * The fold never re-enumerates old-vs-old pairs: the stored map IS
+    * their transitive closure, so the union corpus's components equal
+    * components over (batch↔batch pairs) ∪ (batch↔index pairs with the
+    * old endpoint CONTRACTED to its resolved label) ∪ the old
+    * clusters. Batch↔index pairs come from the persisted LSH index
+    * ([[graft.operators.Dedup.crossSplitPairsIndexed]] — band-key
+    * equi-join, index side zero-exchange), batch↔batch pairs from the
+    * exact prefix-filtered join over the batch alone; the mini
+    * component pass runs over a matches-sized graph, never the corpus.
+    *
+    * A batch doc bridging two old clusters MERGES them. Parquet rows
+    * are immutable, so the merge is recorded in a side REMAP table
+    * `(from_label, to_label)` rather than by rewriting the map: batch
+    * rows append bucket-preserving with their final labels, and
+    * [[dedupMapResolved]] applies the (merge-event-sized, broadcast)
+    * remap at read. The remap is kept FLAT — each fold re-points
+    * existing rows through its own merges and rewrites the (tiny)
+    * table whole — so resolution is always one hop; labels only ever
+    * decrease (a cluster's label is its min id), so a dead label can
+    * never be reborn and stale remap rows are harmless no-ops.
+    * [[compactDedupMap]] folds the remap into the base rows and
+    * empties it.
+    *
+    * Write order is the crash contract: LSH index fold FIRST (its own
+    * two-layer idempotence), remap rewrite second, map append LAST.
+    * A replay after any prefix of those writes recomputes the same
+    * pairs (the index probe anti-joins batch ids away, so a folded
+    * index never matches the batch to itself) and converges: remap
+    * rewrite is idempotent, and the map append only happens once
+    * because `dedupeIds` drops ids already present. As with the df
+    * refresh in [[postingsAppend]], a reader racing the fold can see
+    * the remap before the batch rows (or vice versa) — atomic folds
+    * stage through a [[VersionedStore]].
+    *
+    * `dedupeIds = true` is the at-least-once guard (streaming
+    * maintenance): ids already in the map drop from the batch before
+    * ANY write, so a fully-replayed fold is a no-op. The check streams
+    * the two-column map MAP-SIDE against a broadcast of the batch ids
+    * — the map never shuffles. */
+  def dedupMapAppend(spark: SparkSession, sfDir: String, batch: DataFrame,
+      idCol: String, textCol: String, tPct: Int = 80,
+      k: Int = 32, b: Int = 16, w: Int = 3,
+      dedupeIds: Boolean = false): Unit = synchronized {
+    val mapName = tableName(dedupMapPath(sfDir, tPct))
+    require(exists(spark, dedupMapPath(sfDir, tPct)),
+      "dedupMapAppend requires a trained map (call dedupMap first)")
+    require(exists(spark, lshSetsPath(sfDir, w)) &&
+      exists(spark, lshBandsPath(sfDir, k, b, w)),
+      "dedupMapAppend requires the LSH index (call lshIndex first)")
+    val resolved = dedupMapResolved(spark, sfDir, tPct)
+    val fresh =
+      if (!dedupeIds) batch
+      else {
+        val present = dedupMap(spark, sfDir, tPct)
+          .join(broadcast(batch.select(col(idCol).as("id"))), Seq("id"),
+            "left_semi")
+          .select(col("id").as(idCol)).localCheckpoint(true)
+        batch.join(broadcast(present), Seq(idCol), "left_anti")
+      }
+    val bdf = fresh.select(col(idCol), col(textCol)).localCheckpoint(true)
+    if (bdf.isEmpty) return // pure replay: fold to a no-op
+    val (bands, sets) = lshIndex(spark, sfDir,
+      sys.error("index exists — training must not run"), idCol, textCol,
+      k, b, w)
+    // batch↔index edges, old endpoint contracted to its RESOLVED label
+    val crossEdges = Dedup
+      .crossSplitPairsIndexed(bands, sets, bdf, idCol, textCol,
+        tPct / 100.0, k, b, w)
+      .select(col("i").as("id"), col("j"))
+      .join(resolved, Seq("id"))
+      .select(col("label").as("i"), col("j"))
+    // batch↔batch edges: exact prefix-filtered join over the batch
+    val innerEdges = Dedup
+      .jaccardPairs(bdf, idCol, textCol, tPct / 100.0, w)
+      .select(col("i"), col("j"))
+    val edges = crossEdges.unionAll(innerEdges).localCheckpoint(true)
+    val nodes = bdf.select(col(idCol).as("id"))
+      .unionAll(edges.select(col("i").as("id"))).distinct()
+    val comp = Dedup.components(nodes, edges, pairsContained = true)
+      .localCheckpoint(true) // everything below reads it
+    // the daily LSH fold first: its own idempotence layer, and folding
+    // it before the map writes means every crash-window replay can
+    // still regenerate identical pairs (see the scaladoc contract)
+    lshIndexAppend(spark, sfDir, bdf, idCol, textCol, k, b, w,
+      dedupeIds = true)
+    // merge ledger: touched old labels whose component found a smaller
+    // canonical id
+    val oldLabels = edges.select(col("i").as("id")).distinct()
+    val remapNew = comp.join(oldLabels, Seq("id"), "left_semi")
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as("from_label"), col("label").as("to_label"))
+      .localCheckpoint(true)
+    val rp = dedupRemapPath(sfDir, tPct)
+    val oldRemap =
+      if (exists(spark, rp)) Some(spark.read.parquet(rp)) else None
+    val mergedRemap = (oldRemap, remapNew.isEmpty) match {
+      case (None, true) => None
+      case (None, false) => Some(remapNew)
+      case (Some(o), _) =>
+        val o2 = o.localCheckpoint(true) // sever from the overwrite
+        Some(o2
+          .join(remapNew.select(col("from_label").as("f2"),
+            col("to_label").as("t2")), o2("to_label") === col("f2"),
+            "left")
+          .select(o2("from_label"),
+            coalesce(col("t2"), o2("to_label")).as("to_label"))
+          .unionAll(remapNew))
+    }
+    mergedRemap.foreach(_.coalesce(1).write.mode("overwrite").parquet(rp))
+    // batch rows last, with their final labels, bucket-preserving
+    comp.join(broadcast(bdf.select(col(idCol).as("id"))), Seq("id"),
+        "left_semi")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(IndexBuckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(mapName)
+  }
+
+  /** Fold the remap ledger into the map's base rows and rewrite the
+    * table at its minimal one-file-per-bucket layout — the
+    * steady-state companion [[dedupMapAppend]]'s scaladoc promises:
+    * after enough merge folds the broadcast remap is pure overhead and
+    * the appended files fragment the buckets; this rewrites resolved
+    * rows through the same staged atomic-rename cutover as
+    * [[compactBucketed]] and then DELETES the (now folded-in) remap.
+    * A crash between the cutover and the remap delete leaves stale
+    * remap rows whose from-labels no longer occur in the map — dead
+    * labels are never reborn (labels only decrease), so resolving
+    * through them is a no-op and the next compact clears them. Returns
+    * (dataFilesBefore, dataFilesAfter). */
+  def compactDedupMap(spark: SparkSession, sfDir: String,
+      tPct: Int = 80): (Long, Long) = synchronized {
+    val path = dedupMapPath(sfDir, tPct)
+    val rp = dedupRemapPath(sfDir, tPct)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val hasRemap = exists(spark, rp)
+    if (hasRemap) {
+      // resolve-and-stage, then reuse the generic cutover by renaming
+      // the resolved staging over the raw files: read FILES (the
+      // compactBucketed lesson), apply the remap, rewrite
+      val remap = spark.read.parquet(rp).localCheckpoint(true)
+      val raw = spark.read.parquet(path)
+      val resolved = raw
+        .join(broadcast(remap), raw("label") === remap("from_label"),
+          "left")
+        .select(raw("id"),
+          coalesce(col("to_label"), raw("label")).as("label"))
+        .localCheckpoint(true) // sever from the files being replaced
+      val name = tableName(path)
+      val stage = new org.apache.hadoop.fs.Path(path + "__compacting")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      val stageName = name + "_compacting"
+      Lake.writeBucketedTable(
+        resolved.repartition(IndexBuckets, col("id")),
+        stageName, stage.toString, "id", IndexBuckets)
+      val schemaDdl = spark.table(stageName).schema.toDDL
+      spark.sql(s"DROP TABLE IF EXISTS $stageName") // catalog only
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val before = {
+        val it = fs.listFiles(dst, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      fs.delete(dst, true)
+      require(fs.rename(stage, dst),
+        s"dedup-map compaction cutover rename failed: $stage")
+      spark.sql(
+        s"""CREATE TABLE $name ($schemaDdl)
+           |USING PARQUET
+           |CLUSTERED BY (id) SORTED BY (id)
+           |INTO $IndexBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+      spark.catalog.refreshTable(name)
+      fs.delete(new org.apache.hadoop.fs.Path(rp), true)
+      val after = {
+        val it = fs.listFiles(dst, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      (before, after)
+    } else compactBucketed(spark, path, "id")
+  }
 
   // ---- token document-frequency table (rarity/tf-idf statistic) ----------
 
@@ -952,7 +1197,7 @@ object Models {
     "lsh_sets_" -> "id",
     "lsh_bands_" -> "bk",
     "ivfpq_codes_" -> "cid",
-    "dedup_map_" -> "id",
+    // dedup_map_* routes through compactDedupMap (remap-ledger fold)
     "bpe_segs_" -> "word")
 
   /** Compact EVERY bucketed artifact present under this corpus's
@@ -980,6 +1225,14 @@ object Models {
       .flatMap { p =>
         if (p.getName == "doc_lens") // per-fold-appended plain parquet
           Some(p.getName -> compactPlainParquet(spark, p.toString))
+        // the cluster map routes through its OWN compactor so the
+        // merge-remap ledger folds into the base rows; the ledger dir
+        // itself (plain two-column parquet, not a bucketed table) is
+        // consumed by that fold, never compacted standalone
+        else if (p.getName.matches("dedup_map_j\\d+"))
+          Some(p.getName -> compactDedupMap(spark, sfDir,
+            p.getName.stripPrefix("dedup_map_j").toInt))
+        else if (p.getName.matches("dedup_map_j\\d+_remap")) None
         else BucketedArtifactPrefixes
           .collectFirst { case (pre, bc) if p.getName.startsWith(pre) =>
             p.getName -> compactBucketed(spark, p.toString, bc)

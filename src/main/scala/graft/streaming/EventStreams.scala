@@ -394,10 +394,22 @@ object EventStreams {
     * re-append would duplicate candidate pairs and corrupt Jaccard
     * denominators). `compactEvery > 0` rewrites BOTH LSH artifacts
     * (bands + shingle sets) to minimal file layout after every Nth
-    * applied fold. */
+    * applied fold.
+    *
+    * `foldMap = true` upgrades the fold to
+    * [[graft.sources.Models.dedupMapAppend]]: the batch lands in the
+    * persisted CLUSTER MAP as well (bridge docs merge base clusters
+    * through the remap ledger), and the LSH fold happens inside that
+    * call — downstream consumers (survivor picks, sampling weights)
+    * then serve folded membership from [[graft.sources.Models
+    * .dedupMapResolved]] instead of a base-train snapshot. Requires a
+    * trained map at `(threshold*100).toInt`; in-loop compaction then
+    * also folds the remap ledger ([[graft.sources.Models
+    * .compactDedupMap]]). */
   def dedupMaintenance(docs: Dataset[DocEvent], sfDir: String,
       checkpointDir: String, sink: (DataFrame, Long) => Unit,
-      threshold: Double = 0.8, compactEvery: Int = 0)
+      threshold: Double = 0.8, compactEvery: Int = 0,
+      foldMap: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
@@ -421,8 +433,17 @@ object EventStreams {
           sink(graft.operators.Dedup.incrementalDedupIndexed(
             bands, sets, b, "doc_id", "text", threshold)
             .localCheckpoint(true), batchId)
-          graft.sources.Models.lshIndexAppend(spark, sfDir, b,
-            "doc_id", "text", dedupeIds = true)
+          if (foldMap) {
+            // map + LSH fold in one call (the map fold probes BEFORE
+            // appending the index, then folds both — see its crash
+            // contract); dedupeIds covers the replay window here too
+            graft.sources.Models.dedupMapAppend(spark, sfDir, b,
+              "doc_id", "text", math.round(threshold * 100).toInt,
+              dedupeIds = true)
+          } else {
+            graft.sources.Models.lshIndexAppend(spark, sfDir, b,
+              "doc_id", "text", dedupeIds = true)
+          }
           f.mkdirs(marker.getParent)
           f.create(marker, true).close()
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
@@ -430,6 +451,10 @@ object EventStreams {
               graft.sources.Models.lshBandsPath(sfDir, 32, 16, 3), "bk")
             graft.sources.Models.compactBucketed(spark,
               graft.sources.Models.lshSetsPath(sfDir, 3), "id")
+            if (foldMap) {
+              graft.sources.Models.compactDedupMap(spark, sfDir,
+                math.round(threshold * 100).toInt)
+            }
             ()
           }
         }

@@ -896,6 +896,64 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nFiles2(setsPath) <= Models.IndexBuckets, "sets fragmented")
   }
 
+  test("dedup streaming maintenance with foldMap: the cluster map " +
+      "folds in-loop, bridge merges land, in-loop compaction folds " +
+      "the remap ledger; streamed == sequential replay") {
+    graft.functions.GraftFunctions.register(spark)
+    // same crafted geometry as the batch map-fold test: E(50) bridges
+    // X={10,11} with Y={20}; F(60) then bridges the merged cluster
+    // with Z={30} — across TWO micro-batches
+    def doc(id: Long, change: Map[Int, String]): (Long, String) =
+      (id, (1 to 40).map(i => change.getOrElse(i, s"t$i")).mkString(" "))
+    val base = Seq(
+      doc(10, Map(1 -> "a1", 2 -> "a2")),
+      doc(11, Map(1 -> "a1", 2 -> "a2")),
+      doc(20, Map(20 -> "b1", 21 -> "b2")),
+      doc(30, Map(28 -> "c1", 29 -> "c2", 30 -> "c3", 31 -> "c4")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedupm-map").toString
+    base.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Models.dedupMap(spark, dir, 80)
+    Models.lshIndex(spark, dir,
+      Tables.documents(spark, dir), "doc_id", "text")
+    val fold1 = Seq(doc(50, Map.empty)).toDF("doc_id", "text")
+    val fold2 = Seq(doc(60, Map(28 -> "c1", 29 -> "c2")))
+      .toDF("doc_id", "text")
+    val got = scala.collection.mutable.Map[Long, Long]()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.DocEvent](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dedupm-map-ckpt").toString
+    val q = graft.streaming.EventStreams.dedupMaintenance(
+      input.toDS(), dir, ckpt,
+      (df, bid) => { got(bid) = df.count(); () },
+      compactEvery = 2, foldMap = true)
+    def ev(r: org.apache.spark.sql.Row) =
+      graft.streaming.EventStreams.DocEvent(r.getLong(0),
+        java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), r.getString(1))
+    try {
+      input.addData(fold1.collect().map(ev).toSeq); q.processAllAvailable()
+      input.addData(fold2.collect().map(ev).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(got(0L) == 1 && got(1L) == 1, s"decisions missing: $got")
+    // the streamed folds produced exactly the sequential result,
+    // merges included
+    val r = Models.dedupMapResolved(spark, dir, 80).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 30L -> 10L,
+      50L -> 10L, 60L -> 10L), s"streamed map: $r")
+    // in-loop compaction (after the 2nd applied fold) folded the
+    // ledger into the base rows and held the minimal layout
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Models.dedupRemapPath(dir, 80))), "remap not folded in-loop")
+    val raw = Models.dedupMap(spark, dir, 80).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(raw == r, "compacted raw rows != resolved rows")
+  }
+
   test("df table: reload == retrain, indexed query equals retraining") {
     val stored = Models.dfTable(spark, sf)
     val retrained = TextOps.dfTable(Tables.documents(spark, sf)
@@ -1135,5 +1193,97 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vec_id", "embedding")
     assert(s1.agg(sum("n_appended")).head().getLong(0) == 2L)
     assert(Models.ivfPqIndex(spark, dirA)._3.count() == before + 2)
+  }
+
+  test("dedup map fold: batch rows land, a bridge doc MERGES base " +
+      "clusters through the remap ledger, resolved map == retrain; " +
+      "compactDedupMap folds the ledger in") {
+    graft.functions.GraftFunctions.register(spark)
+    // 40 distinct tokens per doc, w=3 shingles (38/doc): 2 consecutive
+    // interior changed tokens flip 4 shingles -> J = 34/42 = 0.8095
+    // (just above the 0.8 gate); 4 changed flip 6 -> 32/44 = 0.727
+    // (below); changes at positions 1-2 flip only 2 -> 36/40 = 0.9
+    def doc(id: Long, change: Map[Int, String]): (Long, String) =
+      (id, (1 to 40).map(i => change.getOrElse(i, s"t$i")).mkString(" "))
+    val base = Seq(
+      doc(10, Map(1 -> "a1", 2 -> "a2")), // cluster X seed
+      doc(11, Map(1 -> "a1", 2 -> "a2")), // exact dup -> X = {10, 11}
+      doc(20, Map(20 -> "b1", 21 -> "b2")), // singleton Y
+      doc(30, Map(28 -> "c1", 29 -> "c2", 30 -> "c3", 31 -> "c4")), // Z
+      doc(40, (1 to 10).map(i => i -> s"z$i").toMap)) // far singleton
+      .toDF("doc_id", "text")
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-mapfold-live").toString
+    base.write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val m0 = Models.dedupMap(spark, dirA, 80).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m0 == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 30L -> 30L,
+      40L -> 40L), s"base map: $m0")
+    Models.lshIndex(spark, dirA,
+      Tables.documents(spark, dirA), "doc_id", "text")
+    // fold 1: E(50) = the unmodified token run — within the gate of
+    // BOTH cluster X (J=0.9) and singleton Y (J=0.8095) while X-Y sit
+    // below it (0.727): the fold must MERGE {10,11} with {20}
+    val fold1 = Seq(doc(50, Map.empty)).toDF("doc_id", "text")
+    Models.dedupMapAppend(spark, dirA, fold1, "doc_id", "text", 80)
+    def resolved(): Map[Long, Long] =
+      Models.dedupMapResolved(spark, dirA, 80).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = resolved()
+    assert(r1 == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 50L -> 10L,
+      30L -> 30L, 40L -> 40L), s"after fold 1: $r1")
+    // the merge ledger recorded Y's collapse, flat
+    val remap1 = spark.read.parquet(Models.dedupRemapPath(dirA, 80))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remap1 == Map(20L -> 10L), s"remap after fold 1: $remap1")
+    // fold 2: F(60) bridges the MERGED cluster with Z — J(F, E) =
+    // J(F, Z) = 0.8095, so the component spans labels {10, 30}: the
+    // old (20 -> 10) row must stay flat while (30 -> 10) lands
+    val fold2 = Seq(doc(60, Map(28 -> "c1", 29 -> "c2")))
+      .toDF("doc_id", "text")
+    Models.dedupMapAppend(spark, dirA, fold2, "doc_id", "text", 80)
+    val r2 = resolved()
+    assert(r2 == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 50L -> 10L,
+      30L -> 10L, 60L -> 10L, 40L -> 40L), s"after fold 2: $r2")
+    val remap2 = spark.read.parquet(Models.dedupRemapPath(dirA, 80))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remap2 == Map(20L -> 10L, 30L -> 10L),
+      s"remap after fold 2: $remap2")
+    // fold == retrain: a from-scratch map over the union corpus in a
+    // fresh dir equals the resolved fold product
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-mapfold-scratch").toString
+    base.unionAll(fold1).unionAll(fold2).write.mode("overwrite")
+      .parquet(s"$dirB/documents.parquet")
+    val retrain = Models.dedupMap(spark, dirB, 80).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == retrain, s"fold $r2 != retrain $retrain")
+    // at-least-once replay folds to a no-op
+    val n2 = Models.dedupMap(spark, dirA, 80).count()
+    Models.dedupMapAppend(spark, dirA, fold2, "doc_id", "text", 80,
+      dedupeIds = true)
+    assert(Models.dedupMap(spark, dirA, 80).count() == n2 &&
+      resolved() == r2, "replayed fold changed the map")
+    // compactDedupMap folds the ledger into the base rows: remap gone,
+    // raw read == resolved read, minimal layout, bucket pin intact
+    val (b0, a0) = Models.compactDedupMap(spark, dirA, 80)
+    assert(a0 <= Models.IndexBuckets && a0 <= b0, s"files $b0 -> $a0")
+    val fs = new org.apache.hadoop.fs.Path(dirA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Models.dedupRemapPath(dirA, 80))), "remap not folded in")
+    val raw = Models.dedupMap(spark, dirA, 80).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(raw == r2, s"compacted raw rows $raw != resolved $r2")
+    val plan = Models.dedupMap(spark, dirA, 80).groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(id"),
+      s"compaction lost the id bucket spec:\n$plan")
+    // the daily loop resumes on the compacted map
+    Models.dedupMapAppend(spark, dirA,
+      Seq(doc(70, (11 to 20).map(i => i -> s"y$i").toMap))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 80)
+    assert(resolved()(70L) == 70L, "post-compact fold did not land")
   }
 }
