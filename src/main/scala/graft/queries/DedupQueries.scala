@@ -623,13 +623,17 @@ object DedupQueries {
         val tmp = TextQueries.foldTempDir("graft_map_fold")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        docs.filter(h < "a8").write.mode("overwrite")
+        // third-sized base + a ~17% fold batch: the gate's content is
+        // fold == retrain over the union slice (merges included) —
+        // slice sizes only set the scene, and the base train is the
+        // quadratic-ish part of the oracle tax
+        docs.filter(h < "55").write.mode("overwrite")
           .parquet(s"$tmp/documents.parquet")
         graft.sources.Models.dedupMap(s, tmp, 80)
         graft.sources.Models.lshIndex(s, tmp,
           Tables.documents(s, tmp), "doc_id", "text")
         graft.sources.Models.dedupMapAppend(s, tmp,
-          docs.filter(h >= "a8" && h < "cc").select("doc_id", "text"),
+          docs.filter(h >= "55" && h < "80").select("doc_id", "text"),
           "doc_id", "text", 80)
         val out = graft.sources.Models.dedupMapResolved(s, tmp, 80)
           .withColumnRenamed("id", "doc_id")
@@ -638,7 +642,7 @@ object DedupQueries {
         out
       },
       Some(clustersWhereSql("0.8",
-        "md5(CAST(doc_id AS VARCHAR)) < 'cc'")),
+        "md5(CAST(doc_id AS VARCHAR)) < '80'")),
       doc = "cluster-map daily fold: batch probed against the persisted " +
         "LSH index, folded into the bucketed map with a merge-remap " +
         "ledger, served RESOLVED — oracle retrains the full clustering " +
