@@ -50,7 +50,10 @@ object BenchSf1 {
     // the IVF-PQ drift repair (round-14): base train + fold + full
     // rebuild + serve — the rebuild is a bounded retrain pass, so the
     // ratio should track the other retrain-class families
-    "sim_ivfpq_rebuild")
+    "sim_ivfpq_rebuild",
+    // the cluster-map daily fold (round-14): base map + LSH train,
+    // probe-and-fold with the merge-remap ledger, resolved serve
+    "dd_map_append")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,6 +44,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "pq_codes", exprs =>
+        PqCodes(exprs(0), exprs(1), intLit(exprs(2), "pq_codes", "m")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "subword_tokens", exprs => {
         // Accept ANY foldable array<string> vocab (a Literal, but also
         // e.g. array('ab','cd') from SQL, which analyzes as a foldable
@@ -121,6 +125,11 @@ object GraftFunctions {
     * allocation-free loop (see [[NearestCell]]). */
   def nearestCell(qv: Column, cents: Column): Column =
     call_function("nearest_cell", qv, cents)
+
+  /** Product-quantization code array over a broadcast cid-sorted
+    * codebook in one native loop (see [[PqCodes]]). */
+  def pqCodes(v: Column, cb: Column, m: Int): Column =
+    call_function("pq_codes", v, cb, lit(m))
 
   /** Order-sensitive chunked MD5 aggregate as a Column (small-object
     * path; see [[ChunkedMd5]]). */

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructType}
+
+/** `pq_codes(v, cb, m)`: the product-quantization code array of vector
+  * `v` against a (broadcast) cid-sorted codebook — for each of the `m`
+  * equal subspaces, the 1-based POSITION of the codebook entry whose
+  * matching subvector minimizes the exact-int squared L2 distance,
+  * ties to the smaller position. The fused form of
+  * `transform(sequence(0, m-1), mm -> array_min(transform(...,
+  * p -> struct(subD2, p)).cast(...)).p)`.
+  *
+  * The HOF spelling evaluates interpreted per (row × subspace ×
+  * codebook entry), allocating a struct each time and COPYING the
+  * whole candidate array through a cast before `array_min` — measured
+  * ~5 ms/row at m=8, ksub=256 (dim 64): the single largest per-row
+  * cost in the IVF-PQ train/fold/rebuild paths, and the reason
+  * `sim_ivfpq_rebuild` scaled at 4.3× for 10× rows where its siblings
+  * hold 1.7–2×. This expression runs one native loop per row (no
+  * allocation beyond the m-int result), with identical semantics: the
+  * codebook array is cid-sorted, so first-minimum-wins equals the
+  * lexicographic `array_min` over `(d2, p)` structs and the oracle's
+  * `ORDER BY d2, p`.
+  *
+  * Codebook entries whose vector length differs from `v` are skipped
+  * (cannot occur in practice — entries are drawn from the same
+  * dim-filtered prep as `v`). Null when `m` does not divide `v`'s
+  * length or no entry matches it. */
+case class PqCodes(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  // null when the codebook has no dim-matched entry, regardless of
+  // input nullability
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(s: StructType, _))
+          if s.length >= 2 &&
+            s(1).dataType.isInstanceOf[ArrayType] &&
+            s(1).dataType.asInstanceOf[ArrayType].elementType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "pq_codes expects (array<long>, " +
+          "array<struct<cid:long,cv:array<long>,...>>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    codes(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  // the entry struct's arity, needed to decode unsafe rows correctly
+  // whatever trailing fields the codebook carries
+  private lazy val cbFields = right.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType].length
+
+  /** The per-subspace argmin kernel, shared by the interpreted and
+    * generated paths. */
+  def codes(v: ArrayData, cb: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    if (m <= 0 || dim == 0 || dim % m != 0) return null
+    val subDim = dim / m
+    val n = cb.numElements()
+    val out = new Array[Any](m)
+    var mm = 0
+    while (mm < m) {
+      var best = Long.MaxValue
+      var bestP = 0
+      var found = false
+      var p = 0
+      while (p < n) {
+        val cv = cb.getStruct(p, cbFields).getArray(1)
+        if (cv.numElements() == dim) {
+          var d2 = 0L
+          var k = mm * subDim
+          val end = k + subDim
+          while (k < end) {
+            val d = v.getLong(k) - cv.getLong(k)
+            d2 += d * d
+            k += 1
+          }
+          if (!found || d2 < best) { best = d2; bestP = p + 1; found = true }
+        }
+        p += 1
+      }
+      if (!found) return null
+      out(mm) = bestP
+      mm += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, (v, cb) =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  $ref.codes($v, $cb);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqCodes = copy(left = l, right = r)
+
+  override def prettyName: String = "pq_codes"
+}

@@ -349,14 +349,13 @@ object Similarity {
         col("qv").as("cv")))).as("_cb")))
     // per-row codes: for each subspace, the 1-based POSITION of the
     // nearest codebook entry (positions follow cid order, so ties to
-    // the smaller position == ties to the smaller cid)
-    val codeArr = transform(sequence(lit(0), lit(m - 1)), mm =>
-      array_min(transform(sequence(lit(1), lit(ksub)), p =>
-        struct(subD2(col("qv"), element_at(col("_cb"), p).getField("cv"),
-          mm, subDim).as("d2"), p.as("p")))
-        .cast("array<struct<d2:bigint,p:int>>")).getField("p"))
+    // the smaller position == ties to the smaller cid) — the native
+    // loop ([[graft.functions.PqCodes]]; prep is dense id 0..n-1 here,
+    // so "all entries" == the nominal ksub the old spelling iterated)
     val codes = prep.crossJoin(cb)
-      .select(col("id").as("nid"), codeArr.as("codes"))
+      .select(col("id").as("nid"),
+        graft.functions.GraftFunctions
+          .pqCodes(col("qv"), col("_cb"), m).as("codes"))
     // per-query ADC lookup tables: luts[mm][p] = d2(query sub mm,
     // codebook entry p) — positions aligned with the codes above
     val luts = prep.filter(col("id") < queryLimit).crossJoin(cb)
@@ -416,20 +415,16 @@ object Similarity {
     * smaller cbid). This IS the stored index: m small codes + a cell
     * id per vector. */
   def ivfPqCodes(res: DataFrame, cbRows: DataFrame, m: Int, ksub: Int,
-      dim: Int): DataFrame = {
-    val subDim = dim / m
-    // iterate the codebook's ACTUAL size, not the nominal ksub: a
-    // codebook trained from a corpus sample can hold fewer than ksub
-    // entries (sample ids are sparse under a split/filter), and ANSI
-    // element_at throws past the end rather than returning null
-    val codeArr = transform(sequence(lit(0), lit(m - 1)), mm =>
-      array_min(transform(sequence(lit(1), size(col("_cb"))), p =>
-        struct(subD2(col("rv"), element_at(col("_cb"), p).getField("cv"),
-          mm, subDim).as("d2"), p.as("p")))
-        .cast("array<struct<d2:bigint,p:int>>")).getField("p"))
+      dim: Int): DataFrame =
+    // the native argmin loop ([[graft.functions.PqCodes]]) — iterates
+    // the codebook's ACTUAL size, not the nominal ksub (a codebook
+    // trained from a corpus sample can hold fewer entries), and
+    // replaces the per-(row × subspace × entry) interpreted HOF chain
+    // that dominated every encode pass (~5 ms/row at m=8, ksub=256)
     res.crossJoin(codebookRow(cbRows))
-      .select(col("id").as("nid"), col("cid"), codeArr.as("codes"))
-  }
+      .select(col("id").as("nid"), col("cid"),
+        graft.functions.GraftFunctions
+          .pqCodes(col("rv"), col("_cb"), m).as("codes"))
 
   /** The probe/score core against an EXISTING index (centroids +
     * codebook rows + codes) — the steady-state form where all three are

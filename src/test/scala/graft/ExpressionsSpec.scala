@@ -104,4 +104,46 @@ class ExpressionsSpec extends AnyFunSuite {
     r.foreach { case (fast, slow) => assert(fast == slow) }
     assert(r.map(_._1).toSeq == Seq(2L, 0L, 0L))
   }
+
+  test("pq_codes equals the array_min(transform(...)) HOF spelling, " +
+      "ties to the smaller position") {
+    GraftFunctions.register(spark)
+    // random-ish but deterministic vectors + a codebook with a
+    // deliberate exact tie (two identical entries) to pin first-wins
+    val dim = 16
+    val m = 4
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(dim)(rnd.nextInt(21).toLong - 10L)))
+    val cbv = (0L until 7L).map(c =>
+      (c, Seq.fill(dim)(rnd.nextInt(21).toLong - 10L)))
+    // entry 5 duplicates entry 2: any vector nearest to it must code
+    // the SMALLER position
+    val cb = cbv.updated(5, (5L, cbv(2)._2))
+    val df = cb.toDF("cid", "cv").agg(
+      array_sort(collect_list(struct($"cid", $"cv"))).as("_cb"))
+      .crossJoin(vecs.toDF("id", "v"))
+    val subDim = dim / m
+    def subD2(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column,
+        mm: org.apache.spark.sql.Column) =
+      aggregate(zip_with(slice(a, mm * subDim + 1, lit(subDim)),
+        slice(b, mm * subDim + 1, lit(subDim)),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val hof = transform(sequence(lit(0), lit(m - 1)), mm =>
+      array_min(transform(sequence(lit(1), size($"_cb")), p =>
+        struct(subD2($"v", element_at($"_cb", p).getField("cv"), mm)
+          .as("d2"), p.as("p")))
+        .cast("array<struct<d2:bigint,p:int>>")).getField("p"))
+    val r = df.select($"id",
+      GraftFunctions.pqCodes($"v", $"_cb", m).cast("string").as("fast"),
+      hof.cast("string").as("slow"))
+      .as[(Long, String, String)].collect()
+    r.foreach { case (id, fast, slow) =>
+      assert(fast == slow, s"id $id: $fast != $slow") }
+    // the duplicated entry never wins a code slot (first-minimum tie)
+    val codes = df.select(explode(
+      GraftFunctions.pqCodes($"v", $"_cb", m))).as[Int].collect()
+    assert(!codes.contains(6), "tie resolved to the larger position")
+  }
 }

@@ -1264,6 +1264,15 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       dedupeIds = true)
     assert(Models.dedupMap(spark, dirA, 80).count() == n2 &&
       resolved() == r2, "replayed fold changed the map")
+    // resolved-read plan shape while the ledger is live: the remap
+    // BROADCASTS and the map side keeps its id buckets — resolution
+    // never shuffles the map
+    val rplan = Models.dedupMapResolved(spark, dirA, 80)
+      .groupBy("id").count()
+      .queryExecution.executedPlan.toString
+    assert(rplan.contains("BroadcastHashJoin"), s"remap not broadcast:\n$rplan")
+    assert(!rplan.contains("Exchange hashpartitioning(id"),
+      s"resolved read shuffled the map:\n$rplan")
     // compactDedupMap folds the ledger into the base rows: remap gone,
     // raw read == resolved read, minimal layout, bucket pin intact
     val (b0, a0) = Models.compactDedupMap(spark, dirA, 80)
