@@ -440,7 +440,9 @@ object CorpusQueries {
         val docs = Tables.documents(s, d)
         val gated = docs.filter(TextOps.ingestGate(col("text")))
         val surv = gated.join(
-          graft.sources.Models.dedupMap(s, d)
+          // resolved read: a stale-label row whose cluster merged away
+          // must NOT pass the id == label survivor gate
+          graft.sources.Models.dedupMapResolved(s, d)
             .filter(col("id") === col("label"))
             .select(col("id").as("doc_id")),
           Seq("doc_id"), "left_semi")

@@ -368,7 +368,10 @@ object DedupQueries {
     // Same recursive-CTE oracle as dd_clusters: the from-scratch replay
     // hash-matching the stored map proves reload == retrain.
     "dd_clusters_indexed" -> QueryDef(
-      (s, d) => graft.sources.Models.dedupMap(s, d)
+      // reads through the resolved layer: identical to the raw map
+      // when no fold has merged anything (no ledger), and the only
+      // correct read once one has
+      (s, d) => graft.sources.Models.dedupMapResolved(s, d)
         .select("id", "label").orderBy("id"),
       Some(clustersSql("0.5")),
       doc = "persisted dedup map: the cluster assignment as a bucketed " +
@@ -382,7 +385,8 @@ object DedupQueries {
     // Same oracle as dd_dup_weights.
     "dd_dup_weights_indexed" -> QueryDef(
       (s, d) => {
-        val m = graft.sources.Models.dedupMap(s, d).select("id", "label")
+        val m = graft.sources.Models.dedupMapResolved(s, d)
+          .select("id", "label")
         val sizes = m.groupBy("label").agg(count(lit(1)).as("cluster_size"))
         m.join(sizes, "label")
           .select(col("id").as("doc_id"), col("label"), col("cluster_size"),
@@ -416,7 +420,7 @@ object DedupQueries {
     "dd_survivors_indexed" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        graft.sources.Models.dedupMap(s, d)
+        graft.sources.Models.dedupMapResolved(s, d)
           .groupBy(col("label").as("doc_id"))
           .agg(count(lit(1)).as("cluster_size"))
           .join(docs.select("doc_id", "n_chars"), "doc_id")

@@ -263,7 +263,7 @@ object EventStreams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val surv = batch.toDF()
-            .join(graft.sources.Models.dedupMap(spark, sfDir)
+            .join(graft.sources.Models.dedupMapResolved(spark, sfDir)
               .filter(col("id") === col("label"))
               .select(col("id").as("doc_id")),
               Seq("doc_id"), "left_semi")
