@@ -318,9 +318,27 @@ object Models {
     * it audits at 0.92 recall@5 (`sim_ivfpq_recall`), where the
     * original 4-bit/nProbe=4 pure-ADC point measured 0.26 — a point a
     * serving pipeline would actually flip traffic to. */
+  /** The in-flight-cutover marker [[ivfPqRebuild]] holds while it
+    * swaps artifact families. Its presence at LOAD time means a
+    * rebuild crashed mid-cutover: the on-disk families may span two
+    * quantizer generations, and old codes are NOT comparable under a
+    * new quantizer's ADC LUTs — serving would be silently wrong, so
+    * the loader fails fast instead (the drift-guard philosophy). */
+  def ivfPqRebuildMarkerPath(sfDir: String, nList: Int, iters: Int,
+      m: Int, ksub: Int): String =
+    s"${root(sfDir)}/ivfpq_rebuilding_n${nList}_i${iters}_m${m}_k$ksub"
+
   def ivfPqIndex(spark: SparkSession, sfDir: String, nList: Int = 16,
       iters: Int = 2, m: Int = 8, ksub: Int = 256, dim: Int = 64)
       : (DataFrame, DataFrame, DataFrame) = {
+    val markerP = new org.apache.hadoop.fs.Path(
+      ivfPqRebuildMarkerPath(sfDir, nList, iters, m, ksub))
+    require(!markerP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(markerP),
+      "torn IVF-PQ rebuild cutover detected (marker " +
+        s"$markerP): artifact families may span two quantizer " +
+        "generations — re-run ivfPqRebuild to repair before serving")
     val cents = ivfCentroids(spark, sfDir, nList, iters)
     val cbPath = ivfPqCodebookPath(sfDir, nList, iters, m, ksub)
     lazy val prep = spread(graft.operators.Similarity.prepared(
@@ -500,7 +518,14 @@ object Models {
       stageCodesName, codesPath + "__rebuilding", "cid", IndexBuckets)
     val schemaDdl = spark.table(stageCodesName).schema.toDDL
     spark.sql(s"DROP TABLE IF EXISTS $stageCodesName") // catalog only
-    // cutover, family by family
+    // cutover, family by family, under the in-flight marker: a crash
+    // inside this window leaves families from two quantizer
+    // generations on disk, and [[ivfPqIndex]] refuses to serve while
+    // the marker stands — silent mis-scoring becomes a fail-fast that
+    // names the repair (re-run the rebuild)
+    val marker = new org.apache.hadoop.fs.Path(
+      ivfPqRebuildMarkerPath(sfDir, nList, iters, m, ksub))
+    fs.create(marker, true).close()
     spark.sql(s"DROP TABLE IF EXISTS $codesName")
     Seq(centPath, cbPath, codesPath).foreach { p =>
       val dst = new org.apache.hadoop.fs.Path(p)
@@ -515,6 +540,7 @@ object Models {
          |INTO $IndexBuckets BUCKETS
          |LOCATION '$codesPath'""".stripMargin)
     spark.catalog.refreshTable(codesName)
+    fs.delete(marker, false) // cutover complete: serving is safe again
     ivfPqIndex(spark, sfDir, nList, iters, m, ksub, dim)
   }
 

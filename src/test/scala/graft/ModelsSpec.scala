@@ -1193,6 +1193,24 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vec_id", "embedding")
     assert(s1.agg(sum("n_appended")).head().getLong(0) == 2L)
     assert(Models.ivfPqIndex(spark, dirA)._3.count() == before + 2)
+    // a crash MID-CUTOVER (marker present) must fail the loader fast —
+    // mixed-generation artifacts would serve silently wrong — and
+    // re-running the rebuild repairs and clears it
+    val marker = new org.apache.hadoop.fs.Path(
+      Models.ivfPqRebuildMarkerPath(dirA, 16, 2, 8, 256))
+    fs.create(marker, true).close()
+    val torn = intercept[IllegalArgumentException] {
+      Models.ivfPqIndex(spark, dirA)
+    }
+    assert(torn.getMessage.contains("torn IVF-PQ rebuild"))
+    val (_, _, repaired) =
+      Models.ivfPqRebuild(spark, dirA, union, "vec_id", "embedding")
+    assert(!fs.exists(marker), "repair did not clear the marker")
+    // the repair retrains from the supplied corpus — the post-rebuild
+    // fold's 2 rows (not in `union`) drop out, and the result equals
+    // the from-scratch retrain again
+    assert(rows(repaired) == rows(codes2),
+      "repaired index diverged from the retrain")
   }
 
   test("dedup map fold: batch rows land, a bridge doc MERGES base " +
