@@ -500,9 +500,22 @@ object Dedup {
     * to itself at jac = 1. */
   def incrementalDedupIndexed(indexBands: DataFrame, indexSets: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, threshold: Double,
-      k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
-    val pairs = crossSplitPairsIndexed(indexBands, indexSets, batch,
-      idCol, textCol, threshold, k, bands, w)
+      k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame =
+    dedupSummaryFromPairs(
+      crossSplitPairsIndexed(indexBands, indexSets, batch,
+        idCol, textCol, threshold, k, bands, w),
+      batch, idCol).localCheckpoint(true)
+
+  /** [[incrementalDedupIndexed]]'s per-doc survivor/duplicate summary
+    * derived from ALREADY-PROBED pairs — the shared reduction for
+    * callers that run the (expensive) index probe ONCE and feed the
+    * same pairs to both the decision sink and the cluster-map fold
+    * ([[graft.streaming.EventStreams.dedupMaintenance]] with
+    * `foldMap`). Pure projection/aggregation over pairs + batch ids:
+    * no index scan, no materialization — callers that need a
+    * write barrier add their own checkpoint. */
+  def dedupSummaryFromPairs(pairs: DataFrame, batch: DataFrame,
+      idCol: String): DataFrame = {
     val matched = pairs
       .groupBy(col("j").as("id"))
       .agg(count(lit(1)).as("n_dups"), min("i").as("canon_id"),
@@ -514,7 +527,6 @@ object Dedup {
         coalesce(col("canon_id"), lit(-1L)).as("canon_id"),
         coalesce(col("best_jac"), lit(0.0)).as("best_jac"),
         when(col("n_dups").isNotNull, 1L).otherwise(0L).as("is_dup"))
-      .localCheckpoint(true)
   }
 
   /** The verified cross-split PAIRS of [[incrementalDedupIndexed]]:

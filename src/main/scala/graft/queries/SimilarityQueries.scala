@@ -1053,8 +1053,10 @@ object SimilarityQueries {
           "vec_id", "embedding")
         val (cents, cbRows, codes) = graft.sources.Models
           .ivfPqRebuild(s, tmp, embs, "vec_id", "embedding")
+        // cached per ivfPqScoreWith's contract (the query/LUT/rerank
+        // sides all re-read it; it unpersists inside)
         val prep = Similarity.prepared(embs, "vec_id", "embedding")
-          .filter(size(col("qv")) === 64)
+          .filter(size(col("qv")) === 64).cache()
         val out = Similarity.ivfPqScoreWith(prep, cents, cbRows, codes,
           k = 5, queryLimit = 10L, nProbe = 8, m = 8, dim = 64,
           rerank = 50)

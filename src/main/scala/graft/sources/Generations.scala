@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Atomic generation-pointer layout for persisted model artifacts —
+  * the ONE cutover mechanism every [[Models]] family shares (postings
+  * compaction, LSH/codes compaction, dedup-map remap fold, IVF-PQ
+  * drift rebuild), replacing the per-family delete-then-rename dances
+  * that each carried a window where the live directory was missing or
+  * half-swapped.
+  *
+  * Layout: an artifact family at logical path `P` is a DIRECTORY of
+  * generations plus commit markers:
+  *
+  * {{{
+  *   P/gen-1/part-*.parquet    <- generation data (bucketed or plain)
+  *   P/_commit_1               <- atomic pointer: gen 1 is committed
+  *   P/gen-2/...               <- a rewrite in progress or committed
+  *   P/_commit_2               <- present => gen 2 is the head
+  * }}}
+  *
+  * The committed head is the HIGHEST marker index; readers resolve the
+  * head and read `P/gen-<head>` only. A rewrite (compaction, rebuild)
+  * writes the full next generation FIRST — serving reads the old
+  * generation untouched the whole time — then publishes it with one
+  * atomic marker create. Crash anywhere before the marker leaves an
+  * orphan generation directory the next writer (or [[Models.vacuum]])
+  * reclaims; a torn cutover is IMPOSSIBLE, not merely fail-fast: at
+  * every instant the head names one complete generation.
+  *
+  * Marker creation is atomic per the same primitive as
+  * [[VersionedStore]]'s commit claim: content goes to a `_tmp_` file,
+  * then an exclusive hard link (local fs) or no-overwrite rename
+  * (HDFS-like) publishes it — a reader never observes a partially
+  * written marker, and two racing writers cannot both claim one index.
+  *
+  * Retention is keep-[[Generations.Keep]] ([[VersionedStore]]'s floor,
+  * same reasoning): committing gen n reclaims generations ≤ n-Keep, so
+  * a reader that resolved the previous head an instant before the flip
+  * still finds its files. Markers carry optional CONTENT — the IVF-PQ
+  * rebuild records its quantizer/codebook pairing there, which is what
+  * makes a three-family cutover atomic under a single marker create
+  * (see [[Models.ivfPqRebuild]]).
+  *
+  * At 100 TB the marker directory lives wherever the artifacts do; the
+  * pointer flip is metadata-only, so cutover cost is independent of
+  * artifact size — a year of daily compactions costs one small-file
+  * create each, never a pause in serving.
+  */
+object Generations {
+
+  /** Committed generations retained besides the head — the previous
+    * one stays readable for readers that resolved it just before a
+    * cutover (the [[VersionedStore]] keep floor). */
+  val Keep = 2
+
+  private val GenRe = "gen-(\\d+)".r
+  private val MarkerRe = "_commit_(\\d+)".r
+
+  def genDir(path: String, n: Long): String = s"$path/gen-$n"
+  private def markerPath(path: String, n: Long): Path =
+    new Path(path, s"_commit_$n")
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed `(generation, markerContent)`, if any. */
+  def head(spark: SparkSession, path: String): Option[(Long, String)] = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(path)
+    if (!fs.exists(dir)) None
+    else {
+      val ns = fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .collect { case MarkerRe(n) => n.toLong }.toSeq
+      if (ns.isEmpty) None
+      else {
+        val n = ns.max
+        val in = fs.open(markerPath(path, n))
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some((n, content))
+      }
+    }
+  }
+
+  /** The head generation's data directory, if committed. */
+  def resolve(spark: SparkSession, path: String): Option[String] =
+    head(spark, path).map { case (n, _) => genDir(path, n) }
+
+  /** A complete committed head exists (marker + the generation's
+    * `_SUCCESS`). */
+  def exists(spark: SparkSession, path: String): Boolean =
+    resolve(spark, path).exists { g =>
+      fsOf(spark, path).exists(new Path(g, "_SUCCESS"))
+    }
+
+  /** Uncommitted generation directories (index above the head, or any
+    * index with no marker) — crash debris from writers that died
+    * before their marker; reclaimed by [[prepare]] and
+    * [[Models.vacuum]]. */
+  def orphans(spark: SparkSession, path: String): Seq[Path] = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(path)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val committed = fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .collect { case MarkerRe(n) => n.toLong }.toSet
+      fs.listStatus(dir).iterator
+        .filter(s => s.isDirectory && (s.getPath.getName match {
+          case GenRe(n) => !committed.contains(n.toLong)
+          case _ => false
+        }))
+        .map(_.getPath).toSeq
+    }
+  }
+
+  /** Claim the next generation index: reclaims orphaned (uncommitted)
+    * generation dirs from torn prior attempts, then returns
+    * `(n, genDir)` for the writer to fill. The generation is invisible
+    * to readers until [[commit]]. */
+  def prepare(spark: SparkSession, path: String): (Long, String) = {
+    val fs = fsOf(spark, path)
+    orphans(spark, path).foreach(p => fs.delete(p, true))
+    val n = head(spark, path).map(_._1 + 1L).getOrElse(1L)
+    (n, genDir(path, n))
+  }
+
+  /** Atomically publish generation `n` as the head and reclaim
+    * generations ≤ n-[[Keep]] plus any stray legacy files at the
+    * family level. `content` rides in the marker (read back by
+    * [[head]]); pass the predecessor's content through a compaction to
+    * preserve cross-family pairing metadata. */
+  def commit(spark: SparkSession, path: String, n: Long,
+      content: String = "", reclaim: Boolean = true): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(path)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      s"_tmp_${java.util.UUID.randomUUID.toString.replace("-", "")}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    require(claim(fs, tmp, markerPath(path, n)),
+      s"generation commit lost a race for $path gen-$n")
+    fs.delete(tmp, false) // local-fs link leaves the tmp behind
+    if (reclaim) reclaimExcept(spark, path, n, Set.empty)
+  }
+
+  /** Atomic no-overwrite publish — [[VersionedStore]]'s claim
+    * primitive: exclusive hard link on `file://` (Java rename silently
+    * replaces), rename elsewhere (HDFS rename fails on an existing
+    * destination). */
+  private def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else fs.rename(tmp, dst)
+
+  /** Reclaim committed generations ≤ head-[[Keep]] (markers first —
+    * readers resolve max, so a marker must never outlive a deleted
+    * generation being the head) and family-level strays (legacy flat
+    * files, crashed `_tmp_` markers), EXCEPT indexes in `keep` — the
+    * rebuild's pairing-referenced generations
+    * ([[Models.ivfPqRebuild]] keeps what a live codes head still
+    * names, which the generic ≤ head-Keep rule cannot see). */
+  def reclaimExcept(spark: SparkSession, path: String, headN: Long,
+      keep: Set[Long]): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(path)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { s =>
+      val name = s.getPath.getName
+      name match {
+        case MarkerRe(n)
+            if n.toLong <= headN - Keep && !keep.contains(n.toLong) =>
+          fs.delete(s.getPath, false)
+        case GenRe(n)
+            if n.toLong <= headN - Keep && !keep.contains(n.toLong) =>
+          fs.delete(s.getPath, true)
+        case MarkerRe(_) | GenRe(_) => ()
+        case _ => fs.delete(s.getPath, s.isDirectory) // legacy strays
+      }
+    }
+  }
+
+  /** prepare → write → commit in one call — the whole-cutover helper
+    * for single-family rewrites (compaction, plain-artifact trains and
+    * rewrites). `write` receives the new generation directory; serving
+    * reads the old head until the commit inside this call. Returns the
+    * committed generation directory. */
+  def cutover(spark: SparkSession, path: String, content: String = "")
+      (write: String => Unit): String = {
+    val (n, g) = prepare(spark, path)
+    write(g)
+    commit(spark, path, n, content)
+    g
+  }
+
+  /** Parquet data files under `dir`, recursively — the shared
+    * before/after counter for compaction receipts. */
+  def countParquetFiles(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+}

@@ -67,9 +67,38 @@ object Models {
     sfDir.replaceAll("^/+", "").replaceAll("[^A-Za-z0-9]+", "_")
       .toLowerCase
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** An artifact family exists when a committed generation with a
+    * complete write (`_SUCCESS`) is resolvable — see [[Generations]]:
+    * every family is a directory of generations and the head is the
+    * highest atomic commit marker. */
+  private def exists(spark: SparkSession, path: String): Boolean =
+    Generations.exists(spark, path)
+
+  /** The directory actually served for artifact family `path` — its
+    * committed head generation. Public for tests and maintenance
+    * tooling that inspect file layout; queries go through the
+    * accessors. */
+  def servingDir(spark: SparkSession, path: String): String =
+    Generations.resolve(spark, path).getOrElse(
+      throw new NoSuchElementException(
+        s"no committed generation for artifact $path"))
+
+  /** Read a PLAIN (non-bucketed) artifact family's head generation. */
+  private def readPlain(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(servingDir(spark, path))
+
+  /** Train-once write for a PLAIN artifact: the derivation lands as
+    * generation 1 under `path` with an atomic commit marker — the same
+    * layout every rewrite (compaction, df refresh, rebuild) then
+    * advances, so a crash mid-write can never destroy a served
+    * artifact (the old head stays committed until the new marker
+    * exists). */
+  private def writePlain(spark: SparkSession, path: String,
+      rows: => DataFrame): Unit = {
+    Generations.cutover(spark, path) { g =>
+      rows.coalesce(1).write.parquet(g)
+    }
+    ()
   }
 
   // ---- subword vocabulary ------------------------------------------------
@@ -86,11 +115,10 @@ object Models {
       k: Int = TextOps.SubwordVocabK): DataFrame = synchronized {
     val path = vocabPath(sfDir, k)
     if (!exists(spark, path)) {
-      TextOps.subwordVocab(graft.Tables.documents(spark, sfDir), k)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(path)
+      writePlain(spark, path,
+        TextOps.subwordVocab(graft.Tables.documents(spark, sfDir), k))
     }
-    spark.read.parquet(path)
+    readPlain(spark, path)
   }
 
   /** The vocabulary as the driver-side Seq embedded into
@@ -142,11 +170,10 @@ object Models {
       val prep = spread(graft.operators.Similarity.prepared(
         graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding"))
         .localCheckpoint(true)
-      graft.operators.Similarity.refinedCentroids(prep, nList, iters)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(path)
+      writePlain(spark, path,
+        graft.operators.Similarity.refinedCentroids(prep, nList, iters))
     }
-    spark.read.parquet(path)
+    readPlain(spark, path)
   }
 
   // ---- historical MinHash-LSH index --------------------------------------
@@ -160,31 +187,56 @@ object Models {
     "graft_model_" + path.replaceAll("[^A-Za-z0-9]+", "_").takeRight(80)
       .dropWhile(_ == '_')
 
-  /** Register-or-reuse a bucketed table over `path`, training via
-    * `train` when the files don't exist yet. `schemaDdl`/`bucketCol`
-    * re-register the existing files after a JVM restart (bucket
-    * metadata lives in the catalog, not the files). */
+  /** Register-or-reuse a bucketed table over `path`'s head generation,
+    * training via `train` when no generation is committed yet.
+    * `schemaDdl`/`bucketCol` re-register after a JVM restart (bucket
+    * metadata lives in the catalog, not the files). `markerContent`
+    * rides in the generation's commit marker — the IVF-PQ codes family
+    * records its quantizer/codebook pairing there. */
   private def ensureBucketed(spark: SparkSession, path: String,
-      schemaDdl: String, bucketCol: String)(train: => DataFrame): DataFrame =
+      schemaDdl: String, bucketCol: String, markerContent: => String = "")
+      (train: => DataFrame): DataFrame =
     synchronized {
       val name = tableName(path)
       if (!exists(spark, path)) {
-        Lake.writeBucketedTable(train, name, path, bucketCol, IndexBuckets)
-      } else if (!spark.catalog.tableExists(name)) {
-        spark.sql(
-          s"""CREATE TABLE $name ($schemaDdl)
-             |USING PARQUET
-             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-             |INTO $IndexBuckets BUCKETS
-             |LOCATION '$path'""".stripMargin)
+        val (n, g) = Generations.prepare(spark, path)
+        Lake.writeBucketedTable(train, name, g, bucketCol, IndexBuckets)
+        Generations.commit(spark, path, n, markerContent)
       }
-      // drop this session's cached file listing: appends may land from
-      // ANOTHER session (a foreachBatch clone in streaming maintenance
-      // invalidates only its own relation cache), and a stale cached
-      // index silently hides them from this session's reads
-      spark.catalog.refreshTable(name)
-      spark.table(name)
+      serveBucketed(spark, path, schemaDdl, bucketCol)
     }
+
+  /** Serve the bucketed table registered over `path`'s HEAD generation:
+    * re-registers after a catalog loss (restart) AND after a cutover
+    * advanced the head from another code path or session — the catalog
+    * location must always equal the resolved generation, or reads and
+    * bucket-preserving appends would silently target a retired
+    * generation. Refreshing drops this session's cached file listing
+    * (appends may land from a foreachBatch clone whose invalidation
+    * covers only its own relation cache). */
+  private def serveBucketed(spark: SparkSession, path: String,
+      schemaDdl: String, bucketCol: String): DataFrame = synchronized {
+    val name = tableName(path)
+    val g = servingDir(spark, path)
+    val registeredAt: Option[String] =
+      if (!spark.catalog.tableExists(name)) None
+      else Some(new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+        .toUri.getPath)
+    val want = new org.apache.hadoop.fs.Path(g).toUri.getPath
+    if (!registeredAt.contains(want)) {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      spark.sql(
+        s"""CREATE TABLE $name ($schemaDdl)
+           |USING PARQUET
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+           |INTO $IndexBuckets BUCKETS
+           |LOCATION '$g'""".stripMargin)
+    }
+    spark.catalog.refreshTable(name)
+    spark.table(name)
+  }
 
   /** The historical LSH index of `indexDocs`: `(bands, sets)` — bands
     * `(bk, id)` bucketed by the band bucket key, shingle sets
@@ -233,15 +285,17 @@ object Models {
       dedupeIds: Boolean = false): Unit = synchronized {
     val setsName = tableName(lshSetsPath(sfDir, w))
     val bandsName = tableName(lshBandsPath(sfDir, k, b, w))
-    require(spark.catalog.tableExists(setsName) &&
-      spark.catalog.tableExists(bandsName),
+    require(exists(spark, lshSetsPath(sfDir, w)) &&
+      exists(spark, lshBandsPath(sfDir, k, b, w)),
       "lshIndexAppend requires a trained index (call lshIndex first)")
-    // a compaction may have rewritten the files from ANOTHER session
-    // (the foreachBatch clone in streaming maintenance invalidates
-    // only its own relation cache) — refresh before reading/appending,
-    // the same staleness guard as ensureBucketed's
-    spark.catalog.refreshTable(setsName)
-    spark.catalog.refreshTable(bandsName)
+    // serve (re-register + refresh) both tables at their HEAD
+    // generation: a compaction cutover may have advanced the head from
+    // ANOTHER code path or session, and a bucket-preserving append
+    // must land in the generation readers resolve, never a retired one
+    serveBucketed(spark, lshSetsPath(sfDir, w),
+      "id BIGINT, hs ARRAY<BIGINT>, n BIGINT", "id")
+    serveBucketed(spark, lshBandsPath(sfDir, k, b, w),
+      "bk STRING, id BIGINT", "bk")
     val fresh =
       if (!dedupeIds) batch
       else {
@@ -318,48 +372,71 @@ object Models {
     * it audits at 0.92 recall@5 (`sim_ivfpq_recall`), where the
     * original 4-bit/nProbe=4 pure-ADC point measured 0.26 — a point a
     * serving pipeline would actually flip traffic to. */
-  /** The in-flight-cutover marker [[ivfPqRebuild]] holds while it
-    * swaps artifact families. Its presence at LOAD time means a
-    * rebuild crashed mid-cutover: the on-disk families may span two
-    * quantizer generations, and old codes are NOT comparable under a
-    * new quantizer's ADC LUTs — serving would be silently wrong, so
-    * the loader fails fast instead (the drift-guard philosophy). */
-  def ivfPqRebuildMarkerPath(sfDir: String, nList: Int, iters: Int,
-      m: Int, ksub: Int): String =
-    s"${root(sfDir)}/ivfpq_rebuilding_n${nList}_i${iters}_m${m}_k$ksub"
+  private val CodesDdl = "nid BIGINT, cid BIGINT, codes ARRAY<INT>"
+
+  /** The codes family's commit-marker content: the EXACT quantizer and
+    * codebook generations these codes were encoded against. Old codes
+    * are not comparable under a new quantizer's ADC LUTs, so the
+    * pairing must cut over with the codes in ONE atomic step — which
+    * this content provides: the single codes-marker create publishes
+    * the whole triple, and a crash anywhere in [[ivfPqRebuild]] leaves
+    * the head naming one complete, internally consistent triple (old
+    * or new, never mixed). */
+  private def pairingContent(centGen: Long, cbGen: Long): String =
+    s"cent=$centGen\ncb=$cbGen"
+
+  private def parsePairing(content: String): Option[(Long, Long)] = {
+    val kv = content.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v.toLong }
+      .toMap
+    for (c <- kv.get("cent"); b <- kv.get("cb")) yield (c, b)
+  }
 
   def ivfPqIndex(spark: SparkSession, sfDir: String, nList: Int = 16,
       iters: Int = 2, m: Int = 8, ksub: Int = 256, dim: Int = 64)
       : (DataFrame, DataFrame, DataFrame) = {
-    val markerP = new org.apache.hadoop.fs.Path(
-      ivfPqRebuildMarkerPath(sfDir, nList, iters, m, ksub))
-    require(!markerP
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(markerP),
-      "torn IVF-PQ rebuild cutover detected (marker " +
-        s"$markerP): artifact families may span two quantizer " +
-        "generations — re-run ivfPqRebuild to repair before serving")
-    val cents = ivfCentroids(spark, sfDir, nList, iters)
+    val centPath = ivfCentroidsPath(sfDir, nList, iters)
     val cbPath = ivfPqCodebookPath(sfDir, nList, iters, m, ksub)
-    lazy val prep = spread(graft.operators.Similarity.prepared(
-      graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
-      .filter(size(col("qv")) === dim))
-    lazy val res = graft.operators.Similarity.ivfPqResiduals(prep, cents)
-      .localCheckpoint(true)
-    synchronized {
-      if (!exists(spark, cbPath)) {
-        res.filter(col("id") < ksub)
-          .select(col("id").as("cid"), col("rv").as("cv"))
-          .coalesce(1).write.mode("overwrite").parquet(cbPath)
-      }
+    val codesPath = ivfPqCodesPath(sfDir, nList, iters, m, ksub)
+    val paired = Generations.head(spark, codesPath)
+      .flatMap { case (_, content) => parsePairing(content) }
+    paired match {
+      case Some((cg, bg)) =>
+        // serving path: the codes head NAMES the quantizer/codebook
+        // generations it was encoded against — read those, not the
+        // families' own heads (a rebuild may have advanced them before
+        // its codes commit landed; the pairing keeps the triple
+        // consistent through every crash window)
+        val cents = spark.read.parquet(Generations.genDir(centPath, cg))
+        val cbRows = spark.read.parquet(Generations.genDir(cbPath, bg))
+        val codes = serveBucketed(spark, codesPath, CodesDdl, "cid")
+        (cents, cbRows, codes)
+      case None =>
+        // train path: quantizer + codebook first, then codes committed
+        // with the pairing that freezes this triple
+        val cents = ivfCentroids(spark, sfDir, nList, iters)
+        lazy val prep = spread(graft.operators.Similarity.prepared(
+          graft.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+          .filter(size(col("qv")) === dim))
+        lazy val res = graft.operators.Similarity
+          .ivfPqResiduals(prep, cents)
+          .localCheckpoint(true)
+        synchronized {
+          if (!exists(spark, cbPath)) {
+            writePlain(spark, cbPath,
+              res.filter(col("id") < ksub)
+                .select(col("id").as("cid"), col("rv").as("cv")))
+          }
+        }
+        val cbRows = readPlain(spark, cbPath)
+        val codes = ensureBucketed(spark, codesPath, CodesDdl, "cid",
+          markerContent = pairingContent(
+            Generations.head(spark, centPath).map(_._1).getOrElse(1L),
+            Generations.head(spark, cbPath).map(_._1).getOrElse(1L))) {
+          graft.operators.Similarity.ivfPqCodes(res, cbRows, m, ksub, dim)
+        }
+        (cents, cbRows, codes)
     }
-    val cbRows = spark.read.parquet(cbPath)
-    val codes = ensureBucketed(spark,
-      ivfPqCodesPath(sfDir, nList, iters, m, ksub),
-      "nid BIGINT, cid BIGINT, codes ARRAY<INT>", "cid") {
-      graft.operators.Similarity.ivfPqCodes(res, cbRows, m, ksub, dim)
-    }
-    (cents, cbRows, codes)
   }
 
   /** Fold a new batch INTO the persisted IVF-PQ index — the ANN side
@@ -465,20 +542,22 @@ object Models {
     * cannot rebuild from itself — at 100 TB this is the embeddings
     * table the folds also landed in.
     *
-    * All three families stage to `<path>__rebuilding` first (the live
-    * index serves untouched during the corpus-sized retrain), then cut
-    * over dir-by-dir like [[compactBucketed]]: drop catalog entry,
-    * delete old dir, rename staging into place, re-register. Crash
-    * windows: a torn STAGING set is reclaimed at the next call (the
-    * live index never saw it); a crash MID-CUTOVER can leave families
-    * from two generations — old codes are NOT comparable under the new
-    * quantizer's ADC LUTs — so like compaction this is a
-    * maintenance-window op: re-run the rebuild to repair (it rewrites
-    * every family), never serve from a torn window. The codes table is
-    * written pre-partitioned on the bucket hash, so the rebuilt index
-    * starts at its minimal ≤[[IndexBuckets]]-file layout (no separate
-    * compact needed). Returns the rebuilt
-    * `(centroids, codebookRows, codes)`. */
+    * All three families stage as UNCOMMITTED next generations first
+    * ([[Generations]] — the live index serves untouched during the
+    * corpus-sized retrain), then the cutover is ONE atomic marker
+    * create: quantizer and codebook markers flip first (each names a
+    * complete single artifact, safe standalone), and the CODES marker
+    * — whose content records the exact quantizer/codebook generations
+    * the codes were encoded against — publishes the whole triple last.
+    * [[ivfPqIndex]] always loads the quantizer/codebook THROUGH that
+    * pairing, so a crash anywhere in this function leaves serving on
+    * one complete, internally consistent triple (old or new, never
+    * mixed): a torn cutover is impossible, not merely fail-fast, and
+    * serving never pauses. Torn uncommitted generations are reclaimed
+    * by the next attempt or [[vacuum]]. The codes table is written
+    * pre-partitioned on the bucket hash, so the rebuilt index starts
+    * at its minimal ≤[[IndexBuckets]]-file layout (no separate compact
+    * needed). Returns the rebuilt `(centroids, codebookRows, codes)`. */
   def ivfPqRebuild(spark: SparkSession, sfDir: String, corpus: DataFrame,
       idCol: String, vecCol: String, nList: Int = 16, iters: Int = 2,
       m: Int = 8, ksub: Int = 256, dim: Int = 64)
@@ -487,12 +566,6 @@ object Models {
     val cbPath = ivfPqCodebookPath(sfDir, nList, iters, m, ksub)
     val codesPath = ivfPqCodesPath(sfDir, nList, iters, m, ksub)
     val codesName = tableName(codesPath)
-    val fs = new org.apache.hadoop.fs.Path(centPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(centPath, cbPath, codesPath).foreach { p =>
-      val sp = new org.apache.hadoop.fs.Path(p + "__rebuilding")
-      if (fs.exists(sp)) fs.delete(sp, true) // reclaim a torn attempt
-    }
     // the trainer's exact derivation over the caller's corpus: the
     // quantizer trains on ALL prepared rows (ivfCentroids' spelling),
     // codebook + codes on the dim-matched subset (ivfPqIndex's)
@@ -507,40 +580,37 @@ object Models {
     val cbRows = res.filter(col("id") < ksub)
       .select(col("id").as("cid"), col("rv").as("cv"))
       .localCheckpoint(true)
-    cents.coalesce(1).write.mode("overwrite")
-      .parquet(centPath + "__rebuilding")
-    cbRows.coalesce(1).write.mode("overwrite")
-      .parquet(cbPath + "__rebuilding")
+    // stage all three next generations (serving reads the old heads)
+    val (cn, cdir) = Generations.prepare(spark, centPath)
+    cents.coalesce(1).write.parquet(cdir)
+    val (bn, bdir) = Generations.prepare(spark, cbPath)
+    cbRows.coalesce(1).write.parquet(bdir)
+    val (kn, kdir) = Generations.prepare(spark, codesPath)
     val stageCodesName = codesName + "_rebuilding"
     Lake.writeBucketedTable(
       graft.operators.Similarity.ivfPqCodes(res, cbRows, m, ksub, dim)
         .repartition(IndexBuckets, col("cid")),
-      stageCodesName, codesPath + "__rebuilding", "cid", IndexBuckets)
-    val schemaDdl = spark.table(stageCodesName).schema.toDDL
+      stageCodesName, kdir, "cid", IndexBuckets)
     spark.sql(s"DROP TABLE IF EXISTS $stageCodesName") // catalog only
-    // cutover, family by family, under the in-flight marker: a crash
-    // inside this window leaves families from two quantizer
-    // generations on disk, and [[ivfPqIndex]] refuses to serve while
-    // the marker stands — silent mis-scoring becomes a fail-fast that
-    // names the repair (re-run the rebuild)
-    val marker = new org.apache.hadoop.fs.Path(
-      ivfPqRebuildMarkerPath(sfDir, nList, iters, m, ksub))
-    fs.create(marker, true).close()
-    spark.sql(s"DROP TABLE IF EXISTS $codesName")
-    Seq(centPath, cbPath, codesPath).foreach { p =>
-      val dst = new org.apache.hadoop.fs.Path(p)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(p + "__rebuilding"),
-        dst), s"rebuild cutover rename failed: $p")
-    }
-    spark.sql(
-      s"""CREATE TABLE $codesName ($schemaDdl)
-         |USING PARQUET
-         |CLUSTERED BY (cid) SORTED BY (cid)
-         |INTO $IndexBuckets BUCKETS
-         |LOCATION '$codesPath'""".stripMargin)
-    spark.catalog.refreshTable(codesName)
-    fs.delete(marker, false) // cutover complete: serving is safe again
+    // remember what the OLD head pairs with: those generations must
+    // survive this cutover's reclaim (keep-window readers), while the
+    // generic ≤ head-Keep rule cannot see pairing references
+    val prevPair = Generations.head(spark, codesPath)
+      .flatMap { case (_, c) => parsePairing(c) }
+    // cutover: quantizer + codebook markers first (a crash after them
+    // leaves the codes head still pairing the OLD generations — which
+    // the reclaim below has not run to delete — so serving stays on
+    // the old triple), then the codes marker publishes the new triple
+    // in one atomic create
+    Generations.commit(spark, centPath, cn, reclaim = false)
+    Generations.commit(spark, cbPath, bn, reclaim = false)
+    Generations.commit(spark, codesPath, kn, pairingContent(cn, bn))
+    // reclaim old quantizer/codebook generations EXCEPT what the new
+    // and previous codes heads pair with
+    Generations.reclaimExcept(spark, centPath, cn,
+      prevPair.map(_._1).toSet)
+    Generations.reclaimExcept(spark, cbPath, bn,
+      prevPair.map(_._2).toSet)
     ivfPqIndex(spark, sfDir, nList, iters, m, ksub, dim)
   }
 
@@ -606,7 +676,7 @@ object Models {
     val rp = dedupRemapPath(sfDir, tPct)
     if (!exists(spark, rp)) map
     else {
-      val remap = spark.read.parquet(rp)
+      val remap = readPlain(spark, rp)
       map.join(broadcast(remap), map("label") === remap("from_label"),
           "left")
         .select(map("id"),
@@ -661,10 +731,19 @@ object Models {
     * ANY write, so a fully-replayed fold is a no-op. The check streams
     * the two-column map MAP-SIDE against a broadcast of the batch ids
     * — the map never shuffles. */
+  /** `precomputedPairs`, when supplied, are the batch↔index edges
+    * `(i = index doc, j = batch doc, jac ≥ tPct/100)` the caller
+    * already probed ([[graft.operators.Dedup.crossSplitPairsIndexed]]
+    * over THIS batch against THIS index, materialized) — the streaming
+    * maintenance loop derives its per-doc sink summary and this fold
+    * from ONE probe instead of two. Must cover the whole batch;
+    * `dedupeIds` filtering of the pairs happens here (a dropped
+    * replayed doc contributes no edges). */
   def dedupMapAppend(spark: SparkSession, sfDir: String, batch: DataFrame,
       idCol: String, textCol: String, tPct: Int = 80,
       k: Int = 32, b: Int = 16, w: Int = 3,
-      dedupeIds: Boolean = false): Unit = synchronized {
+      dedupeIds: Boolean = false,
+      precomputedPairs: Option[DataFrame] = None): Unit = synchronized {
     val mapName = tableName(dedupMapPath(sfDir, tPct))
     require(exists(spark, dedupMapPath(sfDir, tPct)),
       "dedupMapAppend requires a trained map (call dedupMap first)")
@@ -686,10 +765,15 @@ object Models {
     val (bands, sets) = lshIndex(spark, sfDir,
       sys.error("index exists — training must not run"), idCol, textCol,
       k, b, w)
-    // batch↔index edges, old endpoint contracted to its RESOLVED label
-    val crossEdges = Dedup
-      .crossSplitPairsIndexed(bands, sets, bdf, idCol, textCol,
-        tPct / 100.0, k, b, w)
+    // batch↔index edges (probed here, or the caller's single probe),
+    // old endpoint contracted to its RESOLVED label; when dedupeIds
+    // dropped replayed docs, their precomputed edges drop with them
+    val rawPairs = precomputedPairs
+      .map(_.join(broadcast(bdf.select(col(idCol).as("j"))), Seq("j"),
+        "left_semi"))
+      .getOrElse(Dedup.crossSplitPairsIndexed(bands, sets, bdf, idCol,
+        textCol, tPct / 100.0, k, b, w))
+    val crossEdges = rawPairs
       .select(col("i").as("id"), col("j"))
       .join(resolved, Seq("id"))
       .select(col("label").as("i"), col("j"))
@@ -697,7 +781,15 @@ object Models {
     val innerEdges = Dedup
       .jaccardPairs(bdf, idCol, textCol, tPct / 100.0, w)
       .select(col("i"), col("j"))
-    val edges = crossEdges.unionAll(innerEdges).localCheckpoint(true)
+    // one materialization carries both edge classes; the cross flag
+    // marks which i-endpoints are CONTRACTED old labels — the only
+    // labels that can merge away, hence the only merge-ledger
+    // candidates (batch-internal i's would only add no-op rows that
+    // bloat the broadcast ledger)
+    val edges0 = crossEdges.withColumn("cross", lit(true))
+      .unionAll(innerEdges.withColumn("cross", lit(false)))
+      .localCheckpoint(true)
+    val edges = edges0.select("i", "j")
     val nodes = bdf.select(col(idCol).as("id"))
       .unionAll(edges.select(col("i").as("id"))).distinct()
     val comp = Dedup.components(nodes, edges, pairsContained = true)
@@ -709,28 +801,36 @@ object Models {
       dedupeIds = true)
     // merge ledger: touched old labels whose component found a smaller
     // canonical id
-    val oldLabels = edges.select(col("i").as("id")).distinct()
+    val oldLabels = edges0.filter(col("cross"))
+      .select(col("i").as("id")).distinct()
     val remapNew = comp.join(oldLabels, Seq("id"), "left_semi")
       .filter(col("label") =!= col("id"))
       .select(col("id").as("from_label"), col("label").as("to_label"))
       .localCheckpoint(true)
     val rp = dedupRemapPath(sfDir, tPct)
     val oldRemap =
-      if (exists(spark, rp)) Some(spark.read.parquet(rp)) else None
+      if (exists(spark, rp)) Some(readPlain(spark, rp)) else None
     val mergedRemap = (oldRemap, remapNew.isEmpty) match {
       case (None, true) => None
       case (None, false) => Some(remapNew)
       case (Some(o), _) =>
-        val o2 = o.localCheckpoint(true) // sever from the overwrite
-        Some(o2
+        Some(o
           .join(remapNew.select(col("from_label").as("f2"),
-            col("to_label").as("t2")), o2("to_label") === col("f2"),
+            col("to_label").as("t2")), o("to_label") === col("f2"),
             "left")
-          .select(o2("from_label"),
-            coalesce(col("t2"), o2("to_label")).as("to_label"))
+          .select(o("from_label"),
+            coalesce(col("t2"), o("to_label")).as("to_label"))
           .unionAll(remapNew))
     }
-    mergedRemap.foreach(_.coalesce(1).write.mode("overwrite").parquet(rp))
+    // ATOMIC ledger rewrite through the generation cutover: the old
+    // ledger's files survive the flip (keep-2, and they are what the
+    // merged plan reads), so a crash mid-rewrite leaves the previous
+    // committed ledger serving — never a half-written or deleted one
+    mergedRemap.foreach { r =>
+      Generations.cutover(spark, rp) { g =>
+        r.coalesce(1).write.parquet(g)
+      }
+    }
     // batch rows last, with their final labels, bucket-preserving
     comp.join(broadcast(bdf.select(col(idCol).as("id"))), Seq("id"),
         "left_semi")
@@ -755,60 +855,28 @@ object Models {
       tPct: Int = 80): (Long, Long) = synchronized {
     val path = dedupMapPath(sfDir, tPct)
     val rp = dedupRemapPath(sfDir, tPct)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    val hasRemap = exists(spark, rp)
-    if (hasRemap) {
-      // resolve-and-stage, then reuse the generic cutover by renaming
-      // the resolved staging over the raw files: read FILES (the
-      // compactBucketed lesson), apply the remap, rewrite
-      val remap = spark.read.parquet(rp).localCheckpoint(true)
-      val raw = spark.read.parquet(path)
+    if (exists(spark, rp)) {
+      // resolve-and-rewrite through the shared generation cutover:
+      // read the head generation's FILES, apply the remap, write the
+      // next generation, flip the pointer — the raw files being read
+      // survive the whole pass (keep-2), so no checkpoint sever is
+      // needed and a crash leaves the old head serving
+      val remap = readPlain(spark, rp)
+      val raw = spark.read.parquet(servingDir(spark, path))
       val resolved = raw
         .join(broadcast(remap), raw("label") === remap("from_label"),
           "left")
         .select(raw("id"),
           coalesce(col("to_label"), raw("label")).as("label"))
-        .localCheckpoint(true) // sever from the files being replaced
-      val name = tableName(path)
-      val stage = new org.apache.hadoop.fs.Path(path + "__compacting")
-      if (fs.exists(stage)) fs.delete(stage, true)
-      val stageName = name + "_compacting"
-      Lake.writeBucketedTable(
-        resolved.repartition(IndexBuckets, col("id")),
-        stageName, stage.toString, "id", IndexBuckets)
-      val schemaDdl = spark.table(stageName).schema.toDDL
-      spark.sql(s"DROP TABLE IF EXISTS $stageName") // catalog only
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      val dst = new org.apache.hadoop.fs.Path(path)
-      val before = {
-        val it = fs.listFiles(dst, true)
-        var n = 0L
-        while (it.hasNext) {
-          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-        }
-        n
-      }
-      fs.delete(dst, true)
-      require(fs.rename(stage, dst),
-        s"dedup-map compaction cutover rename failed: $stage")
-      spark.sql(
-        s"""CREATE TABLE $name ($schemaDdl)
-           |USING PARQUET
-           |CLUSTERED BY (id) SORTED BY (id)
-           |INTO $IndexBuckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
-      spark.catalog.refreshTable(name)
+      val counts = compactBucketedWith(spark, path, "id", resolved)
+      // the ledger folded into the base rows: delete the remap FAMILY
+      // (a crash before this delete leaves stale remap rows whose
+      // from-labels no longer occur in the map — harmless no-ops, see
+      // the scaladoc above — cleared by the next compact)
+      val fs = new org.apache.hadoop.fs.Path(rp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(rp), true)
-      val after = {
-        val it = fs.listFiles(dst, true)
-        var n = 0L
-        while (it.hasNext) {
-          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-        }
-        n
-      }
-      (before, after)
+      counts
     } else compactBucketed(spark, path, "id")
   }
 
@@ -826,12 +894,11 @@ object Models {
     synchronized {
       val path = dfTablePath(sfDir)
       if (!exists(spark, path)) {
-        TextOps.dfTable(graft.Tables.documents(spark, sfDir)
-            .select(col("doc_id"), TextOps.tokens(col("text")).as("w")))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(path)
+        writePlain(spark, path,
+          TextOps.dfTable(graft.Tables.documents(spark, sfDir)
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))))
       }
-      spark.read.parquet(path)
+      readPlain(spark, path)
     }
 
   // ---- BM25 retrieval artifacts (postings index + doc lengths) -----------
@@ -900,13 +967,12 @@ object Models {
     synchronized {
       val path = docLensPath(sfDir)
       if (!exists(spark, path)) {
-        graft.Tables.documents(spark, sfDir)
-          .select(col("doc_id"),
-            size(TextOps.tokens(col("text"))).cast("long").as("dl"))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(path)
+        writePlain(spark, path,
+          graft.Tables.documents(spark, sfDir)
+            .select(col("doc_id"),
+              size(TextOps.tokens(col("text"))).cast("long").as("dl")))
       }
-      spark.read.parquet(path)
+      readPlain(spark, path)
     }
 
   /** Build ALL base retrieval artifacts for a corpus in ONE tokenize
@@ -955,25 +1021,29 @@ object Models {
       .write.mode("overwrite").parquet(staging)
     val toks = spark.read.parquet(staging)
     if (needPost) {
+      val p = postingsPath(sfDir)
+      val (n, g) = Generations.prepare(spark, p)
       Lake.writeBucketedTable(
         toks.select(col("doc_id"), explode(col("w")).as("tok"))
           .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf")),
-        tableName(postingsPath(sfDir)), postingsPath(sfDir),
-        "tok", IndexBuckets)
+        tableName(p), g, "tok", IndexBuckets)
+      Generations.commit(spark, p, n)
     }
     if (needPos) {
+      val p = positionalPostingsPath(sfDir)
+      val (n, g) = Generations.prepare(spark, p)
       Lake.writeBucketedTable(positionalRows(toks),
-        tableName(positionalPostingsPath(sfDir)),
-        positionalPostingsPath(sfDir), "tok", IndexBuckets)
+        tableName(p), g, "tok", IndexBuckets)
+      Generations.commit(spark, p, n)
     }
     if (needLens) {
-      toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-        .coalesce(1).write.mode("overwrite").parquet(docLensPath(sfDir))
+      writePlain(spark, docLensPath(sfDir),
+        toks.select(col("doc_id"), size(col("w")).cast("long").as("dl")))
     }
     if (needDf) {
-      postings(spark, sfDir)
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-        .coalesce(1).write.mode("overwrite").parquet(dfTablePath(sfDir))
+      writePlain(spark, dfTablePath(sfDir),
+        postings(spark, sfDir)
+          .groupBy("tok").agg(count(lit(1)).as("df")))
     }
     fs.delete(sp, true)
     ()
@@ -1049,9 +1119,14 @@ object Models {
       }
       toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
         .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(docLensPath(sfDir))
+        .parquet(servingDir(spark, docLensPath(sfDir)))
       // df refresh: old counts + the batch's distinct-token increments
-      // (both sides vocabulary-sized; the merged table rewrites whole)
+      // (both sides vocabulary-sized; the merged table rewrites whole
+      // as an atomic next generation — the old head's files survive
+      // the flip, so no checkpoint sever, and a crash mid-rewrite
+      // leaves the previous committed statistic serving: an overwrite
+      // here would make that crash silently LOSE every fold's
+      // increments, since a df retrain only sees the base corpus)
       val inc = toks
         .select(explode(array_distinct(col("w"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("inc"))
@@ -1060,9 +1135,10 @@ object Models {
         .select(col("tok"),
           (coalesce(col("df"), lit(0L)) + coalesce(col("inc"), lit(0L)))
             .as("df"))
-        .localCheckpoint(true) // sever from the file being overwritten
-      merged.coalesce(1).write.mode("overwrite")
-        .parquet(dfTablePath(sfDir))
+      Generations.cutover(spark, dfTablePath(sfDir)) { g =>
+        merged.coalesce(1).write.parquet(g)
+      }
+      ()
     }
 
   /** Rewrite one bucketed artifact table into its minimal file layout.
@@ -1077,90 +1153,58 @@ object Models {
     * bucket, PRESERVING the bucket spec — probe plans (zero
     * index-side exchange) are untouched, only the file layout shrinks.
     *
-    * The rewrite STREAMS old files to a staging directory
-    * (`<path>__compacting`, written as a bucketed table with the rows
+    * The rewrite STREAMS the head generation's files into the NEXT
+    * generation directory (written as a bucketed table with the rows
     * pre-partitioned on the bucket hash so each bucket lands in ONE
     * file — never materialized in executor storage, so a 100 TB index
-    * compacts in one bounded pass), then cuts over: drop the catalog
-    * entry, delete the old directory, RENAME the staging directory
-    * into place (atomic on HDFS/posix), re-register the DDL. Crash
-    * windows: before the old-dir delete the original survives intact
-    * (a leftover staging dir is reclaimed by the next compact); after
-    * it, the data sits complete at the staging path and the next
-    * compact call finishes the rename before doing anything else —
-    * and in the worst case the artifact re-derives from the corpus,
-    * so a lost window costs a retrain, not data. Readers racing the
-    * cutover can see a missing table for an instant — run it in the
-    * maintenance window, or stage through a [[VersionedStore]] commit
-    * for fully atomic cutover. Returns (dataFilesBefore,
-    * dataFilesAfter). */
+    * compacts in one bounded pass), then publishes it with one atomic
+    * commit marker ([[Generations]]). Serving never pauses: readers
+    * keep resolving the old head until the marker lands, and the old
+    * generation's files survive one more cutover (keep-2) for readers
+    * that resolved it just before the flip. Crash anywhere before the
+    * marker leaves an orphan generation the next compact (or
+    * [[vacuum]]) reclaims; the live artifact is never deleted,
+    * renamed, or mid-swap — a torn cutover is structurally impossible.
+    * The head's commit-marker content (the IVF-PQ codes family's
+    * quantizer pairing) carries forward: compaction is data-invariant,
+    * metadata included. Returns (dataFilesBefore, dataFilesAfter). */
   def compactBucketed(spark: SparkSession, path: String,
-      bucketCol: String): (Long, Long) =
-    synchronized {
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val dst = new org.apache.hadoop.fs.Path(path)
-      val stage = new org.apache.hadoop.fs.Path(path + "__compacting")
-      val fs = dst.getFileSystem(hconf)
-      val name = tableName(path)
-      val stageName = name + "_compacting"
-      // finish a predecessor's crashed cutover: complete staging, no
-      // destination -> the rename is the only step left
-      if (!fs.exists(dst) && fs.exists(stage) &&
-          fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
-        require(fs.rename(stage, dst), s"crash recovery rename failed: $stage")
-      }
-      // a crash between the cutover's DROP TABLE and the re-register
-      // (or a catalog loss) leaves files without a catalog entry —
-      // re-register from the parquet footer schema before proceeding
-      if (!spark.catalog.tableExists(name) && fs.exists(dst)) {
-        spark.sql(
-          s"""CREATE TABLE $name (${spark.read.parquet(path).schema.toDDL})
-             |USING PARQUET
-             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-             |INTO $IndexBuckets BUCKETS
-             |LOCATION '$path'""".stripMargin)
-      }
-      require(spark.catalog.tableExists(name),
-        s"no bucketed artifact table registered at $path")
-      def dataFiles(): Long = {
-        val it = fs.listFiles(dst, true)
-        var n = 0L
-        while (it.hasNext) {
-          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-        }
-        n
-      }
-      val before = dataFiles()
-      if (fs.exists(stage)) fs.delete(stage, true) // reclaim leftovers
-      // stream the current rows into the staging table: repartition on
-      // the bucket column (HashPartitioning uses the same Murmur3 pmod
-      // as the bucket id), so each of the IndexBuckets tasks writes
-      // exactly its own bucket's one file. Read the parquet FILES, not
-      // the catalog table: a bucketed-table scan advertises
-      // HashPartitioning(bucketCol, IndexBuckets), the optimizer then
-      // drops this repartition as redundant, and
-      // DisableUnnecessaryBucketedScan subsequently disables the
-      // bucketed read — plain file splits with mixed buckets per task,
-      // so the bucketBy writer emits one file per (task, bucket)
-      // instead of one per bucket.
+      bucketCol: String): (Long, Long) = synchronized {
+    val src = spark.read.parquet(servingDir(spark, path))
+    compactBucketedWith(spark, path, bucketCol, src)
+  }
+
+  /** [[compactBucketed]] with caller-supplied rows (the dedup-map
+    * compactor resolves its remap ledger in the same pass). Reads the
+    * head generation's FILES, not the catalog table: a bucketed-table
+    * scan advertises HashPartitioning(bucketCol, IndexBuckets), the
+    * optimizer then drops the repartition below as redundant, and
+    * DisableUnnecessaryBucketedScan subsequently disables the bucketed
+    * read — plain file splits with mixed buckets per task, so the
+    * bucketBy writer would emit one file per (task, bucket) instead of
+    * one per bucket. */
+  private def compactBucketedWith(spark: SparkSession, path: String,
+      bucketCol: String, rows: DataFrame): (Long, Long) = synchronized {
+    val name = tableName(path)
+    val stageName = name + "_compacting"
+    val before = Generations.countParquetFiles(spark,
+      servingDir(spark, path))
+    val content = Generations.head(spark, path).map(_._2).getOrElse("")
+    val g = Generations.cutover(spark, path, content) { dir =>
+      // repartition on the bucket column (HashPartitioning uses the
+      // same Murmur3 pmod as the bucket id), so each of the
+      // IndexBuckets tasks writes exactly its own bucket's one file
       Lake.writeBucketedTable(
-        spark.read.parquet(path).repartition(IndexBuckets, col(bucketCol)),
-        stageName, stage.toString, bucketCol, IndexBuckets)
-      val schemaDdl = spark.table(stageName).schema.toDDL
+        rows.repartition(IndexBuckets, col(bucketCol)),
+        stageName, dir, bucketCol, IndexBuckets)
       spark.sql(s"DROP TABLE IF EXISTS $stageName") // catalog only
-      // cutover
-      spark.sql(s"DROP TABLE IF EXISTS $name")
-      fs.delete(dst, true)
-      require(fs.rename(stage, dst), s"compaction cutover rename failed: $stage")
-      spark.sql(
-        s"""CREATE TABLE $name ($schemaDdl)
-           |USING PARQUET
-           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-           |INTO $IndexBuckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
-      spark.catalog.refreshTable(name)
-      (before, dataFiles())
+      ()
     }
+    // re-register the serving name at the new head
+    val schemaDdl = spark.read.parquet(g).schema.toDDL
+    serveBucketed(spark, path, schemaDdl, bucketCol)
+    (before, Generations.countParquetFiles(spark, g))
+  }
 
   /** Compact this corpus's retrieval indexes (tf postings + the
     * positional index when built) — the maintenance-window companion
@@ -1184,27 +1228,22 @@ object Models {
     * into one file — [[postingsAppend]] appends a file set to the
     * doc-length table on every fold (the df table rewrites whole per
     * fold, so it never fragments), and after a year of folds the BM25
-    * normalizer join reads hundreds of tiny files. localCheckpoint
-    * severs the rows from the files being overwritten (the
-    * [[dfTable]]-merge pattern). Returns (filesBefore, filesAfter). */
+    * normalizer join reads hundreds of tiny files. Same atomic
+    * generation cutover as [[compactBucketed]] — the files being read
+    * survive the flip (keep-2), so no checkpoint sever is needed and a
+    * crash leaves the old head serving. Returns (filesBefore,
+    * filesAfter). */
   private def compactPlainParquet(spark: SparkSession,
       path: String): (Long, Long) = synchronized {
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(): Long = {
-      val it = fs.listFiles(dst, true)
-      var n = 0L
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    val src = servingDir(spark, path)
+    val before = Generations.countParquetFiles(spark, src)
+    if (before <= 1) (before, before)
+    else {
+      val g = Generations.cutover(spark, path) { dir =>
+        spark.read.parquet(src).coalesce(1).write.parquet(dir)
       }
-      n
+      (before, Generations.countParquetFiles(spark, g))
     }
-    val before = dataFiles()
-    if (before > 1) {
-      spark.read.parquet(path).localCheckpoint(true)
-        .coalesce(1).write.mode("overwrite").parquet(path)
-    }
-    (before, dataFiles())
   }
 
   /** Directory-name prefix → bucket column, for every BUCKETED
@@ -1266,6 +1305,66 @@ object Models {
       }.toMap
   }
 
+  /** Sweep ONE corpus's model root for staging debris across ALL
+    * artifact families — the global reclamation pass the per-family
+    * calls only do lazily (each family reclaims its own torn attempts
+    * at its next write; a family that never writes again leaks them
+    * forever). Reclaims, per family directory:
+    *
+    *   - ORPHAN generations: `gen-<n>` dirs with no commit marker —
+    *     writers that died between staging and their atomic commit
+    *     ([[Generations.orphans]]);
+    *   - stray entries: crashed `_tmp_` marker files and legacy
+    *     pre-generation flat layouts (neither `gen-<n>` nor
+    *     `_commit_<n>`), which nothing can resolve or serve;
+    *   - whole staging dirs: `tok_staging`
+    *     ([[buildRetrievalArtifacts]]'s crash leftover) and legacy
+    *     `__compacting`/`__rebuilding` siblings.
+    *
+    * COMMITTED generations are never touched — retention (keep-2 and
+    * the rebuild's pairing-protected quantizer generations) is the
+    * commit path's business, and stale remap-ledger rows fold away in
+    * [[compactDedupMap]]. `minAgeMs` gates stray deletion the same way
+    * [[VersionedStore.vacuum]]'s does: an entry younger than the gate
+    * may be a LIVE writer's in-flight staging (size it above the
+    * longest expected stage-to-commit latency; 0 only when no writer
+    * can be active). Returns the reclaimed paths. */
+  def vacuum(spark: SparkSession, sfDir: String,
+      minAgeMs: Long = 3600000L): Seq[String] = synchronized {
+    val rootDir = new org.apache.hadoop.fs.Path(root(sfDir))
+    val fs = rootDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rm(p: org.apache.hadoop.fs.Path, recursive: Boolean): Unit = {
+      fs.delete(p, recursive)
+      reclaimed += p.toString
+      ()
+    }
+    fs.listStatus(rootDir).filter(_.isDirectory).foreach { fam =>
+      val name = fam.getPath.getName
+      if (name == "tok_staging" || name.endsWith("__compacting") ||
+          name.endsWith("__rebuilding")) {
+        if (fam.getModificationTime < cutoff) rm(fam.getPath, true)
+      } else {
+        val famPath = fam.getPath.toString
+        val orphan = Generations.orphans(spark, famPath).toSet
+        fs.listStatus(fam.getPath).foreach { s =>
+          val n = s.getPath.getName
+          val isGen = n.matches("gen-\\d+")
+          val isMarker = n.matches("_commit_\\d+")
+          if (orphan.contains(s.getPath)) {
+            if (s.getModificationTime < cutoff) rm(s.getPath, true)
+          } else if (!isGen && !isMarker &&
+              s.getModificationTime < cutoff) {
+            rm(s.getPath, s.isDirectory) // _tmp_ debris, legacy flats
+          }
+        }
+      }
+    }
+    reclaimed.toSeq
+  }
+
   /** Reclaim ONE corpus's retrieval artifacts (postings table +
     * catalog entry, doc-length and df parquet, the whole per-corpus
     * model root) — for run-private fold corpora (`tx_bm25_append`
@@ -1300,11 +1399,11 @@ object Models {
     synchronized {
       val path = bigramLmPath(sfDir)
       if (!exists(spark, path)) {
-        TextOps.lmFit(TextOps.lmDocs(graft.Tables.documents(spark, sfDir)))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(path)
+        writePlain(spark, path,
+          TextOps.lmFit(TextOps.lmDocs(
+            graft.Tables.documents(spark, sfDir))))
       }
-      spark.read.parquet(path)
+      readPlain(spark, path)
     }
 
   // ---- BPE merge table + trained segmentation dictionary -----------------
@@ -1332,8 +1431,7 @@ object Models {
       val (merges, segs) =
         TextOps.bpeTrain(graft.Tables.documents(spark, sfDir), "text", rounds)
       synchronized {
-        if (!exists(spark, mp))
-          merges.coalesce(1).write.mode("overwrite").parquet(mp)
+        if (!exists(spark, mp)) writePlain(spark, mp, merges)
       }
       segs
     }
@@ -1343,10 +1441,10 @@ object Models {
         // merge table (same deterministic derivation)
         val (merges, _) =
           TextOps.bpeTrain(graft.Tables.documents(spark, sfDir), "text", rounds)
-        merges.coalesce(1).write.mode("overwrite").parquet(mp)
+        writePlain(spark, mp, merges)
       }
     }
-    (spark.read.parquet(mp), segsDf)
+    (readPlain(spark, mp), segsDf)
   }
 
   /** Drop only the session-level memo (test hook: forces the next

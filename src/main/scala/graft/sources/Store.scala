@@ -243,14 +243,22 @@ class MemoryStore extends Store {
   * layout specialization keys on the table name, which staging
   * obscures); pipelines that need layout + transactions point the
   * inner store's layout rules at the staged prefix. */
-class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
-  extends Store {
+class VersionedStore(inner: Store, logRoot: String, keep: Int = 2,
+    autoCompactSegments: Int = 0) extends Store {
 
   // keep=1 would let a commit+GC drop the staged table a lazy reader
   // DataFrame still points at (the reader resolved the previous head
   // an instant before the commit); >= 2 is the documented floor
   require(keep >= 2, "keep must be >= 2 (the previous snapshot must " +
     "stay readable for readers that resolved it just before a commit)")
+
+  /** Reads past this many segments log a warning — the surface that
+    * keeps a sink run without a compaction valve from silently
+    * building a hundreds-deep union plan (each segment is a separate
+    * scan: planning cost and file-open fan-in grow linearly). */
+  val WarnSegments = 64
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def fs(spark: SparkSession) =
     new org.apache.hadoop.fs.Path(logRoot)
@@ -303,10 +311,24 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
   }
 
   /** A snapshot IS the union of its segments — Spark unions the scans
-    * (no copy), so an appended chain reads as one plan. */
+    * (no copy), so an appended chain reads as one plan. Past
+    * [[WarnSegments]] the plan depth is a smell (an append loop
+    * running without [[compactSegments]] or `autoCompactSegments`):
+    * warn rather than fail — the read is correct, just degrading. */
   private def readSegments(spark: SparkSession,
-      segments: Seq[String]): DataFrame =
+      segments: Seq[String]): DataFrame = {
+    if (segments.size > WarnSegments) {
+      log.warn(s"snapshot union spans ${segments.size} segments " +
+        s"(> $WarnSegments): run compactSegments or construct the " +
+        "store with autoCompactSegments to bound read fan-in")
+    }
     segments.map(inner.read(spark, _)).reduce(_ unionByName _)
+  }
+
+  /** Segments in the committed head snapshot (0 when none) — the
+    * observable the auto-compact valve and its tests key on. */
+  def segmentCount(spark: SparkSession, table: String): Int =
+    committed(spark, table).map(_._2.size).getOrElse(0)
 
   override def read(spark: SparkSession, table: String): DataFrame =
     committed(spark, table) match {
@@ -358,11 +380,22 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2)
         // rewritten
         val seg = stageSegment(spark, table, df)
         var done = false
+        var chain = 1
         while (!done) {
           val head = committed(spark, table)
-          done = commitManifest(spark, table,
-            head.map(_._2).getOrElse(Seq.empty) :+ seg,
+          val segs = head.map(_._2).getOrElse(Seq.empty) :+ seg
+          chain = segs.size
+          done = commitManifest(spark, table, segs,
             exact = Some(head.map(_._1 + 1L).getOrElse(1L)))
+        }
+        // the in-protocol compaction valve: once an append chain grows
+        // past the threshold, fold the head back to one segment (an
+        // atomic exact-version commit — data-invariant, conflict-safe)
+        // so a long-running sink can never build an unbounded union
+        // plan even when its owner forgot a compactEvery valve
+        if (autoCompactSegments > 0 && chain >= autoCompactSegments) {
+          compactSegments(spark, table)
+          ()
         }
       case SaveMode.ErrorIfExists =>
         if (committed(spark, table).nonEmpty)

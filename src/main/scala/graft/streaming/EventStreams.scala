@@ -402,14 +402,23 @@ object EventStreams {
     * through the remap ledger), and the LSH fold happens inside that
     * call — downstream consumers (survivor picks, sampling weights)
     * then serve folded membership from [[graft.sources.Models
-    * .dedupMapResolved]] instead of a base-train snapshot. Requires a
-    * trained map at `(threshold*100).toInt`; in-loop compaction then
-    * also folds the remap ledger ([[graft.sources.Models
-    * .compactDedupMap]]). */
+    * .dedupMapResolved]] instead of a base-train snapshot. The index
+    * is probed ONCE per micro-batch
+    * ([[graft.operators.Dedup.crossSplitPairsIndexed]]): the sink's
+    * per-doc decisions and the map fold's merge edges both derive from
+    * that one materialized pair set. Requires a trained map at
+    * `(threshold*100).toInt`; in-loop compaction then also folds the
+    * remap ledger ([[graft.sources.Models.compactDedupMap]]).
+    *
+    * `k`/`b`/`w` are the LSH hyperparameters of the TRAINED index this
+    * loop maintains — they parameterize the probe, the fold, and the
+    * in-loop compaction alike (the artifact paths encode them, so a
+    * mismatched valve would silently compact a different family). */
   def dedupMaintenance(docs: Dataset[DocEvent], sfDir: String,
       checkpointDir: String, sink: (DataFrame, Long) => Unit,
       threshold: Double = 0.8, compactEvery: Int = 0,
-      foldMap: Boolean = false)
+      foldMap: Boolean = false,
+      k: Int = 32, b: Int = 16, w: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
@@ -422,35 +431,39 @@ object EventStreams {
         val f = marker.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         if (!f.exists(marker) && !batch.isEmpty) {
-          val b = batch.toDF().select("doc_id", "text")
+          val bdf = batch.toDF().select("doc_id", "text")
             .localCheckpoint(true) // probe + fold both read it
           val (bands, sets) = graft.sources.Models.lshIndex(spark, sfDir,
             sys.error("dedupMaintenance requires a trained index " +
-              "(call lshIndex first)"), "doc_id", "text")
-          // materialize the decisions BEFORE the fold: a lazy sink
-          // plan would otherwise scan the index AFTER the append and
-          // probe the batch against itself
-          sink(graft.operators.Dedup.incrementalDedupIndexed(
-            bands, sets, b, "doc_id", "text", threshold)
-            .localCheckpoint(true), batchId)
+              "(call lshIndex first)"), "doc_id", "text", k, b, w)
+          // ONE probe per micro-batch (already materialized by
+          // crossSplitPairsIndexed — the write barrier that keeps the
+          // sink decisions pinned to the PRE-fold index state): the
+          // sink summary and, under foldMap, the map fold's merge
+          // edges both read these pairs
+          val pairs = graft.operators.Dedup.crossSplitPairsIndexed(
+            bands, sets, bdf, "doc_id", "text", threshold, k, b, w)
+          sink(graft.operators.Dedup.dedupSummaryFromPairs(
+            pairs, bdf, "doc_id"), batchId)
           if (foldMap) {
-            // map + LSH fold in one call (the map fold probes BEFORE
-            // appending the index, then folds both — see its crash
-            // contract); dedupeIds covers the replay window here too
-            graft.sources.Models.dedupMapAppend(spark, sfDir, b,
+            // map + LSH fold in one call, reusing the probe above (the
+            // map fold otherwise re-probes — see its crash contract);
+            // dedupeIds covers the replay window here too
+            graft.sources.Models.dedupMapAppend(spark, sfDir, bdf,
               "doc_id", "text", math.round(threshold * 100).toInt,
-              dedupeIds = true)
+              k, b, w, dedupeIds = true,
+              precomputedPairs = Some(pairs))
           } else {
-            graft.sources.Models.lshIndexAppend(spark, sfDir, b,
-              "doc_id", "text", dedupeIds = true)
+            graft.sources.Models.lshIndexAppend(spark, sfDir, bdf,
+              "doc_id", "text", k, b, w, dedupeIds = true)
           }
           f.mkdirs(marker.getParent)
           f.create(marker, true).close()
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
             graft.sources.Models.compactBucketed(spark,
-              graft.sources.Models.lshBandsPath(sfDir, 32, 16, 3), "bk")
+              graft.sources.Models.lshBandsPath(sfDir, k, b, w), "bk")
             graft.sources.Models.compactBucketed(spark,
-              graft.sources.Models.lshSetsPath(sfDir, 3), "id")
+              graft.sources.Models.lshSetsPath(sfDir, w), "id")
             if (foldMap) {
               graft.sources.Models.compactDedupMap(spark, sfDir,
                 math.round(threshold * 100).toInt)
@@ -492,10 +505,16 @@ object EventStreams {
     * file per bucket after every Nth applied fold
     * ([[graft.sources.Models.compactBucketed]]) — the same in-loop
     * file-hygiene valve as [[retrievalMaintenance]]'s, for the ANN
-    * side of the daily loop. */
+    * side of the daily loop.
+    *
+    * `nList`/`iters`/`m`/`ksub`/`dim` are the TRAINED index's
+    * hyperparameters — they parameterize the fold and the in-loop
+    * compaction alike (the artifact paths encode them, so a mismatched
+    * valve would silently compact a different family). */
   def indexMaintenance(vecs: DataFrame, sfDir: String,
       checkpointDir: String, maxCellShareMilli: Int = 1000,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, nList: Int = 16, iters: Int = 2,
+      m: Int = 8, ksub: Int = 256, dim: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -510,6 +529,7 @@ object EventStreams {
         if (!f.exists(marker) && !batch.isEmpty) {
           graft.sources.Models.ivfPqIndexAppend(spark,
             sfDir, batch.toDF(), "vec_id", "embedding",
+            nList = nList, iters = iters, m = m, ksub = ksub, dim = dim,
             maxCellShareMilli = maxCellShareMilli, dedupeIds = true)
           // marker AFTER the append: a crash in between replays the
           // batch, which dedupeIds then folds to a no-op
@@ -518,7 +538,8 @@ object EventStreams {
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
             graft.sources.Models.compactBucketed(spark,
               graft.sources.Models.ivfPqCodesPath(sfDir,
-                nList = 16, iters = 2, m = 8, ksub = 256), "cid")
+                nList = nList, iters = iters, m = m, ksub = ksub),
+              "cid")
             ()
           }
         }

@@ -32,8 +32,9 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("subword vocab: first use trains + persists, reload == retrain") {
     val fromStore = Models.subwordVocabSeq(spark, sf)
-    val path = new java.io.File(
-      new java.net.URI("file:" + Models.vocabPath(sf, TextOps.SubwordVocabK)))
+    val path = new java.io.File(new java.net.URI("file:" +
+      Models.servingDir(spark,
+        Models.vocabPath(sf, TextOps.SubwordVocabK))))
     assert(new java.io.File(path, "_SUCCESS").exists(),
       s"vocab not persisted at $path")
     // drop the session memo: the next call must come from the FILES
@@ -315,8 +316,10 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (_, _, codes1) = Models.ivfPqIndex(spark, sf)
     assert(codes1.count() == before + 2)
     // the in-loop compaction left the minimal cid-bucketed layout
+    // (counted at the SERVING generation — the retained previous
+    // generation is keep-2 history, not the probe's read set)
     val codesDir = new org.apache.hadoop.fs.Path(
-      Models.ivfPqCodesPath(sf, 16, 2, 8, 256))
+      Models.servingDir(spark, Models.ivfPqCodesPath(sf, 16, 2, 8, 256)))
     val cfs = codesDir.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val cit = cfs.listFiles(codesDir, true)
@@ -677,8 +680,10 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))))
   }
 
-  test("compaction crash recovery; compactBucketed generalizes to the " +
-      "LSH band index") {
+  test("compaction cutover is atomic: a crash before the commit marker " +
+      "leaves the old head serving; a concurrent reader across the " +
+      "cutover sees old-or-new rows, never mixed or missing; " +
+      "compactBucketed generalizes to the LSH band index") {
     graft.functions.GraftFunctions.register(spark)
     val all = Tables.documents(spark, sf)
     val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
@@ -694,24 +699,44 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.collect().map(_.toString).sorted.toSeq
     val rows0 = m(Models.postings(spark, dir)
       .select("tok", "doc_id", "tf"))
-    // simulate the worst crash window: cutover deleted the live dir
-    // and dropped the catalog entry, the complete rewrite sits at the
-    // staging path — exactly what a crashed compact leaves behind
+    // simulate the worst crash window: the compacting writer finished
+    // its COMPLETE next generation (with _SUCCESS) but died before the
+    // atomic commit marker — the generation-pointer protocol's only
+    // mid-cutover state
     val path = Models.postingsPath(dir)
-    val name = "graft_model_" + path.replaceAll("[^A-Za-z0-9]+", "_")
-      .takeRight(80).dropWhile(_ == '_') // mirrors Models.tableName
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val stage = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    assert(fs.rename(dst, stage), "test setup rename failed")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")),
-      "bucketed write left no _SUCCESS marker — recovery gate broken")
-    // the next compact must finish the rename, re-register, compact
-    val (_, after) = Models.compactBucketed(spark, path, "tok")
-    assert(after <= Models.IndexBuckets)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val servedBefore = Models.servingDir(spark, path)
+    val orphan = new org.apache.hadoop.fs.Path(path, "gen-99")
+    fs.mkdirs(orphan)
+    fs.create(new org.apache.hadoop.fs.Path(orphan, "_SUCCESS"),
+      true).close()
+    fs.create(new org.apache.hadoop.fs.Path(orphan, "part-x.parquet"),
+      true).close() // a complete-looking but UNCOMMITTED rewrite
+    // serving is untouched: the head still resolves to the committed
+    // generation and the rows are intact
+    assert(Models.servingDir(spark, path) == servedBefore,
+      "uncommitted generation leaked into serving")
     assert(m(Models.postings(spark, dir)
       .select("tok", "doc_id", "tf")) == rows0)
+    // a CONCURRENT READER resolved before the cutover: its plan is
+    // bound to the old generation's FILES (spark.read.parquet lists
+    // them at plan time), which keep-2 retention preserves across the
+    // flip — it reads the same complete rows while a post-cutover
+    // reader sees the (identical) new generation
+    val preCutoverReader = spark.read.parquet(servedBefore)
+      .select("tok", "doc_id", "tf")
+    val (_, after) = Models.compactBucketed(spark, path, "tok")
+    assert(after <= Models.IndexBuckets)
+    assert(!fs.exists(orphan), "torn uncommitted rewrite not reclaimed")
+    assert(m(preCutoverReader) == rows0,
+      "reader racing the cutover lost its snapshot")
+    assert(m(Models.postings(spark, dir)
+      .select("tok", "doc_id", "tf")) == rows0)
+    assert(Models.servingDir(spark, path) != servedBefore,
+      "cutover did not advance the head generation")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(servedBefore)),
+      "keep-2 retention deleted the previous generation at its cutover")
     // generality: the LSH band index (bk buckets) compacts the same way
     val (bands0, _) = Models.lshIndex(spark, dir,
       all.filter(h < "cc"), "doc_id", "text")
@@ -719,11 +744,13 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       all.filter(h >= "cc" && h < "ee").select("doc_id", "text"),
       "doc_id", "text")
     val bandsPath = Models.lshBandsPath(dir, 32, 16, 3)
-    val bandRows = m(spark.read.parquet(bandsPath))
+    def bandRows() = m(spark.read.parquet(
+      Models.servingDir(spark, bandsPath)))
+    val rowsB = bandRows()
     val (bBefore, bAfter) =
       Models.compactBucketed(spark, bandsPath, "bk")
     assert(bAfter <= Models.IndexBuckets && bAfter <= bBefore)
-    assert(m(spark.read.parquet(bandsPath)) == bandRows)
+    assert(bandRows() == rowsB)
     val p = Models.lshIndex(spark, dir,
         sys.error("index exists — training must not run"),
         "doc_id", "text")._1
@@ -794,12 +821,14 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       n
     }
-    assert(nFiles(Models.postingsPath(baseDir)) <= Models.IndexBuckets,
+    assert(nFiles(Models.servingDir(spark, Models.postingsPath(baseDir)))
+      <= Models.IndexBuckets,
       "in-loop compaction did not restore the minimal layout")
-    assert(nFiles(Models.positionalPostingsPath(baseDir)) <=
-      Models.IndexBuckets,
+    assert(nFiles(Models.servingDir(spark,
+      Models.positionalPostingsPath(baseDir))) <= Models.IndexBuckets,
       "in-loop compaction missed the positional index")
-    assert(nFiles(Models.docLensPath(baseDir)) == 1,
+    assert(nFiles(Models.servingDir(spark,
+      Models.docLensPath(baseDir))) == 1,
       "in-loop compaction missed the appended doc-length table")
     // the at-least-once crash window: the SAME batch again — no-op
     val before = Models.postings(spark, baseDir).count()
@@ -873,17 +902,19 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // replay idempotence: the dedupeIds fold layer appends nothing
     val bandsPath = Models.lshBandsPath(dir, 32, 16, 3)
     val setsPath = Models.lshSetsPath(dir, 3)
-    val nb = spark.read.parquet(bandsPath).count()
-    val ns = spark.read.parquet(setsPath).count()
+    def served(p: String) =
+      spark.read.parquet(Models.servingDir(spark, p))
+    val nb = served(bandsPath).count()
+    val ns = served(setsPath).count()
     Models.lshIndexAppend(spark, dir, b2, "doc_id", "text",
       dedupeIds = true)
-    assert(spark.read.parquet(bandsPath).count() == nb,
+    assert(served(bandsPath).count() == nb,
       "replayed fold re-appended band rows")
-    assert(spark.read.parquet(setsPath).count() == ns,
+    assert(served(setsPath).count() == ns,
       "replayed fold re-appended shingle sets")
     // in-loop compaction (after the 2nd applied fold) held the layout
     def nFiles2(p: String): Long = {
-      val d = new org.apache.hadoop.fs.Path(p)
+      val d = new org.apache.hadoop.fs.Path(Models.servingDir(spark, p))
       val fsys = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fsys.listFiles(d, true)
       var n = 0L
@@ -1031,18 +1062,26 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // idempotence: a second compact keeps the minimal layout and rows
     val (b2, a2) = Models.compactBucketed(spark, path, "tok")
     assert(b2 == a1 && a2 <= Models.IndexBuckets && m() == rows0)
-    // a writer that died MID-STAGE leaves a partial staging dir with
-    // no _SUCCESS: the next compact must reclaim it (never rename a
-    // torn rewrite over the live table) and still compact correctly
-    val stage = new org.apache.hadoop.fs.Path(path + "__compacting")
+    // a writer that died MID-STAGE leaves a partial uncommitted
+    // generation (no commit marker): the next compact must reclaim it
+    // (never serve or commit a torn rewrite) and still compact
+    // correctly
+    val head = Models.servingDir(spark, path)
+      .split('/').last.stripPrefix("gen-").toLong
+    val stage = new org.apache.hadoop.fs.Path(path, s"gen-${head + 1}")
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(stage)
     fs.create(new org.apache.hadoop.fs.Path(stage, "part-torn.parquet"),
-      true).close() // garbage partial file, no _SUCCESS marker
+      true).close() // garbage partial file, no commit marker
     val (_, a3) = Models.compactBucketed(spark, path, "tok")
     assert(a3 <= Models.IndexBuckets && m() == rows0,
-      "partial staging dir corrupted the compacted table")
-    assert(!fs.exists(stage), "staging dir not cleaned up")
+      "partial staging generation corrupted the compacted table")
+    // the torn rewrite was reclaimed, then the SAME index was reused
+    // for the fresh committed generation — the garbage file is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stage,
+      "part-torn.parquet")), "torn generation not reclaimed")
+    assert(Models.servingDir(spark, path) == stage.toString,
+      "compaction did not claim the reclaimed generation index")
   }
 
   test("compactModelArtifacts: every bucketed family — appended and " +
@@ -1086,7 +1125,7 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Models.bpeSegsPath(dir, graft.operators.TextOps.BpeRounds))
     def artName(p: String) = p.split('/').last
     def snap(p: String): Seq[String] = {
-      val df = spark.read.parquet(p)
+      val df = spark.read.parquet(Models.servingDir(spark, p))
       df.selectExpr(df.columns.sorted
           .map(c => s"cast(`$c` as string)").toIndexedSeq: _*)
         .collect().map(_.toString).sorted.toSeq
@@ -1149,17 +1188,21 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val union = all.select("vec_id", "embedding").unionAll(batch
       .select((col("vec_id") + 9000000L).as("vec_id"),
         col("embedding")))
-    // a torn staging set from a crashed earlier attempt must be
-    // reclaimed, never renamed over the live index
-    val stage = new org.apache.hadoop.fs.Path(
-      Models.ivfPqCodesPath(dirA, 16, 2, 8, 256) + "__rebuilding")
+    // a torn staging set from a crashed earlier attempt (an
+    // UNCOMMITTED next generation) must be reclaimed, never served
+    val codesPath = Models.ivfPqCodesPath(dirA, 16, 2, 8, 256)
+    val headBefore = Models.servingDir(spark, codesPath)
+      .split('/').last.stripPrefix("gen-").toLong
+    val stage = new org.apache.hadoop.fs.Path(codesPath,
+      s"gen-${headBefore + 1}")
     val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(stage)
     fs.create(new org.apache.hadoop.fs.Path(stage, "part-torn.parquet"),
       true).close()
     val (cents, cbRows, codes) =
       Models.ivfPqRebuild(spark, dirA, union, "vec_id", "embedding")
-    assert(!fs.exists(stage), "staging dir not cleaned up")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stage,
+      "part-torn.parquet")), "torn staging generation not reclaimed")
     // from-scratch retrain on the union corpus in a fresh dir
     val dirB = java.nio.file.Files
       .createTempDirectory("graft-rebuild-scratch").toString
@@ -1174,7 +1217,7 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(codes) == rows(codes2), "codes != retrain")
     // the rebuilt codes table starts at its minimal bucketed layout
     val codesDir = new org.apache.hadoop.fs.Path(
-      Models.ivfPqCodesPath(dirA, 16, 2, 8, 256))
+      Models.servingDir(spark, codesPath))
     val it = fs.listFiles(codesDir, true)
     var nFiles = 0
     while (it.hasNext) {
@@ -1193,24 +1236,276 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vec_id", "embedding")
     assert(s1.agg(sum("n_appended")).head().getLong(0) == 2L)
     assert(Models.ivfPqIndex(spark, dirA)._3.count() == before + 2)
-    // a crash MID-CUTOVER (marker present) must fail the loader fast —
-    // mixed-generation artifacts would serve silently wrong — and
-    // re-running the rebuild repairs and clears it
-    val marker = new org.apache.hadoop.fs.Path(
-      Models.ivfPqRebuildMarkerPath(dirA, 16, 2, 8, 256))
-    fs.create(marker, true).close()
-    val torn = intercept[IllegalArgumentException] {
-      Models.ivfPqIndex(spark, dirA)
-    }
-    assert(torn.getMessage.contains("torn IVF-PQ rebuild"))
-    val (_, _, repaired) =
+    // a crash MID-CUTOVER can only land between the quantizer/codebook
+    // marker flips and the CODES marker flip (the codes marker's
+    // pairing content publishes the whole triple atomically).
+    // Simulate exactly that state: advance the quantizer family's head
+    // with a freshly committed perturbed generation while the codes
+    // head still pairs the previous one — serving must keep reading
+    // the PAIRED quantizer, so a torn triple is UNOBSERVABLE (the
+    // pre-r15 design could only fail fast here)
+    val pairedCents = rows(Models.ivfPqIndex(spark, dirA)._1)
+    val centPath = Models.ivfCentroidsPath(dirA, 16, 2)
+    val (pn, pdir) = graft.sources.Generations.prepare(spark, centPath)
+    spark.read.parquet(Models.servingDir(spark, centPath))
+      .withColumn("cn2", col("cn2") * 2)
+      .coalesce(1).write.parquet(pdir)
+    graft.sources.Generations.commit(spark, centPath, pn)
+    assert(rows(Models.ivfPqIndex(spark, dirA)._1) == pairedCents,
+      "mid-cutover: codes served against an unpaired quantizer head")
+    assert(rows(Models.ivfCentroids(spark, dirA, 16, 2)) != pairedCents,
+      "test setup: the stray quantizer head did not advance")
+    // re-running the rebuild repairs: all three families retrain and
+    // re-pair; the post-rebuild fold's 2 rows (not in `union`) drop
+    // out, and the result equals the from-scratch retrain again
+    val (rc, _, repaired) =
       Models.ivfPqRebuild(spark, dirA, union, "vec_id", "embedding")
-    assert(!fs.exists(marker), "repair did not clear the marker")
-    // the repair retrains from the supplied corpus — the post-rebuild
-    // fold's 2 rows (not in `union`) drop out, and the result equals
-    // the from-scratch retrain again
     assert(rows(repaired) == rows(codes2),
       "repaired index diverged from the retrain")
+    assert(rows(rc) == rows(cents2),
+      "repair did not re-pair the quantizer")
+  }
+
+  test("maintenance valves honor non-default hyperparameters: the " +
+      "streaming loops fold and compact the EXACT artifact family " +
+      "their params name, never the default one") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-valve-params").toString
+    all.filter(h < "cc").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ---- LSH loop at (k=16, b=8, w=2) — non-default everywhere
+    Models.lshIndex(spark, dir, Tables.documents(spark, dir),
+      "doc_id", "text", k = 16, b = 8, w = 2)
+    val setsBefore = Models.lshIndex(spark, dir, sys.error("trained"),
+      "doc_id", "text", 16, 8, 2)._2.count()
+    val newDocs = all.filter(h >= "cc").select("doc_id", "text")
+      .collect()
+    assert(newDocs.length >= 2)
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    val got = scala.collection.mutable.Map[Long, Long]()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.DocEvent](spark)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-valve-ckpt").toString
+    val q = graft.streaming.EventStreams.dedupMaintenance(
+      input.toDS(), dir, ckpt, (df, bid) => { got(bid) = df.count(); () },
+      compactEvery = 2, k = 16, b = 8, w = 2)
+    def ev(r: org.apache.spark.sql.Row) =
+      graft.streaming.EventStreams.DocEvent(r.getLong(0),
+        java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), r.getString(1))
+    try {
+      input.addData(b1.map(ev).toSeq); q.processAllAvailable()
+      input.addData(b2.map(ev).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(got(0L) == b1.length && got(1L) == b2.length, got.toString)
+    // the folds and the in-loop compaction hit the (16,8,2) family
+    val sets2 = Models.lshIndex(spark, dir, sys.error("trained"),
+      "doc_id", "text", 16, 8, 2)._2
+    assert(sets2.count() == setsBefore + newDocs.length,
+      "folds did not land in the parameterized family")
+    def nFiles(p: String): Long = {
+      val d = new org.apache.hadoop.fs.Path(Models.servingDir(spark, p))
+      val it = fs.listFiles(d, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    assert(nFiles(Models.lshSetsPath(dir, 2)) <= Models.IndexBuckets,
+      "in-loop compaction missed the parameterized sets family")
+    assert(nFiles(Models.lshBandsPath(dir, 16, 8, 2)) <=
+      Models.IndexBuckets,
+      "in-loop compaction missed the parameterized bands family")
+    // the DEFAULT family was never created, let alone compacted
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Models.lshSetsPath(dir, 3))),
+      "the loop touched the default-parameter family")
+    // ---- ANN loop at (nList=8, iters=1, m=4, ksub=16)
+    Models.ivfPqIndex(spark, dir, nList = 8, iters = 1, m = 4,
+      ksub = 16)
+    val codesBefore = Models.ivfPqIndex(spark, dir, 8, 1, 4, 16)
+      ._3.count()
+    val vsrc = Tables.embeddings(spark, dir)
+      .orderBy("vec_id").limit(2).collect()
+    val vinput = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.VecEvent](spark)
+    val vckpt = java.nio.file.Files
+      .createTempDirectory("graft-valve-vckpt").toString
+    val vq = graft.streaming.EventStreams.indexMaintenance(
+      vinput.toDF(), dir, vckpt, compactEvery = 2,
+      nList = 8, iters = 1, m = 4, ksub = 16)
+    try {
+      vsrc.zipWithIndex.foreach { case (r, i) =>
+        vinput.addData(graft.streaming.EventStreams.VecEvent(
+          r.getLong(0) + 4000000L + i,
+          r.getSeq[Float](r.fieldIndex("embedding"))))
+        vq.processAllAvailable()
+      }
+    } finally vq.stop()
+    assert(Models.ivfPqIndex(spark, dir, 8, 1, 4, 16)._3.count() ==
+      codesBefore + 2, "ANN folds did not land in the param family")
+    assert(nFiles(Models.ivfPqCodesPath(dir, 8, 1, 4, 16)) <=
+      Models.IndexBuckets,
+      "in-loop compaction missed the parameterized codes family")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Models.ivfPqCodesPath(dir, 16, 2, 8, 256))),
+      "the ANN loop touched the default-parameter family")
+  }
+
+  test("vacuum: staging debris across families — orphan generations, " +
+      "tok_staging, legacy dirs, crashed _tmp_ markers — is reclaimed; " +
+      "committed artifacts are untouched") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vacuum").toString
+    all.filter(h < "cc").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Models.buildRetrievalArtifacts(spark, dir)
+    def m() = Models.postings(spark, dir)
+      .select("tok", "doc_id", "tf")
+      .collect().map(_.toString).sorted.toSeq
+    val rows0 = m()
+    val rootP = new org.apache.hadoop.fs.Path(Models.root(dir))
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deliberately-torn state, one of each debris class:
+    // (a) orphan uncommitted generation under a live family
+    val orphan = new org.apache.hadoop.fs.Path(
+      Models.postingsPath(dir), "gen-77")
+    fs.mkdirs(orphan)
+    fs.create(new org.apache.hadoop.fs.Path(orphan, "part-torn.parquet"),
+      true).close()
+    // (b) a crashed single-pass tokenize staging dir
+    val tok = new org.apache.hadoop.fs.Path(Models.root(dir),
+      "tok_staging")
+    fs.mkdirs(tok)
+    // (c) a legacy pre-generation staging sibling
+    val legacy = new org.apache.hadoop.fs.Path(Models.root(dir),
+      "postings__compacting")
+    fs.mkdirs(legacy)
+    // (d) a crashed _tmp_ commit-marker file inside a family
+    val tmpm = new org.apache.hadoop.fs.Path(
+      Models.postingsPath(dir), "_tmp_deadbeef")
+    fs.create(tmpm, true).close()
+    val reclaimed = Models.vacuum(spark, dir, minAgeMs = 0L)
+    assert(reclaimed.size == 4, s"reclaimed: $reclaimed")
+    Seq(orphan, tok, legacy, tmpm).foreach { p =>
+      assert(!fs.exists(p), s"debris survived vacuum: $p")
+    }
+    // committed artifacts untouched: same serving dir, same rows
+    assert(m() == rows0, "vacuum corrupted a committed artifact")
+    // idempotent: a second sweep finds nothing
+    assert(Models.vacuum(spark, dir, minAgeMs = 0L).isEmpty)
+    // the age gate protects a LIVE writer's in-flight staging
+    fs.mkdirs(orphan)
+    assert(Models.vacuum(spark, dir).isEmpty,
+      "vacuum deleted young staging the age gate should protect")
+    assert(fs.exists(orphan))
+  }
+
+  test("drift lifecycle end-to-end: streaming folds trip the guard, " +
+      "ivfPqRebuild repairs, the restarted stream replays the tripped " +
+      "batch idempotently and folds new data against the NEW " +
+      "generation") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf)
+    val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift-e2e").toString
+    val base = all.filter(h < "cc").localCheckpoint(true)
+    base.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (_, _, codes0) = Models.ivfPqIndex(spark, dir)
+    val servedGen0 = Models.servingDir(spark,
+      Models.ivfPqCodesPath(dir, 16, 2, 8, 256))
+    // measure the base distribution and set the guard with headroom:
+    // a 1-row fold cannot trip it, a hot-cell pile-up must
+    val cellStats = codes0.groupBy("cid").count().collect()
+    val total0 = cellStats.map(_.getLong(1)).sum
+    val hot = cellStats.maxBy(_.getLong(1))
+    assert(total0 >= 20, s"base too small for share headroom: $total0")
+    val guardMilli =
+      (hot.getLong(1) * 1000 / total0 + 60).toInt // +6% headroom
+    // batch 0: one organic vector (passes the guard); batch 1: the
+    // DRIFTED ingest — total0 copies of a hottest-cell vector, piling
+    // one cell past the threshold
+    val src = all.orderBy("vec_id").limit(2).collect()
+    val hotVec = codes0.filter(col("cid") === hot.getLong(0))
+      .select("nid").orderBy("nid").limit(1).collect().head.getLong(0)
+    val hotEmb = base.filter(col("vec_id") === hotVec)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val b1 = (0 until total0.toInt)
+      .map(j => (6000000L + j, hotEmb)).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    def ev(id: Long, emb: Seq[Float]) =
+      graft.streaming.EventStreams.VecEvent(id, emb)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-drift-ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.EventStreams.VecEvent](spark)
+    // phase 1: fold, then trip — the stream FAILS (the operational
+    // signal that points at the rebuild); the tripped batch's rows are
+    // already durable (append-then-audit)
+    val q1 = graft.streaming.EventStreams.indexMaintenance(
+      input.toDF(), dir, ckpt, maxCellShareMilli = guardMilli)
+    try {
+      input.addData(ev(src(0).getLong(0) + 5000000L,
+        src(0).getSeq[Float](src(0).fieldIndex("embedding"))))
+      q1.processAllAvailable()
+      input.addData(b1.collect().map(r =>
+        ev(r.getLong(0), r.getSeq[Float](1))).toSeq)
+      val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(ex.toString.contains("drift guard") ||
+        Option(ex.getCause).exists(_.getMessage.contains("drift guard")),
+        s"unexpected stream failure: $ex")
+    } finally q1.stop()
+    val durable = Models.ivfPqIndex(spark, dir)._3.count()
+    assert(durable == total0 + 1 + total0,
+      s"tripped batch's rows not durable: $durable")
+    // phase 2: the repair — rebuild from the full current corpus
+    // (base + both folded batches, the raw vectors the folds landed)
+    val corpus = base.select("vec_id", "embedding")
+      .unionAll(Seq((src(0).getLong(0) + 5000000L,
+        src(0).getSeq[Float](src(0).fieldIndex("embedding"))))
+        .toDF("vec_id", "embedding"))
+      .unionAll(b1)
+    Models.ivfPqRebuild(spark, dir, corpus, "vec_id", "embedding")
+    val servedGen1 = Models.servingDir(spark,
+      Models.ivfPqCodesPath(dir, 16, 2, 8, 256))
+    assert(servedGen1 != servedGen0, "rebuild did not advance the head")
+    // phase 3: restart the stream on the SAME checkpoint. Batch 1 has
+    // NO applied marker (it died before the marker), so it REPLAYS —
+    // and folds to a no-op through dedupeIds (every id already in the
+    // rebuilt index); batch 2 is new and lands IN the new generation
+    val q2 = graft.streaming.EventStreams.indexMaintenance(
+      input.toDF(), dir, ckpt, maxCellShareMilli = 1000)
+    try {
+      input.addData(ev(src(1).getLong(0) + 7000000L,
+        src(1).getSeq[Float](src(1).fieldIndex("embedding"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val codesAfter = Models.ivfPqIndex(spark, dir)._3
+    assert(codesAfter.count() == durable + 1,
+      s"replay was not idempotent or the new fold is missing: " +
+        s"${codesAfter.count()} vs ${durable + 1}")
+    assert(codesAfter.filter(col("nid") === src(1).getLong(0) + 7000000L)
+      .count() == 1L, "post-rebuild fold did not land")
+    assert(Models.servingDir(spark,
+      Models.ivfPqCodesPath(dir, 16, 2, 8, 256)) == servedGen1,
+      "the fold advanced the head instead of appending into it")
   }
 
   test("dedup map fold: batch rows land, a bridge doc MERGES base " +
@@ -1251,7 +1546,8 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1 == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 50L -> 10L,
       30L -> 30L, 40L -> 40L), s"after fold 1: $r1")
     // the merge ledger recorded Y's collapse, flat
-    val remap1 = spark.read.parquet(Models.dedupRemapPath(dirA, 80))
+    val remap1 = spark.read.parquet(
+      Models.servingDir(spark, Models.dedupRemapPath(dirA, 80)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(remap1 == Map(20L -> 10L), s"remap after fold 1: $remap1")
     // fold 2: F(60) bridges the MERGED cluster with Z — J(F, E) =
@@ -1263,7 +1559,8 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = resolved()
     assert(r2 == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 50L -> 10L,
       30L -> 10L, 60L -> 10L, 40L -> 40L), s"after fold 2: $r2")
-    val remap2 = spark.read.parquet(Models.dedupRemapPath(dirA, 80))
+    val remap2 = spark.read.parquet(
+      Models.servingDir(spark, Models.dedupRemapPath(dirA, 80)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(remap2 == Map(20L -> 10L, 30L -> 10L),
       s"remap after fold 2: $remap2")

@@ -232,6 +232,36 @@ class StoreContractSpec extends AnyFunSuite {
     assert(staged.length <= 2, s"staged snapshots not GCed: ${staged.toSeq}")
   }
 
+  test("versioned commits: autoCompactSegments bounds the append " +
+      "chain; without the valve the chain grows per append") {
+    import graft.sources.VersionedStore
+    def mk(auto: Int) = new VersionedStore(
+      new ParquetStore(
+        Files.createTempDirectory(s"vstore_auto$auto").toString, 2),
+      Files.createTempDirectory(s"vlog_auto$auto").toString,
+      keep = 2, autoCompactSegments = auto)
+    def batch(i: Int) = spark.range(10)
+      .select((col("id") + i * 100).as("id"), lit(i).as("b"))
+    // without the valve: one segment per append, unbounded
+    val plain = mk(0)
+    (0 to 6).foreach(i => plain.write(batch(i), "t",
+      if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    assert(plain.segmentCount(spark, "t") == 7,
+      "append chain should grow one segment per fold without the valve")
+    // with the valve at 4: every append that lands a 4th segment folds
+    // the head back to ONE — the chain never exceeds the threshold,
+    // and no batch is lost across the compactions
+    val vs = mk(4)
+    (0 to 12).foreach(i => vs.write(batch(i), "t",
+      if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    assert(vs.segmentCount(spark, "t") <= 4,
+      s"valve did not bound the chain: ${vs.segmentCount(spark, "t")}")
+    val got = vs.read(spark, "t")
+    assert(got.count() == 130 &&
+      got.select("b").distinct().count() == 13,
+      "auto-compaction lost a batch")
+  }
+
   test("versioned commits: concurrent merge writers never expose a " +
       "torn snapshot") {
     import graft.sources.VersionedStore
