@@ -29,11 +29,13 @@ object BenchSf1 {
 
   /** Heaviest folded families at sf0.1 (BASELINE.md protocol), plus
     * the round-12 rewrites whose scale behavior is the point: the LM
-    * family (distributed decile) and the BM25 paths. ds_daily_pipeline
-    * is deliberately ABSENT: its language gate rejects the synthetic's
-    * copy-prefixed tokens (no English marker-word boundaries), so at
-    * sf1 it would measure an empty pipeline, not the engine. */
+    * family (distributed decile) and the BM25 paths. */
   val Heavy = Seq(
+    // the capstone steady-state composition (round-15: the synthetic
+    // keeps language-marker words unprefixed, so the ingest gate
+    // passes and the pipeline is NON-empty at sf1 — previously it was
+    // exempt by design)
+    "ds_daily_pipeline",
     "dd_jaccard_pairs", "dd_clusters", "dd_survivors", "dd_dup_weights",
     "dd_semdedup", "tx_subword_vocab",
     "sim_pq_adc", "sim_ivfpq", "sim_ivfpq_sweep", "sim_ivfpq_append",
@@ -70,14 +72,37 @@ object BenchSf1 {
     graft.functions.GraftFunctions.register(spark)
 
     val dir = s"${sys.props("user.dir")}/target/sf1_synth"
-    val marker = new java.io.File(s"$dir/_built_$copies")
+    // v3 token space: copy-unique prefixes on CONTENT words only —
+    // language-marker words (TextOps.LangMarkers, all four languages)
+    // keep their surface form, so langId/quality see the original
+    // marker structure and the ingest gate passes: ds_daily_pipeline
+    // measures a real pipeline at sf1. Cross-copy shingle overlap
+    // stays negligible (a shared shingle needs THREE consecutive
+    // marker words; minhash-band collision probability over
+    // hundreds-of-shingle sets is ~0), so the per-shard dup structure
+    // still matches the natural sf0.1 corpus.
+    val marker = new java.io.File(s"$dir/_built_v3_$copies")
     if (!marker.exists()) {
+      // the corpus definition changed with the marker version: stale
+      // synthetic parquet AND its trained artifacts must both go
+      graft.sources.Models.reset(spark, dir)
+      val dd = new java.io.File(dir)
+      if (dd.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dd)
+      }
+      val markers = graft.operators.TextOps.LangMarkers.values
+        .flatten.toSeq.distinct.sorted.mkString("|")
       val docs = spark.read.parquet(s"$base/documents.parquet")
       (0 until copies).map { k =>
         docs.select(
           (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-          // copy-unique token space: zero cross-copy similarity
-          regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1").as("text"),
+          // copy-unique token space, markers restored in place
+          regexp_replace(
+            regexp_replace(col("text"), "(\\S+)", s"c${k}x$$1"),
+            s"(?i)\\bc${k}x($markers)\\b", "$1").as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -153,6 +178,64 @@ object BenchSf1 {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // ---- PURE-fold steady-state receipts (round-15): the oracle-
+    // gated fold queries (dd_map_append, sim_ivfpq_append) pay
+    // base-train + fold + serve per run — that is the ORACLE TAX, not
+    // the production cost. Production trains base artifacts once and
+    // pays only the per-batch fold. Measure exactly that: base
+    // artifacts trained UNTIMED over an ~80% slice, then each pass
+    // folds a DIFFERENT ~10% batch (folds mutate the artifacts, so a
+    // replayed batch would no-op through dedupeIds — a non-
+    // measurement); report the min of the two same-sized folds.
+    def steadyPair(label: String,
+        run: String => Double): (String, Double, Double, Double) = {
+      val t1 = run(dir)
+      val t01 = run(base)
+      (label, t1, t01, if (t01 > 0) t1 / t01 else -1.0)
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val mapSteady = steadyPair("dd_map_append_steady", { src =>
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-steady-map").toString
+      docs.filter(h < "cc").write.mode("overwrite")
+        .parquet(s"$tmp/documents.parquet")
+      graft.sources.Models.dedupMap(spark, tmp, 80) // untimed base
+      graft.sources.Models.lshIndex(spark, tmp,
+        spark.read.parquet(s"$tmp/documents.parquet"), "doc_id", "text")
+      val t = Seq(("cc", "e6"), ("e6", "g")).map { case (lo, hi) =>
+        val batch = docs.filter(h >= lo && h < hi)
+          .select("doc_id", "text").localCheckpoint(true)
+        timed(graft.sources.Models.dedupMapAppend(spark, tmp, batch,
+          "doc_id", "text", 80))
+      }.min
+      graft.sources.Models.dropLshArtifacts(spark, tmp)
+      t
+    })
+    val annSteady = steadyPair("sim_ivfpq_append_steady", { src =>
+      val embs = spark.read.parquet(s"$src/embeddings.parquet")
+      val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-steady-ann").toString
+      embs.filter(h < "cc").write.mode("overwrite")
+        .parquet(s"$tmp/embeddings.parquet")
+      graft.sources.Models.ivfPqIndex(spark, tmp) // untimed base train
+      val t = Seq(("cc", "e6"), ("e6", "g")).map { case (lo, hi) =>
+        val batch = embs.filter(h >= lo && h < hi)
+          .select("vec_id", "embedding").localCheckpoint(true)
+        timed {
+          graft.sources.Models.ivfPqIndexAppend(spark, tmp, batch,
+            "vec_id", "embedding").count()
+          ()
+        }
+      }.min
+      graft.sources.Models.dropIvfPqArtifacts(spark, tmp)
+      t
+    })
+
     // folded sf0.1 reference: per-query min across the committed fold
     // and this JVM's own two sf0.1 passes (same host, same session —
     // removes cross-host canary skew from the ratio)
@@ -173,7 +256,8 @@ object BenchSf1 {
       val t01 = local01.map(_("dd_semdedup")).min
       Seq(
         ("dd_semdedup_scaled_nlist", semScaled, t01, semScaled / t01),
-        ("dd_semdedup_steady_scaled", semSteady, t01, semSteady / t01))
+        ("dd_semdedup_steady_scaled", semSteady, t01, semSteady / t01),
+        mapSteady, annSteady)
     }
     def jstr(s: String) = "\"" + s + "\""
     val qjson = rows.map { case (n, t1, t01, r) =>

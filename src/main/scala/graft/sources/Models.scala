@@ -721,17 +721,21 @@ object Models {
     * pairs (the index probe anti-joins batch ids away, so a folded
     * index never matches the batch to itself) and converges: remap
     * rewrite is idempotent, and the map append only happens once
-    * because `dedupeIds` drops ids already present. As with the df
-    * refresh in [[postingsAppend]], a reader racing the fold can see
-    * the remap before the batch rows (or vice versa) — atomic folds
+    * because `dedupeIds` drops ids already present. The remap rewrite
+    * itself is an atomic [[Generations]] cutover (a crash mid-rewrite
+    * can no longer destroy prior merge history — the old committed
+    * ledger keeps serving), but ACROSS the two artifacts a reader
+    * racing the fold can still see the remap before the batch rows (or
+    * vice versa) — folds needing one atomic multi-artifact snapshot
     * stage through a [[VersionedStore]].
     *
     * `dedupeIds = true` is the at-least-once guard (streaming
     * maintenance): ids already in the map drop from the batch before
     * ANY write, so a fully-replayed fold is a no-op. The check streams
     * the two-column map MAP-SIDE against a broadcast of the batch ids
-    * — the map never shuffles. */
-  /** `precomputedPairs`, when supplied, are the batch↔index edges
+    * — the map never shuffles.
+    *
+    * `precomputedPairs`, when supplied, are the batch↔index edges
     * `(i = index doc, j = batch doc, jac ≥ tPct/100)` the caller
     * already probed ([[graft.operators.Dedup.crossSplitPairsIndexed]]
     * over THIS batch against THIS index, materialized) — the streaming
@@ -844,7 +848,7 @@ object Models {
     * steady-state companion [[dedupMapAppend]]'s scaladoc promises:
     * after enough merge folds the broadcast remap is pure overhead and
     * the appended files fragment the buckets; this rewrites resolved
-    * rows through the same staged atomic-rename cutover as
+    * rows through the same atomic generation-pointer cutover as
     * [[compactBucketed]] and then DELETES the (now folded-in) remap.
     * A crash between the cutover and the remap delete leaves stale
     * remap rows whose from-labels no longer occur in the map — dead
@@ -1062,10 +1066,14 @@ object Models {
     * idf; ModelsSpec pins folded ≡ retokenize-from-scratch for all
     * three artifacts AND for the BM25 scores served from them.
     *
-    * The df/len refreshes are plain overwrite/append writes — a reader
-    * racing the fold can see the old statistic with the new postings
-    * (scores off by one batch's df). Pipelines needing atomic folds
-    * stage all three through a [[VersionedStore]].
+    * The df refresh is an atomic [[Generations]] cutover (a crash
+    * mid-rewrite can no longer lose prior folds' increments — the old
+    * committed statistic keeps serving) and the length table appends
+    * into its head generation; but ACROSS artifacts a reader racing
+    * the fold can still see the old statistic with the new postings
+    * (scores off by one batch's df). Pipelines needing one atomic
+    * multi-artifact snapshot stage all three through a
+    * [[VersionedStore]].
     *
     * `dedupeIds = true` makes the fold IDEMPOTENT for at-least-once
     * callers ([[graft.streaming.EventStreams.retrievalMaintenance]]):
