@@ -1027,6 +1027,67 @@ object TextQueries {
         "the full corpus, proving the fold incl. the df refresh"),
 
     // The steady-state MAINTENANCE cycle under the oracle gate: daily
+    // The CRASHED-maintenance lifecycle under the oracle gate — the
+    // round-15 atomic generation-cutover machinery driven end to end
+    // by the driver's hash compare, not only by ScalaTest: base
+    // artifacts + a daily fold, then the debris a crashed maintenance
+    // pass leaves behind (a complete-looking UNCOMMITTED next
+    // generation under the postings family, a dead tokenize staging
+    // dir), then Models.vacuum sweeps it (in-query gate: exactly the
+    // two planted paths reclaimed, nothing else), a compaction cuts
+    // the head over atomically ON TOP of the reclaimed family, and a
+    // second fold lands in the new generation. The oracle retokenizes
+    // the full corpus — the hash match proves torn staging never
+    // leaked into serving and the cutover + post-cutover fold
+    // preserved every row.
+    "maint_vacuum_cutover" -> QueryDef(
+      (s, d) => {
+        val tmp = foldTempDir("graft_maint_vacuum")
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        graft.sources.Models.buildRetrievalArtifacts(s, tmp,
+          docs = Some(docs.filter(h < "cc")))
+        graft.sources.Models.postingsAppend(s, tmp,
+          docs.filter(h >= "cc" && h < "ee").select("doc_id", "text"),
+          "doc_id", "text", dedupeIds = true)
+        // the crash debris: an uncommitted generation with a
+        // plausible-looking payload, and a dead tokenize staging dir
+        val postPath = graft.sources.Models.postingsPath(tmp)
+        val fs = new org.apache.hadoop.fs.Path(postPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val orphan = new org.apache.hadoop.fs.Path(postPath, "gen-40")
+        fs.mkdirs(orphan)
+        fs.create(new org.apache.hadoop.fs.Path(orphan, "_SUCCESS"),
+          true).close()
+        fs.create(new org.apache.hadoop.fs.Path(orphan,
+          "part-torn.parquet"), true).close()
+        val tokStaging = new org.apache.hadoop.fs.Path(
+          s"${graft.sources.Models.root(tmp)}/tok_staging")
+        fs.mkdirs(tokStaging)
+        val swept = graft.sources.Models.vacuum(s, tmp, minAgeMs = 0L)
+          .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath)
+        require(swept.toSet ==
+          Set(orphan.toUri.getPath, tokStaging.toUri.getPath),
+          s"vacuum swept the wrong set: $swept")
+        val (before, after) = graft.sources.Models.compactBucketed(
+          s, postPath, "tok")
+        require(before > graft.sources.Models.IndexBuckets &&
+          after <= graft.sources.Models.IndexBuckets,
+          s"cutover ineffective: files $before -> $after")
+        graft.sources.Models.postingsAppend(s, tmp,
+          docs.filter(h >= "ee").select("doc_id", "text"),
+          "doc_id", "text", dedupeIds = true)
+        val out = bm25FromArtifacts(s, tmp).localCheckpoint(true)
+        graft.sources.Models.dropRetrievalArtifacts(s, tmp)
+        out
+      },
+      Some(bm25OracleSql),
+      doc = "crashed-maintenance lifecycle: fold, plant torn staging " +
+        "(uncommitted generation + dead tokenize dir), vacuum sweeps " +
+        "exactly it, compaction cuts over atomically, a post-cutover " +
+        "fold lands — oracle retokenizes the full corpus, proving the " +
+        "debris never leaked into serving"),
+
     // folds fragment the bucketed postings (one file set per fold),
     // Models.compactRetrievalIndexes rewrites them to one file per
     // bucket, and the query serves BM25 from the COMPACTED index. The
