@@ -142,16 +142,21 @@ object Generations {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
-    require(claim(fs, tmp, markerPath(path, n)),
-      s"generation commit lost a race for $path gen-$n")
+    val won = claim(fs, tmp, markerPath(path, n))
     fs.delete(tmp, false) // local-fs link leaves the tmp behind
+    require(won, s"generation commit lost a race for $path gen-$n")
     if (reclaim) reclaimExcept(spark, path, n, Set.empty)
   }
 
   /** Atomic no-overwrite publish — [[VersionedStore]]'s claim
     * primitive: exclusive hard link on `file://` (Java rename silently
     * replaces), rename elsewhere (HDFS rename fails on an existing
-    * destination). */
+    * destination). A vanished TMP with the destination present is also
+    * a lost race: the winner's post-commit reclaim may sweep a racing
+    * loser's in-flight `_tmp_` before the loser links it (found by
+    * GenerationsPropertySpec's race test — reclaim now spares `_tmp_`
+    * entries, but an older winner or a concurrent [[Models.vacuum]]
+    * could still sweep them, so the claim classifies it too). */
   private def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
     if (fs.getScheme == "file") {
       try {
@@ -161,8 +166,14 @@ object Generations {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException
+            if fs.exists(dst) => false
       }
-    } else fs.rename(tmp, dst)
+    } else fs.rename(tmp, dst) || {
+      if (fs.exists(dst)) false
+      else sys.error(s"claim rename failed without a competing " +
+        s"marker: $tmp -> $dst")
+    }
 
   /** Reclaim committed generations ≤ head-[[Keep]] (markers first —
     * readers resolve max, so a marker must never outlive a deleted
@@ -186,6 +197,12 @@ object Generations {
             if n.toLong <= headN - Keep && !keep.contains(n.toLong) =>
           fs.delete(s.getPath, true)
         case MarkerRe(_) | GenRe(_) => ()
+        // a racing writer's in-flight _tmp_ marker must survive this
+        // commit-time sweep (deleting it turned the loser's clean
+        // lost-race signal into NoSuchFileException — the race test's
+        // find); crashed ones are reclaimed by the age-gated
+        // [[Models.vacuum]]
+        case n2 if n2.startsWith("_tmp_") => ()
         case _ => fs.delete(s.getPath, s.isDirectory) // legacy strays
       }
     }

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalacheck.rng
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Generations
+
+/** Model-based property test for the generation-pointer protocol — the
+  * round-15 cutover mechanism every artifact family rides. A reference
+  * model tracks what SHOULD be on disk after a random interleaving of
+  * clean cutovers and crash-shaped torn attempts; after every step the
+  * real state must satisfy the protocol's invariants:
+  *
+  *  - the head is the highest committed marker and resolves to a
+  *    COMPLETE generation (the writer's files, with `_SUCCESS`);
+  *  - torn attempts (generation written, marker never created) are
+  *    invisible to resolution and reclaimed by the next writer;
+  *  - the head index is strictly monotone across commits (a replayed
+  *    or crashed writer can never move serving backwards);
+  *  - keep-2 retention: after a commit, the previous generation's
+  *    files still exist (a racing reader's plan stays readable) while
+  *    generations ≤ head-2 are gone;
+  *  - marker content (the IVF-PQ pairing channel) round-trips
+  *    byte-exactly through commit/head.
+  */
+class GenerationsPropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def fs(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write a minimal complete generation payload (the bucketed/plain
+    * writers always leave `_SUCCESS` + data files). */
+  private def writePayload(dir: String, tag: Long): Unit = {
+    val f = fs(dir)
+    f.mkdirs(new Path(dir))
+    val out = f.create(new Path(dir, s"part-$tag.parquet"), true)
+    out.write(tag.toString.getBytes("UTF-8")); out.close()
+    f.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  private def payloadTag(dir: String): Option[Long] = {
+    val f = fs(dir)
+    if (!f.exists(new Path(dir))) None
+    else f.listStatus(new Path(dir)).map(_.getPath.getName)
+      .collectFirst { case s if s.startsWith("part-") =>
+        s.stripPrefix("part-").stripSuffix(".parquet").toLong }
+  }
+
+  test("random interleavings of cutovers and torn attempts preserve " +
+      "the protocol invariants") {
+    val seed0 = rng.Seed(20260815L)
+    var seed = seed0
+    def nextInt(bound: Int): Int = {
+      val (n, s2) = seed.long
+      seed = s2
+      (math.abs(n) % bound).toInt
+    }
+    (1 to 8).foreach { trial =>
+      val fam = java.nio.file.Files
+        .createTempDirectory(s"graft-genprop-$trial").toString + "/art"
+      var committed = List.empty[(Long, Long, String)] // (gen, tag, content)
+      var tagSeq = 0L
+      (1 to 25).foreach { step =>
+        tagSeq += 1
+        nextInt(3) match {
+          case 0 | 1 => // clean cutover, sometimes with marker content
+            val content = if (nextInt(2) == 0) s"pair=$tagSeq" else ""
+            val (n, dir) = Generations.prepare(spark, fam)
+            writePayload(dir, tagSeq)
+            Generations.commit(spark, fam, n, content)
+            committed ::= ((n, tagSeq, content))
+          case 2 => // torn attempt: complete-looking payload, no marker
+            val (_, dir) = Generations.prepare(spark, fam)
+            writePayload(dir, tagSeq)
+        }
+        // ---- invariants against the model ----
+        val head = Generations.head(spark, fam)
+        committed match {
+          case Nil =>
+            assert(head.isEmpty && !Generations.exists(spark, fam))
+          case (hn, htag, hcontent) :: rest =>
+            // head index + content + payload all match the LAST commit
+            assert(head.contains((hn, hcontent)),
+              s"[$trial/$step] head $head != committed ($hn, $hcontent)")
+            assert(Generations.exists(spark, fam))
+            val served = Generations.resolve(spark, fam).get
+            assert(payloadTag(served).contains(htag),
+              s"[$trial/$step] serving the wrong generation payload")
+            // monotone: every earlier commit has a smaller index
+            assert(rest.forall(_._1 < hn))
+            // keep-2: the previous committed generation's files remain
+            rest.headOption.foreach { case (pn, ptag, _) =>
+              assert(payloadTag(Generations.genDir(fam, pn))
+                .contains(ptag),
+                s"[$trial/$step] keep-2 lost the previous generation")
+            }
+            // ...and generations two-or-more commits back are gone
+            rest.drop(1).foreach { case (gn, _, _) =>
+              assert(!fs(fam).exists(
+                new Path(Generations.genDir(fam, gn))),
+                s"[$trial/$step] retention kept gen-$gn (head $hn)")
+            }
+        }
+      }
+      // terminal sweep: orphans() names exactly the torn attempts left
+      // since the last writer, and deleting them never touches serving
+      val before = Generations.resolve(spark, fam)
+      Generations.orphans(spark, fam)
+        .foreach(p => fs(fam).delete(p, true))
+      assert(Generations.resolve(spark, fam) == before)
+      assert(Generations.orphans(spark, fam).isEmpty)
+    }
+  }
+
+  test("the commit claim is exclusive: of two racing writers for the " +
+      "same index, exactly one wins and the loser's attempt stays " +
+      "invisible") {
+    val fam = java.nio.file.Files
+      .createTempDirectory("graft-genrace").toString + "/art"
+    val (n, dir) = Generations.prepare(spark, fam)
+    writePayload(dir, 1L)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    (1 to 2).map { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          barrier.await()
+          try {
+            Generations.commit(spark, fam, n, s"writer$w")
+            results.add(s"win$w")
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("lost a race") =>
+              results.add(s"lose$w")
+          }
+        }
+      })
+    }.foreach(_.get())
+    pool.shutdown()
+    val rs = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(results).asScala.toSeq.sorted
+    assert(rs.count(_.startsWith("win")) == 1 &&
+      rs.count(_.startsWith("lose")) == 1, s"outcomes: $rs")
+    // the head carries exactly the winner's content
+    val winner = rs.find(_.startsWith("win")).get.stripPrefix("win")
+    assert(Generations.head(spark, fam)
+      .contains((n, s"writer$winner")))
+  }
+}
