@@ -80,9 +80,16 @@ object Dedup {
     *
     * Returns `(i, j, jac)` with i < j.
     */
+  /** `precomputedSets`, when supplied, are [[shingleSets]] of `docs`
+    * (id, hs, n) the caller already derived — the fold paths shingle a
+    * batch ONCE and feed every consumer (tokenize+shingle is the
+    * fold's dominant per-row cost; re-deriving it per consumer triples
+    * it). Cached here and unpersisted on return; a caller-checkpointed
+    * frame stays valid. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, w: Int = 3,
-      hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
+      hotThreshold: Long = 100000L, tiles: Int = 8,
+      precomputedSets: Option[DataFrame] = None): DataFrame = {
     // The threshold as an exact rational tNum/tDen: every pruning bound
     // below is computed in integer arithmetic. Double formulations like
     // `ceil(t * n)` mis-round at exact-threshold boundaries (e.g.
@@ -94,7 +101,8 @@ object Dedup {
     require(math.abs(tNum / tDen.toDouble - threshold) < 1e-12,
       s"threshold must be exact at 6 decimals, got $threshold")
 
-    val sets = shingleSets(docs, idCol, textCol, w).cache()
+    val sets = precomputedSets
+      .getOrElse(shingleSets(docs, idCol, textCol, w)).cache()
     val exploded = sets.select(col("id"), col("n"), explode(col("hs")).as("sh"))
 
     // Global document frequency per shingle → rarest-first order.
@@ -543,8 +551,10 @@ object Dedup {
     * shingle cache is released before returning. */
   def crossSplitPairsIndexed(indexBands: DataFrame, indexSets: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, threshold: Double,
-      k: Int = 32, bands: Int = 16, w: Int = 3): DataFrame = {
-    val bSets = shingleSets(batch, idCol, textCol, w).cache()
+      k: Int = 32, bands: Int = 16, w: Int = 3,
+      precomputedSets: Option[DataFrame] = None): DataFrame = {
+    val bSets = precomputedSets
+      .getOrElse(shingleSets(batch, idCol, textCol, w)).cache()
     val bBands = bandTable(
       minhashSignature(
         bSets.select(col("id"), explode(col("hs")).as("sh")), k),

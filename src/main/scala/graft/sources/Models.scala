@@ -279,10 +279,15 @@ object Models {
     * two-column set-table ids MAP-SIDE against a broadcast of the
     * batch ids and broadcasts the hit set back — the index itself is
     * never read in full or shuffled. */
+  /** `precomputedSets`, when supplied, are
+    * [[graft.operators.Dedup.shingleSets]] of the WHOLE batch — the
+    * map fold shingles once and feeds probe, inner pairs, and this
+    * fold; rows the dedupe layer drops are filtered out here. */
   def lshIndexAppend(spark: SparkSession, sfDir: String, batch: DataFrame,
       idCol: String, textCol: String,
       k: Int = 32, b: Int = 16, w: Int = 3,
-      dedupeIds: Boolean = false): Unit = synchronized {
+      dedupeIds: Boolean = false,
+      precomputedSets: Option[DataFrame] = None): Unit = synchronized {
     val setsName = tableName(lshSetsPath(sfDir, w))
     val bandsName = tableName(lshBandsPath(sfDir, k, b, w))
     require(exists(spark, lshSetsPath(sfDir, w)) &&
@@ -307,7 +312,10 @@ object Models {
           .localCheckpoint(true) // the emptiness check + both writes
       }
     if (dedupeIds && fresh.isEmpty) return // pure replay: no-op fold
-    val sets = Dedup.shingleSets(fresh, idCol, textCol, w)
+    val sets = precomputedSets
+      .map(_.join(broadcast(fresh.select(col(idCol).as("id"))),
+        Seq("id"), "left_semi"))
+      .getOrElse(Dedup.shingleSets(fresh, idCol, textCol, w))
       .localCheckpoint(true) // bands derive from sets: shingle ONCE
     // write order is the crash contract: BANDS first, SETS last — the
     // dedupe layer above probes the sets table, so a torn fold (crash
@@ -769,6 +777,12 @@ object Models {
     val (bands, sets) = lshIndex(spark, sfDir,
       sys.error("index exists — training must not run"), idCol, textCol,
       k, b, w)
+    // shingle the batch ONCE: the probe, the inner pair join, and the
+    // LSH fold below all consume this one checkpointed set table —
+    // tokenize+shingle is the fold's dominant per-row cost, and the
+    // naive spelling paid it three times per fold
+    val bSets = Dedup.shingleSets(bdf, idCol, textCol, w)
+      .localCheckpoint(true)
     // batch↔index edges (probed here, or the caller's single probe),
     // old endpoint contracted to its RESOLVED label; when dedupeIds
     // dropped replayed docs, their precomputed edges drop with them
@@ -776,14 +790,15 @@ object Models {
       .map(_.join(broadcast(bdf.select(col(idCol).as("j"))), Seq("j"),
         "left_semi"))
       .getOrElse(Dedup.crossSplitPairsIndexed(bands, sets, bdf, idCol,
-        textCol, tPct / 100.0, k, b, w))
+        textCol, tPct / 100.0, k, b, w, precomputedSets = Some(bSets)))
     val crossEdges = rawPairs
       .select(col("i").as("id"), col("j"))
       .join(resolved, Seq("id"))
       .select(col("label").as("i"), col("j"))
     // batch↔batch edges: exact prefix-filtered join over the batch
     val innerEdges = Dedup
-      .jaccardPairs(bdf, idCol, textCol, tPct / 100.0, w)
+      .jaccardPairs(bdf, idCol, textCol, tPct / 100.0, w,
+        precomputedSets = Some(bSets))
       .select(col("i"), col("j"))
     // one materialization carries both edge classes; the cross flag
     // marks which i-endpoints are CONTRACTED old labels — the only
@@ -802,7 +817,7 @@ object Models {
     // it before the map writes means every crash-window replay can
     // still regenerate identical pairs (see the scaladoc contract)
     lshIndexAppend(spark, sfDir, bdf, idCol, textCol, k, b, w,
-      dedupeIds = true)
+      dedupeIds = true, precomputedSets = Some(bSets))
     // merge ledger: touched old labels whose component found a smaller
     // canonical id
     val oldLabels = edges0.filter(col("cross"))
