@@ -750,12 +750,16 @@ object Models {
     * maintenance loop derives its per-doc sink summary and this fold
     * from ONE probe instead of two. Must cover the whole batch;
     * `dedupeIds` filtering of the pairs happens here (a dropped
-    * replayed doc contributes no edges). */
+    * replayed doc contributes no edges). `precomputedSets` likewise
+    * passes the caller's [[graft.operators.Dedup.shingleSets]] of the
+    * whole batch so the fold's remaining consumers reuse the one
+    * shingle pass the probe already paid. */
   def dedupMapAppend(spark: SparkSession, sfDir: String, batch: DataFrame,
       idCol: String, textCol: String, tPct: Int = 80,
       k: Int = 32, b: Int = 16, w: Int = 3,
       dedupeIds: Boolean = false,
-      precomputedPairs: Option[DataFrame] = None): Unit = synchronized {
+      precomputedPairs: Option[DataFrame] = None,
+      precomputedSets: Option[DataFrame] = None): Unit = synchronized {
     val mapName = tableName(dedupMapPath(sfDir, tPct))
     require(exists(spark, dedupMapPath(sfDir, tPct)),
       "dedupMapAppend requires a trained map (call dedupMap first)")
@@ -780,9 +784,14 @@ object Models {
     // shingle the batch ONCE: the probe, the inner pair join, and the
     // LSH fold below all consume this one checkpointed set table —
     // tokenize+shingle is the fold's dominant per-row cost, and the
-    // naive spelling paid it three times per fold
-    val bSets = Dedup.shingleSets(bdf, idCol, textCol, w)
-      .localCheckpoint(true)
+    // naive spelling paid it three times per fold (a caller that
+    // already probed passes its sets in, dropping this to zero here;
+    // dedupe-filtered rows are cut by the id semi-join)
+    val bSets = precomputedSets
+      .map(_.join(broadcast(bdf.select(col(idCol).as("id"))),
+        Seq("id"), "left_semi").localCheckpoint(true))
+      .getOrElse(Dedup.shingleSets(bdf, idCol, textCol, w)
+        .localCheckpoint(true))
     // batch↔index edges (probed here, or the caller's single probe),
     // old endpoint contracted to its RESOLVED label; when dedupeIds
     // dropped replayed docs, their precomputed edges drop with them

@@ -436,13 +436,16 @@ object EventStreams {
           val (bands, sets) = graft.sources.Models.lshIndex(spark, sfDir,
             sys.error("dedupMaintenance requires a trained index " +
               "(call lshIndex first)"), "doc_id", "text", k, b, w)
-          // ONE probe per micro-batch (already materialized by
-          // crossSplitPairsIndexed — the write barrier that keeps the
-          // sink decisions pinned to the PRE-fold index state): the
-          // sink summary and, under foldMap, the map fold's merge
-          // edges both read these pairs
+          // ONE shingle pass and ONE probe per micro-batch (the probe
+          // frame is materialized by crossSplitPairsIndexed — the
+          // write barrier that keeps the sink decisions pinned to the
+          // PRE-fold index state): the sink summary and the fold's
+          // every consumer read these two checkpointed frames
+          val bSets = graft.operators.Dedup
+            .shingleSets(bdf, "doc_id", "text", w).localCheckpoint(true)
           val pairs = graft.operators.Dedup.crossSplitPairsIndexed(
-            bands, sets, bdf, "doc_id", "text", threshold, k, b, w)
+            bands, sets, bdf, "doc_id", "text", threshold, k, b, w,
+            precomputedSets = Some(bSets))
           sink(graft.operators.Dedup.dedupSummaryFromPairs(
             pairs, bdf, "doc_id"), batchId)
           if (foldMap) {
@@ -452,10 +455,12 @@ object EventStreams {
             graft.sources.Models.dedupMapAppend(spark, sfDir, bdf,
               "doc_id", "text", math.round(threshold * 100).toInt,
               k, b, w, dedupeIds = true,
-              precomputedPairs = Some(pairs))
+              precomputedPairs = Some(pairs),
+              precomputedSets = Some(bSets))
           } else {
             graft.sources.Models.lshIndexAppend(spark, sfDir, bdf,
-              "doc_id", "text", k, b, w, dedupeIds = true)
+              "doc_id", "text", k, b, w, dedupeIds = true,
+              precomputedSets = Some(bSets))
           }
           f.mkdirs(marker.getParent)
           f.create(marker, true).close()
