@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalacheck.rng
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{ParquetStore, VersionedStore}
+
+/** Model-based property test for the versioned commit log: a reference
+  * model tracks the row multiset each snapshot SHOULD hold through a
+  * random single-writer interleaving of overwrites, appends, segment
+  * compactions, and vacuum sweeps; after every step the committed read
+  * must equal the model exactly:
+  *
+  *  - `read` returns precisely the model's rows (no batch lost across
+  *    appends, compactions data-invariant, vacuum content-neutral);
+  *  - the head version advances monotonically, and ONLY on operations
+  *    that commit (a no-op `compactSegments` on a ≤1-segment head or
+  *    an `Ignore` on an existing table must not burn a version);
+  *  - within the keep window, `readVersion` replays the model's
+  *    HISTORY (time travel sees what was committed, not what is now);
+  *  - `segmentCount` equals the model's append-chain length and the
+  *    `autoCompactSegments` valve keeps it ≤ the threshold;
+  *  - vacuum only ever reclaims staged tables no manifest references.
+  */
+class VersionedStorePropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  test("random op interleavings match the reference model") {
+    var seed = rng.Seed(20260815L)
+    def nextInt(bound: Int): Int = {
+      val (n, s2) = seed.long
+      seed = s2
+      (math.abs(n) % bound).toInt
+    }
+    def batch(tag: Int) = spark.range(5)
+      .select((col("id") + tag * 100).as("id"), lit(tag).as("tag"))
+
+    (1 to 4).foreach { trial =>
+      val auto = if (trial % 2 == 0) 4 else 0
+      val vs = new VersionedStore(
+        new ParquetStore(java.nio.file.Files
+          .createTempDirectory(s"vsprop_d$trial").toString, 2),
+        java.nio.file.Files
+          .createTempDirectory(s"vsprop_l$trial").toString,
+        keep = 3, autoCompactSegments = auto)
+
+      // model: committed content as the set of tags (each batch's rows
+      // are a pure function of its tag), plus history per version
+      var content = Set.empty[Int]
+      var segments = 0 // model of the head's append-chain length
+      var history = Map.empty[Long, Set[Int]]
+      var headV = 0L
+      var tag = 0
+      def committed(v: Long, c: Set[Int], segs: Int): Unit = {
+        headV = v; content = c; segments = segs
+        history += (v -> c)
+      }
+
+      (1 to 30).foreach { step =>
+        tag += 1
+        nextInt(5) match {
+          case 0 => // overwrite: content replaced, one segment
+            vs.write(batch(tag), "t", SaveMode.Overwrite)
+            committed(headV + 1, Set(tag), 1)
+          case 1 | 2 => // append: one more segment (modulo the valve)
+            vs.write(batch(tag), "t", SaveMode.Append)
+            committed(headV + 1, content + tag, segments + 1)
+            if (auto > 0 && segments >= auto) // in-protocol compaction
+              committed(headV + 1, content, 1)
+          case 3 => // explicit segment compaction: data-invariant;
+            // commits ONLY when the head had something to fold
+            val before = vs.compactSegments(spark, "t")
+            assert(before == (if (content.isEmpty) 0 else segments),
+              s"[$trial/$step] compact saw $before segments, " +
+                s"model $segments")
+            if (before > 1) committed(headV + 1, content, 1)
+          case 4 => // vacuum: content-neutral, no version burned
+            vs.vacuum(spark, "t", minAgeMs = 0L)
+            ()
+        }
+        // ---- invariants against the model ----
+        if (content.isEmpty) {
+          intercept[NoSuchElementException] { vs.read(spark, "t") }
+        } else {
+          val got = vs.read(spark, "t").groupBy("tag")
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          assert(got == content.map(_ -> 5L).toMap,
+            s"[$trial/$step] read diverged: $got vs $content")
+          assert(vs.currentVersion(spark, "t").contains(headV),
+            s"[$trial/$step] version ${vs.currentVersion(spark, "t")}" +
+              s" != model $headV")
+          assert(vs.segmentCount(spark, "t") == segments,
+            s"[$trial/$step] segments ${vs.segmentCount(spark, "t")}" +
+              s" != model $segments")
+          if (auto > 0) assert(segments <= auto,
+            s"[$trial/$step] valve exceeded: $segments > $auto")
+          // time travel within the keep window replays history
+          history.get(headV - 1).foreach { prev =>
+            val tv = vs.readVersion(spark, "t", headV - 1)
+              .select("tag").distinct().collect()
+              .map(_.getInt(0)).toSet
+            assert(tv == prev,
+              s"[$trial/$step] time travel diverged: $tv vs $prev")
+          }
+        }
+      }
+    }
+  }
+}
