@@ -1026,7 +1026,6 @@ object TextQueries {
         "postingsAppend of the held-out batch) — oracle retokenizes " +
         "the full corpus, proving the fold incl. the df refresh"),
 
-    // The steady-state MAINTENANCE cycle under the oracle gate: daily
     // The CRASHED-maintenance lifecycle under the oracle gate — the
     // round-15 atomic generation-cutover machinery driven end to end
     // by the driver's hash compare, not only by ScalaTest: base
@@ -1088,6 +1087,7 @@ object TextQueries {
         "fold lands — oracle retokenizes the full corpus, proving the " +
         "debris never leaked into serving"),
 
+    // The steady-state MAINTENANCE cycle under the oracle gate: daily
     // folds fragment the bucketed postings (one file set per fold),
     // Models.compactRetrievalIndexes rewrites them to one file per
     // bucket, and the query serves BM25 from the COMPACTED index. The

@@ -55,6 +55,26 @@ object Generations {
     * cutover (the [[VersionedStore]] keep floor). */
   val Keep = 2
 
+  /** AGE floor for reclaiming committed generations, the second
+    * retention axis besides [[Keep]]: head-distance alone leaves a
+    * window where a reader that resolved gen n and then runs longer
+    * than two cutover cycles (at 100 TB, a multi-hour scan racing an
+    * aggressive maintenance loop) loses its files mid-scan. The floor
+    * closes it: a generation is reclaimed only when it is BOTH ≤
+    * head-[[Keep]] AND older than this gate — mirroring
+    * [[Models.vacuum]]'s `minAgeMs` — so any reader completing within
+    * the floor keeps its snapshot no matter how many cutovers land.
+    * Size it above the longest expected reader; override per-process
+    * with `-Dgraft.generations.reclaimMinAgeMs=<ms>` (tests of the
+    * pure head-distance rule set 0). Orphan (uncommitted) generations
+    * are NOT age-gated here — no reader can resolve them — see
+    * [[prepare]]. */
+  val DefaultReclaimMinAgeMs: Long = 600000L
+
+  def reclaimMinAgeMs: Long =
+    sys.props.get("graft.generations.reclaimMinAgeMs").map(_.toLong)
+      .getOrElse(DefaultReclaimMinAgeMs)
+
   private val GenRe = "gen-(\\d+)".r
   private val MarkerRe = "_commit_(\\d+)".r
 
@@ -119,7 +139,20 @@ object Generations {
   /** Claim the next generation index: reclaims orphaned (uncommitted)
     * generation dirs from torn prior attempts, then returns
     * `(n, genDir)` for the writer to fill. The generation is invisible
-    * to readers until [[commit]]. */
+    * to readers until [[commit]].
+    *
+    * The orphan reclaim is UNCONDITIONAL (no age gate): the claimed
+    * index is head+1, so a torn prior attempt at that index would
+    * otherwise block every future write at it (the staging writers
+    * refuse existing directories), and orphans are invisible to
+    * readers so reclaiming them can never break a snapshot. The cost
+    * of that choice is a writer-side contract: CONCURRENT WRITERS TO
+    * ONE FAMILY MUST SHARE A JVM (the [[Models]] object lock
+    * serializes them) — a second-process writer's prepare would
+    * reclaim a live first-process writer's in-flight staging. Cross-
+    * process coordination, where needed, goes through a
+    * [[VersionedStore]] (whose staged segments are private per writer
+    * and age-gated in vacuum), not through raw generation staging. */
   def prepare(spark: SparkSession, path: String): (Long, String) = {
     val fs = fsOf(spark, path)
     orphans(spark, path).foreach(p => fs.delete(p, true))
@@ -156,8 +189,16 @@ object Generations {
     * loser's in-flight `_tmp_` before the loser links it (found by
     * GenerationsPropertySpec's race test — reclaim now spares `_tmp_`
     * entries, but an older winner or a concurrent [[Models.vacuum]]
-    * could still sweep them, so the claim classifies it too). */
-  private def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    * could still sweep them, so the claim classifies it too). A
+    * vanished tmp with the destination ABSENT (an age-gated vacuum or
+    * an old winner's reclaim swept a live loser's tmp before any dst
+    * existed) is classified as a RETRYABLE sweep, never an
+    * unclassified NoSuchFileException: the attempt lost no data — the
+    * caller rewrites its marker content and retries the commit.
+    * `private[graft]` so the classification tests can drive it
+    * directly (the swept-mid-claim window cannot be interposed through
+    * [[commit]]). */
+  private[graft] def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
     if (fs.getScheme == "file") {
       try {
         java.nio.file.Files.createLink(
@@ -168,33 +209,58 @@ object Generations {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.nio.file.NoSuchFileException
             if fs.exists(dst) => false
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"commit tmp $tmp was swept mid-claim (a concurrent " +
+              "vacuum/reclaim deleted it before the link) — no marker " +
+              "was published; retry the commit")
       }
-    } else fs.rename(tmp, dst) || {
-      if (fs.exists(dst)) false
-      else sys.error(s"claim rename failed without a competing " +
-        s"marker: $tmp -> $dst")
+    } else {
+      // rename on a missing source either returns false or throws
+      // FileNotFoundException depending on the FileSystem; fold both
+      // into the same classification
+      val renamed =
+        try fs.rename(tmp, dst)
+        catch { case _: java.io.FileNotFoundException => false }
+      renamed || {
+        if (fs.exists(dst)) false // lost the race to a competing marker
+        else if (!fs.exists(tmp)) throw new IllegalStateException(
+          s"commit tmp $tmp was swept mid-claim (a concurrent " +
+            "vacuum/reclaim deleted it before the rename) — no marker " +
+            "was published; retry the commit")
+        else sys.error(s"claim rename failed without a competing " +
+          s"marker: $tmp -> $dst")
+      }
     }
 
-  /** Reclaim committed generations ≤ head-[[Keep]] (markers first —
-    * readers resolve max, so a marker must never outlive a deleted
-    * generation being the head) and family-level strays (legacy flat
-    * files, crashed `_tmp_` markers), EXCEPT indexes in `keep` — the
+  /** Reclaim committed generations that are BOTH ≤ head-[[Keep]] AND
+    * older than `minAgeMs` (the [[reclaimMinAgeMs]] slow-reader
+    * floor), plus family-level strays, EXCEPT indexes in `keep` — the
     * rebuild's pairing-referenced generations
     * ([[Models.ivfPqRebuild]] keeps what a live codes head still
-    * names, which the generic ≤ head-Keep rule cannot see). */
+    * names, which the generic ≤ head-Keep rule cannot see).
+    *
+    * Delete order between a reclaimed generation's marker and its
+    * directory is immaterial for resolution: reclaimed indexes are
+    * always ≤ head-Keep, so they can never be the MAX marker readers
+    * resolve — the head keeps naming a complete, untouched generation
+    * throughout the sweep regardless of listStatus order. */
   def reclaimExcept(spark: SparkSession, path: String, headN: Long,
-      keep: Set[Long]): Unit = {
+      keep: Set[Long], minAgeMs: Long = reclaimMinAgeMs): Unit = {
     val fs = fsOf(spark, path)
     val dir = new Path(path)
     if (!fs.exists(dir)) return
+    val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(dir).foreach { s =>
       val name = s.getPath.getName
       name match {
         case MarkerRe(n)
-            if n.toLong <= headN - Keep && !keep.contains(n.toLong) =>
+            if n.toLong <= headN - Keep && !keep.contains(n.toLong) &&
+              s.getModificationTime <= cutoff =>
           fs.delete(s.getPath, false)
         case GenRe(n)
-            if n.toLong <= headN - Keep && !keep.contains(n.toLong) =>
+            if n.toLong <= headN - Keep && !keep.contains(n.toLong) &&
+              s.getModificationTime <= cutoff =>
           fs.delete(s.getPath, true)
         case MarkerRe(_) | GenRe(_) => ()
         // a racing writer's in-flight _tmp_ marker must survive this

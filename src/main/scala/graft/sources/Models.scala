@@ -1360,7 +1360,10 @@ object Models {
     * [[VersionedStore.vacuum]]'s does: an entry younger than the gate
     * may be a LIVE writer's in-flight staging (size it above the
     * longest expected stage-to-commit latency; 0 only when no writer
-    * can be active). Returns the reclaimed paths. */
+    * can be active). The comparison is inclusive (mtime <= now -
+    * minAgeMs), so minAgeMs = 0 sweeps debris stamped in the very
+    * millisecond of the call — the exact-sweep gates rely on it.
+    * Returns the reclaimed paths. */
   def vacuum(spark: SparkSession, sfDir: String,
       minAgeMs: Long = 3600000L): Seq[String] = synchronized {
     val rootDir = new org.apache.hadoop.fs.Path(root(sfDir))
@@ -1377,7 +1380,7 @@ object Models {
       val name = fam.getPath.getName
       if (name == "tok_staging" || name.endsWith("__compacting") ||
           name.endsWith("__rebuilding")) {
-        if (fam.getModificationTime < cutoff) rm(fam.getPath, true)
+        if (fam.getModificationTime <= cutoff) rm(fam.getPath, true)
       } else {
         val famPath = fam.getPath.toString
         val orphan = Generations.orphans(spark, famPath).toSet
@@ -1386,9 +1389,9 @@ object Models {
           val isGen = n.matches("gen-\\d+")
           val isMarker = n.matches("_commit_\\d+")
           if (orphan.contains(s.getPath)) {
-            if (s.getModificationTime < cutoff) rm(s.getPath, true)
+            if (s.getModificationTime <= cutoff) rm(s.getPath, true)
           } else if (!isGen && !isMarker &&
-              s.getModificationTime < cutoff) {
+              s.getModificationTime <= cutoff) {
             rm(s.getPath, s.isDirectory) // _tmp_ debris, legacy flats
           }
         }

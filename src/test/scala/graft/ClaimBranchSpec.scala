@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SaveMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Generations, MemoryStore, VersionedStore}
+
+/** The RENAME-based commit-claim branch, driven through a FileSystem
+  * whose scheme is not `file` ([[HdfsLikeFileSystem]]). The `file://`
+  * branch (exclusive hard link) is covered by GenerationsPropertySpec
+  * and VersionedStorePropertySpec; this spec pins the same three
+  * classifications on the branch every HDFS-like deployment actually
+  * takes:
+  *
+  *   1. rename WINS — the marker publishes, content round-trips;
+  *   2. rename LOSES to an existing destination — a clean lost race
+  *      (false / "lost a race"), the competing marker untouched;
+  *   3. rename fails with the destination ABSENT (the tmp was swept
+  *      mid-claim by a concurrent reclaim) — a RETRYABLE
+  *      IllegalStateException, never an unclassified crash.
+  */
+class ClaimBranchSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  HdfsLikeFileSystem.register(spark)
+
+  private def fs(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writePayload(dir: String, tag: Long): Unit = {
+    val f = fs(dir)
+    f.mkdirs(new Path(dir))
+    val out = f.create(new Path(dir, s"part-$tag.parquet"), true)
+    out.write(tag.toString.getBytes("UTF-8")); out.close()
+    f.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  test("generations over an HDFS-like scheme: the full cutover cycle " +
+      "works and the claim really takes the rename branch") {
+    val fam = HdfsLikeFileSystem.tempDir("graft-hdfslike-cyc") + "/art"
+    assert(fs(fam).getScheme == HdfsLikeFileSystem.Scheme)
+    val (n1, d1) = Generations.prepare(spark, fam)
+    writePayload(d1, 1L)
+    Generations.commit(spark, fam, n1, "pair=1")
+    assert(Generations.head(spark, fam).contains((1L, "pair=1")),
+      "marker content must round-trip through the rename publish")
+    assert(Generations.exists(spark, fam))
+    val (n2, d2) = Generations.prepare(spark, fam)
+    writePayload(d2, 2L)
+    Generations.commit(spark, fam, n2, "pair=2")
+    assert(Generations.head(spark, fam).contains((2L, "pair=2")))
+    assert(Generations.resolve(spark, fam)
+      .contains(Generations.genDir(fam, 2L)))
+  }
+
+  test("rename loses cleanly to an existing destination marker: the " +
+      "loser sees a lost race, the winner's marker and content are " +
+      "untouched") {
+    val fam = HdfsLikeFileSystem.tempDir("graft-hdfslike-lose") + "/art"
+    val (n, d) = Generations.prepare(spark, fam)
+    writePayload(d, 1L)
+    // a competing writer already claimed this index
+    val f = fs(fam)
+    val winner = new Path(fam, s"_commit_$n")
+    val out = f.create(winner, true)
+    out.write("winner".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Generations.commit(spark, fam, n, "loser")
+    }
+    assert(e.getMessage.contains("lost a race"), e.getMessage)
+    assert(Generations.head(spark, fam).contains((n, "winner")),
+      "the loser's attempt must not disturb the competing marker")
+  }
+
+  test("two racing writers through the rename branch: exactly one " +
+      "wins, the head carries the winner's content") {
+    val fam = HdfsLikeFileSystem.tempDir("graft-hdfslike-race") + "/art"
+    val (n, dir) = Generations.prepare(spark, fam)
+    writePayload(dir, 1L)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    (1 to 2).map { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          barrier.await()
+          try {
+            Generations.commit(spark, fam, n, s"writer$w")
+            results.add(s"win$w")
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("lost a race") =>
+              results.add(s"lose$w")
+          }
+        }
+      })
+    }.foreach(_.get())
+    pool.shutdown()
+    val rs = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(results).asScala.toSeq.sorted
+    assert(rs.count(_.startsWith("win")) == 1 &&
+      rs.count(_.startsWith("lose")) == 1, s"outcomes: $rs")
+    val winner = rs.find(_.startsWith("win")).get.stripPrefix("win")
+    assert(Generations.head(spark, fam).contains((n, s"writer$winner")))
+  }
+
+  test("rename failing with the destination ABSENT (tmp swept " +
+      "mid-claim) classifies as a retryable IllegalStateException") {
+    val fam = HdfsLikeFileSystem.tempDir("graft-hdfslike-swept") + "/art"
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val tmp = new Path(fam, "_tmp_swepttest")
+    f.create(tmp, true).close()
+    f.delete(tmp, false) // the concurrent sweep
+    val dst = new Path(fam, "_commit_1")
+    val e = intercept[IllegalStateException] {
+      Generations.claim(f, tmp, dst)
+    }
+    assert(e.getMessage.contains("swept mid-claim") &&
+      e.getMessage.contains("retry"), e.getMessage)
+    assert(!f.exists(dst), "no marker may be published on a swept claim")
+  }
+
+  test("VersionedStore commit log over an HDFS-like scheme: overwrite, " +
+      "serializable append, and conflict walk-forward all work through " +
+      "the rename claim") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val logRoot = HdfsLikeFileSystem.tempDir("graft-hdfslike-vstore")
+    val store = new VersionedStore(new MemoryStore, logRoot)
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t",
+      SaveMode.Overwrite)
+    assert(store.currentVersion(spark, "t").contains(1L))
+    store.write(Seq((3L, "c")).toDF("id", "v"), "t", SaveMode.Append)
+    assert(store.currentVersion(spark, "t").contains(2L))
+    assert(store.read(spark, "t").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    // conflict: plant a manifest at the next version — an overwrite
+    // must walk forward past it through the failing rename, never
+    // replace it (POSIX rename would have silently clobbered it)
+    val f = fs(logRoot)
+    val planted = new Path(s"$logRoot/t", "3.commit")
+    val out = f.create(planted, true)
+    out.write("t__sPLANTED".getBytes("UTF-8")); out.close()
+    store.write(Seq((9L, "z")).toDF("id", "v"), "t", SaveMode.Overwrite)
+    assert(store.currentVersion(spark, "t").contains(4L),
+      "overwrite must walk past the planted conflicting manifest")
+    assert(store.read(spark, "t").collect().map(_.getLong(0)).toSeq ==
+      Seq(9L))
+  }
+}

@@ -48,8 +48,22 @@ class GenerationsPropertySpec extends AnyFunSuite {
         s.stripPrefix("part-").stripSuffix(".parquet").toLong }
   }
 
+  /** Run `body` with the slow-reader age floor pinned to `ms` — the
+    * head-distance trials test the Keep rule in isolation (floor 0),
+    * the retention test below pins the floor's own behavior. */
+  private def withReclaimFloor[A](ms: Long)(body: => A): A = {
+    val key = "graft.generations.reclaimMinAgeMs"
+    val prev = sys.props.get(key)
+    sys.props(key) = ms.toString
+    try body
+    finally prev match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props -= key
+    }
+  }
+
   test("random interleavings of cutovers and torn attempts preserve " +
-      "the protocol invariants") {
+      "the protocol invariants") { withReclaimFloor(0L) {
     val seed0 = rng.Seed(20260815L)
     var seed = seed0
     def nextInt(bound: Int): Int = {
@@ -112,6 +126,70 @@ class GenerationsPropertySpec extends AnyFunSuite {
       assert(Generations.resolve(spark, fam) == before)
       assert(Generations.orphans(spark, fam).isEmpty)
     }
+  } }
+
+  test("the reclaim age floor protects a slow reader's generation " +
+      "across arbitrarily many rapid cutovers, and orphan reclaim is " +
+      "not gated by it") {
+    // default floor (10 min) >> the milliseconds these cutovers take:
+    // nothing committed in this test is old enough to reclaim, so even
+    // gen 1 — three full cutovers behind the head, far past keep-2 —
+    // must keep its files for the reader that resolved it first
+    val fam = java.nio.file.Files
+      .createTempDirectory("graft-genage").toString + "/art"
+    val (n1, d1) = Generations.prepare(spark, fam)
+    writePayload(d1, 1L)
+    Generations.commit(spark, fam, n1)
+    val readerDir = Generations.resolve(spark, fam).get
+    (2L to 4L).foreach { t =>
+      val (n, d) = Generations.prepare(spark, fam)
+      writePayload(d, t)
+      Generations.commit(spark, fam, n)
+    }
+    assert(Generations.head(spark, fam).map(_._1).contains(4L))
+    assert(payloadTag(readerDir).contains(1L),
+      "age floor failed: a slow reader's generation was reclaimed " +
+        "within the floor")
+    // but the floor never protects ORPHANS (readers cannot resolve
+    // them, and a torn attempt at head+1 would block future writes):
+    // a fresh torn attempt is reclaimed by the very next prepare
+    val (_, torn) = Generations.prepare(spark, fam)
+    writePayload(torn, 99L)
+    val (n5, d5) = Generations.prepare(spark, fam)
+    assert(d5 == torn && payloadTag(d5).isEmpty,
+      "prepare did not reclaim the fresh torn attempt at its index")
+    writePayload(d5, 5L)
+    Generations.commit(spark, fam, n5)
+    // and with the floor at 0, the same history reclaims down to
+    // keep-2 — the floor composes with, never replaces, the Keep rule
+    withReclaimFloor(0L) {
+      val (n6, d6) = Generations.prepare(spark, fam)
+      writePayload(d6, 6L)
+      Generations.commit(spark, fam, n6)
+    }
+    assert(payloadTag(readerDir).isEmpty,
+      "floor-0 reclaim should have swept gen 1 (four behind head)")
+    assert(payloadTag(Generations.genDir(fam, 5L)).contains(5L),
+      "keep-2 must survive floor-0 reclaim")
+  }
+
+  test("a swept-mid-claim tmp (destination absent) classifies as a " +
+      "retryable IllegalStateException on the local link branch, " +
+      "never an unclassified NoSuchFileException") {
+    val fam = java.nio.file.Files
+      .createTempDirectory("graft-genswept").toString + "/art"
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val tmp = new Path(fam, "_tmp_swepttest")
+    f.create(tmp, true).close()
+    f.delete(tmp, false) // the concurrent sweep
+    val dst = new Path(fam, "_commit_1")
+    val e = intercept[IllegalStateException] {
+      Generations.claim(f, tmp, dst)
+    }
+    assert(e.getMessage.contains("swept mid-claim") &&
+      e.getMessage.contains("retry"), e.getMessage)
+    assert(!f.exists(dst), "no marker may be published on a swept claim")
   }
 
   test("the commit claim is exclusive: of two racing writers for the " +

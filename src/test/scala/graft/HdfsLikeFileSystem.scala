@@ -1,0 +1,47 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+/** Local-disk FileSystem registered under a NON-`file` scheme with
+  * HDFS rename semantics — the missing test double for the commit
+  * claim's rename branch. Both claim primitives
+  * ([[graft.sources.Generations.claim]] and the [[graft.sources.VersionedStore]]
+  * manifest claim) branch on `getScheme == "file"`: the local branch
+  * publishes via exclusive hard link (Java rename silently replaces),
+  * the other branch relies on HDFS-style `rename` FAILING when the
+  * destination exists. The sandbox only ever hands tests `file://`, so
+  * without this wrapper the rename branch's race classification is
+  * asserted, not proven. `RawLocalFileSystem.rename` delegates to
+  * `File.renameTo` — POSIX rename(2), which OVERWRITES an existing
+  * destination — so the no-overwrite contract is imposed here under a
+  * lock (Hadoop caches one instance per scheme per JVM, so the lock
+  * covers every racing caller, making the exists+rename pair atomic
+  * exactly like HDFS's namespace lock does).
+  */
+class HdfsLikeFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = HdfsLikeFileSystem.Scheme
+  override def getUri: URI = URI.create(s"${HdfsLikeFileSystem.Scheme}:///")
+
+  override def rename(src: Path, dst: Path): Boolean =
+    HdfsLikeFileSystem.renameLock.synchronized {
+      if (exists(dst)) false
+      else super.rename(src, dst)
+    }
+}
+
+object HdfsLikeFileSystem {
+  val Scheme = "hdfslike"
+  private val renameLock = new Object
+
+  /** Register the scheme on a session's Hadoop conf (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.$Scheme.impl", classOf[HdfsLikeFileSystem].getName)
+
+  /** A fresh working directory addressed under the scheme. */
+  def tempDir(prefix: String): String =
+    s"$Scheme://" +
+      java.nio.file.Files.createTempDirectory(prefix).toString
+}

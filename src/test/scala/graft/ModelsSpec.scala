@@ -1413,6 +1413,45 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fs.exists(orphan))
   }
 
+  test("slow-reader retention: a reader that resolved the head before " +
+      "THREE rapid compaction cutovers still completes — the reclaim " +
+      "age floor holds its generation past the keep-2 distance") {
+    val all = Tables.documents(spark, sf)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-slow-reader").toString
+    all.filter(h < "cc").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Models.postings(spark, dir)
+    val path = Models.postingsPath(dir)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val rows0 = m(Models.postings(spark, dir)
+      .select("tok", "doc_id", "tf"))
+    // the slow reader: resolves the head NOW, collects only after the
+    // maintenance loop has cut over three more times — under pure
+    // keep-2 its generation would be reclaimed at the second cutover
+    val readerGen = Models.servingDir(spark, path)
+    val slowReader = spark.read.parquet(readerGen)
+      .select("tok", "doc_id", "tf")
+    (1 to 3).foreach { i =>
+      // each fold+compact advances the head one generation
+      Models.postingsAppend(spark, dir,
+        all.filter(h >= "cc").limit(i).select("doc_id", "text"),
+        "doc_id", "text", dedupeIds = false)
+      Models.compactBucketed(spark, path, "tok")
+    }
+    val headGen = Models.servingDir(spark, path)
+    assert(headGen != readerGen)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(readerGen)),
+      "age floor failed: three rapid cutovers reclaimed a generation " +
+        "younger than the floor")
+    assert(m(slowReader) == rows0,
+      "the slow reader lost rows across three cutovers")
+  }
+
   test("drift lifecycle end-to-end: streaming folds trip the guard, " +
       "ivfPqRebuild repairs, the restarted stream replays the tripped " +
       "batch idempotently and folds new data against the NEW " +
