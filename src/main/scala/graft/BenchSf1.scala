@@ -55,7 +55,12 @@ object BenchSf1 {
     "sim_ivfpq_rebuild",
     // the cluster-map daily fold (round-14): base map + LSH train,
     // probe-and-fold with the merge-remap ledger, resolved serve
-    "dd_map_append")
+    "dd_map_append",
+    // the crashed-maintenance lifecycle gate (round-15): fold, planted
+    // debris, exact vacuum sweep, atomic compaction cutover, post-
+    // cutover fold — its sf1 row prices the whole maintenance cycle's
+    // 10× behavior like the fold families' (round-16 task 7)
+    "maint_vacuum_cutover")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

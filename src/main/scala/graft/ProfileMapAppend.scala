@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.{Models, Scenes}
+
+/** Stage-timing receipt for `dd_map_append` (round-16 task 5): the
+  * registry's heaviest entry, profiled stage by stage so its cost is a
+  * measured decomposition instead of a guess. The stages ARE the fold's
+  * own public pieces with its exact parameters (tPct 80, k 32, b 16,
+  * w 3 — see `Models.dedupMapAppend` and the `dd_map_append` gate):
+  *
+  *   1. scene clone        — memoized base map + LSH index file copy
+  *   2. batch shingle      — shingleSets over the fold batch (once)
+  *   3. index probe        — crossSplitPairsIndexed vs persisted index
+  *   4. inner pairs        — exact prefix-filtered join over the batch
+  *   5. components         — pointer-jumping over the matches graph
+  *   6. full fold          — Models.dedupMapAppend end to end (its own
+  *                           single shingle pass; includes LSH fold,
+  *                           remap ledger rewrite, bucketed map append)
+  *   7. resolved serve     — dedupMapResolved + collect
+  *
+  * Stages 2-5 are measured on a THROWAWAY clone (they mutate nothing);
+  * stage 6 runs on a fresh clone so it performs exactly the gate's
+  * fold. Prints one JSON line; the numbers land in BASELINE.md's
+  * round-16 A/B discussion.
+  */
+object ProfileMapAppend {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = Tables.documents(spark, d)
+    val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+    val batch = docs.filter(h >= "55" && h < "80")
+      .select("doc_id", "text").localCheckpoint(true)
+
+    def freshClone(): String = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-profile-map").toString
+      Scenes.cloneScene(spark, d, "map_55", tmp) { c =>
+        val slice = docs.filter(h < "55")
+        slice.write.mode("overwrite").parquet(s"$c/documents.parquet")
+        Models.dedupMap(spark, c, 80)
+        Models.lshIndex(spark, c, Tables.documents(spark, c),
+          "doc_id", "text")
+        ()
+      }
+      tmp
+    }
+
+    // two passes, min per stage (the Bench protocol)
+    val passes = (1 to 2).map { _ =>
+      var tmp: String = null
+      val tClone = timed { tmp = freshClone() }
+      val (bands, sets) = Models.lshIndex(spark, tmp,
+        sys.error("index exists"), "doc_id", "text")
+      var bSets: org.apache.spark.sql.DataFrame = null
+      val tShingle = timed {
+        bSets = Dedup.shingleSets(batch, "doc_id", "text", 3)
+          .localCheckpoint(true)
+      }
+      val tProbe = timed {
+        Dedup.crossSplitPairsIndexed(bands, sets, batch, "doc_id",
+          "text", 0.8, precomputedSets = Some(bSets)).count()
+        ()
+      }
+      val tInner = timed {
+        Dedup.jaccardPairs(batch, "doc_id", "text", 0.8,
+          precomputedSets = Some(bSets)).count()
+        ()
+      }
+      val pairs = Dedup.crossSplitPairsIndexed(bands, sets, batch,
+          "doc_id", "text", 0.8, precomputedSets = Some(bSets))
+        .select(col("i"), col("j"))
+        .unionAll(Dedup.jaccardPairs(batch, "doc_id", "text", 0.8,
+          precomputedSets = Some(bSets)).select(col("i"), col("j")))
+        .localCheckpoint(true)
+      val nodes = batch.select(col("doc_id").as("id"))
+        .unionAll(pairs.select(col("i").as("id"))).distinct()
+      val tComp = timed {
+        Dedup.components(nodes, pairs, pairsContained = true).count()
+        ()
+      }
+      Models.dropLshArtifacts(spark, tmp)
+      // the full fold + serve on a FRESH clone (exactly the gate)
+      val tmp2 = freshClone()
+      val tFold = timed {
+        Models.dedupMapAppend(spark, tmp2, batch, "doc_id", "text", 80)
+      }
+      val tServe = timed {
+        Models.dedupMapResolved(spark, tmp2, 80).count()
+        ()
+      }
+      Models.dropLshArtifacts(spark, tmp2)
+      Map("clone" -> tClone, "shingle" -> tShingle, "probe" -> tProbe,
+        "inner_pairs" -> tInner, "components" -> tComp,
+        "full_fold" -> tFold, "resolved_serve" -> tServe)
+    }
+    val mins = passes.head.keys.map(k =>
+      k -> passes.map(_(k)).min).toMap
+    val order = Seq("clone", "shingle", "probe", "inner_pairs",
+      "components", "full_fold", "resolved_serve")
+    val js = order.map(k => f""""$k":${mins(k)}%.3f""").mkString(",")
+    println(s"""{"metric":"dd_map_append_stages","sf":"$d",$js}""")
+    spark.stop()
+  }
+}

@@ -404,6 +404,60 @@ object ScaleAudit {
     val (apSb20, apIb20) = appendCost(20000L)
     val (apSb100, apIb100) = appendCost(100000L)
 
+    // ---- maintenance at sf1 scale (round-16 task 7): the vacuum/
+    // compaction story measured, not asserted. An sf1-sized corpus
+    // (50k docs ≈ 10× the sf0.1 document table) takes five daily
+    // postings folds (file fan-in growth), one compaction (file counts
+    // before/after + wall time), and one vacuum over a root with
+    // planted debris (sweep wall time): the claims under test are that
+    // fold fragmentation is bounded-linear in folds, compaction
+    // restores the minimal one-file-per-bucket layout in one bounded
+    // pass, and the vacuum walk is metadata-cost only (independent of
+    // artifact BYTES — it lists directories, never reads data files).
+    val mDir = s"$root/maint_sf1"
+    val mDocs = 50000L
+    spark.range(mDocs).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, cast(id % 37 as int) + 3)," +
+        " k -> concat('w', cast((id * 13 + k * 7) % 4096 as string)))," +
+        " ' ')").as("text"))
+      .write.mode("overwrite").parquet(s"$mDir/documents.parquet")
+    val mAll = spark.read.parquet(s"$mDir/documents.parquet")
+    graft.sources.Models.buildRetrievalArtifacts(spark, mDir,
+      docs = Some(mAll.filter(col("doc_id") < mDocs / 2)))
+    val postPath = graft.sources.Models.postingsPath(mDir)
+    val filesBase =
+      graft.sources.Generations.countParquetFiles(spark,
+        graft.sources.Models.servingDir(spark, postPath))
+    val foldN = 5
+    (0 until foldN).foreach { k =>
+      val lo = mDocs / 2 + k * (mDocs / 10)
+      graft.sources.Models.postingsAppend(spark, mDir,
+        mAll.filter(col("doc_id") >= lo && col("doc_id") < lo + mDocs / 10),
+        "doc_id", "text", dedupeIds = true)
+    }
+    val filesAfterFolds =
+      graft.sources.Generations.countParquetFiles(spark,
+        graft.sources.Models.servingDir(spark, postPath))
+    val tC0 = System.nanoTime()
+    val (cBefore, cAfter) =
+      graft.sources.Models.compactBucketed(spark, postPath, "tok")
+    val compactSec = (System.nanoTime() - tC0) / 1e9
+    // planted debris: an orphan generation, a dead tokenize staging
+    // dir, a crashed _tmp_ marker — the three classes vacuum reclaims
+    val mfs = new org.apache.hadoop.fs.Path(postPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanP = new org.apache.hadoop.fs.Path(postPath, "gen-99")
+    mfs.mkdirs(orphanP)
+    mfs.create(new org.apache.hadoop.fs.Path(orphanP, "part-torn.parquet"),
+      true).close()
+    mfs.mkdirs(new org.apache.hadoop.fs.Path(
+      graft.sources.Models.root(mDir), "tok_staging"))
+    mfs.create(new org.apache.hadoop.fs.Path(postPath, "_tmp_dead"),
+      true).close()
+    val tV0 = System.nanoTime()
+    val swept = graft.sources.Models.vacuum(spark, mDir, minAgeMs = 0L)
+    val vacuumSec = (System.nanoTime() - tV0) / 1e9
+
     def pct(a: Long, b: Long): Double =
       math.round(a.toDouble / b * 10000) / 100.0
     val json =
@@ -440,7 +494,14 @@ object ScaleAudit {
          |    "shuffle_stages": ${shufStages.get}, "shuffle_bytes": ${shufBytes.get}},
          |  "ivfpq_append": {"batch": 200,
          |    "idx20k":  {"shuffle_bytes": $apSb20, "input_bytes": $apIb20},
-         |    "idx100k": {"shuffle_bytes": $apSb100, "input_bytes": $apIb100}}
+         |    "idx100k": {"shuffle_bytes": $apSb100, "input_bytes": $apIb100}},
+         |  "maintenance": {"corpus_rows": $mDocs, "folds": $foldN,
+         |    "postings_files_base": $filesBase,
+         |    "postings_files_after_folds": $filesAfterFolds,
+         |    "compact": {"files_before": $cBefore, "files_after": $cAfter,
+         |                "sec": ${math.round(compactSec * 1000) / 1000.0}},
+         |    "vacuum": {"swept": ${swept.size},
+         |               "sec": ${math.round(vacuumSec * 1000) / 1000.0}}}
          |}""".stripMargin
     println(json)
     java.nio.file.Files.write(

@@ -588,8 +588,14 @@ object DedupQueries {
         val tmp = TextQueries.foldTempDir("graft_lsh_fold")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        graft.sources.Models.lshIndex(s, tmp,
-          docs.filter(h < "a8"), "doc_id", "text")
+        // base band + shingle-set artifacts from the MEMOIZED scene
+        // (bit-identical to the in-query train — Scenes scaladoc); the
+        // fold under test still runs in full on the cloned copy
+        graft.sources.Scenes.cloneScene(s, d, "lsh_a8", tmp) { c =>
+          graft.sources.Models.lshIndex(s, c,
+            docs.filter(h < "a8"), "doc_id", "text")
+          ()
+        }
         graft.sources.Models.lshIndexAppend(s, tmp,
           docs.filter(h >= "a8" && h < "cc").select("doc_id", "text"),
           "doc_id", "text")
@@ -629,13 +635,18 @@ object DedupQueries {
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
         // third-sized base + a ~17% fold batch: the gate's content is
         // fold == retrain over the union slice (merges included) —
-        // slice sizes only set the scene, and the base train is the
-        // quadratic-ish part of the oracle tax
-        docs.filter(h < "55").write.mode("overwrite")
-          .parquet(s"$tmp/documents.parquet")
-        graft.sources.Models.dedupMap(s, tmp, 80)
-        graft.sources.Models.lshIndex(s, tmp,
-          Tables.documents(s, tmp), "doc_id", "text")
+        // slice sizes only set the scene, and the base train (the
+        // quadratic-ish part of the oracle tax) comes from the
+        // MEMOIZED scene: base map + LSH index over the < 55 slice,
+        // trained once and file-copied per run
+        graft.sources.Scenes.cloneScene(s, d, "map_55", tmp) { c =>
+          val slice = docs.filter(h < "55")
+          slice.write.mode("overwrite").parquet(s"$c/documents.parquet")
+          graft.sources.Models.dedupMap(s, c, 80)
+          graft.sources.Models.lshIndex(s, c,
+            Tables.documents(s, c), "doc_id", "text")
+          ()
+        }
         graft.sources.Models.dedupMapAppend(s, tmp,
           docs.filter(h >= "55" && h < "80").select("doc_id", "text"),
           "doc_id", "text", 80)

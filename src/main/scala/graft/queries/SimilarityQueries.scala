@@ -1042,15 +1042,21 @@ object SimilarityQueries {
         // genuinely folded frozen-model index whose codes the swap
         // must replace — served stale they'd mis-rank and fail the
         // gate); sixth-sized slices suffice for that and keep the
-        // scene-setting share of the oracle tax small. The rebuild
-        // itself always pays the full-corpus retrain.
-        embs.filter(h < "2a").write.mode("overwrite")
-          .parquet(s"$tmp/embeddings.parquet")
-        graft.sources.Models.ivfPqIndex(s, tmp)
-        graft.sources.Models.ivfPqIndexAppend(s, tmp,
-          embs.filter(h >= "2a" && h < "55")
-            .select("vec_id", "embedding"),
-          "vec_id", "embedding")
+        // scene-setting share of the oracle tax small. The stale
+        // state is deterministic (frozen-model encode of fixed
+        // slices), so it comes from the MEMOIZED scene — built once,
+        // file-copied per run. The rebuild itself always pays the
+        // full-corpus retrain.
+        graft.sources.Scenes.cloneScene(s, d, "ivfpq_stale", tmp) { c =>
+          embs.filter(h < "2a").write.mode("overwrite")
+            .parquet(s"$c/embeddings.parquet")
+          graft.sources.Models.ivfPqIndex(s, c)
+          graft.sources.Models.ivfPqIndexAppend(s, c,
+            embs.filter(h >= "2a" && h < "55")
+              .select("vec_id", "embedding"),
+            "vec_id", "embedding")
+          ()
+        }
         val (cents, cbRows, codes) = graft.sources.Models
           .ivfPqRebuild(s, tmp, embs, "vec_id", "embedding")
         // cached per ivfPqScoreWith's contract (the query/LUT/rerank

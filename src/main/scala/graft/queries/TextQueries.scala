@@ -1008,10 +1008,13 @@ object TextQueries {
         val tmp = foldTempDir("graft_bm25_fold")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        // base artifacts in ONE tokenize pass, straight from the
-        // in-plan ~90% slice — no run-private corpus copy
-        graft.sources.Models.buildRetrievalArtifacts(s, tmp,
-          docs = Some(docs.filter(h < "e6")))
+        // base artifacts from the MEMOIZED scene (bit-identical to the
+        // one-pass in-query train it replaces — Scenes scaladoc): the
+        // fold under test still runs in full on the cloned copy
+        graft.sources.Scenes.cloneScene(s, d, "retr_e6", tmp) { c =>
+          graft.sources.Models.buildRetrievalArtifacts(s, c,
+            docs = Some(docs.filter(h < "e6")))
+        }
         graft.sources.Models.postingsAppend(s, tmp,
           docs.filter(h >= "e6").select("doc_id", "text"),
           "doc_id", "text", dedupeIds = true)
@@ -1044,8 +1047,10 @@ object TextQueries {
         val tmp = foldTempDir("graft_maint_vacuum")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        graft.sources.Models.buildRetrievalArtifacts(s, tmp,
-          docs = Some(docs.filter(h < "cc")))
+        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp) { c =>
+          graft.sources.Models.buildRetrievalArtifacts(s, c,
+            docs = Some(docs.filter(h < "cc")))
+        }
         graft.sources.Models.postingsAppend(s, tmp,
           docs.filter(h >= "cc" && h < "ee").select("doc_id", "text"),
           "doc_id", "text", dedupeIds = true)
@@ -1087,6 +1092,67 @@ object TextQueries {
         "fold lands — oracle retokenizes the full corpus, proving the " +
         "debris never leaked into serving"),
 
+    // The MAINTENANCE REPORTER under the oracle gate: a scripted
+    // fold -> fold -> compact -> vacuum day over a run-private corpus,
+    // with event recording enabled, then the query READS the
+    // append-only maintenance_events table (the reference fans data
+    // events to reporters, pithos src/io/pithos/reporter.clj:4-16 —
+    // this is the same surface for the maintenance layer). The oracle
+    // re-derives the expected ledger: fold row counts from the same
+    // md5 split of the documents table, the compact/vacuum entries
+    // from the script's fixed shape — hash match proves each applied
+    // operation logged exactly once, in order, with the right counts
+    // (wall-clock and file counts stay in the table, excluded here as
+    // non-deterministic).
+    "maint_history" -> QueryDef(
+      (s, d) => {
+        val tmp = foldTempDir("graft_maint_history")
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        graft.sources.MaintenanceLog.enable(graft.sources.Models.root(tmp))
+        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp) { c =>
+          graft.sources.Models.buildRetrievalArtifacts(s, c,
+            docs = Some(docs.filter(h < "cc")))
+        }
+        graft.sources.Models.postingsAppend(s, tmp,
+          docs.filter(h >= "cc" && h < "ee").select("doc_id", "text"),
+          "doc_id", "text", dedupeIds = true)
+        graft.sources.Models.postingsAppend(s, tmp,
+          docs.filter(h >= "ee").select("doc_id", "text"),
+          "doc_id", "text", dedupeIds = true)
+        graft.sources.Models.compactRetrievalIndexes(s, tmp)
+        graft.sources.Models.vacuum(s, tmp, minAgeMs = 0L)
+        val out = graft.sources.MaintenanceLog.events(s,
+          graft.sources.Models.root(tmp))
+          .select(col("seq"), col("kind"), col("family"), col("n_rows"))
+          .orderBy("seq")
+          .localCheckpoint(true)
+        graft.sources.Models.dropRetrievalArtifacts(s, tmp)
+        out
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents)
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS seq, 'fold' AS kind,
+          |         'postings' AS family,
+          |         (SELECT CAST(count(*) AS BIGINT) FROM h
+          |          WHERE hh >= 'cc' AND hh < 'ee') AS n_rows
+          |  UNION ALL SELECT CAST(2 AS BIGINT), 'fold', 'postings',
+          |         (SELECT CAST(count(*) AS BIGINT) FROM h
+          |          WHERE hh >= 'ee')
+          |  UNION ALL SELECT CAST(3 AS BIGINT), 'compact', 'postings',
+          |         CAST(0 AS BIGINT)
+          |  UNION ALL SELECT CAST(4 AS BIGINT), 'compact', 'doc_lens',
+          |         CAST(0 AS BIGINT)
+          |  UNION ALL SELECT CAST(5 AS BIGINT), 'vacuum', '*',
+          |         CAST(0 AS BIGINT))
+          |ORDER BY seq""".stripMargin),
+      doc = "maintenance reporter: scripted fold/fold/compact/vacuum " +
+        "day logged to the append-only maintenance_events table " +
+        "(versioned-sink atomic appends) — oracle re-derives the " +
+        "expected ledger from the same md5 corpus split"),
+
     // The steady-state MAINTENANCE cycle under the oracle gate: daily
     // folds fragment the bucketed postings (one file set per fold),
     // Models.compactRetrievalIndexes rewrites them to one file per
@@ -1102,10 +1168,13 @@ object TextQueries {
         val tmp = foldTempDir("graft_bm25_compact")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        // base artifacts in ONE tokenize pass, straight from the
-        // in-plan ~80% slice — no run-private corpus copy
-        graft.sources.Models.buildRetrievalArtifacts(s, tmp,
-          docs = Some(docs.filter(h < "cc")))
+        // base artifacts from the MEMOIZED "retr_cc" scene (shared
+        // with maint_vacuum_cutover and maint_history — one train
+        // serves all three gates' identical base)
+        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp) { c =>
+          graft.sources.Models.buildRetrievalArtifacts(s, c,
+            docs = Some(docs.filter(h < "cc")))
+        }
         for ((lo, hi) <- Seq(("cc", "ee"), ("ee", "g"))) {
           graft.sources.Models.postingsAppend(s, tmp,
             docs.filter(h >= lo && h < hi).select("doc_id", "text"),

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Append-only maintenance observability — the reporter surface for
+  * the artifact-maintenance layer, mirroring for folds/compactions/
+  * rebuilds/vacuums what the reference fans out for data operations
+  * (pithos: src/io/pithos/reporter.clj:4-16 → our A17 events table):
+  * "what did the nightly loop do" becomes a QUERY over an append-only
+  * `maintenance_events` table instead of a log grep.
+  *
+  * Events land through the existing [[VersionedStore]] versioned sink
+  * (atomic O(event) segment appends, auto-compacted read fan-in), so a
+  * crash mid-emit can never tear the log, and the log lives INSIDE the
+  * corpus's model root — run-private fold corpora reclaim their events
+  * with their artifacts, and [[Models.vacuum]] skips the family by
+  * name (its internals are the store's, not generation-pointer
+  * layout).
+  *
+  * Recording is OPT-IN per corpus root ([[enable]]) — observability is
+  * a deployment choice, and the per-event cost (one small staged
+  * segment + one atomic manifest claim) must not tax pipelines that
+  * did not ask for it. Emission sits at the END of each maintenance
+  * operation, after its final durable write: a replayed fold that
+  * no-ops (the per-artifact guards dropped everything) returns before
+  * the emit, so at-least-once maintenance loops log each applied fold
+  * AT MOST once — never a duplicate event (StreamingSpec pins it); the
+  * only loss window is a crash between the last artifact write and the
+  * emit, which under-reports rather than double-counts.
+  *
+  * Schema: `seq` orders events (the store's commit version at emit
+  * time — gaps after an auto-compaction are fine, order is what
+  * matters); `duration_ms` is wall-clock (excluded from deterministic
+  * oracles); `files_before`/`files_after` carry compaction receipts
+  * (-1 when not applicable); `detail` is free-form (drift shares,
+  * rebuilt generation triples).
+  */
+object MaintenanceLog {
+
+  val Family = "maintenance_events"
+  val Table = "events"
+
+  val Schema: StructType = StructType(Seq(
+    StructField("seq", LongType),
+    StructField("kind", StringType),
+    StructField("family", StringType),
+    StructField("n_rows", LongType),
+    StructField("files_before", LongType),
+    StructField("files_after", LongType),
+    StructField("duration_ms", LongType),
+    StructField("detail", StringType)))
+
+  private val enabledRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def enable(root: String): Unit = { enabledRoots.add(root); () }
+  def disable(root: String): Unit = { enabledRoots.remove(root); () }
+  def enabled(root: String): Boolean = enabledRoots.contains(root)
+
+  /** The versioned sink the events ride: staged parquet segments under
+    * `<root>/maintenance_events/`, commit log under its `_log`. */
+  def store(root: String): VersionedStore =
+    new VersionedStore(new ParquetStore(s"$root/$Family"),
+      s"$root/$Family/_log", keep = 2, autoCompactSegments = 16)
+
+  /** Record one maintenance event (no-op unless [[enabled]] — callers
+    * gate the cost of computing `nRows` on [[enabled]] themselves). */
+  def emit(spark: SparkSession, root: String, kind: String,
+      family: String, nRows: Long, filesBefore: Long = -1L,
+      filesAfter: Long = -1L, durationMs: Long = -1L,
+      detail: String = ""): Unit =
+    if (enabled(root)) synchronized {
+      val st = store(root)
+      val seq = st.currentVersion(spark, Table).getOrElse(0L) + 1L
+      val row = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          seq, kind, family, nRows, filesBefore, filesAfter,
+          durationMs, detail)),
+        Schema).coalesce(1)
+      st.write(row, Table, SaveMode.Append)
+    }
+
+  /** All recorded events for a corpus root (typed-empty when none). */
+  def events(spark: SparkSession, root: String): DataFrame =
+    try store(root).read(spark, Table)
+    catch {
+      case _: NoSuchElementException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
+    }
+}

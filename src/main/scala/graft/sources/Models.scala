@@ -53,14 +53,27 @@ object Models {
 
   private val vocabCache = TrieMap.empty[String, Seq[String]]
 
-  /** Artifact root for one corpus. Overridable for tests via
-    * GRAFT_MODELS_DIR; defaults under the warehouse dir. */
-  def root(sfDir: String): String = {
-    val base = sys.env.getOrElse("GRAFT_MODELS_DIR",
+  /** Test seam for the crash-injection property suite: invoked at
+    * named points inside the maintenance writes ([[postingsAppend]]'s
+    * inter-artifact windows); a hook that throws simulates a writer
+    * dying at exactly that point, which is how MaintSchedulePropertySpec
+    * drives random crash/replay schedules through the REAL write
+    * paths. Production never sets it (a no-op function reference on
+    * the maintenance path, not the per-row path). */
+  @volatile private[graft] var crashHook: String => Unit = _ => ()
+  @inline private def crashPoint(name: String): Unit = crashHook(name)
+
+  /** Base directory for ALL persisted artifacts. Overridable for
+    * tests via GRAFT_MODELS_DIR / -Dgraft.models.dir; defaults under
+    * the warehouse dir. */
+  def modelsBase: String =
+    sys.env.getOrElse("GRAFT_MODELS_DIR",
       sys.props.getOrElse("graft.models.dir",
         s"${sys.props("user.dir")}/spark-warehouse/models"))
-    s"$base/v$ModelVersion/${corpusId(sfDir)}"
-  }
+
+  /** Artifact root for one corpus. */
+  def root(sfDir: String): String =
+    s"$modelsBase/v$ModelVersion/${corpusId(sfDir)}"
 
   /** Corpus key: the sf dir, sanitized to a path/identifier fragment. */
   def corpusId(sfDir: String): String =
@@ -337,6 +350,10 @@ object Models {
     sets.write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "id").sortBy("id")
       .format("parquet").saveAsTable(setsName)
+    if (MaintenanceLog.enabled(root(sfDir))) {
+      MaintenanceLog.emit(spark, root(sfDir), "fold", "lsh_index",
+        nRows = sets.count())
+    }
   }
 
   /** Reclaim ONE corpus's LSH artifacts (band + shingle-set tables,
@@ -350,6 +367,7 @@ object Models {
       s"DROP TABLE IF EXISTS ${tableName(lshSetsPath(sfDir, w))}")
     spark.sql(
       s"DROP TABLE IF EXISTS ${tableName(lshBandsPath(sfDir, k, b, w))}")
+    MaintenanceLog.disable(root(sfDir))
     val dir = new org.apache.hadoop.fs.Path(root(sfDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
@@ -525,6 +543,11 @@ object Models {
       .localCheckpoint(true)
     val agg = stats.agg(sum("n_total"), max("n_total")).head()
     val (total, maxCell) = (agg.getLong(0), agg.getLong(1))
+    if (MaintenanceLog.enabled(root(sfDir))) {
+      MaintenanceLog.emit(spark, root(sfDir), "fold", "ivfpq_codes",
+        nRows = newCodes.count(),
+        detail = s"max_cell_share_milli=${maxCell * 1000L / total}")
+    }
     require(maxCell * 1000L <= maxCellShareMilli.toLong * total,
       s"drift guard: hottest cell holds $maxCell/$total rows " +
         s"(> $maxCellShareMilli/1000 of the index) — rebuild the " +
@@ -619,6 +642,11 @@ object Models {
       prevPair.map(_._1).toSet)
     Generations.reclaimExcept(spark, cbPath, bn,
       prevPair.map(_._2).toSet)
+    if (MaintenanceLog.enabled(root(sfDir))) {
+      MaintenanceLog.emit(spark, root(sfDir), "rebuild", "ivfpq_codes",
+        nRows = prepAll.count(),
+        detail = s"cent=$cn,cb=$bn,codes=$kn")
+    }
     ivfPqIndex(spark, sfDir, nList, iters, m, ksub, dim)
   }
 
@@ -632,6 +660,7 @@ object Models {
       ksub: Int = 256): Unit = synchronized {
     spark.sql("DROP TABLE IF EXISTS " +
       tableName(ivfPqCodesPath(sfDir, nList, iters, m, ksub)))
+    MaintenanceLog.disable(root(sfDir))
     val dir = new org.apache.hadoop.fs.Path(root(sfDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
@@ -865,6 +894,11 @@ object Models {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "id").sortBy("id")
       .format("parquet").saveAsTable(mapName)
+    if (MaintenanceLog.enabled(root(sfDir))) {
+      MaintenanceLog.emit(spark, root(sfDir), "fold", "dedup_map",
+        nRows = bdf.count(),
+        detail = s"merges=${remapNew.count()}")
+    }
   }
 
   /** Fold the remap ledger into the map's base rows and rewrite the
@@ -1100,75 +1134,152 @@ object Models {
     * [[VersionedStore]].
     *
     * `dedupeIds = true` makes the fold IDEMPOTENT for at-least-once
-    * callers ([[graft.streaming.EventStreams.retrievalMaintenance]]):
-    * docs whose ids are already in the stored doc-length table are
-    * dropped before ANY write — without it a replayed batch would
-    * duplicate postings rows AND double-count the df increments. The
-    * spelling streams the (two-column) length table map-side against a
-    * broadcast of the batch ids, then broadcasts the hit set back —
-    * the postings index itself is never read or shuffled. */
+    * callers ([[graft.streaming.EventStreams.retrievalMaintenance]]),
+    * and idempotent PER ARTIFACT, not merely per fold: a single
+    * presence guard written last (the pre-r16 spelling, keyed on the
+    * doc-length table) converges only when the crash happens before
+    * the first write or after the last — a crash BETWEEN the postings
+    * append and the guard's own write made the replay re-append
+    * postings rows, silently doubling BM25 term frequencies (found by
+    * MaintSchedulePropertySpec's crash-injection schedules). Each
+    * artifact now carries its own replay guard:
+    *
+    *   - postings / positional / doc-lens rows: docs already present
+    *     in THAT artifact drop from its batch slice — each probe
+    *     streams the artifact's single doc_id column map-side against
+    *     a broadcast of the batch ids, with a min/max id range filter
+    *     so parquet row-group stats prune files that cannot contain
+    *     batch ids (daily folds carry recent, clustered ids; the probe
+    *     reads the fold-recent tail, not a year of index);
+    *   - the df statistic has no per-doc memory (it is a merged
+    *     count), so its guard is a FOLD LEDGER: the df rewrite's
+    *     commit marker records the order-independent digest of the
+    *     batch ids, and a replay whose digest already heads the ledger
+    *     skips the merge — applied exactly once per fold.
+    *
+    * Write order is postings → positional → df → doc-lens: the df
+    * increments are derived from the docs NOT yet in the length table,
+    * so the length append must come after the df merge (lens-first
+    * would starve a replayed df of its increments). Convergence under
+    * any crash prefix + in-order replay, and each artifact is always
+    * in exactly its pre-fold or post-fold state — both pinned by
+    * MaintSchedulePropertySpec across random crash/compact/vacuum/
+    * restart schedules. Replays are assumed IN-ORDER (foreachBatch
+    * retries a failed batch before advancing), which every
+    * at-least-once Spark sink provides. */
   def postingsAppend(spark: SparkSession, sfDir: String,
       batch: DataFrame, idCol: String, textCol: String,
       dedupeIds: Boolean = false): Unit =
     synchronized {
+      val t0 = System.currentTimeMillis()
       // ensure all three artifacts exist for the BASE corpus before
       // folding — ONE tokenize pass when they're all missing — then
-      // re-register the bucketed table after a restart
+      // re-register the bucketed tables after a restart
       buildRetrievalArtifacts(spark, sfDir)
       postings(spark, sfDir)
       val name = tableName(postingsPath(sfDir))
-      val fresh =
-        if (!dedupeIds) batch
-        else {
-          val present = docLens(spark, sfDir)
-            .join(broadcast(batch.select(col(idCol).as("doc_id"))),
-              Seq("doc_id"), "left_semi")
-            .select(col("doc_id").as(idCol)).localCheckpoint(true)
-          batch.join(broadcast(present), Seq(idCol), "left_anti")
-        }
-      val toks = fresh
-        .select(col(idCol).as("doc_id"),
-          TextOps.tokens(col(textCol)).as("w"))
-        .localCheckpoint(true) // postings + lens + df all derive from it
-      if (toks.isEmpty) return // pure replay: fold to a no-op
-      toks.select(col("doc_id"), explode(col("w")).as("tok"))
-        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .bucketBy(IndexBuckets, "tok").sortBy("tok")
-        .format("parquet").saveAsTable(name)
+      val hasPos = exists(spark, positionalPostingsPath(sfDir))
+      if (hasPos) positionalPostings(spark, sfDir) // re-register
+      val posName = tableName(positionalPostingsPath(sfDir))
+      val b = batch
+        .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .localCheckpoint(true) // guards + tokenize all read it
+      if (b.isEmpty) return
+      val ids = b.select("doc_id")
+      // the fold's identity: an order-independent digest of the RAW
+      // batch ids (count + xor), plus the id range the probes prune by
+      val idAgg = b.agg(count(lit(1)), expr("bit_xor(doc_id)"),
+        min("doc_id"), max("doc_id")).head()
+      val foldId = s"fold=${idAgg.getLong(0)}_${idAgg.getLong(1)}"
+      def presentIn(artifact: DataFrame): DataFrame = artifact
+        .select("doc_id")
+        .filter(col("doc_id").between(idAgg.getLong(2), idAgg.getLong(3)))
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .distinct().localCheckpoint(true)
+      def freshFor(present: DataFrame): DataFrame =
+        b.join(broadcast(present), Seq("doc_id"), "left_anti")
+      val (freshPost, freshPos, freshLens, dfApplied) =
+        if (!dedupeIds) (b, b, b, false)
+        else (
+          freshFor(presentIn(spark.table(name))),
+          if (hasPos) freshFor(presentIn(spark.table(posName))) else b,
+          freshFor(presentIn(docLens(spark, sfDir))),
+          Generations.head(spark, dfTablePath(sfDir))
+            .exists(_._2 == foldId))
+      if (dedupeIds && dfApplied &&
+          freshPost.isEmpty && freshLens.isEmpty &&
+          (!hasPos || freshPos.isEmpty)) {
+        return // pure replay: every artifact already folded
+      }
+      crashPoint("fold_start")
+      // tokenize ONCE over the raw batch; each artifact consumes its
+      // fresh slice (a partial replay re-tokenizes already-applied
+      // docs it then filters out — rare, and far cheaper than a
+      // per-artifact tokenize)
+      val toks = b
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .localCheckpoint(true)
+      def toksOf(fresh: DataFrame): DataFrame =
+        if (!dedupeIds) toks
+        else toks.join(broadcast(fresh.select("doc_id")),
+          Seq("doc_id"), "left_semi")
+      val pToks = toksOf(freshPost)
+      if (!pToks.isEmpty) {
+        pToks.select(col("doc_id"), explode(col("w")).as("tok"))
+          .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(IndexBuckets, "tok").sortBy("tok")
+          .format("parquet").saveAsTable(name)
+      }
+      crashPoint("after_postings")
       // the positional index, when this corpus has built one, folds in
       // the same batch rows (positions are doc-local offsets, so an
       // append IS the retokenize) — skipping it would silently serve
       // phrase queries from a pre-fold snapshot while BM25 sees the
       // grown corpus
-      if (exists(spark, positionalPostingsPath(sfDir))) {
-        positionalPostings(spark, sfDir) // re-register after a restart
-        positionalRows(toks)
-          .write.mode(org.apache.spark.sql.SaveMode.Append)
-          .bucketBy(IndexBuckets, "tok").sortBy("tok")
-          .format("parquet")
-          .saveAsTable(tableName(positionalPostingsPath(sfDir)))
+      if (hasPos) {
+        val posToks = toksOf(freshPos)
+        if (!posToks.isEmpty) {
+          positionalRows(posToks)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .bucketBy(IndexBuckets, "tok").sortBy("tok")
+            .format("parquet").saveAsTable(posName)
+        }
       }
-      toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(servingDir(spark, docLensPath(sfDir)))
-      // df refresh: old counts + the batch's distinct-token increments
+      crashPoint("after_positional")
+      // df refresh: old counts + the fold's distinct-token increments
       // (both sides vocabulary-sized; the merged table rewrites whole
       // as an atomic next generation — the old head's files survive
       // the flip, so no checkpoint sever, and a crash mid-rewrite
-      // leaves the previous committed statistic serving: an overwrite
-      // here would make that crash silently LOSE every fold's
-      // increments, since a df retrain only sees the base corpus)
-      val inc = toks
-        .select(explode(array_distinct(col("w"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("inc"))
-      val merged = dfTable(spark, sfDir)
-        .join(inc, Seq("tok"), "full_outer")
-        .select(col("tok"),
-          (coalesce(col("df"), lit(0L)) + coalesce(col("inc"), lit(0L)))
-            .as("df"))
-      Generations.cutover(spark, dfTablePath(sfDir)) { g =>
-        merged.coalesce(1).write.parquet(g)
+      // leaves the previous committed statistic serving). Increments
+      // come from the docs not yet in the LENGTH table (written after
+      // this, so a replayed merge still sees them), and the fold
+      // digest rides in the commit marker as the applied-ledger.
+      if (!dfApplied) {
+        val inc = toksOf(freshLens)
+          .select(explode(array_distinct(col("w"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("inc"))
+        val merged = dfTable(spark, sfDir)
+          .join(inc, Seq("tok"), "full_outer")
+          .select(col("tok"),
+            (coalesce(col("df"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+              .as("df"))
+        Generations.cutover(spark, dfTablePath(sfDir), foldId) { g =>
+          merged.coalesce(1).write.parquet(g)
+        }
+      }
+      crashPoint("after_df")
+      val lensToks = toksOf(freshLens)
+      if (!lensToks.isEmpty) {
+        lensToks
+          .select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(servingDir(spark, docLensPath(sfDir)))
+      }
+      if (MaintenanceLog.enabled(root(sfDir))) {
+        MaintenanceLog.emit(spark, root(sfDir), "fold", "postings",
+          nRows = freshLens.count(),
+          durationMs = System.currentTimeMillis() - t0)
       }
       ()
     }
@@ -1235,7 +1346,14 @@ object Models {
     // re-register the serving name at the new head
     val schemaDdl = spark.read.parquet(g).schema.toDDL
     serveBucketed(spark, path, schemaDdl, bucketCol)
-    (before, Generations.countParquetFiles(spark, g))
+    val after = Generations.countParquetFiles(spark, g)
+    val famRoot = new org.apache.hadoop.fs.Path(path).getParent.toString
+    if (MaintenanceLog.enabled(famRoot)) {
+      MaintenanceLog.emit(spark, famRoot, "compact",
+        new org.apache.hadoop.fs.Path(path).getName, nRows = 0L,
+        filesBefore = before, filesAfter = after)
+    }
+    (before, after)
   }
 
   /** Compact this corpus's retrieval indexes (tf postings + the
@@ -1274,7 +1392,14 @@ object Models {
       val g = Generations.cutover(spark, path) { dir =>
         spark.read.parquet(src).coalesce(1).write.parquet(dir)
       }
-      (before, Generations.countParquetFiles(spark, g))
+      val after = Generations.countParquetFiles(spark, g)
+      val famRoot = new org.apache.hadoop.fs.Path(path).getParent.toString
+      if (MaintenanceLog.enabled(famRoot)) {
+        MaintenanceLog.emit(spark, famRoot, "compact",
+          new org.apache.hadoop.fs.Path(path).getName, nRows = 0L,
+          filesBefore = before, filesAfter = after)
+      }
+      (before, after)
     }
   }
 
@@ -1378,7 +1503,13 @@ object Models {
     }
     fs.listStatus(rootDir).filter(_.isDirectory).foreach { fam =>
       val name = fam.getPath.getName
-      if (name == "tok_staging" || name.endsWith("__compacting") ||
+      if (name == MaintenanceLog.Family) {
+        // the maintenance-events store: its internals are the
+        // VersionedStore's (staged segments + commit log), not the
+        // generation-pointer layout — reclaimed by ITS vacuum, never
+        // swept as family strays
+        ()
+      } else if (name == "tok_staging" || name.endsWith("__compacting") ||
           name.endsWith("__rebuilding")) {
         if (fam.getModificationTime <= cutoff) rm(fam.getPath, true)
       } else {
@@ -1397,7 +1528,12 @@ object Models {
         }
       }
     }
-    reclaimed.toSeq
+    val out = reclaimed.toSeq
+    if (MaintenanceLog.enabled(root(sfDir))) {
+      MaintenanceLog.emit(spark, root(sfDir), "vacuum", "*",
+        nRows = out.size.toLong)
+    }
+    out
   }
 
   /** Reclaim ONE corpus's retrieval artifacts (postings table +
@@ -1411,6 +1547,7 @@ object Models {
         s"DROP TABLE IF EXISTS ${tableName(postingsPath(sfDir))}")
       spark.sql(
         s"DROP TABLE IF EXISTS ${tableName(positionalPostingsPath(sfDir))}")
+      MaintenanceLog.disable(root(sfDir))
       val dir = new org.apache.hadoop.fs.Path(root(sfDir))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dir)) { fs.delete(dir, true); () }
@@ -1490,6 +1627,7 @@ object Models {
   /** Drop every cached/persisted artifact for a corpus (test hook). */
   def reset(spark: SparkSession, sfDir: String): Unit = synchronized {
     vocabCache.clear()
+    MaintenanceLog.disable(root(sfDir))
     val dir = new org.apache.hadoop.fs.Path(root(sfDir))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.catalog.listTables().collect()

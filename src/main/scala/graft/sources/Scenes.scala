@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Memoized BASE SCENES for the lifecycle gates — the shared
+  * scene-builder that stops five oracle-gated maintenance queries from
+  * each re-training the same base artifacts in-query on every run.
+  *
+  * The fold/compact/vacuum/rebuild gates all follow one shape: train
+  * base artifacts over a deterministic md5 slice of the corpus into a
+  * RUN-PRIVATE dir, mutate them (fold, compact, crash, rebuild), serve,
+  * hash-match a from-scratch oracle. The mutation is the content under
+  * test; the base train is oracle tax paid identically every run.
+  * Because every artifact is a deterministic function of (corpus slice,
+  * params) — the property all the reload≡retrain oracles already prove
+  * — a base scene can be built ONCE per (corpus, key) under the models
+  * base and FILE-COPIED into each gate's run-private dir: the copy is
+  * bit-identical to the train, so every gate still hash-matches its own
+  * oracle, and the copied artifacts are mutated exactly as before.
+  *
+  * Scene builds that APPEND (the IVF-PQ stale-state scene folds a batch
+  * into its base) are not idempotent through the `ensure*` train-once
+  * guards alone, so a scene is valid only under its `_SCENE_READY`
+  * marker, created after the whole build: a crash mid-build leaves no
+  * marker, and the next builder deletes the torn scene (both the scene
+  * dir and its artifact root) and rebuilds fresh. Scenes live under
+  * `<modelsBase>/v<ModelVersion>_scenes/`, so a ModelVersion bump
+  * (changed derivation) invalidates them with the artifacts.
+  *
+  * This is a BENCH/TEST-HARNESS amortization, not an engine feature: a
+  * production pipeline trains its base once and folds forever — the
+  * gates replay the whole lifecycle per run so DuckDB can hash-match
+  * it, and the scene cache prices that replay honestly (the mutation
+  * under test is still paid in full, every run).
+  */
+object Scenes {
+
+  /** Scene pseudo-corpus dir for (source corpus, key): an ABSOLUTE
+    * path (its slices live inside it; its artifacts under
+    * `Models.root(scene)`), stable across JVMs so the driver's
+    * two-pass bench and repeated rounds reuse the on-disk scene. */
+  def sceneDir(srcSfDir: String, key: String): String =
+    s"${Models.modelsBase}/v${Models.ModelVersion}_scenes/" +
+      s"${Models.corpusId(srcSfDir)}_$key"
+
+  /** Ensure the scene exists (building via `build(sceneSfDir)` exactly
+    * once per models-base lifetime), then copy its artifact root into
+    * `destSfDir`'s artifact root — the gate mutates the copy, never
+    * the scene. */
+  def cloneScene(spark: SparkSession, srcSfDir: String, key: String,
+      destSfDir: String)(build: String => Unit): Unit = synchronized {
+    val scene = sceneDir(srcSfDir, key)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sceneP = new Path(scene)
+    val fs = sceneP.getFileSystem(conf)
+    val marker = new Path(sceneP, "_SCENE_READY")
+    if (!fs.exists(marker)) {
+      // torn prior attempt (or first build): start from nothing —
+      // ensure* guards would skip half-built trains but cannot make an
+      // interrupted append-bearing build idempotent
+      fs.delete(sceneP, true)
+      fs.delete(new Path(Models.root(scene)), true)
+      fs.mkdirs(sceneP)
+      build(scene)
+      fs.create(marker, true).close()
+    }
+    val src = new Path(Models.root(scene))
+    val dst = new Path(Models.root(destSfDir))
+    fs.mkdirs(dst.getParent)
+    FileUtil.copy(fs, src, fs, dst, false, conf)
+    ()
+  }
+}

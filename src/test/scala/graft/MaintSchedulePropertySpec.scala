@@ -1,0 +1,316 @@
+package graft
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.functions._
+import org.scalacheck.rng
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Generations, Models}
+
+/** Crash-injection model-based property test over the FULL maintenance
+  * schedule — the round-15 claims ("any prefix of writes converges",
+  * "a torn cutover is structurally impossible") were pinned at
+  * hand-chosen crash points; here a reference model drives random
+  * interleavings of
+  *
+  *   { clean fold, fold CRASHED at a random inter-artifact write
+  *     point (optionally with compact / vacuum / restart — even a
+  *     second crash — before the replay), compact, vacuum, restart,
+  *     planted crash debris }
+  *
+  * through the REAL [[Models.postingsAppend]] / [[Models
+  * .compactRetrievalIndexes]] / [[Models.vacuum]] code paths (the
+  * crash seam [[Models.crashHook]] throws between artifact writes,
+  * exactly where a dying JVM stops), asserting after EVERY step that
+  * each served artifact equals the independent pure-Scala retrain
+  * oracle of the applied-fold prefix — as a MULTISET, because the bug
+  * class this guards against is duplicated rows, which a set compare
+  * would wave through.
+  *
+  * This suite's crash schedules FOUND a real convergence bug in the
+  * pre-r16 fold: the single replay guard (doc-length presence, written
+  * last) let a crash between the postings append and the length append
+  * re-append postings rows on replay — duplicate (tok, doc_id, tf)
+  * rows, silently doubling BM25 term frequencies. The fix (per-artifact
+  * replay guards + the df fold-ledger marker) is what these schedules
+  * now hold to, including the invariant that mid-crash every artifact
+  * is in exactly its pre-fold or post-fold state, never a mix.
+  *
+  * Reference analogue: the wide-row store simulation contract at
+  * pithos test/io/pithos/meta_test.clj:81-95 ("alternate store
+  * implementations will need to provide the same properties").
+  */
+class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val modelsTmp = java.nio.file.Files
+    .createTempDirectory("graft-maintprop-models").toString
+  private var prevModelsDir: Option[String] = None
+
+  override def beforeAll(): Unit = {
+    prevModelsDir = sys.props.get("graft.models.dir")
+    sys.props("graft.models.dir") = modelsTmp
+  }
+  override def afterAll(): Unit = {
+    Models.crashHook = _ => ()
+    prevModelsDir match {
+      case Some(v) => sys.props("graft.models.dir") = v
+      case None => sys.props.remove("graft.models.dir")
+    }
+  }
+
+  // ---- the corpus and its pure-Scala retrain oracle ----------------------
+
+  private case class Doc(id: Long, text: String)
+
+  /** Deterministic tiny corpus: ids 1..N, multi-token texts with
+    * cross-doc token overlap (so df > 1) and repeated tokens (tf > 1). */
+  private val words =
+    Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+  private def doc(i: Long): Doc = Doc(i,
+    (0 until (2 + (i % 4)).toInt)
+      .map(j => words(((i + j * 3) % words.size).toInt))
+      .mkString(" ") + s" uniq$i")
+  private val base = (1L to 10L).map(doc)
+  private val batches = (0 until 4).map { b =>
+    (11L + 3 * b to 13L + 3 * b).map(doc)
+  }
+
+  /** The SAME tokenizer contract as TextOps.tokens =
+    * split(trim(lower(text)), "\\s+") — re-derived independently. */
+  private def toks(d: Doc): Seq[String] =
+    d.text.trim.toLowerCase.split("\\s+").toSeq
+
+  private def expPostings(docs: Seq[Doc]): Vector[(String, Long, Long)] =
+    docs.flatMap(d => toks(d).groupBy(identity).map { case (t, g) =>
+      (t, d.id, g.size.toLong) }).toVector.sorted
+  private def expLens(docs: Seq[Doc]): Vector[(Long, Long)] =
+    docs.map(d => (d.id, toks(d).size.toLong)).toVector.sorted
+  private def expDf(docs: Seq[Doc]): Vector[(String, Long)] =
+    docs.flatMap(d => toks(d).distinct).groupBy(identity)
+      .map { case (t, g) => (t, g.size.toLong) }.toVector.sorted
+  private def expPositional(docs: Seq[Doc])
+      : Vector[(String, Long, String)] =
+    docs.flatMap { d =>
+      toks(d).zipWithIndex.groupBy(_._1).map { case (t, occ) =>
+        (t, d.id, occ.map(_._2 + 1).sorted.mkString(","))
+      }
+    }.toVector.sorted
+
+  // ---- actual-state readers (multisets via sorted vectors) ---------------
+
+  private def actPostings(dir: String): Vector[(String, Long, Long)] =
+    Models.postings(spark, dir).select("tok", "doc_id", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toVector.sorted
+  private def actLens(dir: String): Vector[(Long, Long)] =
+    Models.docLens(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toVector.sorted
+  private def actDf(dir: String): Vector[(String, Long)] =
+    Models.dfTable(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toVector.sorted
+  private def actPositional(dir: String): Vector[(String, Long, String)] =
+    Models.positionalPostings(spark, dir)
+      .select(col("tok"), col("doc_id"),
+        array_join(col("positions"), ",").as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toVector.sorted
+
+  // ---- schedule machinery -------------------------------------------------
+
+  private final class CrashInjected(point: String)
+    extends RuntimeException(s"injected crash at $point")
+
+  private val CrashPoints =
+    Vector("fold_start", "after_postings", "after_positional", "after_df")
+
+  private def foldBatch(dir: String, docs: Seq[Doc],
+      crashAt: Option[String]): Boolean = {
+    val df = docs.map(d => (d.id, d.text)).toDF("doc_id", "text")
+    crashAt.foreach { p =>
+      Models.crashHook =
+        pt => if (pt == p) throw new CrashInjected(p)
+    }
+    try { Models.postingsAppend(spark, dir, df, "doc_id", "text",
+      dedupeIds = true); true }
+    catch { case _: CrashInjected => false }
+    finally Models.crashHook = _ => ()
+  }
+
+  private def restart(dir: String): Unit = {
+    Models.clearSessionCache()
+    spark.sql("DROP TABLE IF EXISTS " +
+      tableNameOf(Models.postingsPath(dir)))
+    spark.sql("DROP TABLE IF EXISTS " +
+      tableNameOf(Models.positionalPostingsPath(dir)))
+  }
+  /** Mirror of Models.tableName (private there). */
+  private def tableNameOf(path: String): String =
+    "graft_model_" + path.replaceAll("[^A-Za-z0-9]+", "_").takeRight(80)
+      .dropWhile(_ == '_')
+
+  /** Build the base template ONCE; every schedule starts from a cheap
+    * file copy of its model root instead of a re-train. */
+  private lazy val template: (String, Boolean) => String = {
+    val cache = scala.collection.mutable.Map.empty[Boolean, String]
+    (prefix: String, positional: Boolean) => {
+      val tdir = cache.getOrElseUpdate(positional, {
+        val t = java.nio.file.Files
+          .createTempDirectory(s"graft-maintprop-tpl$positional").toString
+        Models.buildRetrievalArtifacts(spark, t,
+          docs = Some(base.map(d => (d.id, d.text)).toDF("doc_id", "text")),
+          includePositional = positional)
+        t
+      })
+      val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new Path(Models.root(tdir))
+      val dst = new Path(Models.root(dir))
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst.getParent)
+      FileUtil.copy(fs, src, fs, dst, false, conf)
+      dir
+    }
+  }
+
+  // ---- directed coverage: every crash point, all four artifacts ----------
+
+  test("each inter-artifact crash point converges on replay with all " +
+      "FOUR artifacts (incl. positional) exactly equal to the retrain " +
+      "oracle, and mid-crash each artifact is pre-fold or post-fold, " +
+      "never mixed or duplicated") {
+    CrashPoints.foreach { point =>
+      val dir = template(s"graft-maintprop-dir-$point", true)
+      val pre = base
+      val post = base ++ batches(0)
+      assert(foldBatch(dir, batches(0), Some(point)) == false,
+        s"crash at $point did not fire")
+      // mid-window: each artifact is EXACTLY pre or post (multiset)
+      val ap = actPostings(dir)
+      assert(ap == expPostings(pre) || ap == expPostings(post),
+        s"[$point] postings mixed/duplicated mid-crash")
+      val al = actLens(dir)
+      assert(al == expLens(pre) || al == expLens(post),
+        s"[$point] doc lens mixed mid-crash")
+      val ad = actDf(dir)
+      assert(ad == expDf(pre) || ad == expDf(post),
+        s"[$point] df mixed mid-crash")
+      val ax = actPositional(dir)
+      assert(ax == expPositional(pre) || ax == expPositional(post),
+        s"[$point] positional mixed mid-crash")
+      // the replay converges every artifact to the oracle
+      assert(foldBatch(dir, batches(0), None))
+      assert(actPostings(dir) == expPostings(post),
+        s"[$point] postings diverged after replay")
+      assert(actLens(dir) == expLens(post),
+        s"[$point] doc lens diverged after replay")
+      assert(actDf(dir) == expDf(post),
+        s"[$point] df diverged after replay")
+      assert(actPositional(dir) == expPositional(post),
+        s"[$point] positional diverged after replay")
+      // and a SECOND fold after the turbulence still lands exactly
+      assert(foldBatch(dir, batches(1), None))
+      val post2 = post ++ batches(1)
+      assert(actPostings(dir) == expPostings(post2) &&
+        actLens(dir) == expLens(post2) && actDf(dir) == expDf(post2) &&
+        actPositional(dir) == expPositional(post2),
+        s"[$point] post-replay fold diverged")
+    }
+  }
+
+  // ---- the property: 100 random maintenance schedules --------------------
+
+  test("100 random maintenance schedules — folds, crashes at random " +
+      "points (sometimes crashing the replay too), compactions, " +
+      "vacuums with planted debris, restarts — keep every artifact " +
+      "equal to the retrain oracle of the applied prefix") {
+    var seed = rng.Seed(20260816L)
+    def nextInt(bound: Int): Int = {
+      val (n, s2) = seed.long
+      seed = s2
+      (math.abs(n) % bound).toInt
+    }
+    (1 to 100).foreach { trial =>
+      val dir = template(s"graft-maintprop-sched$trial", false)
+      var applied = base
+      var nextBatch = 0
+      var planted: Option[Path] = None
+      val fs = new Path(Models.root(dir))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+      def assertState(label: String): Unit = {
+        assert(actPostings(dir) == expPostings(applied),
+          s"[$trial/$label] postings != oracle of applied prefix")
+        assert(actLens(dir) == expLens(applied),
+          s"[$trial/$label] doc lens != oracle")
+        assert(actDf(dir) == expDf(applied),
+          s"[$trial/$label] df != oracle")
+      }
+
+      def plantDebris(): Unit = if (planted.isEmpty) {
+        val head = Models.servingDir(spark, Models.postingsPath(dir))
+          .split('/').last.stripPrefix("gen-").toLong
+        val p = new Path(Models.postingsPath(dir), s"gen-${head + 7}")
+        fs.mkdirs(p)
+        fs.create(new Path(p, "part-torn.parquet"), true).close()
+        planted = Some(p)
+      }
+
+      def maintenanceOp(op: Int): Unit = op match {
+        case 0 =>
+          Models.compactRetrievalIndexes(spark, dir)
+          planted = None // compact's prepare reclaims orphans
+        case 1 =>
+          val swept = Models.vacuum(spark, dir, minAgeMs = 0L)
+            .map(p => new Path(p).toUri.getPath).toSet
+          val want = planted.map(_.toUri.getPath).toSet
+          assert(swept == want,
+            s"[$trial] vacuum swept $swept, expected exactly $want")
+          planted = None
+        case 2 => restart(dir)
+        case _ => plantDebris()
+      }
+
+      val ops = 3 + nextInt(2)
+      (1 to ops).foreach { step =>
+        val choice = nextInt(10)
+        if (choice < 5 && nextBatch < batches.size) {
+          val batch = batches(nextBatch); nextBatch += 1
+          if (nextInt(3) == 0) {
+            // clean fold
+            assert(foldBatch(dir, batch, None))
+            applied = applied ++ batch
+          } else {
+            // crashed fold: random point, 50% an interleaved
+            // maintenance op inside the crash window, 25% the first
+            // replay crashes too, then a completing replay
+            assert(!foldBatch(dir, batch,
+              Some(CrashPoints(nextInt(CrashPoints.size)))))
+            if (nextInt(2) == 0) maintenanceOp(nextInt(4))
+            if (nextInt(4) == 0) {
+              foldBatch(dir, batch,
+                Some(CrashPoints(nextInt(CrashPoints.size))))
+              () // may or may not reach its point; either is legal
+            }
+            assert(foldBatch(dir, batch, None))
+            applied = applied ++ batch
+          }
+        } else {
+          maintenanceOp(nextInt(4))
+        }
+        assertState(s"step$step")
+      }
+      // terminal: one more clean fold must land exactly (the schedule
+      // left no landmine), when batches remain
+      if (nextBatch < batches.size) {
+        val batch = batches(nextBatch)
+        assert(foldBatch(dir, batch, None))
+        applied = applied ++ batch
+        assertState("terminal")
+      }
+    }
+  }
+}

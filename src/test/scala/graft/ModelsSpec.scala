@@ -770,6 +770,9 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet(s"$baseDir/documents.parquet")
     Models.postings(spark, baseDir) // base artifacts
     Models.positionalPostings(spark, baseDir) // rides the same folds
+    // record the maintenance ledger for this corpus: the assertions at
+    // the end pin one event per APPLIED operation and none for replays
+    graft.sources.MaintenanceLog.enable(Models.root(baseDir))
     val newDocs = all.filter(h >= "e6")
       .select("doc_id", "text").collect()
     assert(newDocs.length >= 2)
@@ -842,6 +845,23 @@ class ModelsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replayed batch re-appended postings")
     assert(Models.positionalPostings(spark, baseDir).count() == posBefore,
       "replayed batch re-appended positional postings")
+    // maintenance reporter: exactly one event per APPLIED operation
+    // (fold b1, fold b2, the in-loop compaction's three artifacts) and
+    // — the at-least-once pin — NO event for the replayed fold above
+    val ledger = graft.sources.MaintenanceLog
+      .events(spark, Models.root(baseDir))
+      .select("seq", "kind", "family", "n_rows").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(ledger.map(e => (e._2, e._3)) == Seq(
+      ("fold", "postings"), ("fold", "postings"),
+      ("compact", "postings"), ("compact", "postings_pos"),
+      ("compact", "doc_lens")),
+      s"maintenance ledger wrong (replay must emit nothing): $ledger")
+    assert(ledger(0)._4 == b1.length && ledger(1)._4 == b2.length,
+      s"fold events carry wrong row counts: $ledger")
+    graft.sources.MaintenanceLog.disable(Models.root(baseDir))
   }
 
   test("dedup streaming maintenance: micro-batches probe the persisted " +
