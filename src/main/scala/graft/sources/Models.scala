@@ -851,11 +851,13 @@ object Models {
       .unionAll(edges.select(col("i").as("id"))).distinct()
     val comp = Dedup.components(nodes, edges, pairsContained = true)
       .localCheckpoint(true) // everything below reads it
+    crashPoint("map_start")
     // the daily LSH fold first: its own idempotence layer, and folding
     // it before the map writes means every crash-window replay can
     // still regenerate identical pairs (see the scaladoc contract)
     lshIndexAppend(spark, sfDir, bdf, idCol, textCol, k, b, w,
       dedupeIds = true, precomputedSets = Some(bSets))
+    crashPoint("map_after_lsh")
     // merge ledger: touched old labels whose component found a smaller
     // canonical id
     val oldLabels = edges0.filter(col("cross"))
@@ -888,6 +890,7 @@ object Models {
         r.coalesce(1).write.parquet(g)
       }
     }
+    crashPoint("map_after_remap")
     // batch rows last, with their final labels, bucket-preserving
     comp.join(broadcast(bdf.select(col(idCol).as("id"))), Seq("id"),
         "left_semi")

@@ -221,6 +221,86 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- dedup-map fold crash windows (twin-convergence) -------------------
+
+  test("dedup-map fold crash windows converge: a fold crashed after " +
+      "the LSH fold or after the remap rewrite, then replayed, equals " +
+      "a clean twin fold — resolved map, remap semantics, and LSH " +
+      "index all multiset-equal, with a real cluster MERGE in play") {
+    // corpus engineered to force a merge: base cluster A = {1, 2}
+    // (end-modified near-duplicates, J = 15/21 ≈ 0.71) and B = {3}
+    // (disjoint token space), bridge docs 10/11 = concatenations of
+    // doc2's and doc3's token runs (J ≈ 18/38 ≈ 0.474 to each side),
+    // threshold tPct = 47 — so the fold must MERGE clusters 1 and 3
+    // through the remap ledger, exercising exactly the writes the
+    // crash points split
+    val tPct = 47
+    def aTok(i: Int) = s"alpha$i"
+    def bTok(i: Int) = s"beta$i"
+    val aRun = (1 to 20).map(aTok)
+    val bRun = (1 to 20).map(bTok)
+    val baseDocs = Seq(
+      1L -> (aRun.dropRight(1) :+ "alphaX").mkString(" "),
+      2L -> aRun.mkString(" "),
+      3L -> bRun.mkString(" "),
+      4L -> (1 to 10).map(i => s"gamma$i").mkString(" "))
+    val bridge = Seq(
+      10L -> (aRun ++ bRun).mkString(" "),
+      11L -> (bRun ++ aRun).mkString(" "))
+
+    def run(crashAt: Option[String])
+        : (Vector[String], Vector[String], Vector[String], Long) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-mapcrash-${crashAt.getOrElse("clean")}")
+        .toString
+      baseDocs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      Models.dedupMap(spark, dir, tPct)
+      Models.lshIndex(spark, dir, Tables.documents(spark, dir),
+        "doc_id", "text")
+      val batch = bridge.toDF("doc_id", "text")
+      def fold(p: Option[String]): Boolean = {
+        p.foreach { pt =>
+          Models.crashHook =
+            x => if (x == pt) throw new CrashInjected(pt)
+        }
+        try { Models.dedupMapAppend(spark, dir, batch, "doc_id", "text",
+          tPct, dedupeIds = true); true }
+        catch { case _: CrashInjected => false }
+        finally Models.crashHook = _ => ()
+      }
+      crashAt.foreach(p => assert(!fold(Some(p)),
+        s"crash at $p did not fire"))
+      assert(fold(None), "the completing fold failed")
+      val resolved = Models.dedupMapResolved(spark, dir, tPct)
+        .collect().map(_.toString).toVector.sorted
+      val (bands, sets) = Models.lshIndex(spark, dir,
+        sys.error("trained"), "doc_id", "text")
+      val bandRows = bands.collect().map(_.toString).toVector.sorted
+      val setRows = sets.select(col("id"), size(col("hs")).as("n"))
+        .collect().map(_.toString).toVector.sorted
+      // the merge really happened: doc 3's rows resolve to label 1
+      val merged = Models.dedupMapResolved(spark, dir, tPct)
+        .filter(col("id") === 3L).collect().map(_.getLong(1)).toSeq
+      (resolved, bandRows, setRows, merged.head)
+    }
+
+    val clean = run(None)
+    assert(clean._4 == 1L,
+      s"scene defect: the bridge fold did not merge cluster 3 into 1 " +
+        s"(label ${clean._4}) — the crash windows under test would be " +
+        "empty of content")
+    Seq("map_start", "map_after_lsh", "map_after_remap").foreach { p =>
+      val crashed = run(Some(p))
+      assert(crashed._1 == clean._1,
+        s"[$p] resolved map diverged from the clean twin")
+      assert(crashed._2 == clean._2,
+        s"[$p] LSH band index diverged from the clean twin")
+      assert(crashed._3 == clean._3,
+        s"[$p] shingle-set index diverged from the clean twin")
+    }
+  }
+
   // ---- the property: 100 random maintenance schedules --------------------
 
   test("100 random maintenance schedules — folds, crashes at random " +
