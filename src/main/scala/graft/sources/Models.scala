@@ -340,14 +340,21 @@ object Models {
     // makes impossible. (Sets-first would invert it: the replay would
     // see the ids present, no-op, and the bands would stay missing
     // forever — silently dropping the batch from all future probes.)
+    // fold writes pre-partitioned on the bucket column: one file per
+    // bucket per fold instead of one per (task, bucket) — see the
+    // postingsAppend file-hygiene note (ScaleAudit: 512 → 16 files
+    // per fold); the extra exchange is batch-sized
     Dedup.bandTable(
       Dedup.minhashSignature(
         sets.select(col("id"), explode(col("hs")).as("sh")), k), b, k / b)
       .select(col("bk"), col("id"))
+      .repartition(IndexBuckets, col("bk"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "bk").sortBy("bk")
       .format("parquet").saveAsTable(bandsName)
-    sets.write.mode(org.apache.spark.sql.SaveMode.Append)
+    crashPoint("lsh_after_bands")
+    sets.repartition(IndexBuckets, col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "id").sortBy("id")
       .format("parquet").saveAsTable(setsName)
     if (MaintenanceLog.enabled(root(sfDir))) {
@@ -523,7 +530,8 @@ object Models {
         encoded.join(broadcast(present), Seq("nid"), "left_anti")
           .localCheckpoint(true)
       }
-    newCodes.write.mode(org.apache.spark.sql.SaveMode.Append)
+    newCodes.repartition(IndexBuckets, col("cid")) // one file per bucket
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(codesName)
     val post = spark.table(codesName)
@@ -894,6 +902,7 @@ object Models {
     // batch rows last, with their final labels, bucket-preserving
     comp.join(broadcast(bdf.select(col(idCol).as("id"))), Seq("id"),
         "left_semi")
+      .repartition(IndexBuckets, col("id")) // one file per bucket
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "id").sortBy("id")
       .format("parquet").saveAsTable(mapName)
@@ -1226,10 +1235,20 @@ object Models {
         if (!dedupeIds) toks
         else toks.join(broadcast(fresh.select("doc_id")),
           Seq("doc_id"), "left_semi")
+      // every fold write below is PRE-PARTITIONED on its bucket column
+      // (HashPartitioning uses the same Murmur3 pmod as the bucket
+      // id, compactBucketedWith's trick): each fold then appends ONE
+      // file per bucket instead of one per (shuffle partition, bucket)
+      // — ScaleAudit measured the difference at 512 vs 16 files PER
+      // FOLD, i.e. 32× slower file-count growth without it, which at a
+      // year of daily folds is the difference between compacting
+      // monthly and compacting weekly. The extra exchange is
+      // batch-sized, never index-sized.
       val pToks = toksOf(freshPost)
       if (!pToks.isEmpty) {
         pToks.select(col("doc_id"), explode(col("w")).as("tok"))
           .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+          .repartition(IndexBuckets, col("tok"))
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .bucketBy(IndexBuckets, "tok").sortBy("tok")
           .format("parquet").saveAsTable(name)
@@ -1244,6 +1263,7 @@ object Models {
         val posToks = toksOf(freshPos)
         if (!posToks.isEmpty) {
           positionalRows(posToks)
+            .repartition(IndexBuckets, col("tok"))
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .bucketBy(IndexBuckets, "tok").sortBy("tok")
             .format("parquet").saveAsTable(posName)
@@ -1276,6 +1296,7 @@ object Models {
       if (!lensToks.isEmpty) {
         lensToks
           .select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+          .repartition(1) // one file per fold (2-column, batch-sized)
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .parquet(servingDir(spark, docLensPath(sfDir)))
       }

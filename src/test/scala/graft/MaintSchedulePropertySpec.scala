@@ -301,6 +301,63 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LSH fold crashed between the bands and sets appends converges " +
+      "on replay: duplicate band rows are the DOCUMENTED tolerance, so " +
+      "the invariant is probe-output equality with a clean twin (plus " +
+      "exact shingle-set equality — set dups would corrupt Jaccard)") {
+    val aRun = (1 to 20).map(i => s"alpha$i")
+    val baseDocs = Seq(
+      1L -> aRun.mkString(" "),
+      2L -> (aRun.dropRight(1) :+ "alphaX").mkString(" "),
+      3L -> (1 to 20).map(i => s"beta$i").mkString(" "))
+    val batch = Seq(
+      10L -> (aRun.dropRight(2) ++ Seq("alphaY", "alphaZ")).mkString(" "),
+      11L -> (1 to 20).map(i => s"delta$i").mkString(" "))
+    def run(crash: Boolean): (Vector[String], Vector[String]) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-lshcrash-$crash").toString
+      baseDocs.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      Models.lshIndex(spark, dir, Tables.documents(spark, dir),
+        "doc_id", "text")
+      val bdf = batch.toDF("doc_id", "text")
+      if (crash) {
+        Models.crashHook = p =>
+          if (p == "lsh_after_bands") throw new CrashInjected(p)
+        try {
+          intercept[CrashInjected] {
+            Models.lshIndexAppend(spark, dir, bdf, "doc_id", "text",
+              dedupeIds = true)
+          }
+        } finally Models.crashHook = _ => ()
+      }
+      Models.lshIndexAppend(spark, dir, bdf, "doc_id", "text",
+        dedupeIds = true)
+      val (bands, sets) = Models.lshIndex(spark, dir,
+        sys.error("trained"), "doc_id", "text")
+      // the serving invariant: a NEW probe batch sees identical
+      // incremental-dedup decisions (candidate dups pass through the
+      // probe's distinct()), and the set table is exactly-once
+      val probe = Seq(20L -> aRun.mkString(" "),
+        21L -> (1 to 20).map(i => s"epsilon$i").mkString(" "))
+        .toDF("doc_id", "text")
+      val decisions = graft.operators.Dedup
+        .incrementalDedupIndexed(bands, sets, probe, "doc_id", "text",
+          0.5)
+        .collect().map(_.toString).toVector.sorted
+      val setRows = sets.select(col("id"), size(col("hs")).as("n"))
+        .collect().map(_.toString).toVector.sorted
+      (decisions, setRows)
+    }
+    val clean = run(crash = false)
+    val crashed = run(crash = true)
+    assert(crashed._2 == clean._2,
+      "shingle-set table diverged after a bands/sets crash replay " +
+        "(set duplicates corrupt Jaccard denominators)")
+    assert(crashed._1 == clean._1,
+      "probe decisions diverged after a bands/sets crash replay")
+  }
+
   // ---- the property: 100 random maintenance schedules --------------------
 
   test("100 random maintenance schedules — folds, crashes at random " +
