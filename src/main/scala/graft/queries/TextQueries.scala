@@ -1114,11 +1114,16 @@ object TextQueries {
           graft.sources.Models.buildRetrievalArtifacts(s, c,
             docs = Some(docs.filter(h < "cc")))
         }
+        // narrow fold slices (~4% each): the gate's content is the
+        // LEDGER shape — each applied operation logged once, in
+        // order, with the right counts — not corpus coverage, so the
+        // folds stay day-sized rather than re-ingesting an eighth of
+        // the corpus each
         graft.sources.Models.postingsAppend(s, tmp,
-          docs.filter(h >= "cc" && h < "ee").select("doc_id", "text"),
+          docs.filter(h >= "cc" && h < "d6").select("doc_id", "text"),
           "doc_id", "text", dedupeIds = true)
         graft.sources.Models.postingsAppend(s, tmp,
-          docs.filter(h >= "ee").select("doc_id", "text"),
+          docs.filter(h >= "d6" && h < "e0").select("doc_id", "text"),
           "doc_id", "text", dedupeIds = true)
         graft.sources.Models.compactRetrievalIndexes(s, tmp)
         graft.sources.Models.vacuum(s, tmp, minAgeMs = 0L)
@@ -1137,10 +1142,10 @@ object TextQueries {
           |  SELECT CAST(1 AS BIGINT) AS seq, 'fold' AS kind,
           |         'postings' AS family,
           |         (SELECT CAST(count(*) AS BIGINT) FROM h
-          |          WHERE hh >= 'cc' AND hh < 'ee') AS n_rows
+          |          WHERE hh >= 'cc' AND hh < 'd6') AS n_rows
           |  UNION ALL SELECT CAST(2 AS BIGINT), 'fold', 'postings',
           |         (SELECT CAST(count(*) AS BIGINT) FROM h
-          |          WHERE hh >= 'ee')
+          |          WHERE hh >= 'd6' AND hh < 'e0')
           |  UNION ALL SELECT CAST(3 AS BIGINT), 'compact', 'postings',
           |         CAST(0 AS BIGINT)
           |  UNION ALL SELECT CAST(4 AS BIGINT), 'compact', 'doc_lens',
