@@ -63,6 +63,28 @@ object Scenes {
       fs.delete(new Path(Models.root(scene)), true)
       fs.mkdirs(sceneP)
       build(scene)
+      // compact the scene ONCE at build time: base trains write one
+      // file per (task, bucket), so an uncompacted scene made every
+      // clone copy (and every gate's post-fold compaction read)
+      // hundreds of small files; the memoized scene starts minimal
+      // and the gates' own folds provide the fragmentation their
+      // asserts require
+      Models.compactModelArtifacts(spark, scene)
+      // the compaction cutovers leave pre-compaction generations
+      // behind (keep-2 + the slow-reader age floor — correct for live
+      // serving, dead weight in a frozen scene every clone would
+      // copy): sweep each family down to its head, floor 0 — no
+      // reader exists yet, the scene is unpublished until the marker
+      val rootP = new Path(Models.root(scene))
+      if (fs.exists(rootP)) {
+        fs.listStatus(rootP).filter(_.isDirectory).foreach { fam =>
+          Generations.head(spark, fam.getPath.toString).foreach {
+            case (n, _) =>
+              Generations.reclaimExcept(spark, fam.getPath.toString,
+                n + Generations.Keep - 1, Set.empty, minAgeMs = 0L)
+          }
+        }
+      }
       fs.create(marker, true).close()
     }
     val src = new Path(Models.root(scene))
