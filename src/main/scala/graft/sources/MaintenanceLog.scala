@@ -53,10 +53,67 @@ object MaintenanceLog {
 
   private val enabledRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val knownDisabled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def enable(root: String): Unit = { enabledRoots.add(root); () }
-  def disable(root: String): Unit = { enabledRoots.remove(root); () }
+  private def enabledMarker(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$Family/_enabled")
+
+  /** Enablement is DURABLE: besides the in-process set, a marker file
+    * under the events family records the opt-in, so a restarted
+    * maintenance pipeline (new JVM, same artifact root) keeps logging
+    * without re-running its setup — otherwise a restart would silently
+    * stop the ledger, the exact failure mode an observability surface
+    * exists to prevent. The in-process sets are caches over the
+    * marker; [[resetSession]] drops them (test hook for restarts). */
+  def enable(spark: SparkSession, root: String): Unit = {
+    val m = enabledMarker(root)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(m.getParent)
+    if (!fs.exists(m)) fs.create(m, true).close()
+    knownDisabled.remove(root)
+    enabledRoots.add(root)
+    ()
+  }
+
+  /** In-process only (no SparkSession at hand): callers that cannot
+    * reach the filesystem still get session-scoped enablement. */
+  def enable(root: String): Unit = {
+    knownDisabled.remove(root); enabledRoots.add(root); ()
+  }
+
+  def disable(root: String): Unit = {
+    enabledRoots.remove(root)
+    knownDisabled.add(root)
+    ()
+  }
+
+  /** Durable form: also removes the on-disk marker, so the opt-out
+    * survives restarts like the opt-in does. */
+  def disable(spark: SparkSession, root: String): Unit = {
+    val m = enabledMarker(root)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(m)) fs.delete(m, false)
+    disable(root)
+  }
+
   def enabled(root: String): Boolean = enabledRoots.contains(root)
+
+  /** Durable form: the in-process set, else the on-disk marker (result
+    * cached both ways — one fs.exists per root per process). */
+  def enabled(spark: SparkSession, root: String): Boolean =
+    enabledRoots.contains(root) || (!knownDisabled.contains(root) && {
+      val m = enabledMarker(root)
+      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val on = fs.exists(m)
+      if (on) enabledRoots.add(root) else knownDisabled.add(root)
+      on
+    })
+
+  /** Drop the in-process caches (test hook simulating a restart). */
+  def resetSession(): Unit = {
+    enabledRoots.clear(); knownDisabled.clear()
+  }
 
   /** The versioned sink the events ride: staged parquet segments under
     * `<root>/maintenance_events/`, commit log under its `_log`. */

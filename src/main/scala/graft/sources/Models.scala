@@ -357,7 +357,7 @@ object Models {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "id").sortBy("id")
       .format("parquet").saveAsTable(setsName)
-    if (MaintenanceLog.enabled(root(sfDir))) {
+    if (MaintenanceLog.enabled(spark, root(sfDir))) {
       MaintenanceLog.emit(spark, root(sfDir), "fold", "lsh_index",
         nRows = sets.count())
     }
@@ -551,7 +551,7 @@ object Models {
       .localCheckpoint(true)
     val agg = stats.agg(sum("n_total"), max("n_total")).head()
     val (total, maxCell) = (agg.getLong(0), agg.getLong(1))
-    if (MaintenanceLog.enabled(root(sfDir))) {
+    if (MaintenanceLog.enabled(spark, root(sfDir))) {
       MaintenanceLog.emit(spark, root(sfDir), "fold", "ivfpq_codes",
         nRows = newCodes.count(),
         detail = s"max_cell_share_milli=${maxCell * 1000L / total}")
@@ -650,7 +650,7 @@ object Models {
       prevPair.map(_._1).toSet)
     Generations.reclaimExcept(spark, cbPath, bn,
       prevPair.map(_._2).toSet)
-    if (MaintenanceLog.enabled(root(sfDir))) {
+    if (MaintenanceLog.enabled(spark, root(sfDir))) {
       MaintenanceLog.emit(spark, root(sfDir), "rebuild", "ivfpq_codes",
         nRows = prepAll.count(),
         detail = s"cent=$cn,cb=$bn,codes=$kn")
@@ -906,7 +906,7 @@ object Models {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(IndexBuckets, "id").sortBy("id")
       .format("parquet").saveAsTable(mapName)
-    if (MaintenanceLog.enabled(root(sfDir))) {
+    if (MaintenanceLog.enabled(spark, root(sfDir))) {
       MaintenanceLog.emit(spark, root(sfDir), "fold", "dedup_map",
         nRows = bdf.count(),
         detail = s"merges=${remapNew.count()}")
@@ -1300,7 +1300,7 @@ object Models {
           .write.mode(org.apache.spark.sql.SaveMode.Append)
           .parquet(servingDir(spark, docLensPath(sfDir)))
       }
-      if (MaintenanceLog.enabled(root(sfDir))) {
+      if (MaintenanceLog.enabled(spark, root(sfDir))) {
         MaintenanceLog.emit(spark, root(sfDir), "fold", "postings",
           nRows = freshLens.count(),
           durationMs = System.currentTimeMillis() - t0)
@@ -1372,7 +1372,7 @@ object Models {
     serveBucketed(spark, path, schemaDdl, bucketCol)
     val after = Generations.countParquetFiles(spark, g)
     val famRoot = new org.apache.hadoop.fs.Path(path).getParent.toString
-    if (MaintenanceLog.enabled(famRoot)) {
+    if (MaintenanceLog.enabled(spark, famRoot)) {
       MaintenanceLog.emit(spark, famRoot, "compact",
         new org.apache.hadoop.fs.Path(path).getName, nRows = 0L,
         filesBefore = before, filesAfter = after)
@@ -1418,7 +1418,7 @@ object Models {
       }
       val after = Generations.countParquetFiles(spark, g)
       val famRoot = new org.apache.hadoop.fs.Path(path).getParent.toString
-      if (MaintenanceLog.enabled(famRoot)) {
+      if (MaintenanceLog.enabled(spark, famRoot)) {
         MaintenanceLog.emit(spark, famRoot, "compact",
           new org.apache.hadoop.fs.Path(path).getName, nRows = 0L,
           filesBefore = before, filesAfter = after)
@@ -1553,7 +1553,7 @@ object Models {
       }
     }
     val out = reclaimed.toSeq
-    if (MaintenanceLog.enabled(root(sfDir))) {
+    if (MaintenanceLog.enabled(spark, root(sfDir))) {
       MaintenanceLog.emit(spark, root(sfDir), "vacuum", "*",
         nRows = out.size.toLong)
     }

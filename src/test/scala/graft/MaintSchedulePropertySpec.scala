@@ -358,6 +358,29 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       "probe decisions diverged after a bands/sets crash replay")
   }
 
+  test("maintenance-event enablement is DURABLE: a fold after a " +
+      "simulated JVM restart (in-process caches dropped) still logs, " +
+      "and a durable disable survives the next restart silently") {
+    import graft.sources.MaintenanceLog
+    val dir = template("graft-maintlog-durable", false)
+    MaintenanceLog.enable(spark, Models.root(dir))
+    assert(foldBatch(dir, batches(0), None))
+    def ledger() = MaintenanceLog.events(spark, Models.root(dir)).count()
+    assert(ledger() == 1L)
+    // restart: a new JVM knows nothing in-process — the on-disk
+    // marker must keep the pipeline logging
+    MaintenanceLog.resetSession()
+    assert(foldBatch(dir, batches(1), None))
+    assert(ledger() == 2L,
+      "a restart silently stopped the maintenance ledger")
+    // durable opt-out: survives the next restart too
+    MaintenanceLog.disable(spark, Models.root(dir))
+    MaintenanceLog.resetSession()
+    assert(foldBatch(dir, batches(2), None))
+    assert(ledger() == 2L,
+      "a durably disabled root kept logging after restart")
+  }
+
   // ---- the property: 100 random maintenance schedules --------------------
 
   test("100 random maintenance schedules — folds, crashes at random " +
