@@ -641,8 +641,11 @@ object Models {
     // the reclaim below has not run to delete — so serving stays on
     // the old triple), then the codes marker publishes the new triple
     // in one atomic create
+    crashPoint("rebuild_staged")
     Generations.commit(spark, centPath, cn, reclaim = false)
+    crashPoint("rebuild_after_cent")
     Generations.commit(spark, cbPath, bn, reclaim = false)
+    crashPoint("rebuild_after_cb")
     Generations.commit(spark, codesPath, kn, pairingContent(cn, bn))
     // reclaim old quantizer/codebook generations EXCEPT what the new
     // and previous codes heads pair with

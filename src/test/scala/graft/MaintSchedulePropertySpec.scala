@@ -358,6 +358,51 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       "probe decisions diverged after a bands/sets crash replay")
   }
 
+  test("IVF-PQ rebuild crash windows: a crash between ANY of the three " +
+      "commit markers leaves serving on the old internally consistent " +
+      "triple (the codes-marker pairing), and a re-run rebuild " +
+      "converges to the clean twin's triple") {
+    graft.functions.GraftFunctions.register(spark)
+    val all = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toVector.sorted
+    def triple(dir: String) = {
+      val (c, b, k) = Models.ivfPqIndex(spark, dir)
+      (m(c), m(b), m(k.select("nid", "cid", "codes")))
+    }
+    def mk(tag: String): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-rebuildcrash-$tag").toString
+      all.filter(h < "cc").write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      Models.ivfPqIndex(spark, dir)
+      dir
+    }
+    val cleanDir = mk("clean")
+    Models.ivfPqRebuild(spark, cleanDir, all, "vec_id", "embedding")
+    val want = triple(cleanDir)
+    Seq("rebuild_staged", "rebuild_after_cent", "rebuild_after_cb")
+      .foreach { p =>
+        val dir = mk(p)
+        val base = triple(dir)
+        assert(base != want) // the rebuild really changes the triple
+        Models.crashHook =
+          x => if (x == p) throw new CrashInjected(p)
+        try {
+          intercept[CrashInjected] {
+            Models.ivfPqRebuild(spark, dir, all, "vec_id", "embedding")
+          }
+        } finally Models.crashHook = _ => ()
+        assert(triple(dir) == base,
+          s"[$p] mid-crash serving is not the old consistent triple")
+        Models.ivfPqRebuild(spark, dir, all, "vec_id", "embedding")
+        assert(triple(dir) == want,
+          s"[$p] re-run rebuild diverged from the clean twin")
+      }
+  }
+
   test("maintenance-event enablement is DURABLE: a fold after a " +
       "simulated JVM restart (in-process caches dropped) still logs, " +
       "and a durable disable survives the next restart silently") {
