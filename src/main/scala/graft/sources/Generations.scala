@@ -48,12 +48,45 @@ import org.apache.spark.sql.SparkSession
   * artifact size — a year of daily compactions costs one small-file
   * create each, never a pause in serving.
   */
+/** Another process holds a fresh writer lease on the artifact family —
+  * the fencing signal [[Generations.prepare]] raises instead of
+  * reclaiming a live foreign writer's in-flight staging generation.
+  * RETRYABLE: the holder's commit releases the lease (or its crash
+  * ages it past [[Generations.leaseTtlMs]]); the caller backs off and
+  * retries its whole prepare→write→commit. */
+class ConcurrentWriterException(msg: String)
+  extends IllegalStateException(msg)
+
 object Generations {
 
   /** Committed generations retained besides the head — the previous
     * one stays readable for readers that resolved it just before a
     * cutover (the [[VersionedStore]] keep floor). */
   val Keep = 2
+
+  /** Writer-lease file name under a family dir — the cross-process
+    * fence for generation staging (see [[prepare]]). */
+  private[graft] val LeaseName = "_writer_lease"
+
+  /** Lease freshness horizon: a foreign lease younger than this fences
+    * out a second writer; older means its holder crashed and the lease
+    * is broken. Size it above the longest expected stage-to-commit
+    * latency (the same contract as [[Models.vacuum]]'s `minAgeMs` for
+    * in-flight staging); override per-process with
+    * `-Dgraft.generations.leaseTtlMs=<ms>`. */
+  val DefaultLeaseTtlMs: Long = 600000L
+
+  def leaseTtlMs: Long =
+    sys.props.get("graft.generations.leaseTtlMs").map(_.toLong)
+      .getOrElse(DefaultLeaseTtlMs)
+
+  /** This process's writer identity: pid@host plus a per-JVM nonce, so
+    * a same-process replay recognizes (and may take over) its own
+    * crashed attempt's lease while a genuinely different process never
+    * matches. */
+  private[graft] val processToken: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      ":" + java.util.UUID.randomUUID.toString
 
   /** AGE floor for reclaiming committed generations, the second
     * retention axis besides [[Keep]]: head-distance alone leaves a
@@ -136,29 +169,110 @@ object Generations {
     }
   }
 
-  /** Claim the next generation index: reclaims orphaned (uncommitted)
-    * generation dirs from torn prior attempts, then returns
-    * `(n, genDir)` for the writer to fill. The generation is invisible
-    * to readers until [[commit]].
+  /** Claim the next generation index: acquires the family's WRITER
+    * LEASE, reclaims orphaned (uncommitted) generation dirs from torn
+    * prior attempts, then returns `(n, genDir)` for the writer to
+    * fill. The generation is invisible to readers until [[commit]],
+    * which releases the lease.
     *
     * The orphan reclaim is UNCONDITIONAL (no age gate): the claimed
     * index is head+1, so a torn prior attempt at that index would
     * otherwise block every future write at it (the staging writers
     * refuse existing directories), and orphans are invisible to
-    * readers so reclaiming them can never break a snapshot. The cost
-    * of that choice is a writer-side contract: CONCURRENT WRITERS TO
-    * ONE FAMILY MUST SHARE A JVM (the [[Models]] object lock
-    * serializes them) — a second-process writer's prepare would
-    * reclaim a live first-process writer's in-flight staging. Cross-
-    * process coordination, where needed, goes through a
-    * [[VersionedStore]] (whose staged segments are private per writer
-    * and age-gated in vacuum), not through raw generation staging. */
-  def prepare(spark: SparkSession, path: String): (Long, String) = {
+    * readers so reclaiming them can never break a snapshot. What makes
+    * that safe across PROCESSES is the lease (pre-r17 this was only a
+    * documented same-JVM contract): a second process whose prepare
+    * finds a fresh foreign lease gets a retryable
+    * [[ConcurrentWriterException]] instead of silently reclaiming a
+    * live writer's in-flight staging; a crashed holder's lease ages
+    * out after [[leaseTtlMs]] and is broken by the next prepare. The
+    * lease is acquired with the same atomic no-overwrite [[claim]]
+    * primitive as commit markers, so two racing acquirers cannot both
+    * hold it. Within one JVM the [[Models]] object lock still
+    * serializes writers (one token per process — re-acquiring our own
+    * lease after a crashed attempt is the replay path). */
+  def prepare(spark: SparkSession, path: String): (Long, String) =
+    prepareAs(spark, path, processToken)
+
+  /** [[prepare]] with an explicit writer token — the seam the
+    * two-process tests drive (each simulated process gets its own
+    * token in one JVM). */
+  private[graft] def prepareAs(spark: SparkSession, path: String,
+      token: String): (Long, String) = {
     val fs = fsOf(spark, path)
+    acquireLease(fs, path, token)
     orphans(spark, path).foreach(p => fs.delete(p, true))
     val n = head(spark, path).map(_._1 + 1L).getOrElse(1L)
     (n, genDir(path, n))
   }
+
+  private def leasePath(path: String): Path = new Path(path, LeaseName)
+
+  /** The family's current lease, as (token, mtime). */
+  private[graft] def readLease(fs: FileSystem,
+      path: String): Option[(String, Long)] = {
+    val p = leasePath(path)
+    try {
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val tok =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some((tok, st.getModificationTime))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Take the family's writer lease for `token`, or throw a retryable
+    * [[ConcurrentWriterException]] if another process's FRESH lease
+    * fences us out. Holding our own (crashed prior attempt in this
+    * process) re-acquires silently. */
+  private[graft] def acquireLease(fs: FileSystem, path: String,
+      token: String): Unit = {
+    val dir = new Path(path)
+    fs.mkdirs(dir)
+    var attempts = 0
+    while (attempts < 3) {
+      readLease(fs, path) match {
+        case Some((tok, _)) if tok == token => return
+        case Some((tok, mtime))
+            if System.currentTimeMillis() - mtime < leaseTtlMs =>
+          throw new ConcurrentWriterException(
+            s"writer lease on $path is held by $tok (fresh within " +
+              s"${leaseTtlMs}ms) — a live writer is staging a " +
+              "generation; back off and retry")
+        case stale =>
+          // stale foreign lease (crashed holder) or none: break it,
+          // then acquire through the atomic no-overwrite claim — two
+          // racing breakers cannot both win
+          stale.foreach(_ => fs.delete(leasePath(path), false))
+          val tmp = new Path(dir, "_tmp_lease_" +
+            java.util.UUID.randomUUID.toString.replace("-", ""))
+          val out = fs.create(tmp, true)
+          try out.write(token.getBytes("UTF-8"))
+          finally out.close()
+          val won = claim(fs, tmp, leasePath(path))
+          fs.delete(tmp, false)
+          if (won) return
+        // lost the acquire race: loop re-reads the winner's lease
+      }
+      attempts += 1
+    }
+    throw new ConcurrentWriterException(
+      s"could not acquire writer lease on $path after $attempts " +
+        "attempts (lease kept changing hands)")
+  }
+
+  /** Release `token`'s lease if it still holds it (a foreign lease —
+    * a breaker took over after our TTL expired mid-write — is left
+    * alone: deleting it would unfence the NEW writer's staging). */
+  private[graft] def releaseLease(fs: FileSystem, path: String,
+      token: String): Unit =
+    readLease(fs, path) match {
+      case Some((tok, _)) if tok == token =>
+        fs.delete(leasePath(path), false)
+        ()
+      case _ => ()
+    }
 
   /** Atomically publish generation `n` as the head and reclaim
     * generations ≤ n-[[Keep]] plus any stray legacy files at the
@@ -166,7 +280,14 @@ object Generations {
     * [[head]]); pass the predecessor's content through a compaction to
     * preserve cross-family pairing metadata. */
   def commit(spark: SparkSession, path: String, n: Long,
-      content: String = "", reclaim: Boolean = true): Unit = {
+      content: String = "", reclaim: Boolean = true): Unit =
+    commitAs(spark, path, n, content, reclaim, processToken)
+
+  /** [[commit]] with an explicit writer token (test seam, paired with
+    * [[prepareAs]]) — releases `token`'s lease after the marker
+    * publish + retention sweep. */
+  private[graft] def commitAs(spark: SparkSession, path: String, n: Long,
+      content: String, reclaim: Boolean, token: String): Unit = {
     val fs = fsOf(spark, path)
     val dir = new Path(path)
     fs.mkdirs(dir)
@@ -179,6 +300,7 @@ object Generations {
     fs.delete(tmp, false) // local-fs link leaves the tmp behind
     require(won, s"generation commit lost a race for $path gen-$n")
     if (reclaim) reclaimExcept(spark, path, n, Set.empty)
+    releaseLease(fs, path, token)
   }
 
   /** Atomic no-overwrite publish — [[VersionedStore]]'s claim
@@ -240,36 +362,54 @@ object Generations {
     * ([[Models.ivfPqRebuild]] keeps what a live codes head still
     * names, which the generic ≤ head-Keep rule cannot see).
     *
-    * Delete order between a reclaimed generation's marker and its
-    * directory is immaterial for resolution: reclaimed indexes are
-    * always ≤ head-Keep, so they can never be the MAX marker readers
-    * resolve — the head keeps naming a complete, untouched generation
-    * throughout the sweep regardless of listStatus order. */
+    * A generation's marker and directory are reclaimed AS A UNIT,
+    * gated on the PAIR's max mtime: bucketed folds append files into
+    * the head gen dir (refreshing its mtime while the marker's stays
+    * at commit time), so gating each independently could delete an
+    * old marker out from under a still-young dir — the now-markerless
+    * dir becomes an "orphan" the next prepare reclaims
+    * unconditionally, bypassing the slow-reader floor this gate
+    * exists for. Within a reclaimed pair the DIRECTORY goes first: a
+    * crash between the two deletes leaves a dir-less marker (inert —
+    * never the max readers resolve, swept by the next pass), never a
+    * marker-less live-looking dir.
+    *
+    * Delete order ACROSS indexes is immaterial for resolution:
+    * reclaimed indexes are always ≤ head-Keep, so they can never be
+    * the MAX marker readers resolve — the head keeps naming a
+    * complete, untouched generation throughout the sweep. */
   def reclaimExcept(spark: SparkSession, path: String, headN: Long,
       keep: Set[Long], minAgeMs: Long = reclaimMinAgeMs): Unit = {
     val fs = fsOf(spark, path)
     val dir = new Path(path)
     if (!fs.exists(dir)) return
     val cutoff = System.currentTimeMillis() - minAgeMs
+    val markers =
+      scala.collection.mutable.Map.empty[Long, org.apache.hadoop.fs.FileStatus]
+    val gens =
+      scala.collection.mutable.Map.empty[Long, org.apache.hadoop.fs.FileStatus]
     fs.listStatus(dir).foreach { s =>
-      val name = s.getPath.getName
-      name match {
-        case MarkerRe(n)
-            if n.toLong <= headN - Keep && !keep.contains(n.toLong) &&
-              s.getModificationTime <= cutoff =>
-          fs.delete(s.getPath, false)
-        case GenRe(n)
-            if n.toLong <= headN - Keep && !keep.contains(n.toLong) &&
-              s.getModificationTime <= cutoff =>
-          fs.delete(s.getPath, true)
-        case MarkerRe(_) | GenRe(_) => ()
+      s.getPath.getName match {
+        case MarkerRe(n) => markers(n.toLong) = s
+        case GenRe(n) => gens(n.toLong) = s
         // a racing writer's in-flight _tmp_ marker must survive this
         // commit-time sweep (deleting it turned the loser's clean
         // lost-race signal into NoSuchFileException — the race test's
         // find); crashed ones are reclaimed by the age-gated
-        // [[Models.vacuum]]
-        case n2 if n2.startsWith("_tmp_") => ()
+        // [[Models.vacuum]]. The writer lease is the live writer's
+        // fence — released by its own commit, never swept here.
+        case n2 if n2.startsWith("_tmp_") || n2 == LeaseName => ()
         case _ => fs.delete(s.getPath, s.isDirectory) // legacy strays
+      }
+    }
+    (markers.keySet ++ gens.keySet).foreach { n =>
+      if (n <= headN - Keep && !keep.contains(n)) {
+        val pairMtime = (markers.get(n) ++ gens.get(n))
+          .map(_.getModificationTime).max
+        if (pairMtime <= cutoff) {
+          gens.get(n).foreach(s => fs.delete(s.getPath, true))
+          markers.get(n).foreach(s => fs.delete(s.getPath, false))
+        }
       }
     }
   }

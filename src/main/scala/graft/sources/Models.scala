@@ -1201,14 +1201,26 @@ object Models {
         .localCheckpoint(true) // guards + tokenize all read it
       if (b.isEmpty) return
       val ids = b.select("doc_id")
-      // the fold's identity: an order-independent digest of the RAW
-      // batch ids (count + xor), plus the id range the probes prune by
-      val idAgg = b.agg(count(lit(1)), expr("bit_xor(doc_id)"),
+      // the fold's identity: an order-independent digest of the batch
+      // ids — count plus TWO independent 64-bit xor-of-xxhash64 lanes
+      // (different salts), so an accidental collision with the ledger
+      // head (which would silently drop a fresh fold's df increments)
+      // needs a simultaneous 128-bit coincidence. Hashing also keeps
+      // the digest TYPE-AGNOSTIC (the pre-r17 bit_xor(doc_id) failed
+      // analysis on string ids); note the retrieval artifacts' own
+      // schema DDL still fixes doc_id to BIGINT — this just keeps the
+      // guard from being the narrowing point. min/max ride along in
+      // the id's native type for the probes' row-group range pruning.
+      val idAgg = b.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id))"),
+        expr("bit_xor(xxhash64(doc_id, 1017L))"),
         min("doc_id"), max("doc_id")).head()
-      val foldId = s"fold=${idAgg.getLong(0)}_${idAgg.getLong(1)}"
+      val foldId = s"fold=${idAgg.getLong(0)}_${idAgg.getLong(1)}" +
+        s"_${idAgg.getLong(2)}"
       def presentIn(artifact: DataFrame): DataFrame = artifact
         .select("doc_id")
-        .filter(col("doc_id").between(idAgg.getLong(2), idAgg.getLong(3)))
+        .filter(col("doc_id")
+          .between(lit(idAgg.get(3)), lit(idAgg.get(4))))
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
         .distinct().localCheckpoint(true)
       def freshFor(present: DataFrame): DataFrame =
@@ -1541,13 +1553,32 @@ object Models {
         if (fam.getModificationTime <= cutoff) rm(fam.getPath, true)
       } else {
         val famPath = fam.getPath.toString
-        val orphan = Generations.orphans(spark, famPath).toSet
+        // a FRESH writer lease (< leaseTtlMs) marks a possibly-LIVE
+        // cross-process writer staging a generation: its orphans are
+        // in-flight work, not debris — skip them regardless of the
+        // caller's age gate (the same fence prepare() honors). A stale
+        // lease is a crashed holder's; its orphans reclaim normally
+        // and the lease itself sweeps as a stray below.
+        val leaseFresh = Generations.readLease(fs, famPath).exists {
+          case (_, m) =>
+            System.currentTimeMillis() - m < Generations.leaseTtlMs
+        }
+        val orphan =
+          if (leaseFresh) Set.empty[org.apache.hadoop.fs.Path]
+          else Generations.orphans(spark, famPath).toSet
         fs.listStatus(fam.getPath).foreach { s =>
           val n = s.getPath.getName
           val isGen = n.matches("gen-\\d+")
           val isMarker = n.matches("_commit_\\d+")
           if (orphan.contains(s.getPath)) {
             if (s.getModificationTime <= cutoff) rm(s.getPath, true)
+          } else if (n == Generations.LeaseName) {
+            // the lease is a fence, not debris: only a crashed
+            // holder's (past ITS ttl, not just the caller's minAge)
+            // sweeps
+            if (!leaseFresh && s.getModificationTime <= cutoff) {
+              rm(s.getPath, false)
+            }
           } else if (!isGen && !isMarker &&
               s.getModificationTime <= cutoff) {
             rm(s.getPath, s.isDirectory) // _tmp_ debris, legacy flats
