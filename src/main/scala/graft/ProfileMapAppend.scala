@@ -52,7 +52,8 @@ object ProfileMapAppend {
     def freshClone(): String = {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-profile-map").toString
-      Scenes.cloneScene(spark, d, "map_55", tmp) { c =>
+      Scenes.cloneScene(spark, d, "map_55", tmp,
+          params = "slice<55,t80,k32,b16,w3") { c =>
         val slice = docs.filter(h < "55")
         slice.write.mode("overwrite").parquet(s"$c/documents.parquet")
         Models.dedupMap(spark, c, 80)

@@ -591,7 +591,8 @@ object DedupQueries {
         // base band + shingle-set artifacts from the MEMOIZED scene
         // (bit-identical to the in-query train — Scenes scaladoc); the
         // fold under test still runs in full on the cloned copy
-        graft.sources.Scenes.cloneScene(s, d, "lsh_a8", tmp) { c =>
+        graft.sources.Scenes.cloneScene(s, d, "lsh_a8", tmp,
+          params = "slice<a8,k32,b16,w3") { c =>
           graft.sources.Models.lshIndex(s, c,
             docs.filter(h < "a8"), "doc_id", "text")
           ()
@@ -639,7 +640,8 @@ object DedupQueries {
         // quadratic-ish part of the oracle tax) comes from the
         // MEMOIZED scene: base map + LSH index over the < 55 slice,
         // trained once and file-copied per run
-        graft.sources.Scenes.cloneScene(s, d, "map_55", tmp) { c =>
+        graft.sources.Scenes.cloneScene(s, d, "map_55", tmp,
+          params = "slice<55,t80,k32,b16,w3") { c =>
           val slice = docs.filter(h < "55")
           slice.write.mode("overwrite").parquet(s"$c/documents.parquet")
           graft.sources.Models.dedupMap(s, c, 80)

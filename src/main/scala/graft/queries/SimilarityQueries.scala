@@ -1047,7 +1047,8 @@ object SimilarityQueries {
         // slices), so it comes from the MEMOIZED scene — built once,
         // file-copied per run. The rebuild itself always pays the
         // full-corpus retrain.
-        graft.sources.Scenes.cloneScene(s, d, "ivfpq_stale", tmp) { c =>
+        graft.sources.Scenes.cloneScene(s, d, "ivfpq_stale", tmp,
+          params = "base<2a,fold<55,n16,i2,m8,ksub256,dim64") { c =>
           embs.filter(h < "2a").write.mode("overwrite")
             .parquet(s"$c/embeddings.parquet")
           graft.sources.Models.ivfPqIndex(s, c)

@@ -1011,7 +1011,8 @@ object TextQueries {
         // base artifacts from the MEMOIZED scene (bit-identical to the
         // one-pass in-query train it replaces — Scenes scaladoc): the
         // fold under test still runs in full on the cloned copy
-        graft.sources.Scenes.cloneScene(s, d, "retr_e6", tmp) { c =>
+        graft.sources.Scenes.cloneScene(s, d, "retr_e6", tmp,
+          params = "slice<e6") { c =>
           graft.sources.Models.buildRetrievalArtifacts(s, c,
             docs = Some(docs.filter(h < "e6")))
         }
@@ -1047,7 +1048,8 @@ object TextQueries {
         val tmp = foldTempDir("graft_maint_vacuum")
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp) { c =>
+        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp,
+          params = "slice<cc") { c =>
           graft.sources.Models.buildRetrievalArtifacts(s, c,
             docs = Some(docs.filter(h < "cc")))
         }
@@ -1110,7 +1112,8 @@ object TextQueries {
         val docs = Tables.documents(s, d)
         val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
         graft.sources.MaintenanceLog.enable(graft.sources.Models.root(tmp))
-        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp) { c =>
+        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp,
+          params = "slice<cc") { c =>
           graft.sources.Models.buildRetrievalArtifacts(s, c,
             docs = Some(docs.filter(h < "cc")))
         }
@@ -1176,7 +1179,8 @@ object TextQueries {
         // base artifacts from the MEMOIZED "retr_cc" scene (shared
         // with maint_vacuum_cutover and maint_history — one train
         // serves all three gates' identical base)
-        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp) { c =>
+        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp,
+          params = "slice<cc") { c =>
           graft.sources.Models.buildRetrievalArtifacts(s, c,
             docs = Some(docs.filter(h < "cc")))
         }

@@ -53,8 +53,25 @@ object MaintenanceLog {
 
   private val enabledRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** root → when its marker was last checked absent. Negative results
+    * are cached only for [[recheckMs]]: a root durably enabled from
+    * OUTSIDE this JVM (another process, an operator touching the
+    * marker) is observed within one TTL instead of never — the
+    * pre-r17 forever-negative cache silently dropped events for the
+    * life of the JVM, the exact 'ledger silently stops' failure mode
+    * the durable marker exists to prevent. Positive results stay
+    * cached forever ([[disable]] invalidates in-process; a durable
+    * cross-process DISABLE is the rarer operation and at worst
+    * over-logs until restart, never under-logs). */
   private val knownDisabled =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Negative-cache TTL for the durable-enablement marker check;
+    * override with `-Dgraft.maintlog.recheckMs=<ms>` (0 = re-check
+    * every call). */
+  def recheckMs: Long =
+    sys.props.get("graft.maintlog.recheckMs").map(_.toLong)
+      .getOrElse(30000L)
 
   private def enabledMarker(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/$Family/_enabled")
@@ -84,7 +101,7 @@ object MaintenanceLog {
 
   def disable(root: String): Unit = {
     enabledRoots.remove(root)
-    knownDisabled.add(root)
+    knownDisabled.put(root, Long.MaxValue) // explicit: no TTL re-check
     ()
   }
 
@@ -99,16 +116,25 @@ object MaintenanceLog {
 
   def enabled(root: String): Boolean = enabledRoots.contains(root)
 
-  /** Durable form: the in-process set, else the on-disk marker (result
-    * cached both ways — one fs.exists per root per process). */
+  /** Durable form: the in-process set, else the on-disk marker.
+    * Positives cache for the process; negatives only for [[recheckMs]]
+    * (explicit [[disable]] pins them), so cross-process enablement is
+    * observed within one TTL — one fs.exists per root per TTL window,
+    * still never per-event. */
   def enabled(spark: SparkSession, root: String): Boolean =
-    enabledRoots.contains(root) || (!knownDisabled.contains(root) && {
-      val m = enabledMarker(root)
-      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val on = fs.exists(m)
-      if (on) enabledRoots.add(root) else knownDisabled.add(root)
-      on
-    })
+    enabledRoots.contains(root) || {
+      val neg = knownDisabled.get(root)
+      val negFresh = neg != null && (neg == Long.MaxValue ||
+        System.currentTimeMillis() - neg < recheckMs)
+      !negFresh && {
+        val m = enabledMarker(root)
+        val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val on = fs.exists(m)
+        if (on) enabledRoots.add(root)
+        else knownDisabled.put(root, System.currentTimeMillis())
+        on
+      }
+    }
 
   /** Drop the in-process caches (test hook simulating a restart). */
   def resetSession(): Unit = {

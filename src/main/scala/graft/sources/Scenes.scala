@@ -47,14 +47,39 @@ object Scenes {
   /** Ensure the scene exists (building via `build(sceneSfDir)` exactly
     * once per models-base lifetime), then copy its artifact root into
     * `destSfDir`'s artifact root — the gate mutates the copy, never
-    * the scene. */
+    * the scene.
+    *
+    * `params` is the gate's BUILD-PARAMS digest (slice bounds, k/b/w,
+    * nList/m/ksub — whatever the build closure actually uses): it is
+    * recorded in a `_SCENE_PARAMS` file at build time and compared on
+    * every clone, so a future edit that changes a gate's slice or
+    * hyperparameters but keeps the scene key REBUILDS instead of
+    * serving the stale base scene. Without it the mismatch still
+    * failed loud (the oracle hash gate), but at the wrong layer — a
+    * red query instead of a rebuilt scene. */
   def cloneScene(spark: SparkSession, srcSfDir: String, key: String,
-      destSfDir: String)(build: String => Unit): Unit = synchronized {
+      destSfDir: String, params: String = "")
+      (build: String => Unit): Unit = synchronized {
     val scene = sceneDir(srcSfDir, key)
     val conf = spark.sparkContext.hadoopConfiguration
     val sceneP = new Path(scene)
     val fs = sceneP.getFileSystem(conf)
     val marker = new Path(sceneP, "_SCENE_READY")
+    val paramsFile = new Path(sceneP, "_SCENE_PARAMS")
+    def recordedParams(): String =
+      if (!fs.exists(paramsFile)) ""
+      else {
+        val in = fs.open(paramsFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+    if (fs.exists(marker) && recordedParams() != params) {
+      // same key, different build params (an edited gate): the cached
+      // scene is stale AT THIS LAYER — rebuild rather than letting the
+      // oracle hash gate catch the divergence downstream
+      fs.delete(sceneP, true)
+      fs.delete(new Path(Models.root(scene)), true)
+    }
     if (!fs.exists(marker)) {
       // torn prior attempt (or first build): start from nothing —
       // ensure* guards would skip half-built trains but cannot make an
@@ -85,10 +110,19 @@ object Scenes {
           }
         }
       }
+      val pout = fs.create(paramsFile, true)
+      try pout.write(params.getBytes("UTF-8"))
+      finally pout.close()
       fs.create(marker, true).close()
     }
     val src = new Path(Models.root(scene))
     val dst = new Path(Models.root(destSfDir))
+    // clear the destination first so the clone is IDEMPOTENT against a
+    // reused or partially-populated dest: stale extra files (old
+    // generations, markers) mixing with the cloned scene's would
+    // corrupt the gate's served state — pre-r17 this was safe only
+    // because every caller cloned into a fresh temp dir
+    fs.delete(dst, true)
     fs.mkdirs(dst.getParent)
     if (fs.getScheme == "file") {
       // raw nio copy on local disk: FileUtil.copy pays Hadoop's
