@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forward the property-suite knobs into the forked test JVM, so
+// `sbt -Dgraft.maintprop.trials=20 test` trims the dev loop (defaults
+// keep full coverage for the plain `sbt test` the driver runs).
+javaOptions ++= Seq(
+  "graft.maintprop.trials", "graft.maintprop.seed",
+  "graft.streamprop.trials", "graft.streamprop.seed",
+).flatMap(k => sys.props.get(k).map(v => s"-D$k=$v"))

@@ -360,23 +360,38 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$checkpointDir/applied/$batchId")
-        val f = marker.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        if (!f.exists(marker) && !batch.isEmpty) {
-          graft.sources.Models.postingsAppend(spark, sfDir,
-            batch.toDF(), "doc_id", "text", dedupeIds = true)
-          f.mkdirs(marker.getParent)
-          f.create(marker, true).close()
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            graft.sources.Models.compactRetrievalIndexes(spark, sfDir)
-            ()
-          }
-        }
+        retrievalFoldBatch(sfDir, checkpointDir, compactEvery)(
+          batch, batchId)
       }
       .start()
+
+  /** [[retrievalMaintenance]]'s per-micro-batch body, named so the
+    * streaming crash-injection property suite can drive it with
+    * EXACTLY foreachBatch's retry contract (a failed (batch, batchId)
+    * re-invoked with the same arguments before the stream advances) —
+    * `private[graft]`, not API. */
+  private[graft] def retrievalFoldBatch(sfDir: String,
+      checkpointDir: String, compactEvery: Int)
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/applied/$batchId")
+    val f = marker.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker) && !batch.isEmpty) {
+      graft.sources.Models.postingsAppend(spark, sfDir,
+        batch.toDF(), "doc_id", "text", dedupeIds = true)
+      // the stream-level crash seam: dying HERE (fold durable, marker
+      // lost) is the at-least-once window the dedupeIds layer covers
+      graft.sources.Models.crashHook("stream_after_fold")
+      f.mkdirs(marker.getParent)
+      f.create(marker, true).close()
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        graft.sources.Models.compactRetrievalIndexes(spark, sfDir)
+        ()
+      }
+    }
+  }
 
   /** Streaming near-dup maintenance — the dedup leg of the
     * maintenance triad ([[retrievalMaintenance]] text,
@@ -425,59 +440,71 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$checkpointDir/applied/$batchId")
-        val f = marker.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        if (!f.exists(marker) && !batch.isEmpty) {
-          val bdf = batch.toDF().select("doc_id", "text")
-            .localCheckpoint(true) // probe + fold both read it
-          val (bands, sets) = graft.sources.Models.lshIndex(spark, sfDir,
-            sys.error("dedupMaintenance requires a trained index " +
-              "(call lshIndex first)"), "doc_id", "text", k, b, w)
-          // ONE shingle pass and ONE probe per micro-batch (the probe
-          // frame is materialized by crossSplitPairsIndexed — the
-          // write barrier that keeps the sink decisions pinned to the
-          // PRE-fold index state): the sink summary and the fold's
-          // every consumer read these two checkpointed frames
-          val bSets = graft.operators.Dedup
-            .shingleSets(bdf, "doc_id", "text", w).localCheckpoint(true)
-          val pairs = graft.operators.Dedup.crossSplitPairsIndexed(
-            bands, sets, bdf, "doc_id", "text", threshold, k, b, w,
-            precomputedSets = Some(bSets))
-          sink(graft.operators.Dedup.dedupSummaryFromPairs(
-            pairs, bdf, "doc_id"), batchId)
-          if (foldMap) {
-            // map + LSH fold in one call, reusing the probe above (the
-            // map fold otherwise re-probes — see its crash contract);
-            // dedupeIds covers the replay window here too
-            graft.sources.Models.dedupMapAppend(spark, sfDir, bdf,
-              "doc_id", "text", math.round(threshold * 100).toInt,
-              k, b, w, dedupeIds = true,
-              precomputedPairs = Some(pairs),
-              precomputedSets = Some(bSets))
-          } else {
-            graft.sources.Models.lshIndexAppend(spark, sfDir, bdf,
-              "doc_id", "text", k, b, w, dedupeIds = true,
-              precomputedSets = Some(bSets))
-          }
-          f.mkdirs(marker.getParent)
-          f.create(marker, true).close()
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            graft.sources.Models.compactBucketed(spark,
-              graft.sources.Models.lshBandsPath(sfDir, k, b, w), "bk")
-            graft.sources.Models.compactBucketed(spark,
-              graft.sources.Models.lshSetsPath(sfDir, w), "id")
-            if (foldMap) {
-              graft.sources.Models.compactDedupMap(spark, sfDir,
-                math.round(threshold * 100).toInt)
-            }
-            ()
-          }
-        }
+        dedupFoldBatch(sfDir, checkpointDir, sink, threshold,
+          compactEvery, foldMap, k, b, w)(batch, batchId)
       }
       .start()
+
+  /** [[dedupMaintenance]]'s per-micro-batch body, named for the
+    * streaming crash-injection property suite (same contract as
+    * [[retrievalFoldBatch]]). */
+  private[graft] def dedupFoldBatch(sfDir: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit, threshold: Double,
+      compactEvery: Int, foldMap: Boolean, k: Int, b: Int, w: Int)
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/applied/$batchId")
+    val f = marker.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker) && !batch.isEmpty) {
+      val bdf = batch.toDF().select("doc_id", "text")
+        .localCheckpoint(true) // probe + fold both read it
+      val (bands, sets) = graft.sources.Models.lshIndex(spark, sfDir,
+        sys.error("dedupMaintenance requires a trained index " +
+          "(call lshIndex first)"), "doc_id", "text", k, b, w)
+      // ONE shingle pass and ONE probe per micro-batch (the probe
+      // frame is materialized by crossSplitPairsIndexed — the
+      // write barrier that keeps the sink decisions pinned to the
+      // PRE-fold index state): the sink summary and the fold's
+      // every consumer read these two checkpointed frames
+      val bSets = graft.operators.Dedup
+        .shingleSets(bdf, "doc_id", "text", w).localCheckpoint(true)
+      val pairs = graft.operators.Dedup.crossSplitPairsIndexed(
+        bands, sets, bdf, "doc_id", "text", threshold, k, b, w,
+        precomputedSets = Some(bSets))
+      sink(graft.operators.Dedup.dedupSummaryFromPairs(
+        pairs, bdf, "doc_id"), batchId)
+      if (foldMap) {
+        // map + LSH fold in one call, reusing the probe above (the
+        // map fold otherwise re-probes — see its crash contract);
+        // dedupeIds covers the replay window here too
+        graft.sources.Models.dedupMapAppend(spark, sfDir, bdf,
+          "doc_id", "text", math.round(threshold * 100).toInt,
+          k, b, w, dedupeIds = true,
+          precomputedPairs = Some(pairs),
+          precomputedSets = Some(bSets))
+      } else {
+        graft.sources.Models.lshIndexAppend(spark, sfDir, bdf,
+          "doc_id", "text", k, b, w, dedupeIds = true,
+          precomputedSets = Some(bSets))
+      }
+      graft.sources.Models.crashHook("stream_after_fold")
+      f.mkdirs(marker.getParent)
+      f.create(marker, true).close()
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        graft.sources.Models.compactBucketed(spark,
+          graft.sources.Models.lshBandsPath(sfDir, k, b, w), "bk")
+        graft.sources.Models.compactBucketed(spark,
+          graft.sources.Models.lshSetsPath(sfDir, w), "id")
+        if (foldMap) {
+          graft.sources.Models.compactDedupMap(spark, sfDir,
+            math.round(threshold * 100).toInt)
+        }
+        ()
+      }
+    }
+  }
 
   /** One embedding arriving on the vector-ingest feed. */
   case class VecEvent(vec_id: Long, embedding: Seq[Float])
@@ -526,30 +553,42 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
-        val spark = batch.sparkSession
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$checkpointDir/applied/$batchId")
-        val f = marker.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        if (!f.exists(marker) && !batch.isEmpty) {
-          graft.sources.Models.ivfPqIndexAppend(spark,
-            sfDir, batch.toDF(), "vec_id", "embedding",
-            nList = nList, iters = iters, m = m, ksub = ksub, dim = dim,
-            maxCellShareMilli = maxCellShareMilli, dedupeIds = true)
-          // marker AFTER the append: a crash in between replays the
-          // batch, which dedupeIds then folds to a no-op
-          f.mkdirs(marker.getParent)
-          f.create(marker, true).close()
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            graft.sources.Models.compactBucketed(spark,
-              graft.sources.Models.ivfPqCodesPath(sfDir,
-                nList = nList, iters = iters, m = m, ksub = ksub),
-              "cid")
-            ()
-          }
-        }
+        indexFoldBatch(sfDir, checkpointDir, maxCellShareMilli,
+          compactEvery, nList, iters, m, ksub, dim)(batch, batchId)
       }
       .start()
+
+  /** [[indexMaintenance]]'s per-micro-batch body, named for the
+    * streaming crash-injection property suite (same contract as
+    * [[retrievalFoldBatch]]). */
+  private[graft] def indexFoldBatch(sfDir: String, checkpointDir: String,
+      maxCellShareMilli: Int, compactEvery: Int, nList: Int, iters: Int,
+      m: Int, ksub: Int, dim: Int)
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$checkpointDir/applied/$batchId")
+    val f = marker.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(marker) && !batch.isEmpty) {
+      graft.sources.Models.ivfPqIndexAppend(spark,
+        sfDir, batch.toDF(), "vec_id", "embedding",
+        nList = nList, iters = iters, m = m, ksub = ksub, dim = dim,
+        maxCellShareMilli = maxCellShareMilli, dedupeIds = true)
+      // marker AFTER the append: a crash in between replays the
+      // batch, which dedupeIds then folds to a no-op
+      graft.sources.Models.crashHook("stream_after_fold")
+      f.mkdirs(marker.getParent)
+      f.create(marker, true).close()
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        graft.sources.Models.compactBucketed(spark,
+          graft.sources.Models.ivfPqCodesPath(sfDir,
+            nList = nList, iters = iters, m = m, ksub = ksub),
+          "cid")
+        ()
+      }
+    }
+  }
 
   /** Gap-based user sessions as a continuous query: Spark's native
     * `session_window` (30-min event-time gap) — the streaming mirror of

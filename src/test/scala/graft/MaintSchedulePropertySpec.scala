@@ -426,19 +426,37 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       "a durably disabled root kept logging after restart")
   }
 
-  // ---- the property: 100 random maintenance schedules --------------------
+  // ---- the property: N random maintenance schedules -----------------------
 
-  test("100 random maintenance schedules — folds, crashes at random " +
-      "points (sometimes crashing the replay too), compactions, " +
+  /** Trial count / base seed, overridable so the dev loop doesn't
+    * re-pay the full sweep on every edit-compile-test iteration:
+    * `sbt -Dgraft.maintprop.trials=20 test` (build.sbt forwards the
+    * props to the forked test JVM). The DEFAULT stays 100 — the
+    * driver/CI run keeps full coverage. Each trial derives its seed as
+    * `baseSeed + trial` INDEPENDENTLY (not chained through earlier
+    * trials), so a failure names one seed and
+    * `-Dgraft.maintprop.seed=<that seed> -Dgraft.maintprop.trials=1`
+    * replays exactly that schedule. */
+  private val Trials =
+    sys.props.getOrElse("graft.maintprop.trials", "100").toInt
+  private val BaseSeed =
+    sys.props.getOrElse("graft.maintprop.seed", "20260816").toLong
+
+  test(s"$Trials random maintenance schedules — folds, crashes at " +
+      "random points (sometimes crashing the replay too), compactions, " +
       "vacuums with planted debris, restarts — keep every artifact " +
       "equal to the retrain oracle of the applied prefix") {
-    var seed = rng.Seed(20260816L)
-    def nextInt(bound: Int): Int = {
-      val (n, s2) = seed.long
-      seed = s2
-      (math.abs(n) % bound).toInt
-    }
-    (1 to 100).foreach { trial =>
+    (1 to Trials).foreach { trial =>
+      val schedSeed = BaseSeed + trial - 1
+      var seed = rng.Seed(schedSeed)
+      def nextInt(bound: Int): Int = {
+        val (n, s2) = seed.long
+        seed = s2
+        (math.abs(n) % bound).toInt
+      }
+      withClue(s"[trial $trial seed=$schedSeed — replay with " +
+        s"-Dgraft.maintprop.seed=$schedSeed " +
+        "-Dgraft.maintprop.trials=1] ") {
       val dir = template(s"graft-maintprop-sched$trial", false)
       var applied = base
       var nextBatch = 0
@@ -515,6 +533,7 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(foldBatch(dir, batch, None))
         applied = applied ++ batch
         assertState("terminal")
+      }
       }
     }
   }

@@ -1,0 +1,321 @@
+package graft
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.rng
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Models
+import graft.streaming.EventStreams
+
+/** Crash-injection property suite for the STREAMING maintenance loops
+  * — the r16 gap: [[EventStreams.retrievalMaintenance]] /
+  * [[EventStreams.dedupMaintenance]] / [[EventStreams.indexMaintenance]]
+  * were covered by hand-picked replay tests only, while their batch
+  * twins got 100 random schedules. Random schedules here drive the
+  * REAL per-micro-batch bodies (`retrievalFoldBatch` /
+  * `dedupFoldBatch` / `indexFoldBatch` — the exact closures
+  * foreachBatch runs) under foreachBatch's retry contract: a failed
+  * (batch, batchId) is re-invoked with the same arguments before the
+  * stream advances, and a lost checkpoint re-delivers an APPLIED
+  * batch (marker present → short-circuit; marker lost → the
+  * dedupeIds layer folds the replay to a no-op).
+  *
+  * Crash points are the real seams: [[Models.crashHook]] names inside
+  * the folds (between artifact writes) plus `stream_after_fold` — the
+  * handler's own window between the durable fold and the applied
+  * marker, the at-least-once window the two-layer idempotence exists
+  * for. After every schedule the served artifacts must equal the
+  * clean twin of the applied batch prefix (retrieval additionally
+  * holds to a pure-Scala retrain oracle), and a held-out PROBE batch
+  * must make identical dedup decisions — the serving invariant that
+  * tolerates the documented duplicate-band slack without letting
+  * Jaccard denominators corrupt.
+  *
+  * Trials/seed knobs mirror MaintSchedulePropertySpec:
+  * `-Dgraft.streamprop.trials` (default 50),
+  * `-Dgraft.streamprop.seed`; each trial's seed is base + trial - 1,
+  * so one failing schedule replays alone.
+  */
+class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val modelsTmp = java.nio.file.Files
+    .createTempDirectory("graft-streamprop-models").toString
+  private var prevModelsDir: Option[String] = None
+
+  override def beforeAll(): Unit = {
+    prevModelsDir = sys.props.get("graft.models.dir")
+    sys.props("graft.models.dir") = modelsTmp
+  }
+  override def afterAll(): Unit = {
+    Models.crashHook = _ => ()
+    prevModelsDir match {
+      case Some(v) => sys.props("graft.models.dir") = v
+      case None => sys.props.remove("graft.models.dir")
+    }
+  }
+
+  private val Trials =
+    sys.props.getOrElse("graft.streamprop.trials", "50").toInt
+  private val BaseSeed =
+    sys.props.getOrElse("graft.streamprop.seed", "20260817").toLong
+
+  private final class CrashInjected(point: String)
+    extends RuntimeException(s"injected crash at $point")
+
+  private def fsOf(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def copyRoot(srcDir: String, prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(Models.root(srcDir))
+    val dst = new Path(Models.root(dir))
+    val fs = src.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    FileUtil.copy(fs, src, fs, dst, false, conf)
+    dir
+  }
+
+  // ---- corpora ------------------------------------------------------------
+
+  private val words =
+    Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+  private def doc(i: Long): (Long, String) = (i,
+    (0 until (2 + (i % 4)).toInt)
+      .map(j => words(((i + j * 3) % words.size).toInt))
+      .mkString(" ") + s" uniq$i")
+  private val retrBase = (1L to 10L).map(doc)
+  private val retrBatches =
+    (0 until 3).map(b => (11L + 3 * b to 13L + 3 * b).map(doc))
+
+  /** Near-dup-structured docs for the LSH loops: token runs with
+    * shared prefixes so folds create candidate pairs and (for the map
+    * loop) real merges. */
+  private def run(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+  private val dedupBase = Seq(
+    1L -> run("alpha", 20).mkString(" "),
+    2L -> (run("alpha", 19) :+ "alphaX").mkString(" "),
+    3L -> run("beta", 20).mkString(" "),
+    4L -> run("gamma", 10).mkString(" "))
+  private val dedupBatches = Seq(
+    Seq(10L -> (run("alpha", 18) ++ Seq("alphaY", "alphaZ")).mkString(" "),
+      11L -> run("delta", 20).mkString(" ")),
+    Seq(12L -> (run("alpha", 20) ++ run("beta", 20)).mkString(" ")),
+    Seq(13L -> run("epsilon", 20).mkString(" "),
+      14L -> (run("beta", 19) :+ "betaX").mkString(" ")))
+  private val probeBatch = Seq(
+    20L -> run("alpha", 20).mkString(" "),
+    21L -> run("zeta", 20).mkString(" "))
+
+  private def vec(i: Long): Seq[Float] =
+    (0 until 64).map(j => ((i * 31 + j * 17) % 13 - 6).toFloat)
+  private val vecBase = (0L to 39L).map(i => (i, vec(i)))
+  private val vecBatches =
+    (0 until 3).map(b => (100L + 10 * b to 107L + 10 * b)
+      .map(i => (i, vec(i))))
+
+  // ---- templates (built once, file-copied per schedule) -------------------
+
+  private lazy val retrTemplate: String = {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-streamprop-retr-tpl").toString
+    Models.buildRetrievalArtifacts(spark, t,
+      docs = Some(retrBase.toDF("doc_id", "text")))
+    t
+  }
+  private lazy val dedupTemplate: Boolean => String = {
+    val cache = scala.collection.mutable.Map.empty[Boolean, String]
+    (foldMap: Boolean) => cache.getOrElseUpdate(foldMap, {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft-streamprop-dedup-tpl$foldMap")
+        .toString
+      dedupBase.toDF("doc_id", "text").write.mode("overwrite")
+        .parquet(s"$t/documents.parquet")
+      if (foldMap) Models.dedupMap(spark, t, 50)
+      Models.lshIndex(spark, t, Tables.documents(spark, t),
+        "doc_id", "text")
+      t
+    })
+  }
+  private lazy val vecTemplate: String = {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-streamprop-vec-tpl").toString
+    vecBase.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$t/embeddings.parquet")
+    Models.ivfPqIndex(spark, t)
+    t
+  }
+
+  // ---- handlers + state readers per family --------------------------------
+
+  private def sinkBuf() =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+  /** family → (handler(dir, cp, compactEvery), crashPoints,
+    * state reader). State readers return sorted row-string vectors —
+    * multiset compare, the duplicate-row bug class. */
+  private case class Family(name: String,
+      batches: Seq[DataFrame],
+      template: () => String,
+      handler: (String, String, Int) => (DataFrame, Long) => Unit,
+      crashPoints: Vector[String],
+      state: String => Vector[String])
+
+  private def retrState(dir: String): Vector[String] = {
+    val p = Models.postings(spark, dir).select("tok", "doc_id", "tf")
+      .collect().map(r => s"P:${r.mkString(",")}")
+    val l = Models.docLens(spark, dir).collect()
+      .map(r => s"L:${r.mkString(",")}")
+    val d = Models.dfTable(spark, dir).collect()
+      .map(r => s"D:${r.mkString(",")}")
+    (p ++ l ++ d).toVector.sorted
+  }
+
+  /** LSH serving state: exact shingle sets (dup sets corrupt Jaccard
+    * denominators) + the held-out probe's decisions (the serving
+    * surface that absorbs the documented duplicate-band slack). */
+  private def dedupState(foldMap: Boolean)(dir: String): Vector[String] = {
+    val (bands, sets) = Models.lshIndex(spark, dir,
+      sys.error("trained"), "doc_id", "text")
+    val setRows = sets.select(col("id"), size(col("hs")).as("n"))
+      .collect().map(r => s"S:${r.mkString(",")}")
+    val probe = graft.operators.Dedup.incrementalDedupIndexed(
+      bands, sets, probeBatch.toDF("doc_id", "text"),
+      "doc_id", "text", 0.5)
+      .collect().map(r => s"Q:${r.mkString(",")}")
+    val map =
+      if (!foldMap) Array.empty[String]
+      else Models.dedupMapResolved(spark, dir, 50)
+        .collect().map(r => s"M:${r.mkString(",")}")
+    (setRows ++ probe ++ map).toVector.sorted
+  }
+
+  private def vecState(dir: String): Vector[String] = {
+    val (c, b, k) = Models.ivfPqIndex(spark, dir)
+    (c.collect().map(r => s"C:${r.mkString(",")}") ++
+      b.collect().map(r => s"B:${r.mkString(",")}") ++
+      k.select("nid", "cid", "codes").collect()
+        .map(r => s"K:${r.mkString(",")}")).toVector.sorted
+  }
+
+  private lazy val families: Vector[Family] = Vector(
+    Family("retrieval",
+      retrBatches.map(_.toDF("doc_id", "text")),
+      () => retrTemplate,
+      (dir, cp, ce) => EventStreams.retrievalFoldBatch(dir, cp, ce),
+      Vector("fold_start", "after_postings", "after_positional",
+        "after_df", "stream_after_fold"),
+      retrState),
+    Family("dedup",
+      dedupBatches.map(_.toDF("doc_id", "text")),
+      () => dedupTemplate(false),
+      (dir, cp, ce) => EventStreams.dedupFoldBatch(dir, cp,
+        (_, _) => (), 0.5, ce, false, 32, 16, 3),
+      Vector("lsh_after_bands", "stream_after_fold"),
+      dedupState(false)),
+    Family("dedupMap",
+      dedupBatches.map(_.toDF("doc_id", "text")),
+      () => dedupTemplate(true),
+      (dir, cp, ce) => EventStreams.dedupFoldBatch(dir, cp,
+        (_, _) => (), 0.5, ce, true, 32, 16, 3),
+      Vector("map_start", "map_after_lsh", "map_after_remap",
+        "stream_after_fold"),
+      dedupState(true)),
+    Family("index",
+      vecBatches.map(_.toDF("vec_id", "embedding")),
+      () => vecTemplate,
+      (dir, cp, ce) => EventStreams.indexFoldBatch(dir, cp,
+        1000, ce, 16, 2, 8, 256, 64),
+      Vector("stream_after_fold"),
+      vecState))
+
+  /** Clean-twin snapshots per (family, applied-prefix length), built
+    * incrementally on one twin dir per family and memoized — every
+    * turbulent schedule compares against the same clean replays. */
+  private val twinDirs = scala.collection.mutable.Map.empty[String, String]
+  private val twinApplied = scala.collection.mutable.Map.empty[String, Int]
+  private val twinStates =
+    scala.collection.mutable.Map.empty[(String, Int), Vector[String]]
+
+  private def twinState(fam: Family, k: Int): Vector[String] =
+    twinStates.getOrElseUpdate((fam.name, k), {
+      val dir = twinDirs.getOrElseUpdate(fam.name,
+        copyRoot(fam.template(), s"graft-streamprop-twin-${fam.name}"))
+      val cp = s"$dir/ckpt"
+      var applied = twinApplied.getOrElse(fam.name, 0)
+      while (applied < k) {
+        fam.handler(dir, cp, 0)(fam.batches(applied), applied.toLong)
+        applied += 1
+        twinApplied(fam.name) = applied
+      }
+      fam.state(dir)
+    })
+
+  test(s"$Trials random streaming-maintenance schedules — micro-batch " +
+      "folds through the REAL foreachBatch bodies, crashed at random " +
+      "seams (in-fold and fold-to-marker), Spark-retry replayed, " +
+      "markers lost, compaction valves firing — leave every served " +
+      "artifact equal to the clean twin of the applied prefix") {
+    (1 to Trials).foreach { trial =>
+      val schedSeed = BaseSeed + trial - 1
+      var seed = rng.Seed(schedSeed)
+      def nextInt(bound: Int): Int = {
+        val (n, s2) = seed.long
+        seed = s2
+        (math.abs(n) % bound).toInt
+      }
+      withClue(s"[trial $trial seed=$schedSeed — replay with " +
+        s"-Dgraft.streamprop.seed=$schedSeed " +
+        "-Dgraft.streamprop.trials=1] ") {
+        val fam = families(nextInt(families.size))
+        val dir = copyRoot(fam.template(),
+          s"graft-streamprop-${fam.name}$trial")
+        val cp = s"$dir/ckpt"
+        val compactEvery = if (nextInt(2) == 0) 0 else 2
+        val handler = fam.handler(dir, cp, compactEvery)
+        val fs = fsOf(cp)
+
+        def invoke(batchId: Int, crashAt: Option[String]): Boolean = {
+          crashAt.foreach { p =>
+            Models.crashHook =
+              pt => if (pt == p) throw new CrashInjected(p)
+          }
+          try { handler(fam.batches(batchId), batchId.toLong); true }
+          catch { case _: CrashInjected => false }
+          finally Models.crashHook = _ => ()
+        }
+
+        val nBatches = 1 + nextInt(fam.batches.size)
+        (0 until nBatches).foreach { bid =>
+          nextInt(3) match {
+            case 0 => // clean delivery
+              assert(invoke(bid, None))
+            case 1 => // crash then Spark-retry replay (25%: twice)
+              val p = fam.crashPoints(nextInt(fam.crashPoints.size))
+              invoke(bid, Some(p)) // seam may sit after this fold's work
+              if (nextInt(4) == 0) {
+                invoke(bid,
+                  Some(fam.crashPoints(nextInt(fam.crashPoints.size))))
+                ()
+              }
+              assert(invoke(bid, None), s"replay of batch $bid failed")
+            case _ => // applied, then checkpoint lost: re-delivered
+              assert(invoke(bid, None))
+              val marker = new Path(s"$cp/applied/$bid")
+              if (nextInt(2) == 0) fs.delete(marker, false)
+              assert(invoke(bid, None),
+                s"re-delivery of batch $bid failed")
+          }
+          assert(fam.state(dir) == twinState(fam, bid + 1),
+            s"[${fam.name}] served state diverged from the clean twin " +
+              s"after batch $bid")
+        }
+      }
+    }
+  }
+}
