@@ -60,7 +60,11 @@ object BenchSf1 {
     // debris, exact vacuum sweep, atomic compaction cutover, post-
     // cutover fold — its sf1 row prices the whole maintenance cycle's
     // 10× behavior like the fold families' (round-16 task 7)
-    "maint_vacuum_cutover")
+    "maint_vacuum_cutover",
+    // the maintenance-events ledger gate (round-17 task 5: the one
+    // green query that had no 10× receipt): enabled reporter + two
+    // folds + compact + vacuum, serving the event ledger itself
+    "maint_history")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

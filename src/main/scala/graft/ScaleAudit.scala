@@ -424,6 +424,12 @@ object ScaleAudit {
     val mAll = spark.read.parquet(s"$mDir/documents.parquet")
     graft.sources.Models.buildRetrievalArtifacts(spark, mDir,
       docs = Some(mAll.filter(col("doc_id") < mDocs / 2)))
+    // the events ledger rides along (round-17 task 5): the measured
+    // maintenance loop now INCLUDES its reporter, and the ledger's own
+    // size/growth becomes a measured claim — one small row per applied
+    // operation through the versioned sink, auto-compacted fan-in
+    graft.sources.MaintenanceLog.enable(spark,
+      graft.sources.Models.root(mDir))
     val postPath = graft.sources.Models.postingsPath(mDir)
     val filesBase =
       graft.sources.Generations.countParquetFiles(spark,
@@ -457,6 +463,22 @@ object ScaleAudit {
     val tV0 = System.nanoTime()
     val swept = graft.sources.Models.vacuum(spark, mDir, minAgeMs = 0L)
     val vacuumSec = (System.nanoTime() - tV0) / 1e9
+    // ledger receipt: events recorded by the folds/compact/vacuum
+    // above, and the on-disk footprint of the events family (staged
+    // segments + commit log) — unbounded append is priced here: at one
+    // row per applied operation, bytes/event × ops/day bounds years of
+    // ledger in megabytes
+    val ledgerN = graft.sources.MaintenanceLog.events(spark,
+      graft.sources.Models.root(mDir)).count()
+    val ledgerDir = new org.apache.hadoop.fs.Path(
+      s"${graft.sources.Models.root(mDir)}/" +
+        graft.sources.MaintenanceLog.Family)
+    var ledgerFiles = 0L
+    var ledgerBytes = 0L
+    val lit0 = mfs.listFiles(ledgerDir, true)
+    while (lit0.hasNext) {
+      val s = lit0.next(); ledgerFiles += 1; ledgerBytes += s.getLen
+    }
 
     def pct(a: Long, b: Long): Double =
       math.round(a.toDouble / b * 10000) / 100.0
@@ -501,7 +523,11 @@ object ScaleAudit {
          |    "compact": {"files_before": $cBefore, "files_after": $cAfter,
          |                "sec": ${math.round(compactSec * 1000) / 1000.0}},
          |    "vacuum": {"swept": ${swept.size},
-         |               "sec": ${math.round(vacuumSec * 1000) / 1000.0}}}
+         |               "sec": ${math.round(vacuumSec * 1000) / 1000.0}},
+         |    "ledger": {"events": $ledgerN, "files": $ledgerFiles,
+         |               "bytes": $ledgerBytes,
+         |               "bytes_per_event": ${
+                           if (ledgerN > 0) ledgerBytes / ledgerN else 0L}}}
          |}""".stripMargin
     println(json)
     java.nio.file.Files.write(
