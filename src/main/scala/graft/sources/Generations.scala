@@ -222,10 +222,91 @@ object Generations {
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
+  /** Atomically remove the lease file IF it still carries
+    * `expectToken`: rename it to a unique tombstone (only one mover
+    * can win the rename), then VERIFY the moved file's token. A blind
+    * read-then-delete has a window where another breaker has already
+    * broken-and-re-acquired between our read and our delete — the
+    * delete then removes the NEW writer's fresh lease and two writers
+    * end up fenced-in simultaneously. The rename pins which physical
+    * file we removed; on a token mismatch (we stole a lease that
+    * replaced the expected one mid-flight) the stolen lease is
+    * restored through the atomic no-overwrite [[claim]], retried
+    * briefly because a competitor that slipped into the empty-lease
+    * window self-releases as soon as it notices our fresh tombstone
+    * (see [[acquireLease]]'s post-claim verify). Only if the restore
+    * never lands — the slipped-in claimer crashed inside the
+    * claim→verify microwindow — is the stolen copy dropped so the
+    * newest fence stands and the at-most-one-lease invariant holds.
+    * Returns true iff the expected lease was removed. */
+  private[graft] def takeLeaseFile(fs: FileSystem, path: String,
+      expectToken: String): Boolean = {
+    val lease = leasePath(path)
+    val tomb = new Path(path, "_tmp_lease_take_" +
+      java.util.UUID.randomUUID.toString.replace("-", ""))
+    val moved =
+      try fs.rename(lease, tomb)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!moved) return false
+    // a racing [[leaseInTransition]] GC may remove the tombstone
+    // between our rename and this read IF the broken lease was stale
+    // (rename preserves the past-TTL mtime): the stale lease is gone
+    // either way — report failure and let the caller's loop re-read
+    val tok =
+      try {
+        val in = fs.open(tomb)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return false }
+    if (tok == expectToken) {
+      fs.delete(tomb, false)
+      true
+    } else {
+      var restored = claim(fs, tomb, lease)
+      var tries = 0
+      while (!restored && tries < 20) {
+        Thread.sleep(5)
+        restored = claim(fs, tomb, lease)
+        tries += 1
+      }
+      if (!restored) fs.delete(tomb, false) // crash fallback: newest fence wins
+      false
+    }
+  }
+
+  /** True while some breaker's mismatch-restore is in flight: a fresh
+    * `_tmp_lease_take_*` tombstone holds a STOLEN fresh lease that is
+    * about to be renamed back to the lease path (see
+    * [[takeLeaseFile]]). Acquirers must treat this exactly like a held
+    * lease — claiming into the transiently-empty lease path would
+    * double-fence against the stolen lease's owner. Freshness uses the
+    * tombstone's own mtime with the same [[leaseTtlMs]] rule as the
+    * lease itself (rename preserves mtime, so a tombstone carrying a
+    * fresh stolen lease gates for exactly the TTL its owner was owed;
+    * one from a legitimately-broken STALE lease is already past TTL
+    * and never gates). Stale tombstones — a restorer crashed mid-
+    * transition — are GC'd here. */
+  private[graft] def leaseInTransition(fs: FileSystem,
+      path: String): Boolean = {
+    val sts =
+      try fs.globStatus(new Path(path, "_tmp_lease_take_*"))
+      catch { case _: java.io.FileNotFoundException => null }
+    if (sts == null) false
+    else sts.exists { st =>
+      if (System.currentTimeMillis() - st.getModificationTime >=
+          leaseTtlMs) {
+        fs.delete(st.getPath, false)
+        false
+      } else true
+    }
+  }
+
   /** Take the family's writer lease for `token`, or throw a retryable
     * [[ConcurrentWriterException]] if another process's FRESH lease
     * fences us out. Holding our own (crashed prior attempt in this
-    * process) re-acquires silently. */
+    * process) re-acquires silently, refreshing the lease mtime so the
+    * replay gets the full TTL window rather than inheriting the
+    * crashed attempt's nearly-expired one. */
   private[graft] def acquireLease(fs: FileSystem, path: String,
       token: String): Unit = {
     val dir = new Path(path)
@@ -233,7 +314,11 @@ object Generations {
     var attempts = 0
     while (attempts < 3) {
       readLease(fs, path) match {
-        case Some((tok, _)) if tok == token => return
+        case Some((tok, _)) if tok == token =>
+          try fs.setTimes(leasePath(path), System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException |
+              _: UnsupportedOperationException => () }
+          return
         case Some((tok, mtime))
             if System.currentTimeMillis() - mtime < leaseTtlMs =>
           throw new ConcurrentWriterException(
@@ -241,21 +326,41 @@ object Generations {
               s"${leaseTtlMs}ms) — a live writer is staging a " +
               "generation; back off and retry")
         case stale =>
-          // stale foreign lease (crashed holder) or none: break it,
-          // then acquire through the atomic no-overwrite claim — two
-          // racing breakers cannot both win
-          stale.foreach(_ => fs.delete(leasePath(path), false))
-          val tmp = new Path(dir, "_tmp_lease_" +
-            java.util.UUID.randomUUID.toString.replace("-", ""))
-          val out = fs.create(tmp, true)
-          try out.write(token.getBytes("UTF-8"))
-          finally out.close()
-          val won = claim(fs, tmp, leasePath(path))
-          fs.delete(tmp, false)
-          if (won) return
-        // lost the acquire race: loop re-reads the winner's lease
+          // stale foreign lease (crashed holder) or none: break
+          // EXACTLY the stale file we read (rename-verified — see
+          // [[takeLeaseFile]]), then acquire through the atomic
+          // no-overwrite claim — neither two racing breakers nor a
+          // breaker racing a fresh re-acquirer can double-fence. An
+          // in-flight mismatch-restore ([[leaseInTransition]]) gates
+          // like a held lease: the empty lease path belongs to the
+          // stolen lease's owner, not to us.
+          val broke = !leaseInTransition(fs, path) && (stale match {
+            case Some((tok, _)) => takeLeaseFile(fs, path, tok)
+            case None => true
+          })
+          if (broke) {
+            val tmp = new Path(dir, "_tmp_lease_" +
+              java.util.UUID.randomUUID.toString.replace("-", ""))
+            val out = fs.create(tmp, true)
+            try out.write(token.getBytes("UTF-8"))
+            finally out.close()
+            val won = claim(fs, tmp, leasePath(path))
+            fs.delete(tmp, false)
+            if (won) {
+              // post-claim verify: a restore that started between our
+              // transition check and our claim means we slipped into
+              // the stolen lease's empty window — yield to the owner
+              // (self-release; the restorer is retrying its rename-
+              // back right now) and re-read, which will see the
+              // restored fresh lease and fence us properly.
+              if (!leaseInTransition(fs, path)) return
+              takeLeaseFile(fs, path, token)
+            }
+          }
+        // lost the break/acquire race: loop re-reads the winner's lease
       }
       attempts += 1
+      Thread.sleep(5L * attempts)
     }
     throw new ConcurrentWriterException(
       s"could not acquire writer lease on $path after $attempts " +
@@ -264,12 +369,15 @@ object Generations {
 
   /** Release `token`'s lease if it still holds it (a foreign lease —
     * a breaker took over after our TTL expired mid-write — is left
-    * alone: deleting it would unfence the NEW writer's staging). */
+    * alone: deleting it would unfence the NEW writer's staging). The
+    * removal is rename-verified ([[takeLeaseFile]]): a blind delete
+    * after the token check could race a breaker that replaced our
+    * just-expired lease between the check and the delete. */
   private[graft] def releaseLease(fs: FileSystem, path: String,
       token: String): Unit =
     readLease(fs, path) match {
       case Some((tok, _)) if tok == token =>
-        fs.delete(leasePath(path), false)
+        takeLeaseFile(fs, path, token)
         ()
       case _ => ()
     }

@@ -193,4 +193,147 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(f.exists(new Path(fam, "gen-3")) &&
       f.exists(new Path(fam, "gen-4")), "keep-2 retention unchanged")
   }
+
+  test("breaking a stale lease is rename-VERIFIED, not a blind " +
+      "delete: if the stale lease was already replaced by another " +
+      "breaker's fresh one, the break backs off and the fresh lease " +
+      "survives (a blind delete here double-fenced two writers)") {
+    val fam = tmpFam("graft-lease-verify")
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    // the fresh replacement lease procB holds (it broke procA's stale
+    // lease an instant before our breaker acts on its stale read)
+    val lease = new Path(fam, "_writer_lease")
+    val out = f.create(lease, true)
+    out.write("procB".getBytes("UTF-8")); out.close()
+    // our breaker still believes the lease carries crashed procA
+    assert(!Generations.takeLeaseFile(f, fam, "procA"),
+      "removing a lease that no longer carries the expected token " +
+        "must fail")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procB"),
+      "the fresh replacement lease must survive the failed break " +
+        "intact — pre-fix the blind delete removed it")
+    // and the end-to-end consequence: procC's prepare now fences on
+    // procB's fresh lease instead of silently double-acquiring
+    intercept[ConcurrentWriterException] {
+      Generations.prepareAs(spark, fam, "procC")
+    }
+  }
+
+  test("SAME-process re-acquire refreshes the lease mtime: a replayed " +
+      "writer gets the full TTL window instead of inheriting its " +
+      "crashed attempt's nearly-expired lease") {
+    val fam = tmpFam("graft-lease-refresh")
+    val (_, d1) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(d1, 1L)
+    val f = fs(fam)
+    val lease = new Path(fam, "_writer_lease")
+    // age the lease to one second from expiry
+    val nearExpiry = System.currentTimeMillis() -
+      Generations.leaseTtlMs + 1000L
+    f.setTimes(lease, nearExpiry, -1L)
+    Generations.prepareAs(spark, fam, "procA") // the replay
+    val mtime = f.getFileStatus(lease).getModificationTime
+    assert(mtime > nearExpiry + Generations.leaseTtlMs / 2,
+      s"replay must refresh the lease mtime (got $mtime, " +
+        s"near-expiry was $nearExpiry)")
+  }
+
+  test("a fresh in-flight mismatch-restore tombstone gates acquire " +
+      "like a held lease (the empty lease path belongs to the stolen " +
+      "lease's owner); a STALE tombstone — crashed restorer — is GC'd " +
+      "and acquire proceeds") {
+    val fam = tmpFam("graft-lease-transit")
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    // a mismatch-restore in flight: the lease path is empty and the
+    // stolen FRESH lease (procW's) sits in the breaker's tombstone
+    val tomb = new Path(fam, "_tmp_lease_take_deadbeef")
+    val out = f.create(tomb, true)
+    out.write("procW".getBytes("UTF-8")); out.close()
+    intercept[ConcurrentWriterException] {
+      Generations.acquireLease(f, fam, "procS")
+    }
+    assert(f.exists(tomb),
+      "the gated acquire must not disturb the in-flight tombstone")
+    assert(Generations.readLease(f, fam).isEmpty,
+      "the gated acquire must not have claimed the empty lease path")
+    // the restorer finishes: tombstone renames back to the lease path
+    assert(f.rename(tomb, new Path(fam, "_writer_lease")))
+    val e = intercept[ConcurrentWriterException] {
+      Generations.acquireLease(f, fam, "procS")
+    }
+    assert(e.getMessage.contains("procW"),
+      s"post-restore, acquire must fence on the OWNER: ${e.getMessage}")
+    // crashed restorer: age the (re-stolen) tombstone past TTL → GC'd,
+    // acquire proceeds
+    assert(f.rename(new Path(fam, "_writer_lease"), tomb))
+    f.setTimes(tomb, System.currentTimeMillis() -
+      Generations.leaseTtlMs - 1000L, -1L)
+    Generations.acquireLease(f, fam, "procS")
+    assert(!f.exists(tomb), "the stale tombstone must be GC'd")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procS"))
+  }
+
+  test("a breaker acting on a stale read that was replaced mid-flight " +
+      "RESTORES the stolen fresh lease even while a third acquirer " +
+      "hammers the window: the owner's fence survives, the breaker " +
+      "reports failure, the third writer never wins") {
+    val fam = tmpFam("graft-lease-window")
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    (1 to 20).foreach { i =>
+      // procW's FRESH lease replaced crashed's an instant ago; the
+      // breaker below still believes the stale read
+      val lease = new Path(fam, "_writer_lease")
+      val out = f.create(lease, true)
+      out.write("procW".getBytes("UTF-8")); out.close()
+      val sWon = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val breaker = new Thread(() =>
+        assert(!Generations.takeLeaseFile(f, fam, "crashed"),
+          s"iter $i: break of a replaced lease must report failure"))
+      val third = new Thread(() =>
+        try { Generations.acquireLease(f, fam, s"procS$i"); sWon.set(true) }
+        catch { case _: ConcurrentWriterException => () })
+      breaker.start(); third.start()
+      breaker.join(); third.join()
+      assert(!sWon.get, s"iter $i: the third writer slipped into the " +
+        "restore window and double-fenced against procW")
+      assert(Generations.readLease(f, fam).exists(_._1 == "procW"),
+        s"iter $i: procW's stolen lease must be restored")
+      f.delete(lease, false)
+    }
+  }
+
+  test("N writers racing to break one stale lease: exactly one " +
+      "acquires, the rest are fenced or retry-exhausted, and exactly " +
+      "one lease (the winner's) remains — over both claim branches") {
+    Seq(tmpFam("graft-lease-race"),
+        HdfsLikeFileSystem.tempDir("graft-lease-race") + "/art")
+      .foreach { fam =>
+        val f = fs(fam)
+        f.mkdirs(new Path(fam))
+        val lease = new Path(fam, "_writer_lease")
+        val out = f.create(lease, true)
+        out.write("crashed".getBytes("UTF-8")); out.close()
+        f.setTimes(lease, System.currentTimeMillis() -
+          Generations.leaseTtlMs - 1000L, -1L)
+        val tokens = (1 to 8).map(i => s"racer$i")
+        val results = new java.util.concurrent.ConcurrentHashMap[
+          String, String]()
+        val threads = tokens.map { t =>
+          new Thread(() =>
+            results.put(t,
+              try { Generations.acquireLease(f, fam, t); "won" }
+              catch { case _: ConcurrentWriterException => "fenced" }))
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        val winners = tokens.filter(results.get(_) == "won")
+        assert(winners.size == 1,
+          s"exactly one racer must hold the lease, got $winners ($fam)")
+        assert(Generations.readLease(f, fam).map(_._1)
+          .contains(winners.head),
+          "the surviving lease must carry the winner's token")
+      }
+  }
 }
