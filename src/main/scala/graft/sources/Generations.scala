@@ -531,6 +531,13 @@ object Generations {
       (write: String => Unit): String = {
     val (n, g) = prepare(spark, path)
     write(g)
+    // test seam: the staged-but-uncommitted window — the lease is held,
+    // the generation dir is full, the marker does not exist yet. The
+    // crash suites inject a dying JVM here (replay must re-acquire its
+    // own lease, reclaim the orphan staging, and rewrite) and a
+    // double-launched second process (which must fence on the lease
+    // rather than reclaim this live staging).
+    Models.crashHook("cutover_staged")
     commit(spark, path, n, content)
     g
   }

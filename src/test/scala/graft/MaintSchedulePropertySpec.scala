@@ -221,6 +221,93 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- the staged-but-uncommitted window: writer lease × a REAL fold ----
+
+  test("the cutover_staged window (df generation staged, marker " +
+      "absent, LEASE HELD): a double-launched second process is " +
+      "fenced MID-WRITE and cannot reclaim the live staging; vacuum " +
+      "under the fresh lease sweeps nothing; the crashed fold's " +
+      "replay re-acquires its own lease, reclaims the orphan staging, " +
+      "and converges; once the lease is stale, vacuum sweeps both " +
+      "staging and lease and the replay STILL converges") {
+    import graft.sources.ConcurrentWriterException
+    val dir = template("graft-maintprop-staged", false)
+    val fam = Models.dfTablePath(dir)
+    val fs = new Path(fam)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // swept paths come back fully qualified; compare on URI paths and
+    // scope to THIS family (unrelated staging debris is not under test)
+    val famU = new Path(fam).toUri.getPath
+    def sweptOfFam(swept: Seq[String]): Seq[String] =
+      swept.map(p => new Path(p).toUri.getPath).filter(_.startsWith(famU))
+
+    // phase 1 — fencing DURING a live fold's staged window: WriterLease
+    // Spec drives prepareAs vs prepareAs; this is the lease composed
+    // with the real fold path, second process arriving exactly between
+    // the staged write and the commit marker
+    var fencedMidWrite = false
+    Models.crashHook = pt => if (pt == "cutover_staged") {
+      assert(Generations.orphans(spark, fam).nonEmpty,
+        "hook fired but no staged generation is in flight")
+      val e = intercept[ConcurrentWriterException] {
+        Generations.prepareAs(spark, fam, "proc2")
+      }
+      assert(e.getMessage.contains(fam) || e.getMessage.contains("lease"),
+        e.getMessage)
+      assert(Generations.orphans(spark, fam).nonEmpty,
+        "the fenced second prepare must not have reclaimed the staging")
+      fencedMidWrite = true
+    }
+    try foldBatch(dir, batches(0), None)
+    finally Models.crashHook = _ => ()
+    assert(fencedMidWrite, "the staged-window hook never fired")
+    var applied = base ++ batches(0)
+    assert(actDf(dir) == expDf(applied),
+      "fold diverged after the mid-write fence")
+
+    // phase 2 — crash AT the staged window: lease stays held (same
+    // process), vacuum must treat the staging as in-flight work
+    assert(!foldBatch(dir, batches(1), Some("cutover_staged")),
+      "crash at cutover_staged did not fire")
+    assert(actDf(dir) == expDf(applied),
+      "df must serve the PRE state while staged+uncommitted")
+    assert(Generations.orphans(spark, fam).nonEmpty)
+    assert(sweptOfFam(Models.vacuum(spark, dir, minAgeMs = 0L)).isEmpty,
+      "vacuum under a FRESH lease must sweep nothing of the family")
+    assert(Generations.orphans(spark, fam).nonEmpty,
+      "vacuum removed the fresh-leased staging")
+    intercept[ConcurrentWriterException] {
+      Generations.prepareAs(spark, fam, "proc2")
+    }
+    assert(foldBatch(dir, batches(1), None), "the replay failed")
+    applied = applied ++ batches(1)
+    assert(actPostings(dir) == expPostings(applied) &&
+      actLens(dir) == expLens(applied) && actDf(dir) == expDf(applied),
+      "replay after the staged-window crash diverged from the oracle")
+    assert(Generations.readLease(fs, fam).isEmpty,
+      "the replay's commit must have released the lease")
+
+    // phase 3 — crashed holder AGES OUT: vacuum sweeps the staging AND
+    // the stale lease, and the replay still converges from scratch
+    assert(!foldBatch(dir, batches(2), Some("cutover_staged")))
+    val lease = new Path(fam, Generations.LeaseName)
+    val past = System.currentTimeMillis() -
+      Generations.leaseTtlMs - 60000L
+    fs.setTimes(lease, past, -1L)
+    Generations.orphans(spark, fam)
+      .foreach(p => fs.setTimes(p, past, -1L))
+    val swept = sweptOfFam(Models.vacuum(spark, dir, minAgeMs = 0L))
+    assert(swept.exists(_.matches(".*/gen-\\d+")) &&
+      swept.exists(_.endsWith(Generations.LeaseName)),
+      s"vacuum must sweep the crashed holder's staging and lease: $swept")
+    assert(Generations.orphans(spark, fam).isEmpty)
+    assert(foldBatch(dir, batches(2), None))
+    applied = applied ++ batches(2)
+    assert(actPostings(dir) == expPostings(applied) &&
+      actLens(dir) == expLens(applied) && actDf(dir) == expDf(applied),
+      "replay after the stale-holder sweep diverged from the oracle")
+  }
+
   // ---- dedup-map fold crash windows (twin-convergence) -------------------
 
   test("dedup-map fold crash windows converge: a fold crashed after " +
