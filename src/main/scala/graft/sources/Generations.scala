@@ -303,10 +303,14 @@ object Generations {
 
   /** Take the family's writer lease for `token`, or throw a retryable
     * [[ConcurrentWriterException]] if another process's FRESH lease
-    * fences us out. Holding our own (crashed prior attempt in this
-    * process) re-acquires silently, refreshing the lease mtime so the
-    * replay gets the full TTL window rather than inheriting the
-    * crashed attempt's nearly-expired one. */
+    * fences us out. Holding our own FRESH lease (crashed prior attempt
+    * in this process) re-acquires silently, refreshing the lease mtime
+    * so the replay gets the full TTL window rather than inheriting the
+    * crashed attempt's nearly-expired one; an own STALE lease has been
+    * forfeited by the TTL contract and re-contends through the same
+    * break/claim path as a foreign breaker (it usually wins
+    * uncontended, but never by silently refreshing a file a breaker
+    * may be stealing). */
   private[graft] def acquireLease(fs: FileSystem, path: String,
       token: String): Unit = {
     val dir = new Path(path)
@@ -314,13 +318,24 @@ object Generations {
     var attempts = 0
     while (attempts < 3) {
       readLease(fs, path) match {
-        case Some((tok, _)) if tok == token =>
+        case Some((tok, mtime)) if tok == token &&
+            System.currentTimeMillis() - mtime < leaseTtlMs =>
+          // own FRESH lease (crashed prior attempt, quick replay):
+          // re-acquire in place, refreshing the mtime. Only the fresh
+          // case may refresh silently — a breaker never touches a
+          // fresh lease (mismatch-steals restore it), so the refresh
+          // cannot race a steal. An own STALE lease falls through to
+          // the break/claim branch below: by the TTL contract an
+          // expired holder has LOST the lease and must re-contend —
+          // silently refreshing it would race a foreign breaker that
+          // steals the stale file between our read and our setTimes,
+          // leaving both of us believing we hold.
           try fs.setTimes(leasePath(path), System.currentTimeMillis(), -1)
           catch { case _: java.io.IOException |
               _: UnsupportedOperationException => () }
           return
-        case Some((tok, mtime))
-            if System.currentTimeMillis() - mtime < leaseTtlMs =>
+        case Some((tok, mtime)) if tok != token &&
+            System.currentTimeMillis() - mtime < leaseTtlMs =>
           throw new ConcurrentWriterException(
             s"writer lease on $path is held by $tok (fresh within " +
               s"${leaseTtlMs}ms) — a live writer is staging a " +
@@ -367,6 +382,46 @@ object Generations {
         "attempts (lease kept changing hands)")
   }
 
+  /** Run `body` while a daemon thread refreshes [[processToken]]'s
+    * lease mtime on each family in `paths` every [[leaseTtlMs]]/3.
+    *
+    * This makes the lease TTL a LIVENESS timeout instead of a bound on
+    * write duration: at 100 TB a staged write (an index rebuild, a
+    * bucketed compaction) legitimately runs longer than any fixed TTL,
+    * and without a heartbeat a breaker would take over the "stale"
+    * lease mid-write and the two writers would stage into the SAME
+    * generation dir. With it, a live writer's lease never goes stale;
+    * only a genuinely dead (or frozen — the classic lease limitation)
+    * process loses the fence. The refresh is own-token-guarded, so a
+    * lease that was legitimately lost (frozen JVM resumed after TTL)
+    * is never re-stolen by `setTimes` — the loss is detected instead
+    * by [[commitAs]]'s fencing check. The thread stops in `finally`,
+    * including on a crashed body, so an abandoned lease still ages out
+    * normally. */
+  private[graft] def withLeaseHeartbeat[A](spark: SparkSession,
+      paths: Seq[String])(body: => A): A = {
+    if (paths.isEmpty) return body
+    val fss = paths.map(p => (p, fsOf(spark, p)))
+    val interval = math.max(500L, leaseTtlMs / 3)
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      while (!stop.await(interval,
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        fss.foreach { case (p, fs) =>
+          try readLease(fs, p) match {
+            case Some((tok, _)) if tok == processToken =>
+              fs.setTimes(leasePath(p), System.currentTimeMillis(), -1)
+            case _ => () // not ours (yet, or anymore): never touch it
+          } catch { case _: Exception => () }
+        }
+      }
+    }, "graft-lease-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    try body
+    finally { stop.countDown(); t.join(2000) }
+  }
+
   /** Release `token`'s lease if it still holds it (a foreign lease —
     * a breaker took over after our TTL expired mid-write — is left
     * alone: deleting it would unfence the NEW writer's staging). The
@@ -399,6 +454,23 @@ object Generations {
     val fs = fsOf(spark, path)
     val dir = new Path(path)
     fs.mkdirs(dir)
+    // fencing check: a FOREIGN lease at commit time means a breaker
+    // legitimately took over after ours went stale mid-write (frozen
+    // JVM, lost heartbeat) — the staged generation may already be
+    // contaminated by the new writer's concurrent staging, so abort
+    // BEFORE publishing it. Our own lease (any age) means nobody
+    // interfered. Absence is ambiguous (a duplicate commit after
+    // release, a vacuumed stale lease with no breaker) and is left to
+    // the marker claim below, which resolves every such race
+    // fail-fast (lost race, or reclaim-deleted staging).
+    readLease(fs, path) match {
+      case Some((tok, _)) if tok != token =>
+        throw new ConcurrentWriterException(
+          s"writer lease on $path was taken over by $tok mid-write — " +
+            "the staged generation may be contaminated; abandon it " +
+            "and retry the whole operation")
+      case _ => ()
+    }
     val tmp = new Path(dir,
       s"_tmp_${java.util.UUID.randomUUID.toString.replace("-", "")}")
     val out = fs.create(tmp, true)
@@ -530,15 +602,17 @@ object Generations {
   def cutover(spark: SparkSession, path: String, content: String = "")
       (write: String => Unit): String = {
     val (n, g) = prepare(spark, path)
-    write(g)
-    // test seam: the staged-but-uncommitted window — the lease is held,
-    // the generation dir is full, the marker does not exist yet. The
-    // crash suites inject a dying JVM here (replay must re-acquire its
-    // own lease, reclaim the orphan staging, and rewrite) and a
-    // double-launched second process (which must fence on the lease
-    // rather than reclaim this live staging).
-    Models.crashHook("cutover_staged")
-    commit(spark, path, n, content)
+    withLeaseHeartbeat(spark, Seq(path)) {
+      write(g)
+      // test seam: the staged-but-uncommitted window — the lease is
+      // held, the generation dir is full, the marker does not exist
+      // yet. The crash suites inject a dying JVM here (replay must
+      // re-acquire its own lease, reclaim the orphan staging, and
+      // rewrite) and a double-launched second process (which must
+      // fence on the lease rather than reclaim this live staging).
+      Models.crashHook("cutover_staged")
+      commit(spark, path, n, content)
+    }
     g
   }
 

@@ -213,8 +213,10 @@ object Models {
       val name = tableName(path)
       if (!exists(spark, path)) {
         val (n, g) = Generations.prepare(spark, path)
-        Lake.writeBucketedTable(train, name, g, bucketCol, IndexBuckets)
-        Generations.commit(spark, path, n, markerContent)
+        Generations.withLeaseHeartbeat(spark, Seq(path)) {
+          Lake.writeBucketedTable(train, name, g, bucketCol, IndexBuckets)
+          Generations.commit(spark, path, n, markerContent)
+        }
       }
       serveBucketed(spark, path, schemaDdl, bucketCol)
     }
@@ -619,40 +621,46 @@ object Models {
     val cbRows = res.filter(col("id") < ksub)
       .select(col("id").as("cid"), col("rv").as("cv"))
       .localCheckpoint(true)
-    // stage all three next generations (serving reads the old heads)
-    val (cn, cdir) = Generations.prepare(spark, centPath)
-    cents.coalesce(1).write.parquet(cdir)
-    val (bn, bdir) = Generations.prepare(spark, cbPath)
-    cbRows.coalesce(1).write.parquet(bdir)
-    val (kn, kdir) = Generations.prepare(spark, codesPath)
-    val stageCodesName = codesName + "_rebuilding"
-    Lake.writeBucketedTable(
-      graft.operators.Similarity.ivfPqCodes(res, cbRows, m, ksub, dim)
-        .repartition(IndexBuckets, col("cid")),
-      stageCodesName, kdir, "cid", IndexBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS $stageCodesName") // catalog only
-    // remember what the OLD head pairs with: those generations must
-    // survive this cutover's reclaim (keep-window readers), while the
-    // generic ≤ head-Keep rule cannot see pairing references
-    val prevPair = Generations.head(spark, codesPath)
-      .flatMap { case (_, c) => parsePairing(c) }
-    // cutover: quantizer + codebook markers first (a crash after them
-    // leaves the codes head still pairing the OLD generations — which
-    // the reclaim below has not run to delete — so serving stays on
-    // the old triple), then the codes marker publishes the new triple
-    // in one atomic create
-    crashPoint("rebuild_staged")
-    Generations.commit(spark, centPath, cn, reclaim = false)
-    crashPoint("rebuild_after_cent")
-    Generations.commit(spark, cbPath, bn, reclaim = false)
-    crashPoint("rebuild_after_cb")
-    Generations.commit(spark, codesPath, kn, pairingContent(cn, bn))
-    // reclaim old quantizer/codebook generations EXCEPT what the new
-    // and previous codes heads pair with
-    Generations.reclaimExcept(spark, centPath, cn,
-      prevPair.map(_._1).toSet)
-    Generations.reclaimExcept(spark, cbPath, bn,
-      prevPair.map(_._2).toSet)
+    // stage all three next generations (serving reads the old heads);
+    // the heartbeat keeps all three leases fresh across the rebuild —
+    // the repo's longest staged write, the case the TTL must not bound
+    val (cn, bn, kn) = Generations.withLeaseHeartbeat(spark,
+        Seq(centPath, cbPath, codesPath)) {
+      val (cn, cdir) = Generations.prepare(spark, centPath)
+      cents.coalesce(1).write.parquet(cdir)
+      val (bn, bdir) = Generations.prepare(spark, cbPath)
+      cbRows.coalesce(1).write.parquet(bdir)
+      val (kn, kdir) = Generations.prepare(spark, codesPath)
+      val stageCodesName = codesName + "_rebuilding"
+      Lake.writeBucketedTable(
+        graft.operators.Similarity.ivfPqCodes(res, cbRows, m, ksub, dim)
+          .repartition(IndexBuckets, col("cid")),
+        stageCodesName, kdir, "cid", IndexBuckets)
+      spark.sql(s"DROP TABLE IF EXISTS $stageCodesName") // catalog only
+      // remember what the OLD head pairs with: those generations must
+      // survive this cutover's reclaim (keep-window readers), while the
+      // generic ≤ head-Keep rule cannot see pairing references
+      val prevPair = Generations.head(spark, codesPath)
+        .flatMap { case (_, c) => parsePairing(c) }
+      // cutover: quantizer + codebook markers first (a crash after them
+      // leaves the codes head still pairing the OLD generations — which
+      // the reclaim below has not run to delete — so serving stays on
+      // the old triple), then the codes marker publishes the new triple
+      // in one atomic create
+      crashPoint("rebuild_staged")
+      Generations.commit(spark, centPath, cn, reclaim = false)
+      crashPoint("rebuild_after_cent")
+      Generations.commit(spark, cbPath, bn, reclaim = false)
+      crashPoint("rebuild_after_cb")
+      Generations.commit(spark, codesPath, kn, pairingContent(cn, bn))
+      // reclaim old quantizer/codebook generations EXCEPT what the new
+      // and previous codes heads pair with
+      Generations.reclaimExcept(spark, centPath, cn,
+        prevPair.map(_._1).toSet)
+      Generations.reclaimExcept(spark, cbPath, bn,
+        prevPair.map(_._2).toSet)
+      (cn, bn, kn)
+    }
     if (MaintenanceLog.enabled(spark, root(sfDir))) {
       MaintenanceLog.emit(spark, root(sfDir), "rebuild", "ivfpq_codes",
         nRows = prepAll.count(),
@@ -1100,18 +1108,22 @@ object Models {
     if (needPost) {
       val p = postingsPath(sfDir)
       val (n, g) = Generations.prepare(spark, p)
-      Lake.writeBucketedTable(
-        toks.select(col("doc_id"), explode(col("w")).as("tok"))
-          .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf")),
-        tableName(p), g, "tok", IndexBuckets)
-      Generations.commit(spark, p, n)
+      Generations.withLeaseHeartbeat(spark, Seq(p)) {
+        Lake.writeBucketedTable(
+          toks.select(col("doc_id"), explode(col("w")).as("tok"))
+            .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf")),
+          tableName(p), g, "tok", IndexBuckets)
+        Generations.commit(spark, p, n)
+      }
     }
     if (needPos) {
       val p = positionalPostingsPath(sfDir)
       val (n, g) = Generations.prepare(spark, p)
-      Lake.writeBucketedTable(positionalRows(toks),
-        tableName(p), g, "tok", IndexBuckets)
-      Generations.commit(spark, p, n)
+      Generations.withLeaseHeartbeat(spark, Seq(p)) {
+        Lake.writeBucketedTable(positionalRows(toks),
+          tableName(p), g, "tok", IndexBuckets)
+        Generations.commit(spark, p, n)
+      }
     }
     if (needLens) {
       writePlain(spark, docLensPath(sfDir),

@@ -305,6 +305,93 @@ class WriterLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("the lease heartbeat makes the TTL a LIVENESS timeout, not a " +
+      "write-duration bound: a staged write running for multiple TTLs " +
+      "keeps fencing a probing double-launcher the whole time (without " +
+      "the heartbeat the lease goes stale after one TTL and the prober " +
+      "breaks in mid-write)") {
+    withLeaseTtl(1500L) {
+      val fam = tmpFam("graft-lease-hb")
+      val (n, g) = Generations.prepare(spark, fam)
+      writePayload(g, 1L)
+      val f = fs(fam)
+      Generations.withLeaseHeartbeat(spark, Seq(fam)) {
+        // the "write": ~2.5 TTLs of wall-clock, while a double-launched
+        // second process keeps probing for the lease
+        val deadline = System.currentTimeMillis() + 3700L
+        var probes = 0
+        while (System.currentTimeMillis() < deadline) {
+          intercept[ConcurrentWriterException] {
+            Generations.prepareAs(spark, fam, "procB")
+          }
+          probes += 1
+          Thread.sleep(100L)
+        }
+        assert(probes >= 10, s"prober only ran $probes times")
+        assert(f.exists(new Path(g, "part-1.parquet")),
+          "the staging must survive every probe")
+      }
+      Generations.commit(spark, fam, n)
+      assert(Generations.head(spark, fam).exists(_._1 == n))
+    }
+  }
+
+  test("commit FENCES on a foreign lease: a writer whose lease was " +
+      "legitimately taken over mid-write (frozen JVM, lost heartbeat) " +
+      "aborts with a retryable error instead of publishing a possibly " +
+      "contaminated staged generation") {
+    val fam = tmpFam("graft-lease-fence-commit")
+    val (n, g) = Generations.prepare(spark, fam)
+    writePayload(g, 1L)
+    // the takeover: our lease aged out and procB broke + re-acquired
+    val f = fs(fam)
+    val lease = new Path(fam, "_writer_lease")
+    val out = f.create(lease, true)
+    out.write("procB".getBytes("UTF-8")); out.close()
+    val e = intercept[ConcurrentWriterException] {
+      Generations.commit(spark, fam, n, "ours")
+    }
+    assert(e.getMessage.contains("procB"), e.getMessage)
+    assert(Generations.head(spark, fam).isEmpty,
+      "the fenced commit must not have published a marker")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procB"),
+      "the new holder's lease must survive the fenced commit")
+  }
+
+  test("an own STALE lease is forfeited, not silently refreshed: the " +
+      "returning holder re-contends through break/claim (winning " +
+      "uncontended with a fresh lease), and when a foreign breaker " +
+      "already took over it is fenced like anyone else — a silent " +
+      "refresh here raced the breaker's steal and double-fenced") {
+    val fam = tmpFam("graft-lease-forfeit")
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val lease = new Path(fam, "_writer_lease")
+    def plantStale(tok: String): Unit = {
+      val out = f.create(lease, true)
+      out.write(tok.getBytes("UTF-8")); out.close()
+      f.setTimes(lease, System.currentTimeMillis() -
+        Generations.leaseTtlMs - 1000L, -1L)
+    }
+    // uncontended: the returning holder wins back its own stale lease
+    plantStale("procA")
+    Generations.acquireLease(f, fam, "procA")
+    val Some((tok, mtime)) = Generations.readLease(f, fam)
+    assert(tok == "procA" &&
+      System.currentTimeMillis() - mtime < Generations.leaseTtlMs,
+      "re-contended own-stale acquire must hold a FRESH lease")
+    f.delete(lease, false)
+    // contended: a foreign breaker already broke the stale lease and
+    // holds a fresh one — the returning holder must fence, not refresh
+    plantStale("procA")
+    Generations.acquireLease(f, fam, "procB") // the breaker takes over
+    intercept[ConcurrentWriterException] {
+      Generations.acquireLease(f, fam, "procA")
+    }
+    assert(Generations.readLease(f, fam).exists(_._1 == "procB"),
+      "the breaker's fresh lease must survive the returning holder")
+  }
+
   test("N writers racing to break one stale lease: exactly one " +
       "acquires, the rest are fenced or retry-exhausted, and exactly " +
       "one lease (the winner's) remains — over both claim branches") {
