@@ -240,7 +240,7 @@ object Generations {
     * newest fence stands and the at-most-one-lease invariant holds.
     * Returns true iff the expected lease was removed. */
   private[graft] def takeLeaseFile(fs: FileSystem, path: String,
-      expectToken: String): Boolean = {
+      expectToken: String, requireStale: Boolean = false): Boolean = {
     val lease = leasePath(path)
     val tomb = new Path(path, "_tmp_lease_take_" +
       java.util.UUID.randomUUID.toString.replace("-", ""))
@@ -252,13 +252,28 @@ object Generations {
     // between our rename and this read IF the broken lease was stale
     // (rename preserves the past-TTL mtime): the stale lease is gone
     // either way — report failure and let the caller's loop re-read
-    val tok =
+    val (tok, mtime) =
       try {
+        val st = fs.getFileStatus(tomb)
         val in = fs.open(tomb)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+        val t =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        (t, st.getModificationTime)
       } catch { case _: java.io.FileNotFoundException => return false }
-    if (tok == expectToken) {
+    // breakers (`requireStale`) verify the moved file by token AND
+    // freshness, not token alone: a token match does NOT imply we took
+    // the file we read. The same token can name a NEW fresh lease —
+    // the own-stale forfeit path re-claims under its old token, and a
+    // torn [[readLease]] (status and content straddling a replacement)
+    // can pair a stale mtime with a fresh lease's token. Rename
+    // preserves mtime, so freshness of the TOMBSTONE is freshness of
+    // whatever we actually took; a fresh take restores like any
+    // mismatch. Release skips the staleness check (tokens are
+    // process-unique and a releasing holder's own lease is
+    // legitimately fresh).
+    val fresh = System.currentTimeMillis() - mtime < leaseTtlMs
+    if (tok == expectToken && !(requireStale && fresh)) {
       fs.delete(tomb, false)
       true
     } else {
@@ -350,7 +365,8 @@ object Generations {
           // like a held lease: the empty lease path belongs to the
           // stolen lease's owner, not to us.
           val broke = !leaseInTransition(fs, path) && (stale match {
-            case Some((tok, _)) => takeLeaseFile(fs, path, tok)
+            case Some((tok, _)) =>
+              takeLeaseFile(fs, path, tok, requireStale = true)
             case None => true
           })
           if (broke) {

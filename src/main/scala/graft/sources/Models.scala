@@ -1571,7 +1571,8 @@ object Models {
         // caller's age gate (the same fence prepare() honors). A stale
         // lease is a crashed holder's; its orphans reclaim normally
         // and the lease itself sweeps as a stray below.
-        val leaseFresh = Generations.readLease(fs, famPath).exists {
+        val lease = Generations.readLease(fs, famPath)
+        val leaseFresh = lease.exists {
           case (_, m) =>
             System.currentTimeMillis() - m < Generations.leaseTtlMs
         }
@@ -1587,8 +1588,22 @@ object Models {
           } else if (n == Generations.LeaseName) {
             // the lease is a fence, not debris: only a crashed
             // holder's (past ITS ttl, not just the caller's minAge)
-            // sweeps
+            // sweeps — through the rename-verified stale-only break,
+            // never a blind delete (the stale lease we read may have
+            // been broken and re-acquired fresh between our read and
+            // our sweep; the verified take restores it instead)
             if (!leaseFresh && s.getModificationTime <= cutoff) {
+              lease.foreach { case (tok, _) =>
+                if (Generations.takeLeaseFile(fs, famPath, tok,
+                    requireStale = true)) reclaimed += s.getPath.toString
+              }
+            }
+          } else if (n.startsWith("_tmp_lease_take_")) {
+            // a FRESH take-tombstone holds a STOLEN fresh lease mid-
+            // restore (Generations.leaseInTransition) — in-flight
+            // fence, not debris; stale ones (crashed restorer) sweep
+            if (System.currentTimeMillis() - s.getModificationTime >=
+                Generations.leaseTtlMs && s.getModificationTime <= cutoff) {
               rm(s.getPath, false)
             }
           } else if (!isGen && !isMarker &&

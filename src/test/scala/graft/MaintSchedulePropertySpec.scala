@@ -569,6 +569,7 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         planted = Some(p)
       }
 
+      var launches = 0
       def maintenanceOp(op: Int): Unit = op match {
         case 0 =>
           Models.compactRetrievalIndexes(spark, dir)
@@ -581,7 +582,25 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
             s"[$trial] vacuum swept $swept, expected exactly $want")
           planted = None
         case 2 => restart(dir)
-        case _ => plantDebris()
+        case 3 => plantDebris()
+        case _ =>
+          // a double-launched second process arrives BETWEEN folds:
+          // with no writer mid-flight it wins the lease on a family,
+          // finds nothing live to reclaim, and exits cleanly releasing
+          // it — the served artifacts must be untouched (assertState
+          // follows every op) and the next fold must proceed
+          launches += 1
+          val fam = if (nextInt(2) == 0) Models.dfTablePath(dir)
+            else Models.postingsPath(dir)
+          val tok = s"launcher-$trial-$launches"
+          try {
+            Generations.prepareAs(spark, fam, tok)
+            Generations.releaseLease(
+              new Path(fam).getFileSystem(
+                spark.sparkContext.hadoopConfiguration), fam, tok)
+          } catch {
+            case _: graft.sources.ConcurrentWriterException => ()
+          }
       }
 
       val ops = 3 + nextInt(2)
@@ -599,7 +618,7 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
             // replay crashes too, then a completing replay
             assert(!foldBatch(dir, batch,
               Some(CrashPoints(nextInt(CrashPoints.size)))))
-            if (nextInt(2) == 0) maintenanceOp(nextInt(4))
+            if (nextInt(2) == 0) maintenanceOp(nextInt(5))
             if (nextInt(4) == 0) {
               foldBatch(dir, batch,
                 Some(CrashPoints(nextInt(CrashPoints.size))))
@@ -609,7 +628,7 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
             applied = applied ++ batch
           }
         } else {
-          maintenanceOp(nextInt(4))
+          maintenanceOp(nextInt(5))
         }
         assertState(s"step$step")
       }

@@ -305,6 +305,40 @@ class WriterLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("a breaker's take is verified by token AND staleness: a FRESH " +
+      "lease is restored even when its token matches the stale read " +
+      "(the own-stale forfeit path re-claims under its old token; a " +
+      "torn readLease can pair a stale mtime with a fresh file) — " +
+      "while release still takes its own fresh lease by token alone") {
+    val fam = tmpFam("graft-lease-stale-verify")
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val lease = new Path(fam, "_writer_lease")
+    def plant(tok: String, stale: Boolean): Unit = {
+      val out = f.create(lease, true)
+      out.write(tok.getBytes("UTF-8")); out.close()
+      if (stale) f.setTimes(lease, System.currentTimeMillis() -
+        Generations.leaseTtlMs - 1000L, -1L)
+    }
+    // the breaker read procA-stale, but procA forfeited and re-claimed
+    // FRESH under the same token before the breaker's rename landed
+    plant("procA", stale = false)
+    assert(!Generations.takeLeaseFile(f, fam, "procA",
+      requireStale = true),
+      "a fresh lease must not be broken even on a token match")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procA"),
+      "the fresh same-token lease must be restored, not dropped")
+    // a genuinely stale same-token lease breaks normally
+    plant("procA", stale = true)
+    assert(Generations.takeLeaseFile(f, fam, "procA",
+      requireStale = true))
+    assert(Generations.readLease(f, fam).isEmpty)
+    // release takes its own FRESH lease by token alone
+    plant("procB", stale = false)
+    assert(Generations.takeLeaseFile(f, fam, "procB"))
+    assert(Generations.readLease(f, fam).isEmpty)
+  }
+
   test("the lease heartbeat makes the TTL a LIVENESS timeout, not a " +
       "write-duration bound: a staged write running for multiple TTLs " +
       "keeps fencing a probing double-launcher the whole time (without " +
