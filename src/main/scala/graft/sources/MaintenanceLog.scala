@@ -34,7 +34,14 @@ import org.apache.spark.sql.types._
   * matters); `duration_ms` is wall-clock (excluded from deterministic
   * oracles); `files_before`/`files_after` carry compaction receipts
   * (-1 when not applicable); `detail` is free-form (drift shares,
-  * rebuilt generation triples).
+  * rebuilt generation triples). `seq` is read BEFORE the append, so
+  * two PROCESSES emitting concurrently can tie on it (the store's
+  * serializable append walks each commit forward, but the already-
+  * written row keeps the pre-read value) — within one process the
+  * `synchronized` emit keeps seq strictly increasing, and maintenance
+  * writers are lease-serialized per family anyway, so ties require
+  * concurrent maintenance of DIFFERENT families of one corpus from
+  * different processes; an observability table tolerates that.
   */
 object MaintenanceLog {
 
