@@ -1161,6 +1161,87 @@ object TextQueries {
         "(versioned-sink atomic appends) — oracle re-derives the " +
         "expected ledger from the same md5 corpus split"),
 
+    // The ledger's ROLLUP — the observability table's first-class
+    // consumer (round-18, r17 verdict item 7): the same scripted
+    // fold→fold→compact→vacuum day as maint_history, aggregated per
+    // (kind, family) into event count, total rows folded, and seq
+    // span — "what did the nightly loop do" as one dashboard-shaped
+    // query instead of a ledger scan. Compaction EFFECTIVENESS is an
+    // in-query receipt (every compact event must have reduced its
+    // file count) rather than an output column: file counts for this
+    // scripted day are deterministic in shape but not across scale
+    // factors, and the oracle's job here is the rollup arithmetic.
+    // At 100 TB the ledger is a tiny auto-compacted table (~2.4 KB/
+    // event, BASELINE.md pricing), so the rollup is a metadata-scale
+    // aggregation no matter the corpus size.
+    "maint_rollup" -> QueryDef(
+      (s, d) => {
+        val tmp = foldTempDir("graft_maint_rollup")
+        val docs = Tables.documents(s, d)
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        graft.sources.MaintenanceLog.enable(graft.sources.Models.root(tmp))
+        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp,
+          params = "slice<cc") { c =>
+          graft.sources.Models.buildRetrievalArtifacts(s, c,
+            docs = Some(docs.filter(h < "cc")))
+        }
+        graft.sources.Models.postingsAppend(s, tmp,
+          docs.filter(h >= "cc" && h < "d6").select("doc_id", "text"),
+          "doc_id", "text", dedupeIds = true)
+        graft.sources.Models.postingsAppend(s, tmp,
+          docs.filter(h >= "d6" && h < "e0").select("doc_id", "text"),
+          "doc_id", "text", dedupeIds = true)
+        graft.sources.Models.compactRetrievalIndexes(s, tmp)
+        graft.sources.Models.vacuum(s, tmp, minAgeMs = 0L)
+        val ev = graft.sources.MaintenanceLog.events(s,
+          graft.sources.Models.root(tmp)).localCheckpoint(true)
+        // effectiveness receipt: bounded (2-row) collect over the
+        // compact events only
+        val comp = ev.filter(col("kind") === "compact")
+          .select(col("family"), col("files_before"), col("files_after"))
+          .collect()
+        require(comp.nonEmpty && comp.forall(r =>
+          r.getLong(1) > r.getLong(2)),
+          "compaction receipts missing or ineffective: " +
+            comp.mkString(","))
+        val out = ev.groupBy(col("kind"), col("family"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("n_rows")).as("total_rows"),
+            min(col("seq")).as("first_seq"),
+            max(col("seq")).as("last_seq"))
+          .orderBy("first_seq")
+          .localCheckpoint(true)
+        graft.sources.Models.dropRetrievalArtifacts(s, tmp)
+        out
+      },
+      Some(
+        """WITH h AS (
+          |  SELECT md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+          |ledger AS (
+          |  SELECT CAST(1 AS BIGINT) AS seq, 'fold' AS kind,
+          |         'postings' AS family,
+          |         (SELECT CAST(count(*) AS BIGINT) FROM h
+          |          WHERE hh >= 'cc' AND hh < 'd6') AS n_rows
+          |  UNION ALL SELECT CAST(2 AS BIGINT), 'fold', 'postings',
+          |         (SELECT CAST(count(*) AS BIGINT) FROM h
+          |          WHERE hh >= 'd6' AND hh < 'e0')
+          |  UNION ALL SELECT CAST(3 AS BIGINT), 'compact', 'postings',
+          |         CAST(0 AS BIGINT)
+          |  UNION ALL SELECT CAST(4 AS BIGINT), 'compact', 'doc_lens',
+          |         CAST(0 AS BIGINT)
+          |  UNION ALL SELECT CAST(5 AS BIGINT), 'vacuum', '*',
+          |         CAST(0 AS BIGINT))
+          |SELECT kind, family, CAST(count(*) AS BIGINT) AS n_events,
+          |       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+          |       CAST(min(seq) AS BIGINT) AS first_seq,
+          |       CAST(max(seq) AS BIGINT) AS last_seq
+          |FROM ledger GROUP BY kind, family
+          |ORDER BY first_seq""".stripMargin),
+      doc = "maintenance-events rollup per (kind, family): event " +
+        "count, rows folded, seq span, with an in-query compaction- " +
+        "effectiveness receipt — the ledger's dashboard consumer; " +
+        "oracle re-derives the rollup from the same md5 corpus split"),
+
     // The steady-state MAINTENANCE cycle under the oracle gate: daily
     // folds fragment the bucketed postings (one file set per fold),
     // Models.compactRetrievalIndexes rewrites them to one file per

@@ -34,6 +34,11 @@ import org.apache.spark.sql.SparkSession
   * then an exclusive hard link (local fs) or no-overwrite rename
   * (HDFS-like) publishes it — a reader never observes a partially
   * written marker, and two racing writers cannot both claim one index.
+  * The writer-lease protocol layered on the same primitive adds one
+  * more filesystem requirement: rename must PRESERVE mtime (POSIX,
+  * HDFS — not object-store copy+delete renames); see
+  * [[takeLeaseFile]] for why a copy-rename store livelocks the
+  * stale-lease break.
   *
   * Retention is keep-[[Generations.Keep]] ([[VersionedStore]]'s floor,
   * same reasoning): committing gen n reclaims generations ≤ n-Keep, so
@@ -87,6 +92,19 @@ object Generations {
   private[graft] val processToken: String =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       ":" + java.util.UUID.randomUUID.toString
+
+  /** Test seam mirroring [[Models.crashHook]] for the LEASE state
+    * machine (round 18): invoked at named points inside the protocol's
+    * microwindows — `lease_claimed` (claim won, post-claim verify not
+    * yet run), `lease_took` (lease renamed to a tombstone, token not
+    * yet verified), `lease_restore` (mismatch detected, restore not
+    * yet attempted), `lease_refreshed` (own-fresh mtime refreshed,
+    * re-verify not yet run), `lease_heartbeat` (each heartbeat tick,
+    * OUTSIDE the per-path swallow — a throw kills the heartbeat
+    * thread, simulating its death mid-staged-write). The crash suites
+    * throw from it to stop a simulated process exactly inside a
+    * window; production never sets it. */
+  @volatile private[graft] var leaseHook: String => Unit = _ => ()
 
   /** AGE floor for reclaiming committed generations, the second
     * retention axis besides [[Keep]]: head-distance alone leaves a
@@ -206,6 +224,78 @@ object Generations {
     (n, genDir(path, n))
   }
 
+  /** Multi-family [[prepare]] — the composite-artifact writer's
+    * all-or-nothing lease acquisition (round 18). Takes every family's
+    * writer lease in the CALLER-GIVEN order and, if any family fences
+    * us out mid-acquisition, RELEASES the leases already taken (in
+    * reverse) before rethrowing: a loser left holding residual leases
+    * would otherwise fence the winner's next cycle — and every other
+    * maintenance actor on those families — for a full TTL.
+    *
+    * ACQUISITION-ORDER CONTRACT: each composite artifact has ONE
+    * canonical family order that every writer uses —
+    * [[Models.ivfPqRebuild]]'s is quantizer → codebook → codes.
+    * Because lease claims are non-blocking (a fenced acquirer throws,
+    * it never waits), two composite writers cannot deadlock even with
+    * inconsistent orders; the canonical order instead makes contention
+    * DETERMINISTIC (both contenders collide on the first family, so
+    * the loser aborts holding nothing) and, with this method's
+    * release-on-abort plus [[retryingConcurrent]]'s jittered backoff,
+    * closes the livelock a naive hold-and-retry invites. Returns
+    * `(n, genDir)` per family, in order. */
+  def prepareAll(spark: SparkSession,
+      paths: Seq[String]): Seq[(Long, String)] =
+    prepareAllAs(spark, paths, processToken)
+
+  private[graft] def prepareAllAs(spark: SparkSession, paths: Seq[String],
+      token: String): Seq[(Long, String)] = {
+    val taken = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      paths.map { p =>
+        val r = prepareAs(spark, p, token)
+        taken += p
+        r
+      }
+    } catch {
+      case e: ConcurrentWriterException =>
+        taken.reverseIterator.foreach { p =>
+          try releaseLease(fsOf(spark, p), p, token)
+          catch { case _: Exception => () } // best effort; TTL backstops
+        }
+        throw e
+    }
+  }
+
+  /** Run `body`, retrying [[ConcurrentWriterException]] (the lease
+    * protocol's only retryable signal) with bounded FULL-JITTER
+    * exponential backoff — the de-correlation that keeps two
+    * double-launched maintenance jobs from re-colliding in lockstep
+    * after each fence. Sleep before attempt k is uniform in
+    * `[0, min(maxBackoffMs, baseBackoffMs·2^k)]`; after `maxAttempts`
+    * fences the last exception propagates (the caller's scheduler owns
+    * the give-up policy beyond that). The BODY must be a whole
+    * prepare→write→commit unit: a fence can arrive at prepare OR at
+    * commit (lease taken over mid-write), and in both cases the staged
+    * work is abandoned and the entire unit re-runs. */
+  def retryingConcurrent[A](maxAttempts: Int = 6,
+      baseBackoffMs: Long = 250L, maxBackoffMs: Long = 15000L)
+      (body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriterException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          val cap = math.min(maxBackoffMs,
+            baseBackoffMs << math.min(attempt, 20))
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(cap + 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def leasePath(path: String): Path = new Path(path, LeaseName)
 
   /** The family's current lease, as (token, mtime). */
@@ -234,10 +324,27 @@ object Generations {
     * restored through the atomic no-overwrite [[claim]], retried
     * briefly because a competitor that slipped into the empty-lease
     * window self-releases as soon as it notices our fresh tombstone
-    * (see [[acquireLease]]'s post-claim verify). Only if the restore
-    * never lands — the slipped-in claimer crashed inside the
-    * claim→verify microwindow — is the stolen copy dropped so the
-    * newest fence stands and the at-most-one-lease invariant holds.
+    * (see [[acquireLease]]'s post-claim verify). If the restore never
+    * lands within the retry budget, the tombstone is LEFT IN PLACE:
+    * the slipped-in claimer may be slow (GC pause) rather than
+    * crashed, and dropping the stolen copy here would strip a live
+    * owner's fence mid-write — instead [[leaseInTransition]] keeps
+    * gating every acquirer for the stolen lease's remaining TTL, and
+    * its TTL-based GC conservatively clears the genuinely-crashed-
+    * claimer case. (Pre-r18 the fallback deleted the stolen copy
+    * after ~100 ms — the ADVICE-r17 finding.)
+    *
+    * FILESYSTEM REQUIREMENT (same family as [[claim]]'s atomic
+    * no-overwrite rename): `rename` must PRESERVE the source's mtime
+    * — true of POSIX rename(2) and HDFS's metadata-only rename, NOT
+    * of object stores where rename is copy+delete (mtime reset to
+    * now). On such a store every stale-lease break would read a
+    * "fresh" tombstone, restore the crashed holder's lease with a
+    * refreshed mtime, and the lease could never be broken — a
+    * permanent livelock for the family. Run the lease protocol only
+    * on rename-atomic, mtime-preserving filesystems (local fs, HDFS,
+    * and HDFS-like stores); object-store deployments need a real
+    * coordination service instead, which is out of scope here.
     * Returns true iff the expected lease was removed. */
   private[graft] def takeLeaseFile(fs: FileSystem, path: String,
       expectToken: String, requireStale: Boolean = false): Boolean = {
@@ -248,6 +355,7 @@ object Generations {
       try fs.rename(lease, tomb)
       catch { case _: java.io.FileNotFoundException => false }
     if (!moved) return false
+    leaseHook("lease_took")
     // a racing [[leaseInTransition]] GC may remove the tombstone
     // between our rename and this read IF the broken lease was stale
     // (rename preserves the past-TTL mtime): the stale lease is gone
@@ -277,6 +385,7 @@ object Generations {
       fs.delete(tomb, false)
       true
     } else {
+      leaseHook("lease_restore")
       var restored = claim(fs, tomb, lease)
       var tries = 0
       while (!restored && tries < 20) {
@@ -284,7 +393,19 @@ object Generations {
         restored = claim(fs, tomb, lease)
         tries += 1
       }
-      if (!restored) fs.delete(tomb, false) // crash fallback: newest fence wins
+      if (restored) {
+        // on file:// the restore is a hard link that leaves the source
+        // entry sharing the restored lease's inode — a lingering fresh
+        // tombstone would then gate EVERY acquire (incl. the owner's)
+        // through [[leaseInTransition]] for a full TTL, with the
+        // owner's heartbeat keeping it fresh via the shared inode
+        // (ADVICE-r17). Drop it; a no-op on rename-based filesystems.
+        fs.delete(tomb, false)
+      }
+      // restore never landed: the slipped-in claimer is slow or
+      // crashed — leave the tombstone as the stolen lease's standing
+      // fence (see the scaladoc); leaseInTransition gates acquirers
+      // and GCs it once stale
       false
     }
   }
@@ -336,19 +457,34 @@ object Generations {
         case Some((tok, mtime)) if tok == token &&
             System.currentTimeMillis() - mtime < leaseTtlMs =>
           // own FRESH lease (crashed prior attempt, quick replay):
-          // re-acquire in place, refreshing the mtime. Only the fresh
-          // case may refresh silently — a breaker never touches a
-          // fresh lease (mismatch-steals restore it), so the refresh
-          // cannot race a steal. An own STALE lease falls through to
-          // the break/claim branch below: by the TTL contract an
-          // expired holder has LOST the lease and must re-contend —
-          // silently refreshing it would race a foreign breaker that
-          // steals the stale file between our read and our setTimes,
-          // leaving both of us believing we hold.
+          // re-acquire in place, refreshing the mtime. An own STALE
+          // lease falls through to the break/claim branch below: by
+          // the TTL contract an expired holder has LOST the lease and
+          // must re-contend — silently refreshing it would race a
+          // foreign breaker that steals the stale file between our
+          // read and our setTimes, leaving both of us believing we
+          // hold. The fresh case has an epsilon edition of the same
+          // race (ADVICE-r17): a lease fresh-by-milliseconds at OUR
+          // read can be read stale by a breaker an instant later and
+          // legitimately broken — our setTimes then hits the
+          // breaker's new lease (harmless refresh of THEIR fence) or
+          // nothing at all, and returning blind would leave two
+          // believed holders staging into one generation. So the
+          // refresh is VERIFIED: re-read, and only return if the
+          // lease still carries our token with a fresh mtime;
+          // anything else (breaker's token, in-flight transition,
+          // vanished) falls through to the loop, which fences or
+          // re-contends properly.
           try fs.setTimes(leasePath(path), System.currentTimeMillis(), -1)
           catch { case _: java.io.IOException |
               _: UnsupportedOperationException => () }
-          return
+          leaseHook("lease_refreshed")
+          readLease(fs, path) match {
+            case Some((tok2, mtime2)) if tok2 == token &&
+                System.currentTimeMillis() - mtime2 < leaseTtlMs =>
+              return
+            case _ => () // lost the epsilon race: loop re-contends
+          }
         case Some((tok, mtime)) if tok != token &&
             System.currentTimeMillis() - mtime < leaseTtlMs =>
           throw new ConcurrentWriterException(
@@ -378,6 +514,7 @@ object Generations {
             val won = claim(fs, tmp, leasePath(path))
             fs.delete(tmp, false)
             if (won) {
+              leaseHook("lease_claimed")
               // post-claim verify: a restore that started between our
               // transition check and our claim means we slipped into
               // the stolen lease's empty window — yield to the owner
@@ -423,6 +560,11 @@ object Generations {
     val t = new Thread(() => {
       while (!stop.await(interval,
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        // test seam OUTSIDE the per-path swallow: a throw here kills
+        // the heartbeat thread — the crash suites' stand-in for a
+        // heartbeat death mid-staged-write (the lease then ages out
+        // normally and commit's fencing check catches the takeover)
+        leaseHook("lease_heartbeat")
         fss.foreach { case (p, fs) =>
           try readLease(fs, p) match {
             case Some((tok, _)) if tok == processToken =>
@@ -432,6 +574,7 @@ object Generations {
         }
       }
     }, "graft-lease-heartbeat")
+    t.setUncaughtExceptionHandler((_, _) => ()) // injected death is quiet
     t.setDaemon(true)
     t.start()
     try body
@@ -487,6 +630,29 @@ object Generations {
             "and retry the whole operation")
       case _ => ()
     }
+    // staging-presence check (round 18): if our lease went stale
+    // mid-write and a breaker took over, RECLAIMED our staged dir as
+    // the orphan it looked like, and then crashed or released without
+    // committing, the lease at our commit time is absent (or ours-
+    // stale) — the foreign-lease fence above cannot see that history.
+    // Publishing a marker for the reclaimed dir would make the head
+    // name a MISSING generation, breaking every reader — strictly
+    // worse than any fail-fast. So the staged dir must exist before
+    // the claim, and still exist AFTER the claim lands (a reclaim
+    // racing the claim itself); a post-claim miss self-reverts the
+    // marker — gen-n has neither marker nor dir afterwards, so the
+    // revert cannot orphan anything — and aborts retryably. The
+    // residual is the instant between the post-claim verify and a
+    // reclaim whose orphan listing predated our marker; prepare's
+    // listing-to-delete gap is milliseconds, and once the marker is
+    // visible to a listing the dir is spared.
+    val gdir = new Path(genDir(path, n))
+    if (!fs.exists(gdir)) {
+      throw new ConcurrentWriterException(
+        s"staged generation $gdir was reclaimed before commit (writer " +
+          "lease lost mid-write and a breaker swept the staging); " +
+          "retry the whole prepare→write→commit")
+    }
     val tmp = new Path(dir,
       s"_tmp_${java.util.UUID.randomUUID.toString.replace("-", "")}")
     val out = fs.create(tmp, true)
@@ -495,6 +661,14 @@ object Generations {
     val won = claim(fs, tmp, markerPath(path, n))
     fs.delete(tmp, false) // local-fs link leaves the tmp behind
     require(won, s"generation commit lost a race for $path gen-$n")
+    leaseHook("commit_claimed")
+    if (!fs.exists(gdir)) {
+      fs.delete(markerPath(path, n), false)
+      throw new ConcurrentWriterException(
+        s"staged generation $gdir was reclaimed while its marker was " +
+          "being claimed; the torn marker was reverted — retry the " +
+          "whole prepare→write→commit")
+    }
     if (reclaim) reclaimExcept(spark, path, n, Set.empty)
     releaseLease(fs, path, token)
   }

@@ -626,11 +626,16 @@ object Models {
     // the repo's longest staged write, the case the TTL must not bound
     val (cn, bn, kn) = Generations.withLeaseHeartbeat(spark,
         Seq(centPath, cbPath, codesPath)) {
-      val (cn, cdir) = Generations.prepare(spark, centPath)
+      // all three family leases are taken up front in the canonical
+      // quantizer → codebook → codes order (Generations.prepareAll's
+      // acquisition-order contract): two concurrent rebuilds collide
+      // on the FIRST family, the loser aborts holding nothing, and a
+      // fence arriving mid-acquisition releases what was already taken
+      // instead of fencing the winner's next cycle for a TTL
+      val Seq((cn, cdir), (bn, bdir), (kn, kdir)) =
+        Generations.prepareAll(spark, Seq(centPath, cbPath, codesPath))
       cents.coalesce(1).write.parquet(cdir)
-      val (bn, bdir) = Generations.prepare(spark, cbPath)
       cbRows.coalesce(1).write.parquet(bdir)
-      val (kn, kdir) = Generations.prepare(spark, codesPath)
       val stageCodesName = codesName + "_rebuilding"
       Lake.writeBucketedTable(
         graft.operators.Similarity.ivfPqCodes(res, cbRows, m, ksub, dim)

@@ -91,8 +91,10 @@ class WriterLeaseSpec extends AnyFunSuite {
     Generations.commitAs(spark, fam, nA, "", reclaim = true, "procA")
     val (nB, _) = Generations.prepareAs(spark, fam, "procB")
     assert(nB == nA + 1)
-    // release B's lease so the temp family leaves no live fence
-    Generations.commitAs(spark, fam, nB, "", reclaim = false, "procB")
+    // release B's lease so the temp family leaves no live fence (a
+    // payload-less commit no longer works for this: round-18 commit
+    // validates staging presence)
+    Generations.releaseLease(fs(fam), fam, "procB")
   }
 
   test("a CRASHED holder's stale lease (past leaseTtlMs) is broken by " +
@@ -424,6 +426,309 @@ class WriterLeaseSpec extends AnyFunSuite {
     }
     assert(Generations.readLease(f, fam).exists(_._1 == "procB"),
       "the breaker's fresh lease must survive the returning holder")
+  }
+
+  // ---- round-18 lease-machine hardening (ADVICE r17 + the commit
+  // staging-presence hole) — each test drives one microwindow through
+  // the Generations.leaseHook seam ------------------------------------
+
+  private def withLeaseHook[A](hook: String => Unit)(body: => A): A = {
+    Generations.leaseHook = hook
+    try body finally Generations.leaseHook = _ => ()
+  }
+
+  test("a successful mismatch-restore leaves NO tombstone behind: on " +
+      "file:// the restore is a hard link sharing the lease's inode, " +
+      "and a lingering fresh tombstone gated every acquire — " +
+      "including the owner's — for a full TTL (ADVICE r17)") {
+    val fam = tmpFam("graft-lease-tombclean")
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val lease = new Path(fam, "_writer_lease")
+    val out = f.create(lease, true)
+    out.write("procW".getBytes("UTF-8")); out.close()
+    // a breaker acting on a stale read that was replaced by procW's
+    // fresh lease: mismatch → restore → report failure
+    assert(!Generations.takeLeaseFile(f, fam, "crashed"))
+    assert(Generations.readLease(f, fam).exists(_._1 == "procW"),
+      "the stolen fresh lease must be restored")
+    val tombs = Option(f.globStatus(new Path(fam, "_tmp_lease_take_*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    assert(tombs.isEmpty,
+      s"restore left tombstones behind: ${tombs.map(_.getPath.getName)}" +
+        " — these share the restored lease's inode and gate every " +
+        "acquire for a TTL")
+    assert(!Generations.leaseInTransition(f, fam))
+    // the owner releases; a new writer acquires IMMEDIATELY (pre-fix
+    // the lingering tombstone fenced this for leaseTtlMs)
+    f.delete(lease, false)
+    Generations.acquireLease(f, fam, "procNext")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procNext"))
+  }
+
+  test("a FAILED mismatch-restore leaves the tombstone as the stolen " +
+      "lease's standing fence: a slow (GC-paused, not crashed) " +
+      "slipped-in claimer is not stripped of contention gating after " +
+      "~100ms — acquirers stay fenced until the stolen lease's TTL " +
+      "(ADVICE r17; pre-fix the stolen fresh lease was dropped)") {
+    val fam = tmpFam("graft-lease-slowclaimer")
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val lease = new Path(fam, "_writer_lease")
+    def plant(tok: String): Unit = {
+      val out = f.create(lease, true)
+      out.write(tok.getBytes("UTF-8")); out.close()
+    }
+    plant("procW") // the live owner's fresh lease
+    // the slipped-in claimer lands its claim during the restore window
+    // and then GC-pauses before its post-claim verify
+    withLeaseHook(p => if (p == "lease_restore") plant("slowClaimer")) {
+      assert(!Generations.takeLeaseFile(f, fam, "crashed"),
+        "the mismatch break must report failure")
+    }
+    val tombs = Option(f.globStatus(new Path(fam, "_tmp_lease_take_*")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    assert(tombs.size == 1,
+      "the stolen fresh lease must stay in its tombstone when the " +
+        "restore cannot land")
+    assert(Generations.leaseInTransition(f, fam))
+    // every acquirer is fenced while the transition gate stands
+    intercept[ConcurrentWriterException] {
+      Generations.acquireLease(f, fam, "procX")
+    }
+    assert(Generations.readLease(f, fam).exists(_._1 == "slowClaimer"),
+      "the paused claimer's lease must survive untouched")
+    // the conservative exit: the tombstone ages out (TTL-based GC) and
+    // only then does contention resolve normally
+    tombs.foreach(t => f.setTimes(t.getPath,
+      System.currentTimeMillis() - Generations.leaseTtlMs - 1000L, -1L))
+    f.delete(lease, false) // the claimer eventually self-releases
+    Generations.acquireLease(f, fam, "procX")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procX"))
+  }
+
+  test("own-FRESH re-acquire is VERIFIED after the refresh: a breaker " +
+      "that read the lease stale-by-epsilon and broke it between our " +
+      "read and our setTimes leaves us FENCED, not believing we hold " +
+      "(ADVICE r17 — pre-fix both writers staged into one generation)") {
+    val fam = tmpFam("graft-lease-epsilon")
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val lease = new Path(fam, "_writer_lease")
+    def plant(tok: String): Unit = {
+      val out = f.create(lease, true)
+      out.write(tok.getBytes("UTF-8")); out.close()
+    }
+    plant("procA") // our own fresh (by milliseconds, conceptually) lease
+    // the epsilon race, made deterministic: the breaker's break+claim
+    // lands exactly between our setTimes and our verify re-read
+    withLeaseHook(p => if (p == "lease_refreshed") plant("procB")) {
+      val e = intercept[ConcurrentWriterException] {
+        Generations.acquireLease(f, fam, "procA")
+      }
+      assert(e.getMessage.contains("procB"),
+        s"the re-acquirer must fence on the breaker: ${e.getMessage}")
+    }
+    assert(Generations.readLease(f, fam).exists(_._1 == "procB"),
+      "the breaker's lease must survive — exactly one believed holder")
+  }
+
+  test("heartbeat-thread DEATH mid-staged-write: the lease ages out, " +
+      "a breaker legitimately takes over, and the original holder's " +
+      "commit fences instead of publishing — the frozen-JVM residual, " +
+      "now with the heartbeat itself as the failing component") {
+    withLeaseTtl(1200L) {
+      val fam = tmpFam("graft-lease-hbdeath")
+      val (n, g) = Generations.prepare(spark, fam)
+      writePayload(g, 1L)
+      val f = fs(fam)
+      val died = new java.util.concurrent.CountDownLatch(1)
+      withLeaseHook(p => if (p == "lease_heartbeat") {
+        died.countDown()
+        throw new RuntimeException("injected heartbeat death")
+      }) {
+        Generations.withLeaseHeartbeat(spark, Seq(fam)) {
+          // first tick (~TTL/3) kills the thread; then the lease ages
+          // out with no refresh
+          assert(died.await(5, java.util.concurrent.TimeUnit.SECONDS),
+            "the heartbeat never ticked")
+          Thread.sleep(Generations.leaseTtlMs + 300L)
+          // the breaker takes over mid-write
+          Generations.acquireLease(f, fam, "procB")
+          // our commit must fence on the foreign lease, not publish
+          val e = intercept[ConcurrentWriterException] {
+            Generations.commit(spark, fam, n, "ours")
+          }
+          assert(e.getMessage.contains("procB"), e.getMessage)
+        }
+      }
+      assert(Generations.head(spark, fam).isEmpty,
+        "the fenced commit must not have published")
+      assert(Generations.readLease(f, fam).exists(_._1 == "procB"))
+    }
+  }
+
+  test("commit validates staging PRESENCE: a frozen holder whose " +
+      "staged dir was reclaimed by a breaker that then crashed " +
+      "without committing (lease vacuumed) aborts retryably instead " +
+      "of publishing a marker for a MISSING generation — and the " +
+      "retry converges (round-18 hole, beyond ADVICE)") {
+    val fam = tmpFam("graft-commit-staging")
+    val f = fs(fam)
+    val (n, g) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(g, 1L)
+    // the holder freezes; its lease ages out
+    val lease = new Path(fam, "_writer_lease")
+    f.setTimes(lease, System.currentTimeMillis() -
+      Generations.leaseTtlMs - 1000L, -1L)
+    // a breaker's prepare reclaims the "orphan" staging…
+    val (nB, _) = Generations.prepareAs(spark, fam, "procB")
+    assert(nB == n)
+    assert(!f.exists(new Path(g)), "the breaker must reclaim the orphan")
+    // …then the breaker crashes without committing and its stale lease
+    // is vacuumed (absence is what the pre-fix fencing could not see)
+    f.delete(lease, false)
+    // the frozen holder resumes and tries to publish
+    val e = intercept[ConcurrentWriterException] {
+      Generations.commitAs(spark, fam, n, "ours", reclaim = true, "procA")
+    }
+    assert(e.getMessage.contains("reclaimed"), e.getMessage)
+    assert(Generations.head(spark, fam).isEmpty,
+      "pre-fix: a marker was published for a missing generation — " +
+        "the head then named a dir no reader could open")
+    // the retryable contract: the holder re-runs the whole unit
+    val (n2, g2) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(g2, 2L)
+    Generations.commitAs(spark, fam, n2, "retry", reclaim = true, "procA")
+    assert(Generations.head(spark, fam).contains((n2, "retry")))
+  }
+
+  test("commit's POST-claim staging verify self-reverts the marker " +
+      "when the reclaim races the claim itself: gen-n ends with " +
+      "neither marker nor dir, and the head stays on the previous " +
+      "committed generation") {
+    val fam = tmpFam("graft-commit-revert")
+    val f = fs(fam)
+    // a committed base generation the head must stay on
+    val (n1, g1) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(g1, 1L)
+    Generations.commitAs(spark, fam, n1, "base", reclaim = true, "procA")
+    val (n2, g2) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(g2, 2L)
+    // the racing reclaim lands exactly between the marker claim and
+    // the post-claim verify
+    withLeaseHook(p => if (p == "commit_claimed")
+      f.delete(new Path(g2), true)) {
+      val e = intercept[ConcurrentWriterException] {
+        Generations.commitAs(spark, fam, n2, "torn", reclaim = true,
+          "procA")
+      }
+      assert(e.getMessage.contains("reverted"), e.getMessage)
+    }
+    assert(Generations.head(spark, fam).contains((n1, "base")),
+      "the torn marker must be reverted — head stays on the base")
+    assert(!f.exists(new Path(fam, s"_commit_$n2")))
+    // replay converges
+    val (n3, g3) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(g3, 3L)
+    Generations.commitAs(spark, fam, n3, "retry", reclaim = true, "procA")
+    assert(Generations.head(spark, fam).contains((n3, "retry")))
+  }
+
+  test("prepareAll releases already-taken leases when a later family " +
+      "fences it out (all-or-nothing acquisition): the loser holds " +
+      "NOTHING afterwards, so the winner's next cycle is not fenced " +
+      "for a TTL by a loser's residue — over both claim branches") {
+    Seq(tmpFam("graft-multifam"),
+        HdfsLikeFileSystem.tempDir("graft-multifam") + "/art")
+      .foreach { root =>
+        val fams = Seq(s"$root/cent", s"$root/cb", s"$root/codes")
+        // procB already holds the SECOND family (a concurrent composite
+        // writer mid-acquisition, or a single-family maintenance actor)
+        Generations.prepareAs(spark, fams(1), "procB")
+        val e = intercept[ConcurrentWriterException] {
+          Generations.prepareAllAs(spark, fams, "procA")
+        }
+        assert(e.getMessage.contains("procB"), e.getMessage)
+        fams.foreach { fam =>
+          val holder = Generations.readLease(fs(fam), fam).map(_._1)
+          assert(!holder.contains("procA"),
+            s"loser procA must hold nothing, but holds $fam ($root)")
+        }
+        assert(Generations.readLease(fs(fams(1)), fams(1)).map(_._1)
+          .contains("procB"), "the blocker's lease must be untouched")
+        // once procB finishes, procA's retry takes all three
+        Generations.releaseLease(fs(fams(1)), fams(1), "procB")
+        val taken = Generations.prepareAllAs(spark, fams, "procA")
+        assert(taken.size == 3)
+        fams.foreach { fam =>
+          assert(Generations.readLease(fs(fam), fam).map(_._1)
+            .contains("procA"))
+        }
+        fams.foreach(fam =>
+          Generations.releaseLease(fs(fam), fam, "procA"))
+      }
+  }
+
+  test("two composite writers racing the SAME canonical family order: " +
+      "exactly one acquires all three families; the loser is fenced " +
+      "holding nothing; retryingConcurrent's jittered backoff lets " +
+      "the loser win after the winner commits") {
+    val root = tmpFam("graft-multifam-race")
+    val fams = Seq(s"$root/cent", s"$root/cb", s"$root/codes")
+    val outcomes = new java.util.concurrent.ConcurrentHashMap[
+      String, String]()
+    val ts = Seq("procA", "procB").map { tok =>
+      new Thread(() => outcomes.put(tok,
+        try { Generations.prepareAllAs(spark, fams, tok); "won" }
+        catch { case _: ConcurrentWriterException => "fenced" }))
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val winners = Seq("procA", "procB").filter(outcomes.get(_) == "won")
+    assert(winners.size == 1, s"outcomes: $outcomes")
+    val winner = winners.head
+    fams.foreach { fam =>
+      assert(Generations.readLease(fs(fam), fam).map(_._1)
+        .contains(winner),
+        s"every family lease must carry the winner $winner")
+    }
+    // the winner "commits" (releases); the loser's retryingConcurrent
+    // retry then succeeds within its backoff budget
+    fams.foreach(fam => Generations.releaseLease(fs(fam), fam, winner))
+    val loser = if (winner == "procA") "procB" else "procA"
+    val got = Generations.retryingConcurrent(maxAttempts = 4,
+      baseBackoffMs = 10L) {
+      Generations.prepareAllAs(spark, fams, loser)
+    }
+    assert(got.size == 3)
+    fams.foreach(fam => Generations.releaseLease(fs(fam), fam, loser))
+  }
+
+  test("retryingConcurrent retries ONLY ConcurrentWriterException, " +
+      "with bounded attempts: a body that fences twice then succeeds " +
+      "runs exactly three times; a body that always fences rethrows " +
+      "after maxAttempts; other exceptions pass through untouched") {
+    var calls = 0
+    val r = Generations.retryingConcurrent(maxAttempts = 5,
+      baseBackoffMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new ConcurrentWriterException("busy")
+      "ok"
+    }
+    assert(r == "ok" && calls == 3)
+    var always = 0
+    intercept[ConcurrentWriterException] {
+      Generations.retryingConcurrent(maxAttempts = 3, baseBackoffMs = 1L) {
+        always += 1
+        throw new ConcurrentWriterException("busy")
+      }
+    }
+    assert(always == 3, s"maxAttempts=3 must mean 3 body runs, got $always")
+    intercept[IllegalArgumentException] {
+      Generations.retryingConcurrent(maxAttempts = 5, baseBackoffMs = 1L) {
+        throw new IllegalArgumentException("not a fence")
+      }
+    }
   }
 
   test("N writers racing to break one stale lease: exactly one " +
