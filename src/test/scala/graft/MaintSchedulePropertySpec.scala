@@ -650,11 +650,20 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           // it — the served artifacts must be untouched (assertState
           // follows every op) and the next fold must proceed
           launches += 1
-          val fam = if (nextInt(2) == 0) Models.dfTablePath(dir)
+          val onDf = nextInt(2) == 0
+          val fam = if (onDf) Models.dfTablePath(dir)
             else Models.postingsPath(dir)
           val tok = s"launcher-$trial-$launches"
           try {
             Generations.prepareAs(spark, fam, tok)
+            // a WON prepare on the postings family legitimately
+            // reclaims the planted orphan debris (orphans are
+            // unconditionally reclaimed under the lease) — the later
+            // vacuum-exactness assert must not expect it twice
+            // (found by the r18 100-schedule soak, trial 74: the new
+            // lease flavors shift each trial's random stream, landing
+            // a launcher between plant and vacuum)
+            if (!onDf) planted = None
             Generations.releaseLease(
               new Path(fam).getFileSystem(
                 spark.sparkContext.hadoopConfiguration), fam, tok)
@@ -707,6 +716,18 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
               assert(foldBatch(dir, batch, None),
                 s"replay after lease crash at $p (aged=$agedNow) failed")
               applied = applied ++ batch
+              // believed-holder invariant after recovery: the replay's
+              // commit released its lease, so the df family must carry
+              // NO fresh fence (a fresh lease here would mean two
+              // writers' fences survived the crash recovery)
+              val dfFs = new Path(Models.dfTablePath(dir)).getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              Generations.readLease(dfFs, Models.dfTablePath(dir))
+                .foreach { case (tok, mtime) =>
+                  assert(System.currentTimeMillis() - mtime >=
+                    Generations.leaseTtlMs,
+                    s"[$p] a FRESH lease ($tok) survived the recovery")
+                }
             case _ =>
               // crashed RESTORER's debris (a breaker died with a
               // stolen lease in its tombstone): the fold's df cutover
