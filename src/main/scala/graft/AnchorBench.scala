@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Spark-side timing for the BASELINE.md external-anchor table
+  * (round 18): run the named registry queries over a given corpus dir
+  * for N passes and print per-query min seconds as one JSON line —
+  * the Spark half of the engine-vs-DuckDB anchor protocol
+  * (`tools/anchor_duckdb.py` is the DuckDB half). Usage:
+  *
+  *   sbt "runMain graft.AnchorBench <dir> <q1,q2,...> [passes]"
+  */
+object AnchorBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(',').toSeq
+    val passes = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val mins = (1 to passes).map { _ =>
+      names.map { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir).count()
+        n -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    println(names.map(n => f""""$n":${mins(n)}%.3f""")
+      .mkString("""{"metric":"anchor_spark","dir":"""" + dir + "\",",
+        ",", "}"))
+    spark.stop()
+  }
+}

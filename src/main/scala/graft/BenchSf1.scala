@@ -90,51 +90,7 @@ object BenchSf1 {
     // marker words; minhash-band collision probability over
     // hundreds-of-shingle sets is ~0), so the per-shard dup structure
     // still matches the natural sf0.1 corpus.
-    val marker = new java.io.File(s"$dir/_built_v3_$copies")
-    if (!marker.exists()) {
-      // the corpus definition changed with the marker version: stale
-      // synthetic parquet AND its trained artifacts must both go
-      graft.sources.Models.reset(spark, dir)
-      val dd = new java.io.File(dir)
-      if (dd.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(dd)
-      }
-      val markers = graft.operators.TextOps.LangMarkers.values
-        .flatten.toSeq.distinct.sorted.mkString("|")
-      val docs = spark.read.parquet(s"$base/documents.parquet")
-      (0 until copies).map { k =>
-        docs.select(
-          (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-          // copy-unique token space, markers restored in place
-          regexp_replace(
-            regexp_replace(col("text"), "(\\S+)", s"c${k}x$$1"),
-            s"(?i)\\bc${k}x($markers)\\b", "$1").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val embs = spark.read.parquet(s"$base/embeddings.parquet")
-      (0 until copies).map { k =>
-        embs.select(
-          // INTERLEAVED ids (orig*copies + k), not blocks: the IVF
-          // quantizer's deterministic seed sample is `id < nList`, and
-          // block ids would put every seed inside copy 0 — the other
-          // copies then glom onto few centroids and the measurement
-          // reads the degenerate seeding, not the engine
-          (col("vec_id") * lit(copies.toLong) + lit(k.toLong))
-            .as("vec_id"),
-          // copy-constant offset: intra-copy geometry preserved,
-          // copies land in separated regions
-          transform(col("embedding"),
-            x => (x + lit(k.toFloat * 8.0f)).cast("float")).as("embedding"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
-      ()
-    }
+    SfSynth.ensure(spark, base, copies, dir)
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def canary(): Double = {

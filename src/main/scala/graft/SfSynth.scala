@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Disjoint-shard scale-up synthesis shared by [[BenchSf1]] (10×) and
+  * [[BenchSf10]] (100×): N INDEPENDENT sf0.1-shaped shards — every
+  * document's CONTENT tokens get a copy-unique prefix while
+  * language-marker words keep their surface form (langId/quality see
+  * the original marker structure, so the ingest gate passes), and
+  * every embedding gets a copy-constant offset — so cross-copy
+  * similarity is exactly zero and the duplicate/cluster structure per
+  * shard matches the natural sf0.1 corpus. This is the HONEST
+  * scale-up for ratio measurement: naive replication makes every
+  * document an N-way near-duplicate, inflating candidate-pair
+  * workload quadratically by construction — the measured ratio would
+  * then grade the synthetic, not the engine.
+  *
+  * Embedding ids are INTERLEAVED (orig*copies + k), not blocked: the
+  * IVF quantizer's deterministic seed sample is `id < nList`, and
+  * block ids would put every seed inside copy 0 — the other copies
+  * then glom onto few centroids and the measurement reads the
+  * degenerate seeding, not the engine.
+  */
+object SfSynth {
+
+  /** Build (or reuse, via the version marker) the `copies`-shard
+    * corpus under `dir` from the sf0.1-shaped `base`. */
+  def ensure(spark: SparkSession, base: String, copies: Int,
+      dir: String): Unit = {
+    // v4: v3 (content-token prefixes, marker words preserved,
+    // interleaved embedding ids) + the events shard; documents and
+    // embeddings recipes are UNCHANGED from v3, so ratios measured on
+    // v3 corpora remain comparable
+    val marker = new java.io.File(s"$dir/_built_v4_$copies")
+    if (marker.exists()) return
+    // the corpus definition changed with the marker version: stale
+    // synthetic parquet AND its trained artifacts must both go
+    graft.sources.Models.reset(spark, dir)
+    val dd = new java.io.File(dir)
+    if (dd.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dd)
+    }
+    val markers = graft.operators.TextOps.LangMarkers.values
+      .flatten.toSeq.distinct.sorted.mkString("|")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        // copy-unique token space, markers restored in place
+        regexp_replace(
+          regexp_replace(col("text"), "(\\S+)", s"c${k}x$$1"),
+          s"(?i)\\bc${k}x($markers)\\b", "$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val embs = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until copies).map { k =>
+      embs.select(
+        (col("vec_id") * lit(copies.toLong) + lit(k.toLong))
+          .as("vec_id"),
+        // copy-constant offset: intra-copy geometry preserved,
+        // copies land in separated regions
+        transform(col("embedding"),
+          x => (x + lit(k.toFloat * 8.0f)).cast("float")).as("embedding"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events scale the same way: copy-unique user/event ids, same
+    // timestamps — sessionization, retention, and funnel structure
+    // per shard match the natural sf0.1 stream exactly, with zero
+    // cross-copy interaction (sessions group by user)
+    val evs = spark.read.parquet(s"$base/events.parquet")
+    (0 until copies).map { k =>
+      evs.select(
+        (col("event_id") + lit(k.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k.toLong * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
+}

@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""DuckDB half of the BASELINE.md external-anchor protocol: time the
+driver's own oracle SQL (from a Verify dump's oracle_sql.json) over a
+corpus dir's parquet tables — one warmup run, then min of N timed runs
+per query, DuckDB at its default full-thread parallelism (same machine
+as the Spark runs).
+
+Usage: python3 tools/anchor_duckdb.py ORACLE_SQL_JSON SFDIR q1,q2,... [N]
+"""
+import sys, json, os, time
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main(oracle_path, sfdir, names, n=3):
+    oracle = json.load(open(oracle_path))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table: a directory of parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    out = {}
+    for name in names:
+        sql = oracle[name]
+        con.execute(sql).fetchall()  # warm (IO cache, plan)
+        best = min(
+            (lambda t0: (con.execute(sql).fetchall(), time.time() - t0)[1])(
+                time.time())
+            for _ in range(n))
+        out[name] = round(best, 4)
+    print(json.dumps({"metric": "anchor_duckdb", "dir": sfdir,
+                      "queries": out}))
+
+if __name__ == "__main__":
+    ns = sys.argv[3].split(",")
+    n = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    main(sys.argv[1], sys.argv[2], ns, n)
