@@ -35,3 +35,48 @@ javaOptions ++= Seq(
   "graft.maintprop.trials", "graft.maintprop.seed",
   "graft.streamprop.trials", "graft.streamprop.seed",
 ).flatMap(k => sys.props.get(k).map(v => s"-D$k=$v"))
+
+// Round 18: run the suite list across PARALLEL forked JVMs — suites
+// are independent (run-private temp dirs, a local[4] session each),
+// and sequential execution made plain `sbt test` wall-clock the sum
+// of 40 suites (~16 min). Six groups: the heaviest suites pinned
+// one-per-group, the rest round-robined in stable name order. Each
+// group gets its OWN models root and Spark warehouse (two JVMs
+// training one corpus's artifacts concurrently would otherwise fence
+// each other on the writer lease — correct behavior, wrong place to
+// exercise it). GRAFT_TEST_FORKS=1 restores single-JVM execution;
+// suites that set graft.models.dir themselves (the property suites)
+// override the group default as before.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val baseOpts = (Test / javaOptions).value.toVector
+  val n = sys.env.get("GRAFT_TEST_FORKS").map(_.toInt.max(1)).getOrElse(6)
+  val heavy = Seq("ModelsSpec", "MaintSchedulePropertySpec",
+    "StreamMaintPropertySpec", "PlanSpec", "VersionedStorePropertySpec",
+    "SimilaritySpec").map(s => s"graft.$s")
+  val (big, rest) = tests.partition(t => heavy.contains(t.name))
+  val buckets = Vector.fill(n)(scala.collection.mutable.Buffer
+    .empty[sbt.TestDefinition])
+  big.zipWithIndex.foreach { case (t, i) => buckets(i % n) += t }
+  rest.zipWithIndex.foreach { case (t, i) =>
+    buckets((i + big.size) % n) += t
+  }
+  buckets.zipWithIndex.filter(_._1.nonEmpty).map { case (b, i) =>
+    val iso = java.nio.file.Files
+      .createTempDirectory(s"graft-testgroup-$i").toString
+    Tests.Group(
+      s"group$i",
+      b.toSeq,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(baseOpts ++ Vector(
+        s"-Dgraft.models.dir=$iso/models",
+        s"-Dspark.sql.warehouse.dir=$iso/warehouse",
+        s"-Dderby.system.home=$iso/derby"))))
+  }
+}
+
+// sbt's default concurrentRestrictions cap forked test groups at ONE
+// at a time, which silently serializes the grouping above back to
+// sequential — raise the cap to the group count.
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(12))

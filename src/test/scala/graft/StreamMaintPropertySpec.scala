@@ -7,7 +7,7 @@ import org.scalacheck.rng
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.Models
+import graft.sources.{Generations, Models}
 import graft.streaming.EventStreams
 
 /** Crash-injection property suite for the STREAMING maintenance loops
@@ -263,9 +263,10 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test(s"$Trials random streaming-maintenance schedules — micro-batch " +
       "folds through the REAL foreachBatch bodies, crashed at random " +
-      "seams (in-fold and fold-to-marker), Spark-retry replayed, " +
-      "markers lost, compaction valves firing — leave every served " +
-      "artifact equal to the clean twin of the applied prefix") {
+      "seams (in-fold, fold-to-marker, AND inside the lease state " +
+      "machine with TTL-aged recovery), Spark-retry replayed, markers " +
+      "lost, compaction valves firing — leave every served artifact " +
+      "equal to the clean twin of the applied prefix") {
     (1 to Trials).foreach { trial =>
       val schedSeed = BaseSeed + trial - 1
       var seed = rng.Seed(schedSeed)
@@ -285,19 +286,48 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         val handler = fam.handler(dir, cp, compactEvery)
         val fs = fsOf(cp)
 
-        def invoke(batchId: Int, crashAt: Option[String]): Boolean = {
+        def invoke(batchId: Int, crashAt: Option[String],
+            leaseCrashAt: Option[String] = None): Boolean = {
           crashAt.foreach { p =>
             Models.crashHook =
               pt => if (pt == p) throw new CrashInjected(p)
           }
+          leaseCrashAt.foreach { p =>
+            Generations.leaseHook =
+              pt => if (pt == p) throw new CrashInjected(p)
+          }
           try { handler(fam.batches(batchId), batchId.toLong); true }
-          catch { case _: CrashInjected => false }
-          finally Models.crashHook = _ => ()
+          catch {
+            case _: CrashInjected => false
+            case _: graft.sources.ConcurrentWriterException => false
+          }
+          finally {
+            Models.crashHook = _ => ()
+            Generations.leaseHook = _ => ()
+          }
+        }
+
+        /** "Time passes": age every lease file / in-flight tombstone
+          * under the model root past the TTL — the documented recovery
+          * for a crashed lease holder (mirrors the batch suite). */
+        def agePassed(): Unit = {
+          val rootP = new Path(Models.root(dir))
+          val rfs = fsOf(Models.root(dir))
+          if (!rfs.exists(rootP)) return
+          val past = System.currentTimeMillis() -
+            Generations.leaseTtlMs - 60000L
+          rfs.listStatus(rootP).filter(_.isDirectory).foreach { f =>
+            val lease = new Path(f.getPath, Generations.LeaseName)
+            if (rfs.exists(lease)) rfs.setTimes(lease, past, -1L)
+            Option(rfs.globStatus(
+              new Path(f.getPath, "_tmp_lease_take_*")))
+              .foreach(_.foreach(s => rfs.setTimes(s.getPath, past, -1L)))
+          }
         }
 
         val nBatches = 1 + nextInt(fam.batches.size)
         (0 until nBatches).foreach { bid =>
-          nextInt(3) match {
+          nextInt(4) match {
             case 0 => // clean delivery
               assert(invoke(bid, None))
             case 1 => // crash then Spark-retry replay (25%: twice)
@@ -309,6 +339,17 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
                 ()
               }
               assert(invoke(bid, None), s"replay of batch $bid failed")
+            case 2 => // foreachBatch process dies INSIDE the lease
+              // state machine (round 18 — only folds/valves that take a
+              // generation cutover reach a lease point; append-only
+              // folds complete, which is equally legal), then the dead
+              // process's fence ages out and the Spark retry replays
+              val p = Vector("lease_claimed", "lease_took",
+                "commit_claimed")(nextInt(3))
+              invoke(bid, None, leaseCrashAt = Some(p))
+              agePassed()
+              assert(invoke(bid, None),
+                s"replay after lease crash at $p failed")
             case _ => // applied, then checkpoint lost: re-delivered
               assert(invoke(bid, None))
               val marker = new Path(s"$cp/applied/$bid")
