@@ -379,15 +379,26 @@ object EventStreams {
     val f = marker.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (!f.exists(marker) && !batch.isEmpty) {
-      graft.sources.Models.postingsAppend(spark, sfDir,
-        batch.toDF(), "doc_id", "text", dedupeIds = true)
+      // a TRANSIENT foreign fence — a double-launched maintenance job,
+      // a racing nightly batch compact — must not kill the stream: the
+      // fold is replay-idempotent (dedupeIds + per-artifact guards),
+      // so retry the whole unit with jittered backoff
+      // (Generations.retryingConcurrent). A persistent fence still
+      // propagates after the attempts and foreachBatch's own retry
+      // contract takes over.
+      graft.sources.Generations.retryingConcurrent() {
+        graft.sources.Models.postingsAppend(spark, sfDir,
+          batch.toDF(), "doc_id", "text", dedupeIds = true)
+      }
       // the stream-level crash seam: dying HERE (fold durable, marker
       // lost) is the at-least-once window the dedupeIds layer covers
       graft.sources.Models.crashHook("stream_after_fold")
       f.mkdirs(marker.getParent)
       f.create(marker, true).close()
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-        graft.sources.Models.compactRetrievalIndexes(spark, sfDir)
+        graft.sources.Generations.retryingConcurrent() {
+          graft.sources.Models.compactRetrievalIndexes(spark, sfDir)
+        }
         ()
       }
     }
@@ -475,31 +486,38 @@ object EventStreams {
         precomputedSets = Some(bSets))
       sink(graft.operators.Dedup.dedupSummaryFromPairs(
         pairs, bdf, "doc_id"), batchId)
-      if (foldMap) {
-        // map + LSH fold in one call, reusing the probe above (the
-        // map fold otherwise re-probes — see its crash contract);
-        // dedupeIds covers the replay window here too
-        graft.sources.Models.dedupMapAppend(spark, sfDir, bdf,
-          "doc_id", "text", math.round(threshold * 100).toInt,
-          k, b, w, dedupeIds = true,
-          precomputedPairs = Some(pairs),
-          precomputedSets = Some(bSets))
-      } else {
-        graft.sources.Models.lshIndexAppend(spark, sfDir, bdf,
-          "doc_id", "text", k, b, w, dedupeIds = true,
-          precomputedSets = Some(bSets))
+      // transient-fence retry: same contract as retrievalFoldBatch —
+      // the fold unit is replay-idempotent, so a racing maintenance
+      // actor's lease backs the stream off instead of killing it
+      graft.sources.Generations.retryingConcurrent() {
+        if (foldMap) {
+          // map + LSH fold in one call, reusing the probe above (the
+          // map fold otherwise re-probes — see its crash contract);
+          // dedupeIds covers the replay window here too
+          graft.sources.Models.dedupMapAppend(spark, sfDir, bdf,
+            "doc_id", "text", math.round(threshold * 100).toInt,
+            k, b, w, dedupeIds = true,
+            precomputedPairs = Some(pairs),
+            precomputedSets = Some(bSets))
+        } else {
+          graft.sources.Models.lshIndexAppend(spark, sfDir, bdf,
+            "doc_id", "text", k, b, w, dedupeIds = true,
+            precomputedSets = Some(bSets))
+        }
       }
       graft.sources.Models.crashHook("stream_after_fold")
       f.mkdirs(marker.getParent)
       f.create(marker, true).close()
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-        graft.sources.Models.compactBucketed(spark,
-          graft.sources.Models.lshBandsPath(sfDir, k, b, w), "bk")
-        graft.sources.Models.compactBucketed(spark,
-          graft.sources.Models.lshSetsPath(sfDir, w), "id")
-        if (foldMap) {
-          graft.sources.Models.compactDedupMap(spark, sfDir,
-            math.round(threshold * 100).toInt)
+        graft.sources.Generations.retryingConcurrent() {
+          graft.sources.Models.compactBucketed(spark,
+            graft.sources.Models.lshBandsPath(sfDir, k, b, w), "bk")
+          graft.sources.Models.compactBucketed(spark,
+            graft.sources.Models.lshSetsPath(sfDir, w), "id")
+          if (foldMap) {
+            graft.sources.Models.compactDedupMap(spark, sfDir,
+              math.round(threshold * 100).toInt)
+          }
         }
         ()
       }
@@ -571,20 +589,25 @@ object EventStreams {
     val f = marker.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (!f.exists(marker) && !batch.isEmpty) {
-      graft.sources.Models.ivfPqIndexAppend(spark,
-        sfDir, batch.toDF(), "vec_id", "embedding",
-        nList = nList, iters = iters, m = m, ksub = ksub, dim = dim,
-        maxCellShareMilli = maxCellShareMilli, dedupeIds = true)
+      // transient-fence retry: see retrievalFoldBatch
+      graft.sources.Generations.retryingConcurrent() {
+        graft.sources.Models.ivfPqIndexAppend(spark,
+          sfDir, batch.toDF(), "vec_id", "embedding",
+          nList = nList, iters = iters, m = m, ksub = ksub, dim = dim,
+          maxCellShareMilli = maxCellShareMilli, dedupeIds = true)
+      }
       // marker AFTER the append: a crash in between replays the
       // batch, which dedupeIds then folds to a no-op
       graft.sources.Models.crashHook("stream_after_fold")
       f.mkdirs(marker.getParent)
       f.create(marker, true).close()
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-        graft.sources.Models.compactBucketed(spark,
-          graft.sources.Models.ivfPqCodesPath(sfDir,
-            nList = nList, iters = iters, m = m, ksub = ksub),
-          "cid")
+        graft.sources.Generations.retryingConcurrent() {
+          graft.sources.Models.compactBucketed(spark,
+            graft.sources.Models.ivfPqCodesPath(sfDir,
+              nList = nList, iters = iters, m = m, ksub = ksub),
+            "cid")
+        }
         ()
       }
     }

@@ -261,6 +261,35 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       fam.state(dir)
     })
 
+  test("a TRANSIENT foreign fence backs a streaming fold off instead " +
+      "of killing the stream (round 18): a retrieval micro-batch " +
+      "arriving while another process's fresh lease fences the df " +
+      "family rides through retryingConcurrent's backoff once the " +
+      "holder releases — served state equals the clean twin (pre-fix " +
+      "the ConcurrentWriterException killed the streaming query)") {
+    val fam = families.find(_.name == "retrieval").get
+    val dir = copyRoot(fam.template(), "graft-streamprop-fence")
+    val cp = s"$dir/ckpt"
+    val dfFam = Models.dfTablePath(dir)
+    val dfFs = fsOf(dfFam)
+    // the rival: another process's FRESH lease on the df family (a
+    // double-launched job, a nightly batch compact mid-flight)
+    Generations.prepareAs(spark, dfFam, "rivalProc")
+    // …which releases shortly after the micro-batch arrives; the
+    // stream's bounded-backoff retry must outlast the window (expected
+    // cumulative backoff across the attempts is ~7 s, so a 150 ms
+    // fence makes a premature-exhaustion flake ~1e-5)
+    val releaser = new Thread(() => {
+      Thread.sleep(150L)
+      Generations.releaseLease(dfFs, dfFam, "rivalProc")
+    })
+    releaser.start()
+    fam.handler(dir, cp, 0)(fam.batches(0), 0L) // must not throw
+    releaser.join()
+    assert(fam.state(dir) == twinState(fam, 1),
+      "the post-fence fold diverged from the clean twin")
+  }
+
   test(s"$Trials random streaming-maintenance schedules — micro-batch " +
       "folds through the REAL foreachBatch bodies, crashed at random " +
       "seams (in-fold, fold-to-marker, AND inside the lease state " +
