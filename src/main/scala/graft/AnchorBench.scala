@@ -25,6 +25,14 @@ object AnchorBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // optional 4th arg tpch=<copies>: synthesize the TPC-H shard
+    // tables into <dir> first (SfSynth.ensureTpch) so the q1/q3-class
+    // anchors have an sf1 column too
+    args.drop(3).find(_.startsWith("tpch=")).foreach { a =>
+      SfSynth.ensureTpch(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        a.stripPrefix("tpch=").toInt, dir)
+    }
     val mins = (1 to passes).map { _ =>
       names.map { n =>
         val t0 = System.nanoTime()

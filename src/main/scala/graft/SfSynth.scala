@@ -85,4 +85,41 @@ object SfSynth {
     marker.createNewFile()
     ()
   }
+
+  /** TPC-H-shaped shards for the external-anchor table's sf1 column
+    * (round 18): `copies` disjoint key-offset copies of
+    * lineitem/orders/customer — join keys stay consistent WITHIN a
+    * copy (orderkey/custkey offsets applied on both sides), filter
+    * columns keep their surface values, so q1/q3-class plans do the
+    * same per-row work on 10× the rows. Separate marker from
+    * [[ensure]]: scaling the analytic tables must not invalidate the
+    * document/embedding corpora and their trained artifacts. */
+  def ensureTpch(spark: SparkSession, base: String, copies: Int,
+      dir: String): Unit = {
+    val marker = new java.io.File(s"$dir/_built_tpch_v1_$copies")
+    if (marker.exists()) return
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until copies).map { k =>
+      li.withColumn("l_orderkey",
+        col("l_orderkey") + lit(k.toLong * 10000000000L))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    (0 until copies).map { k =>
+      ord.withColumn("o_orderkey",
+          col("o_orderkey") + lit(k.toLong * 10000000000L))
+        .withColumn("o_custkey",
+          col("o_custkey") + lit(k.toLong * 100000000L))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until copies).map { k =>
+      cust.withColumn("c_custkey",
+        col("c_custkey") + lit(k.toLong * 100000000L))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
 }
