@@ -62,8 +62,10 @@ Test / testGrouping := {
     buckets((i + big.size) % n) += t
   }
   buckets.zipWithIndex.filter(_._1.nonEmpty).map { case (b, i) =>
-    val iso = java.nio.file.Files
-      .createTempDirectory(s"graft-testgroup-$i").toString
+    // fixed per-group isolation roots under target/ (reused across
+    // runs, removed by `clean`) — per-run temp dirs accumulated
+    // artifact-laden directories in /tmp (review-r18 finding)
+    val iso = (target.value / "testgroups" / s"g$i").getAbsolutePath
     Tests.Group(
       s"group$i",
       b.toSeq,
@@ -76,7 +78,10 @@ Test / testGrouping := {
 
 // sbt's default concurrentRestrictions cap forked test groups at ONE
 // at a time, which silently serializes the grouping above back to
-// sequential — raise the cap to the group count.
-Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 6),
-  Tags.limitAll(12))
+// sequential — raise the cap to the SAME group count the grouping
+// computes (a hardcoded 6 would silently re-serialize a wider
+// GRAFT_TEST_FORKS run — review-r18 finding).
+Global / concurrentRestrictions := {
+  val n = sys.env.get("GRAFT_TEST_FORKS").map(_.toInt.max(1)).getOrElse(6)
+  Seq(Tags.limit(Tags.ForkedTestGroup, n), Tags.limitAll(n + 6))
+}

@@ -8,27 +8,27 @@ import org.apache.spark.sql.SparkSession
   * the Spark half of the engine-vs-DuckDB anchor protocol
   * (`tools/anchor_duckdb.py` is the DuckDB half). Usage:
   *
-  *   sbt "runMain graft.AnchorBench <dir> <q1,q2,...> [passes]"
-  */
+  *   sbt "runMain graft.AnchorBench <dir> <q1,q2,...> [passes] [tpch=N]"
+  *
+  * (trailing args in any order: a bare number is the pass count,
+  * default 3; `tpch=N` synthesizes the N-shard TPC-H tables into
+  * `<dir>` first.) */
 object AnchorBench {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names = args(1).split(',').toSeq
-    val passes = if (args.length > 2) args(2).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.sql.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
-    // optional 4th arg tpch=<copies>: synthesize the TPC-H shard
-    // tables into <dir> first (SfSynth.ensureTpch) so the q1/q3-class
-    // anchors have an sf1 column too
-    args.drop(3).find(_.startsWith("tpch=")).foreach { a =>
+    // trailing args in any order: a bare number is the pass count, a
+    // tpch=<copies> flag requests the TPC-H shard synthesis (parsing
+    // positionally made the two optionals mutually exclusive —
+    // review-r18 finding)
+    val trailing = args.drop(2)
+    val passes = trailing.find(_.forall(_.isDigit)).map(_.toInt)
+      .getOrElse(3)
+    val spark = BenchSession.local()
+    // tpch=<copies>: synthesize the TPC-H shard tables into <dir>
+    // first (SfSynth.ensureTpch) so the q1/q3-class anchors have an
+    // sf1 column too
+    trailing.find(_.startsWith("tpch=")).foreach { a =>
       SfSynth.ensureTpch(spark,
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         a.stripPrefix("tpch=").toInt, dir)

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local-session recipe + CPU canary for the bench/anchor
+  * mains (BenchSf1, BenchSf10, AnchorBench) — the cross-bench ratio
+  * protocol depends on every main measuring under the SAME session
+  * configuration, so the recipe lives in one place (review-r18
+  * finding; `Bench`/`Verify` keep their own builders — they are the
+  * driver's contract surface and must not change shape under them). */
+object BenchSession {
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  /** Fixed-work CPU canary: wall-clock of a constant compute so host
+    * throttle windows are visible next to every measurement. */
+  def canary(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(200000000L).selectExpr("sum(id * 3 % 7)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+}

@@ -68,17 +68,8 @@ object BenchSf1 {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SF1_COPIES", "10").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.sql.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
+    val spark = BenchSession.local()
 
     val dir = s"${sys.props("user.dir")}/target/sf1_synth"
     // v3 token space: copy-unique prefixes on CONTENT words only —
@@ -93,11 +84,7 @@ object BenchSf1 {
     SfSynth.ensure(spark, base, copies, dir)
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def canary(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(200000000L).selectExpr("sum(id * 3 % 7)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canary(): Double = BenchSession.canary(spark)
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val passes = (1 to 2).map { _ =>
       canaries += canary()
@@ -166,6 +153,7 @@ object BenchSf1 {
       val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-steady-map").toString
+      try {
       docs.filter(h < "cc").write.mode("overwrite")
         .parquet(s"$tmp/documents.parquet")
       graft.sources.Models.dedupMap(spark, tmp, 80) // untimed base
@@ -179,12 +167,14 @@ object BenchSf1 {
       }.min
       graft.sources.Models.dropLshArtifacts(spark, tmp)
       t
+      } finally SfSynth.rmTree(tmp)
     })
     val annSteady = steadyPair("sim_ivfpq_append_steady", { src =>
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-steady-ann").toString
+      try {
       embs.filter(h < "cc").write.mode("overwrite")
         .parquet(s"$tmp/embeddings.parquet")
       graft.sources.Models.ivfPqIndex(spark, tmp) // untimed base train
@@ -199,6 +189,7 @@ object BenchSf1 {
       }.min
       graft.sources.Models.dropIvfPqArtifacts(spark, tmp)
       t
+      } finally SfSynth.rmTree(tmp)
     })
 
     // folded sf0.1 reference: per-query min across the committed fold

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** One-decade-further scale receipt (round 18, r17 verdict item 4):
   * the 100 TB argument extrapolated from sf1/sf0.1 (10×) ratios; this
   * main builds an sf10-class corpus — 100 disjoint sf0.1-shaped
-  * shards via [[SfSynth]], ~6M docs / ~7.8M embeddings — and measures
+  * shards via [[SfSynth]], 500k docs / 200k embeddings / 10M events — and measures
   * the five INDEXED/STEADY-STATE serving paths against the sf1
   * synthetic measured in the SAME JVM (same host, same session, so
   * the ratio cancels canary skew):
@@ -33,16 +33,7 @@ object BenchSf10 {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.sql.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
+    val spark = BenchSession.local()
 
     val dir1 = s"${sys.props("user.dir")}/target/sf1_synth"
     val dir10 = s"${sys.props("user.dir")}/target/sf10_synth"
@@ -50,11 +41,7 @@ object BenchSf10 {
     SfSynth.ensure(spark, base, 100, dir10)
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def canary(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(200000000L).selectExpr("sum(id * 3 % 7)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canary(): Double = BenchSession.canary(spark)
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     def passes(dir: String): Map[String, Double] = {
       canaries += canary()
@@ -87,20 +74,22 @@ object BenchSf10 {
       val h = md5(encode(col("vec_id").cast("string"), "UTF-8"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-sf10-ann").toString
-      embs.filter(h < "cc").write.mode("overwrite")
-        .parquet(s"$tmp/embeddings.parquet")
-      graft.sources.Models.ivfPqIndex(spark, tmp) // untimed base train
-      val t = Seq(("cc", "e6"), ("e6", "g")).map { case (lo, hi) =>
-        val batch = embs.filter(h >= lo && h < hi)
-          .select("vec_id", "embedding").localCheckpoint(true)
-        timed {
-          graft.sources.Models.ivfPqIndexAppend(spark, tmp, batch,
-            "vec_id", "embedding").count()
-          ()
-        }
-      }.min
-      graft.sources.Models.dropIvfPqArtifacts(spark, tmp)
-      t
+      try {
+        embs.filter(h < "cc").write.mode("overwrite")
+          .parquet(s"$tmp/embeddings.parquet")
+        graft.sources.Models.ivfPqIndex(spark, tmp) // untimed base train
+        val t = Seq(("cc", "e6"), ("e6", "g")).map { case (lo, hi) =>
+          val batch = embs.filter(h >= lo && h < hi)
+            .select("vec_id", "embedding").localCheckpoint(true)
+          timed {
+            graft.sources.Models.ivfPqIndexAppend(spark, tmp, batch,
+              "vec_id", "embedding").count()
+            ()
+          }
+        }.min
+        graft.sources.Models.dropIvfPqArtifacts(spark, tmp)
+        t
+      } finally SfSynth.rmTree(tmp) // the staged corpus copy is large
     }
     val ann1 = annSteady(dir1)
     val ann10 = annSteady(dir10)

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object SfSynth {
 
+  /** Recursive local delete — the bench mains' temp-corpus cleanup
+    * (leaked run-private corpora filled /tmp across bench rounds —
+    * review-r18 finding). */
+  def rmTree(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+  }
+
   /** Build (or reuse, via the version marker) the `copies`-shard
     * corpus under `dir` from the sf0.1-shaped `base`. */
   def ensure(spark: SparkSession, base: String, copies: Int,
@@ -37,13 +47,7 @@ object SfSynth {
     // the corpus definition changed with the marker version: stale
     // synthetic parquet AND its trained artifacts must both go
     graft.sources.Models.reset(spark, dir)
-    val dd = new java.io.File(dir)
-    if (dd.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dd)
-    }
+    if (new java.io.File(dir).exists()) rmTree(dir)
     val markers = graft.operators.TextOps.LangMarkers.values
       .flatten.toSeq.distinct.sorted.mkString("|")
     val docs = spark.read.parquet(s"$base/documents.parquet")

@@ -257,7 +257,11 @@ object Generations {
         r
       }
     } catch {
-      case e: ConcurrentWriterException =>
+      // release on ANY failure, not just the fence signal: a transient
+      // I/O error mid-acquisition would otherwise leak every taken
+      // lease for a full TTL, fencing all maintenance on those
+      // families (review-r18 finding)
+      case scala.util.control.NonFatal(e) =>
         taken.reverseIterator.foreach { p =>
           try releaseLease(fsOf(spark, p), p, token)
           catch { case _: Exception => () } // best effort; TTL backstops
@@ -574,7 +578,13 @@ object Generations {
         }
       }
     }, "graft-lease-heartbeat")
-    t.setUncaughtExceptionHandler((_, _) => ()) // injected death is quiet
+    // a dead heartbeat is NOT silent: the staged write keeps running
+    // but its lease stops refreshing, and the writer only learns at
+    // commit time via the takeover fence — log the death so the trace
+    // exists (the crash suites' injected deaths print one line each)
+    t.setUncaughtExceptionHandler((_, e) =>
+      System.err.println(s"[graft] lease heartbeat died: $e — the " +
+        "held leases stop refreshing and will age out at TTL"))
     t.setDaemon(true)
     t.start()
     try body

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{Generations, Models}
+
+/** Shared "time passes" helper for the crash-schedule suites: age
+  * every lease file and in-flight lease tombstone under a corpus's
+  * model root past the TTL — the documented recovery for any crashed
+  * lease holder/breaker (a dead process's fence ages out; nothing
+  * else ever removes it). One definition so the two suites cannot
+  * silently diverge in what "time passes" means when the lease-file
+  * layout grows a new debris pattern (review-r18 finding). */
+object LeaseTestUtil {
+
+  def agePassed(spark: SparkSession, dir: String): Unit = {
+    val rootP = new Path(Models.root(dir))
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    val past = System.currentTimeMillis() -
+      Generations.leaseTtlMs - 60000L
+    fs.listStatus(rootP).filter(_.isDirectory).foreach { fam =>
+      val lease = new Path(fam.getPath, Generations.LeaseName)
+      if (fs.exists(lease)) fs.setTimes(lease, past, -1L)
+      Option(fs.globStatus(new Path(fam.getPath, "_tmp_lease_take_*")))
+        .foreach(_.foreach(s => fs.setTimes(s.getPath, past, -1L)))
+    }
+  }
+}

@@ -167,26 +167,12 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  /** "Time passes": age every lease file and in-flight lease tombstone
-    * under the model root past the TTL — the documented recovery for
-    * any crashed lease holder/breaker (a dead process's fence ages
-    * out; nothing else ever removes it). The random schedules apply it
-    * after a lease-layer crash so the replay exercises the stale-side
-    * paths (forfeit/break, tombstone GC) rather than waiting 10 min. */
-  private def agePassed(dir: String): Unit = {
-    val rootP = new Path(Models.root(dir))
-    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootP)) return
-    val past = System.currentTimeMillis() -
-      Generations.leaseTtlMs - 60000L
-    fs.listStatus(rootP).filter(_.isDirectory).foreach { fam =>
-      Seq(new Path(fam.getPath, Generations.LeaseName)).foreach { p =>
-        if (fs.exists(p)) fs.setTimes(p, past, -1L)
-      }
-      Option(fs.globStatus(new Path(fam.getPath, "_tmp_lease_take_*")))
-        .foreach(_.foreach(s => fs.setTimes(s.getPath, past, -1L)))
-    }
-  }
+  /** "Time passes" after a lease-layer crash — the shared
+    * [[LeaseTestUtil.agePassed]]; the random schedules apply it so
+    * the replay exercises the stale-side paths (forfeit/break,
+    * tombstone GC) rather than waiting 10 min. */
+  private def agePassed(dir: String): Unit =
+    LeaseTestUtil.agePassed(spark, dir)
 
   private def restart(dir: String): Unit = {
     Models.clearSessionCache()
@@ -575,7 +561,9 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     * -Dgraft.maintprop.trials=1` replays exactly that schedule. */
   private val Trials =
     sys.props.get("graft.maintprop.trials")
-      .orElse(sys.env.get("GRAFT_PROP_FULL").map(_ => "100"))
+      .orElse(sys.env.get("GRAFT_PROP_FULL")
+        .filter(v => v == "1" || v.equalsIgnoreCase("true"))
+        .map(_ => "100"))
       .getOrElse("20").toInt
   private val BaseSeed =
     sys.props.getOrElse("graft.maintprop.seed", "20260816").toLong

@@ -64,7 +64,9 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val Trials =
     sys.props.get("graft.streamprop.trials")
-      .orElse(sys.env.get("GRAFT_PROP_FULL").map(_ => "50"))
+      .orElse(sys.env.get("GRAFT_PROP_FULL")
+        .filter(v => v == "1" || v.equalsIgnoreCase("true"))
+        .map(_ => "50"))
       .getOrElse("10").toInt
   private val BaseSeed =
     sys.props.getOrElse("graft.streamprop.seed", "20260817").toLong
@@ -336,23 +338,9 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           }
         }
 
-        /** "Time passes": age every lease file / in-flight tombstone
-          * under the model root past the TTL — the documented recovery
-          * for a crashed lease holder (mirrors the batch suite). */
-        def agePassed(): Unit = {
-          val rootP = new Path(Models.root(dir))
-          val rfs = fsOf(Models.root(dir))
-          if (!rfs.exists(rootP)) return
-          val past = System.currentTimeMillis() -
-            Generations.leaseTtlMs - 60000L
-          rfs.listStatus(rootP).filter(_.isDirectory).foreach { f =>
-            val lease = new Path(f.getPath, Generations.LeaseName)
-            if (rfs.exists(lease)) rfs.setTimes(lease, past, -1L)
-            Option(rfs.globStatus(
-              new Path(f.getPath, "_tmp_lease_take_*")))
-              .foreach(_.foreach(s => rfs.setTimes(s.getPath, past, -1L)))
-          }
-        }
+        /** "Time passes" after a lease-layer crash — the shared
+          * [[LeaseTestUtil.agePassed]]. */
+        def agePassed(): Unit = LeaseTestUtil.agePassed(spark, dir)
 
         val nBatches = 1 + nextInt(fam.batches.size)
         (0 until nBatches).foreach { bid =>
