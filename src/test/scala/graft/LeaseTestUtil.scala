@@ -25,6 +25,8 @@ object LeaseTestUtil {
       if (fs.exists(lease)) fs.setTimes(lease, past, -1L)
       Option(fs.globStatus(new Path(fam.getPath, "_tmp_lease_take_*")))
         .foreach(_.foreach(s => fs.setTimes(s.getPath, past, -1L)))
+      Option(fs.globStatus(new Path(fam.getPath, "_tmp_reclaim_gen-*")))
+        .foreach(_.foreach(s => fs.setTimes(s.getPath, past, -1L)))
     }
   }
 }

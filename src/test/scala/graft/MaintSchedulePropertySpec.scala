@@ -135,10 +135,16 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     * release-rename and the token verify (own fresh tombstone in
     * flight, lease path empty), `commit_claimed` kills it after the
     * marker claim but before reclaim/release (marker published, lease
-    * still held). Each fires on the df-family cutover the fold path
-    * takes every fold. */
+    * still held). Round 19 adds the orphan-reclaim microwindows
+    * (`reclaim_checked` — marker checked, rename not yet done;
+    * `reclaim_renamed` — dir renamed to its index-carrying tombstone,
+    * re-check not yet run): a crash there leaves the planted orphan
+    * half-swept, and the replay's prepare must resolve the tombstone
+    * (restore a committed dir / delete debris) and converge. Each
+    * fires on the df-family cutover the fold path takes every fold. */
   private val LeaseCrashPoints =
-    Vector("lease_claimed", "lease_took", "commit_claimed")
+    Vector("lease_claimed", "lease_took", "commit_claimed",
+      "reclaim_checked", "reclaim_renamed")
 
   private def foldBatch(dir: String, docs: Seq[Doc],
       crashAt: Option[String],
@@ -689,21 +695,47 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
               // crashed fold INSIDE the lease state machine (round 18
               // — the r17 residual, promoted from directed tests):
               // the process dies in the claim→verify microwindow, the
-              // release-rename window, or post-marker pre-release.
+              // release-rename window, or post-marker pre-release —
+              // or (round 19) inside the orphan-reclaim microwindows.
               // Recovery is the documented one — same-process replay
               // (own-fresh re-acquire) or, after "time passes" ages
               // the dead holder's fence/tombstone out, the stale-side
               // break/GC paths — and must converge exactly
               val p = LeaseCrashPoints(nextInt(LeaseCrashPoints.size))
+              val isReclaim = p.startsWith("reclaim_")
+              val dfFam = Models.dfTablePath(dir)
+              if (isReclaim) {
+                // the reclaim_* points fire only while prepare sweeps
+                // an orphan: plant one on the df family whose cutover
+                // the fold takes
+                val head = Models.servingDir(spark, dfFam)
+                  .split('/').last.stripPrefix("gen-").toLong
+                val o = new Path(dfFam, s"gen-${head + 7}")
+                fs.mkdirs(o)
+                fs.create(new Path(o, "part-torn.parquet"), true).close()
+              }
               assert(!foldBatch(dir, batch, None, leaseCrashAt = Some(p)),
                 s"lease crash at $p did not fire")
               val agedNow =
-                if (p == "lease_claimed" && nextInt(2) == 0) false
+                if ((p == "lease_claimed" || isReclaim) && nextInt(2) == 0)
+                  false
                 else { agePassed(dir); true }
-              if (agedNow && nextInt(2) == 0) maintenanceOp(nextInt(5))
+              // reclaim crashes leave half-swept df-family debris whose
+              // resolution is the replay's job — interposing a vacuum
+              // here would race the exact seam under test AND confuse
+              // the vacuum-exactness assert's want set
+              if (!isReclaim && agedNow && nextInt(2) == 0)
+                maintenanceOp(nextInt(5))
               assert(foldBatch(dir, batch, None),
                 s"replay after lease crash at $p (aged=$agedNow) failed")
               applied = applied ++ batch
+              if (isReclaim) {
+                assert(Option(fs.globStatus(new Path(dfFam,
+                  "_tmp_reclaim_gen-*"))).forall(_.isEmpty),
+                  s"[$p] a reclaim tombstone lingered after the replay")
+                assert(Generations.orphans(spark, dfFam).isEmpty,
+                  s"[$p] the planted orphan survived the replay's sweep")
+              }
               // believed-holder invariant after recovery: the replay's
               // commit released its lease, so the df family must carry
               // NO fresh fence (a fresh lease here would mean two

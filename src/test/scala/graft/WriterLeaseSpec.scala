@@ -635,6 +635,105 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(Generations.head(spark, fam).contains((n3, "retry")))
   }
 
+  test("prepare's orphan reclaim re-checks the commit marker around an " +
+      "atomic rename: a marker that lands inside the check→rename OR " +
+      "rename→re-check microwindow (the frozen holder's commit racing " +
+      "the sweep) spares the committed generation — the reclaim " +
+      "restores it instead of finishing the pre-r19 data-loss residual") {
+    Seq("reclaim_checked", "reclaim_renamed").foreach { point =>
+      val fam = tmpFam(s"graft-reclaim-$point")
+      val f = fs(fam)
+      // the frozen holder's staged gen-1; its lease aged out
+      val (n, g) = Generations.prepareAs(spark, fam, "procA")
+      writePayload(g, 1L)
+      f.setTimes(new Path(fam, "_writer_lease"),
+        System.currentTimeMillis() - Generations.leaseTtlMs - 1000L, -1L)
+      // the breaker's prepare sweeps; the holder's commit claims the
+      // marker exactly inside the named reclaim microwindow
+      withLeaseHook(p => if (p == point) {
+        val out = f.create(new Path(fam, s"_commit_$n"), true)
+        out.write("byA".getBytes("UTF-8")); out.close()
+      }) {
+        val (nB, _) = Generations.prepareAs(spark, fam, "procB")
+        assert(nB == n + 1,
+          s"[$point] the breaker's prepare must see the committed head")
+      }
+      assert(f.exists(new Path(g, "part-1.parquet")),
+        s"[$point] the committed generation must survive the sweep — " +
+          "pre-r19 the head named a missing directory here")
+      assert(Generations.head(spark, fam).exists(_._1 == n))
+      assert(Option(f.globStatus(new Path(fam, "_tmp_reclaim_gen-*")))
+        .forall(_.isEmpty),
+        s"[$point] no reclaim tombstone may linger after the restore")
+      Generations.releaseLease(f, fam, "procB")
+    }
+  }
+
+  test("a reclaimer that crashed between its rename and its re-check " +
+      "leaves an index-carrying tombstone: the next prepare RESTORES a " +
+      "committed generation stuck inside and deletes genuine orphan " +
+      "debris — convergence for the triple-race crash window") {
+    val fam = tmpFam("graft-reclaim-recover")
+    val f = fs(fam)
+    val (n, g) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(g, 1L)
+    Generations.commitAs(spark, fam, n, "base", reclaim = true, "procA")
+    // the crashed reclaimer's debris: the COMMITTED gen-1 stuck in an
+    // index-carrying tombstone (its marker landed inside the reclaim
+    // microwindow; the reclaimer died before its re-check)…
+    val tombC = new Path(fam, s"_tmp_reclaim_gen-${n}_deadbeef")
+    assert(f.rename(new Path(g), tombC))
+    // …plus a genuine-orphan tombstone (no marker for its index)
+    val tombO = new Path(fam, "_tmp_reclaim_gen-9_cafe")
+    f.mkdirs(tombO)
+    f.create(new Path(tombO, "part-junk.parquet"), true).close()
+    assert(!f.exists(new Path(g)))
+    val (n2, _) = Generations.prepareAs(spark, fam, "procB")
+    assert(n2 == n + 1)
+    assert(f.exists(new Path(g, "part-1.parquet")),
+      "the committed generation must be restored from its tombstone")
+    assert(Generations.exists(spark, fam),
+      "the restored head must resolve with its _SUCCESS")
+    assert(!f.exists(tombC) && !f.exists(tombO),
+      "both tombstones must be resolved (restored / deleted)")
+    Generations.releaseLease(f, fam, "procB")
+  }
+
+  test("Models.vacuum resolves a crashed reclaimer's tombstones once " +
+      "the family's lease is stale — restoring a committed generation " +
+      "(not counted as swept) and sweeping orphan-debris tombstones — " +
+      "and never touches them under a FRESH lease (a live reclaim's " +
+      "in-flight state)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-reclaim-vacuum").toString
+    val fam = s"${Models.root(dir)}/postings"
+    val f = fs(fam)
+    val (n, g) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(g, 1L)
+    Generations.commitAs(spark, fam, n, "", reclaim = true, "procA")
+    // a live reclaimer holds the lease with tombstones in flight
+    Generations.prepareAs(spark, fam, "procLive")
+    val tombC = new Path(fam, s"_tmp_reclaim_gen-${n}_dead")
+    assert(f.rename(new Path(g), tombC))
+    val tombO = new Path(fam, "_tmp_reclaim_gen-9_junk")
+    f.mkdirs(tombO)
+    assert(Models.vacuum(spark, dir, minAgeMs = 0L)
+      .forall(!_.contains("_tmp_reclaim_")),
+      "vacuum must not touch in-flight reclaim state under a fresh lease")
+    assert(f.exists(tombC) && f.exists(tombO))
+    // the reclaimer crashes; its lease (and tombstones) age out
+    LeaseTestUtil.agePassed(spark, dir)
+    val swept = Models.vacuum(spark, dir, minAgeMs = 0L)
+    assert(f.exists(new Path(g, "part-1.parquet")),
+      "the committed generation must be restored, not swept")
+    assert(Generations.exists(spark, fam))
+    assert(!f.exists(tombC) && !f.exists(tombO))
+    assert(swept.exists(_.contains("_tmp_reclaim_gen-9")),
+      s"the debris tombstone must be reported swept: $swept")
+    assert(!swept.exists(_.contains(s"_tmp_reclaim_gen-${n}_")),
+      s"the restored generation must not be reported swept: $swept")
+  }
+
   test("prepareAll releases already-taken leases when a later family " +
       "fences it out (all-or-nothing acquisition): the loser holds " +
       "NOTHING afterwards, so the winner's next cycle is not fenced " +
