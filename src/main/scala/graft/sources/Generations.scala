@@ -34,11 +34,14 @@ import org.apache.spark.sql.SparkSession
   * then an exclusive hard link (local fs) or no-overwrite rename
   * (HDFS-like) publishes it — a reader never observes a partially
   * written marker, and two racing writers cannot both claim one index.
-  * The writer-lease protocol layered on the same primitive adds one
-  * more filesystem requirement: rename must PRESERVE mtime (POSIX,
-  * HDFS — not object-store copy+delete renames); see
-  * [[takeLeaseFile]] for why a copy-rename store livelocks the
-  * stale-lease break.
+  * The writer-lease protocol layered on the same primitive adapts its
+  * freshness evidence to the filesystem (round 19): where rename
+  * preserves mtime (POSIX, HDFS) the break-tombstone's mtime is the
+  * evidence; on copy-rename stores (object stores — rename resets
+  * mtime) the pre-read lease mtime is carried into the decision
+  * instead, so stale-lease breaks TERMINATE there too rather than
+  * livelocking (see [[takeLeaseFile]]; pre-r19 copy-rename stores
+  * were excluded by documentation).
   *
   * Retention is keep-[[Generations.Keep]] ([[VersionedStore]]'s floor,
   * same reasoning): committing gen n reclaims generations ≤ n-Keep, so
@@ -396,6 +399,27 @@ object Generations {
 
   private def leasePath(path: String): Path = new Path(path, LeaseName)
 
+  /** Schemes whose `rename` preserves the source's mtime — POSIX
+    * rename(2) and HDFS-style metadata-only renames. On these, a
+    * break-tombstone's mtime IS the broken lease's mtime, which is the
+    * strongest freshness evidence (it survives the rename, so a torn
+    * [[readLease]] or a same-token replacement inside the read→rename
+    * window is still judged on the file actually taken). Extend with
+    * `-Dgraft.generations.mtimePreservingSchemes=s1,s2`. Unknown
+    * schemes default to NOT preserving — the conservative direction:
+    * the break then judges freshness on the pre-read mtime, identical
+    * in the no-race case and livelock-free where rename is copy+delete
+    * (see [[takeLeaseFile]]). */
+  private val DefaultMtimePreservingSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "hdfslike")
+
+  private[graft] def renamePreservesMtime(fs: FileSystem): Boolean = {
+    val extra = sys.props.get("graft.generations.mtimePreservingSchemes")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    (DefaultMtimePreservingSchemes ++ extra).contains(fs.getScheme)
+  }
+
   /** The family's current lease, as (token, mtime). */
   private[graft] def readLease(fs: FileSystem,
       path: String): Option[(String, Long)] = {
@@ -432,20 +456,33 @@ object Generations {
     * claimer case. (Pre-r18 the fallback deleted the stolen copy
     * after ~100 ms — the ADVICE-r17 finding.)
     *
-    * FILESYSTEM REQUIREMENT (same family as [[claim]]'s atomic
-    * no-overwrite rename): `rename` must PRESERVE the source's mtime
-    * — true of POSIX rename(2) and HDFS's metadata-only rename, NOT
-    * of object stores where rename is copy+delete (mtime reset to
-    * now). On such a store every stale-lease break would read a
-    * "fresh" tombstone, restore the crashed holder's lease with a
-    * refreshed mtime, and the lease could never be broken — a
-    * permanent livelock for the family. Run the lease protocol only
-    * on rename-atomic, mtime-preserving filesystems (local fs, HDFS,
-    * and HDFS-like stores); object-store deployments need a real
-    * coordination service instead, which is out of scope here.
+    * FILESYSTEM FRESHNESS EVIDENCE (round 19 — ADVICE r17's proposed
+    * fix, built): on mtime-preserving filesystems
+    * ([[renamePreservesMtime]] — POSIX rename(2), HDFS metadata-only
+    * rename) the TOMBSTONE's mtime is the freshness evidence: it
+    * survives the rename, so a torn [[readLease]] or a same-token
+    * replacement inside the read→rename window is judged on the file
+    * actually taken. On copy-rename stores (object stores: rename =
+    * copy+delete, mtime reset to now) the tombstone's mtime is the
+    * BREAK time, not the lease's — judging on it would read every
+    * broken lease as fresh, restore the crashed holder's lease with a
+    * refreshed mtime, and livelock the family forever (the pre-r19
+    * documented exclusion). There the break instead judges freshness
+    * on `preMtime`, the mtime the CALLER read from the lease before
+    * breaking — identical in the no-race case, and breaks terminate.
+    * The residual on copy-rename stores is the read→rename window
+    * where the SAME token re-claims fresh (the own-stale forfeit
+    * path): the pre-read mtime then under-reports and the fresh
+    * re-claim is broken — epsilon-rare, and [[commitAs]]'s
+    * foreign-lease fence plus staging-presence checks keep a
+    * double-believed hold from ever publishing a torn generation
+    * (WriterLeaseSpec's object-store suite pins break/restore/GC).
+    * Atomic no-overwrite rename for [[claim]] remains a separate,
+    * still-required primitive on any store.
     * Returns true iff the expected lease was removed. */
   private[graft] def takeLeaseFile(fs: FileSystem, path: String,
-      expectToken: String, requireStale: Boolean = false): Boolean = {
+      expectToken: String, requireStale: Boolean = false,
+      preMtime: Long = -1L): Boolean = {
     val lease = leasePath(path)
     val tomb = new Path(path, "_tmp_lease_take_" +
       java.util.UUID.randomUUID.toString.replace("-", ""))
@@ -472,13 +509,17 @@ object Generations {
     // the file we read. The same token can name a NEW fresh lease —
     // the own-stale forfeit path re-claims under its old token, and a
     // torn [[readLease]] (status and content straddling a replacement)
-    // can pair a stale mtime with a fresh lease's token. Rename
-    // preserves mtime, so freshness of the TOMBSTONE is freshness of
-    // whatever we actually took; a fresh take restores like any
-    // mismatch. Release skips the staleness check (tokens are
-    // process-unique and a releasing holder's own lease is
+    // can pair a stale mtime with a fresh lease's token. Where rename
+    // preserves mtime, freshness of the TOMBSTONE is freshness of
+    // whatever we actually took; on a copy-rename store the tombstone
+    // mtime is just the break time, so the caller's pre-read mtime is
+    // the evidence instead (scaladoc above). A fresh take restores
+    // like any mismatch. Release skips the staleness check (tokens
+    // are process-unique and a releasing holder's own lease is
     // legitimately fresh).
-    val fresh = System.currentTimeMillis() - mtime < leaseTtlMs
+    val effMtime =
+      if (renamePreservesMtime(fs) || preMtime < 0) mtime else preMtime
+    val fresh = System.currentTimeMillis() - effMtime < leaseTtlMs
     if (tok == expectToken && !(requireStale && fresh)) {
       fs.delete(tomb, false)
       true
@@ -599,8 +640,11 @@ object Generations {
           // like a held lease: the empty lease path belongs to the
           // stolen lease's owner, not to us.
           val broke = !leaseInTransition(fs, path) && (stale match {
-            case Some((tok, _)) =>
-              takeLeaseFile(fs, path, tok, requireStale = true)
+            case Some((tok, m)) =>
+              // the pre-read mtime rides along: on copy-rename stores
+              // it is the freshness evidence (tombstone mtime resets)
+              takeLeaseFile(fs, path, tok, requireStale = true,
+                preMtime = m)
             case None => true
           })
           if (broke) {

@@ -1598,9 +1598,11 @@ object Models {
             // been broken and re-acquired fresh between our read and
             // our sweep; the verified take restores it instead)
             if (!leaseFresh && s.getModificationTime <= cutoff) {
-              lease.foreach { case (tok, _) =>
+              lease.foreach { case (tok, m) =>
                 if (Generations.takeLeaseFile(fs, famPath, tok,
-                    requireStale = true)) reclaimed += s.getPath.toString
+                    requireStale = true, preMtime = m)) {
+                  reclaimed += s.getPath.toString
+                }
               }
             }
           } else if (n.startsWith("_tmp_lease_take_")) {

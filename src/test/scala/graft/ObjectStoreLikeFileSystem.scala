@@ -1,0 +1,57 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileUtil, Path, RawLocalFileSystem}
+
+/** Local-disk FileSystem with OBJECT-STORE rename semantics — rename is
+  * COPY + DELETE, so the destination's mtime is reset to "now" instead
+  * of preserved (what S3-style stores do under a rename API). This is
+  * the test double for the lease protocol's copy-rename support
+  * (round 19): pre-r19 the stale-lease break read every break-tombstone
+  * as fresh on such a store (the rename had just re-stamped it),
+  * restored the crashed holder's lease with a refreshed mtime, and
+  * livelocked the family forever; the fix carries the pre-rename lease
+  * mtime into the freshness decision ([[graft.sources.Generations
+  * .takeLeaseFile]]), which this double lets WriterLeaseSpec prove
+  * green over break, restore, and GC paths.
+  *
+  * Scope: the double isolates exactly the MTIME-RESET property. The
+  * no-overwrite contract the claim primitive needs is still imposed
+  * (under a lock, like [[HdfsLikeFileSystem]]) — atomic no-overwrite
+  * publish is a separate, still-required primitive that real object
+  * stores provide through conditional puts, not rename; modeling its
+  * absence would test a store the protocol does not claim to support.
+  */
+class ObjectStoreLikeFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = ObjectStoreLikeFileSystem.Scheme
+  override def getUri: URI =
+    URI.create(s"${ObjectStoreLikeFileSystem.Scheme}:///")
+
+  override def rename(src: Path, dst: Path): Boolean =
+    ObjectStoreLikeFileSystem.renameLock.synchronized {
+      if (!exists(src)) false
+      else if (exists(dst)) false
+      else {
+        // copy + delete: the destination is a FRESH write — its mtime
+        // (and every copied child's) is the copy time, like an object
+        // store materializing new keys under the destination prefix
+        FileUtil.copy(this, src, this, dst, true, getConf)
+      }
+    }
+}
+
+object ObjectStoreLikeFileSystem {
+  val Scheme = "objstore"
+  private val renameLock = new Object
+
+  /** Register the scheme on a session's Hadoop conf (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.$Scheme.impl", classOf[ObjectStoreLikeFileSystem].getName)
+
+  /** A fresh working directory addressed under the scheme. */
+  def tempDir(prefix: String): String =
+    s"$Scheme://" +
+      java.nio.file.Files.createTempDirectory(prefix).toString
+}

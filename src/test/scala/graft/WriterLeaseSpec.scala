@@ -26,6 +26,7 @@ class WriterLeaseSpec extends AnyFunSuite {
   import TestSpark.spark
 
   HdfsLikeFileSystem.register(spark)
+  ObjectStoreLikeFileSystem.register(spark)
 
   private def fs(p: String) = new Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -828,6 +829,86 @@ class WriterLeaseSpec extends AnyFunSuite {
         throw new IllegalArgumentException("not a fence")
       }
     }
+  }
+
+  // ---- round-19: copy-rename (object-store) filesystem support ------
+  // rename = copy+delete resets mtime; pre-r19 every stale-lease break
+  // read its tombstone as fresh, restored the crashed holder's lease
+  // with a refreshed mtime, and the family livelocked forever (the
+  // documented exclusion at the old Generations.scala:40). The fix
+  // judges freshness on the pre-read lease mtime where rename does not
+  // preserve it.
+
+  test("on a copy-rename filesystem a CRASHED holder's stale lease is " +
+      "broken and the break TERMINATES: the next prepare reclaims the " +
+      "crashed staging and a full stage→commit cycle lands — pre-r19 " +
+      "this livelocked (every break restored the stale lease fresh)") {
+    val fam =
+      ObjectStoreLikeFileSystem.tempDir("graft-objstore-break") + "/art"
+    val f = fs(fam)
+    assert(f.getScheme == ObjectStoreLikeFileSystem.Scheme)
+    assert(!Generations.renamePreservesMtime(f),
+      "the double must fall outside the mtime-preserving allowlist")
+    val (_, dA) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(dA, 1L) // A dies; lease + orphan staging remain
+    f.setTimes(new Path(fam, "_writer_lease"),
+      System.currentTimeMillis() - Generations.leaseTtlMs - 1000L, -1L)
+    val (nB, dB) = Generations.prepareAs(spark, fam, "procB")
+    assert(nB == 1L)
+    assert(!f.exists(new Path(dA)),
+      "the crashed holder's orphan staging must be reclaimed")
+    writePayload(dB, 2L)
+    Generations.commitAs(spark, fam, nB, "byB", reclaim = true, "procB")
+    assert(Generations.head(spark, fam).contains((1L, "byB")))
+  }
+
+  test("the mismatch-restore path holds on a copy-rename filesystem: " +
+      "a breaker acting on a stale read that was replaced by another " +
+      "process's FRESH lease restores it (no lingering tombstone) and " +
+      "reports failure; acquire then fences on the restored owner") {
+    val fam =
+      ObjectStoreLikeFileSystem.tempDir("graft-objstore-restore") + "/art"
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val lease = new Path(fam, "_writer_lease")
+    val out = f.create(lease, true)
+    out.write("procW".getBytes("UTF-8")); out.close()
+    // the breaker still believes its stale read of crashed procA
+    val staleRead =
+      System.currentTimeMillis() - Generations.leaseTtlMs - 5000L
+    assert(!Generations.takeLeaseFile(f, fam, "procA",
+      requireStale = true, preMtime = staleRead),
+      "a replaced lease must not be broken")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procW"),
+      "the fresh replacement must be restored intact")
+    assert(Option(f.globStatus(new Path(fam, "_tmp_lease_take_*")))
+      .forall(_.isEmpty), "no tombstone may linger after the restore")
+    intercept[ConcurrentWriterException] {
+      Generations.prepareAs(spark, fam, "procC")
+    }
+  }
+
+  test("leaseInTransition GC on a copy-rename filesystem: a FRESH " +
+      "tombstone (break/restore in flight) gates acquirers — bounded " +
+      "by one TTL from the break, never a livelock — and a crashed " +
+      "restorer's stale tombstone is GC'd so acquire proceeds") {
+    val fam =
+      ObjectStoreLikeFileSystem.tempDir("graft-objstore-gc") + "/art"
+    val f = fs(fam)
+    f.mkdirs(new Path(fam))
+    val tomb = new Path(fam, "_tmp_lease_take_ghost")
+    val o = f.create(tomb, true)
+    o.write("ghost".getBytes("UTF-8")); o.close()
+    intercept[ConcurrentWriterException] {
+      Generations.acquireLease(f, fam, "procS")
+    }
+    assert(f.exists(tomb),
+      "a fresh in-flight tombstone must gate, not be disturbed")
+    f.setTimes(tomb, System.currentTimeMillis() -
+      Generations.leaseTtlMs - 1000L, -1L)
+    Generations.acquireLease(f, fam, "procS")
+    assert(!f.exists(tomb), "the stale tombstone must be GC'd")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procS"))
   }
 
   test("N writers racing to break one stale lease: exactly one " +
