@@ -282,10 +282,14 @@ object ScaleAudit {
       n.metrics.get("numOutputRows").map(_.value)
         .orElse(n.metrics.get("shuffleRecordsWritten").map(_.value))
         .getOrElse(n.children.headOption.map(rowsOf).getOrElse(-1L))
+    // a window is "global" when its partitionSpec is EMPTY or
+    // ALL-FOLDABLE (Rank.boundedGlobal's declared-bounded constant key,
+    // round 19 — the silencing must not blind this audit)
     def globalWindowRows(qe: QueryExecution): Seq[Long] =
       allNodes(qe.executedPlan).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => rowsOf(w.child)
+            if w.partitionSpec.isEmpty ||
+              w.partitionSpec.forall(_.foldable) => rowsOf(w.child)
       }
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]
     val qel = new org.apache.spark.sql.util.QueryExecutionListener {

@@ -46,6 +46,40 @@ object Rank {
     * most this many rows of a tie set (for locally dense ids). */
   val DefaultGrpWidth = 4096L
 
+  /** A window that is GLOBAL by semantics but carries a CONSTANT
+    * partition key (round 19): execution is identical to an empty
+    * partitionSpec — every row hashes to the one partition — but the
+    * plan DECLARES the single partition as intentional, so Spark's
+    * "No Partition Defined for Window operation" WARN stays reserved
+    * for accidental global windows. The six registry sites using this
+    * are all histogram/bucket-count-sized by construction (max 1,002
+    * input rows over all 197 queries, SCALE_METRICS
+    * `global_windows_sf01`); the WARN noise they emitted on every
+    * bench run would have masked a REAL corpus-sized window
+    * regression. ScaleAudit still audits these windows against the
+    * same input-row bounds — it matches all-foldable partition specs
+    * alongside empty ones (WindowBoundSpec pins both halves).
+    *
+    * The optimizer's `EliminateWindowPartitions` rule would strip the
+    * foldable key right back to an empty spec (same WARN, audit-blind)
+    * — it is excluded on the session here, idempotently. Excluding it
+    * costs nothing our plans rely on: the rule exists to TURN
+    * lit-partitioned windows into global ones, which is exactly the
+    * rewrite these declared-bounded sites must not undergo; on a
+    * session without the exclusion the queries stay correct, just
+    * noisy. */
+  def boundedGlobal(s: org.apache.spark.sql.SparkSession,
+      orderCols: Column*): org.apache.spark.sql.expressions.WindowSpec = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val rule =
+      "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
+    val cur = s.conf.getOption(key).getOrElse("")
+    if (!cur.split(",").map(_.trim).contains(rule)) {
+      s.conf.set(key, if (cur.isEmpty) rule else s"$cur,$rule")
+    }
+    Window.partitionBy(lit(0)).orderBy(orderCols: _*)
+  }
+
   /** `df` + `outCol` = the exact 1-based global `row_number() OVER
     * (ORDER BY vCol, idCol)`, computed with the three-level bounded
     * decomposition above. `vCol` must be a discrete-domain value
@@ -68,8 +102,9 @@ object Rank {
       .localCheckpoint(true) // histogram-sized; feeds bases AND totals
     val baseV = hist
       .withColumn("_rk_basev",
-        coalesce(sum("_rk_c").over(Window.orderBy("_rk_v")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        coalesce(sum("_rk_c").over(
+          boundedGlobal(df.sparkSession, col("_rk_v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_rk_v").as(vCol), col("_rk_basev"))
     // level 2: per-(v, g) counts, exclusive prefix within each tie set
     // (window partitions = one tie set's BUCKET COUNTS)

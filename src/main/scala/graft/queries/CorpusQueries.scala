@@ -81,7 +81,9 @@ object CorpusQueries {
         md5(concat_ws(":", lit(epoch), col("doc_id"))).as("k"))
       .withColumn("_bkt", substring(col("k"), 1, 2))
     val wLocal = Window.partitionBy("_bkt").orderBy("k", "doc_id")
-    val wBase = Window.orderBy("_bkt")
+    // 256-row bucket-count window: declared-bounded constant partition
+    val wBase = graft.operators.Rank
+      .boundedGlobal(docs.sparkSession, col("_bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bases = keyed.groupBy("_bkt").agg(count(lit(1)).as("_c"))
       .withColumn("_base", coalesce(sum(col("_c")).over(wBase), lit(0L)))
@@ -705,7 +707,9 @@ object CorpusQueries {
           .withColumn("_bkt", substring(col("k"), 1, 2))
         val wLocal = Window.partitionBy("tier", "_bkt")
           .orderBy("k", "doc_id")
-        val wBase = Window.orderBy("tier", "_bkt")
+        // (tier, bucket)-count window (≤ 8·256 rows): declared-bounded
+        val wBase = graft.operators.Rank
+          .boundedGlobal(s, col("tier"), col("_bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val bases = keyed.groupBy("tier", "_bkt")
           .agg(count(lit(1)).as("_c"))

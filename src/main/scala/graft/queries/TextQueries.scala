@@ -144,6 +144,60 @@ object TextQueries {
     p.toString
   }
 
+  /** The scripted maintenance DAY the two ledger queries share
+    * (round 19, r18 verdict item 3 — pre-r19 `maint_history` and
+    * `maint_rollup` each re-ran the same script, the two slowest
+    * registry entries): base artifacts from the memoized "retr_cc"
+    * scene, two narrow (~4%) daily folds, a compaction, a vacuum —
+    * all with event recording ON — run ONCE per (JVM, corpus) into a
+    * run-private dir whose ledger both queries then read. The script
+    * is deterministic, so sharing is bit-identical to re-running (the
+    * Scenes memoization argument, one level up); the mutation under
+    * test — each applied operation logged exactly once, in order,
+    * with the right counts — is the LEDGER, which every read replays
+    * against the same oracle. The artifacts stay alive for the JVM
+    * (bench passes re-read them) and are reclaimed at JVM exit: the
+    * temp dir by [[foldTempDir]]'s hook, the model root (which lives
+    * under the models base, keyed by this dir) by the hook added
+    * here. */
+  private val maintDayDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def maintDay(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    maintDayDirs.computeIfAbsent(d, _ => {
+      val tmp = foldTempDir("graft_maint_day")
+      val docs = Tables.documents(s, d)
+      val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+      graft.sources.MaintenanceLog.enable(graft.sources.Models.root(tmp))
+      graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp,
+        params = "slice<cc") { c =>
+        graft.sources.Models.buildRetrievalArtifacts(s, c,
+          docs = Some(docs.filter(h < "cc")))
+      }
+      graft.sources.Models.postingsAppend(s, tmp,
+        docs.filter(h >= "cc" && h < "d6").select("doc_id", "text"),
+        "doc_id", "text", dedupeIds = true)
+      graft.sources.Models.postingsAppend(s, tmp,
+        docs.filter(h >= "d6" && h < "e0").select("doc_id", "text"),
+        "doc_id", "text", dedupeIds = true)
+      graft.sources.Models.compactRetrievalIndexes(s, tmp)
+      graft.sources.Models.vacuum(s, tmp, minAgeMs = 0L)
+      val mroot = graft.sources.Models.root(tmp)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val p = java.nio.file.Paths.get(mroot)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator
+              .reverseOrder[java.nio.file.Path]())
+            .forEach(f => {
+              val _ = java.nio.file.Files.deleteIfExists(f)
+            })
+        }
+      }))
+      tmp
+    })
+
   /** Shared DuckDB replay of [[bm25With]] over `tfSrc`/`df`/`q` CTEs —
     * the same spelling serves the retrain, indexed, and postings
     * entries (they differ only in WHERE the statistics come from). */
@@ -550,10 +604,11 @@ object TextQueries {
     // thing in both engines.
     "tx_subword_vocab" -> QueryDef(
       (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("gram"))
         // single-partition window over the K-row TakeOrdered result —
-        // bounded by SubwordVocabK, never corpus-sized
+        // bounded by SubwordVocabK, never corpus-sized; declared so
+        // via the constant partition key (Rank.boundedGlobal)
+        val w = graft.operators.Rank
+          .boundedGlobal(s, col("cnt").desc, col("gram"))
         TextOps.subwordVocab(Tables.documents(s, d))
           .withColumn("rank", row_number().over(w).cast("int"))
           .select("rank", "gram", "cnt")
@@ -1105,38 +1160,17 @@ object TextQueries {
     // from the script's fixed shape — hash match proves each applied
     // operation logged exactly once, in order, with the right counts
     // (wall-clock and file counts stay in the table, excluded here as
-    // non-deterministic).
+    // non-deterministic). The scripted day is SHARED with maint_rollup
+    // through [[maintDay]] (round 19): the pair reads one ledger
+    // instead of each paying the same script.
     "maint_history" -> QueryDef(
       (s, d) => {
-        val tmp = foldTempDir("graft_maint_history")
-        val docs = Tables.documents(s, d)
-        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        graft.sources.MaintenanceLog.enable(graft.sources.Models.root(tmp))
-        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp,
-          params = "slice<cc") { c =>
-          graft.sources.Models.buildRetrievalArtifacts(s, c,
-            docs = Some(docs.filter(h < "cc")))
-        }
-        // narrow fold slices (~4% each): the gate's content is the
-        // LEDGER shape — each applied operation logged once, in
-        // order, with the right counts — not corpus coverage, so the
-        // folds stay day-sized rather than re-ingesting an eighth of
-        // the corpus each
-        graft.sources.Models.postingsAppend(s, tmp,
-          docs.filter(h >= "cc" && h < "d6").select("doc_id", "text"),
-          "doc_id", "text", dedupeIds = true)
-        graft.sources.Models.postingsAppend(s, tmp,
-          docs.filter(h >= "d6" && h < "e0").select("doc_id", "text"),
-          "doc_id", "text", dedupeIds = true)
-        graft.sources.Models.compactRetrievalIndexes(s, tmp)
-        graft.sources.Models.vacuum(s, tmp, minAgeMs = 0L)
-        val out = graft.sources.MaintenanceLog.events(s,
+        val tmp = maintDay(s, d)
+        graft.sources.MaintenanceLog.events(s,
           graft.sources.Models.root(tmp))
           .select(col("seq"), col("kind"), col("family"), col("n_rows"))
           .orderBy("seq")
           .localCheckpoint(true)
-        graft.sources.Models.dropRetrievalArtifacts(s, tmp)
-        out
       },
       Some(
         """WITH h AS (
@@ -1176,23 +1210,7 @@ object TextQueries {
     // aggregation no matter the corpus size.
     "maint_rollup" -> QueryDef(
       (s, d) => {
-        val tmp = foldTempDir("graft_maint_rollup")
-        val docs = Tables.documents(s, d)
-        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
-        graft.sources.MaintenanceLog.enable(graft.sources.Models.root(tmp))
-        graft.sources.Scenes.cloneScene(s, d, "retr_cc", tmp,
-          params = "slice<cc") { c =>
-          graft.sources.Models.buildRetrievalArtifacts(s, c,
-            docs = Some(docs.filter(h < "cc")))
-        }
-        graft.sources.Models.postingsAppend(s, tmp,
-          docs.filter(h >= "cc" && h < "d6").select("doc_id", "text"),
-          "doc_id", "text", dedupeIds = true)
-        graft.sources.Models.postingsAppend(s, tmp,
-          docs.filter(h >= "d6" && h < "e0").select("doc_id", "text"),
-          "doc_id", "text", dedupeIds = true)
-        graft.sources.Models.compactRetrievalIndexes(s, tmp)
-        graft.sources.Models.vacuum(s, tmp, minAgeMs = 0L)
+        val tmp = maintDay(s, d)
         val ev = graft.sources.MaintenanceLog.events(s,
           graft.sources.Models.root(tmp)).localCheckpoint(true)
         // effectiveness receipt: bounded (2-row) collect over the
@@ -1204,15 +1222,13 @@ object TextQueries {
           r.getLong(1) > r.getLong(2)),
           "compaction receipts missing or ineffective: " +
             comp.mkString(","))
-        val out = ev.groupBy(col("kind"), col("family"))
+        ev.groupBy(col("kind"), col("family"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("n_rows")).as("total_rows"),
             min(col("seq")).as("first_seq"),
             max(col("seq")).as("last_seq"))
           .orderBy("first_seq")
           .localCheckpoint(true)
-        graft.sources.Models.dropRetrievalArtifacts(s, tmp)
-        out
       },
       Some(
         """WITH h AS (

@@ -34,14 +34,20 @@ import org.apache.spark.sql.types._
   * matters); `duration_ms` is wall-clock (excluded from deterministic
   * oracles); `files_before`/`files_after` carry compaction receipts
   * (-1 when not applicable); `detail` is free-form (drift shares,
-  * rebuilt generation triples). `seq` is read BEFORE the append, so
-  * two PROCESSES emitting concurrently can tie on it (the store's
-  * serializable append walks each commit forward, but the already-
-  * written row keeps the pre-read value) — within one process the
-  * `synchronized` emit keeps seq strictly increasing, and maintenance
-  * writers are lease-serialized per family anyway, so ties require
-  * concurrent maintenance of DIFFERENT families of one corpus from
-  * different processes; an observability table tolerates that.
+  * rebuilt generation triples). `seq` is LEASE-GUARDED across
+  * processes (round 19, replacing the documented cross-process
+  * tie precondition with a mechanism): the seq read and the append
+  * happen under the events family's writer lease — the same
+  * [[Generations]] fence the artifact families use — so two processes
+  * doing maintenance on different families of one corpus can no
+  * longer tie on seq; within one process the `synchronized` emit
+  * serializes same-token threads the lease's own-fresh re-acquire
+  * would wave through. A fence that outlasts the bounded retry budget
+  * (a crashed emitter's lease, fresh for up to its TTL) drops the
+  * event with a stderr note rather than failing the maintenance
+  * operation that emitted it — observability must never take down the
+  * pipeline it observes, and the documented loss mode was already
+  * under-report, never double-count.
   */
 object MaintenanceLog {
 
@@ -161,15 +167,46 @@ object MaintenanceLog {
       filesAfter: Long = -1L, durationMs: Long = -1L,
       detail: String = ""): Unit =
     if (enabled(root)) synchronized {
-      val st = store(root)
-      val seq = st.currentVersion(spark, Table).getOrElse(0L) + 1L
-      val row = spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(
-          seq, kind, family, nRows, filesBefore, filesAfter,
-          durationMs, detail)),
-        Schema).coalesce(1)
-      st.write(row, Table, SaveMode.Append)
+      emitAs(spark, root, kind, family, nRows, filesBefore, filesAfter,
+        durationMs, detail, Generations.processToken)
     }
+
+  /** [[emit]] with an explicit writer token — the seam the two-process
+    * seq test drives (each simulated process gets its own token in one
+    * JVM). The seq read and the append run under the events family's
+    * writer lease; a persistent fence (another emitter's fresh lease
+    * outlasting the retry budget) drops the event with a stderr note
+    * instead of failing the caller's maintenance operation. */
+  private[graft] def emitAs(spark: SparkSession, root: String,
+      kind: String, family: String, nRows: Long, filesBefore: Long = -1L,
+      filesAfter: Long = -1L, durationMs: Long = -1L,
+      detail: String = "", token: String): Unit = {
+    val famDir = s"$root/$Family"
+    val fs = new org.apache.hadoop.fs.Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Generations.retryingConcurrent(maxAttempts = 12,
+        baseBackoffMs = 25L, maxBackoffMs = 1000L) {
+        Generations.acquireLease(fs, famDir, token)
+        try {
+          val st = store(root)
+          val seq = st.currentVersion(spark, Table).getOrElse(0L) + 1L
+          val row = spark.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(
+              seq, kind, family, nRows, filesBefore, filesAfter,
+              durationMs, detail)),
+            Schema).coalesce(1)
+          st.write(row, Table, SaveMode.Append)
+        } finally Generations.releaseLease(fs, famDir, token)
+      }
+    } catch {
+      case _: ConcurrentWriterException =>
+        System.err.println(s"[graft] maintenance-event emit on $root " +
+          s"($kind/$family) dropped: the ledger's writer lease stayed " +
+          "fenced past the retry budget — the ledger under-reports " +
+          "this one event; the maintenance operation itself completed")
+    }
+  }
 
   /** All recorded events for a corpus root (typed-empty when none). */
   def events(spark: SparkSession, root: String): DataFrame =

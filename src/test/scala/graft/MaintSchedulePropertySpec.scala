@@ -553,6 +553,45 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       "a durably disabled root kept logging after restart")
   }
 
+  test("the maintenance ledger's seq is LEASE-GUARDED across " +
+      "processes: two writer tokens emitting concurrently (maintenance " +
+      "of different families, different processes, one corpus) never " +
+      "tie on seq and leave a dense 1..N sequence — pre-r19 the " +
+      "cross-process tie was a documented precondition, not a " +
+      "mechanism") {
+    import graft.sources.MaintenanceLog
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maintlog-seq").toString
+    val root = Models.root(dir)
+    MaintenanceLog.enable(spark, root)
+    val perProc = 5
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = Seq("procA", "procB").map { tok =>
+      new Thread(() =>
+        try (1 to perProc).foreach { i =>
+          MaintenanceLog.emitAs(spark, root, "fold", s"fam-$tok",
+            nRows = i.toLong, token = tok)
+        } catch { case e: Throwable => failures.add(e); () })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(failures.isEmpty, s"emitters failed: ${failures.peek()}")
+    val seqs = MaintenanceLog.events(spark, root)
+      .select("seq").collect().map(_.getLong(0)).toSeq
+    assert(seqs.size == 2 * perProc,
+      s"an event was dropped under contention: ${seqs.sorted}")
+    assert(seqs.distinct.size == seqs.size,
+      s"cross-process seq TIE: ${seqs.sorted}")
+    assert(seqs.sorted == (1L to 2L * perProc).toSeq,
+      s"seq not dense 1..${2 * perProc}: ${seqs.sorted}")
+    // the lease is transient: released after every emit
+    val fs = new Path(s"$root/${MaintenanceLog.Family}").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(Generations.readLease(fs,
+      s"$root/${MaintenanceLog.Family}").isEmpty,
+      "the ledger's writer lease must be released after the last emit")
+    MaintenanceLog.disable(spark, root)
+  }
+
   // ---- the property: N random maintenance schedules -----------------------
 
   /** Trial count / base seed. Round-18 default FLIP (r17 verdict item

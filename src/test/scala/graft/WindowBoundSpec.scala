@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Rank
+
+/** [[Rank.boundedGlobal]]'s contract (round 19): a constant-partition
+  * window must (a) reproduce the empty-partitionSpec global window
+  * EXACTLY, (b) reach the physical plan as a WindowExec whose
+  * partitionSpec is non-empty and all-foldable — the shape that
+  * silences Spark's "No Partition Defined" WARN while staying visible
+  * to ScaleAudit's all-foldable match — and (c) still execute in one
+  * partition (the semantics the sites rely on). If a future Spark
+  * optimizer rule starts stripping foldable partition keys, (b) fails
+  * loud here rather than the WARN silently returning. */
+class WindowBoundSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: QueryStageExec => p +: allNodes(q.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("boundedGlobal == the empty-spec global window, and its " +
+      "WindowExec carries a non-empty all-foldable partitionSpec") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "v").repartition(8)
+    val globalW = Window.orderBy(col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundedW = Rank.boundedGlobal(spark, col("v"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = df.withColumn("s", coalesce(sum("id").over(globalW), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("v"), col("id"))))
+    val b = df.withColumn("s", coalesce(sum("id").over(boundedW), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Rank.boundedGlobal(spark, col("v"), col("id"))))
+    val got = b.collect().map(_.toString).sorted.toSeq
+    val want = g.collect().map(_.toString).sorted.toSeq
+    assert(got == want, "constant-partition window diverged from the " +
+      "global window it replaces")
+    val ws = allNodes(b.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "no WindowExec in the bounded plan")
+    ws.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        "the constant partition key was optimized away — the WARN is " +
+          "back and ScaleAudit's all-foldable match is blind to it")
+      assert(w.partitionSpec.forall(_.foldable),
+        s"non-foldable partitionSpec: ${w.partitionSpec}")
+    }
+  }
+}
