@@ -33,6 +33,13 @@ object AnchorBench {
         sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         a.stripPrefix("tpch=").toInt, dir)
     }
+    // objects=<copies>: synthesize the listing-honest documents shards
+    // (SfSynth.ensureObjects) so d1-class anchors get an sf1 column too
+    trailing.find(_.startsWith("objects=")).foreach { a =>
+      SfSynth.ensureObjects(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        a.stripPrefix("objects=").toInt, dir)
+    }
     val mins = (1 to passes).map { _ =>
       names.map { n =>
         val t0 = System.nanoTime()

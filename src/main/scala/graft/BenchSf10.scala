@@ -182,6 +182,53 @@ object BenchSf10 {
         }
       }.min
     }
+    // Maintenance-lifecycle receipt (round 19, r18 verdict item 5):
+    // one fold→compact→vacuum pass per scale, the maint_vacuum_cutover
+    // shape with base artifacts PRE-BUILT untimed (production's
+    // one-off train) over each scale's ~80% md5 slice. The fold
+    // ingests a FIXED 2,000-doc batch — the steady-state claim is
+    // "a day-sized batch costs the same against a 10× index", the
+    // same fixed-work framing as dd_incremental_fixed_probe — then
+    // compaction rewrites the bucketed postings (file COUNT is
+    // bounded by IndexBuckets + fold fragments at both scales; bytes
+    // grow with the index and are the expected residual term) and
+    // vacuum sweeps one planted orphan (metadata-only walk). Two
+    // passes with DIFFERENT batches (a replayed batch would no-op
+    // through dedupeIds — a non-measurement), min of the two.
+    def maintLifecycle(src: String): Double = {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sf10-maint").toString
+      try {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        docs.filter(h < "cc").write.mode("overwrite")
+          .parquet(s"$tmp/documents.parquet")
+        graft.sources.Models.buildRetrievalArtifacts(spark, tmp)
+        val postPath = graft.sources.Models.postingsPath(tmp)
+        val fs = new org.apache.hadoop.fs.Path(postPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val t = Seq(0, 2000).map { off =>
+          val batch = docs.filter(h >= "cc").orderBy("doc_id")
+            .offset(off).limit(2000)
+            .select("doc_id", "text").localCheckpoint(true)
+          timed {
+            graft.sources.Models.postingsAppend(spark, tmp, batch,
+              "doc_id", "text", dedupeIds = true)
+            graft.sources.Models.compactRetrievalIndexes(spark, tmp)
+            val orphan = new org.apache.hadoop.fs.Path(postPath,
+              s"gen-${900 + off}")
+            fs.mkdirs(orphan)
+            graft.sources.Models.vacuum(spark, tmp, minAgeMs = 0L)
+            ()
+          }
+        }.min
+        graft.sources.Models.dropRetrievalArtifacts(spark, tmp)
+        t
+      } finally SfSynth.rmTree(tmp)
+    }
+    val ml1 = maintLifecycle(dir1)
+    val ml10 = maintLifecycle(dir10)
+
     val fp1 = fixedProbe(dir1)
     val fp10 = fixedProbe(dir10)
     val sn1 = scaledNList(dir1, 16)
@@ -205,7 +252,8 @@ object BenchSf10 {
     } :+ ("sim_ivfpq_append_steady", ann10, ann1, ann10 / ann1, false) :+
       ("dd_incremental_fixed_probe", fp10, fp1, fp10 / fp1, false) :+
       ("sim_ivfpq_scaled_nlist", sn10, sn1, sn10 / sn1, false) :+
-      ("tx_bm25_local_terms", bl10, bl1, bl10 / bl1, false)
+      ("tx_bm25_local_terms", bl10, bl1, bl10 / bl1, false) :+
+      ("maint_lifecycle", ml10, ml1, ml10 / ml1, false)
 
     def jstr(s: String) = "\"" + s + "\""
     val qjson = rows.map { case (n, a10, a1, r, failed) =>

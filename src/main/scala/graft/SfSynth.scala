@@ -136,4 +136,42 @@ object SfSynth {
     marker.createNewFile()
     ()
   }
+
+  /** Documents shard recipe for the LISTING anchor (round 19, r18
+    * verdict item 4 — `d1_list_prefixes` finally gets an sf1 column).
+    * The objects view derives bucket = source and key =
+    * `lang/d{doc_id%7}/doc_{lpad(doc_id,6)}.txt` from documents, so a
+    * listing-honest scale-up must keep (a) sources UNCHANGED — the
+    * listed bucket then holds copies× the objects, which is the work
+    * a listing aggregate actually scales with; (b) langs unchanged —
+    * the query's 'en/' prefix keeps matching; (c) doc_ids unique and
+    * ≤ 999999 — lpad-6 TRUNCATES longer ids into cross-copy key
+    * collisions (the reason [[ensure]]'s +k·10⁷ recipe cannot serve
+    * this anchor). Interleaved ids (orig·copies + k) satisfy all
+    * three; text rides along unchanged (only its md5 lands in the
+    * checksum column). Writes into its OWN dir so the v4 corpus
+    * tables are never shadowed. */
+  def ensureObjects(spark: SparkSession, base: String, copies: Int,
+      dir: String): Unit = {
+    val marker = new java.io.File(s"$dir/_built_objects_v1_$copies")
+    if (marker.exists()) return
+    Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("_built_objects_v1_")) { f.delete(); () }
+    })
+    rmTree(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId * copies + (copies - 1) <= 999999L,
+      s"interleaved doc_ids overflow the key's lpad-6 digits: " +
+        s"maxId=$maxId copies=$copies")
+    (0 until copies).map { k =>
+      docs.select(
+        (col("doc_id") * lit(copies.toLong) + lit(k.toLong)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
+    ()
+  }
 }
