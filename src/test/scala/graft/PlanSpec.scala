@@ -197,18 +197,25 @@ class PlanSpec extends AnyFunSuite {
     // ev_sessionize: ONE user_id hash shuffle end-to-end (window +
     // lag + groupBy all reuse it); the only other exchange is the
     // deterministic-output orderBy. The two-phase rank queries
-    // (epoch/curriculum order) plan exactly two hash exchanges —
-    // bucket-window + bucket-count aggregate — and never a global
-    // (empty-key) window over the corpus.
+    // (epoch/curriculum order) plan exactly two DATA-keyed hash
+    // exchanges — bucket-window + bucket-count aggregate — and never a
+    // global (empty-key) window over the corpus; the bucket-count
+    // rebase window's constant partition key (Rank.boundedGlobal,
+    // round 19 — prints as hashpartitioning(0, …), the declared-
+    // bounded replacement for the old SinglePartition exchange) is
+    // counted separately and must appear exactly once.
     // formatted mode lists each Exchange once, its partitioning on the
     // Arguments line — count the partitioning spec, not the node name
-    def hashEx(p: String): Int = "hashpartitioning\\(".r
+    def hashEx(p: String): Int = "hashpartitioning\\((?!0,)".r
+      .findAllMatchIn(p).size
+    def constEx(p: String): Int = "hashpartitioning\\(0,".r
       .findAllMatchIn(p).size
     val ps = plan(queries.EventQueries.defs("ev_sessionize").fn(spark, sf))
     assert(hashEx(ps) == 1, ps)
     for (n <- Seq("ds_epoch_order", "ds_curriculum_order")) {
       val p = plan(queries.CorpusQueries.defs(n).fn(spark, sf))
       assert(hashEx(p) == 2, s"$n:\n$p")
+      assert(constEx(p) == 1, s"$n (constant-key rebase window):\n$p")
     }
     val pm = plan(queries.MultimodalQueries.defs("mm_scene_cuts").fn(spark, sf))
     assert(hashEx(pm) == 1, pm)

@@ -79,12 +79,19 @@ class RankSpec extends AnyFunSuite {
       n.metrics.get("numOutputRows").map(_.value)
         .orElse(n.metrics.get("shuffleRecordsWritten").map(_.value))
         .getOrElse(n.children.headOption.map(rowsOf).getOrElse(-1L))
-    val globals = allNodes(out.queryExecution.executedPlan).collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => rowsOf(w.child)
+    // round 19: the histogram window carries Rank.boundedGlobal's
+    // constant partition key (all-foldable, non-empty) — match it the
+    // way ScaleAudit does, and pin that NO bare-empty-spec window
+    // remains (the WARN-silencing contract)
+    val ws = allNodes(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    // the only unpartitioned windows are histogram-sized (9 distinct
-    // values here) — never the 200-row corpus
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "a bare unpartitioned window re-appeared in ntileExact's plan")
+    val globals = ws.filter(_.partitionSpec.forall(_.foldable))
+      .map(w => rowsOf(w.child))
+    // the only global-semantics windows are histogram-sized (9
+    // distinct values here) — never the 200-row corpus
     assert(globals.nonEmpty)
     globals.foreach(r => assert(r <= 9L, s"global window saw $r rows"))
   }
