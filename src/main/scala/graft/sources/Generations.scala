@@ -309,7 +309,10 @@ object Generations {
       val n = s.toLong
       val g = new Path(genDir(path, n))
       if (fs.exists(markerPath(path, n)) && !fs.exists(g)) {
-        fs.rename(tomb, g)
+        // losing this rename to a concurrent resolver (two cross-
+        // process vacuums over the same stale-leased family) still
+        // counts as restored — the generation is back either way
+        fs.rename(tomb, g) || fs.exists(g)
       } else {
         fs.delete(tomb, true)
         false

@@ -1589,7 +1589,14 @@ object Models {
           val isGen = n.matches("gen-\\d+")
           val isMarker = n.matches("_commit_\\d+")
           if (orphan.contains(s.getPath)) {
-            if (s.getModificationTime <= cutoff) rm(s.getPath, true)
+            if (s.getModificationTime <= cutoff) {
+              // same marker-rechecked rename-based reclaim as prepare's
+              // (round 19): a frozen holder's commit racing THIS sweep
+              // converges instead of losing its generation — restores
+              // are not reported as swept
+              Generations.reclaimOrphanDir(fs, famPath, s.getPath)
+              if (!fs.exists(s.getPath)) reclaimed += s.getPath.toString
+            }
           } else if (n == Generations.LeaseName) {
             // the lease is a fence, not debris: only a crashed
             // holder's (past ITS ttl, not just the caller's minAge)

@@ -360,9 +360,15 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
               // state machine (round 18 — only folds/valves that take a
               // generation cutover reach a lease point; append-only
               // folds complete, which is equally legal), then the dead
-              // process's fence ages out and the Spark retry replays
+              // process's fence ages out and the Spark retry replays.
+              // Round 19 adds the orphan-reclaim microwindows: they
+              // fire only when a PRIOR crashed fold left orphan
+              // staging for this fold's prepare to sweep — the random
+              // composition supplies that, and a non-firing point is a
+              // completed fold, equally legal
               val p = Vector("lease_claimed", "lease_took",
-                "commit_claimed")(nextInt(3))
+                "commit_claimed", "reclaim_checked",
+                "reclaim_renamed")(nextInt(5))
               invoke(bid, None, leaseCrashAt = Some(p))
               agePassed()
               assert(invoke(bid, None),

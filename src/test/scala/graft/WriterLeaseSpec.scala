@@ -735,6 +735,34 @@ class WriterLeaseSpec extends AnyFunSuite {
       s"the restored generation must not be reported swept: $swept")
   }
 
+  test("Models.vacuum's orphan sweep rides the marker-rechecked " +
+      "reclaim too: a commit marker landing inside the sweep " +
+      "microwindow spares the generation (restored, never reported " +
+      "swept) — the vacuum-side twin of prepare's guard") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vacuum-race").toString
+    val fam = s"${Models.root(dir)}/postings"
+    val f = fs(fam)
+    val (n, g) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(g, 1L)
+    // the holder froze; its lease ages out, so vacuum reads the
+    // staging as debris — and the frozen commit's marker claim lands
+    // exactly inside the sweep's rename→re-check microwindow
+    f.setTimes(new Path(fam, "_writer_lease"),
+      System.currentTimeMillis() - Generations.leaseTtlMs - 1000L, -1L)
+    withLeaseHook(p => if (p == "reclaim_renamed") {
+      val out = f.create(new Path(fam, s"_commit_$n"), true)
+      out.write("byA".getBytes("UTF-8")); out.close()
+    }) {
+      val swept = Models.vacuum(spark, dir, minAgeMs = 0L)
+      assert(!swept.exists(_.contains(s"gen-$n")),
+        s"the committed generation must not be reported swept: $swept")
+    }
+    assert(f.exists(new Path(g, "part-1.parquet")),
+      "pre-fix the vacuum sweep finished the data loss here")
+    assert(Generations.head(spark, fam).exists(_._1 == n))
+  }
+
   test("prepareAll releases already-taken leases when a later family " +
       "fences it out (all-or-nothing acquisition): the loser holds " +
       "NOTHING afterwards, so the winner's next cycle is not fenced " +
