@@ -916,6 +916,45 @@ class WriterLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("the copy-rename epsilon residual fails CLOSED: a breaker " +
+      "acting on a stale read breaks a same-token lease that was " +
+      "re-claimed FRESH inside the read→rename window (the pre-read " +
+      "mtime under-reports — the one case tombstone freshness caught " +
+      "on POSIX), two writers then believe they hold, and the commit " +
+      "fence guarantees exactly ONE publishes — the documented " +
+      "backstop, pinned") {
+    val fam =
+      ObjectStoreLikeFileSystem.tempDir("graft-objstore-epsilon") + "/art"
+    val f = fs(fam)
+    // procP's lease went stale; procP re-contends and wins it back
+    // FRESH under its old token (the own-stale forfeit path)
+    val (nP, gP) = Generations.prepareAs(spark, fam, "procP")
+    writePayload(gP, 1L)
+    val staleRead =
+      System.currentTimeMillis() - Generations.leaseTtlMs - 5000L
+    // breaker procB still acts on its stale pre-read of procP's lease:
+    // on this filesystem the break succeeds against the FRESH re-claim
+    // (the epsilon residual — on POSIX the tombstone's preserved mtime
+    // restores it instead, pinned by the token-AND-staleness test)
+    assert(Generations.takeLeaseFile(f, fam, "procP",
+      requireStale = true, preMtime = staleRead))
+    // procB claims; TWO writers now believe they hold
+    Generations.acquireLease(f, fam, "procB")
+    // the backstop: procP's commit fences on the foreign lease and
+    // aborts retryably — exactly one publish survives
+    val e = intercept[ConcurrentWriterException] {
+      Generations.commitAs(spark, fam, nP, "byP", reclaim = true, "procP")
+    }
+    assert(e.getMessage.contains("procB"), e.getMessage)
+    assert(Generations.head(spark, fam).isEmpty,
+      "the fenced commit must not have published")
+    // procB's own cycle completes normally
+    val (nB, gB) = Generations.prepareAs(spark, fam, "procB")
+    writePayload(gB, 2L)
+    Generations.commitAs(spark, fam, nB, "byB", reclaim = true, "procB")
+    assert(Generations.head(spark, fam).contains((nB, "byB")))
+  }
+
   test("leaseInTransition GC on a copy-rename filesystem: a FRESH " +
       "tombstone (break/restore in flight) gates acquirers — bounded " +
       "by one TTL from the break, never a livelock — and a crashed " +
