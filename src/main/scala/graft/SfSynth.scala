@@ -34,10 +34,28 @@ object SfSynth {
     rm(new java.io.File(dir))
   }
 
+  /** Marker files under `dir` starting with `prefix` — the recipe
+    * cross-guard's probe ([[ensure]] vs [[ensureObjects]]). */
+  private def markersIn(dir: String, prefix: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith(prefix))
+
   /** Build (or reuse, via the version marker) the `copies`-shard
     * corpus under `dir` from the sf0.1-shaped `base`. */
   def ensure(spark: SparkSession, base: String, copies: Int,
       dir: String): Unit = {
+    // recipe cross-guard (ADVICE r19): a dir that served the OBJECTS
+    // anchor recipe holds a documents.parquet whose text is NOT
+    // copy-unique — reusing it (or rebuilding around it) as a v4
+    // corpus would silently serve near-duplicate shards into the
+    // dedup/text ratios, the exact dishonest scale-up this file's
+    // scaladoc warns about. The two recipes must never share a dir.
+    val objMarkers = markersIn(dir, "_built_objects_v1_")
+    require(objMarkers.isEmpty,
+      s"$dir already holds the objects-anchor recipe " +
+        s"(${objMarkers.mkString(",")}): its documents.parquet is not " +
+        "a v4 corpus — use a separate dir (the recipes must never " +
+        "shadow each other)")
     // v4: v3 (content-token prefixes, marker words preserved,
     // interleaved embedding ids) + the events shard; documents and
     // embeddings recipes are UNCHANGED from v3, so ratios measured on
@@ -153,6 +171,16 @@ object SfSynth {
     * tables are never shadowed. */
   def ensureObjects(spark: SparkSession, base: String, copies: Int,
       dir: String): Unit = {
+    // recipe cross-guard (ADVICE r19, mirror of [[ensure]]'s): this
+    // recipe DELETES and rewrites $dir/documents.parquet — pointed at
+    // an existing v4 corpus dir it would leave the _built_v4_* marker
+    // standing over objects-recipe documents, and a later ensure()
+    // would silently serve them as a valid v4 corpus
+    val v4Markers = markersIn(dir, "_built_v4_")
+    require(v4Markers.isEmpty,
+      s"$dir already holds a v4 corpus (${v4Markers.mkString(",")}): " +
+        "rewriting its documents.parquet with the objects recipe would " +
+        "shadow the corpus under its own marker — use a separate dir")
     val marker = new java.io.File(s"$dir/_built_objects_v1_$copies")
     if (marker.exists()) return
     Option(new java.io.File(dir).listFiles()).foreach(_.foreach { f =>

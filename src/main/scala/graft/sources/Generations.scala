@@ -272,11 +272,34 @@ object Generations {
     if (fs.exists(markerPath(path, n))) {
       // the marker claim landed inside our check→rename microwindow:
       // the dir is committed, not debris — reverse the rename. Under
-      // the lease nothing re-creates gen-n, so the restore can only
-      // collide with a concurrent recovery pass that already restored
-      // it (then the tombstone is gone and the dir is back — fine).
-      require(fs.rename(tomb, p) || fs.exists(p),
-        s"could not restore committed generation $p from $tomb")
+      // the lease nothing re-creates gen-n, so the restore normally
+      // only collides with a concurrent recovery pass that already
+      // restored it (then the tombstone is gone and the dir is back).
+      leaseHook("reclaim_restoring")
+      val restored =
+        (try fs.rename(tomb, p)
+         catch { case _: java.io.FileNotFoundException => false }) ||
+          fs.exists(p)
+      if (!restored) {
+        // triple race (ADVICE r19): a lease-less vacuum's reclaim can
+        // interleave with a concurrently-acquired prepare whose
+        // resolveReclaimTombstones consumed our fresh tombstone while
+        // a frozen commit's marker stood briefly before self-reverting
+        // — both tombstone and dir are then gone at restore time.
+        // Re-read the marker to CLASSIFY instead of failing the whole
+        // vacuum/prepare (pre-r20 this was a hard require): marker
+        // gone = the commit self-reverted and the tombstone's debris
+        // was resolved elsewhere — the orphan is reclaimed, done;
+        // marker still standing = a concurrent resolver owns the
+        // restore mid-flight (or a transient rename failure) — fence
+        // RETRYABLY so the caller's backoff re-runs its whole pass.
+        if (fs.exists(markerPath(path, n)))
+          throw new ConcurrentWriterException(
+            s"restore of committed generation $p from reclaim " +
+              s"tombstone $tomb raced a concurrent tombstone resolver " +
+              "(tombstone and dir both unavailable while the marker " +
+              "stands); back off and retry the vacuum/prepare")
+      }
     } else {
       fs.delete(tomb, true)
       ()

@@ -160,16 +160,26 @@ object MaintenanceLog {
     new VersionedStore(new ParquetStore(s"$root/$Family"),
       s"$root/$Family/_log", keep = 2, autoCompactSegments = 16)
 
+  /** Per-ROOT emit locks: the in-JVM serialization the lease cannot
+    * give (same-token threads re-acquire their own fresh lease), but
+    * scoped so an emitter backing off on one root's fenced lease (up
+    * to ~7.5 s of bounded retries) never blocks maintenance threads
+    * emitting to OTHER roots — pre-r20 one process-wide monitor
+    * serialized all of them (ADVICE r19). */
+  private val emitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Record one maintenance event (no-op unless [[enabled]] — callers
     * gate the cost of computing `nRows` on [[enabled]] themselves). */
   def emit(spark: SparkSession, root: String, kind: String,
       family: String, nRows: Long, filesBefore: Long = -1L,
       filesAfter: Long = -1L, durationMs: Long = -1L,
       detail: String = ""): Unit =
-    if (enabled(root)) synchronized {
-      emitAs(spark, root, kind, family, nRows, filesBefore, filesAfter,
-        durationMs, detail, Generations.processToken)
-    }
+    if (enabled(root))
+      emitLocks.computeIfAbsent(root, _ => new Object).synchronized {
+        emitAs(spark, root, kind, family, nRows, filesBefore, filesAfter,
+          durationMs, detail, Generations.processToken)
+      }
 
   /** [[emit]] with an explicit writer token — the seam the two-process
     * seq test drives (each simulated process gets its own token in one

@@ -763,6 +763,62 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(Generations.head(spark, fam).exists(_._1 == n))
   }
 
+  test("the reclaim-restore TRIPLE race classifies instead of " +
+      "throwing (ADVICE r19): with the tombstone consumed by a " +
+      "concurrent resolver while the marker stands, the reclaim " +
+      "fences RETRYABLY; with the marker self-reverted too, the " +
+      "orphan counts as resolved elsewhere and the sweep completes") {
+    // branch 1 — marker stands, tombstone gone: retryable fence
+    val fam1 = tmpFam("graft-reclaim-triple-fence")
+    val f1 = fs(fam1)
+    val (n1, g1) = Generations.prepareAs(spark, fam1, "procA")
+    writePayload(g1, 1L)
+    Generations.releaseLease(f1, fam1, "procA")
+    withLeaseHook(p => if (p == "reclaim_renamed") {
+      // the frozen commit's marker lands…
+      val out = f1.create(new Path(fam1, s"_commit_$n1"), true)
+      out.write("byA".getBytes("UTF-8")); out.close()
+      // …and a concurrent prepare's resolveReclaimTombstones consumes
+      // the fresh in-flight tombstone (restoring the dir elsewhere is
+      // ITS job — here it is mid-flight, so neither tombstone nor dir
+      // is visible at our restore)
+      f1.globStatus(new Path(fam1, s"_tmp_reclaim_gen-${n1}_*"))
+        .foreach(st => f1.delete(st.getPath, true))
+    }) {
+      val e = intercept[ConcurrentWriterException] {
+        Generations.reclaimOrphanDir(f1, fam1, new Path(g1))
+      }
+      assert(e.getMessage.contains("resolver"), e.getMessage)
+    }
+    // branch 2 — marker self-reverted before the final re-check:
+    // resolved elsewhere, the sweep returns cleanly (pre-r20 both
+    // branches failed the whole vacuum/prepare with a hard require)
+    val fam2 = tmpFam("graft-reclaim-triple-resolved")
+    val f2 = fs(fam2)
+    val (n2, g2) = Generations.prepareAs(spark, fam2, "procA")
+    writePayload(g2, 1L)
+    Generations.releaseLease(f2, fam2, "procA")
+    withLeaseHook { p =>
+      if (p == "reclaim_renamed") {
+        val out = f2.create(new Path(fam2, s"_commit_$n2"), true)
+        out.write("byA".getBytes("UTF-8")); out.close()
+      }
+      if (p == "reclaim_restoring") {
+        // between the marker re-check and the restore: the commit
+        // self-reverts its marker AND the resolver clears the debris
+        f2.delete(new Path(fam2, s"_commit_$n2"), false)
+        f2.globStatus(new Path(fam2, s"_tmp_reclaim_gen-${n2}_*"))
+          .foreach(st => f2.delete(st.getPath, true))
+      }
+    } {
+      Generations.reclaimOrphanDir(f2, fam2, new Path(g2))
+    }
+    assert(Generations.head(spark, fam2).isEmpty,
+      "the self-reverted marker must not have become a head")
+    assert(Option(f2.globStatus(new Path(fam2, "_tmp_reclaim_gen-*")))
+      .forall(_.isEmpty), "no tombstone may linger")
+  }
+
   test("prepareAll releases already-taken leases when a later family " +
       "fences it out (all-or-nothing acquisition): the loser holds " +
       "NOTHING afterwards, so the winner's next cycle is not fenced " +
