@@ -282,15 +282,22 @@ object ScaleAudit {
       n.metrics.get("numOutputRows").map(_.value)
         .orElse(n.metrics.get("shuffleRecordsWritten").map(_.value))
         .getOrElse(n.children.headOption.map(rowsOf).getOrElse(-1L))
-    // a window is "global" when its partitionSpec is EMPTY or
-    // ALL-FOLDABLE (Rank.boundedGlobal's declared-bounded constant key,
-    // round 19 — the silencing must not blind this audit)
-    def globalWindowRows(qe: QueryExecution): Seq[Long] =
-      allNodes(qe.executedPlan).collect {
+    // a window is "global" when its partitionSpec is EMPTY, ALL-
+    // FOLDABLE, or Rank.boundedGlobal's declared-bounded constant key
+    // (BoundedGlobalKey — constant-valued but non-foldable, round 20,
+    // extracted by the analyzer into a `_wN` attribute the helper
+    // traces back; the silencing must not blind this audit)
+    def globalWindowRows(qe: QueryExecution): Seq[Long] = {
+      val nodes = allNodes(qe.executedPlan)
+      val ids = graft.functions.BoundedGlobalKey.aliasedIds(nodes)
+      nodes.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty ||
-              w.partitionSpec.forall(_.foldable) => rowsOf(w.child)
+              graft.functions.BoundedGlobalKey
+                .declaresBounded(w.partitionSpec, ids) =>
+          rowsOf(w.child)
       }
+    }
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[QueryExecution]
     val qel = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = {

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.LeafExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** `bounded_global_key()`: the constant-but-NOT-foldable window
+  * partition key behind [[graft.operators.Rank.boundedGlobal]]
+  * (round 20, replacing the r19 session-wide optimizer opt-out).
+  *
+  * A window that is global by semantics but bounded by construction
+  * (histogram/bucket-count-sized input) declares its single partition
+  * with a constant key, so Spark's "No Partition Defined for Window
+  * operation" WARN stays reserved for ACCIDENTAL corpus-sized global
+  * windows. A literal key (`lit(0)`) needed
+  * `EliminateWindowPartitions` excluded on the whole session — a
+  * global opt-out for a six-site need that also cost every unrelated
+  * window the rule's legitimate rewrite, and whose read-modify-write
+  * on `spark.sql.optimizer.excludedRules` raced concurrent callers
+  * (ADVICE r19). This expression needs NO exclusion: it evaluates to
+  * the constant 0 on every row (all rows hash to one partition —
+  * execution identical to the literal) but declares `foldable =
+  * false`, so the rule — which strips only foldable partition
+  * expressions — leaves it alone, and ConstantFolding cannot collapse
+  * it into a strippable literal either. Deterministic, so it is legal
+  * everywhere a window partition key is.
+  *
+  * The name is the declaration: ScaleAudit matches it to audit the
+  * declared-bounded windows against their input-row bounds, and
+  * PlanSpec counts `hashpartitioning(bounded_global_key()…` exchanges
+  * separately from data-keyed ones (WindowBoundSpec pins the plan
+  * shape and the negative case — a plain foldable key still gets
+  * eliminated, proving the rule stayed active).
+  */
+case class BoundedGlobalKey() extends LeafExpression {
+  override def foldable: Boolean = false
+  override def nullable: Boolean = false
+  override def dataType: DataType = IntegerType
+  override def eval(input: InternalRow): Any = 0
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    ExprCode.forNonNullValue(JavaCode.literal("0", dataType))
+      .copy(isNull = FalseLiteral)
+  override def prettyName: String = "bounded_global_key"
+}
+
+object BoundedGlobalKey {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+  import org.apache.spark.sql.execution.{ProjectExec, SparkPlan}
+
+  /** exprIds of project-list attributes whose value IS the key: being
+    * non-foldable, the analyzer's window extraction rewrites the
+    * partition key into `bounded_global_key() AS _wN` in a Project
+    * under the Window, so the WindowExec's partitionSpec carries the
+    * ATTRIBUTE — plan auditors trace it back through these ids.
+    * `nodes` must be the recursively flattened physical plan (AQE
+    * hides finished stages behind QueryStageExec leaves). */
+  def aliasedIds(nodes: Seq[SparkPlan]): Set[Long] =
+    nodes.collect { case pr: ProjectExec =>
+      pr.projectList.collect {
+        case a: Alias if a.child.isInstanceOf[BoundedGlobalKey] =>
+          a.exprId.id
+      }
+    }.flatten.toSet
+
+  /** True iff `spec` declares the bounded-global window shape:
+    * non-empty (the WARN-silencing half) and every expression
+    * foldable, the key itself, or an attribute aliased from it (the
+    * audit-visibility half). */
+  def declaresBounded(spec: Seq[Expression], ids: Set[Long]): Boolean =
+    spec.nonEmpty && spec.forall {
+      case _: BoundedGlobalKey => true
+      case ar: AttributeReference => ids.contains(ar.exprId.id)
+      case e => e.foldable
+    }
+}

@@ -85,7 +85,14 @@ object GraftFunctions {
         KmvSketch(exprs(0), intLit(exprs(1), "kmv_mins", "k"))
           .toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "bounded_global_key", _ => BoundedGlobalKey(), "built-in")
   }
+
+  /** The constant-but-NOT-foldable declared-bounded window partition
+    * key (see [[BoundedGlobalKey]]; used via
+    * [[graft.operators.Rank.boundedGlobal]]). */
+  def boundedGlobalKey(): Column = call_function("bounded_global_key")
 
   /** KMV cardinality sketch: the k smallest distinct values of a hash
     * column, sorted ascending (see [[KmvSketch]]). */

@@ -57,27 +57,25 @@ object Rank {
     * `global_windows_sf01`); the WARN noise they emitted on every
     * bench run would have masked a REAL corpus-sized window
     * regression. ScaleAudit still audits these windows against the
-    * same input-row bounds — it matches all-foldable partition specs
-    * alongside empty ones (WindowBoundSpec pins both halves).
+    * same input-row bounds — it matches [[graft.functions
+    * .BoundedGlobalKey]] partition specs alongside empty ones
+    * (WindowBoundSpec pins both halves).
     *
-    * The optimizer's `EliminateWindowPartitions` rule would strip the
-    * foldable key right back to an empty spec (same WARN, audit-blind)
-    * — it is excluded on the session here, idempotently. Excluding it
-    * costs nothing our plans rely on: the rule exists to TURN
-    * lit-partitioned windows into global ones, which is exactly the
-    * rewrite these declared-bounded sites must not undergo; on a
-    * session without the exclusion the queries stay correct, just
-    * noisy. */
+    * The key is `bounded_global_key()` — constant on every row but
+    * declared NON-foldable (round 20) — so the optimizer's
+    * `EliminateWindowPartitions` rule, which strips only foldable
+    * partition expressions, leaves it alone with NO session-wide rule
+    * exclusion: unrelated windows with accidentally-foldable keys keep
+    * the rule's full rewrite, and nothing here mutates session conf
+    * (the r19 `excludedRules` read-modify-write raced concurrent
+    * callers and outlived the query — ADVICE r19). */
   def boundedGlobal(s: org.apache.spark.sql.SparkSession,
       orderCols: Column*): org.apache.spark.sql.expressions.WindowSpec = {
-    val key = "spark.sql.optimizer.excludedRules"
-    val rule =
-      "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
-    val cur = s.conf.getOption(key).getOrElse("")
-    if (!cur.split(",").map(_.trim).contains(rule)) {
-      s.conf.set(key, if (cur.isEmpty) rule else s"$cur,$rule")
-    }
-    Window.partitionBy(lit(0)).orderBy(orderCols: _*)
+    // idempotent: the key resolves through the session's function
+    // registry at analysis time
+    graft.functions.GraftFunctions.register(s)
+    Window.partitionBy(graft.functions.GraftFunctions.boundedGlobalKey())
+      .orderBy(orderCols: _*)
   }
 
   /** `df` + `outCol` = the exact 1-based global `row_number() OVER

@@ -200,16 +200,24 @@ class PlanSpec extends AnyFunSuite {
     // (epoch/curriculum order) plan exactly two DATA-keyed hash
     // exchanges — bucket-window + bucket-count aggregate — and never a
     // global (empty-key) window over the corpus; the bucket-count
-    // rebase window's constant partition key (Rank.boundedGlobal,
-    // round 19 — prints as hashpartitioning(0, …), the declared-
-    // bounded replacement for the old SinglePartition exchange) is
-    // counted separately and must appear exactly once.
-    // formatted mode lists each Exchange once, its partitioning on the
-    // Arguments line — count the partitioning spec, not the node name
-    def hashEx(p: String): Int = "hashpartitioning\\((?!0,)".r
-      .findAllMatchIn(p).size
-    def constEx(p: String): Int = "hashpartitioning\\(0,".r
-      .findAllMatchIn(p).size
+    // rebase window's constant partition key (Rank.boundedGlobal —
+    // since the round-20 non-foldable BoundedGlobalKey replaced the
+    // r19 literal+rule-opt-out, the analyzer extracts it as
+    // `bounded_global_key() AS _wN#id` and the exchange prints as
+    // hashpartitioning(_wN#id, …) — trace the alias) is counted
+    // separately and must appear exactly once. formatted mode lists
+    // each Exchange once, its partitioning on the Arguments line —
+    // count the partitioning spec, not the node name
+    def constKeys(p: String): Set[String] =
+      "bounded_global_key\\(\\) AS (\\w+#\\d+)".r.findAllMatchIn(p)
+        .map(_.group(1)).toSet
+    def constEx(p: String): Int = {
+      val keys = constKeys(p)
+      "hashpartitioning\\((\\w+#\\d+)".r.findAllMatchIn(p)
+        .count(m => keys.contains(m.group(1)))
+    }
+    def hashEx(p: String): Int =
+      "hashpartitioning\\(".r.findAllMatchIn(p).size - constEx(p)
     val ps = plan(queries.EventQueries.defs("ev_sessionize").fn(spark, sf))
     assert(hashEx(ps) == 1, ps)
     for (n <- Seq("ds_epoch_order", "ds_curriculum_order")) {

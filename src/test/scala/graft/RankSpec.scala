@@ -79,16 +79,20 @@ class RankSpec extends AnyFunSuite {
       n.metrics.get("numOutputRows").map(_.value)
         .orElse(n.metrics.get("shuffleRecordsWritten").map(_.value))
         .getOrElse(n.children.headOption.map(rowsOf).getOrElse(-1L))
-    // round 19: the histogram window carries Rank.boundedGlobal's
-    // constant partition key (all-foldable, non-empty) — match it the
-    // way ScaleAudit does, and pin that NO bare-empty-spec window
-    // remains (the WARN-silencing contract)
-    val ws = allNodes(out.queryExecution.executedPlan).collect {
+    // the histogram window carries Rank.boundedGlobal's constant
+    // partition key (non-foldable BoundedGlobalKey since round 20,
+    // extracted into a _wN attribute) — match it the way ScaleAudit
+    // does, and pin that NO bare-empty-spec window remains (the
+    // WARN-silencing contract)
+    val nodes = allNodes(out.queryExecution.executedPlan)
+    val ids = graft.functions.BoundedGlobalKey.aliasedIds(nodes)
+    val ws = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
     assert(ws.forall(_.partitionSpec.nonEmpty),
       "a bare unpartitioned window re-appeared in ntileExact's plan")
-    val globals = ws.filter(_.partitionSpec.forall(_.foldable))
+    val globals = ws.filter(w => graft.functions.BoundedGlobalKey
+        .declaresBounded(w.partitionSpec, ids))
       .map(w => rowsOf(w.child))
     // the only global-semantics windows are histogram-sized (9
     // distinct values here) — never the 200-row corpus

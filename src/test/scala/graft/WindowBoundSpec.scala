@@ -7,17 +7,21 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.functions.BoundedGlobalKey
 import graft.operators.Rank
 
-/** [[Rank.boundedGlobal]]'s contract (round 19): a constant-partition
-  * window must (a) reproduce the empty-partitionSpec global window
-  * EXACTLY, (b) reach the physical plan as a WindowExec whose
-  * partitionSpec is non-empty and all-foldable — the shape that
-  * silences Spark's "No Partition Defined" WARN while staying visible
-  * to ScaleAudit's all-foldable match — and (c) still execute in one
-  * partition (the semantics the sites rely on). If a future Spark
-  * optimizer rule starts stripping foldable partition keys, (b) fails
-  * loud here rather than the WARN silently returning. */
+/** [[Rank.boundedGlobal]]'s contract (round 20 shape): a
+  * declared-bounded window must (a) reproduce the empty-partitionSpec
+  * global window EXACTLY, (b) reach the physical plan as a WindowExec
+  * whose partitionSpec is the non-foldable constant
+  * [[BoundedGlobalKey]] — the shape that silences Spark's "No
+  * Partition Defined" WARN while staying visible to ScaleAudit's
+  * match, WITHOUT any session-wide optimizer rule exclusion — and
+  * (c) leave `EliminateWindowPartitions` fully active for everyone
+  * else: a plain foldable key (NOT from boundedGlobal) must still be
+  * stripped. If a future Spark optimizer rule starts folding or
+  * stripping the key, (b) fails loud here rather than the WARN
+  * silently returning. */
 class WindowBoundSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
@@ -29,7 +33,8 @@ class WindowBoundSpec extends AnyFunSuite {
   }
 
   test("boundedGlobal == the empty-spec global window, and its " +
-      "WindowExec carries a non-empty all-foldable partitionSpec") {
+      "WindowExec carries the non-foldable BoundedGlobalKey " +
+      "partitionSpec with NO session-wide rule exclusion") {
     val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong))
       .toDF("id", "v").repartition(8)
     val globalW = Window.orderBy(col("v"), col("id"))
@@ -46,15 +51,48 @@ class WindowBoundSpec extends AnyFunSuite {
     val want = g.collect().map(_.toString).sorted.toSeq
     assert(got == want, "constant-partition window diverged from the " +
       "global window it replaces")
-    val ws = allNodes(b.queryExecution.executedPlan)
-      .collect { case w: WindowExec => w }
+    // the r19 session-wide opt-out must be GONE: the key defends
+    // itself by being non-foldable, not by disabling the rule
+    val excluded = spark.conf
+      .getOption("spark.sql.optimizer.excludedRules").getOrElse("")
+    assert(!excluded.contains("EliminateWindowPartitions"),
+      s"boundedGlobal must not exclude optimizer rules any more: " +
+        s"excludedRules=$excluded")
+    val nodes = allNodes(b.queryExecution.executedPlan)
+    val ids = BoundedGlobalKey.aliasedIds(nodes)
+    assert(ids.nonEmpty,
+      "no bounded_global_key() alias in the plan — the analyzer's " +
+        "window extraction shape changed; update aliasedIds")
+    val ws = nodes.collect { case w: WindowExec => w }
     assert(ws.nonEmpty, "no WindowExec in the bounded plan")
     ws.foreach { w =>
       assert(w.partitionSpec.nonEmpty,
         "the constant partition key was optimized away — the WARN is " +
-          "back and ScaleAudit's all-foldable match is blind to it")
-      assert(w.partitionSpec.forall(_.foldable),
-        s"non-foldable partitionSpec: ${w.partitionSpec}")
+          "back and ScaleAudit's match is blind to it")
+      assert(BoundedGlobalKey.declaresBounded(w.partitionSpec, ids),
+        s"partitionSpec does not trace to the declared-bounded key: " +
+          s"${w.partitionSpec}")
+      assert(w.partitionSpec.forall(e => !e.foldable),
+        "the extracted key attribute must stay non-foldable — " +
+          "foldable means EliminateWindowPartitions strips it")
+    }
+  }
+
+  test("negative case: a window partitioned by a plain FOLDABLE key " +
+      "(not from boundedGlobal) still gets EliminateWindowPartitions' " +
+      "rewrite — the rule stayed active for everyone else") {
+    val df = (1 to 100).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("id", "v").repartition(4)
+    val litW = Window.partitionBy(lit(0)).orderBy(col("v"), col("id"))
+    val p = df.withColumn("rk", row_number().over(litW))
+    p.collect()
+    val ws = allNodes(p.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "no WindowExec in the literal-key plan")
+    ws.foreach { w =>
+      assert(w.partitionSpec.isEmpty,
+        s"the foldable literal key survived — the r19 session-wide " +
+          s"exclusion is still in force somewhere: ${w.partitionSpec}")
     }
   }
 }
