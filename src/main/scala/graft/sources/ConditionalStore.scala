@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+/** Conditional-mutation capability for object stores that expose
+  * write preconditions — the round-20 pluggable claim primitive
+  * (r19 verdict item 1). Real object stores do not give writers an
+  * atomic no-overwrite RENAME (their rename is copy+delete), but they
+  * DO give conditional single-object operations: S3 conditional
+  * writes (`If-None-Match: *`, `If-Match: <etag>`), GCS generation
+  * preconditions (`ifGenerationMatch`, 0 = must-not-exist), Azure
+  * blob ETag conditions. A Hadoop `FileSystem` advertising this trait
+  * routes [[Generations]]'s and [[VersionedStore]]'s claim/break
+  * protocol through those preconditions instead of rename:
+  *
+  *  - '''claim''' ([[Generations.claim]]) becomes [[putIfAbsent]] —
+  *    the native no-overwrite publish, no rename involved;
+  *  - '''lease break''' ([[Generations.takeLeaseFile]]) becomes a
+  *    [[deleteIfGeneration]] keyed on the observed generation — no
+  *    tombstone, no mismatch-restore path, and the copy-rename
+  *    EPSILON RESIDUAL (a same-token fresh re-claim inside the
+  *    breaker's read window, judged on a stale pre-read mtime) cannot
+  *    occur: every re-claim and every refresh bumps the generation,
+  *    so a delete keyed on the stale observation FAILS instead of
+  *    stripping the new fence (WriterLeaseSpec's conditional-store
+  *    suite pins it; the rename-based copy-rename scheme keeps the
+  *    pre-read-mtime break with its fail-closed commit backstop as
+  *    the legacy mode);
+  *  - '''lease refresh''' (own-fresh re-acquire, heartbeat) becomes
+  *    [[putIfGeneration]] — a conditional re-put that advances the
+  *    generation, which is what closes the refresh-vs-break race a
+  *    bare mtime touch would leave open on these stores.
+  *
+  * The generation is any token that changes on EVERY successful write
+  * of the object (etag, version id, a monotonic counter). All four
+  * operations must be atomic with respect to each other — exactly the
+  * contract the stores above document for their preconditioned calls.
+  * [[graft.ConditionalObjectStoreFileSystem]] (test double, scheme
+  * `condstore`) models it over local disk.
+  */
+trait ConditionalStore {
+
+  /** Atomically observe the object's (content, mtime, generation);
+    * None when absent. */
+  def observe(path: Path): Option[ConditionalStore.Obs]
+
+  /** Create the object iff absent (`If-None-Match: *`); true iff this
+    * call created it. */
+  def putIfAbsent(path: Path, content: Array[Byte]): Boolean
+
+  /** Replace the object iff its generation still equals `gen`
+    * (`If-Match`); bumps the generation and mtime. True iff replaced. */
+  def putIfGeneration(path: Path, content: Array[Byte],
+      gen: Long): Boolean
+
+  /** Delete the object iff its generation still equals `gen`; true
+    * iff this call deleted it. */
+  def deleteIfGeneration(path: Path, gen: Long): Boolean
+}
+
+object ConditionalStore {
+  /** One atomic observation of a conditional object. */
+  case class Obs(content: Array[Byte], mtime: Long, generation: Long) {
+    def text: String = new String(content, "UTF-8")
+  }
+}

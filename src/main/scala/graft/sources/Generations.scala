@@ -41,7 +41,13 @@ import org.apache.spark.sql.SparkSession
   * mtime) the pre-read lease mtime is carried into the decision
   * instead, so stale-lease breaks TERMINATE there too rather than
   * livelocking (see [[takeLeaseFile]]; pre-r19 copy-rename stores
-  * were excluded by documentation).
+  * were excluded by documentation). Stores advertising
+  * [[ConditionalStore]] (round 20) route claim and break through the
+  * store's native write preconditions instead — If-None-Match publish,
+  * generation-keyed break and refresh — which ERASES the copy-rename
+  * epsilon residual rather than backstopping it (real object stores
+  * all offer these: S3 conditional writes, GCS generation
+  * preconditions, Azure ETags).
   *
   * Retention is keep-[[Generations.Keep]] ([[VersionedStore]]'s floor,
   * same reasoning): committing gen n reclaims generations ≤ n-Keep, so
@@ -496,19 +502,55 @@ object Generations {
     * documented exclusion). There the break instead judges freshness
     * on `preMtime`, the mtime the CALLER read from the lease before
     * breaking — identical in the no-race case, and breaks terminate.
-    * The residual on copy-rename stores is the read→rename window
-    * where the SAME token re-claims fresh (the own-stale forfeit
-    * path): the pre-read mtime then under-reports and the fresh
-    * re-claim is broken — epsilon-rare, and [[commitAs]]'s
-    * foreign-lease fence plus staging-presence checks keep a
-    * double-believed hold from ever publishing a torn generation
-    * (WriterLeaseSpec's object-store suite pins break/restore/GC).
-    * Atomic no-overwrite rename for [[claim]] remains a separate,
-    * still-required primitive on any store.
+    * The residual on RENAME-ONLY copy-rename stores (the legacy mode)
+    * is the read→rename window where the SAME token re-claims fresh
+    * (the own-stale forfeit path): the pre-read mtime then
+    * under-reports and the fresh re-claim is broken — epsilon-rare,
+    * and [[commitAs]]'s foreign-lease fence plus staging-presence
+    * checks keep a double-believed hold from ever publishing a torn
+    * generation (WriterLeaseSpec's object-store suite pins
+    * break/restore/GC; its fail-closed test is the legacy-mode pin).
+    * On stores advertising [[ConditionalStore]] (round 20) the
+    * residual is ERASED, not backstopped: the break is a conditional
+    * delete keyed on the lease's observed generation — no tombstone,
+    * no restore path — and because every re-claim and refresh bumps
+    * the generation, a break keyed on a stale observation FAILS
+    * instead of stripping the new fence (WriterLeaseSpec's
+    * conditional-store suite). Atomic no-overwrite publish for
+    * [[claim]] is native there (putIfAbsent); on rename-only stores
+    * it remains a separate, still-required primitive.
     * Returns true iff the expected lease was removed. */
   private[graft] def takeLeaseFile(fs: FileSystem, path: String,
       expectToken: String, requireStale: Boolean = false,
-      preMtime: Long = -1L): Boolean = {
+      preMtime: Long = -1L): Boolean = fs match {
+    case cs: ConditionalStore =>
+      // conditional-put stores: ONE atomic precondition replaces the
+      // whole rename→verify→restore dance. Freshness is judged on the
+      // lease file's OWN mtime (it is never renamed, so the mtime is
+      // authoritative on any store — preMtime is unnecessary), and
+      // the generation pins the exact physical object: a same-token
+      // fresh re-claim or a heartbeat refresh that lands after this
+      // observation bumps the generation, so the keyed delete fails
+      // and the caller's loop re-reads — the epsilon residual of the
+      // legacy pre-read path cannot occur.
+      cs.observe(leasePath(path)) match {
+        case Some(obs) =>
+          val fresh =
+            System.currentTimeMillis() - obs.mtime < leaseTtlMs
+          if (obs.text == expectToken && !(requireStale && fresh)) {
+            leaseHook("lease_took")
+            cs.deleteIfGeneration(leasePath(path), obs.generation)
+          } else false
+        case None => false
+      }
+    case _ =>
+      takeLeaseFileByRename(fs, path, expectToken, requireStale,
+        preMtime)
+  }
+
+  private def takeLeaseFileByRename(fs: FileSystem, path: String,
+      expectToken: String, requireStale: Boolean,
+      preMtime: Long): Boolean = {
     val lease = leasePath(path)
     val tomb = new Path(path, "_tmp_lease_take_" +
       java.util.UUID.randomUUID.toString.replace("-", ""))
@@ -602,6 +644,30 @@ object Generations {
     }
   }
 
+  /** Refresh `token`'s OWN lease's freshness evidence: an mtime touch
+    * on rename-based stores; a conditional re-put on
+    * [[ConditionalStore]]s — which BUMPS the generation, so a breaker
+    * still keyed on an older observation fails its conditional delete
+    * (a bare mtime touch would leave the generation stealable there:
+    * the breaker's stale-keyed delete would still match a
+    * just-refreshed lease). Best-effort — callers re-verify by
+    * re-reading; never touches a lease that stopped carrying
+    * `token`. */
+  private def refreshLease(fs: FileSystem, path: String,
+      token: String): Unit = fs match {
+    case cs: ConditionalStore =>
+      cs.observe(leasePath(path)).foreach { obs =>
+        if (obs.text == token)
+          cs.putIfGeneration(leasePath(path), obs.content,
+            obs.generation)
+        ()
+      }
+    case _ =>
+      try fs.setTimes(leasePath(path), System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException |
+          _: UnsupportedOperationException => () }
+  }
+
   /** Take the family's writer lease for `token`, or throw a retryable
     * [[ConcurrentWriterException]] if another process's FRESH lease
     * fences us out. Holding our own FRESH lease (crashed prior attempt
@@ -640,9 +706,7 @@ object Generations {
           // anything else (breaker's token, in-flight transition,
           // vanished) falls through to the loop, which fences or
           // re-contends properly.
-          try fs.setTimes(leasePath(path), System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException |
-              _: UnsupportedOperationException => () }
+          refreshLease(fs, path, token)
           leaseHook("lease_refreshed")
           readLease(fs, path) match {
             case Some((tok2, mtime2)) if tok2 == token &&
@@ -736,7 +800,7 @@ object Generations {
         fss.foreach { case (p, fs) =>
           try readLease(fs, p) match {
             case Some((tok, _)) if tok == processToken =>
-              fs.setTimes(leasePath(p), System.currentTimeMillis(), -1)
+              refreshLease(fs, p, processToken)
             case _ => () // not ours (yet, or anymore): never touch it
           } catch { case _: Exception => () }
         }
@@ -869,6 +933,36 @@ object Generations {
     * directly (the swept-mid-claim window cannot be interposed through
     * [[commit]]). */
   private[graft] def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    fs match {
+      case cs: ConditionalStore =>
+        // conditional-put stores (round 20): the publish is the
+        // store's native If-None-Match create — no rename involved.
+        // A vanished tmp classifies exactly like the rename branches:
+        // dst present = lost race; dst absent = swept mid-claim,
+        // retryable.
+        val content =
+          try {
+            val in = fs.open(tmp)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val b = new Array[Byte](4096)
+              var n = in.read(b)
+              while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+              buf.toByteArray
+            } finally in.close()
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              if (fs.exists(dst)) return false
+              else throw new IllegalStateException(
+                s"commit tmp $tmp was swept mid-claim (a concurrent " +
+                  "vacuum/reclaim deleted it before the conditional " +
+                  "put) — no marker was published; retry the commit")
+          }
+        cs.putIfAbsent(dst, content)
+      case _ => claimByRename(fs, tmp, dst)
+    }
+
+  private def claimByRename(fs: FileSystem, tmp: Path, dst: Path): Boolean =
     if (fs.getScheme == "file") {
       try {
         java.nio.file.Files.createLink(
@@ -990,11 +1084,17 @@ object Generations {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return 0L
-    val it = fs.listFiles(p, true)
-    var n = 0L
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-    }
-    n
+    // recursive listStatus walk, NOT fs.listFiles: the latter builds
+    // LocatedFileStatus, which eagerly loads permissions — and
+    // RawLocalFileSystem-backed custom schemes (the object-store test
+    // doubles; any local-fs-derived connector) cannot do that off a
+    // non-file URI
+    def walk(d: Path): Long =
+      fs.listStatus(d).iterator.map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1L
+        else 0L
+      }.sum
+    walk(p)
   }
 }

@@ -506,8 +506,23 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2,
     * layer, same as any file-pointer commit log. */
   private def claim(f: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path): Boolean =
-    if (f.getScheme == "file") {
+      dst: org.apache.hadoop.fs.Path): Boolean = f match {
+    case cs: ConditionalStore =>
+      // conditional-put stores (round 20): the native If-None-Match
+      // create IS the no-overwrite publish — no consistent rename
+      // layer needed there
+      val content = {
+        val in = f.open(tmp)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val b = new Array[Byte](4096)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          buf.toByteArray
+        } finally in.close()
+      }
+      cs.putIfAbsent(dst, content)
+    case _ if f.getScheme == "file" =>
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(dst.toUri.getPath),
@@ -516,7 +531,8 @@ class VersionedStore(inner: Store, logRoot: String, keep: Int = 2,
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    } else f.rename(tmp, dst)
+    case _ => f.rename(tmp, dst)
+  }
 
   /** Unlink manifests (first — readers resolve max only) older than
     * the newest `keep` snapshots, then drop the segments they

@@ -1,0 +1,99 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.Path
+
+import graft.sources.ConditionalStore
+
+/** [[ObjectStoreLikeFileSystem]] in CONDITIONAL-PUT mode (scheme
+  * `condstore`): local-disk double for an object store that offers
+  * write preconditions — S3 conditional writes (`If-None-Match`,
+  * `If-Match`), GCS generation preconditions, Azure blob ETags.
+  * Rename is still copy+delete with mtime reset (inherited), but the
+  * lease/claim protocol never renames here: [[ConditionalStore]]'s
+  * four operations carry the atomicity, serialized under one lock
+  * like the parent's rename, with a per-path GENERATION counter
+  * bumped on every conditional write — the double isolates exactly
+  * the precondition semantics [[graft.sources.Generations]]'s
+  * round-20 conditional branch relies on.
+  *
+  * Generations are tracked only for objects written THROUGH the
+  * conditional operations (a raw `create()` does not bump them —
+  * untracked existing files observe as generation 0), which matches
+  * how the protocol uses the trait: leases and markers are only ever
+  * written via putIfAbsent/putIfGeneration.
+  */
+class ConditionalObjectStoreFileSystem extends ObjectStoreLikeFileSystem
+    with ConditionalStore {
+  import ConditionalObjectStoreFileSystem._
+
+  override def getScheme: String = Scheme
+  override def getUri: URI = URI.create(s"$Scheme:///")
+
+  private def key(p: Path): String = makeQualified(p).toUri.getPath
+
+  override def observe(p: Path): Option[ConditionalStore.Obs] =
+    lock.synchronized {
+      if (!exists(p)) None
+      else {
+        val st = getFileStatus(p)
+        val in = open(p)
+        val buf = new java.io.ByteArrayOutputStream()
+        try {
+          val b = new Array[Byte](4096)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        } finally in.close()
+        Some(ConditionalStore.Obs(buf.toByteArray,
+          st.getModificationTime, gens.getOrElse(key(p), 0L)))
+      }
+    }
+
+  override def putIfAbsent(p: Path, content: Array[Byte]): Boolean =
+    lock.synchronized {
+      if (exists(p)) false
+      else {
+        val out = create(p, false)
+        try out.write(content) finally out.close()
+        gens.put(key(p), counter.incrementAndGet())
+        true
+      }
+    }
+
+  override def putIfGeneration(p: Path, content: Array[Byte],
+      gen: Long): Boolean =
+    lock.synchronized {
+      if (!exists(p) || gens.getOrElse(key(p), 0L) != gen) false
+      else {
+        val out = create(p, true)
+        try out.write(content) finally out.close()
+        gens.put(key(p), counter.incrementAndGet())
+        true
+      }
+    }
+
+  override def deleteIfGeneration(p: Path, gen: Long): Boolean =
+    lock.synchronized {
+      if (!exists(p) || gens.getOrElse(key(p), 0L) != gen) false
+      else delete(p, false)
+    }
+}
+
+object ConditionalObjectStoreFileSystem {
+  val Scheme = "condstore"
+  private val lock = new Object
+  private val gens = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Register the scheme on a session's Hadoop conf (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.$Scheme.impl",
+      classOf[ConditionalObjectStoreFileSystem].getName)
+
+  /** A fresh working directory addressed under the scheme. */
+  def tempDir(prefix: String): String =
+    s"$Scheme://" +
+      java.nio.file.Files.createTempDirectory(prefix).toString
+}

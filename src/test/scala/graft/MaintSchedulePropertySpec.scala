@@ -45,8 +45,22 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark.spark
   import spark.implicits._
 
+  ObjectStoreLikeFileSystem.register(spark)
+  ConditionalObjectStoreFileSystem.register(spark)
+
   private val modelsTmp = java.nio.file.Files
     .createTempDirectory("graft-maintprop-models").toString
+  /** Scheme-addressed models bases for the random schedules'
+    * FILESYSTEM dimension (round 20, r19 verdict item 4): the same
+    * schedule machinery runs the model root on POSIX, on a
+    * copy-rename (mtime-resetting) object store, and on a
+    * conditional-put store, so the lease/reclaim crash points
+    * exercise every claim/break branch — previously the object-store
+    * schemes had only directed coverage. */
+  private lazy val objstoreModels =
+    ObjectStoreLikeFileSystem.tempDir("graft-maintprop-objstore")
+  private lazy val condstoreModels =
+    ConditionalObjectStoreFileSystem.tempDir("graft-maintprop-condstore")
   private var prevModelsDir: Option[String] = None
 
   override def beforeAll(): Unit = {
@@ -192,28 +206,39 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     "graft_model_" + path.replaceAll("[^A-Za-z0-9]+", "_").takeRight(80)
       .dropWhile(_ == '_')
 
-  /** Build the base template ONCE; every schedule starts from a cheap
-    * file copy of its model root instead of a re-train. */
-  private lazy val template: (String, Boolean) => String = {
-    val cache = scala.collection.mutable.Map.empty[Boolean, String]
-    (prefix: String, positional: Boolean) => {
-      val tdir = cache.getOrElseUpdate(positional, {
+  /** Build the base template ONCE (always under the POSIX models
+    * base); every schedule starts from a cheap file copy of the
+    * template's model root into the TRIAL's models base — which since
+    * round 20 may be scheme-addressed (the schedules' filesystem
+    * dimension), so the copy is cross-filesystem. */
+  private val templateSrc =
+    scala.collection.mutable.Map.empty[Boolean, String]
+
+  private def template(prefix: String, positional: Boolean): String = {
+    val srcRoot = templateSrc.getOrElseUpdate(positional, {
+      val prev = sys.props.get("graft.models.dir")
+      sys.props("graft.models.dir") = modelsTmp
+      try {
         val t = java.nio.file.Files
           .createTempDirectory(s"graft-maintprop-tpl$positional").toString
         Models.buildRetrievalArtifacts(spark, t,
           docs = Some(base.map(d => (d.id, d.text)).toDF("doc_id", "text")),
           includePositional = positional)
-        t
-      })
-      val dir = java.nio.file.Files.createTempDirectory(prefix).toString
-      val conf = spark.sparkContext.hadoopConfiguration
-      val src = new Path(Models.root(tdir))
-      val dst = new Path(Models.root(dir))
-      val fs = src.getFileSystem(conf)
-      fs.mkdirs(dst.getParent)
-      FileUtil.copy(fs, src, fs, dst, false, conf)
-      dir
-    }
+        Models.root(t)
+      } finally prev match {
+        case Some(v) => sys.props("graft.models.dir") = v
+        case None => sys.props.remove("graft.models.dir")
+      }
+    })
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcRoot)
+    val dst = new Path(Models.root(dir))
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    dstFs.mkdirs(dst.getParent)
+    FileUtil.copy(srcFs, src, dstFs, dst, false, conf)
+    dir
   }
 
   // ---- directed coverage: every crash point, all four artifacts ----------
@@ -627,8 +652,16 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         seed = s2
         (math.abs(n) % bound).toInt
       }
-      withClue(s"[trial $trial seed=$schedSeed — replay with " +
-        s"-Dgraft.maintprop.seed=$schedSeed " +
+      // round-20 filesystem dimension (drawn FIRST so a trial's fs is
+      // fixed before any other randomness): POSIX rename, copy-rename
+      // object store, or conditional-put store
+      val fsFlavors = Vector(("posix", modelsTmp),
+        ("objstore", objstoreModels), ("condstore", condstoreModels))
+      val (fsName, fsBase) = fsFlavors(nextInt(fsFlavors.size))
+      sys.props("graft.models.dir") = fsBase
+      try {
+      withClue(s"[trial $trial seed=$schedSeed fs=$fsName — replay " +
+        s"with -Dgraft.maintprop.seed=$schedSeed " +
         "-Dgraft.maintprop.trials=1] ") {
       val dir = template(s"graft-maintprop-sched$trial", false)
       var applied = base
@@ -824,6 +857,7 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         assertState("terminal")
       }
       }
+      } finally sys.props("graft.models.dir") = modelsTmp
     }
   }
 }

@@ -27,6 +27,7 @@ class WriterLeaseSpec extends AnyFunSuite {
 
   HdfsLikeFileSystem.register(spark)
   ObjectStoreLikeFileSystem.register(spark)
+  ConditionalObjectStoreFileSystem.register(spark)
 
   private def fs(p: String) = new Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -972,13 +973,15 @@ class WriterLeaseSpec extends AnyFunSuite {
     }
   }
 
-  test("the copy-rename epsilon residual fails CLOSED: a breaker " +
-      "acting on a stale read breaks a same-token lease that was " +
-      "re-claimed FRESH inside the read→rename window (the pre-read " +
-      "mtime under-reports — the one case tombstone freshness caught " +
-      "on POSIX), two writers then believe they hold, and the commit " +
-      "fence guarantees exactly ONE publishes — the documented " +
-      "backstop, pinned") {
+  test("LEGACY rename-only copy-rename mode: the epsilon residual " +
+      "fails CLOSED — a breaker acting on a stale read breaks a " +
+      "same-token lease that was re-claimed FRESH inside the " +
+      "read→rename window (the pre-read mtime under-reports — the " +
+      "one case tombstone freshness caught on POSIX), two writers " +
+      "then believe they hold, and the commit fence guarantees " +
+      "exactly ONE publishes. This is the legacy-mode pin: stores " +
+      "with conditional puts ERASE the residual instead — see the " +
+      "condstore suite below") {
     val fam =
       ObjectStoreLikeFileSystem.tempDir("graft-objstore-epsilon") + "/art"
     val f = fs(fam)
@@ -1036,9 +1039,12 @@ class WriterLeaseSpec extends AnyFunSuite {
 
   test("N writers racing to break one stale lease: exactly one " +
       "acquires, the rest are fenced or retry-exhausted, and exactly " +
-      "one lease (the winner's) remains — over both claim branches") {
+      "one lease (the winner's) remains — over all three claim " +
+      "branches (file link, no-overwrite rename, conditional put)") {
     Seq(tmpFam("graft-lease-race"),
-        HdfsLikeFileSystem.tempDir("graft-lease-race") + "/art")
+        HdfsLikeFileSystem.tempDir("graft-lease-race") + "/art",
+        ConditionalObjectStoreFileSystem.tempDir("graft-lease-race") +
+          "/art")
       .foreach { fam =>
         val f = fs(fam)
         f.mkdirs(new Path(fam))
@@ -1064,5 +1070,144 @@ class WriterLeaseSpec extends AnyFunSuite {
           .contains(winners.head),
           "the surviving lease must carry the winner's token")
       }
+  }
+  // ---- round-20: conditional-put (precondition) object stores ------
+  // Stores with If-None-Match / generation preconditions (S3
+  // conditional writes, GCS generation match, Azure ETags) route the
+  // claim through putIfAbsent and the break through a generation-keyed
+  // conditional delete — no tombstone, no restore path, and the
+  // copy-rename epsilon residual is ERASED: a same-token fresh
+  // re-claim inside the breaker's read window bumps the generation,
+  // so the stale-keyed delete fails instead of stripping the fence.
+
+  private def condFam(prefix: String): String =
+    ConditionalObjectStoreFileSystem.tempDir(prefix) + "/art"
+
+  test("conditional-put store: a CRASHED holder's stale lease is " +
+      "broken via the generation-keyed delete and a full " +
+      "stage->commit cycle lands — break, claim, markers, and release " +
+      "all through the conditional primitives, no tombstones ever") {
+    val fam = condFam("graft-condstore-break")
+    val f = fs(fam)
+    assert(f.isInstanceOf[graft.sources.ConditionalStore],
+      "the double must advertise the conditional capability")
+    assert(!Generations.renamePreservesMtime(f))
+    val (_, dA) = Generations.prepareAs(spark, fam, "procA")
+    writePayload(dA, 1L) // A dies; lease + orphan staging remain
+    f.setTimes(new Path(fam, "_writer_lease"),
+      System.currentTimeMillis() - Generations.leaseTtlMs - 1000L, -1L)
+    val (nB, dB) = Generations.prepareAs(spark, fam, "procB")
+    assert(nB == 1L)
+    assert(!f.exists(new Path(dA)),
+      "the crashed holder's orphan staging must be reclaimed")
+    writePayload(dB, 2L)
+    Generations.commitAs(spark, fam, nB, "byB", reclaim = true, "procB")
+    assert(Generations.head(spark, fam).contains((1L, "byB")))
+    assert(Option(f.globStatus(new Path(fam, "_tmp_lease_take_*")))
+      .forall(_.isEmpty),
+      "the conditional break must never create lease tombstones")
+    assert(Generations.readLease(f, fam).isEmpty,
+      "the commit must have released the lease")
+  }
+
+  test("conditional-put store: a breaker acting on a stale read of a " +
+      "lease since REPLACED by another process's fresh lease reports " +
+      "failure without touching it (no tombstone, no restore needed); " +
+      "acquire then fences on the live owner") {
+    val fam = condFam("graft-condstore-replaced")
+    val f = fs(fam)
+    val cs = f.asInstanceOf[graft.sources.ConditionalStore]
+    f.mkdirs(new Path(fam))
+    // procW's FRESH lease, written through the conditional publish
+    // (what any real acquire does)
+    assert(cs.putIfAbsent(new Path(fam, "_writer_lease"),
+      "procW".getBytes("UTF-8")))
+    // the breaker still believes its stale read of crashed procA
+    val staleRead =
+      System.currentTimeMillis() - Generations.leaseTtlMs - 5000L
+    assert(!Generations.takeLeaseFile(f, fam, "procA",
+      requireStale = true, preMtime = staleRead),
+      "a replaced lease must not be broken")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procW"),
+      "the fresh replacement must be untouched")
+    intercept[ConcurrentWriterException] {
+      Generations.prepareAs(spark, fam, "procC")
+    }
+  }
+
+  test("conditional-put store: the epsilon residual is ERASED, not " +
+      "backstopped — a same-token lease re-claimed FRESH inside the " +
+      "breaker's observe->delete microwindow survives (the keyed " +
+      "delete fails on the bumped generation), only ONE writer " +
+      "believes it holds, and the holder's commit PUBLISHES — the " +
+      "exact interleaving the legacy rename-only mode can only " +
+      "fail-closed on") {
+    val fam = condFam("graft-condstore-epsilon")
+    val f = fs(fam)
+    val cs = f.asInstanceOf[graft.sources.ConditionalStore]
+    val lease = new Path(fam, "_writer_lease")
+    // procP's lease went STALE mid-write (so the breaker's own
+    // re-observation inside takeLeaseFile still reads it stale)
+    val (nP, gP) = Generations.prepareAs(spark, fam, "procP")
+    writePayload(gP, 1L)
+    f.setTimes(lease,
+      System.currentTimeMillis() - Generations.leaseTtlMs - 5000L, -1L)
+    // the same-token fresh re-claim lands EXACTLY inside the breaker's
+    // observe->delete microwindow (the lease_took seam): procP's
+    // own-stale forfeit path re-contends and wins its lease back fresh
+    // under its old token, bumping the generation
+    var reclaimed = false
+    withLeaseHook(p => if (p == "lease_took" && !reclaimed) {
+      reclaimed = true
+      val obs = cs.observe(lease).get
+      assert(cs.deleteIfGeneration(lease, obs.generation))
+      assert(cs.putIfAbsent(lease, "procP".getBytes("UTF-8")))
+    }) {
+      val staleRead =
+        System.currentTimeMillis() - Generations.leaseTtlMs - 5000L
+      assert(!Generations.takeLeaseFile(f, fam, "procP",
+        requireStale = true, preMtime = staleRead),
+        "the stale-keyed conditional delete must FAIL against the " +
+          "fresh re-claim — on the legacy rename path this broke the " +
+          "new fence (the epsilon residual)")
+    }
+    assert(reclaimed, "the microwindow seam never fired")
+    // exactly one believed holder: the re-claimed fresh lease stands
+    val held = Generations.readLease(f, fam)
+    assert(held.exists(_._1 == "procP"), s"lease: $held")
+    assert(held.exists { case (_, m) =>
+      System.currentTimeMillis() - m < Generations.leaseTtlMs },
+      "the surviving lease must be the FRESH re-claim")
+    // a foreign acquirer fences on it
+    intercept[ConcurrentWriterException] {
+      Generations.prepareAs(spark, fam, "procB")
+    }
+    // and the holder's commit publishes normally — no fail-closed
+    // abort needed, the hold was never double-believed
+    Generations.commitAs(spark, fam, nP, "byP", reclaim = true, "procP")
+    assert(Generations.head(spark, fam).contains((nP, "byP")))
+  }
+
+  test("conditional-put store: a refresh (own-fresh re-acquire / " +
+      "heartbeat) BUMPS the generation, so a breaker keyed on a " +
+      "pre-refresh observation fails its delete — the refresh-vs-" +
+      "break race a bare mtime touch would leave open") {
+    val fam = condFam("graft-condstore-refresh")
+    val f = fs(fam)
+    val cs = f.asInstanceOf[graft.sources.ConditionalStore]
+    val lease = new Path(fam, "_writer_lease")
+    Generations.prepareAs(spark, fam, "procH")
+    val pre = cs.observe(lease).get
+    // the holder re-acquires its own fresh lease (refreshLease path)
+    Generations.prepareAs(spark, fam, "procH")
+    val post = cs.observe(lease).get
+    assert(post.generation != pre.generation,
+      "the conditional refresh must advance the generation")
+    assert(!cs.deleteIfGeneration(lease, pre.generation),
+      "a delete keyed on the pre-refresh generation must fail")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procH"))
+    Generations.releaseLease(f, fam, "procH")
+    assert(Generations.readLease(f, fam).isEmpty,
+      "release must still work through the conditional delete")
   }
 }
