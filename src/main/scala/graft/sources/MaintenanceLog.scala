@@ -43,11 +43,15 @@ import org.apache.spark.sql.types._
   * longer tie on seq; within one process the `synchronized` emit
   * serializes same-token threads the lease's own-fresh re-acquire
   * would wave through. A fence that outlasts the bounded retry budget
-  * (a crashed emitter's lease, fresh for up to its TTL) drops the
-  * event with a stderr note rather than failing the maintenance
-  * operation that emitted it — observability must never take down the
-  * pipeline it observes, and the documented loss mode was already
-  * under-report, never double-count.
+  * (a crashed emitter's lease, fresh for up to its TTL) SPILLS the
+  * event to a pending sidecar (round 20; pre-r20 it was dropped with
+  * a stderr note) rather than failing the maintenance operation that
+  * emitted it — observability must never take down the pipeline it
+  * observes — and the next successful emit (or [[flushPending]])
+  * folds the sidecars into the ledger exactly once, preserving the
+  * dense tie-free seq; the only remaining loss window is a crash
+  * between a sidecar's delete and its append, which under-reports
+  * (the documented loss direction), never double-counts.
   */
 object MaintenanceLog {
 
@@ -181,12 +185,141 @@ object MaintenanceLog {
           durationMs, detail, Generations.processToken)
       }
 
+  /** Pending-sidecar directory under the events family: events whose
+    * emit stayed fenced past the retry budget spill here (one JSON
+    * file each, unique names — no contention) and are folded into the
+    * ledger by the NEXT successful emit on the root, or by an explicit
+    * [[flushPending]] — round 20 (r19 verdict item 3), replacing the
+    * drop-with-stderr loss mode. The fold runs under the family's
+    * writer lease and deletes each sidecar BEFORE appending its row,
+    * so a crash mid-fold can only under-report (the pre-existing,
+    * documented loss direction), never double-count; seq stays dense
+    * and tie-free because assignment still happens only under the
+    * lease. */
+  private[graft] val PendingDir = "_pending"
+
+  /** Bounded lease-retry budget for one emit; override with
+    * `-Dgraft.maintlog.emitAttempts=<n>` (the two-process spill test
+    * shrinks it). */
+  private def emitAttempts: Int =
+    sys.props.get("graft.maintlog.emitAttempts").map(_.toInt)
+      .getOrElse(12)
+
+  private def jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def pendingPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$Family/$PendingDir")
+
+  /** Spill one fenced event to the pending sidecar (best effort: an
+    * I/O failure here degrades to the pre-r20 drop, loudly). */
+  private def spillPending(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, kind: String, family: String, nRows: Long,
+      filesBefore: Long, filesAfter: Long, durationMs: Long,
+      detail: String): Unit =
+    try {
+      val dir = pendingPath(root)
+      fs.mkdirs(dir)
+      val om = jackson
+      val node = om.createObjectNode()
+      node.put("kind", kind); node.put("family", family)
+      node.put("n_rows", nRows); node.put("files_before", filesBefore)
+      node.put("files_after", filesAfter)
+      node.put("duration_ms", durationMs); node.put("detail", detail)
+      val name = f"${System.currentTimeMillis()}%013d_" +
+        java.util.UUID.randomUUID.toString.replace("-", "") + ".json"
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
+      try out.write(om.writeValueAsBytes(node)) finally out.close()
+      System.err.println(s"[graft] maintenance-event emit on $root " +
+        s"($kind/$family) stayed fenced past the retry budget — " +
+        s"SPILLED to $PendingDir/$name; the next successful emit (or " +
+        "flushPending) folds it into the ledger")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] maintenance-event emit on $root " +
+          s"($kind/$family) dropped: fenced past the retry budget AND " +
+          s"the pending-sidecar spill failed ($e) — the ledger " +
+          "under-reports this one event; the maintenance operation " +
+          "itself completed")
+    }
+
+  /** Fold every pending sidecar into the ledger. MUST be called with
+    * the events family's writer lease held. Sidecars fold in filename
+    * order (spill-time prefixed); each is deleted before its row is
+    * appended — at-most-once. */
+  private def flushPendingLocked(spark: SparkSession, root: String,
+      st: VersionedStore, fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val dir = pendingPath(root)
+    val sts =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return }
+    val om = jackson
+    sts.filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName).foreach { s =>
+        val bytes =
+          try {
+            val in = fs.open(s.getPath)
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val b = new Array[Byte](4096)
+              var n = in.read(b)
+              while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+              Some(buf.toByteArray)
+            } finally in.close()
+          } catch { case _: java.io.FileNotFoundException => None }
+        bytes.foreach { bs =>
+          val node = om.readTree(bs)
+          // delete FIRST: a crash between the delete and the append
+          // under-reports (the documented loss direction); the other
+          // order would double-count on every such crash
+          if (fs.delete(s.getPath, false)) {
+            val seq = st.currentVersion(spark, Table).getOrElse(0L) + 1L
+            val row = spark.createDataFrame(
+              java.util.List.of(org.apache.spark.sql.Row(
+                seq, node.get("kind").asText,
+                node.get("family").asText, node.get("n_rows").asLong,
+                node.get("files_before").asLong,
+                node.get("files_after").asLong,
+                node.get("duration_ms").asLong,
+                node.get("detail").asText)),
+              Schema).coalesce(1)
+            st.write(row, Table, SaveMode.Append)
+          }
+        }
+      }
+  }
+
+  /** Fold any pending (previously fenced) events into the ledger now,
+    * without emitting a new event — the maintenance-window hook for
+    * roots whose emitters keep losing the lease race. No-op when
+    * nothing is pending or the family stays fenced. */
+  def flushPending(spark: SparkSession, root: String): Unit = {
+    val famDir = s"$root/$Family"
+    val fs = new org.apache.hadoop.fs.Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val none =
+      try fs.listStatus(pendingPath(root)).isEmpty
+      catch { case _: java.io.FileNotFoundException => true }
+    if (none) return
+    val token = Generations.processToken
+    try {
+      Generations.retryingConcurrent(maxAttempts = emitAttempts,
+        baseBackoffMs = 25L, maxBackoffMs = 1000L) {
+        Generations.acquireLease(fs, famDir, token)
+        try flushPendingLocked(spark, root, store(root), fs)
+        finally Generations.releaseLease(fs, famDir, token)
+      }
+    } catch {
+      case _: ConcurrentWriterException => () // still fenced; next time
+    }
+  }
+
   /** [[emit]] with an explicit writer token — the seam the two-process
     * seq test drives (each simulated process gets its own token in one
     * JVM). The seq read and the append run under the events family's
-    * writer lease; a persistent fence (another emitter's fresh lease
-    * outlasting the retry budget) drops the event with a stderr note
-    * instead of failing the caller's maintenance operation. */
+    * writer lease, folding in any pending sidecars first; a persistent
+    * fence (another emitter's fresh lease outlasting the retry budget)
+    * SPILLS the event to the pending sidecar instead of dropping it
+    * (round 20) — the next successful emit folds it in exactly once. */
   private[graft] def emitAs(spark: SparkSession, root: String,
       kind: String, family: String, nRows: Long, filesBefore: Long = -1L,
       filesAfter: Long = -1L, durationMs: Long = -1L,
@@ -195,11 +328,14 @@ object MaintenanceLog {
     val fs = new org.apache.hadoop.fs.Path(famDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      Generations.retryingConcurrent(maxAttempts = 12,
+      Generations.retryingConcurrent(maxAttempts = emitAttempts,
         baseBackoffMs = 25L, maxBackoffMs = 1000L) {
         Generations.acquireLease(fs, famDir, token)
         try {
           val st = store(root)
+          // spilled-then-fenced predecessors fold in FIRST, so the
+          // ledger's order puts them before this (later) event
+          flushPendingLocked(spark, root, st, fs)
           val seq = st.currentVersion(spark, Table).getOrElse(0L) + 1L
           val row = spark.createDataFrame(
             java.util.List.of(org.apache.spark.sql.Row(
@@ -211,10 +347,8 @@ object MaintenanceLog {
       }
     } catch {
       case _: ConcurrentWriterException =>
-        System.err.println(s"[graft] maintenance-event emit on $root " +
-          s"($kind/$family) dropped: the ledger's writer lease stayed " +
-          "fenced past the retry budget — the ledger under-reports " +
-          "this one event; the maintenance operation itself completed")
+        spillPending(fs, root, kind, family, nRows, filesBefore,
+          filesAfter, durationMs, detail)
     }
   }
 

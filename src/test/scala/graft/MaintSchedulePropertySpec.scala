@@ -617,6 +617,89 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     MaintenanceLog.disable(spark, root)
   }
 
+  test("a PERSISTENTLY fenced ledger event is SPILLED and later " +
+      "flushed exactly once (round 20; pre-r20 it was dropped): with " +
+      "procA's fresh lease outlasting procB's whole retry budget the " +
+      "event lands in the pending sidecar, the ledger is untouched, " +
+      "and the next successful emit folds it in FIRST — seq dense, no " +
+      "duplicate, sidecar gone") {
+    import graft.sources.MaintenanceLog
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maintlog-spill").toString
+    val root = Models.root(dir)
+    val famDir = s"$root/${MaintenanceLog.Family}"
+    val fs = new Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MaintenanceLog.enable(spark, root)
+    // procA (a frozen emitter) holds the events-family lease, fresh
+    Generations.acquireLease(fs, famDir, "procA")
+    // procB's emit exhausts a SHRUNK retry budget against the fence
+    val prev = sys.props.get("graft.maintlog.emitAttempts")
+    sys.props("graft.maintlog.emitAttempts") = "2"
+    try {
+      MaintenanceLog.emitAs(spark, root, "fold", "fam-b",
+        nRows = 7L, detail = "spilled-one", token = "procB")
+    } finally prev match {
+      case Some(v) => sys.props("graft.maintlog.emitAttempts") = v
+      case None => sys.props.remove("graft.maintlog.emitAttempts")
+    }
+    assert(MaintenanceLog.events(spark, root).count() == 0L,
+      "the fenced event must not have reached the ledger")
+    val pend = new Path(famDir, MaintenanceLog.PendingDir)
+    assert(fs.listStatus(pend).count(_.getPath.getName.endsWith(".json"))
+      == 1, "exactly one pending sidecar must exist")
+    // procA releases (crash recovery / completed); procB's NEXT emit
+    // folds the pending event in before its own
+    Generations.releaseLease(fs, famDir, "procA")
+    MaintenanceLog.emitAs(spark, root, "fold", "fam-b",
+      nRows = 8L, detail = "after-fence", token = "procB")
+    val rows = MaintenanceLog.events(spark, root)
+      .select("seq", "n_rows", "detail").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 7L, "spilled-one"),
+      (2L, 8L, "after-fence")),
+      s"spilled event must fold in FIRST with a dense seq: " +
+        s"${rows.toSeq}")
+    assert(fs.listStatus(pend).forall(!_.getPath.getName.endsWith(".json")),
+      "the folded sidecar must be deleted (exactly-once)")
+    // idempotence: an explicit flush with nothing pending is a no-op
+    MaintenanceLog.flushPending(spark, root)
+    assert(MaintenanceLog.events(spark, root).count() == 2L)
+    assert(Generations.readLease(fs, famDir).isEmpty,
+      "every path must release the ledger lease")
+    MaintenanceLog.disable(root)
+  }
+
+  test("flushPending folds a spilled event WITHOUT emitting a new " +
+      "one — the standalone recovery hook for roots whose emitters " +
+      "keep losing the lease race") {
+    import graft.sources.MaintenanceLog
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maintlog-flush").toString
+    val root = Models.root(dir)
+    val famDir = s"$root/${MaintenanceLog.Family}"
+    val fs = new Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MaintenanceLog.enable(spark, root)
+    Generations.acquireLease(fs, famDir, "procA")
+    val prev = sys.props.get("graft.maintlog.emitAttempts")
+    sys.props("graft.maintlog.emitAttempts") = "2"
+    try {
+      MaintenanceLog.emitAs(spark, root, "vacuum", "fam-x",
+        nRows = 3L, detail = "orphan-spill", token = "procB")
+    } finally prev match {
+      case Some(v) => sys.props("graft.maintlog.emitAttempts") = v
+      case None => sys.props.remove("graft.maintlog.emitAttempts")
+    }
+    Generations.releaseLease(fs, famDir, "procA")
+    MaintenanceLog.flushPending(spark, root)
+    val rows = MaintenanceLog.events(spark, root)
+      .select("seq", "detail").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "orphan-spill")), s"got $rows")
+    MaintenanceLog.disable(root)
+  }
+
   // ---- the property: N random maintenance schedules -----------------------
 
   /** Trial count / base seed. Round-18 default FLIP (r17 verdict item
