@@ -285,6 +285,63 @@ object SourceQueries {
         "pages 2-3 push object > marker — the meta.clj:163-172 " +
         "first/later-page variant at the pushed-filter level"),
 
+    // Server-side aggregates THROUGH the connector (round 20, D3/D4
+    // through the Cassandra seam): the bucket-scoped row (full pk
+    // equality) is a COMPLETE pushdown — the connector returns the
+    // final count/sum/min/max row, Spark plans no aggregate over it —
+    // and the all-buckets row is a PARTIAL pushdown — one partial row
+    // per token partition, merged by Spark exactly like Cassandra's
+    // coordinator merges per-range aggregates. CassandraLikeSpec pins
+    // the claim records and plan shapes; this entry puts both results
+    // under the hash gate.
+    "src_casv2_agg" -> QueryDef(
+      (s, d) => {
+        graft.sources.CassandraLikeV2.clear()
+        val store = new graft.sources.ConnectorStore(
+          "graft.sources.CassandraLikeV2", t => Map(
+            "table" -> t,
+            "partitionKeys" -> "bucket",
+            "clusteringKeys" -> "object"))
+        store.write(Tables.objects(s, d)
+          .select("bucket", "object", "size", "checksum"),
+          "objects", org.apache.spark.sql.SaveMode.Overwrite)
+        val t = store.read(s, "objects")
+        val one = t.filter(col("bucket") === "src2")
+          .agg(count(lit(1)).as("n_objects"),
+            sum("size").as("total_bytes"),
+            min("object").as("first_key"), max("object").as("last_key"))
+          .withColumn("scope", lit("bucket_src2"))
+        val all = t
+          .agg(count(lit(1)).as("n_objects"),
+            sum("size").as("total_bytes"),
+            min("object").as("first_key"), max("object").as("last_key"))
+          .withColumn("scope", lit("all_buckets"))
+        one.unionByName(all)
+          .select("scope", "n_objects", "total_bytes",
+            "first_key", "last_key")
+          .orderBy("scope")
+      },
+      Some(graft.QueryDef.withCtes(
+        """SELECT * FROM (
+          |  SELECT 'bucket_src2' AS scope,
+          |    CAST(count(*) AS BIGINT) AS n_objects,
+          |    CAST(sum(size) AS BIGINT) AS total_bytes,
+          |    min(object) AS first_key, max(object) AS last_key
+          |  FROM objects WHERE bucket = 'src2'
+          |  UNION ALL
+          |  SELECT 'all_buckets' AS scope,
+          |    CAST(count(*) AS BIGINT) AS n_objects,
+          |    CAST(sum(size) AS BIGINT) AS total_bytes,
+          |    min(object) AS first_key, max(object) AS last_key
+          |  FROM objects)
+          |ORDER BY scope""".stripMargin,
+        Tables.objectsSql)),
+      doc = "D3 size-sum + D4 emptiness count THROUGH the " +
+        "Cassandra-shaped DSv2 binding: pk-equality scope is a " +
+        "COMPLETE aggregate pushdown (the connector's single-" +
+        "partition CQL aggregate), the unrestricted scope a PARTIAL " +
+        "one merged per token range like Cassandra's coordinator"),
+
     // GC: orphan compaction as a committed swap, with the report
     // derived ENTIRELY from committed snapshots — v1 (time travel
     // within the keep window) minus the compacted head IS the orphan

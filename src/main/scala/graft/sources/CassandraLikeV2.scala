@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering,
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -57,7 +57,8 @@ object CassandraLikeV2 {
 
   /** What the last scan of each table pushed to the "server". */
   case class ScanRecord(pushed: Seq[String], postScan: Seq[String],
-      limit: Option[Int], topNOrder: Seq[String], topNFullyPushed: Boolean)
+      limit: Option[Int], topNOrder: Seq[String], topNFullyPushed: Boolean,
+      pushedAgg: Seq[String] = Seq.empty, aggComplete: Boolean = false)
   val lastScan = TrieMap.empty[String, ScanRecord]
 
   def clear(): Unit = { tables.clear(); lastScan.clear() }
@@ -116,6 +117,142 @@ object CassandraLikeV2 {
       row: InternalRow): Boolean = f match {
     case IsNotNull(a) => !row.isNullAt(schema.fieldIndex(a))
     case other => MemoryV2.eval(other, schema, row)
+  }
+
+  // ---- server-side aggregates (round 20, r19 verdict item 6) -------
+  // CQL computes count/sum/min/max/avg server-side; distributed, each
+  // token range produces a partial the coordinator merges. The DSv2
+  // binding mirrors that: SupportsPushDownAggregates claims the
+  // CQL-expressible shape (no GROUP BY, non-distinct, plain columns),
+  // COMPLETE pushdown when full pk equality pins ONE partition (the
+  // single-partition CQL aggregate page), PARTIAL otherwise — one
+  // partial row per token partition, Spark's final aggregate merging
+  // them exactly like Cassandra's coordinator.
+
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count => DsCount, CountStar, Max => DsMax, Min => DsMin, Sum => DsSum}
+
+  private def aggCol(e: org.apache.spark.sql.connector.expressions.Expression,
+      schema: StructType): Option[StructField] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 &&
+        schema.fieldNames.contains(nr.fieldNames()(0)) =>
+      Some(schema(schema.fieldIndex(nr.fieldNames()(0))))
+    case _ => None
+  }
+
+  /** The CQL-expressible server-side aggregate shape: no grouping,
+    * every function count(*) / count(col) / sum(col) / min(col) /
+    * max(col), non-distinct, over an existing column — sum over
+    * integral columns, min/max over integral or text. */
+  private[sources] def claimableAgg(agg: Aggregation,
+      schema: StructType): Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case c: DsCount =>
+          !c.isDistinct && aggCol(c.column(), schema).isDefined
+        case s: DsSum => !s.isDistinct &&
+          aggCol(s.column(), schema).exists(f =>
+            f.dataType == IntegerType || f.dataType == LongType)
+        case m: DsMin => aggCol(m.column(), schema).exists(f =>
+          f.dataType == IntegerType || f.dataType == LongType ||
+            f.dataType == StringType)
+        case m: DsMax => aggCol(m.column(), schema).exists(f =>
+          f.dataType == IntegerType || f.dataType == LongType ||
+            f.dataType == StringType)
+        case _ => false
+      }
+
+  /** Scan output schema for a pushed aggregation: one field per
+    * function, positional (Spark's pushdown rule binds by position) —
+    * counts and integral sums widen to long, min/max keep the column
+    * type. Identical for partial and complete pushdown (partial
+    * count merges as a final SUM over longs; partial sum/min/max
+    * merge as themselves). */
+  private[sources] def aggSchema(funcs: Seq[AggregateFunc],
+      schema: StructType): StructType =
+    StructType(funcs.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType)
+      case (_: DsCount, i) => StructField(s"agg_$i", LongType)
+      case (_: DsSum, i) => StructField(s"agg_$i", LongType)
+      case (m: DsMin, i) =>
+        StructField(s"agg_$i", aggCol(m.column(), schema).get.dataType)
+      case (m: DsMax, i) =>
+        StructField(s"agg_$i", aggCol(m.column(), schema).get.dataType)
+      case (f, i) => throw new IllegalStateException(s"unclaimed $f@$i")
+    })
+
+  /** Evaluate the pushed functions over one row group (a token
+    * partition's kept rows, or the whole kept set for complete
+    * pushdown) — SQL semantics: count skips nulls, sum/min/max over
+    * zero non-null rows are null. */
+  private[sources] def evalAgg(funcs: Seq[AggregateFunc],
+      schema: StructType, rows: Array[UnsafeRow],
+      out: StructType): UnsafeRow = {
+    def nonNull(col: org.apache.spark.sql.connector.expressions.Expression)
+        : (Int, DataType, Array[UnsafeRow]) = {
+      val f = aggCol(col, schema).get
+      val i = schema.fieldIndex(f.name)
+      (i, f.dataType, rows.filter(!_.isNullAt(i)))
+    }
+    def minMax(col: org.apache.spark.sql.connector.expressions.Expression,
+        wantMax: Boolean): Any = {
+      val (i, dt, nn) = nonNull(col)
+      if (nn.isEmpty) null
+      else dt match {
+        case IntegerType =>
+          val vs = nn.map(_.getInt(i)); if (wantMax) vs.max else vs.min
+        case LongType =>
+          val vs = nn.map(_.getLong(i)); if (wantMax) vs.max else vs.min
+        case StringType =>
+          implicit val ord: Ordering[UTF8String] =
+            Ordering.fromLessThan(_.compareTo(_) < 0)
+          val vs = nn.map(_.getUTF8String(i))
+          (if (wantMax) vs.max else vs.min).copy()
+        case dt => throw new IllegalStateException(s"unclaimed type $dt")
+      }
+    }
+    val vals: Array[Any] = funcs.map {
+      case _: CountStar => rows.length.toLong
+      case c: DsCount => nonNull(c.column())._3.length.toLong
+      case s: DsSum =>
+        val (i, dt, nn) = nonNull(s.column())
+        if (nn.isEmpty) null
+        else dt match {
+          case IntegerType => nn.iterator.map(_.getInt(i).toLong).sum
+          case LongType => nn.iterator.map(_.getLong(i)).sum
+          case dt => throw new IllegalStateException(s"unclaimed $dt")
+        }
+      case m: DsMin => minMax(m.column(), wantMax = false)
+      case m: DsMax => minMax(m.column(), wantMax = true)
+      case f => throw new IllegalStateException(s"unclaimed $f")
+    }.toArray
+    UnsafeProjection.create(out)
+      .apply(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+      .copy()
+  }
+
+  /** Slice (pk, ck)-sorted kept rows into one group per pk value —
+    * the token-ownership partitioning shared by the row scan and the
+    * partial-aggregate scan. */
+  private[sources] def pkGroups(table: String, full: StructType,
+      kept: Array[UnsafeRow]): Array[Array[UnsafeRow]] = {
+    val pkOrd = tables.get(table).map(s => keyOrdering(full, s.pk))
+    pkOrd match {
+      case None => Array(kept)
+      case Some(ord) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[UnsafeRow]]
+        var start = 0
+        var i = 1
+        while (i <= kept.length) {
+          if (i == kept.length || ord.compare(kept(i - 1), kept(i)) != 0) {
+            out += kept.slice(start, i)
+            start = i
+          }
+          i += 1
+        }
+        out.toArray
+    }
   }
 
   /** Null-first ordering over `cols` of `schema` rows (the storage
@@ -203,7 +340,8 @@ private[sources] class CasV2ScanBuilder(table: String, pk: Seq[String],
     ck: Seq[String], full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var unclaimed: Array[Filter] = Array.empty
@@ -211,6 +349,10 @@ private[sources] class CasV2ScanBuilder(table: String, pk: Seq[String],
   private var limit: Option[Int] = None
   private var topNOrder: Seq[String] = Seq.empty
   private var topNFull = false
+  private var agg: Option[
+    Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc]] =
+    None
+  private var aggComplete = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = CassandraLikeV2.claimable(pk, ck, filters)
@@ -262,12 +404,79 @@ private[sources] class CasV2ScanBuilder(table: String, pk: Seq[String],
     * the claimed top-N IS the global answer — Spark plans no re-sort. */
   override def isPartiallyPushed: Boolean = !topNFull
 
+  /** COMPLETE pushdown — the scan returns the final aggregate row —
+    * only when full pk equality pins ONE token partition (the
+    * single-partition CQL aggregate); otherwise partial per token
+    * range, merged by Spark like Cassandra's coordinator. Filters are
+    * pushed before aggregates, so `pushed` is known here. */
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    CassandraLikeV2.claimableAgg(a, full) && singlePartition
+
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    if (!CassandraLikeV2.claimableAgg(a, full)) false
+    else {
+      agg = Some(a.aggregateExpressions().toSeq)
+      aggComplete = singlePartition
+      true
+    }
+
   override def build(): Scan = {
     CassandraLikeV2.lastScan(table) = CassandraLikeV2.ScanRecord(
       pushed.map(_.toString).toSeq, unclaimed.map(_.toString).toSeq,
-      limit, topNOrder, topNFull)
-    new CasV2Scan(table, full, required, pushed, limit)
+      limit, topNOrder, topNFull,
+      agg.toSeq.flatten.map(_.toString), aggComplete)
+    agg match {
+      case Some(funcs) =>
+        new CasV2AggScan(table, full, pushed, funcs, aggComplete)
+      case None => new CasV2Scan(table, full, required, pushed, limit)
+    }
   }
+}
+
+/** Scan serving a PUSHED aggregation: complete mode emits the one
+  * final row (full pk equality — a single CQL partition aggregate);
+  * partial mode emits one partial row per token partition for Spark's
+  * final merge. Claimed filters still cut rows server-side first. */
+private[sources] class CasV2AggScan(table: String, full: StructType,
+    pushed: Array[Filter],
+    funcs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
+    complete: Boolean)
+    extends Scan with Batch {
+
+  private val out = CassandraLikeV2.aggSchema(funcs, full)
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"casv2:$table, PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedAggregates: [${funcs.mkString(", ")}], " +
+      s"complete: $complete"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = CassandraLikeV2.tables.get(table).map(_.rows)
+      .getOrElse(Array.empty[UnsafeRow])
+    val kept = rows.filter(r =>
+      pushed.forall(CassandraLikeV2.eval(_, full, r)))
+    if (complete) {
+      // the final answer, even over zero rows (count = 0, sum = null)
+      Array(MemV2Partition(
+        Array(CassandraLikeV2.evalAgg(funcs, full, kept, out))))
+    } else {
+      val groups = CassandraLikeV2.pkGroups(table, full, kept)
+        .filter(_.nonEmpty)
+      if (groups.isEmpty) Array(MemV2Partition(Array.empty))
+      else groups.map(g => MemV2Partition(
+        Array(CassandraLikeV2.evalAgg(funcs, full, g, out)))
+        : InputPartition)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemV2ReaderFactory(out, out)
 }
 
 private[sources] class CasV2Scan(table: String, full: StructType,
@@ -290,22 +499,7 @@ private[sources] class CasV2Scan(table: String, full: StructType,
     // one partition per pk value (token ownership); rows are stored
     // (pk, ck)-sorted, so pk runs are contiguous and each partition
     // stays in clustering order — slice the runs
-    val pkOrd = state.map(s => CassandraLikeV2.keyOrdering(full, s.pk))
-    val groups = pkOrd match {
-      case None => Array(kept)
-      case Some(ord) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[Array[UnsafeRow]]
-        var start = 0
-        var i = 1
-        while (i <= kept.length) {
-          if (i == kept.length || ord.compare(kept(i - 1), kept(i)) != 0) {
-            out += kept.slice(start, i)
-            start = i
-          }
-          i += 1
-        }
-        out.toArray
-    }
+    val groups = CassandraLikeV2.pkGroups(table, full, kept)
     val limited = limit match {
       case Some(n) => groups.map(_.take(n)) // per token range, as CQL
       case None => groups

@@ -246,4 +246,98 @@ class CassandraLikeSpec extends AnyFunSuite {
       .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
     assert(scanRows == want, s"scan emitted $scanRows, want $want")
   }
+  test("server-side aggregates push through the connector (round 20): " +
+      "full pk equality claims a COMPLETE count/sum/min/max pushdown " +
+      "(the scan emits the final row, Spark plans no aggregate), an " +
+      "unrestricted aggregate claims a PARTIAL one merged per token " +
+      "partition, and distinct/avg shapes are NOT claimed — computed " +
+      "by Spark from raw rows with identical results") {
+    val store = objectsStore()
+    val objects = Tables.objects(spark, sf)
+      .select("bucket", "object", "size", "checksum")
+    store.write(objects, "objects", SaveMode.Overwrite)
+    val t = store.read(spark, "objects")
+    val aggCols = Seq(count(lit(1)).as("n"), sum("size").as("bytes"),
+      min("object").as("lo"), max("object").as("hi"))
+
+    def run(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.Row, CassandraLikeV2.ScanRecord, String) = {
+      CassandraLikeV2.lastScan.remove("objects")
+      val r = df.collect().head
+      (r, CassandraLikeV2.lastScan("objects"),
+        df.queryExecution.explainString(ExplainMode.fromString("simple")))
+    }
+
+    // COMPLETE: pk equality pins one token partition
+    val (gotOne, recOne, planOne) =
+      run(t.filter(col("bucket") === "src2").agg(aggCols.head,
+        aggCols.tail: _*))
+    val wantOne = objects.filter(col("bucket") === "src2")
+      .agg(aggCols.head, aggCols.tail: _*).collect().head
+    assert(gotOne == wantOne)
+    assert(recOne.pushedAgg.size == 4, recOne.pushedAgg)
+    assert(recOne.aggComplete,
+      s"pk-equality aggregate must push COMPLETE: $recOne")
+    assert(!planOne.contains("HashAggregate") &&
+      !planOne.contains("SortAggregate"),
+      s"complete pushdown must leave NO Spark aggregate:\n$planOne")
+
+    // PARTIAL: unrestricted — per-token partials, Spark merges
+    val (gotAll, recAll, planAll) =
+      run(t.agg(aggCols.head, aggCols.tail: _*))
+    val wantAll = objects.agg(aggCols.head, aggCols.tail: _*)
+      .collect().head
+    assert(gotAll == wantAll)
+    assert(recAll.pushedAgg.size == 4, recAll.pushedAgg)
+    assert(!recAll.aggComplete,
+      s"unrestricted aggregate must push PARTIAL: $recAll")
+    assert(planAll.contains("Aggregate"),
+      s"partial pushdown keeps Spark's final merge:\n$planAll")
+    // the scan emitted one partial row per token partition (bucket),
+    // not the raw row count — the server did the work
+    val partialScan = t.agg(aggCols.head, aggCols.tail: _*)
+    partialScan.queryExecution.toRdd.foreach(_ => ())
+    // AQE hides finished stages behind QueryStageExec leaves — flatten
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scanRows = allNodes(partialScan.queryExecution.executedPlan)
+      .collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }.sum
+    val nBuckets = objects.select("bucket").distinct().count()
+    assert(scanRows == nBuckets,
+      s"scan emitted $scanRows rows, want one partial per token " +
+        s"partition ($nBuckets)")
+
+    // NOT claimed: distinct and avg stay Spark-side, results identical
+    val (gotD, recD, _) =
+      run(t.agg(count_distinct(col("object")).as("d")))
+    assert(gotD.getLong(0) ==
+      objects.select("object").distinct().count())
+    assert(recD.pushedAgg.isEmpty,
+      s"countDistinct must NOT be claimed: $recD")
+    // avg is not claimable as-is, but Spark DECOMPOSES it into
+    // sum+count and pushes those — the coordinator-merge shape
+    val (gotAvg, recAvg, _) = run(t.agg(avg("size").as("a")))
+    val wantAvg = objects.agg(avg("size")).collect().head.getDouble(0)
+    assert(math.abs(gotAvg.getDouble(0) - wantAvg) < 1e-9)
+    assert(recAvg.pushedAgg.toSet == Set("SUM(size)", "COUNT(size)"),
+      s"avg must push as its sum+count decomposition: $recAvg")
+
+    // row-scan pushed sets are untouched by the new capability: the
+    // A6 page still claims exactly its filter/limit shape
+    CassandraLikeV2.lastScan.remove("objects")
+    t.filter(Listing.scanPredicate("src1",
+        Listing.ListParams(prefix = Some("en/"))))
+      .orderBy("object").limit(5).collect()
+    val recPage = CassandraLikeV2.lastScan("objects")
+    assert(recPage.pushedAgg.isEmpty && recPage.limit.contains(5),
+      s"per-page pushed sets must be unchanged: $recPage")
+  }
 }
