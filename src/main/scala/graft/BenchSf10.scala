@@ -226,8 +226,47 @@ object BenchSf10 {
         t
       } finally SfSynth.rmTree(tmp)
     }
+    // Dedup-map daily-fold receipt (round 20, r19 verdict item 7):
+    // the slowest steady fold's decade receipt stopped at sf1 (1.9×).
+    // Same framing as maint_lifecycle — base map + LSH index trained
+    // UNTIMED over the ~80% md5 slice (production's one-off), then a
+    // FIXED 2,000-doc batch folds through Models.dedupMapAppend
+    // (index-probed cross edges, exact batch-internal edges, mini
+    // component pass, merge-remap ledger). Two passes with DIFFERENT
+    // batches (dedupeIds makes a replayed batch a no-op — a
+    // non-measurement), min of the two. The steady-state claim: a
+    // day-sized batch costs the same against a 10× map+index.
+    def dedupMapFold(src: String): Double = {
+      graft.functions.GraftFunctions.register(spark)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sf10-map").toString
+      try {
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        val h = md5(encode(col("doc_id").cast("string"), "UTF-8"))
+        docs.filter(h < "cc").write.mode("overwrite")
+          .parquet(s"$tmp/documents.parquet")
+        graft.sources.Models.dedupMap(spark, tmp, 80)
+        graft.sources.Models.lshIndex(spark, tmp,
+          Tables.documents(spark, tmp), "doc_id", "text")
+        val t = Seq(0, 2000).map { off =>
+          val batch = docs.filter(h >= "cc").orderBy("doc_id")
+            .offset(off).limit(2000)
+            .select("doc_id", "text").localCheckpoint(true)
+          timed {
+            graft.sources.Models.dedupMapAppend(spark, tmp, batch,
+              "doc_id", "text", 80, dedupeIds = true)
+          }
+        }.min
+        t
+      } finally {
+        graft.sources.Models.reset(spark, tmp)
+        SfSynth.rmTree(tmp)
+      }
+    }
     val ml1 = maintLifecycle(dir1)
     val ml10 = maintLifecycle(dir10)
+    val mf1 = dedupMapFold(dir1)
+    val mf10 = dedupMapFold(dir10)
 
     val fp1 = fixedProbe(dir1)
     val fp10 = fixedProbe(dir10)
@@ -253,7 +292,8 @@ object BenchSf10 {
       ("dd_incremental_fixed_probe", fp10, fp1, fp10 / fp1, false) :+
       ("sim_ivfpq_scaled_nlist", sn10, sn1, sn10 / sn1, false) :+
       ("tx_bm25_local_terms", bl10, bl1, bl10 / bl1, false) :+
-      ("maint_lifecycle", ml10, ml1, ml10 / ml1, false)
+      ("maint_lifecycle", ml10, ml1, ml10 / ml1, false) :+
+      ("dd_map_fold_steady", mf10, mf1, mf10 / mf1, false)
 
     def jstr(s: String) = "\"" + s + "\""
     val qjson = rows.map { case (n, a10, a1, r, failed) =>

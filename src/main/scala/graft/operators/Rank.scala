@@ -71,9 +71,15 @@ object Rank {
     * callers and outlived the query — ADVICE r19). */
   def boundedGlobal(s: org.apache.spark.sql.SparkSession,
       orderCols: Column*): org.apache.spark.sql.expressions.WindowSpec = {
-    // idempotent: the key resolves through the session's function
-    // registry at analysis time
-    graft.functions.GraftFunctions.register(s)
+    // the key resolves through the session's function registry at
+    // analysis time; register only when absent (a blanket re-register
+    // per call would WARN-spam "function replaced" — the noise the
+    // declared-bounded key exists to remove)
+    if (!s.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(
+          "bounded_global_key"))) {
+      graft.functions.GraftFunctions.register(s)
+    }
     Window.partitionBy(graft.functions.GraftFunctions.boundedGlobalKey())
       .orderBy(orderCols: _*)
   }

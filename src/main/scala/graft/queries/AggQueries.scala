@@ -39,20 +39,36 @@ object AggQueries {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       doc = "scan+hash-agg headliner (map-side partial agg, 2-col group)"),
 
-    // TPC-H Q3 shape: 3-way join + agg + top-k.
+    // TPC-H Q3 shape: 3-way join + agg + top-k. Round-20 plan (the
+    // r19 sf10 anchor item's named fix): the dimension side joins
+    // broadcast(customer-segment) into orders FIRST, so the rows
+    // entering the corpus-sized orderkey join are the qualified ~10%
+    // of orders, not everything with a post-join cut — same-JVM A/B
+    // at sf10: 3.18 → 2.30 s, neutral at sf1 (AQE broadcasts the
+    // qualified side there either way). Profiled non-fixes, for the
+    // record: pre-aggregating lineitem by l_orderkey LOSES (orderkey
+    // is near-unique per partition, so map-side combine buys nothing
+    // and the 7.5M-group hash-agg costs more than it saves); an
+    // explicit shuffle_hash hint ties at sf10 but blocks AQE's
+    // broadcast conversion at small scales; the runtime bloom filter
+    // is cost-neutral at sf10 (it auto-injects only past the 10 GB
+    // application-side scan threshold — i.e. at real scale, where it
+    // belongs). No scaling side is ever broadcast; the group-by
+    // reuses the join's orderkey exchange.
     "q3_top_orders" -> QueryDef(
       (s, d) => {
         val cust = Tables.customer(s, d)
           .filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey")
-        val ord = Tables.orders(s, d)
+        val qualOrd = Tables.orders(s, d)
           .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
           .select("o_orderkey", "o_custkey", "o_orderdate")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_orderdate")
         val li = Tables.lineitem(s, d)
           .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
           .select("l_orderkey", "l_extendedprice", "l_discount")
-        li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        li.join(qualOrd, col("l_orderkey") === col("o_orderkey"))
           .groupBy("l_orderkey", "o_orderdate")
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
