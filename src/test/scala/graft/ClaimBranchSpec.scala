@@ -149,4 +149,108 @@ class ClaimBranchSpec extends AnyFunSuite {
     assert(store.read(spark, "t").collect().map(_.getLong(0)).toSeq ==
       Seq(9L))
   }
+  // ---- round-20: the CONDITIONAL-PUT claim branch -------------------
+  // Same three classifications, driven through a store whose claim is
+  // If-None-Match (putIfAbsent) rather than rename — the branch every
+  // precondition-capable object store takes.
+
+  ConditionalObjectStoreFileSystem.register(spark)
+
+  test("generations over a conditional-put scheme: the full cutover " +
+      "cycle works and marker content round-trips through putIfAbsent") {
+    val fam = ConditionalObjectStoreFileSystem
+      .tempDir("graft-condstore-cyc") + "/art"
+    assert(fs(fam).isInstanceOf[graft.sources.ConditionalStore])
+    val (n1, d1) = Generations.prepare(spark, fam)
+    writePayload(d1, 1L)
+    Generations.commit(spark, fam, n1, "pair=1")
+    assert(Generations.head(spark, fam).contains((1L, "pair=1")),
+      "marker content must round-trip through the conditional publish")
+    val (n2, d2) = Generations.prepare(spark, fam)
+    writePayload(d2, 2L)
+    Generations.commit(spark, fam, n2, "pair=2")
+    assert(Generations.head(spark, fam).contains((2L, "pair=2")))
+  }
+
+  test("conditional-put claim loses cleanly to an existing marker; a " +
+      "tmp swept mid-claim with the destination absent classifies as " +
+      "the retryable IllegalStateException — never an unclassified " +
+      "crash") {
+    val fam = ConditionalObjectStoreFileSystem
+      .tempDir("graft-condstore-lose") + "/art"
+    val f = fs(fam)
+    val (n, d) = Generations.prepare(spark, fam)
+    writePayload(d, 1L)
+    val winner = new Path(fam, s"_commit_$n")
+    val out = f.create(winner, true)
+    out.write("winner".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException] {
+      Generations.commit(spark, fam, n, "loser")
+    }
+    assert(e.getMessage.contains("lost a race"), e.getMessage)
+    assert(Generations.head(spark, fam).contains((n, "winner")))
+    // swept-mid-claim: the tmp vanished before the conditional put
+    Generations.releaseLease(f, fam, Generations.processToken)
+    val tmp = new Path(fam, "_tmp_swepttest")
+    f.create(tmp, true).close()
+    f.delete(tmp, false) // the concurrent sweep
+    val dst = new Path(fam, "_commit_9")
+    val e2 = intercept[IllegalStateException] {
+      Generations.claim(f, tmp, dst)
+    }
+    assert(e2.getMessage.contains("swept mid-claim") &&
+      e2.getMessage.contains("retry"), e2.getMessage)
+    assert(!f.exists(dst), "no marker may be published on a swept claim")
+  }
+
+  test("two writers racing one index through the conditional-put " +
+      "branch: exactly one putIfAbsent wins, the head carries the " +
+      "winner's content") {
+    val fam = ConditionalObjectStoreFileSystem
+      .tempDir("graft-condstore-race") + "/art"
+    val (n, dir) = Generations.prepare(spark, fam)
+    writePayload(dir, 1L)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    (1 to 2).map { w =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          barrier.await()
+          try {
+            Generations.commit(spark, fam, n, s"writer$w")
+            results.add(s"win$w")
+          } catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("lost a race") =>
+              results.add(s"lose$w")
+          }
+        }
+      })
+    }.foreach(_.get())
+    pool.shutdown()
+    val rs = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(results).asScala.toSeq.sorted
+    assert(rs.count(_.startsWith("win")) == 1 &&
+      rs.count(_.startsWith("lose")) == 1, s"outcomes: $rs")
+    val winner = rs.find(_.startsWith("win")).get.stripPrefix("win")
+    assert(Generations.head(spark, fam).contains((n, s"writer$winner")))
+  }
+
+  test("VersionedStore commit log over a conditional-put scheme: " +
+      "overwrite and serializable append work through the " +
+      "putIfAbsent manifest claim") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val logRoot = ConditionalObjectStoreFileSystem
+      .tempDir("graft-condstore-vstore")
+    val store = new VersionedStore(new MemoryStore, logRoot)
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t",
+      SaveMode.Overwrite)
+    assert(store.currentVersion(spark, "t").contains(1L))
+    store.write(Seq((3L, "c")).toDF("id", "v"), "t", SaveMode.Append)
+    assert(store.currentVersion(spark, "t").contains(2L))
+    assert(store.read(spark, "t").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
 }

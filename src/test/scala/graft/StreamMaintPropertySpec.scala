@@ -46,9 +46,35 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark.spark
   import spark.implicits._
 
+  ObjectStoreLikeFileSystem.register(spark)
+  ConditionalObjectStoreFileSystem.register(spark)
+
   private val modelsTmp = java.nio.file.Files
     .createTempDirectory("graft-streamprop-models").toString
+  /** Scheme-addressed models bases for the random schedules'
+    * FILESYSTEM dimension (round 20, mirroring
+    * MaintSchedulePropertySpec): the streaming foreachBatch bodies'
+    * artifact roots run on POSIX, copy-rename, or conditional-put
+    * semantics per schedule; checkpoints stay POSIX (they are
+    * Spark's, not the protocol's). */
+  private lazy val objstoreModels =
+    ObjectStoreLikeFileSystem.tempDir("graft-streamprop-objstore")
+  private lazy val condstoreModels =
+    ConditionalObjectStoreFileSystem.tempDir("graft-streamprop-condstore")
   private var prevModelsDir: Option[String] = None
+
+  /** Run `body` with the models base pinned to the POSIX dir —
+    * template builds and template-root resolution must never land on
+    * a trial's scheme-addressed base. */
+  private def underPosixModels[A](body: => A): A = {
+    val prev = sys.props.get("graft.models.dir")
+    sys.props("graft.models.dir") = modelsTmp
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.models.dir") = v
+      case None => sys.props.remove("graft.models.dir")
+    }
+  }
 
   override def beforeAll(): Unit = {
     prevModelsDir = sys.props.get("graft.models.dir")
@@ -80,11 +106,15 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def copyRoot(srcDir: String, prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toString
     val conf = spark.sparkContext.hadoopConfiguration
-    val src = new Path(Models.root(srcDir))
+    // templates always live under the POSIX base; the destination
+    // resolves under the TRIAL's (possibly scheme-addressed) base, so
+    // the copy is cross-filesystem under the r20 fs dimension
+    val src = new Path(underPosixModels(Models.root(srcDir)))
     val dst = new Path(Models.root(dir))
-    val fs = src.getFileSystem(conf)
-    fs.mkdirs(dst.getParent)
-    FileUtil.copy(fs, src, fs, dst, false, conf)
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    dstFs.mkdirs(dst.getParent)
+    FileUtil.copy(srcFs, src, dstFs, dst, false, conf)
     dir
   }
 
@@ -128,7 +158,7 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- templates (built once, file-copied per schedule) -------------------
 
-  private lazy val retrTemplate: String = {
+  private lazy val retrTemplate: String = underPosixModels {
     val t = java.nio.file.Files
       .createTempDirectory("graft-streamprop-retr-tpl").toString
     Models.buildRetrievalArtifacts(spark, t,
@@ -137,19 +167,20 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   private lazy val dedupTemplate: Boolean => String = {
     val cache = scala.collection.mutable.Map.empty[Boolean, String]
-    (foldMap: Boolean) => cache.getOrElseUpdate(foldMap, {
-      val t = java.nio.file.Files
-        .createTempDirectory(s"graft-streamprop-dedup-tpl$foldMap")
-        .toString
-      dedupBase.toDF("doc_id", "text").write.mode("overwrite")
-        .parquet(s"$t/documents.parquet")
-      if (foldMap) Models.dedupMap(spark, t, 50)
-      Models.lshIndex(spark, t, Tables.documents(spark, t),
-        "doc_id", "text")
-      t
-    })
+    (foldMap: Boolean) => cache.getOrElseUpdate(foldMap,
+      underPosixModels {
+        val t = java.nio.file.Files
+          .createTempDirectory(s"graft-streamprop-dedup-tpl$foldMap")
+          .toString
+        dedupBase.toDF("doc_id", "text").write.mode("overwrite")
+          .parquet(s"$t/documents.parquet")
+        if (foldMap) Models.dedupMap(spark, t, 50)
+        Models.lshIndex(spark, t, Tables.documents(spark, t),
+          "doc_id", "text")
+        t
+      })
   }
-  private lazy val vecTemplate: String = {
+  private lazy val vecTemplate: String = underPosixModels {
     val t = java.nio.file.Files
       .createTempDirectory("graft-streamprop-vec-tpl").toString
     vecBase.toDF("vec_id", "embedding").write.mode("overwrite")
@@ -250,18 +281,26 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     scala.collection.mutable.Map.empty[(String, Int), Vector[String]]
 
   private def twinState(fam: Family, k: Int): Vector[String] =
-    twinStates.getOrElseUpdate((fam.name, k), {
-      val dir = twinDirs.getOrElseUpdate(fam.name,
-        copyRoot(fam.template(), s"graft-streamprop-twin-${fam.name}"))
-      val cp = s"$dir/ckpt"
-      var applied = twinApplied.getOrElse(fam.name, 0)
-      while (applied < k) {
-        fam.handler(dir, cp, 0)(fam.batches(applied), applied.toLong)
-        applied += 1
-        twinApplied(fam.name) = applied
-      }
-      fam.state(dir)
-    })
+    // the twin ALWAYS replays on the POSIX base, regardless of the
+    // calling trial's fs flavor (r20): artifact CONTENT must be
+    // filesystem-independent, so comparing a turbulent objstore/
+    // condstore schedule against the POSIX clean twin is exactly the
+    // invariant — and the memoized twin dirs stay resolvable across
+    // trials whose flavors differ
+    underPosixModels {
+      twinStates.getOrElseUpdate((fam.name, k), {
+        val dir = twinDirs.getOrElseUpdate(fam.name,
+          copyRoot(fam.template(), s"graft-streamprop-twin-${fam.name}"))
+        val cp = s"$dir/ckpt"
+        var applied = twinApplied.getOrElse(fam.name, 0)
+        while (applied < k) {
+          fam.handler(dir, cp, 0)(fam.batches(applied), applied.toLong)
+          applied += 1
+          twinApplied(fam.name) = applied
+        }
+        fam.state(dir)
+      })
+    }
 
   test("a TRANSIENT foreign fence backs a streaming fold off instead " +
       "of killing the stream (round 18): a retrieval micro-batch " +
@@ -306,8 +345,16 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         seed = s2
         (math.abs(n) % bound).toInt
       }
-      withClue(s"[trial $trial seed=$schedSeed — replay with " +
-        s"-Dgraft.streamprop.seed=$schedSeed " +
+      // round-20 filesystem dimension, drawn FIRST (as in
+      // MaintSchedulePropertySpec): the trial's artifact roots live
+      // on POSIX, the copy-rename store, or the conditional-put store
+      val fsFlavors = Vector(("posix", modelsTmp),
+        ("objstore", objstoreModels), ("condstore", condstoreModels))
+      val (fsName, fsBase) = fsFlavors(nextInt(fsFlavors.size))
+      sys.props("graft.models.dir") = fsBase
+      try {
+      withClue(s"[trial $trial seed=$schedSeed fs=$fsName — replay " +
+        s"with -Dgraft.streamprop.seed=$schedSeed " +
         "-Dgraft.streamprop.trials=1] ") {
         val fam = families(nextInt(families.size))
         val dir = copyRoot(fam.template(),
@@ -385,6 +432,7 @@ class StreamMaintPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
               s"after batch $bid")
         }
       }
+      } finally sys.props("graft.models.dir") = modelsTmp
     }
   }
 }
