@@ -19,9 +19,20 @@ object GraftFunctions {
       s"$fn: $what must be a non-null literal int, got $other")
   }
 
-  /** Register all custom Catalyst expressions on a session. Idempotent. */
+  /** Register all custom Catalyst expressions on a session. Idempotent
+    * — and SILENTLY so (r20 verdict item 5): a re-registration is
+    * skipped outright when the surface is already present, so repeated
+    * register() calls (every query fn calls it; the driver's two-pass
+    * bench runs hundreds) stop emitting `SimpleFunctionRegistry:
+    * ... replaced a previously registered function` WARNs. The guard
+    * keys on the LAST name registered: registration is straight-line,
+    * so its presence implies the whole surface is present, and the
+    * builders are stateless — identical on every call. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(
+          "bounded_global_key"))) return
     reg.createOrReplaceTempFunction(
       "inc_prefix", exprs => SuccessorString(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -468,7 +468,13 @@ private[sources] class CasV2AggScan(table: String, full: StructType,
     } else {
       val groups = CassandraLikeV2.pkGroups(table, full, kept)
         .filter(_.nonEmpty)
-      if (groups.isEmpty) Array(MemV2Partition(Array.empty))
+      // zero surviving groups must still emit ONE partial row: Spark
+      // 4.x rewrites a final count(*) over partial pushdown into
+      // Sum(partial_count), and Sum over an empty global group is NULL
+      // — an empty partition would turn count-over-empty into NULL
+      // instead of 0 (complete mode already emits its zero-row answer)
+      if (groups.isEmpty) Array(MemV2Partition(
+        Array(CassandraLikeV2.evalAgg(funcs, full, Array.empty, out))))
       else groups.map(g => MemV2Partition(
         Array(CassandraLikeV2.evalAgg(funcs, full, g, out)))
         : InputPartition)

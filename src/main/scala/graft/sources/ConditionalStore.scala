@@ -32,11 +32,21 @@ import org.apache.hadoop.fs.Path
   *    bare mtime touch would leave open on these stores.
   *
   * The generation is any token that changes on EVERY successful write
-  * of the object (etag, version id, a monotonic counter). All four
-  * operations must be atomic with respect to each other — exactly the
-  * contract the stores above document for their preconditioned calls.
+  * of the object (a version id, a monotonic counter). A
+  * CONTENT-DERIVED token (S3 simple-put ETag = content MD5) is
+  * acceptable ONLY because [[Generations]] guarantees every lease
+  * write carries distinct bytes (token + per-write nonce — r20
+  * verdict item 1): a protocol re-putting identical bytes would
+  * stagnate such a generation and leave a just-refreshed lease
+  * stealable by a breaker keyed on the pre-refresh observation.
+  * Implementations over content-hash stores must NOT dedupe or
+  * short-circuit identical writes. All four operations must be atomic
+  * with respect to each other — exactly the contract the stores above
+  * document for their preconditioned calls.
   * [[graft.ConditionalObjectStoreFileSystem]] (test double, scheme
-  * `condstore`) models it over local disk.
+  * `condstore`) models the counter form over local disk;
+  * [[graft.ContentHashConditionalFileSystem]] (`condstoremd5`) models
+  * S3's content-MD5 form, pinning the nonce requirement.
   */
 trait ConditionalStore {
 

@@ -431,6 +431,28 @@ object Generations {
 
   private def leasePath(path: String): Path = new Path(path, LeaseName)
 
+  /** Lease-file bytes for `token`: the token on line 1, a per-write
+    * nonce on line 2 — every lease write (claim, conditional refresh)
+    * carries DISTINCT content. On stores whose [[ConditionalStore]]
+    * generation derives from content (S3 simple-put: ETag = content
+    * MD5), a refresh that re-put identical bytes would NOT advance the
+    * generation, and a breaker still keyed on the pre-refresh
+    * observation could strip a just-refreshed fresh lease — the exact
+    * refresh-vs-break race the conditional path exists to close (r20
+    * verdict item 1). Distinct bytes per write make every
+    * content-derived generation advance. Token parsing is
+    * prefix-based ([[leaseTokenOf]]); bare-token files (older layouts,
+    * tests planting leases by hand) parse unchanged. */
+  private def leaseBytes(token: String): Array[Byte] =
+    (token + "\n" + java.util.UUID.randomUUID.toString).getBytes("UTF-8")
+
+  /** The holder token of lease-file `content`: the prefix before the
+    * first newline (the whole content when there is none). */
+  private[graft] def leaseTokenOf(content: String): String = {
+    val i = content.indexOf('\n')
+    if (i < 0) content else content.substring(0, i)
+  }
+
   /** Schemes whose `rename` preserves the source's mtime — POSIX
     * rename(2) and HDFS-style metadata-only renames. On these, a
     * break-tombstone's mtime IS the broken lease's mtime, which is the
@@ -462,7 +484,7 @@ object Generations {
       val tok =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some((tok, st.getModificationTime))
+      Some((leaseTokenOf(tok), st.getModificationTime))
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
@@ -537,7 +559,8 @@ object Generations {
         case Some(obs) =>
           val fresh =
             System.currentTimeMillis() - obs.mtime < leaseTtlMs
-          if (obs.text == expectToken && !(requireStale && fresh)) {
+          if (leaseTokenOf(obs.text) == expectToken &&
+              !(requireStale && fresh)) {
             leaseHook("lease_took")
             cs.deleteIfGeneration(leasePath(path), obs.generation)
           } else false
@@ -588,7 +611,7 @@ object Generations {
     val effMtime =
       if (renamePreservesMtime(fs) || preMtime < 0) mtime else preMtime
     val fresh = System.currentTimeMillis() - effMtime < leaseTtlMs
-    if (tok == expectToken && !(requireStale && fresh)) {
+    if (leaseTokenOf(tok) == expectToken && !(requireStale && fresh)) {
       fs.delete(tomb, false)
       true
     } else {
@@ -657,8 +680,14 @@ object Generations {
       token: String): Unit = fs match {
     case cs: ConditionalStore =>
       cs.observe(leasePath(path)).foreach { obs =>
-        if (obs.text == token)
-          cs.putIfGeneration(leasePath(path), obs.content,
+        if (leaseTokenOf(obs.text) == token)
+          // CHANGED bytes per refresh ([[leaseBytes]] — same token,
+          // fresh nonce): on stores whose generation derives from
+          // content (S3 ETag = content MD5) a re-put of obs.content
+          // would keep the generation, leaving the fence stealable by
+          // a breaker keyed on the pre-refresh observation (r20
+          // verdict item 1)
+          cs.putIfGeneration(leasePath(path), leaseBytes(token),
             obs.generation)
         ()
       }
@@ -741,7 +770,11 @@ object Generations {
             val tmp = new Path(dir, "_tmp_lease_" +
               java.util.UUID.randomUUID.toString.replace("-", ""))
             val out = fs.create(tmp, true)
-            try out.write(token.getBytes("UTF-8"))
+            // leaseBytes, not bare token: a re-claim after delete must
+            // advance content-derived generations too (same rationale
+            // as the conditional refresh — S3 re-put of identical
+            // bytes reproduces the old ETag)
+            try out.write(leaseBytes(token))
             finally out.close()
             val won = claim(fs, tmp, leasePath(path))
             fs.delete(tmp, false)

@@ -227,8 +227,14 @@ object MaintenanceLog {
       node.put("duration_ms", durationMs); node.put("detail", detail)
       val name = f"${System.currentTimeMillis()}%013d_" +
         java.util.UUID.randomUUID.toString.replace("-", "") + ".json"
-      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), false)
+      // temp-file + rename: a crash mid-write leaves a `.tmp` the
+      // fold ignores, never a truncated `.json` (ADVICE r20 — a torn
+      // sidecar would otherwise poison every later fold on this root)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"$name.tmp")
+      val out = fs.create(tmp, false)
       try out.write(om.writeValueAsBytes(node)) finally out.close()
+      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name)))
+        throw new java.io.IOException(s"rename $tmp -> $name failed")
       System.err.println(s"[graft] maintenance-event emit on $root " +
         s"($kind/$family) stayed fenced past the retry budget — " +
         s"SPILLED to $PendingDir/$name; the next successful emit (or " +
@@ -266,8 +272,34 @@ object MaintenanceLog {
               Some(buf.toByteArray)
             } finally in.close()
           } catch { case _: java.io.FileNotFoundException => None }
-        bytes.foreach { bs =>
-          val node = om.readTree(bs)
+        // A truncated/corrupt sidecar (crashed pre-r21 spill, manual
+        // tampering) must not take down every future fold on this root
+        // (ADVICE r20): quarantine it as `<name>.bad` — it stops
+        // matching the `.json` filter — and carry on. Parse AND field
+        // extraction are both inside the guard (readTree can succeed
+        // on valid-prefix JSON that lacks the fields).
+        val parsed = bytes.flatMap { bs =>
+          try {
+            val node = om.readTree(bs)
+            Some((node.get("kind").asText, node.get("family").asText,
+              node.get("n_rows").asLong, node.get("files_before").asLong,
+              node.get("files_after").asLong,
+              node.get("duration_ms").asLong, node.get("detail").asText))
+          } catch {
+            case e: Exception =>
+              val bad = new org.apache.hadoop.fs.Path(
+                s.getPath.getParent, s.getPath.getName + ".bad")
+              val moved = try fs.rename(s.getPath, bad)
+                catch { case _: Exception => false }
+              System.err.println(s"[graft] unparseable pending " +
+                s"maintenance-event sidecar ${s.getPath.getName} " +
+                s"($e) — " + (if (moved) s"quarantined as ${bad.getName}"
+                else "quarantine rename failed; leaving in place") +
+                "; the ledger under-reports this one event")
+              None
+          }
+        }
+        parsed.foreach { case (kind, family, nRows, fb, fa, dur, det) =>
           // delete FIRST: a crash between the delete and the append
           // under-reports (the documented loss direction); the other
           // order would double-count on every such crash
@@ -275,12 +307,7 @@ object MaintenanceLog {
             val seq = st.currentVersion(spark, Table).getOrElse(0L) + 1L
             val row = spark.createDataFrame(
               java.util.List.of(org.apache.spark.sql.Row(
-                seq, node.get("kind").asText,
-                node.get("family").asText, node.get("n_rows").asLong,
-                node.get("files_before").asLong,
-                node.get("files_after").asLong,
-                node.get("duration_ms").asLong,
-                node.get("detail").asText)),
+                seq, kind, family, nRows, fb, fa, dur, det)),
               Schema).coalesce(1)
             st.write(row, Table, SaveMode.Append)
           }

@@ -340,4 +340,33 @@ class CassandraLikeSpec extends AnyFunSuite {
     assert(recPage.pushedAgg.isEmpty && recPage.limit.contains(5),
       s"per-page pushed sets must be unchanged: $recPage")
   }
+
+  test("partial aggregate pushdown over ZERO surviving rows emits one " +
+      "zero/null partial row, so count(*) merges to 0, not NULL " +
+      "(Spark 4.x rewrites the final count into Sum over the partial " +
+      "column; Sum over an empty global group is NULL — ADVICE r20)") {
+    val store = objectsStore()
+    val objects = Tables.objects(spark, sf)
+      .select("bucket", "object", "size", "checksum")
+    // an EMPTY table keeps the aggregate PARTIAL (no pk equality → no
+    // single-partition complete mode) with zero pk groups — the exact
+    // shape whose scan used to emit an empty partition
+    store.write(objects.limit(0), "objects", SaveMode.Overwrite)
+    val t = store.read(spark, "objects")
+    val empty = t.agg(count(lit(1)).as("n"), sum("size").as("bytes"),
+      min("object").as("lo"), max("object").as("hi"))
+    val row = empty.collect().head
+    val rec = CassandraLikeV2.lastScan("objects")
+    assert(rec.pushedAgg.size == 4 && !rec.aggComplete,
+      s"scenario must exercise PARTIAL pushdown: $rec")
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      s"count(*) over empty partial pushdown must be 0, got $row")
+    assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3),
+      s"sum/min/max over empty input must stay NULL, got $row")
+    // and the same query WITHOUT the connector agrees
+    val want = objects.limit(0)
+      .agg(count(lit(1)).as("n"), sum("size").as("bytes"),
+        min("object").as("lo"), max("object").as("hi")).collect().head
+    assert(row == want, s"connector $row != plain $want")
+  }
 }

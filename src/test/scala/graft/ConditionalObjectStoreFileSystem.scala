@@ -50,13 +50,21 @@ class ConditionalObjectStoreFileSystem extends ObjectStoreLikeFileSystem
       }
     }
 
+  /** Generation assigned by a successful conditional write. The base
+    * double is a per-store monotonic counter (GCS generations, S3
+    * object versions); [[ContentHashConditionalFileSystem]] overrides
+    * it with a content digest (S3 SIMPLE-put: ETag = content MD5 —
+    * identical bytes reproduce the identical generation). */
+  protected def nextGen(content: Array[Byte]): Long =
+    counter.incrementAndGet()
+
   override def putIfAbsent(p: Path, content: Array[Byte]): Boolean =
     lock.synchronized {
       if (exists(p)) false
       else {
         val out = create(p, false)
         try out.write(content) finally out.close()
-        gens.put(key(p), counter.incrementAndGet())
+        gens.put(key(p), nextGen(content))
         true
       }
     }
@@ -68,7 +76,7 @@ class ConditionalObjectStoreFileSystem extends ObjectStoreLikeFileSystem
       else {
         val out = create(p, true)
         try out.write(content) finally out.close()
-        gens.put(key(p), counter.incrementAndGet())
+        gens.put(key(p), nextGen(content))
         true
       }
     }
@@ -80,11 +88,49 @@ class ConditionalObjectStoreFileSystem extends ObjectStoreLikeFileSystem
     }
 }
 
+/** [[ConditionalObjectStoreFileSystem]] whose generation is a CONTENT
+  * DIGEST (scheme `condstoremd5`) — S3 simple-put semantics, where the
+  * ETag is the content MD5 and a re-put of IDENTICAL bytes reproduces
+  * the identical generation. This is the mode that traps a protocol
+  * whose refresh re-puts unchanged lease bytes: the generation would
+  * not advance and a breaker keyed on the pre-refresh observation
+  * could still strip the fresh lease (r20 verdict item 1 —
+  * WriterLeaseSpec pins that [[graft.sources.Generations]]'s
+  * nonce-bearing lease writes advance it). */
+class ContentHashConditionalFileSystem
+    extends ConditionalObjectStoreFileSystem {
+  override def getScheme: String = ContentHashConditionalFileSystem.Scheme
+  override def getUri: URI =
+    URI.create(s"${ContentHashConditionalFileSystem.Scheme}:///")
+  override protected def nextGen(content: Array[Byte]): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(content)
+    java.nio.ByteBuffer.wrap(md5, 0, 8).getLong
+  }
+}
+
+object ContentHashConditionalFileSystem {
+  val Scheme = "condstoremd5"
+
+  /** Register the scheme on a session's Hadoop conf (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration.set(
+      s"fs.$Scheme.impl",
+      classOf[ContentHashConditionalFileSystem].getName)
+
+  /** A fresh working directory addressed under the scheme. */
+  def tempDir(prefix: String): String =
+    s"$Scheme://" +
+      java.nio.file.Files.createTempDirectory(prefix).toString
+}
+
 object ConditionalObjectStoreFileSystem {
   val Scheme = "condstore"
-  private val lock = new Object
-  private val gens = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val lock = new Object
+  private[graft] val gens =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] val counter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Register the scheme on a session's Hadoop conf (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

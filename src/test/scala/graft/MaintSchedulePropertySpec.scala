@@ -700,6 +700,60 @@ class MaintSchedulePropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     MaintenanceLog.disable(root)
   }
 
+  test("a CORRUPT pending sidecar (truncated JSON — a crashed pre-r21 " +
+      "spill) is quarantined as .bad, never poisons later folds, and " +
+      "valid sidecars + new emits still land (ADVICE r20); a .tmp " +
+      "left by a crashed mid-write spill is ignored") {
+    import graft.sources.MaintenanceLog
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maintlog-corrupt").toString
+    val root = Models.root(dir)
+    val famDir = s"$root/${MaintenanceLog.Family}"
+    val fs = new Path(famDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MaintenanceLog.enable(spark, root)
+    val pend = new Path(famDir, MaintenanceLog.PendingDir)
+    fs.mkdirs(pend)
+    def plant(name: String, content: String): Unit = {
+      val out = fs.create(new Path(pend, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // (a) truncated JSON, (b) valid JSON missing required fields,
+    // (c) a valid spilled event, (d) torn .tmp from a crashed spill
+    plant("0000000000001_corrupt.json", """{"kind":"fold","n_r""")
+    plant("0000000000002_nofields.json", """{"unrelated":1}""")
+    plant("0000000000003_good.json",
+      """{"kind":"fold","family":"fam-ok","n_rows":5,""" +
+        """"files_before":-1,"files_after":-1,"duration_ms":-1,""" +
+        """"detail":"good-sidecar"}""")
+    plant("0000000000004_torn.json.tmp", """{"kind":""")
+    MaintenanceLog.flushPending(spark, root)
+    val rows = MaintenanceLog.events(spark, root)
+      .select("seq", "n_rows", "detail").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 5L, "good-sidecar")),
+      s"only the valid sidecar folds, got $rows")
+    val names = fs.listStatus(pend).map(_.getPath.getName).sorted.toSeq
+    assert(names.count(_.endsWith(".json.bad")) == 2,
+      s"both corrupt sidecars must be quarantined as .bad: $names")
+    assert(!names.exists(_.endsWith(".json")),
+      s"no live .json may remain: $names")
+    assert(names.contains("0000000000004_torn.json.tmp"),
+      s"torn .tmp is ignored, not folded: $names")
+    // the poisoned root keeps working: a fresh emit lands with the
+    // next dense seq and repeated flushes stay no-ops
+    MaintenanceLog.emitAs(spark, root, "compact", "fam-ok",
+      nRows = 0L, detail = "after-corruption",
+      token = Generations.processToken)
+    MaintenanceLog.flushPending(spark, root)
+    val all = MaintenanceLog.events(spark, root)
+      .select("seq", "detail").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(all == Seq((1L, "good-sidecar"), (2L, "after-corruption")),
+      s"got $all")
+    MaintenanceLog.disable(root)
+  }
+
   // ---- the property: N random maintenance schedules -----------------------
 
   /** Trial count / base seed. Round-18 default FLIP (r17 verdict item

@@ -28,6 +28,7 @@ class WriterLeaseSpec extends AnyFunSuite {
   HdfsLikeFileSystem.register(spark)
   ObjectStoreLikeFileSystem.register(spark)
   ConditionalObjectStoreFileSystem.register(spark)
+  ContentHashConditionalFileSystem.register(spark)
 
   private def fs(p: String) = new Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1209,5 +1210,53 @@ class WriterLeaseSpec extends AnyFunSuite {
     Generations.releaseLease(f, fam, "procH")
     assert(Generations.readLease(f, fam).isEmpty,
       "release must still work through the conditional delete")
+  }
+
+  test("CONTENT-HASH generations (S3 simple-put: ETag = content MD5): " +
+      "the refresh-vs-break closure holds on S3 semantics, not just " +
+      "counter semantics — lease writes carry a per-write nonce, so a " +
+      "refresh advances even a content-derived generation and a break " +
+      "keyed on the pre-refresh observation FAILS (r20 verdict item 1: " +
+      "a refresh that re-put identical bytes would stagnate the ETag " +
+      "and leave the fresh lease stealable)") {
+    val fam = ContentHashConditionalFileSystem.tempDir(
+      "graft-condmd5-refresh") + "/art"
+    val f = fs(fam)
+    val cs = f.asInstanceOf[graft.sources.ConditionalStore]
+    assert(f.getScheme == ContentHashConditionalFileSystem.Scheme)
+    val lease = new Path(fam, "_writer_lease")
+    // sanity: on THIS double identical bytes reproduce the identical
+    // generation — the trap is real here, unlike the counter double
+    val probe = new Path(fam, "_gen_probe")
+    f.mkdirs(new Path(fam))
+    assert(cs.putIfAbsent(probe, "same".getBytes("UTF-8")))
+    val g1 = cs.observe(probe).get.generation
+    assert(cs.putIfGeneration(probe, "same".getBytes("UTF-8"), g1))
+    assert(cs.observe(probe).get.generation == g1,
+      "the double must model ETag stagnation on identical re-puts")
+    f.delete(probe, false)
+    // the real protocol: claim, observe, own-fresh re-acquire
+    // (= refreshLease), then a breaker keyed on the PRE-refresh
+    // observation
+    Generations.prepareAs(spark, fam, "procH")
+    val pre = cs.observe(lease).get
+    Generations.prepareAs(spark, fam, "procH") // refresh path
+    val post = cs.observe(lease).get
+    assert(post.generation != pre.generation,
+      "the refresh must advance a CONTENT-DERIVED generation — " +
+        "identical re-put bytes would stagnate it")
+    assert(!cs.deleteIfGeneration(lease, pre.generation),
+      "a break keyed on the pre-refresh observation must FAIL")
+    assert(Generations.readLease(f, fam).exists(_._1 == "procH"),
+      "the refreshed lease must survive the stale-keyed break")
+    // break-then-reclaim also advances: a re-claimed lease can never
+    // be stripped by a delete keyed on the pre-break observation
+    Generations.releaseLease(f, fam, "procH")
+    Generations.prepareAs(spark, fam, "procH")
+    val reclaimed = cs.observe(lease).get
+    assert(reclaimed.generation != post.generation,
+      "a fresh re-claim must advance a content-derived generation")
+    Generations.releaseLease(f, fam, "procH")
+    assert(Generations.readLease(f, fam).isEmpty)
   }
 }
