@@ -14,8 +14,25 @@ import org.apache.spark.sql.functions._
   * with an equivalent `WITH` clause (see [[Oracle]]).
   */
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Per-path schema memo: `spark.read.parquet(path)` re-infers the
+    * schema on EVERY call (a driver-side footer read + sampling), and
+    * the bench builds each of ~200 queries from scratch twice — several
+    * hundred redundant inferences of the same static testdata schemas
+    * per run. Supplying the schema skips only that metadata step; the
+    * DATA is still read fresh from parquet on every execution (this is
+    * what a catalog-backed table does for a long-lived session). Keyed
+    * by absolute path: the testdata tables are immutable, and the only
+    * other path through here (a scene corpus's documents.parquet) is
+    * written once per scene build with the identical generator schema. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** `adc_sum(codes, luts)`: the asymmetric-distance sum of a PQ code
+  * array against per-subspace lookup tables —
+  * `Σ_i luts[i][codes[i]]` with 1-based code positions. The fused form
+  * of `aggregate(zip_with(codes, luts, (c, lut) -> element_at(lut, c)),
+  * 0L, (acc, x) -> acc + x)`.
+  *
+  * The HOF spelling allocates the zipped array and evaluates three
+  * interpreted lambdas per scored row; the ADC scan evaluates it once
+  * per (query × probed candidate) — the highest-row-count expression in
+  * every PQ/IVF-PQ probe. This runs one native loop, no allocation;
+  * SimilaritySpec pins equivalence against the HOF form.
+  *
+  * Null parity with the HOF form: a length mismatch between `codes`
+  * and `luts` (zip_with pads with null), a null lut cell, or an
+  * out-of-range code position yields NULL — none can occur for codes
+  * produced by [[PqCodes]] against the same codebook. */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "adc_sum expects (array<int>, array<array<long>>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(codes: Any, luts: Any): Any =
+    sum(codes.asInstanceOf[ArrayData], luts.asInstanceOf[ArrayData])
+
+  /** The lookup-sum kernel, shared by interpreted and generated paths.
+    * Returns null (as java.lang.Long) on any HOF-parity irregularity. */
+  def sum(codes: ArrayData, luts: ArrayData): java.lang.Long = {
+    val n = codes.numElements()
+    if (n != luts.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i) || luts.isNullAt(i)) return null
+      val lut = luts.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 1 || c > lut.numElements() || lut.isNullAt(c - 1)) return null
+      acc += lut.getLong(c - 1)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcSum", this, classOf[AdcSum].getName)
+    nullSafeCodeGen(ctx, ev, (codes, luts) =>
+      s"""java.lang.Long ${ev.value}_r = $ref.sum($codes, $luts);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.longValue(); }""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): AdcSum = copy(left = l, right = r)
+
+  override def prettyName: String = "adc_sum"
+}

@@ -59,6 +59,12 @@ object GraftFunctions {
         PqCodes(exprs(0), exprs(1), intLit(exprs(2), "pq_codes", "m")),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "pq_luts", exprs =>
+        PqLuts(exprs(0), exprs(1), intLit(exprs(2), "pq_luts", "m")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "adc_sum", exprs => AdcSum(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "subword_tokens", exprs => {
         // Accept ANY foldable array<string> vocab (a Literal, but also
         // e.g. array('ab','cd') from SQL, which analyzes as a foldable
@@ -148,6 +154,15 @@ object GraftFunctions {
     * codebook in one native loop (see [[PqCodes]]). */
   def pqCodes(v: Column, cb: Column, m: Int): Column =
     call_function("pq_codes", v, cb, lit(m))
+
+  /** Per-subspace ADC lookup tables over a broadcast cid-sorted
+    * codebook (see [[PqLuts]]). */
+  def pqLuts(v: Column, cb: Column, m: Int): Column =
+    call_function("pq_luts", v, cb, lit(m))
+
+  /** Asymmetric-distance code-vs-LUT sum (see [[AdcSum]]). */
+  def adcSum(codes: Column, luts: Column): Column =
+    call_function("adc_sum", codes, luts)
 
   /** Order-sensitive chunked MD5 aggregate as a Column (small-object
     * path; see [[ChunkedMd5]]). */

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
+
+/** `pq_luts(v, cb, m)`: the per-subspace ADC lookup tables of query
+  * (residual) vector `v` against a (broadcast) cid-sorted codebook —
+  * `out[mm][p]` is the exact-int squared L2 distance between `v`'s
+  * `mm`-th `subDim`-wide subvector and codebook entry `p`'s. The fused
+  * form of
+  * `transform(sequence(0, m-1), mm -> transform(_cb, e ->
+  * subD2(v, e.cv, mm, subDim)))`.
+  *
+  * The HOF spelling evaluates interpreted per (row × subspace ×
+  * codebook entry × sub-dimension), allocating two sliced arrays and a
+  * zipped array per (mm, p) — m·ksub·subDim ≈ 16k interpreted
+  * expression evals and 6k allocations per LUT row at m=8, ksub=256,
+  * dim=64: the dominant per-query serve cost of every IVF-PQ/PQ probe
+  * (r21 job profile: the 12-arm sweep spent most of its ADC stages
+  * here). This expression runs one native triple loop per row with
+  * identical arithmetic; SimilaritySpec pins equivalence against the
+  * HOF form.
+  *
+  * Entry parity with the HOF form: a codebook entry whose vector is
+  * too short for the `mm`-th subspace window yields a NULL lut cell
+  * (`zip_with` pads the short side with null, nulling the sum) —
+  * cannot occur in practice, entries come from the same dim-filtered
+  * prep as `v`. Null overall when `m` does not divide `v`'s length
+  * (the HOF's slice would misalign — callers require dim % m == 0). */
+case class PqLuts(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = true),
+      containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(s: StructType, _))
+          if s.length >= 2 &&
+            s(1).dataType.isInstanceOf[ArrayType] &&
+            s(1).dataType.asInstanceOf[ArrayType].elementType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "pq_luts expects (array<long>, " +
+          "array<struct<cid:long,cv:array<long>,...>>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    luts(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  private lazy val cbFields = right.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType].length
+
+  /** The per-(subspace × entry) distance kernel, shared by the
+    * interpreted and generated paths. */
+  def luts(v: ArrayData, cb: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    if (m <= 0 || dim == 0 || dim % m != 0) return null
+    val subDim = dim / m
+    val n = cb.numElements()
+    val out = new Array[Any](m)
+    var mm = 0
+    while (mm < m) {
+      val lut = new Array[Any](n)
+      var p = 0
+      while (p < n) {
+        val cv = cb.getStruct(p, cbFields).getArray(1)
+        // HOF parity: zip_with over the two slices — an entry too
+        // short for this subspace window nulls the sum
+        if (cv.numElements() >= (mm + 1) * subDim) {
+          var d2 = 0L
+          var k = mm * subDim
+          val end = k + subDim
+          while (k < end) {
+            val d = v.getLong(k) - cv.getLong(k)
+            d2 += d * d
+            k += 1
+          }
+          lut(p) = d2
+        } // else stays null
+        p += 1
+      }
+      out(mm) = new GenericArrayData(lut)
+      mm += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLuts", this, classOf[PqLuts].getName)
+    nullSafeCodeGen(ctx, ev, (v, cb) =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  $ref.luts($v, $cb);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqLuts = copy(left = l, right = r)
+
+  override def prettyName: String = "pq_luts"
+}

@@ -168,9 +168,23 @@ object Dedup {
     * `localCheckpoint` truncates lineage so the result no longer
     * depends on `cached`. */
   private def finishWithUnpersist(out: DataFrame, cached: DataFrame*): DataFrame = {
-    val checkpointed = out.localCheckpoint(true)
+    val checkpointed = labeled(out.sparkSession, "dedup: verify+materialize") {
+      out.localCheckpoint(true)
+    }
     cached.foreach(_.unpersist())
     checkpointed
+  }
+
+  /** Run `body` under a Spark job description (guide §1.5 — the UI/
+    * listener attribution for multi-job operators), restoring the
+    * thread's previous description so the label never leaks into the
+    * caller's later jobs. */
+  private def labeled[A](spark: org.apache.spark.sql.SparkSession,
+      desc: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
   }
 
   // ---- benchmark decontamination -----------------------------------------
@@ -328,12 +342,15 @@ object Dedup {
     // (executor-storage) or reliable (shared-fs), chosen by the caller;
     // each reliable round gets its own subdir so superseded rounds can
     // be reclaimed by path, not by chasing RDD checkpoint files
-    def snap(df: DataFrame): DataFrame = scoped match {
-      case Some(base) =>
-        sc.setCheckpointDir(s"$base/round_$round")
-        df.checkpoint(eager = true)
-      case None => df.localCheckpoint(true)
-    }
+    def snap(df: DataFrame): DataFrame =
+      labeled(ids.sparkSession, s"components: round $round") {
+        scoped match {
+          case Some(base) =>
+            sc.setCheckpointDir(s"$base/round_$round")
+            df.checkpoint(eager = true)
+          case None => df.localCheckpoint(true)
+        }
+      }
     def dropRound(r: Int): Unit = scoped.foreach { base =>
       val p = new org.apache.hadoop.fs.Path(s"$base/round_$r")
       val fsys = p.getFileSystem(sc.hadoopConfiguration)
@@ -362,8 +379,16 @@ object Dedup {
     // restore the session's checkpoint dir even when the loop throws
     // (job failure, non-convergence)
     try {
-      labels = snap(edges.select(col("i").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
+      // Seed with ROUND 1's result directly: the initial labels are
+      // the ids, so the first propagation's neighborhood min is just
+      // min(id, min neighbor id) — a groupBy over the edge list, the
+      // SAME one shuffle the old `distinct()` init cost, but one full
+      // iteration (checkpoint + probe + join round) cheaper. The loop
+      // then starts from the round-1 state; fixpoint and monotonicity
+      // are unchanged.
+      labels = snap(edges.groupBy(col("i").as("id"))
+        .agg(min(col("j")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("label")))
       while (!converged && iter < maxIter) {
         // one join + one agg per plain round: self-loop edges fold the
         // "own label" term into the neighborhood min, and the self-loop
@@ -393,7 +418,9 @@ object Dedup {
         val updated = snap(jumped
           .select(col("id"), col("nl").as("label"),
             (col("nl") =!= col("old")).as("changed")))
-        converged = updated.filter(col("changed")).limit(1).count() == 0
+        converged = labeled(ids.sparkSession, s"components: probe $round") {
+          updated.filter(col("changed")).limit(1).count() == 0
+        }
         labels = updated.select("id", "label")
         // the eager checkpoint above is the last reader of round-1's
         // state: reclaim it now (disk high-water = two rounds)

@@ -292,16 +292,6 @@ object Similarity {
 
   // ---- Product quantization (PQ/ADC — the memory-compression path) ------
 
-  /** Exact-int squared L2 between the m-th `subDim`-wide subvectors of
-    * two quantized vectors (`m` is 0-based and may be a lambda
-    * variable). */
-  private def subD2(a: Column, b: Column, m: Column, subDim: Int): Column =
-    aggregate(
-      zip_with(slice(a, m * subDim + 1, lit(subDim)),
-        slice(b, m * subDim + 1, lit(subDim)),
-        (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-
   /** Product-quantization ANN with asymmetric distance computation
     * (Jégou et al. 2011, "Product quantization for nearest neighbor
     * search"): split each vector into `m` subvectors, encode every
@@ -341,7 +331,7 @@ object Similarity {
   private[graft] def pqTopKPlan(prep: DataFrame, k: Int, queryLimit: Long,
       m: Int, ksub: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
-    val subDim = dim / m
+    // (sub-dimension arithmetic lives in the native pq_luts kernel)
     // codebook as ONE broadcast row (cid-sorted struct array), same
     // scale form as the IVF centroid table
     val cb = broadcast(prep.filter(col("id") < ksub)
@@ -357,18 +347,18 @@ object Similarity {
         graft.functions.GraftFunctions
           .pqCodes(col("qv"), col("_cb"), m).as("codes"))
     // per-query ADC lookup tables: luts[mm][p] = d2(query sub mm,
-    // codebook entry p) — positions aligned with the codes above
+    // codebook entry p) — positions aligned with the codes above.
+    // Native pq_luts/adc_sum loops ([[graft.functions.PqLuts]] /
+    // [[graft.functions.AdcSum]]) — the HOF spelling evaluated
+    // interpreted per (row × subspace × entry × sub-dim) and per
+    // scored row respectively; SimilaritySpec pins equivalence.
     val luts = prep.filter(col("id") < queryLimit).crossJoin(cb)
       .select(col("id").as("qid"),
-        transform(sequence(lit(0), lit(m - 1)), mm =>
-          transform(col("_cb"), e =>
-            subD2(col("qv"), e.getField("cv"), mm, subDim))).as("luts"))
+        GraftFunctions.pqLuts(col("qv"), col("_cb"), m).as("luts"))
     val scored = codes.crossJoin(broadcast(luts))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        aggregate(zip_with(col("codes"), col("luts"),
-          (c, lut) => element_at(lut, c)),
-          lit(0L), (acc, x) => acc + x).as("ad2"))
+        GraftFunctions.adcSum(col("codes"), col("luts")).as("ad2"))
     val w = Window.partitionBy("qid").orderBy(col("ad2"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -460,26 +450,24 @@ object Similarity {
   private[graft] def ivfPqScorePlan(prep: DataFrame, cents: DataFrame,
       cbRows: DataFrame, codes: DataFrame, k: Int, queryLimit: Long,
       nProbe: Int, m: Int, dim: Int, rerank: Int = 0): DataFrame = {
-    val subDim = dim / m
+    // (sub-dimension arithmetic lives in the native pq_luts kernel)
     val probe = prep.filter(col("id") < queryLimit)
       .crossJoin(centArr(cents))
       .select(col("id").as("qid"), col("qv"),
         explode(transform(slice(array_sort(distArr), 1, nProbe),
           c => c.getField("cid"))).as("cid"))
+    // native pq_luts/adc_sum loops — see [[pqTopKPlan]]'s note; the
+    // interpreted HOF chain dominated every probe's ADC stage
     val luts = probe
       .join(broadcast(cents.select(col("cid"), col("cv"))), "cid")
       .withColumn("qrv", expr("zip_with(qv, cv, (x, c) -> x - c)"))
       .crossJoin(codebookRow(cbRows))
       .select(col("qid"), col("cid"),
-        transform(sequence(lit(0), lit(m - 1)), mm =>
-          transform(col("_cb"), e =>
-            subD2(col("qrv"), e.getField("cv"), mm, subDim))).as("luts"))
+        GraftFunctions.pqLuts(col("qrv"), col("_cb"), m).as("luts"))
     val scored = codes.join(broadcast(luts), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        aggregate(zip_with(col("codes"), col("luts"),
-          (c, lut) => element_at(lut, c)),
-          lit(0L), (acc, x) => acc + x).as("ad2"))
+        GraftFunctions.adcSum(col("codes"), col("luts")).as("ad2"))
     val w = Window.partitionBy("qid").orderBy(col("ad2"), col("nid"))
     if (rerank <= 0)
       scored.withColumn("rank", row_number().over(w))
@@ -771,16 +759,23 @@ object Similarity {
     val prep = prepared(embs, idCol, vecCol)
       .filter(size(col("qv")) === dim).cache()
     val planes = intPlanes(kDim, dim, seed)
+    // reduced-space squared L2 in dot-product form: Σ(a−b)² =
+    // Σa² + Σb² − 2·Σab exactly over int64 (coords ≤ ~6.4e5 after the
+    // RpShift, so no overflow at any term) — the norms are computed
+    // ONCE per row through the native codegen'd ldot, replacing the
+    // interpreted aggregate(zip_with((a−b)²)) lambda that ran per
+    // (query × corpus vector) scored row
     val reduced = prep.select(col("id"),
-      rpProject(col("qv"), planes).as("rp"))
+        rpProject(col("qv"), planes).as("rp"))
+      .withColumn("rn2", idot(col("rp"), col("rp")))
     val queries = reduced.filter(col("id") < queryLimit)
-      .select(col("id").as("qid"), col("rp").as("qrp"))
+      .select(col("id").as("qid"), col("rp").as("qrp"),
+        col("rn2").as("qrn2"))
     val scored = reduced.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"),
-        aggregate(zip_with(col("qrp"), col("rp"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-          .as("rd2"))
+        (col("qrn2") + col("rn2") -
+          lit(2L) * idot(col("qrp"), col("rp"))).as("rd2"))
     val w = Window.partitionBy("qid").orderBy(col("rd2"), col("nid"))
     val short = scored.withColumn("_srk", row_number().over(w))
       .filter(col("_srk") <= rerank).select("qid", "nid")
@@ -882,14 +877,23 @@ object Similarity {
           |  IF(r.hi > r.lo, ((x - r.lo) * 255L) div (r.hi - r.lo), 0L))"""
           .stripMargin).as("codes"))
     val queries = prep.filter(col("id") < queryLimit)
-      .select(col("id").as("qid"), col("qv").as("qqv"))
-    val scored = codes.crossJoin(rng).crossJoin(broadcast(queries))
+      .select(col("id").as("qid"), col("qv").as("qqv"),
+        (col("n2") * lit(255L * 255L)).as("qn2s"))
+    // asymmetric distance in dot-product form: Σ(q·255 − rec)² =
+    // 255²·Σq² + Σrec² − 2·255·Σ(q·rec), exact over int64 at this
+    // corpus's value range (the same bound the scaled space was sized
+    // for). The reconstruction and its norm are computed ONCE per
+    // corpus row; the per-(query × vector) scored row is then one
+    // native ldot instead of the interpreted nested zip_with chain.
+    val scored = codes.crossJoin(rng)
+      .withColumn("rec", expr(
+        "zip_with(codes, _rng, (c, r) -> r.lo * 255L + c * (r.hi - r.lo))"))
+      .withColumn("recn2", idot(col("rec"), col("rec")))
+      .crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), expr(
-        """aggregate(zip_with(qqv, zip_with(codes, _rng,
-          |    (c, r) -> r.lo * 255L + c * (r.hi - r.lo)),
-          |  (q, rec) -> (q * 255L - rec) * (q * 255L - rec)),
-          |  0L, (acc, x) -> acc + x)""".stripMargin).as("ad2"))
+      .select(col("qid"), col("nid"),
+        (col("qn2s") + col("recn2") -
+          lit(2L * 255L) * idot(col("qqv"), col("rec"))).as("ad2"))
     val w = Window.partitionBy("qid").orderBy(col("ad2"), col("nid"))
     val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Run `body` under a Spark job description (guide §1.5), restoring
+    * the thread's previous description afterwards. */
+  private def labeled[A](spark: org.apache.spark.sql.SparkSession,
+      desc: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Equi-join `big ⋈ small` on `key` with the big side salted
     * `factor` ways. `small` is replicated `factor`× (explode over the
     * salt range) — acceptable when |small| · factor stays modest.
@@ -106,15 +116,17 @@ object Skew {
     val pruned = blocked
       .select(userCols.map(col): _*)
       .filter(col(idCol).isNotNull)
-    val bands = checkpointDir match {
-      case Some(dir) =>
-        val sc = blocked.sparkSession.sparkContext
-        val prev = sc.getCheckpointDir
-        sc.setCheckpointDir(
-          s"$dir/skew_${java.util.UUID.randomUUID.toString.take(8)}")
-        try pruned.checkpoint(eager = true)
-        finally sc.setCheckpointDir(prev.orNull)
-      case None => pruned.localCheckpoint(true)
+    val bands = labeled(blocked.sparkSession, "skew: band materialize") {
+      checkpointDir match {
+        case Some(dir) =>
+          val sc = blocked.sparkSession.sparkContext
+          val prev = sc.getCheckpointDir
+          sc.setCheckpointDir(
+            s"$dir/skew_${java.util.UUID.randomUUID.toString.take(8)}")
+          try pruned.checkpoint(eager = true)
+          finally sc.setCheckpointDir(prev.orNull)
+        case None => pruned.localCheckpoint(true)
+      }
     }
 
     def sided(df: DataFrame, side: String): DataFrame =
@@ -230,16 +242,29 @@ object Skew {
       // forced tiling: every bucket is hot by definition — no count
       // scan, no marking join
       tiledPairs(bands, allHot = true)
-    } else if (bands.count() <= hotThreshold) {
+    } else if (labeled(blocked.sparkSession, "skew: band count") {
+        bands.count() } <= hotThreshold) {
       // the whole band table fits under the threshold, so no single
       // bucket can exceed it: pure direct join, no hot-count job (and
       // the planner is free to broadcast a small side)
       directPairs(bands)
     } else {
-      val hot = bands.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
-        .filter(col("_bn") > hotThreshold)
-        .select(keys: _*).withColumn("_hot", lit(true))
-      tiledPairs(bands.join(broadcast(hot), keyCols, "left"),
+      val hot = labeled(blocked.sparkSession, "skew: hot-bucket count") {
+        bands.groupBy(keys: _*).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") > hotThreshold)
+          .select(keys: _*).withColumn("_hot", lit(true))
+          .localCheckpoint(true)
+      }
+      // No hot bucket at all (the common case whenever the data is not
+      // pathologically skewed, at ANY scale): the tiled join would run
+      // every row through its cold path (one replica per side) but
+      // still pay the numbered repartition to 4×tile-groups partitions,
+      // the merge-hinted sort, and the canonicalization projection —
+      // pure guard overhead with nothing to guard. Emit the plain
+      // direct join instead; identical pair set (SkewStoreSpec pins
+      // direct == tiled == naive).
+      if (hot.isEmpty) directPairs(bands)
+      else tiledPairs(bands.join(broadcast(hot), keyCols, "left"),
         allHot = false)
     }
   }

@@ -89,6 +89,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(empty.head.isNullAt(0))
   }
 
+  test("pq_luts / adc_sum match the interpreted HOF spellings " +
+      "(transform-of-transform subD2 tables; aggregate-zip_with " +
+      "element_at sum), incl. the 1-based code positions") {
+    graft.functions.GraftFunctions.register(spark)
+    val m = 4
+    val dim = 8
+    val subDim = dim / m
+    // deterministic ragged-free vectors + a 3-entry codebook
+    val rows = (0L until 6L).map { i =>
+      (i, Array.tabulate(dim)(d => (i * 37 + d * 11) % 23 - 7))
+    }.toDF("id", "qv")
+    val cb = rows.filter($"id" < 3)
+      .agg(array_sort(collect_list(
+        struct($"id".as("cid"), $"qv".as("cv")))).as("_cb"))
+    def subD2(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column,
+        mm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(slice(a, mm * subDim + 1, lit(subDim)),
+          slice(b, mm * subDim + 1, lit(subDim)),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val both = rows.crossJoin(broadcast(cb))
+      .withColumn("native",
+        graft.functions.GraftFunctions.pqLuts($"qv", $"_cb", m))
+      .withColumn("hof",
+        transform(sequence(lit(0), lit(m - 1)), mm =>
+          transform($"_cb", e => subD2($"qv", e.getField("cv"), mm))))
+      .withColumn("codes",
+        graft.functions.GraftFunctions.pqCodes($"qv", $"_cb", m))
+      .withColumn("nativeSum",
+        graft.functions.GraftFunctions.adcSum($"codes", $"native"))
+      .withColumn("hofSum",
+        aggregate(zip_with($"codes", $"hof",
+          (c, lut) => element_at(lut, c)),
+          lit(0L), (acc, x) => acc + x))
+    val got = both.select("id", "native", "hof", "nativeSum", "hofSum")
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Seq[Long]](1) == r.getSeq[Seq[Long]](2),
+        s"lut mismatch for id ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4),
+        s"adc mismatch for id ${r.getLong(0)}")
+    }
+    // a vector of its own codebook: distance to itself is 0 in every
+    // subspace, so the adc_sum through its own codes is 0
+    val self = rows.filter($"id" === 1L).crossJoin(broadcast(cb))
+      .select(graft.functions.GraftFunctions.adcSum(
+        graft.functions.GraftFunctions.pqCodes($"qv", $"_cb", m),
+        graft.functions.GraftFunctions.pqLuts($"qv", $"_cb", m)))
+      .collect().head.getLong(0)
+    assert(self == 0L)
+    // m not dividing dim → null luts (HOF would misalign; documented)
+    val bad = rows.limit(1).crossJoin(broadcast(cb))
+      .select(graft.functions.GraftFunctions.pqLuts($"qv", $"_cb", 3))
+      .collect().head
+    assert(bad.isNullAt(0))
+  }
+
   test("IVF ANN probes cells and ranks by exact cosine") {
     val embs = (0L until 60L).map { i =>
       (i, Array.tabulate(64)(d =>
