@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `char_grams(w, minLen, maxLen)`: every character n-gram of `w` with
+  * length in `[minLen, maxLen]`, every position, with multiplicity —
+  * the fused form of
+  * `flatten(array(for l: when(length(w) >= l, transform(sequence(1,
+  * length(w)-l+1), i -> substr(w, i, l))).otherwise([])))`, in the
+  * identical order (lengths ascending, positions ascending within a
+  * length).
+  *
+  * The HOF spelling evaluates an interpreted lambda + allocates a
+  * sliced UTF8String per (word × length × position) — millions of
+  * interpreted closures per corpus scan in the subword-vocabulary
+  * train. This runs one native double loop per word using the same
+  * character-based `substringSQL` slice; TextOpsSpec pins equivalence
+  * (order included) against the HOF form, which is kept as the
+  * reference spelling. */
+case class CharGrams(child: Expression, minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"char_grams expects string, got ${t.catalogString}")
+    }
+
+  override def nullSafeEval(w: Any): Any =
+    grams(w.asInstanceOf[UTF8String])
+
+  /** The extraction kernel, shared by interpreted and generated paths. */
+  def grams(w: UTF8String): GenericArrayData = {
+    val n = w.numChars()
+    var total = 0
+    var l = minLen
+    while (l <= maxLen) { if (n >= l) total += n - l + 1; l += 1 }
+    val out = new Array[Any](total)
+    var p = 0
+    l = minLen
+    while (l <= maxLen) {
+      if (n >= l) {
+        var i = 1
+        val end = n - l + 1
+        while (i <= end) {
+          out(p) = w.substringSQL(i, l)
+          p += 1
+          i += 1
+        }
+      }
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charGrams", this,
+      classOf[CharGrams].getName)
+    nullSafeCodeGen(ctx, ev, w => s"${ev.value} = $ref.grams($w);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharGrams =
+    copy(child = c)
+
+  override def prettyName: String = "char_grams"
+}

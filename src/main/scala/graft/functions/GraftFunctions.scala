@@ -65,6 +65,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "adc_sum", exprs => AdcSum(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs =>
+        MinhashSig(exprs(0), intLit(exprs(1), "minhash_sig", "k")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_grams", exprs =>
+        CharGrams(exprs(0), intLit(exprs(1), "char_grams", "minLen"),
+          intLit(exprs(2), "char_grams", "maxLen")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "subword_tokens", exprs => {
         // Accept ANY foldable array<string> vocab (a Literal, but also
         // e.g. array('ab','cd') from SQL, which analyzes as a foldable
@@ -163,6 +172,16 @@ object GraftFunctions {
   /** Asymmetric-distance code-vs-LUT sum (see [[AdcSum]]). */
   def adcSum(codes: Column, luts: Column): Column =
     call_function("adc_sum", codes, luts)
+
+  /** k-wide MinHash signature of a shingle-hash array (see
+    * [[MinhashSig]]). */
+  def minhashSig(hs: Column, k: Int): Column =
+    call_function("minhash_sig", hs, lit(k))
+
+  /** Character n-grams of a word, lengths in [minLen, maxLen] (see
+    * [[CharGrams]]). */
+  def charGrams(w: Column, minLen: Int, maxLen: Int): Column =
+    call_function("char_grams", w, lit(minLen), lit(maxLen))
 
   /** Order-sensitive chunked MD5 aggregate as a Column (small-object
     * path; see [[ChunkedMd5]]). */

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** `minhash_sig(hs, k)`: the k-wide MinHash signature of a shingle-hash
+  * array — `out[i] = min over sh in hs of ((pmod(sh, P) · a_i + b_i)
+  * mod P)` with the same Mersenne prime P = 2³¹−1 and the same
+  * fixed-seed LCG coefficient family as
+  * [[graft.operators.Dedup.coeffs]] (this expression owns the
+  * generator; Dedup delegates here so the two can never drift).
+  *
+  * The fused form of
+  * `sets.select(explode(hs)).groupBy(id).agg(min((pmod(sh,P)·a_i+b_i)%P)...)`
+  * — which pays an explode (×|hs| rows, hundreds per document) plus a
+  * k-min hash aggregation with 32 aggregate buffers per group, on
+  * EVERY signature pass (LSH index builds, daily fold probes,
+  * incremental dedup). One native (|hs| × k) loop per row instead;
+  * arithmetic is bit-identical (`pmod(sh,P)·a ≤ (P−1)² < 2⁶³` — no
+  * overflow), so the banded candidate sets cannot change.
+  *
+  * Min over an EMPTY array has no groupBy analogue (no exploded rows →
+  * no output row); this returns null there — callers feed
+  * [[graft.operators.Dedup.shingleSets]], which filters empty sets. */
+case class MinhashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<long>, got ${t.catalogString}")
+    }
+
+  // (a_i, b_i) pairs, flattened: [a0, b0, a1, b1, ...]
+  private lazy val ab: Array[Long] = {
+    val cs = MinhashSig.coeffs(k)
+    cs.flatMap { case (a, b) => Seq(a, b) }.toArray
+  }
+
+  override def nullSafeEval(hs: Any): Any =
+    sig(hs.asInstanceOf[ArrayData])
+
+  /** The signature kernel, shared by interpreted and generated paths. */
+  def sig(hs: ArrayData): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val P = MinhashSig.P
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      var base = hs.getLong(j) % P
+      if (base < 0) base += P
+      var i = 0
+      while (i < k) {
+        val v = (base * ab(2 * i) + ab(2 * i + 1)) % P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this,
+      classOf[MinhashSig].getName)
+    nullSafeCodeGen(ctx, ev, hs =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+         |  $ref.sig($hs);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinhashSig =
+    copy(child = c)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinhashSig {
+  /** Mersenne prime 2³¹−1 for the universal-hash family
+    * h_i(x) = (a_i·x + b_i) mod P. */
+  val P = 2147483647L
+
+  /** Deterministic (a_i, b_i) coefficients via a fixed-seed LCG (no
+    * dependence on scala.util.Random's sequence across versions). */
+  def coeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33) % (P - 1) }
+    Seq.fill(k)((next() + 1, next()))
+  }
+}

@@ -449,21 +449,20 @@ object Dedup {
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** Mersenne prime 2^31-1 for the universal-hash family
-    * h_i(x) = (a_i * x + b_i) mod P. */
-  val P = 2147483647L
+    * h_i(x) = (a_i * x + b_i) mod P. (Owned by
+    * [[graft.functions.MinhashSig]] so the native kernel and any
+    * column spelling can never drift.) */
+  val P = graft.functions.MinhashSig.P
 
   /** Deterministic (a_i, b_i) coefficients via a fixed-seed LCG (no
     * dependence on scala.util.Random's sequence across versions). */
-  def coeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
-    var s = seed
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
-      (s >>> 33) % (P - 1) }
-    Seq.fill(k)((next() + 1, next()))
-  }
+  def coeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] =
+    graft.functions.MinhashSig.coeffs(k, seed)
 
   /** MinHash signatures: `(id, m0..m{k-1})` — k min-aggregates over the
     * shingle hash (one shuffle on id, map-side combined). Input is the
-    * exploded `(id, sh)` form. */
+    * exploded `(id, sh)` form. (Kept as the reference spelling the
+    * native kernel is pinned against — see [[minhashSignatureSets]].) */
   def minhashSignature(exploded: DataFrame, k: Int): DataFrame = {
     val base = pmod(col("sh"), lit(P))
     val mins = coeffs(k).zipWithIndex.map { case ((a, b), i) =>
@@ -471,6 +470,22 @@ object Dedup {
     }
     exploded.groupBy("id").agg(mins.head, mins.tail: _*)
   }
+
+  /** [[minhashSignature]] computed directly from the per-doc shingle
+    * SET table `(id, hs, ...)` — one native (|hs| × k) loop per row
+    * ([[graft.functions.MinhashSig]], bit-identical arithmetic) in the
+    * scan stage, replacing the explode (×|hs| rows per doc) and the
+    * k-buffer min aggregation the exploded spelling paid on every
+    * signature pass. Zero shuffle: the signature never leaves its
+    * corpus row. DedupSpec pins equality against [[minhashSignature]]. */
+  def minhashSignatureSets(sets: DataFrame, k: Int): DataFrame =
+    // two projections on purpose: `_ms` is referenced k times, which
+    // keeps CollapseProject from inlining (= re-evaluating) the kernel
+    // per signature column
+    sets.select(col("id"),
+        graft.functions.GraftFunctions.minhashSig(col("hs"), k).as("_ms"))
+      .select(col("id") +: (0 until k).map(i =>
+        col("_ms").getItem(i).as(s"m$i")): _*)
 
   /** LSH candidate pairs from banded signatures (`b` bands × `r` rows):
     * docs agreeing on all r rows of any band land in the same bucket.
@@ -582,9 +597,7 @@ object Dedup {
       precomputedSets: Option[DataFrame] = None): DataFrame = {
     val bSets = precomputedSets
       .getOrElse(shingleSets(batch, idCol, textCol, w)).cache()
-    val bBands = bandTable(
-      minhashSignature(
-        bSets.select(col("id"), explode(col("hs")).as("sh")), k),
+    val bBands = bandTable(minhashSignatureSets(bSets, k),
       bands, k / bands)
     val cand = indexBands
       .join(broadcast(batch.select(col(idCol).as("id"))), Seq("id"),
@@ -613,8 +626,7 @@ object Dedup {
       threshold: Double, k: Int = 32, bands: Int = 16, w: Int = 3,
       hotThreshold: Long = 100000L, tiles: Int = 8): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, w).cache()
-    val exploded = sets.select(col("id"), explode(col("hs")).as("sh"))
-    val cand = lshCandidates(minhashSignature(exploded, k), bands, k / bands,
+    val cand = lshCandidates(minhashSignatureSets(sets, k), bands, k / bands,
       hotThreshold, tiles)
     finishWithUnpersist(
       verify(cand, sets).filter(col("jac") >= threshold), sets)
@@ -648,8 +660,7 @@ object Dedup {
     val all = index.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
     val sets = shingleSets(all, idCol, textCol, w).cache()
-    val exploded = sets.select(col("id"), explode(col("hs")).as("sh"))
-    val cand = lshCandidates(minhashSignature(exploded, k), bands, k / bands,
+    val cand = lshCandidates(minhashSignatureSets(sets, k), bands, k / bands,
       hotThreshold, tiles)
     val newIds = batch.select(col(idCol).as("id"))
     // orient (i=index, j=batch); selfJoinPairs emits unordered i<j, so

@@ -19,21 +19,29 @@ import org.apache.spark.sql.functions._
   * runs prefix sums and threshold picks over that tiny histogram. The
   * per-group window partitions carry histogram-sized state, not
   * corpus-sized.
+  *
+  * The histogram is materialized EAGERLY (`localCheckpoint`) before
+  * phase 2: every downstream stage — totals, prefix sums, deviation
+  * folds, outlier counts — is histogram-sized, so the corpus is
+  * scanned exactly ONCE per profile no matter how many derived
+  * statistics read it. Left lazy, each consumer branch re-runs the
+  * corpus scan (quantiles paid it twice, median+MAD outliers four
+  * times).
   */
 object Profile {
 
-  /** Exact type-1 (lower discrete) quantiles per group:
-    * `q_p = min { v : rank(v) >= ceil(p·n) }` for each `p = num/100`
-    * in `pcts`. Returns one row per group:
-    * `(group, n, vmin, vmax, p<num>...)`. Thresholds are computed in
-    * exact integer arithmetic (`(num·n + 99) div 100`) — double
-    * formulations mis-round at exact boundaries. */
-  def quantiles(df: DataFrame, groupCol: String, valCol: String,
+  /** `(g, v) → c` count histogram of the pre-projected two-column
+    * frame, eagerly materialized — the ONE corpus pass. */
+  private def histogram(gv: DataFrame): DataFrame =
+    gv.groupBy("g", "v").agg(count(lit(1)).as("c")).localCheckpoint(true)
+
+  /** Phase 2 over an existing `(g, v, c)` histogram: one row per
+    * group `(g, n, vmin, vmax, p<num>...)`, exact type-1 quantiles
+    * `q_p = min { v : rank(v) >= ceil(p·n) }` with thresholds in exact
+    * integer arithmetic (`(num·n + 99) div 100` — double formulations
+    * mis-round at exact boundaries). */
+  private def quantilesFromHist(hist: DataFrame,
       pcts: Seq[Int]): DataFrame = {
-    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
-      s"percentiles must be in (0,100], got $pcts")
-    val hist = df.groupBy(col(groupCol).as("g"), col(valCol).as("v"))
-      .agg(count(lit(1)).as("c"))
     val tot = hist.groupBy("g").agg(
       sum("c").as("n"), min("v").as("vmin"), max("v").as("vmax"))
     val cum = hist.withColumn("cum", sum("c").over(
@@ -46,19 +54,38 @@ object Profile {
     cum.join(tot, "g")
       .groupBy(col("g"), col("n"), col("vmin"), col("vmax"))
       .agg(picks.head, picks.tail: _*)
-      .withColumnRenamed("g", groupCol)
+  }
+
+  /** Exact type-1 (lower discrete) quantiles per group:
+    * `q_p = min { v : rank(v) >= ceil(p·n) }` for each `p = num/100`
+    * in `pcts`. Returns one row per group:
+    * `(group, n, vmin, vmax, p<num>...)`. */
+  def quantiles(df: DataFrame, groupCol: String, valCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      s"percentiles must be in (0,100], got $pcts")
+    val hist = histogram(
+      df.select(col(groupCol).as("g"), col(valCol).as("v")))
+    quantilesFromHist(hist, pcts).withColumnRenamed("g", groupCol)
   }
 
   /** Robust per-group outlier detection over a discrete-domain value:
     * median + MAD (median absolute deviation), both exact type-1
-    * quantiles via [[quantiles]], and the count of rows where
-    * `|v − median| > k·MAD`. The z-score alternative needs mean/stddev
-    * doubles whose summation order no two engines agree on; median/MAD
-    * stays in exact integers end to end AND is the statistically robust
-    * choice (one corrupt feed can move a mean arbitrarily, not a
-    * median). The median/MAD tables are group-count-sized and
-    * broadcast; the two histogram passes are map-side-combined, so the
-    * corpus shuffles only |distinct values| rows per group.
+    * quantiles, and the count of rows where `|v − median| > k·MAD`.
+    * The z-score alternative needs mean/stddev doubles whose summation
+    * order no two engines agree on; median/MAD stays in exact integers
+    * end to end AND is the statistically robust choice (one corrupt
+    * feed can move a mean arbitrarily, not a median).
+    *
+    * Everything after the histogram FOLDS the histogram, never the
+    * corpus: the deviation table is `(g, |v − med|) → Σc` over
+    * histogram rows (same multiset of deviations the row-level join
+    * produced, pre-counted), its median is the MAD, and the outlier
+    * count is `Σ c where |v − med| > k·MAD` — so the corpus is scanned
+    * once and shuffles only |distinct values| rows per group, where
+    * the previous row-level spelling re-scanned the corpus for the
+    * deviation join, the MAD histogram, and the final count (four
+    * scans total).
     *
     * NULL values are dropped up front: Spark's window `ORDER BY v`
     * sorts NULLs first while DuckDB sorts them last, and a NULL would
@@ -67,19 +94,21 @@ object Profile {
     * oracle parity independent of the profiled column's nullability. */
   def robustOutliers(df: DataFrame, groupCol: String,
       valCol: org.apache.spark.sql.Column, k: Int = 3): DataFrame = {
-    val base = df.select(col(groupCol).as("g"), valCol.as("cv"))
-      .filter(col("cv").isNotNull)
-    val med = quantiles(base, "g", "cv", Seq(50))
+    val hist = histogram(
+      df.select(col(groupCol).as("g"), valCol.as("v"))
+        .filter(col("v").isNotNull))
+    val med = quantilesFromHist(hist, Seq(50))
       .select(col("g"), col("n"), col("p50").as("med"))
-    val dev = base.join(broadcast(med), "g")
-      .withColumn("ad", abs(col("cv") - col("med")))
-    val mad = quantiles(dev, "g", "ad", Seq(50))
+    val devHist = hist.join(broadcast(med.select("g", "med")), "g")
+      .groupBy(col("g"), abs(col("v") - col("med")).as("v"))
+      .agg(sum("c").as("c"))
+    val mad = quantilesFromHist(devHist, Seq(50))
       .select(col("g"), col("p50").as("mad"))
-    dev.join(broadcast(mad), "g")
+    devHist.join(broadcast(med), "g").join(broadcast(mad), "g")
       .groupBy("g")
       .agg(max(col("n")).as("n"), max(col("med")).as("med"),
         max(col("mad")).as("mad"),
-        sum(when(col("ad") > lit(k) * col("mad"), 1L).otherwise(0L))
+        sum(when(col("v") > lit(k) * col("mad"), col("c")).otherwise(0L))
           .as("n_outliers"))
       .withColumnRenamed("g", groupCol)
   }

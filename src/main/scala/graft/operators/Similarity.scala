@@ -449,7 +449,21 @@ object Similarity {
     * the probed cells' codes. */
   private[graft] def ivfPqScorePlan(prep: DataFrame, cents: DataFrame,
       cbRows: DataFrame, codes: DataFrame, k: Int, queryLimit: Long,
-      nProbe: Int, m: Int, dim: Int, rerank: Int = 0): DataFrame = {
+      nProbe: Int, m: Int, dim: Int, rerank: Int = 0): DataFrame =
+    ivfPqRankFromScored(
+      ivfPqAdcScored(prep, cents, cbRows, codes, queryLimit, nProbe, m),
+      prep, k, rerank)
+
+  /** The probe/LUT/ADC half of [[ivfPqScorePlan]] alone — every
+    * `(qid, nid)` candidate in the query's `nProbe` probed cells with
+    * its asymmetric distance `ad2`, BEFORE any ranking. Split out so a
+    * multi-configuration consumer (the operating-point sweep) can
+    * materialize ONE scored table per (index, nProbe) and derive every
+    * rerank variant from it, instead of re-running the full ADC
+    * pipeline per rerank arm. */
+  private[graft] def ivfPqAdcScored(prep: DataFrame, cents: DataFrame,
+      cbRows: DataFrame, codes: DataFrame, queryLimit: Long,
+      nProbe: Int, m: Int): DataFrame = {
     // (sub-dimension arithmetic lives in the native pq_luts kernel)
     val probe = prep.filter(col("id") < queryLimit)
       .crossJoin(centArr(cents))
@@ -464,10 +478,17 @@ object Similarity {
       .crossJoin(codebookRow(cbRows))
       .select(col("qid"), col("cid"),
         GraftFunctions.pqLuts(col("qrv"), col("_cb"), m).as("luts"))
-    val scored = codes.join(broadcast(luts), Seq("cid"))
+    codes.join(broadcast(luts), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         GraftFunctions.adcSum(col("codes"), col("luts")).as("ad2"))
+  }
+
+  /** The ranking half of [[ivfPqScorePlan]] over an existing
+    * `(qid, nid, ad2)` scored table — pure-ADC top-k at `rerank = 0`,
+    * the FAISS-`refine` shortlist + exact-L2 re-rank otherwise. */
+  private[graft] def ivfPqRankFromScored(scored: DataFrame,
+      prep: DataFrame, k: Int, rerank: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("ad2"), col("nid"))
     if (rerank <= 0)
       scored.withColumn("rank", row_number().over(w))

@@ -86,7 +86,9 @@ object TextOps {
     * every position, with multiplicity) of one word, as a pure column
     * expression. The `when` guard matters for short words: Spark's
     * `sequence(1, len-l+1)` would generate a DESCENDING sequence when
-    * `len < l`. */
+    * `len < l`. (Kept as the reference spelling the native
+    * [[graft.functions.CharGrams]] kernel is pinned against —
+    * [[subwordVocab]] uses the kernel.) */
   def subwordGrams(w: Column): Column =
     flatten(array((SubwordMinGram to SubwordMaxGram).map { l =>
       when(length(w) >= l,
@@ -108,12 +110,20 @@ object TextOps {
     * no global sort. The K-row result is the bounded driver-side state
     * a tokenizer ships to every task (same class as the IVF centroid
     * table). */
-  def subwordVocab(docs: DataFrame, k: Int = SubwordVocabK): DataFrame =
+  def subwordVocab(docs: DataFrame, k: Int = SubwordVocabK): DataFrame = {
+    // native char_grams kernel: the HOF spelling paid an interpreted
+    // lambda + a sliced-string allocation per (word × length ×
+    // position) — millions per corpus scan; equivalence (order
+    // included) pinned in TextOpsSpec. register() is idempotent-guarded
+    // (some callers reach here without having registered).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(explode(tokens(col("text"))).as("wd"))
-      .select(explode(subwordGrams(col("wd"))).as("gram"))
+      .select(explode(graft.functions.GraftFunctions
+        .charGrams(col("wd"), SubwordMinGram, SubwordMaxGram)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
+  }
 
   /** The vocabulary as a driver-side Seq for embedding into
     * [[graft.functions.SubwordTokens]] as a plan literal (a K-row

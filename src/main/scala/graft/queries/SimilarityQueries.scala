@@ -1099,14 +1099,41 @@ object SimilarityQueries {
           Tables.embeddings(s, d), "vec_id", "embedding")
           .filter(size(col("qv")) === 64).cache()
         val gt = Similarity.exactL2TopK(prep, 5, 10L).localCheckpoint(true)
+        // ONE materialized ADC table per (ksub, nProbe): the probe/LUT/
+        // ADC pipeline is the expensive half of every arm and is
+        // identical across the two rerank variants — scoring it per
+        // (ksub, nProbe, rerank) ran the 6 pipelines twice each. The 6
+        // materializations run CONCURRENTLY from a small thread pool
+        // (independent jobs back-fill each other's stage tails — the
+        // same overlap the previous all-lazy 12-arm union got from its
+        // single action, kept here alongside the dedup); index loads
+        // stay sequential (ensureBucketed registration is not a
+        // concurrency surface).
+        val byKsub = Seq(16, 256)
+          .map(ks => ks -> graft.sources.Models.ivfPqIndex(s, d, ksub = ks))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+        val scoreds =
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutor(pool)
+            val fs = for {
+              (ksub, idx) <- byKsub
+              nProbe <- Seq(4, 8, 16)
+            } yield scala.concurrent.Future {
+              (ksub, nProbe, Similarity
+                .ivfPqAdcScored(prep, idx._1, idx._2, idx._3, 10L,
+                  nProbe, 8)
+                .localCheckpoint(true))
+            }
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(fs),
+              scala.concurrent.duration.Duration.Inf)
+          } finally pool.shutdown()
         val arms = for {
-          ksub <- Seq(16, 256)
-          idx = graft.sources.Models.ivfPqIndex(s, d, ksub = ksub)
-          nProbe <- Seq(4, 8, 16)
+          (ksub, nProbe, scored) <- scoreds
           rerank <- Seq(0, 50)
         } yield Similarity
-          .ivfPqScorePlan(prep, idx._1, idx._2, idx._3, 5, 10L, nProbe,
-            8, 64, rerank)
+          .ivfPqRankFromScored(scored, prep, 5, rerank)
           .join(gt, Seq("qid", "nid"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(nProbe).as("n_probe"), lit(ksub).as("ksub"),

@@ -266,10 +266,7 @@ object Models {
       "id BIGINT, hs ARRAY<BIGINT>, n BIGINT", "id")(sets)
     val bandsDf = ensureBucketed(spark, lshBandsPath(sfDir, k, b, w),
       "bk STRING, id BIGINT", "bk") {
-      Dedup.bandTable(
-        Dedup.minhashSignature(
-          setsDf.select(col("id"), explode(col("hs")).as("sh")), k),
-        b, k / b)
+      Dedup.bandTable(Dedup.minhashSignatureSets(setsDf, k), b, k / b)
         .select(col("bk"), col("id"))
     }
     (bandsDf, setsDf)
@@ -346,9 +343,7 @@ object Models {
     // bucket per fold instead of one per (task, bucket) — see the
     // postingsAppend file-hygiene note (ScaleAudit: 512 → 16 files
     // per fold); the extra exchange is batch-sized
-    Dedup.bandTable(
-      Dedup.minhashSignature(
-        sets.select(col("id"), explode(col("hs")).as("sh")), k), b, k / b)
+    Dedup.bandTable(Dedup.minhashSignatureSets(sets, k), b, k / b)
       .select(col("bk"), col("id"))
       .repartition(IndexBuckets, col("bk"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)

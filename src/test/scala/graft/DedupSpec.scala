@@ -28,6 +28,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!counts.contains(4L)) // 2 tokens -> no trigram
   }
 
+  test("native minhash_sig matches the exploded groupBy-min signature " +
+      "(all 32 columns, incl. negative raw hashes)") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 32
+    val sets = Dedup.shingleSets(docs, "doc_id", "text")
+    val native = Dedup.minhashSignatureSets(sets, k)
+    val reference = Dedup.minhashSignature(
+      sets.select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("hs")).as("sh")), k)
+    val n = native.orderBy("id").collect()
+    val r = reference.orderBy("id").collect()
+    assert(n.length == r.length && n.nonEmpty)
+    n.zip(r).foreach { case (a, b) =>
+      (0 to k).foreach(i => assert(a.getLong(i) == b.getLong(i),
+        s"col $i differs for id ${a.getLong(0)}"))
+    }
+    // raw xxhash64 shingle hashes are frequently negative — pin that
+    // the kernel's pmod matches Spark's on at least one such input
+    val anyNegative = sets
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("hs")).as("sh"))
+      .filter(org.apache.spark.sql.functions.col("sh") < 0)
+      .limit(1).count()
+    assert(anyNegative == 1L, "fixture produced no negative hash; " +
+      "the pmod branch is untested")
+  }
+
   test("exact dedup collapses identical normalized content") {
     val r = Dedup.exact(docs, "doc_id", "text")
       .as[(String, Long, Long)].collect()

@@ -18,6 +18,23 @@ class SubwordSpec extends AnyFunSuite {
       .select(GraftFunctions.subwordTokens($"w", vocab).as("t"))
       .as[Seq[String]].collect().head
 
+  test("native char_grams matches the HOF subwordGrams spelling, " +
+      "order included (multi-byte chars, short words, empty string)") {
+    GraftFunctions.register(spark)
+    val words = Seq("hello", "ab", "a", "", "naïve日本語x", "abcd",
+      "ééé", "word boundary")
+    val both = words.toDF("wd")
+      .select($"wd",
+        GraftFunctions.charGrams($"wd", TextOps.SubwordMinGram,
+          TextOps.SubwordMaxGram).as("native"),
+        TextOps.subwordGrams($"wd").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"grams differ for '${r.getString(0)}'")
+    }
+  }
+
   test("longest vocabulary match wins at every position") {
     // at pos 0 of "abcd" both "ab" and "abc" match; greedy takes "abc"
     assert(tok(Seq("ab", "abc", "cd"), Seq("abcd")) == Seq("abc", "d"))
