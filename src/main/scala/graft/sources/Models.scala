@@ -1239,12 +1239,36 @@ object Models {
         b.join(broadcast(present), Seq("doc_id"), "left_anti")
       val (freshPost, freshPos, freshLens, dfApplied) =
         if (!dedupeIds) (b, b, b, false)
-        else (
-          freshFor(presentIn(spark.table(name))),
-          if (hasPos) freshFor(presentIn(spark.table(posName))) else b,
-          freshFor(presentIn(docLens(spark, sfDir))),
-          Generations.head(spark, dfTablePath(sfDir))
-            .exists(_._2 == foldId))
+        else {
+          // Resolve the artifact frames ON THIS THREAD first —
+          // docLens/spark.table take the Models lock this method
+          // already holds, so a pool thread calling them would
+          // deadlock. The three presence probes themselves are
+          // independent read-only scans whose cost is the eager
+          // localCheckpoint action, so they fan out to a small pool
+          // (guide §2.6 — the fold's guard phase is action-count
+          // bound, not data bound); write order below is untouched.
+          val postT = spark.table(name)
+          val posT = if (hasPos) Some(spark.table(posName)) else None
+          val lensT = docLens(spark, sfDir)
+          val applied = Generations.head(spark, dfTablePath(sfDir))
+            .exists(_._2 == foldId)
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutor(pool)
+            val pF = scala.concurrent.Future(freshFor(presentIn(postT)))
+            val sF = posT.map(t =>
+              scala.concurrent.Future(freshFor(presentIn(t))))
+            val lF = scala.concurrent.Future(freshFor(presentIn(lensT)))
+            import scala.concurrent.duration.Duration
+            (scala.concurrent.Await.result(pF, Duration.Inf),
+              sF.map(scala.concurrent.Await.result(_, Duration.Inf))
+                .getOrElse(b),
+              scala.concurrent.Await.result(lF, Duration.Inf),
+              applied)
+          } finally pool.shutdown()
+        }
       if (dedupeIds && dfApplied &&
           freshPost.isEmpty && freshLens.isEmpty &&
           (!hasPos || freshPos.isEmpty)) {
