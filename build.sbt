@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run JVM's stdout/stderr straight through instead of
+// re-logging them with sbt's "[info] "/"[error] " prefixes: the
+// driver scrapes Bench's one-line JSON from the output tail, and 21
+// rounds of BENCH_r*.json recorded `parsed: null` because the line
+// arrived decorated. (Affects runMain only; test output is unchanged.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -92,7 +92,17 @@ object Bench {
     }
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","canary":$cjson,"errors":$errs,"full":"BENCH.json","n":${results.size},"omitted":${results.size - kept.size},"queries":${kept.mkString("{", ",", "}")}}"""
-    println(json)
+    // The compact line is ALSO a fixed artifact file (the driver has
+    // parsed stdout's copy as null in every round to date — sbt
+    // decoration + trailing lines; a file sidesteps the scrape), and
+    // stdout's copy prints AFTER spark.stop() so no Spark shutdown
+    // logging can land between it and process exit. The measured
+    // methodology above is unchanged.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_COMPACT.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

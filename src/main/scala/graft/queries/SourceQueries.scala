@@ -35,9 +35,16 @@ object SourceQueries {
 
     // A16-adjacent: whole files as (path, length, bytes) rows — the
     // ingest edge for blob content (images, audio, arbitrary uploads).
+    // (pathGlobFilter instead of a glob IN the load path: a glob path
+    // makes DataSource.resolveRelation stat the literal string first,
+    // and the caught FileNotFoundException is logged WARN WITH ITS
+    // FULL STACK — the lone "[error]" stack in every BENCH_r* tail,
+    // half the reason the driver's JSON scrape failed. Same file set:
+    // the dir is flat and every file matches.)
     "src_binaryfile_scan" -> QueryDef(
       (s, _) => s.read.format("binaryFile")
-        .load(s"$BinDir/*.parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .load(BinDir)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           col("length"),
           md5(encode(hex(col("content")), "UTF-8")).as("content_md5"))
